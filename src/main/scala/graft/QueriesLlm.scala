@@ -1,0 +1,201 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.Blob
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators (north star; BASELINE.json):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search (brute-force + LSH ANN), text analysis, multimodal.
+  */
+object QueriesLlm {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** documents ∪ mutated copies (id+100000, ~20% tail cut) — planted
+    * near-duplicates so near-dup operators have known positives. */
+  def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mutated = docs
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        substring_index(col("text"), " ", 40).as("text"))
+    docs.unionByName(mutated)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // token counting: whitespace + BPE-ish regex subwords
+    "llm_token_stats" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"),
+      TextAnalysis.charCount(col("text")).cast(LongType).as("n_chars_calc"))),
+
+    // quality scoring (length/punct/stopword/word-length bands)
+    "llm_quality" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      round(TextAnalysis.meanWordLength(col("text")), 6).as("mean_word_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // language ID (n-gram/stopword heuristic) — non-SQL: rows-only + ScalaTest accuracy gate
+    "llm_langid" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // document fingerprint: md5 of sorted distinct token set (OpenRefine flavor)
+    "llm_fingerprint" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(Dedup.tokens(col("text")))), " ")
+        .cast(BinaryType)).as("fp_md5"))),
+
+    // exact dedup on content digest: deterministic winner per group
+    "llm_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(plantedCorpus(s, dir), "text", col("doc_id"))
+        .select("doc_id")),
+
+    // exact n-gram Jaccard between consecutive docs (verification primitive)
+    "llm_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType), 6).as("jaccard"))
+    }),
+
+    // MinHash+LSH near-dup pairs over the planted corpus (probabilistic → rows-only;
+    // recall/precision asserted in DedupSpec against exact Jaccard)
+    "llm_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(plantedCorpus(s, dir), "doc_id", "text",
+          threshold = 0.4, bands = 32, rowsPerBand = 4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // SimHash near-dup pairs (rows-only; Hamming blocking via 16-bit keys)
+    "llm_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 8)),
+
+    // embedding near-dup pairs via hyperplane LSH. The driver embeddings are
+    // near-random (max pairwise cosine ≈0.5), so plant perturbed duplicates
+    // (vec_id+100000, first component nudged) as known positives — same
+    // pattern as plantedCorpus for text.
+    "llm_embed_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
+      Dedup.embeddingPairs(emb.unionByName(perturbed), "vec_id", "embedding", 64,
+          threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline). Rank on the ROUNDED
+    // cosine so the oracle's ordering decisions are bit-identical.
+    "llm_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val scored = emb.select(col("vec_id"), col("embedding")).crossJoin(q)
+        .select(col("query_id"), col("vec_id"),
+          round(Blob.cosineSimilarity(col("embedding"), col("qv")), 6).as("cosine"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    }),
+
+    // LSH-bucketed ANN (scale path; recall vs brute force gated in SimilaritySpec)
+    "llm_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.lshTopK(emb, "vec_id", "embedding", 64, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // multimodal plumbing: binary payload + typed metadata → features
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, dir)
+      Multimodal.extractFeatures(media).toDF()
+        .select("media_id", "modality", "n_bytes")
+    }),
+
+    // multimodal frame sampling (explode plumbing)
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.syntheticMedia(s, dir), n = 4))
+  )
+
+  // Tokenization used in oracles — MUST stay in sync with Dedup.tokens:
+  // lower → split on non-(letter|digit) → drop empties.
+  private val oTok = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "llm_token_stats" ->
+      s"""SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+'))::BIGINT AS n_subwords,
+           length(text)::BIGINT AS n_chars_calc
+         FROM documents""",
+    "llm_quality" ->
+      s"""SELECT doc_id,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END, 6) AS punct_ratio,
+           round(CASE WHEN len($oTok) = 0 THEN 0.0
+             ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                  / len($oTok) END, 6) AS stop_ratio,
+           round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                  / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) END, 6) AS mean_word_len,
+           ((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) < 0.2 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)) AS quality
+         FROM documents""",
+    "llm_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($oTok)), ' ')) AS fp_md5
+         FROM documents""",
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
+           FROM documents)
+         GROUP BY md5(text)""",
+    "llm_ngram_jaccard" ->
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]
+             ELSE list_transform(generate_series(0, len($oTok) - 3),
+               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3])) END) AS shingles
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+    "llm_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+               FROM embeddings e CROSS JOIN q),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s)
+         SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""",
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           length(text)::BIGINT AS n_bytes
+         FROM documents""",
+    "mm_frames" ->
+      """SELECT doc_id AS media_id, unnest(generate_series(0, 3)) AS frame_idx,
+           CAST(floor(unnest(generate_series(0, 3)) / 4.0 * (n_chars * 10)) AS BIGINT) AS offset_ms
+         FROM documents WHERE doc_id % 3 = 2"""
+  )
+}

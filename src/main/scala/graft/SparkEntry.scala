@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Flow, Tables}
+import graft.operators.Processors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator (SURVEY §2) to a
+  * DataFrame program built from the graft library; `oracleSql` holds the
+  * DuckDB-equivalent SQL for every hash-checkable query (others get the
+  * weaker rows-only check and a ScalaTest gate instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (driver smoke, sf0.001): the Flow-DSL pipeline form of
+    * the TPC-H Q3-flavor join/agg/top-k. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Flow(Tables(spark, dir, "lineitem"))
+      .map(_.join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey")))
+      .pipe(Processors.mutation("disc_price" ->
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+      .map(_.groupBy("o_orderkey")
+        .agg(sum(col("disc_price").cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10))
+      .result
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.queries ++ QueriesLlm.queries
+
+  /** DuckDB-equivalent ANSI SQL per query (hash-checked by the driver). */
+  def oracleSql: Map[String, String] = QueriesCore.oracle ++ QueriesLlm.oracle
+
+  /** Headline queries timed by [[Bench]] (BENCH_r{N}.json). */
+  val benchQueries: Seq[String] = Seq(
+    "agg_q1", "join_topk", "agg_group_nation", "window_rank", "win_tumbling",
+    "proc_dedupe", "llm_quality", "llm_minhash_pairs", "llm_cosine_topk",
+    "llm_fingerprint")
 }

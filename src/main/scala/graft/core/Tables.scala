@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * Reads go through `spark.read.parquet` so Catalyst gets predicate pushdown,
+  * column pruning and partition coalescing for free — at 100 TB these scans
+  * are the dominant cost and must stay declarative.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader.
+      // Read nanos as Long and truncate to microseconds (integer div — the
+      // ns epoch exceeds double's 2^53 mantissa, so no float detour).
+      // Documented precision delta vs the reference's ns timestamps
+      // (SURVEY §1.4); DuckDB-oracle parity holds for all derived values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` text works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

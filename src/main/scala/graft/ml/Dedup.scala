@@ -1,0 +1,191 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: exact dedup is one hash-partitioned shuffle on a digest
+  * (never on the full text — at 100 TB you shuffle 32-byte keys, not
+  * documents). Near-dup (MinHash/SimHash) follows the standard
+  * shingle → signature → band-bucket-join shape: candidates come from a
+  * shuffle on small band keys, and the expensive Jaccard verification runs
+  * only on candidate pairs. Everything up to the band join is per-row
+  * Column math inside whole-stage codegen — no UDFs in the wide path.
+  *
+  * Reference anchors: `dedupe` processor (internal/impl/pure/
+  * processor_dedupe.go:20-31) is the exact-key flavor; near-dup extends it
+  * per the north-star LLM-pipeline requirements.
+  */
+object Dedup {
+
+  /** Tokenize + lowercase. `\p{L}\p{N}` keeps unicode letters/digits. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as an array<string>. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Distinct shingle hash set (array<long>) — the MinHash input. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  // Mersenne prime 2^31-1: universal-hash family h_j(x) = (a_j*x' + b_j) mod p
+  // with x' = x mod p pre-reduced, so a*x' <= (2^31)^2 < 2^63 — no Long
+  // overflow under ANSI mode. 31-bit minhash values are plenty for LSH.
+  private val P = 2147483647L
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature UDF: one O(shingles × numHashes) tight JVM loop per
+    * row. (The pure-Column form — numHashes separate array_min(transform)
+    * terms — blows the 64KB codegen method limit and falls back to
+    * per-expression interpretation, ~10× slower; a single fused loop is the
+    * faster executor-side plan and stays partition-local.) */
+  def minhashSigUdf(numHashes: Int, seed: Long = 42L)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val as = hashParams(numHashes, seed).map(_._1).toArray
+    val bs = hashParams(numHashes, seed).map(_._2).toArray
+    udf { (hs: Seq[Long]) =>
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      hs.foreach { h =>
+        val hp = ((h % P) + P) % P
+        var j = 0
+        while (j < numHashes) {
+          val v = (hp * as(j) + bs(j)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  /** MinHash signature: array<long> of length `numHashes`. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3,
+                       seed: Long = 42L): Column =
+    minhashSigUdf(numHashes, seed)(shingleHashes(text, shingleN))
+
+  /** MinHash + LSH near-duplicate PAIRS.
+    *
+    * numHashes = bands * rowsPerBand. Two docs land in the same bucket if
+    * any band of their signatures matches exactly; candidates are then
+    * verified with exact Jaccard over shingle sets. Output:
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * Shuffle profile at scale: explode to `bands` rows/doc of (band_key,
+    * id, sig-slice) → hash shuffle on band_key (tiny rows) → per-bucket
+    * pair generation → second small shuffle to dedup pairs → join back to
+    * docs only for candidates.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.6, bands: Int = 16, rowsPerBand: Int = 4,
+                      shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .withColumn("_sh", shingleHashes(col("_text"), shingleN))
+      .withColumn("_sig", minhashSigUdf(numHashes, seed)(col("_sh")))
+
+    val banded = withSig.select(col("_id"), col("_sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          i => hash(slice(col("_sig"), i * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("_band", "_bkey")))
+
+    val a = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = banded.select(col("_band"), col("_bkey"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    val candidates = a.join(b, Seq("_band", "_bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "_sh_a", "_sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
+          size(array_union(col("_sh_a"), col("_sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns (verification
+    * primitive; also exposed as a standalone operator). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val (ha, hb) = (shingleHashes(a, n), shingleHashes(b, n))
+    size(array_intersect(ha, hb)).cast(DoubleType) /
+      size(array_union(ha, hb)).cast(DoubleType)
+  }
+
+  /** SimHash (64-bit): sign-sum of per-token hash bits. The per-row UDF is
+    * O(tokens*64) executor-side; rows never leave their partition. */
+  private val simhashFn: Seq[Long] => Long = { hs =>
+    val acc = new Array[Int](64)
+    hs.foreach { h =>
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+  val simhashUdf = udf(simhashFn)
+
+  def simhash(text: Column): Column = simhashUdf(transform(tokens(text), t => xxhash64(t)))
+
+  /** Hamming distance between two simhashes — codegen'd `bit_count(xor)`. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 x 16-bit sub-keys (any exact
+    * sub-key match → candidate; Hamming<=k with k<4 guarantees one of the
+    * 4 blocks matches — pigeonhole), verify with full Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
+    val blocked = sigs.select(col("_id"), col("_sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("_blk", "_key")))
+    val a = blocked.select(col("_blk"), col("_key"), col("_id").as("id_a"), col("_sim").as("_sim_a"))
+    val b = blocked.select(col("_blk"), col("_key"), col("_id").as("id_b"), col("_sim").as("_sim_b"))
+    a.join(b, Seq("_blk", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hammingDistance(col("_sim_a"), col("_sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact dedup: keep one deterministic winner per content digest.
+    * Shuffles 32-byte sha256 keys, not documents. */
+  def exact(df: DataFrame, textCol: String, tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(textCol).cast(BinaryType), 256)).orderBy(tieBreak)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Embedding cosine near-dup pairs via random-hyperplane LSH buckets:
+    * docs whose sign-signature agrees on one of `tables` projections are
+    * candidates; verified with exact cosine. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double = 0.95, planesPerTable: Int = 12,
+                     tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val sigExprs = (0 until tables).map { t =>
+      Similarity.hyperplaneSignature(col(vecCol), dim, planesPerTable, seed + t)
+    }
+    val withSig = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      posexplode(array(sigExprs: _*)).as(Seq("_tbl", "_sig")))
+    val a = withSig.select(col("_tbl"), col("_sig"), col("_id").as("id_a"), col("_v").as("_v_a"))
+    val b = withSig.select(col("_tbl"), col("_sig"), col("_id").as("id_b"), col("_v").as("_v_b"))
+    a.join(b, Seq("_tbl", "_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", graft.functions.Blob.cosineSimilarity(col("_v_a"), col("_v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions — codegen'd, no UDFs, no shuffles (per-row only).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. Empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary regex split of words,
+    * digits, punctuation runs (the GPT-2 pre-tokenizer shape). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio helpers (guarded against empty text). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+
+  def punctRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^\\p{Punct}]", "")), length(text))
+
+  def upperRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^A-Z]", "")), length(text))
+
+  def digitRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^0-9]", "")), length(text))
+
+  def meanWordLength(text: Column): Column =
+    ratio(length(regexp_replace(text, "\\s+", "")), tokenCount(text))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
+    val toks = Dedup.tokens(text)
+    ratio(size(filter(toks, t => t.isin(stopwords.map(lit): _*))), size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + punct sanity +
+    * stopword presence + word-length sanity (C4/Gopher-rule flavor). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 20000), lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(0.25)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.05, lit(0.25)).otherwise(lit(0.0))
+    val wordOk = when(meanWordLength(text).between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    lenOk + punctOk + stopOk + wordOk
+  }
+
+  // ---- language ID: stopword-profile heuristic over 5 languages -----------
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "was", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los", "una", "para"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour", "qui", "sur"))
+
+  /** Predict language: CJK-char share for zh, else best stopword-profile
+    * hit rate; "und" when nothing matches. Pure Column expression. */
+  def langId(text: Column): Column = {
+    val cjk = ratio(length(regexp_replace(text, "[^\\p{IsHan}]", "")), length(text))
+    val toks = Dedup.tokens(text)
+    val scores = profiles.toSeq.map { case (lang, words) =>
+      lang -> ratio(size(filter(toks, t => t.isin(words.map(lit): _*))), size(toks))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0.02, lit(lang)).otherwise(acc)
+    }
+    when(cjk > 0.2, lit("zh")).otherwise(pick)
+  }
+
+  /** Document fingerprint (OpenRefine-style): xxhash64 of the sorted
+    * distinct token set — stable under reordering/duplication. */
+  def fingerprint(text: Column): Column =
+    xxhash64(array_join(array_sort(array_distinct(Dedup.tokens(text))), " "))
+
+  /** Rolling-hash content fingerprint over word 4-grams: min-of-hashes
+    * (winnowing flavor) — robust to local edits. */
+  def winnowFingerprint(text: Column, n: Int = 4): Column =
+    array_min(transform(Dedup.shingles(text, n), s => xxhash64(s)))
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.core.{Msg, Processor}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Processor catalog (SURVEY §2.4) re-expressed as lazy DataFrame
+  * transforms. Every processor composes into ONE Catalyst plan, so filters
+  * written in a `Mapping` still push down to the parquet scan even with ten
+  * processors in between — the scale-critical property.
+  */
+object Processors {
+
+  /** `mapping` (processor_mapping.go:21): Bloblang map → brand-new doc.
+    * A projection: `select` of named Column expressions. Row-dropping
+    * (`root = deleted()`) is the optional `keep` predicate.
+    */
+  def mapping(fields: (String, Column)*): Processor =
+    Processor("mapping")(df => df.select(fields.map { case (n, c) => c.as(n) }: _*))
+
+  /** `mutation` (processor_mutation.go:21): in-place edit → withColumns. */
+  def mutation(fields: (String, Column)*): Processor =
+    Processor("mutation")(df => df.withColumns(fields.toMap))
+
+  /** Bloblang `deleted()` as a filter (functions.go:331). */
+  def deleteWhere(cond: Column): Processor =
+    Processor("delete_where")(df => df.filter(!coalesce(cond, lit(false))))
+
+  /** `bounds_check` (processor_bounds_check.go:26). */
+  def boundsCheck(col_ : Column, minLen: Int, maxLen: Int): Processor =
+    Processor("bounds_check")(df => df.filter(length(col_).between(minLen, maxLen)))
+
+  /** `switch` (processor_switch.go:29): (predicate → processors) cases.
+    * Filter-split + unionByName keeps each branch an independent subplan
+    * that Spark schedules in parallel; the predicates are mutually
+    * exclusive by construction (case i = check_i AND NOT any earlier check).
+    */
+  def switch(cases: Seq[(Column, Processor)], default: Processor = Processor.noop): Processor =
+    Processor("switch") { df =>
+      val (branches, _) = cases.foldLeft((Vector.empty[DataFrame], lit(false))) {
+        case ((acc, seen), (cond, proc)) =>
+          val c = coalesce(cond, lit(false))
+          (acc :+ proc(df.filter(c && !seen)), seen || c)
+      }
+      val anyCase = cases.map(c => coalesce(c._1, lit(false))).reduceOption(_ || _).getOrElse(lit(false))
+      val rest = default(df.filter(!anyCase))
+      (branches :+ rest).reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+  /** `branch` (processor_branch.go:25-44): request_map → child → result_map
+    * merged back. Implemented as a self-join on a synthetic row id — the
+    * child subplan may aggregate/re-shape freely, then results attach back
+    * to the original rows. Broadcast the child when it's small.
+    */
+  def branch(requestMap: DataFrame => DataFrame,
+             child: Processor,
+             resultCols: Seq[String],
+             broadcastResult: Boolean = true): Processor =
+    Processor("branch") { df =>
+      val withId = df.withColumn("_branch_id", monotonically_increasing_id())
+      val req = requestMap(withId.select((df.columns.map(col) :+ col("_branch_id")): _*))
+      val res = child(req).select((resultCols.map(col) :+ col("_branch_id")): _*)
+      val rhs = if (broadcastResult) broadcast(res) else res
+      withId.join(rhs, Seq("_branch_id"), "left").drop("_branch_id")
+    }
+
+  /** `dedupe` (processor_dedupe.go:20-31): drop rows whose key was already
+    * seen. Deterministic winner = lowest `orderBy` value (the reference's
+    * "first seen" under its single-threaded cache). One shuffle on the key;
+    * at 100 TB this is the standard hash-partitioned dedup, AQE handles skew.
+    */
+  def dedupe(keys: Seq[Column], orderBy: Column): Processor =
+    Processor("dedupe") { df =>
+      val w = Window.partitionBy(keys: _*).orderBy(orderBy)
+      df.withColumn("_dd_rn", row_number().over(w)).filter(col("_dd_rn") === 1).drop("_dd_rn")
+    }
+
+  /** `archive` with `json_array`/`lines` format (processor_archive.go:21):
+    * many rows → one row per group. Sorted collect keeps output deterministic.
+    */
+  def archive(groupBy: Seq[Column], payload: Column, sep: String = "\n"): Processor =
+    Processor("archive") { df =>
+      df.groupBy(groupBy: _*)
+        .agg(array_join(array_sort(collect_list(payload.cast(StringType))), sep).as("archived"))
+    }
+
+  /** `unarchive` json_array/lines (processor_unarchive.go:25): 1 row → N. */
+  def unarchiveLines(src: Column, as: String, sep: String = "\n"): Processor =
+    Processor("unarchive") { df =>
+      df.withColumn(as, explode(org.apache.spark.sql.functions.split(src, java.util.regex.Pattern.quote(sep))))
+    }
+
+  /** `unarchive` format json_array: explode a JSON array payload. */
+  def unarchiveJsonArray(src: Column, elementType: DataType, as: String): Processor =
+    Processor("unarchive_json") { df =>
+      df.withColumn(as, explode(from_json(src, ArrayType(elementType))))
+    }
+
+  /** `group_by_value` (processor_group_by_value.go:26): tag rows with their
+    * group; downstream aggs use the tag. (Grouping itself is `groupBy`.) */
+  def groupByValue(value: Column, as: String = "group_key"): Processor =
+    Processor("group_by_value")(df => df.withColumn(as, value))
+
+  /** `select_parts` (processor_select_parts.go:21): keep batch indexes. */
+  def selectParts(indexes: Seq[Long], seqCol: Column = col(Msg.SeqCol)): Processor =
+    Processor("select_parts")(df => df.filter(seqCol.isin(indexes: _*)))
+
+  /** `insert_part` (processor_insert_part.go:25): union one literal row. */
+  def insertPart(row: DataFrame): Processor =
+    Processor("insert_part")(df => df.unionByName(row, allowMissingColumns = true))
+
+  /** `split` (processor_split.go:24): re-chunk → partition sizing. */
+  def split(targetPartitions: Int): Processor =
+    Processor("split")(df => df.repartition(targetPartitions))
+
+  // ===== error-channel combinators (SURVEY §7.2 step 3) ======================
+  // The reference's error facet (data.go:195-201) + try/catch processors
+  // (processor_try.go:18, processor_catch.go:16) + output-side DLQ routing
+  // (output_reject_errored.go, output_drop_on.go:29).
+
+  /** `try`: apply children only to non-errored rows; errored rows pass
+    * through untouched. Needs child to be schema-preserving. */
+  def tryProc(child: Processor): Processor =
+    Processor("try") { df =>
+      child(df.filter(Msg.ok)).unionByName(df.filter(Msg.errored), allowMissingColumns = true)
+    }
+
+  /** `catch`: apply children only to errored rows, then clear the error. */
+  def catchProc(child: Processor): Processor =
+    Processor("catch") { df =>
+      val healed = child(df.filter(Msg.errored))
+        .withColumn(Msg.ErrorCol, lit(null).cast(StringType))
+      df.filter(Msg.ok).unionByName(healed, allowMissingColumns = true)
+    }
+
+  /** Mark rows failing `check` with the error facet (Bloblang `throw` /
+    * failed-assignment semantics without killing the stream). */
+  def errorWhere(cond: Column, message: Column): Processor =
+    Processor("error_where")(df => Msg.markError(df, cond, message))
+
+  /** `drop_on` error (output_drop_on.go:29). */
+  val dropErrored: Processor = Processor("drop_errored")(df => df.filter(Msg.ok))
+
+  /** `reject_errored` → DLQ split (output_reject_errored.go): returns the
+    * main stream; errored rows route to `dlq`. */
+  def dlqSplit(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(Msg.ok), df.filter(Msg.errored))
+
+  // ===== workflow (processor_workflow.go:33-120) =============================
+
+  /** DAG of named branches in dependency order. Spark parallelizes
+    * independent sub-DAGs at the stage level; we only topo-sort.
+    */
+  def workflow(stages: Seq[(String, Seq[String], Processor)]): Processor =
+    Processor("workflow") { df =>
+      val byName = stages.map(s => s._1 -> s).toMap
+      val done = scala.collection.mutable.LinkedHashSet.empty[String]
+      def visit(n: String, path: Set[String]): Unit = {
+        require(!path.contains(n), s"workflow cycle at $n")
+        if (!done.contains(n)) {
+          byName(n)._2.foreach(visit(_, path + n))
+          done += n
+        }
+      }
+      stages.foreach(s => visit(s._1, Set.empty))
+      done.toSeq.map(byName(_)._3).foldLeft(df)((d, p) => p(d))
+    }
+
+  /** `while` (processor_while.go:32): driver-side bounded fixpoint loop.
+    * Iterations are bounded; each iteration extends ONE lazy plan (no
+    * collect). Checkpoint every few rounds at scale to cut lineage. */
+  def whileLoop(maxIters: Int, continue: DataFrame => Boolean, child: Processor): Processor =
+    Processor("while") { df0 =>
+      var df = df0
+      var i = 0
+      while (i < maxIters && continue(df)) { df = child(df); i += 1 }
+      df
+    }
+}
