@@ -112,8 +112,10 @@ object Blob {
   def reMatch(c: Column, pattern: String): Column = c.rlike(pattern)
   /** `.re_replace_all(p, to)` — methods_strings.go:1848. */
   def reReplaceAll(c: Column, pattern: String, to: String): Column = regexp_replace(c, pattern, to)
-  /** `.re_find_all(p)` — methods_strings.go:1577. */
-  def reFindAll(c: Column, pattern: String): Column = regexp_extract_all(c, lit(pattern))
+  /** `.re_find_all(p)` — methods_strings.go:1577 (full matches → group 0;
+    * Spark's 2-arg regexp_extract_all defaults to group 1). */
+  def reFindAll(c: Column, pattern: String): Column =
+    regexp_extract_all(c, lit(pattern), lit(0))
   def reFind(c: Column, pattern: String, group: Int = 0): Column = regexp_extract(c, pattern, group)
 
   // ===== hashing / encoding (methods_strings.go:90,757) ======================

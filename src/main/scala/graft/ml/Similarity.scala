@@ -20,16 +20,27 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** Sign-signature of `planes` random hyperplanes (deterministic seed) as
-    * a compact Long bucket id. Pure Column math: one dot product per plane. */
+    * a compact Long bucket id. One fused per-row loop over the vector — the
+    * expression form (dim × planes element_at terms) exceeds the 64KB
+    * codegen method limit and falls back to slow interpretation. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val exprs = (0 until planes).map { p =>
-      val plane = Array.fill(dim)(rnd.nextGaussian())
-      val dot = (0 until dim).map(i => element_at(vec, i + 1).cast(DoubleType) * lit(plane(i)))
-        .reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    val m = Array.fill(planes, dim)(rnd.nextGaussian()) // planes × dim
+    val f = udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var i = 0
+        val row = m(p)
+        val n = math.min(dim, v.length)
+        while (i < n) { dot += row(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
     }
-    exprs.reduce(_ + _)
+    f(vec.cast(ArrayType(FloatType)))
   }
 
   /** Brute-force cosine top-k for each row of `queries` against `corpus`.

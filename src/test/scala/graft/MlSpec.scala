@@ -1,0 +1,152 @@
+package graft
+
+import graft.core.Tables
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables(spark, sf, "documents")
+  lazy val emb = Tables(spark, sf, "embeddings")
+
+  test("minhash LSH finds planted near-duplicates with high recall") {
+    val corpus = QueriesLlm.plantedCorpus(spark, sf)
+    // ground truth: planted pairs whose EXACT jaccard is comfortably above
+    // the LSH threshold (0.4); pairs near the threshold are legitimately
+    // probabilistic (S-curve), so measure recall on jaccard >= 0.6.
+    val sh = corpus.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+    val truth = sh.filter(col("doc_id") < 100000L).alias("a")
+      .join(sh.filter(col("doc_id") >= 100000L).alias("b"),
+        col("b.doc_id") === col("a.doc_id") + 100000L)
+      .select(col("a.doc_id").as("id_a"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.6)
+      .select("id_a").as[Long].collect().toSet
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        threshold = 0.4, bands = 32, rowsPerBand = 4)
+      .filter(col("id_b") === col("id_a") + 100000L)
+      .select("id_a").as[Long].collect().toSet
+    val recall = (truth & pairs).size.toDouble / truth.size
+    assert(truth.nonEmpty)
+    assert(recall >= 0.95, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("minhash signature approximates exact jaccard") {
+    val corpus = QueriesLlm.plantedCorpus(spark, sf)
+    val sig = corpus.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), numHashes = 128).as("sig"),
+      Dedup.shingleHashes(col("text")).as("sh"))
+    val a = sig.filter(col("doc_id") < 100000L).select(
+      col("doc_id").as("id"), col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val b = sig.filter(col("doc_id") >= 100000L).select(
+      (col("doc_id") - 100000L).as("id"), col("sig").as("sig_b"), col("sh").as("sh_b"))
+    val est = a.join(b, "id").select(
+      (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / 128.0).as("est"),
+      (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("exact"))
+    val err = est.agg(avg(abs(col("est") - col("exact")))).as[Double].collect().head
+    assert(err < 0.08, s"minhash estimator bias too high: $err")
+  }
+
+  test("simhash: near-dup texts have small hamming distance, unrelated large") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog in the morning sun"),
+      ("b", "the quick brown fox jumps over the lazy dog in the evening sun"),
+      ("c", "completely different words about database engines and query planners")
+    ).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs("a"), sigs("b")) <= 12)
+    assert(ham(sigs("a"), sigs("c")) > 12)
+  }
+
+  test("exact dedup keeps one deterministic winner per distinct text") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", col("doc_id"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("brute-force cosine top-k: self is rank 1 with cosine 1") {
+    val q = emb.filter(col("vec_id") < 3)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 3)
+    val self = top.filter(col("rank") === 1)
+      .select("query_id", "vec_id", "cosine").collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(self.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 10)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 64, q, "vec_id", "embedding", k,
+        planesPerTable = 8, tables = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random embeddings = worst case for LSH; still expect well above chance
+    assert(recall >= 0.3, s"LSH recall $recall")
+  }
+
+  test("langId classifies real sentences") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with that for a while"),
+      ("es", "el perro corre por la calle y juega con los niños en el parque"),
+      ("de", "der Hund läuft auf der Straße und das ist nicht ein Problem mit den Autos"),
+      ("fr", "le chat est dans la maison et les enfants jouent dans le jardin pour une heure"),
+      ("zh", "今天天气很好我们一起去公园散步吧这是一个美好的日子")
+    ).toDF("want", "text")
+    val got = samples.select(col("want"), TextAnalysis.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"${r.getString(0)} misclassified as ${r.getString(1)}"))
+  }
+
+  test("token counting and quality scoring behave on edge cases") {
+    val df = Seq(
+      ("", 0), ("   ", 0), ("one", 1), ("a b  c", 3)
+    ).toDF("text", "want")
+    df.select(TextAnalysis.tokenCount(col("text")).as("got"), col("want")).collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // subwords: "don't stop" → don + ' + t + stop
+    val sw = Seq("don't stop").toDF("text")
+      .select(TextAnalysis.subwordCount(col("text"))).as[Int].collect().head
+    assert(sw == 4)
+  }
+
+  test("fingerprint is stable under token reordering and duplication") {
+    val df = Seq(
+      ("a", "alpha beta gamma"),
+      ("b", "gamma alpha beta alpha"),
+      ("c", "alpha beta delta")
+    ).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("multimodal feature extraction: schema, determinism, partition-local") {
+    val media = Multimodal.syntheticMedia(spark, sf)
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.filter(col("media_id") === 1L).collect().head
+    assert(row.feature.length == 8)
+    assert(row.n_bytes > 0)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).filter(col("media_id") === 1L).collect().head
+    assert(row.feature.toSeq == again.feature.toSeq)
+    // frame sampling emits n rows per video with monotone offsets
+    val frames = Multimodal.frameSample(media, 4)
+    val counts = frames.groupBy("media_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 4))
+  }
+
+  test("embedding near-dup pairs find planted perturbed duplicates") {
+    val pairs = QueriesLlm.queries("llm_embed_pairs")(spark, sf)
+    val n = emb.count()
+    assert(pairs.count() >= (n * 0.95).toLong)
+  }
+}

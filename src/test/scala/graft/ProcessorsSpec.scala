@@ -1,0 +1,124 @@
+package graft
+
+import graft.core.{Flow, Msg, Processor}
+import graft.operators.Processors
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ProcessorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msgs(rows: (String, Long)*) =
+    rows.toSeq.toDF("content", "seq")
+      .withColumn("meta", map().cast(MapType(StringType, StringType)))
+      .withColumn("error", lit(null).cast(StringType))
+
+  test("mapping projects and computes") {
+    val out = Processors.mapping("a" -> (lit(1) + lit(2)), "b" -> upper(lit("x")))(
+      msgs("m" -> 0L))
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.collect().head.toSeq == Seq(3, "X"))
+  }
+
+  test("switch routes each row to exactly one branch (first match wins)") {
+    val df = Seq(5, 15, 25, 35).toDF("v")
+    val out = Processors.switch(Seq(
+      (col("v") > 30) -> Processors.mutation("tag" -> lit("big")),
+      (col("v") > 10) -> Processors.mutation("tag" -> lit("mid"))),
+      default = Processors.mutation("tag" -> lit("small")))(df)
+    val got = out.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(5 -> "small", 15 -> "mid", 25 -> "mid", 35 -> "big"))
+    assert(out.count() == 4) // no duplication, no loss
+  }
+
+  test("branch enriches and joins back preserving all input rows") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val lookup = Seq((1, "one"), (2, "two")).toDF("k2", "name")
+    val child = Processor("lk")(req => req.join(lookup, col("k") === col("k2"), "left"))
+    val out = Processors.branch(identity, child, Seq("name"))(df)
+    assert(out.count() == 3)
+    val m = out.collect().map(r => r.getInt(0) -> Option(r.getString(2))).toMap
+    assert(m == Map(1 -> Some("one"), 2 -> Some("two"), 3 -> None))
+  }
+
+  test("try/catch routes on the error facet and heals") {
+    val df = msgs("ok" -> 0L, "bad" -> 1L)
+    val out = Flow(df)
+      .pipe(Processors.errorWhere(col("content") === "bad", lit("boom")))
+      .pipe(Processors.tryProc(Processors.mutation("content" -> concat(col("content"), lit("!")))))
+      .pipe(Processors.catchProc(Processors.mutation("content" -> lit("healed"))))
+      .result
+    val got = out.select("content", "error").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("ok!", null), ("healed", null)))
+  }
+
+  test("errorWhere keeps the FIRST error") {
+    val df = msgs("x" -> 0L)
+    val out = Flow(df)
+      .pipe(Processors.errorWhere(lit(true), lit("first")))
+      .pipe(Processors.errorWhere(lit(true), lit("second")))
+      .result
+    assert(out.select("error").as[String].collect().toSeq == Seq("first"))
+  }
+
+  test("dedupe keeps deterministic first-seen winner") {
+    val df = Seq(("k1", 5, "late"), ("k1", 1, "first"), ("k2", 3, "only")).toDF("k", "ord", "tag")
+    val out = Processors.dedupe(Seq(col("k")), col("ord"))(df)
+    val got = out.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got == Map("k1" -> "first", "k2" -> "only"))
+  }
+
+  test("archive/unarchive round-trips") {
+    val df = Seq(("g", "a"), ("g", "b"), ("h", "c")).toDF("grp", "payload")
+    val arch = Processors.archive(Seq(col("grp")), col("payload"), sep = ",")(df)
+    val back = Processors.unarchiveLines(col("archived"), "item", sep = ",")(arch)
+      .select("grp", "item")
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("g", "a"), ("g", "b"), ("h", "c")))
+  }
+
+  test("workflow topo-sorts dependencies and rejects cycles") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stage(n: String) = Processor(n) { df => order += n; df }
+    val df = Seq(1).toDF("v")
+    Processors.workflow(Seq(
+      ("c", Seq("b"), stage("c")),
+      ("a", Seq(), stage("a")),
+      ("b", Seq("a"), stage("b"))))(df)
+    assert(order.toSeq == Seq("a", "b", "c")) // wiring order, deps respected
+    intercept[IllegalArgumentException] {
+      Processors.workflow(Seq(
+        ("x", Seq("y"), Processor.noop),
+        ("y", Seq("x"), Processor.noop)))(df)
+    }
+  }
+
+  test("insert_part unions a literal row; select_parts filters by seq") {
+    val df = msgs("a" -> 0L, "b" -> 1L)
+    val extra = msgs("z" -> 99L)
+    val out = Flow(df)
+      .pipe(Processors.insertPart(extra))
+      .pipe(Processors.selectParts(Seq(0L, 99L)))
+      .result
+    assert(out.select("content").as[String].collect().toSet == Set("a", "z"))
+  }
+
+  test("dlqSplit separates errored rows") {
+    val df = Flow(msgs("good" -> 0L, "bad" -> 1L))
+      .pipe(Processors.errorWhere(col("content") === "bad", lit("e")))
+      .result
+    val (main, dlq) = Processors.dlqSplit(df)
+    assert(main.select("content").as[String].collect().toSeq == Seq("good"))
+    assert(dlq.select("content").as[String].collect().toSeq == Seq("bad"))
+  }
+
+  test("envelope wraps arbitrary rows and meta set/get works") {
+    val df = Seq((1, "x")).toDF("id", "name")
+    val env = Msg.envelope(df)
+    assert(env.columns.toSeq == Seq("content", "meta", "error", "seq"))
+    val withMeta = Msg.setMeta(Msg.setMeta(env, "k", lit("v1")), "k", lit("v2"))
+    assert(withMeta.select(Msg.meta("k")).as[String].collect().head == "v2")
+    val parsed = env.select(get_json_object(col("content"), "$.name").as("n")).as[String].collect()
+    assert(parsed.toSeq == Seq("x"))
+  }
+}
