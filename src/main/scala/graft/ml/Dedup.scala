@@ -90,22 +90,32 @@ object Dedup {
                       threshold: Double = 0.6, bands: Int = 16, rowsPerBand: Int = 4,
                       shingleN: Int = 3, seed: Long = 42L): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Signatures computed ONCE and persisted: the self-join would otherwise
+    // recompute the whole shingle+minhash lineage for both sides. At cluster
+    // scale this materialization is the standard "signature table" stage
+    // (disk-backed persist / intermediate parquet).
     val withSig = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
       .withColumn("_sh", shingleHashes(col("_text"), shingleN))
       .withColumn("_sig", minhashSigUdf(numHashes, seed)(col("_sh")))
+      .select("_id", "_sh", "_sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = withSig.select(col("_id"), col("_sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          i => hash(slice(col("_sig"), i * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("_band", "_bkey")))
+    // Band rows are SLIM (band, 8-byte key, id): the 32x explode must not
+    // carry the ~KB shingle arrays through the shuffle.
+    val banded = withSig.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        i => hash(slice(col("_sig"), i * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("_band", "_bkey")))
 
-    val a = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
-    val b = banded.select(col("_band"), col("_bkey"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
-    val candidates = a.join(b, Seq("_band", "_bkey"))
+    val candidates = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
+      .join(banded.select(col("_band"), col("_bkey"), col("_id").as("id_b")), Seq("_band", "_bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "_sh_a", "_sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    // Verification joins the (small) candidate set back to the shingle table.
+    val shA = withSig.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val shB = withSig.select(col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
           size(array_union(col("_sh_a"), col("_sh_b"))).cast(DoubleType))
