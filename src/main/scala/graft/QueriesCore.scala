@@ -83,12 +83,13 @@ object QueriesCore {
         "first_event_id" -> col("event_id")))
       .result),
 
-    // switch processor (processor_switch.go:29): filter-split + union + agg
+    // switch processor (processor_switch.go:29): expression-only cases
+    // collapse to a single-pass when/otherwise projection (one scan)
     "proc_switch" -> ((s, dir) => Flow(t(s, dir, "orders"))
-      .pipe(Processors.switch(Seq(
-        (col("o_totalprice") > 400000.0) -> Processors.mutation("bucket" -> lit("high")),
-        (col("o_totalprice") >= 100000.0) -> Processors.mutation("bucket" -> lit("mid"))),
-        default = Processors.mutation("bucket" -> lit("low"))))
+      .pipe(Processors.switchExpr(Seq(
+        (col("o_totalprice") > 400000.0) -> Seq("bucket" -> lit("high")),
+        (col("o_totalprice") >= 100000.0) -> Seq("bucket" -> lit("mid"))),
+        default = Seq("bucket" -> lit("low"))))
       .map(_.groupBy("bucket").agg(
         count(lit(1)).as("n"),
         dsum(col("o_totalprice")).as("total")))
@@ -132,9 +133,11 @@ object QueriesCore {
 
     // group_by_value (processor_group_by_value.go:26) + multi-table join agg
     "agg_group_nation" -> ((s, dir) => {
+      // customer is fact-sized: NO explicit broadcast (driver-OOM at scale) —
+      // AQE picks the join strategy. nation/region are bounded dims: broadcast.
       val joined = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       Flow(joined)
@@ -349,8 +352,11 @@ object QueriesCore {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
+    // NB: SUM(BIGINT) in DuckDB yields HUGEINT (int128), which pandas maps to
+    // float64 — hashed differently from Spark's int64 by the driver gate. Every
+    // integer aggregate in an oracle must therefore be cast back to BIGINT.
     "win_session" ->
-      """SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events FROM (
+      """SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events)::BIGINT AS n_events FROM (
            SELECT user_id, count(*) AS n_events FROM (
              SELECT user_id, ts,
                SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '5 minutes' THEN 1 ELSE 0 END)

@@ -80,9 +80,10 @@ object QueriesLlm {
           threshold = 0.4, bands = 32, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // SimHash near-dup pairs (rows-only; Hamming blocking via 16-bit keys)
+    // SimHash near-dup pairs (rows-only; 8x8-bit blocking guarantees recall
+    // for Hamming <= 7 by pigeonhole — radius and blocks must agree)
     "llm_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 8)),
+      Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 7)),
 
     // embedding near-dup pairs via hyperplane LSH. The driver embeddings are
     // near-random (max pairwise cosine ≈0.5), so plant perturbed duplicates

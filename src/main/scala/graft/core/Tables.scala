@@ -20,7 +20,11 @@ object Tables {
       // ns epoch exceeds double's 2^53 mantissa, so no float detour).
       // Documented precision delta vs the reference's ns timestamps
       // (SURVEY §1.4); DuckDB-oracle parity holds for all derived values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The nanosAsLong conf belongs in the SparkSession builder (Verify,
+      // Bench, test harnesses all set it); the guard below only covers
+      // ad-hoc sessions and never overwrites an existing setting.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -88,17 +89,21 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.6, bands: Int = 16, rowsPerBand: Int = 4,
-                      shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+                      shingleN: Int = 3, seed: Long = 42L,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Signatures computed ONCE and persisted: the self-join would otherwise
-    // recompute the whole shingle+minhash lineage for both sides. At cluster
-    // scale this materialization is the standard "signature table" stage
-    // (disk-backed persist / intermediate parquet).
+    // Signatures computed ONCE and materialized via localCheckpoint: the
+    // self-join would otherwise recompute the whole shingle+minhash lineage
+    // for both sides. localCheckpoint (MEMORY_AND_DISK) instead of persist:
+    // the blocks are released automatically by the ContextCleaner when the
+    // plan is garbage-collected — no unpersist bookkeeping, no leak across
+    // a long job. At cluster scale this materialization is the standard
+    // "signature table" stage (intermediate parquet).
     val withSig = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
       .withColumn("_sh", shingleHashes(col("_text"), shingleN))
       .withColumn("_sig", minhashSigUdf(numHashes, seed)(col("_sh")))
       .select("_id", "_sh", "_sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     // Band rows are SLIM (band, 8-byte key, id): the 32x explode must not
     // carry the ~KB shingle arrays through the shuffle.
@@ -106,11 +111,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         i => hash(slice(col("_sig"), i * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("_band", "_bkey")))
 
-    val candidates = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
-      .join(banded.select(col("_band"), col("_bkey"), col("_id").as("id_b")), Seq("_band", "_bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates = boundedBucketPairs(banded, "_id", Seq("_band", "_bkey"), maxBucketSize)
 
     // Verification joins the (small) candidate set back to the shingle table.
     val shA = withSig.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))
@@ -151,20 +152,47 @@ object Dedup {
   /** Hamming distance between two simhashes — codegen'd `bit_count(xor)`. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4 x 16-bit sub-keys (any exact
-    * sub-key match → candidate; Hamming<=k with k<4 guarantees one of the
-    * 4 blocks matches — pigeonhole), verify with full Hamming distance. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
-    val blocked = sigs.select(col("_id"), col("_sim"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("_blk", "_key")))
-    val a = blocked.select(col("_blk"), col("_key"), col("_id").as("id_a"), col("_sim").as("_sim_a"))
-    val b = blocked.select(col("_blk"), col("_key"), col("_id").as("id_b"), col("_sim").as("_sim_b"))
-    a.join(b, Seq("_blk", "_key"))
+  /** Pigeonhole-sound pair generation from exact-match buckets with a skew
+    * guard: buckets larger than `maxBucketSize` are dropped from candidate
+    * generation (a degenerate key — e.g. near-empty docs all hashing alike —
+    * otherwise goes quadratic in one task; its members still pair via their
+    * other bands/blocks). The size check is a window count over the same
+    * key the join shuffles on, so it adds no extra shuffle of wide rows. */
+  private[ml] def boundedBucketPairs(df: DataFrame, idCol: String,
+                                     bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val w = Window.partitionBy(bucketKeys.map(col): _*)
+    val bounded = df.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
+    bounded.select(bucketKeys.map(col) :+ col(idCol).as("id_a"): _*)
+      .join(bounded.select(bucketKeys.map(col) :+ col(idCol).as("id_b"): _*), bucketKeys)
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs: block on `b` sub-keys of 64/b bits each (any
+    * exact sub-key match → candidate). Pigeonhole: Hamming <= k flips at
+    * most k blocks, so with b >= k+1 blocks at least one block matches —
+    * recall is GUARANTEED at the declared radius. b is the smallest
+    * power-of-two divisor of 64 with b > maxHamming (4/8/16/32); an
+    * assertion rejects radii the blocking cannot serve. Verified with full
+    * Hamming distance; bucket-size capped against degenerate keys. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val blocks = Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
+      throw new IllegalArgumentException(
+        s"simhashPairs: maxHamming=$maxHamming needs > 32 blocks; blocking cannot guarantee recall beyond 31"))
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1L
+    val sigs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
+      .localCheckpoint(false)
+    val blocked = sigs.select(col("_id"),
+      posexplode(array((0 until blocks).map(i =>
+        shiftright(col("_sim"), i * bits).bitwiseAND(lit(mask))): _*)).as(Seq("_blk", "_key")))
+    val candidates = boundedBucketPairs(blocked, "_id", Seq("_blk", "_key"), maxBucketSize)
+    candidates
+      .join(sigs.select(col("_id").as("id_a"), col("_sim").as("_sim_a")), "id_a")
+      .join(sigs.select(col("_id").as("id_b"), col("_sim").as("_sim_b")), "id_b")
       .withColumn("hamming", hammingDistance(col("_sim_a"), col("_sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -180,20 +208,25 @@ object Dedup {
 
   /** Embedding cosine near-dup pairs via random-hyperplane LSH buckets:
     * docs whose sign-signature agrees on one of `tables` projections are
-    * candidates; verified with exact cosine. */
+    * candidates; verified with exact cosine. Like minhash, the candidate
+    * shuffle carries only (table, signature, id) — vectors join back
+    * AFTER candidate generation, so the wide embedding arrays never ride
+    * the bucket shuffle. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.95, planesPerTable: Int = 12,
-                     tables: Int = 4, seed: Long = 42L): DataFrame = {
+                     tables: Int = 4, seed: Long = 42L,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val vecs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .localCheckpoint(false)
     val sigExprs = (0 until tables).map { t =>
-      Similarity.hyperplaneSignature(col(vecCol), dim, planesPerTable, seed + t)
+      Similarity.hyperplaneSignature(col("_v"), dim, planesPerTable, seed + t)
     }
-    val withSig = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+    val banded = vecs.select(col("_id"),
       posexplode(array(sigExprs: _*)).as(Seq("_tbl", "_sig")))
-    val a = withSig.select(col("_tbl"), col("_sig"), col("_id").as("id_a"), col("_v").as("_v_a"))
-    val b = withSig.select(col("_tbl"), col("_sig"), col("_id").as("id_b"), col("_v").as("_v_b"))
-    a.join(b, Seq("_tbl", "_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = boundedBucketPairs(banded, "_id", Seq("_tbl", "_sig"), maxBucketSize)
+    candidates
+      .join(vecs.select(col("_id").as("id_a"), col("_v").as("_v_a")), "id_a")
+      .join(vecs.select(col("_id").as("id_b"), col("_v").as("_v_b")), "id_b")
       .withColumn("cosine", graft.functions.Blob.cosineSimilarity(col("_v_a"), col("_v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -32,10 +32,34 @@ object Processors {
   def boundsCheck(col_ : Column, minLen: Int, maxLen: Int): Processor =
     Processor("bounds_check")(df => df.filter(length(col_).between(minLen, maxLen)))
 
+  /** Single-pass `switch` for expression-only cases (the common shape):
+    * each case assigns columns; first matching case wins, unmatched rows
+    * fall through to `default` assignments (or keep their current value).
+    * Collapses to ONE projection of per-column when/otherwise chains —
+    * one scan, no union, fully codegen'd. Use [[switch]] only when a case
+    * genuinely needs an arbitrary sub-plan (aggregation, join, explode).
+    */
+  def switchExpr(cases: Seq[(Column, Seq[(String, Column)])],
+                 default: Seq[(String, Column)] = Nil): Processor =
+    Processor("switch_expr") { df =>
+      val names = (cases.flatMap(_._2.map(_._1)) ++ default.map(_._1)).distinct
+      val updated = names.map { n =>
+        val cur: Column = if (df.columns.contains(n)) col(n) else lit(null)
+        val base = default.collectFirst { case (`n`, v) => v }.getOrElse(cur)
+        n -> cases.foldRight(base) { case ((cond, assigns), acc) =>
+          val v = assigns.collectFirst { case (`n`, x) => x }.getOrElse(cur)
+          when(coalesce(cond, lit(false)), v).otherwise(acc)
+        }
+      }
+      df.withColumns(updated.toMap)
+    }
+
   /** `switch` (processor_switch.go:29): (predicate → processors) cases.
     * Filter-split + unionByName keeps each branch an independent subplan
     * that Spark schedules in parallel; the predicates are mutually
     * exclusive by construction (case i = check_i AND NOT any earlier check).
+    * N+1 scans of the input — prefer [[switchExpr]] for expression-only
+    * cases, which is a single pass.
     */
   def switch(cases: Seq[(Column, Processor)], default: Processor = Processor.noop): Processor =
     Processor("switch") { df =>
@@ -57,9 +81,16 @@ object Processors {
   def branch(requestMap: DataFrame => DataFrame,
              child: Processor,
              resultCols: Seq[String],
-             broadcastResult: Boolean = true): Processor =
+             broadcastResult: Boolean = false): Processor =
     Processor("branch") { df =>
+      // The id'd frame is localCheckpoint'ed (lazy): monotonically_increasing_id
+      // is evaluated ONCE and both join sides read the same materialized
+      // partitions — stable under AQE re-planning and stage retry, and the
+      // input is scanned once instead of twice. broadcastResult defaults to
+      // false: unconditional broadcast of an unbounded child result is a
+      // driver-OOM hazard; opt in only for provably small results.
       val withId = df.withColumn("_branch_id", monotonically_increasing_id())
+        .localCheckpoint(false)
       val req = requestMap(withId.select((df.columns.map(col) :+ col("_branch_id")): _*))
       val res = child(req).select((resultCols.map(col) :+ col("_branch_id")): _*)
       val rhs = if (broadcastResult) broadcast(res) else res

@@ -64,6 +64,29 @@ class MlSpec extends SparkSpec {
     assert(ham(sigs("a"), sigs("c")) > 12)
   }
 
+  test("simhashPairs: pair set EQUALS exact all-pairs Hamming at declared radius") {
+    // Pigeonhole guarantee: with blocks > maxHamming, recall is exact, and
+    // the Hamming verification makes precision exact — so the LSH output
+    // must equal brute-force all-pairs at the same radius.
+    val corpus = QueriesLlm.plantedCorpus(spark, sf)
+    val sigs = corpus.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("s"))
+    val truth = sigs.alias("a").join(sigs.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("h", bit_count(col("a.s").bitwiseXOR(col("b.s"))))
+      .filter(col("h") <= 7)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "planted corpus should contain Hamming<=7 pairs")
+    assert(got == truth, s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
+  test("simhashPairs rejects radii the blocking cannot guarantee") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 32)
+    }
+  }
+
   test("exact dedup keeps one deterministic winner per distinct text") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", col("doc_id"))
