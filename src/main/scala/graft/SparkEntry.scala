@@ -34,14 +34,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesLlm.queries
+    QueriesCore.queries ++ QueriesLlm.queries ++ QueriesBlob.queries ++ QueriesProc.queries
 
   /** DuckDB-equivalent ANSI SQL per query (hash-checked by the driver). */
-  def oracleSql: Map[String, String] = QueriesCore.oracle ++ QueriesLlm.oracle
+  def oracleSql: Map[String, String] =
+    QueriesCore.oracle ++ QueriesLlm.oracle ++ QueriesBlob.oracle ++ QueriesProc.oracle
 
   /** Headline queries timed by [[Bench]] (BENCH_r{N}.json). */
   val benchQueries: Seq[String] = Seq(
     "agg_q1", "join_topk", "agg_group_nation", "window_rank", "win_tumbling",
     "proc_dedupe", "llm_quality", "llm_minhash_pairs", "llm_cosine_topk",
-    "llm_fingerprint")
+    "llm_fingerprint", "llm_simhash_pairs", "llm_embed_pairs", "win_sliding",
+    "proc_branch")
 }

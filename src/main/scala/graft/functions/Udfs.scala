@@ -111,5 +111,6 @@ object Udfs {
     spark.udf.register("blob_parse_duration_iso8601", udf(parseDurationIso))
     spark.udf.register("blob_nanoid", udf(nanoid).asNondeterministic())
     spark.udf.register("blob_parse_form_url_encoded", udf(parseFormUrlEncoded))
+    Codecs.register(spark)
   }
 }

@@ -171,6 +171,27 @@ object Processors {
   def errorWhere(cond: Column, message: Column): Processor =
     Processor("error_where")(df => Msg.markError(df, cond, message))
 
+  /** `json_schema` processor subset (processor_jsonschema.go:30): validate
+    * required fields + primitive types of a JSON column; failures write the
+    * error facet (the reference's behavior — invalid messages flow to
+    * catch/DLQ, they don't kill the stream). Types: integer|number|string|
+    * boolean|array|object. Pure Column checks — no UDF, stays in codegen. */
+  def jsonSchema(src: Column, required: Seq[(String, String)]): Processor =
+    Processor("json_schema") { df =>
+      required.foldLeft(df) { case (d, (field, typ)) =>
+        val v = get_json_object(src, "$." + field)
+        val ok = typ match {
+          case "integer" => v.rlike("^-?\\d+$")
+          case "number" => v.rlike("^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$")
+          case "boolean" => v.isin("true", "false")
+          case "array" => v.startsWith("[")
+          case "object" => v.startsWith("{")
+          case _ => v.isNotNull
+        }
+        Msg.markError(d, !coalesce(ok, lit(false)), lit(s"json_schema: $field is not $typ"))
+      }
+    }
+
   /** `drop_on` error (output_drop_on.go:29). */
   val dropErrored: Processor = Processor("drop_errored")(df => df.filter(Msg.ok))
 
@@ -200,13 +221,20 @@ object Processors {
     }
 
   /** `while` (processor_while.go:32): driver-side bounded fixpoint loop.
-    * Iterations are bounded; each iteration extends ONE lazy plan (no
-    * collect). Checkpoint every few rounds at scale to cut lineage. */
+    * Each iteration is materialized via localCheckpoint: without the cut,
+    * Catalyst's CollapseProject nests the iteration expression inside
+    * itself (3^n tree growth → OOM at ~13 iterations), and `continue`
+    * would recompute the whole history each round. Materializing per
+    * iteration is also the honest at-scale shape — iterative algorithms on
+    * Spark (graph/fixpoint) persist between supersteps. */
   def whileLoop(maxIters: Int, continue: DataFrame => Boolean, child: Processor): Processor =
     Processor("while") { df0 =>
       var df = df0
       var i = 0
-      while (i < maxIters && continue(df)) { df = child(df); i += 1 }
+      while (i < maxIters && continue(df)) {
+        df = child(df).localCheckpoint(true)
+        i += 1
+      }
       df
     }
 }
