@@ -166,6 +166,25 @@ object QueriesProc {
         .unionByName(cN.except(sN).withColumn("op", lit("cust_only")))
     }),
 
+    // Bloblang TEXT mapping (parser frontend, SURVEY §7.1 blob phase 2):
+    // the mapping below is parsed from source and interpreted per row
+    "blob_text_mapping" -> ((s, dir) => {
+      val mapping = """
+        root.id = this.p_partkey
+        root.up = this.p_name.uppercase()
+        root.n_words = this.p_name.split(" ").length()
+        root.tier = if this.p_size > 25 { "L" } else { "S" }
+      """
+      val f = graft.blob.BloblangUdf.mappingUdf(mapping)
+      t(s, dir, "part")
+        .withColumn("out", f(to_json(struct(col("p_partkey"), col("p_name"), col("p_size")))))
+        .select(
+          get_json_object(col("out"), "$.id").cast(LongType).as("id"),
+          get_json_object(col("out"), "$.up").as("up"),
+          get_json_object(col("out"), "$.n_words").cast(LongType).as("n_words"),
+          get_json_object(col("out"), "$.tier").as("tier"))
+    }),
+
     // cube grouping sets + grouping_id (SURVEY §2.9 gap-fill)
     "agg_cube" -> ((s, dir) => t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
@@ -227,6 +246,11 @@ object QueriesProc {
          SELECT nk, 'cust_only' AS op FROM (
            SELECT DISTINCT c_nationkey::BIGINT AS nk FROM customer
            EXCEPT SELECT DISTINCT s_nationkey::BIGINT FROM supplier)""",
+    "blob_text_mapping" ->
+      """SELECT p_partkey AS id, upper(p_name) AS up,
+           len(string_split(p_name, ' '))::BIGINT AS n_words,
+           CASE WHEN p_size > 25 THEN 'L' ELSE 'S' END AS tier
+         FROM part""",
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

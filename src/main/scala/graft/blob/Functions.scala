@@ -1,0 +1,62 @@
+package graft.blob
+
+import Bloblang._
+import Interp._
+import scala.collection.immutable.VectorMap
+
+/** Bloblang function library for the text frontend (reference registry:
+  * internal/bloblang/query/function_set.go, functions.go). */
+object Functions {
+
+  private def err(msg: String): Nothing = throw new BlobError(msg)
+
+  // per-JVM counters for count("name") — partition-local semantics, as
+  // documented for the distributed engine (SURVEY §7.3)
+  private val counters = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def call(name: String, args: Vector[Any], ctx: Ctx): Any = name match {
+    case "content" => VBytes(ctx.content.getBytes("UTF-8"))
+    case "this" => ctx.self()
+    case "env" => ctx.env.getOrElse(toStr(args(0)), null)
+    case "json" =>
+      if (args.isEmpty) ctx.self()
+      else toStr(args(0)).split('.').foldLeft(ctx.self()) {
+        case (m: VectorMap[String @unchecked, Any @unchecked], seg) => m.getOrElse(seg, null)
+        case (null, _) => null
+        case (other, seg) => err(s"field `$seg` on ${typeName(other)}")
+      }
+    case "meta" | "metadata" =>
+      if (args.isEmpty) VectorMap.from(ctx.meta)
+      else ctx.meta.getOrElse(toStr(args(0)), null)
+    case "root_meta" =>
+      if (args.isEmpty) VectorMap.from(ctx.meta) else ctx.meta.getOrElse(toStr(args(0)), null)
+    case "deleted" => VDelete
+    case "nothing" => VNothing
+    case "range" =>
+      val (start, stop) = (toLong(args(0)), toLong(args(1)))
+      val step = if (args.size > 2) toLong(args(2)) else 1L
+      if (step == 0) err("range step must not be 0")
+      Vector.from(start.until(stop, step))
+    case "throw" => err(toStr(args(0)))
+    case "uuid_v4" => java.util.UUID.randomUUID().toString
+    case "nanoid" => graft.functions.Udfs.nanoid()
+    case "now" => java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+      .format(java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC))
+    case "timestamp_unix" => System.currentTimeMillis() / 1000L
+    case "timestamp_unix_milli" => System.currentTimeMillis()
+    case "timestamp_unix_micro" => System.currentTimeMillis() * 1000L
+    case "random_int" =>
+      val max = if (args.nonEmpty) toLong(args(0)) else Long.MaxValue
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(max)
+    case "batch_index" => ctx.batchIndex
+    case "batch_size" => math.max(1L, ctx.batch.length.toLong)
+    case "count" | "counter" =>
+      val key = if (args.nonEmpty) toStr(args(0)) else ""
+      counters.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong())
+        .incrementAndGet()
+    case "error" => null // error facet handled at the row level (Msg.ErrorCol)
+    case "errored" => false
+    case "pi" => math.Pi
+    case other => err(s"unknown function $other")
+  }
+}

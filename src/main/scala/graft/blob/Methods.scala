@@ -1,0 +1,406 @@
+package graft.blob
+
+import Bloblang._
+import Interp._
+import scala.collection.immutable.VectorMap
+
+/** Bloblang method library for the text frontend (reference registry:
+  * internal/bloblang/query/methods*.go; each method cites its source).
+  * Static-DSL pipelines use [[graft.functions.Blob]] instead — this
+  * library backs interpreted mappings only.
+  */
+object Methods {
+
+  private def err(msg: String): Nothing = throw new BlobError(msg)
+
+  /** Evaluate a higher-order argument against one element: named lambda
+    * binds the parameter; a bare query rebinds `this` (reference method
+    * context semantics, query/methods_structured.go:913). */
+  private def applyFn(arg: Expr, elem: Any, ctx: Ctx): Any = arg match {
+    case Lambda(p, body) =>
+      val saved = ctx.vars.get(p)
+      ctx.vars(p) = elem
+      try Interp.eval(body, ctx.copy(self = () => elem))
+      finally { saved match { case Some(v) => ctx.vars(p) = v; case None => ctx.vars.remove(p) } }
+    case e => Interp.eval(e, ctx.copy(self = () => elem))
+  }
+
+  private def asBool(v: Any): Boolean = v match {
+    case b: Boolean => b
+    case other => err(s"expected bool from query, got ${typeName(other)}")
+  }
+
+  private def entry(k: String, v: Any): VectorMap[String, Any] =
+    VectorMap("key" -> k, "value" -> v)
+
+  def call(targetE: Expr, name: String, args: Vector[Expr], ctx: Ctx): Any = name match {
+    // error-channel methods control target evaluation (methods.go:148,807)
+    case "catch" =>
+      try Interp.eval(targetE, ctx)
+      catch { case e: BlobError => applyFn(args(0), e.msg, ctx) }
+    case "or" =>
+      try {
+        Interp.eval(targetE, ctx) match {
+          case null | VNothing => Interp.eval(args(0), ctx)
+          case v => v
+        }
+      } catch { case _: BlobError => Interp.eval(args(0), ctx) }
+    case "exists" =>
+      val path = Interp.eval(args(0), ctx).toString
+      try {
+        val v = path.split('.').foldLeft(Interp.eval(targetE, ctx)) {
+          case (m: VectorMap[String @unchecked, Any @unchecked], seg) => m.getOrElse(seg, return false)
+          case (null, _) => return false
+          case _ => return false
+        }
+        v != null
+      } catch { case _: BlobError => false }
+    // batch-positional methods re-evaluate the target query against other
+    // batch members (functions.go:186-229, methods.go:187-229)
+    case "from_all" =>
+      ctx.batch.map(b => Interp.eval(targetE, ctx.copy(self = b)))
+    case "from" =>
+      val i = Interp.toLong(Interp.eval(args(0), ctx))
+      if (i < 0 || i >= ctx.batch.length) err(s"from($i): batch size ${ctx.batch.length}")
+      Interp.eval(targetE, ctx.copy(self = ctx.batch(i.toInt)))
+    case _ =>
+      val t = Interp.eval(targetE, ctx)
+      try dispatch(t, name, args, ctx)
+      catch {
+        case e: BlobError => throw e
+        case scala.util.control.NonFatal(e) =>
+          err(s"$name: ${e.getMessage}") // JDK exceptions become catchable blob errors
+      }
+  }
+
+  private def dispatch(t: Any, name: String, args: Vector[Expr], ctx: Ctx): Any = {
+    def arg(i: Int): Any = Interp.eval(args(i), ctx)
+    def argStr(i: Int): String = toStr(arg(i))
+    def argLong(i: Int): Long = toLong(arg(i))
+
+    name match {
+      // ===== general / coercion (methods.go) =================================
+      case "apply" =>
+        val mapName = argStr(0)
+        val stmts = ctx.maps.getOrElse(mapName, err(s"unknown map $mapName"))
+        val sub = ctx.copy(self = () => t, root = VNothing)
+        stmts.foreach { s => Interp.execStmt(s, sub) }
+        sub.root
+      case "not_null" => if (t == null) err("value is null") else t
+      case "type" => typeName(t)
+      case "string" => toStr(t)
+      case "bytes" => VBytes(toStr(t).getBytes("UTF-8"))
+      case "number" =>
+        def parse(v: Any): Any = v match {
+          case l: Long => l
+          case d: Double => d
+          case b: Boolean => if (b) 1L else 0L
+          case s: String =>
+            if (s.contains('.') || s.contains('e') || s.contains('E'))
+              try s.toDouble catch { case _: Exception => err(s"not a number: $s") }
+            else try s.toLong catch { case _: Exception =>
+              try s.toDouble catch { case _: Exception => err(s"not a number: $s") } }
+          case b: VBytes => parse(b.str)
+          case other => err(s"cannot parse ${typeName(other)} as number")
+        }
+        if (args.isEmpty) parse(t)
+        else try parse(t) catch { case _: BlobError => arg(0) } // optional default
+
+      case "bool" => t match {
+        case b: Boolean => b
+        case s: String => s.toLowerCase match {
+          case "true" | "t" | "1" => true
+          case "false" | "f" | "0" => false
+          case _ => err(s"not a bool: $s")
+        }
+        case l: Long => l != 0
+        case d: Double => d != 0
+        case other => err(s"cannot parse ${typeName(other)} as bool")
+      }
+      case "length" => t match {
+        case s: String => s.length.toLong
+        case b: VBytes => b.bytes.length.toLong
+        case a: Vector[_] => a.length.toLong
+        case m: VectorMap[_, _] => m.size.toLong
+        case other => err(s"length of ${typeName(other)}")
+      }
+      case "get" =>
+        argStr(0).split('.').foldLeft(t) {
+          case (m: VectorMap[String @unchecked, Any @unchecked], seg) => m.getOrElse(seg, null)
+          case (null, _) => null
+          case (other, seg) => err(s"field `$seg` on ${typeName(other)}")
+        }
+      case "parse_json" => parseJsonTyped(toStr(t))
+      case "format_json" => marshalJson(t)
+
+      // ===== strings (methods_strings.go) ====================================
+      case "uppercase" => toStr(t).toUpperCase
+      case "lowercase" => toStr(t).toLowerCase
+      case "capitalize" =>
+        toStr(t).split("(?<= )").map(w =>
+          if (w.nonEmpty && w.head.isLetter) w.head.toUpper + w.tail else w).mkString
+      case "trim" =>
+        if (args.isEmpty) toStr(t).trim
+        else { val cut = argStr(0).toSet; toStr(t).dropWhile(cut).reverse.dropWhile(cut).reverse }
+      case "trim_prefix" =>
+        val s = toStr(t); val p = argStr(0)
+        if (s.startsWith(p)) s.drop(p.length) else s
+      case "trim_suffix" =>
+        val s = toStr(t); val p = argStr(0)
+        if (s.endsWith(p)) s.dropRight(p.length) else s
+      case "has_prefix" => toStr(t).startsWith(argStr(0))
+      case "has_suffix" => toStr(t).endsWith(argStr(0))
+      case "contains" => t match {
+        case a: Vector[Any @unchecked] => val v = arg(0); a.exists(valueEq(_, v))
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          val v = arg(0); m.values.exists(valueEq(_, v))
+        case s => toStr(s).contains(argStr(0))
+      }
+      case "index_of" => toStr(t).indexOf(argStr(0)).toLong
+      case "slice" => t match {
+        case a: Vector[Any @unchecked] => sliceSeq(a, argLong(0), if (args.size > 1) Some(argLong(1)) else None)
+        case s =>
+          val cs = toStr(s)
+          sliceSeq(cs.toVector, argLong(0), if (args.size > 1) Some(argLong(1)) else None)
+            .asInstanceOf[Vector[Char]].mkString
+      }
+      case "split" => Vector.from(toStr(t).split(java.util.regex.Pattern.quote(argStr(0)), -1))
+      case "join" => t match {
+        case a: Vector[Any @unchecked] =>
+          val sep = if (args.isEmpty) "" else argStr(0)
+          a.map {
+            case s: String => s
+            case b: VBytes => b.str
+            case other => err(s"join: expected string elements, got ${typeName(other)}")
+          }.mkString(sep)
+        case other => err(s"join on ${typeName(other)}")
+      }
+      case "replace_all" => toStr(t).replace(argStr(0), argStr(1))
+      case "replace_all_many" => arg(0) match {
+        case a: Vector[Any @unchecked] =>
+          a.grouped(2).foldLeft(toStr(t)) {
+            case (acc, Vector(f, to)) => acc.replace(toStr(f), toStr(to))
+            case (acc, _) => acc
+          }
+        case _ => err("replace_all_many expects an array")
+      }
+      case "re_match" => argStr(0).r.findFirstIn(toStr(t)).isDefined
+      case "re_find_all" => Vector.from(argStr(0).r.findAllIn(toStr(t)).toSeq)
+      case "re_replace_all" => toStr(t).replaceAll(argStr(0), argStr(1))
+      case "re_find_all_submatch" =>
+        Vector.from(argStr(0).r.findAllMatchIn(toStr(t)).map(m =>
+          Vector.tabulate(m.groupCount + 1)(g => Option(m.group(g)).getOrElse(""): Any)).toSeq)
+      case "format" =>
+        String.format(toStr(t), args.map(a => Interp.eval(a, ctx) match {
+          case l: Long => java.lang.Long.valueOf(l)
+          case d: Double => java.lang.Double.valueOf(d)
+          case b: Boolean => java.lang.Boolean.valueOf(b)
+          case s => toStr(s)
+        }): _*)
+      case "reverse" => t match {
+        case a: Vector[Any @unchecked] => a.reverse
+        case s => toStr(s).reverse
+      }
+      case "quote" => marshalJson(toStr(t))
+      case "unquote" => parseJsonTyped(toStr(t)) match {
+        case s: String => s
+        case other => err(s"unquote: ${typeName(other)}")
+      }
+      case "escape_html" =>
+        toStr(t).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+          .replace("\"", "&#34;").replace("'", "&#39;")
+      case "unescape_html" => unescapeHtml(toStr(t))
+      case "escape_url_query" => java.net.URLEncoder.encode(toStr(t), "UTF-8")
+      case "unescape_url_query" => java.net.URLDecoder.decode(toStr(t), "UTF-8")
+      case "strip_html" => graft.functions.Udfs.stripHtml(toStr(t))
+      case "slug" => graft.functions.Udfs.slug(toStr(t))
+      case "parse_duration" =>
+        Option(graft.functions.Udfs.parseDuration(toStr(t))).map(_.longValue())
+          .getOrElse(err(s"bad duration ${toStr(t)}"))
+      case "encode" => argStr(0) match {
+        case "base64" => java.util.Base64.getEncoder.encodeToString(rawBytes(t))
+        case "base64url" => java.util.Base64.getUrlEncoder.encodeToString(rawBytes(t))
+        case "hex" => rawBytes(t).map("%02x".format(_)).mkString
+        case s => err(s"unknown encoding $s")
+      }
+      case "decode" => argStr(0) match {
+        case "base64" => VBytes(java.util.Base64.getDecoder.decode(toStr(t)))
+        case "base64url" => VBytes(java.util.Base64.getUrlDecoder.decode(toStr(t)))
+        case "hex" => VBytes(toStr(t).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        case s => err(s"unknown encoding $s")
+      }
+      case "hash" =>
+        val alg = argStr(0) match {
+          case "md5" => "MD5"; case "sha1" => "SHA-1"
+          case "sha256" => "SHA-256"; case "sha512" => "SHA-512"
+          case s => err(s"unknown hash $s")
+        }
+        VBytes(java.security.MessageDigest.getInstance(alg).digest(rawBytes(t)))
+
+      // ===== numbers (methods_numbers.go, bloblang_numbers.go) ===============
+      case "abs" => t match { case l: Long => math.abs(l); case v => math.abs(toNum(v)) }
+      case "ceil" => ceilFloor(t, math.ceil)
+      case "floor" => ceilFloor(t, math.floor)
+      case "round" => t match {
+        case l: Long => l
+        case v => math.round(toNum(v))
+      }
+      case "sqrt" => math.sqrt(toNum(t))
+      case "log" => math.log(toNum(t))
+      case "log10" => math.log10(toNum(t))
+      case "pow" => math.pow(toNum(t), toNum(arg(0)))
+      case "int64" => toLong(t)
+      case "float64" => toNum(t)
+      case "max" => reduceNum(t, math.max)
+      case "min" => reduceNum(t, math.min)
+      case "sum" => t match {
+        case a: Vector[Any @unchecked] =>
+          if (a.forall(_.isInstanceOf[Long])) a.map(_.asInstanceOf[Long]).sum
+          else a.map(toNum).sum
+        case other => err(s"sum on ${typeName(other)}")
+      }
+
+      // ===== arrays / objects (methods_structured.go) ========================
+      case "all" => seqOf(t).forall(e => asBool(applyFn(args(0), e, ctx)))
+      case "any" => seqOf(t).exists(e => asBool(applyFn(args(0), e, ctx)))
+      case "append" => seqOf(t) ++ args.map(Interp.eval(_, ctx))
+      case "enumerated" =>
+        seqOf(t).zipWithIndex.map { case (v, i) =>
+          VectorMap[String, Any]("index" -> i.toLong, "value" -> v) }
+      case "filter" => t match {
+        case a: Vector[Any @unchecked] => a.filter(e => asBool(applyFn(args(0), e, ctx)))
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          m.filter { case (k, v) => asBool(applyFn(args(0), entry(k, v), ctx)) }
+        case other => err(s"filter on ${typeName(other)}")
+      }
+      case "flatten" =>
+        seqOf(t).flatMap {
+          case a: Vector[Any @unchecked] => a
+          case v => Vector(v)
+        }
+      case "fold" =>
+        seqOf(t).foldLeft(arg(0)) { (acc, v) =>
+          applyFn(args(1), VectorMap[String, Any]("tally" -> acc, "value" -> v), ctx)
+        }
+      case "index" =>
+        val a = seqOf(t); val i = argLong(0)
+        val j = if (i < 0) a.length + i else i
+        if (j >= 0 && j < a.length) a(j.toInt) else err(s"index $i out of bounds")
+      case "keys" => t match {
+        case m: VectorMap[String @unchecked, _] => Vector.from(m.keys)
+        case other => err(s"keys on ${typeName(other)}")
+      }
+      case "values" => t match {
+        case m: VectorMap[String @unchecked, Any @unchecked] => Vector.from(m.values)
+        case other => err(s"values on ${typeName(other)}")
+      }
+      case "key_values" => t match {
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          Vector.from(m.map { case (k, v) => entry(k, v) })
+        case other => err(s"key_values on ${typeName(other)}")
+      }
+      case "map_each" => t match {
+        case a: Vector[Any @unchecked] =>
+          a.map(e => applyFn(args(0), e, ctx)).filter(v => v != VDelete && v != VNothing)
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          m.foldLeft(VectorMap.empty[String, Any]) { case (acc, (k, v)) =>
+            applyFn(args(0), entry(k, v), ctx) match {
+              case VDelete | VNothing => acc
+              case nv => acc.updated(k, nv)
+            }
+          }
+        case other => err(s"map_each on ${typeName(other)}")
+      }
+      case "map_each_key" => t match {
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          m.foldLeft(VectorMap.empty[String, Any]) { case (acc, (k, v)) =>
+            acc.updated(toStr(applyFn(args(0), k, ctx)), v)
+          }
+        case other => err(s"map_each_key on ${typeName(other)}")
+      }
+      case "merge" => (t, arg(0)) match {
+        case (a: VectorMap[String @unchecked, Any @unchecked], b: VectorMap[String @unchecked, Any @unchecked]) =>
+          b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, v) }
+        case (a, b) => err(s"merge ${typeName(a)} with ${typeName(b)}")
+      }
+      case "not_empty" => t match {
+        case s: String if s.nonEmpty => s
+        case a: Vector[_] if a.nonEmpty => a
+        case m: VectorMap[_, _] if m.nonEmpty => m
+        case _ => err("value is empty")
+      }
+      case "sort" =>
+        if (args.isEmpty) seqOf(t).sortWith((a, b) => cmpVals(a, b) < 0)
+        else seqOf(t).sortWith { (a, b) =>
+          asBool(applyFn(args(0), VectorMap[String, Any]("left" -> a, "right" -> b), ctx))
+        }
+      case "sort_by" =>
+        seqOf(t).sortWith((a, b) =>
+          cmpVals(applyFn(args(0), a, ctx), applyFn(args(0), b, ctx)) < 0)
+      case "unique" =>
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        seqOf(t).filter(v => seen.add(marshalJson(v)))
+      case "without" => t match {
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          val ks = args.map(a => toStr(Interp.eval(a, ctx))).toSet
+          m.filter { case (k, _) => !ks.contains(k) }
+        case other => err(s"without on ${typeName(other)}")
+      }
+      case "zip" => (t, arg(0)) match {
+        case (a: Vector[Any @unchecked], b: Vector[Any @unchecked]) =>
+          a.zip(b).map { case (x, y) => Vector(x, y) }
+        case _ => err("zip expects arrays")
+      }
+      case "concat" => seqOf(t) ++ args.flatMap(a => seqOf(Interp.eval(a, ctx)))
+
+      case other => err(s"unknown method $other on ${typeName(t)}")
+    }
+  }
+
+  private def rawBytes(t: Any): Array[Byte] = t match {
+    case b: VBytes => b.bytes
+    case v => toStr(v).getBytes("UTF-8")
+  }
+
+  private def seqOf(t: Any): Vector[Any] = t match {
+    case a: Vector[Any @unchecked] => a
+    case other => err(s"expected array, got ${typeName(other)}")
+  }
+
+  private def ceilFloor(t: Any, f: Double => Double): Any = t match {
+    case l: Long => l
+    case v => val d = f(toNum(v)); if (d.isWhole) d.toLong else d
+  }
+
+  private def reduceNum(t: Any, f: (Double, Double) => Double): Any = t match {
+    case a: Vector[Any @unchecked] if a.nonEmpty =>
+      if (a.forall(_.isInstanceOf[Long]))
+        a.map(_.asInstanceOf[Long]).reduce((x, y) => f(x.toDouble, y.toDouble).toLong)
+      else a.map(toNum).reduce(f)
+    case _ => err("min/max on empty or non-array")
+  }
+
+  private[blob] def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => java.lang.Double.compare(toNum(a), toNum(b))
+  }
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "#34" -> "\"", "#39" -> "'")
+  private def unescapeHtml(s: String): String =
+    "&(#?\\w+);".r.replaceAllIn(s, m => {
+      val e = m.group(1)
+      val rep =
+        if (e.startsWith("#x") || e.startsWith("#X")) Integer.parseInt(e.drop(2), 16).toChar.toString
+        else if (e.startsWith("#")) Integer.parseInt(e.drop(1)).toChar.toString
+        else namedEntities.getOrElse(e, m.matched)
+      java.util.regex.Matcher.quoteReplacement(rep)
+    })
+
+  private def sliceSeq(a: Vector[Any], from: Long, until: Option[Long]): Vector[Any] = {
+    val n = a.length
+    def norm(i: Long): Int = (if (i < 0) math.max(0L, n + i) else math.min(i, n)).toInt
+    a.slice(norm(from), until.map(norm).getOrElse(n))
+  }
+}

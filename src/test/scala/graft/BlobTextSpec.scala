@@ -1,0 +1,127 @@
+package graft
+
+import graft.blob.{Bloblang, BloblangUdf, Interp}
+import graft.core.Msg
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the Bloblang text frontend beyond the golden corpus. */
+class BlobTextSpec extends AnyFunSuite {
+
+  private def run(src: String, content: String,
+                  env: Map[String, String] = Map.empty): Option[String] =
+    Interp.run(Bloblang.parse(src), content, Map.empty, env)
+
+  test("arithmetic: int preserved for + - * %, division floats, precedence") {
+    assert(run("root.a = 2 + 3 * 4", "{}") == Some("""{"a":14}"""))
+    assert(run("root.a = 10 % 3", "{}") == Some("""{"a":1}"""))
+    assert(run("root.a = 7 / 2", "{}") == Some("""{"a":3.5}"""))
+    assert(run("root.a = (1 + 2) * 2.5", "{}") == Some("""{"a":7.5}"""))
+    assert(run("root.a = -this.x + 1", """{"x":5}""") == Some("""{"a":-4}"""))
+  }
+
+  test("pipe operator coalesces null and errors") {
+    assert(run("root.a = this.missing | \"dflt\"", "{}") == Some("""{"a":"dflt"}"""))
+    assert(run("root.a = this.x.number() | 99", """{"x":"nope"}""") == Some("""{"a":99}"""))
+  }
+
+  test("deleted() at root drops the message") {
+    assert(run("root = deleted()", """{"x":1}""").isEmpty)
+    assert(run("root = if this.x == 1 { deleted() }", """{"x":1}""").isEmpty)
+  }
+
+  test("nested path assignment builds and deletes") {
+    assert(run("root.a.b.c = 1\nroot.a.d = 2", "{}") == Some("""{"a":{"b":{"c":1},"d":2}}"""))
+    assert(run("root = this\nroot.b = deleted()", """{"a":1,"b":2}""") == Some("""{"a":1}"""))
+  }
+
+  test("let variables and string methods chain") {
+    val src = """
+      let n = this.name.uppercase()
+      root.greeting = "HI " + $n + "!"
+      root.len = $n.length()
+    """
+    assert(run(src, """{"name":"bob"}""") == Some("""{"greeting":"HI BOB!","len":3}"""))
+  }
+
+  test("match with literal, predicate, and wildcard cases") {
+    // match rebinds `this` to the matched value (query_expression_parser.go:10)
+    val src = """root.cls = match this.n {
+      0 => "zero",
+      this < 10 => "small",
+      _ => "big",
+    }"""
+    assert(run(src, """{"n":0}""") == Some("""{"cls":"zero"}"""))
+    assert(run(src, """{"n":5}""") == Some("""{"cls":"small"}"""))
+    assert(run(src, """{"n":50}""") == Some("""{"cls":"big"}"""))
+  }
+
+  test("higher-order methods: filter/map_each/fold/sort_by/enumerated") {
+    val src = """
+      root.evens = this.xs.filter(x -> x % 2 == 0)
+      root.doubled = this.xs.map_each(x -> x * 2)
+      root.total = this.xs.fold(0, item -> item.tally + item.value)
+      root.first = this.xs.sort_by(x -> -x).index(0)
+    """
+    assert(run(src, """{"xs":[3,1,4,2]}""") ==
+      Some("""{"doubled":[6,2,8,4],"evens":[4,2],"first":4,"total":10}"""))
+  }
+
+  test("object methods: keys/values/merge/without/map_each on entries") {
+    val src = """
+      root.ks = this.m.keys().sort()
+      root.merged = this.m.merge({"c": 3})
+      root.no_a = this.m.without("a")
+      root.upvals = this.m.map_each(this.value.string().uppercase())
+    """
+    assert(run(src, """{"m":{"a":"x","b":"y"}}""") ==
+      Some("""{"ks":["a","b"],"merged":{"a":"x","b":"y","c":3},"no_a":{"b":"y"},"upvals":{"a":"X","b":"Y"}}"""))
+  }
+
+  test("encode/decode/hash and error catch") {
+    assert(run("""root.b = this.s.encode("base64")""", """{"s":"ab"}""") == Some("""{"b":"YWI="}"""))
+    assert(run("""root.h = this.s.hash("sha256").encode("hex")""", """{"s":"x"}""") ==
+      Some("""{"h":"2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881"}"""))
+    assert(run("""root.v = this.s.decode("base64").string().catch("bad")""", """{"s":"!!"}""") ==
+      Some("""{"v":"bad"}"""))
+  }
+
+  test("throw routes to catch; uncaught errors surface as BlobError") {
+    assert(run("""root.a = throw("boom").catch("saved")""", "{}") == Some("""{"a":"saved"}"""))
+    intercept[Bloblang.BlobError] { run("""root.a = throw("boom")""", "{}") }
+  }
+
+  test("metadata read via runWithMeta and @ syntax") {
+    val (out, meta) = Interp.runWithMeta(
+      Bloblang.parse("root.k = @kind\nmeta seen = \"yes\""),
+      """{}""", Map("kind" -> "test"), Map.empty)
+    assert(out == Some("""{"k":"test"}"""))
+    assert(meta == Map("kind" -> "test", "seen" -> "yes"))
+  }
+
+  test("range/batch functions and from_all across a batch") {
+    assert(run("root.r = range(0, 6, 2)", "{}") == Some("""{"r":[0,2,4]}"""))
+    val outs = Interp.runBatch(
+      Bloblang.parse("root.i = batch_index()\nroot.total = this.v.from_all().sum()"),
+      Seq("""{"v":1}""", """{"v":2}""", """{"v":3}"""))
+    assert(outs.flatten == Seq(
+      """{"i":0,"total":6}""", """{"i":1,"total":6}""", """{"i":2,"total":6}"""))
+  }
+
+  test("mappingProcessor over the Msg envelope: map, delete, and error facet") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Msg.envelope(Seq(1, 5, 50).toDF("n"))
+    val proc = BloblangUdf.mappingProcessor("""
+      root = if this.n >= 50 { deleted() } else {
+        {"n2": this.n * 2, "ok": this.n.number() < 10}
+      }
+    """)
+    val out = proc(df).select(Msg.ContentCol).as[String].collect().sorted
+    assert(out.toSeq == Seq("""{"n2":10,"ok":true}""", """{"n2":2,"ok":true}"""))
+    // parse errors land in the error facet, row survives
+    val bad = BloblangUdf.mappingProcessor("root = this.x.not_null()")(
+      Msg.envelope(Seq(1).toDF("n")).withColumn(Msg.ContentCol, lit("{}")))
+    assert(bad.filter(Msg.errored).count() == 1)
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import graft.blob.{Bloblang, Interp}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Runs the reference's OWN Bloblang golden tests verbatim
+  * (the yaml files under config/test/bloblang — the `bento test` corpus, reference
+  * runner: internal/cli/test/case.go:37-107). Assertions supported:
+  * content_equals (exact bytes) and json_equals (structural). Cases with
+  * other assertion types (error-message matching etc.) are skipped.
+  */
+class BloblangGoldenSpec extends AnyFunSuite {
+
+  private val corpusDir = new java.io.File("/root/reference/config/test/bloblang")
+  private val yaml = new org.yaml.snakeyaml.Yaml()
+
+  private def anyRef(v: Any): Any = v // readability alias
+
+  private def loadYaml(f: java.io.File): java.util.Map[String, Any] =
+    yaml.load[java.util.Map[String, Any]](java.nio.file.Files.readString(f.toPath))
+
+  /** A runnable pipeline extracted from a test case: the mapping source,
+    * whether it's a `mutation` (root starts as `this`), and whether a
+    * trailing `unarchive: json_array` expands the result. */
+  private case class Pipeline(src: String, mutation: Boolean, unarchive: Boolean)
+
+  private def mappingFor(testCase: java.util.Map[String, Any],
+                         selfFile: java.io.File,
+                         selfDoc: java.util.Map[String, Any]): Option[Pipeline] = {
+    Option(testCase.get("target_mapping")).map(_.toString) match {
+      case Some(rel) =>
+        val f = new java.io.File(selfFile.getParentFile, rel)
+        Some(Pipeline(java.nio.file.Files.readString(f.toPath), mutation = false, unarchive = false))
+      case None =>
+        Option(testCase.get("target_processors")).map(_.toString).flatMap { tp =>
+          val (doc, pointer) =
+            if (tp.startsWith("/")) (selfDoc, tp)
+            else {
+              val Array(relF, ptr) = tp.split("#", 2)
+              (loadYaml(new java.io.File(selfFile.getParentFile, relF)), ptr)
+            }
+          val node = pointer.stripPrefix("/").split("/").foldLeft(anyRef(doc)) {
+            case (m: java.util.Map[_, _], seg) => m.asInstanceOf[java.util.Map[String, Any]].get(seg)
+            case (l: java.util.List[_], seg) => l.get(seg.toInt)
+            case _ => null
+          }
+          def asProc(o: Any): Option[java.util.Map[String, Any]] = o match {
+            case p: java.util.Map[_, _] => Some(p.asInstanceOf[java.util.Map[String, Any]])
+            case _ => None
+          }
+          node match {
+            case procs: java.util.List[_] if procs.size >= 1 =>
+              asProc(procs.get(0)).flatMap { pm =>
+                val srcOpt = Option(pm.get("bloblang")).orElse(Option(pm.get("mapping")))
+                  .map(s => Pipeline(s.toString, mutation = false, unarchive = false))
+                  .orElse(Option(pm.get("mutation"))
+                    .map(s => Pipeline(s.toString, mutation = true, unarchive = false)))
+                srcOpt.flatMap { p =>
+                  if (procs.size == 1) Some(p)
+                  else if (procs.size == 2 && asProc(procs.get(1)).exists(q =>
+                    Option(q.get("unarchive")).flatMap(asProc).exists(
+                      _.get("format") == "json_array")))
+                    Some(p.copy(unarchive = true))
+                  else None
+                }
+              }
+            case _ => None
+          }
+        }
+    }
+  }
+
+  private def jsonEq(a: String, b: String): Boolean =
+    Interp.valueEq(Interp.parseJsonTyped(a), Interp.parseJsonTyped(b))
+
+  /** Run every supported case in the corpus; returns (passed, failed, skipped). */
+  private def runCorpus(): (Int, Int, Int, Seq[String]) = {
+    var (passed, failed, skipped) = (0, 0, 0)
+    val failures = Seq.newBuilder[String]
+    val files = corpusDir.listFiles().filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
+    for (f <- files) {
+      val doc = try loadYaml(f) catch { case _: Exception => null }
+      val tests = if (doc == null) null else doc.get("tests")
+      tests match {
+        case l: java.util.List[_] =>
+          for (tc0 <- l.asScala) {
+            val tc = tc0.asInstanceOf[java.util.Map[String, Any]]
+            val name = f.getName + "/" + tc.get("name")
+            mappingFor(tc, f, doc) match {
+              case None => skipped += 1
+              case Some(pipe) =>
+                val env = Option(tc.get("environment")).map(
+                  _.asInstanceOf[java.util.Map[String, Any]].asScala
+                    .map { case (k, v) => k -> String.valueOf(v) }.toMap).getOrElse(Map.empty)
+                val inputs = tc.get("input_batch").asInstanceOf[java.util.List[_]].asScala
+                  .map(_.asInstanceOf[java.util.Map[String, Any]])
+                val expected = tc.get("output_batches").asInstanceOf[java.util.List[_]]
+                  .get(0).asInstanceOf[java.util.List[_]].asScala
+                  .map(_.asInstanceOf[java.util.Map[String, Any]])
+                // all assertions must be content_equals / json_equals
+                if (!expected.forall(a =>
+                    a.containsKey("content_equals") || a.containsKey("json_equals"))) {
+                  skipped += 1
+                } else {
+                  try {
+                    val parsed = Bloblang.parse(pipe.src)
+                    // mutation = mapping whose root starts as `this`
+                    val prog = if (pipe.mutation)
+                      parsed.copy(stmts =
+                        Bloblang.AssignRoot(Vector.empty, Bloblang.This) +: parsed.stmts)
+                    else parsed
+                    val contents = inputs.map { in =>
+                      if (in.containsKey("json_content"))
+                        new com.fasterxml.jackson.databind.ObjectMapper()
+                          .writeValueAsString(in.get("json_content"))
+                      else String.valueOf(in.get("content"))
+                    }.toSeq
+                    val mapped = Interp.runBatch(prog, contents, env).flatten
+                    val outs =
+                      if (!pipe.unarchive) mapped
+                      else mapped.flatMap { out =>
+                        Interp.parseJsonTyped(out) match {
+                          case a: Vector[Any @unchecked] => a.map(Interp.marshal)
+                          case v => Seq(Interp.marshal(v))
+                        }
+                      }
+                    val ok = outs.size == expected.size && outs.zip(expected).forall {
+                      case (got, exp) =>
+                        Option(exp.get("content_equals")) match {
+                          case Some(want) =>
+                            got.stripSuffix("\n") == want.toString.stripSuffix("\n")
+                          case None =>
+                            val want = exp.get("json_equals")
+                            val wantJson = want match {
+                              case s: String => s
+                              case o => new com.fasterxml.jackson.databind.ObjectMapper()
+                                .writeValueAsString(o)
+                            }
+                            jsonEq(got, wantJson)
+                        }
+                    }
+                    if (ok) passed += expected.size // count message-level assertions
+                    else { failed += 1; failures += s"$name: got=${outs.mkString(" | ")}" }
+                  } catch {
+                    case e: Exception => failed += 1; failures += s"$name: ${e.getMessage}"
+                  }
+                }
+            }
+          }
+        case _ => ()
+      }
+    }
+    (passed, failed, skipped, failures.result())
+  }
+
+  test("reference bloblang golden corpus: >= 20 cases pass verbatim, none fail") {
+    val (passed, failed, skipped, failures) = runCorpus()
+    info(s"golden corpus: passed=$passed failed=$failed skipped=$skipped")
+    failures.foreach(f => info(s"FAIL $f"))
+    assert(failed == 0, s"failures:\n${failures.mkString("\n")}")
+    assert(passed >= 20, s"only $passed golden cases passed")
+  }
+}
