@@ -1,0 +1,151 @@
+package graft
+
+import graft.conn.{Outputs, Sources}
+import graft.core.Msg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Scanner + output-routing + checkpoint-recovery tests (SURVEY §2.5-2.8). */
+class ConnectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit(); d
+  }
+  private def write(f: java.io.File, s: String): Unit =
+    java.nio.file.Files.writeString(f.toPath, s)
+
+  test("lines scanner reads one message per line") {
+    val d = tmpDir("lines")
+    write(new java.io.File(d, "a.txt"), "one\ntwo\nthree")
+    val got = Sources.lines(spark, d.getPath).as[String].collect().sorted
+    assert(got.toSeq == Seq("one", "three", "two"))
+  }
+
+  test("csv scanner reads header + typed columns") {
+    val d = tmpDir("csv")
+    write(new java.io.File(d, "a.csv"), "name,n\nalpha,1\nbeta,2")
+    val got = Sources.csv(spark, d.getPath).orderBy("n")
+      .as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("alpha", 1), ("beta", 2)))
+  }
+
+  test("json_documents scanner reads multi-line docs") {
+    val d = tmpDir("jsond")
+    write(new java.io.File(d, "a.json"), "{\n  \"k\": 1\n}")
+    val got = Sources.jsonDocuments(spark, d.getPath, multiLine = true)
+      .select("k").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("chunker scanner splits file bytes into fixed chunks") {
+    val d = tmpDir("chunk")
+    write(new java.io.File(d, "a.txt"), "abcdefghij")
+    val got = Sources.chunker(spark, d.getPath, 4).orderBy("chunk_idx")
+      .select("content").as[String].collect()
+    assert(got.toSeq == Seq("abcd", "efgh", "ij"))
+  }
+
+  test("skip_bom scanner strips a BOM") {
+    val df = Seq("﻿hello", "plain").toDF("content")
+    val got = Sources.skipBom(df).as[String].collect().sorted
+    assert(got.toSeq == Seq("hello", "plain"))
+  }
+
+  test("output switch routes rows to first matching sink; default gets rest") {
+    val (hi, mid, rest) = (collector(), collector(), collector())
+    val df = Seq(500, 50, 5).toDF("n")
+    Outputs.switch(Seq(
+      (col("n") >= 100) -> hi.sink,
+      (col("n") >= 10) -> mid.sink),
+      default = Some(rest.sink))(df, 0L)
+    assert(hi.rows == Set(500) && mid.rows == Set(50) && rest.rows == Set(5))
+  }
+
+  test("output broker fan_out delivers every batch to every sink") {
+    val (a, b) = (collector(), collector())
+    Outputs.fanOut(Seq(a.sink, b.sink))(Seq(1, 2).toDF("n"), 0L)
+    assert(a.rows == Set(1, 2) && b.rows == Set(1, 2))
+  }
+
+  test("output round_robin alternates sinks by batch id") {
+    val (a, b) = (collector(), collector())
+    val router = Outputs.roundRobin(Seq(a.sink, b.sink))
+    router(Seq(1).toDF("n"), 0L)
+    router(Seq(2).toDF("n"), 1L)
+    router(Seq(3).toDF("n"), 2L)
+    assert(a.rows == Set(1, 3) && b.rows == Set(2))
+  }
+
+  test("output fallback tries next sink on failure; retry retries then succeeds") {
+    val ok = collector()
+    var calls = 0
+    val flaky: Outputs.Sink = { df =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("down")
+      ok.sink(df)
+    }
+    Outputs.fallback(Seq(_ => throw new RuntimeException("dead"), ok.sink))(Seq(7).toDF("n"), 0L)
+    assert(ok.rows == Set(7))
+    ok.clear()
+    Outputs.retrySink(flaky, maxAttempts = 3, backoffMs = 1)(Seq(9).toDF("n"))
+    assert(calls == 3 && ok.rows == Set(9))
+    intercept[RuntimeException] {
+      Outputs.fallback(Seq(_ => throw new RuntimeException("a")))(Seq(1).toDF("n"), 0L)
+    }
+  }
+
+  test("withDlq splits errored rows to the dlq sink") {
+    val (main, dlq) = (collector(), collector())
+    val df = Seq((1, null: String), (2, "bad")).toDF("n", Msg.ErrorCol)
+    Outputs.withDlq(main.sink, dlq.sink)(df, 0L)
+    assert(main.rows == Set(1) && dlq.rows == Set(2))
+  }
+
+  test("checkpointed stream resumes after stop without duplicating batches") {
+    val in = tmpDir("ckpt-in")
+    val out = tmpDir("ckpt-out")
+    val ckpt = tmpDir("ckpt-meta")
+    write(new java.io.File(in, "f1.json"), """{"n": 1}""" + "\n" + """{"n": 2}""")
+
+    def start() = Outputs.start(
+      Sources.fileStream(spark, in.getPath, "n LONG", maxFilesPerTrigger = 1),
+      (df, _) => if (!df.isEmpty)
+        df.write.mode("append").parquet(out.getPath),
+      ckpt.getPath,
+      Trigger.AvailableNow())
+
+    val q1 = start(); q1.awaitTermination(60000)
+    assert(spark.read.parquet(out.getPath).count() == 2)
+
+    // new file arrives while stopped; restart from the same checkpoint:
+    // f1 must NOT be reprocessed (offsets come from the checkpoint log)
+    write(new java.io.File(in, "f2.json"), """{"n": 3}""")
+    val q2 = start(); q2.awaitTermination(60000)
+    val got = spark.read.parquet(out.getPath).select("n").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L), s"expected exactly-once resume, got ${got.toSeq}")
+  }
+
+  test("kafka reader wiring exposes the connector option set") {
+    // connector jar is not bundled here; assert the configured options
+    // (the part we own) rather than a live connection
+    val r = Sources.kafkaReader(spark, "broker:9092", "events", "earliest", Some(500L))
+    // DataStreamReader has no public option inspection; round-trip through
+    // its toString/load failure is environment-dependent — assert the
+    // envelope transform instead on a kafka-shaped frame
+    val frame = Seq(("k", "v", "events", 0, 42L)).toDF("key", "value", "topic", "partition", "offset")
+    val env = Sources.kafkaToEnvelope(frame).collect().head
+    assert(env.getAs[String](Msg.ContentCol) == "v")
+    assert(env.getAs[Map[String, String]](Msg.MetaCol)("kafka_offset") == "42")
+    assert(env.getAs[Long](Msg.SeqCol) == 42L)
+  }
+
+  private case class Collector(buf: scala.collection.mutable.Set[Int]) {
+    val sink: Outputs.Sink = df => buf ++= df.select(df.columns.head).as[Int](implicitly).collect()
+    def rows: Set[Int] = buf.toSet
+    def clear(): Unit = buf.clear()
+  }
+  private def collector(): Collector = Collector(scala.collection.mutable.Set.empty[Int])
+}
