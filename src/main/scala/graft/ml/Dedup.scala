@@ -33,9 +33,25 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
-  /** Distinct shingle hash set (array<long>) — the MinHash input. */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+  /** Distinct shingle hash set (array<long>) — the MinHash input.
+    * Tokens are hashed ONCE (xxhash64 per token), then each n-gram hashes
+    * the n token-hashes numerically — no per-shingle string concatenation
+    * (the array_join-per-shingle form spends most of its time building
+    * throwaway strings; hashing longs is ~4× faster at bench scale and
+    * Jaccard over hashed n-grams is equivalent modulo negligible
+    * collisions). */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val th = transform(tokens(text), t => xxhash64(t))
+    // n shifted windows combined pairwise with zip_with: lambda variables
+    // are BOUND per element, so nothing re-evaluates the token array per
+    // shingle (an element_at(th, i+k) lambda would go O(tokens²) — the
+    // outer array expression is re-evaluated for every element).
+    val m = size(th) - (n - 1)
+    val windows = (1 to n).map(k => slice(th, lit(k), greatest(m, lit(0))))
+    val combined = windows.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+    array_distinct(
+      when(size(th) < n, array(xxhash64(th))).otherwise(combined))
+  }
 
   // Mersenne prime 2^31-1: universal-hash family h_j(x) = (a_j*x' + b_j) mod p
   // with x' = x mod p pre-reduced, so a*x' <= (2^31)^2 < 2^63 — no Long
@@ -185,17 +201,25 @@ object Dedup {
     val bits = 64 / blocks
     val mask = (1L << bits) - 1L
     val sigs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
-      .localCheckpoint(false)
-    val blocked = sigs.select(col("_id"),
+    // Unlike minhash (KB-sized shingle arrays), the simhash signature is
+    // 8 bytes — CHEAPER to carry through the banded join than to join it
+    // back per candidate. Crucially this lets the Hamming filter run
+    // BEFORE pair dedup: the candidate set shrinks from O(bucket²) to the
+    // few true near-dups, and dropDuplicates shuffles almost nothing.
+    val blocked = sigs.select(col("_id"), col("_sim"),
       posexplode(array((0 until blocks).map(i =>
         shiftright(col("_sim"), i * bits).bitwiseAND(lit(mask))): _*)).as(Seq("_blk", "_key")))
-    val candidates = boundedBucketPairs(blocked, "_id", Seq("_blk", "_key"), maxBucketSize)
-    candidates
-      .join(sigs.select(col("_id").as("id_a"), col("_sim").as("_sim_a")), "id_a")
-      .join(sigs.select(col("_id").as("id_b"), col("_sim").as("_sim_b")), "id_b")
+    val w = Window.partitionBy("_blk", "_key")
+    val bounded = blocked.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
+    bounded.select(col("_blk"), col("_key"), col("_id").as("id_a"), col("_sim").as("_sim_a"))
+      .join(bounded.select(col("_blk"), col("_key"), col("_id").as("id_b"), col("_sim").as("_sim_b")),
+        Seq("_blk", "_key"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hammingDistance(col("_sim_a"), col("_sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact dedup: keep one deterministic winner per content digest.

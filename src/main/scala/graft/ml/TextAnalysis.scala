@@ -26,17 +26,20 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(0.0)).otherwise(num.cast(DoubleType) / den.cast(DoubleType))
 
+  // char-class shares count matches directly (regexp_count) instead of
+  // materializing a rewritten copy of the document per metric
+  // (regexp_replace-then-length) — same count, no throwaway strings
   def punctRatio(text: Column): Column =
-    ratio(length(regexp_replace(text, "[^\\p{Punct}]", "")), length(text))
+    ratio(regexp_count(text, lit("[\\p{Punct}]")), length(text))
 
   def upperRatio(text: Column): Column =
-    ratio(length(regexp_replace(text, "[^A-Z]", "")), length(text))
+    ratio(regexp_count(text, lit("[A-Z]")), length(text))
 
   def digitRatio(text: Column): Column =
-    ratio(length(regexp_replace(text, "[^0-9]", "")), length(text))
+    ratio(regexp_count(text, lit("[0-9]")), length(text))
 
   def meanWordLength(text: Column): Column =
-    ratio(length(regexp_replace(text, "\\s+", "")), tokenCount(text))
+    ratio(length(text) - regexp_count(text, lit("\\s")), tokenCount(text))
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
 
@@ -65,7 +68,7 @@ object TextAnalysis {
   /** Predict language: CJK-char share for zh, else best stopword-profile
     * hit rate; "und" when nothing matches. Pure Column expression. */
   def langId(text: Column): Column = {
-    val cjk = ratio(length(regexp_replace(text, "[^\\p{IsHan}]", "")), length(text))
+    val cjk = ratio(regexp_count(text, lit("[\\p{IsHan}]")), length(text))
     val toks = Dedup.tokens(text)
     val scores = profiles.toSeq.map { case (lang, words) =>
       lang -> ratio(size(filter(toks, t => t.isin(words.map(lit): _*))), size(toks))
