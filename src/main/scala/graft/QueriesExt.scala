@@ -1,0 +1,137 @@
+package graft
+
+import graft.core.{Flow, Tables}
+import graft.functions.Blob
+import graft.operators.Archives
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-checked queries for the round-2 long tail: archive formats
+  * (tar/json_array/json_map/csv), JWT, named-group regex methods, and the
+  * C-style timestamp format family.
+  */
+object QueriesExt {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+
+    // archive format tar → unarchive round-trip (processor_archive.go:21,
+    // processor_unarchive.go:25); entry set equality via exploded rows
+    "proc_archive_tar" -> ((s, dir) => Flow(t(s, dir, "events"))
+      .pipe(Archives.archiveFiles("tar", Seq(col("user_id")),
+        col("event_id"), col("props")))
+      .pipe(Archives.unarchiveFiles("tar", col("archive")))
+      .map(_.select(col("user_id"), col("entry_name"),
+        col("entry_content").cast(StringType).as("content")))
+      .result),
+
+    // archive format zip round-trip (same contract, zip codec)
+    "proc_archive_zip" -> ((s, dir) => Flow(t(s, dir, "events"))
+      .pipe(Archives.archiveFiles("zip", Seq(col("user_id")),
+        col("event_id"), col("props")))
+      .pipe(Archives.unarchiveFiles("zip", col("archive")))
+      .map(_.select(col("user_id"), col("entry_name"),
+        col("entry_content").cast(StringType).as("content")))
+      .result),
+
+    // archive format json_array (deterministic sorted collect)
+    "proc_archive_json" -> ((s, dir) => Flow(t(s, dir, "events"))
+      .pipe(Archives.archiveJsonArray(Seq(col("user_id")), col("event_id")))
+      .result),
+
+    // unarchive format json_map: object → one row per key
+    "proc_unarchive_jsonmap" -> ((s, dir) => {
+      val k = Blob.jsonPath(col("props"), "$.k").cast(LongType)
+      Flow(t(s, dir, "events")
+          .withColumn("payload",
+            format_string("""{"lo":%s,"hi":%s}""", k, k + 1)))
+        .pipe(Archives.unarchiveJsonMap(col("payload"), LongType, valCol = "archive_value"))
+        .map(_.select("event_id", "archive_key", "archive_value"))
+        .result
+    }),
+
+    // unarchive format csv: header + N data lines → N typed rows
+    "proc_unarchive_csv" -> ((s, dir) => Flow(t(s, dir, "customer")
+        .withColumn("payload", concat(
+          lit("name,bal\n"),
+          col("c_name"), lit(","), col("c_acctbal").cast(StringType), lit("\n"),
+          col("c_name"), lit("X,"), (col("c_acctbal") + 1.0).cast(StringType))))
+      .pipe(Archives.unarchiveCsv(col("payload"),
+        StructType(Seq(StructField("name", StringType), StructField("bal", DoubleType)))))
+      .map(_.select("c_custkey", "name", "bal"))
+      .result),
+
+    // JWT HS256 sign → parse round-trip (jwt_sign.go:76, jwt_parse.go:80);
+    // claims survive, verification succeeds (tamper case in ScalaTest)
+    "blob_jwt" -> ((s, dir) => t(s, dir, "events")
+      .withColumn("tok", call_udf("blob_sign_jwt_hs256", col("props"), lit("s3cret")))
+      .withColumn("claims", call_udf("blob_parse_jwt_hs256", col("tok"), lit("s3cret")))
+      .select(col("event_id"),
+        Blob.jsonPath(col("claims"), "$.k").cast(LongType).as("k"),
+        col("claims").isNotNull.as("verified"))),
+
+    // named-group regex: re_find_object + re_find_all_submatch
+    // (methods_strings.go:1623,1677)
+    "blob_regex2" -> ((s, dir) => {
+      val line = format_string("type=%s size=%s", col("p_type"), col("p_size"))
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        element_at(Blob.reFindObject(line, "type=(?<ptype>\\S+) size=(?<psize>\\d+)"), "ptype").as("ptype"),
+        element_at(Blob.reFindObject(line, "type=(?<ptype>\\S+) size=(?<psize>\\d+)"), "psize")
+          .cast(LongType).as("psize"),
+        to_json(Blob.reFindAllSubmatch(col("p_name"), "(\\w)(\\w+)")).as("subs"))
+    }),
+
+    // C-style timestamp formats + ISO-8601 duration arithmetic
+    // (bloblang_time.go:110,296,449)
+    "blob_ts3" -> ((s, dir) => t(s, dir, "orders").select(
+      col("o_orderkey"),
+      Blob.tsStrftime(col("o_orderdate"), "%d/%b/%Y %H:%M").as("f1"),
+      unix_timestamp(Blob.tsStrptime(
+        Blob.tsStrftime(col("o_orderdate"), "%Y-%m-%d %H:%M:%S"),
+        "%Y-%m-%d %H:%M:%S")).as("rt_epoch"),
+      Blob.tsStrftime(Blob.tsAddIso8601(col("o_orderdate"), "PT36H"), "%Y-%m-%d %H").as("plus36h"),
+      Blob.tsStrftime(Blob.tsSubIso8601(col("o_orderdate"), "PT90M"), "%Y-%m-%d %H:%M").as("minus90m")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "proc_archive_tar" ->
+      """SELECT user_id, event_id::VARCHAR AS entry_name, props AS content FROM events""",
+    "proc_archive_zip" ->
+      """SELECT user_id, event_id::VARCHAR AS entry_name, props AS content FROM events""",
+    "proc_archive_json" ->
+      """SELECT user_id, to_json(list_sort(list(event_id))) AS archived
+         FROM events GROUP BY user_id""",
+    "proc_unarchive_jsonmap" ->
+      """SELECT event_id, unnest(['lo','hi']) AS archive_key,
+           unnest([k, k + 1]) AS archive_value
+         FROM (SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events)""",
+    "proc_unarchive_csv" ->
+      """SELECT c_custkey, unnest([c_name, c_name || 'X']) AS name,
+           unnest([c_acctbal, c_acctbal + 1.0]) AS bal
+         FROM customer""",
+    "blob_jwt" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k,
+           true AS verified
+         FROM events""",
+    "blob_regex2" ->
+      """SELECT p_partkey,
+           regexp_extract(printf('type=%s size=%d', p_type, p_size),
+             'type=(\S+) size=(\d+)', 1) AS ptype,
+           regexp_extract(printf('type=%s size=%d', p_type, p_size),
+             'type=(\S+) size=(\d+)', 2)::BIGINT AS psize,
+           to_json(list_transform(regexp_extract_all(p_name, '(\w)(\w+)'),
+             m -> [m, regexp_extract(m, '(\w)(\w+)', 1), regexp_extract(m, '(\w)(\w+)', 2)])) AS subs
+         FROM part""",
+    "blob_ts3" ->
+      """SELECT o_orderkey,
+           strftime(o_orderdate, '%d/%b/%Y %H:%M') AS f1,
+           epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))::BIGINT AS rt_epoch,
+           strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H') AS plus36h,
+           strftime(o_orderdate - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M') AS minus90m
+         FROM orders"""
+  )
+}

@@ -34,11 +34,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesLlm.queries ++ QueriesBlob.queries ++ QueriesProc.queries
+    QueriesCore.queries ++ QueriesLlm.queries ++ QueriesBlob.queries ++
+      QueriesProc.queries ++ QueriesExt.queries
 
   /** DuckDB-equivalent ANSI SQL per query (hash-checked by the driver). */
   def oracleSql: Map[String, String] =
-    QueriesCore.oracle ++ QueriesLlm.oracle ++ QueriesBlob.oracle ++ QueriesProc.oracle
+    QueriesCore.oracle ++ QueriesLlm.oracle ++ QueriesBlob.oracle ++
+      QueriesProc.oracle ++ QueriesExt.oracle
 
   /** Headline queries timed by [[Bench]] (BENCH_r{N}.json). */
   val benchQueries: Seq[String] = Seq(

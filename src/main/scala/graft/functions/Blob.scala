@@ -118,6 +118,45 @@ object Blob {
     regexp_extract_all(c, lit(pattern), lit(0))
   def reFind(c: Column, pattern: String, group: Int = 0): Column = regexp_extract(c, pattern, group)
 
+  /** Count capture groups of a pattern (driver-side, plan-time). */
+  private def groupCount(pattern: String): Int =
+    java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+  /** Named groups `(?<name>...)` of a pattern, in order. */
+  private def groupNames(pattern: String): Seq[String] =
+    "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r.findAllMatchIn(pattern).map(_.group(1)).toSeq
+
+  /** `.re_find_all_submatch(p)` — methods_strings.go:1623: one
+    * array[full, g1, g2…] per match. Group extraction compiles to one
+    * codegen'd regexp_extract_all per group, zipped — the group count is
+    * plan-time static. */
+  def reFindAllSubmatch(c: Column, pattern: String): Column = {
+    val gs = (0 to groupCount(pattern)).map(g => regexp_extract_all(c, lit(pattern), lit(g)))
+    gs.map(g => transform(g, x => array(x)))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, y)))
+  }
+
+  /** `.re_find_object(p)` — methods_strings.go:1677: named groups of the
+    * FIRST match as a map. Names resolve at plan time. */
+  def reFindObject(c: Column, pattern: String): Column = {
+    val names = groupNames(pattern)
+    require(names.nonEmpty, "re_find_object: pattern has no named groups")
+    map(names.zipWithIndex.flatMap { case (n, i) =>
+      Seq(lit(n), regexp_extract(c, pattern, i + 1))
+    }: _*)
+  }
+
+  /** `.re_find_all_object(p)` — methods_strings.go:1734: named groups of
+    * EVERY match, array of maps. */
+  def reFindAllObject(c: Column, pattern: String): Column = {
+    val names = groupNames(pattern)
+    require(names.nonEmpty, "re_find_all_object: pattern has no named groups")
+    val perGroup = names.zipWithIndex.map { case (n, i) =>
+      transform(regexp_extract_all(c, lit(pattern), lit(i + 1)),
+        v => map(lit(n), v))
+    }
+    perGroup.reduce((a, b) => zip_with(a, b, (x, y) => map_concat(x, y)))
+  }
+
   // ===== hashing / encoding (methods_strings.go:90,757) ======================
 
   def hashMd5(c: Column): Column = md5(c.cast(BinaryType))
@@ -193,6 +232,47 @@ object Blob {
   /** `ts_sub` — bloblang_time.go:599 (nanosecond diff in bento; micros here). */
   def tsSubMicros(a: Column, b: Column): Column = unix_micros(a) - unix_micros(b)
   def nowTs: Column = current_timestamp()
+
+  // C-style strptime/strftime (bloblang_time.go:296,449) → Java patterns,
+  // translated at plan time so parsing/formatting stays codegen'd
+  private val strfMap = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd", "%e" -> "d",
+    "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS",
+    "%b" -> "MMM", "%B" -> "MMMM", "%a" -> "EEE", "%A" -> "EEEE",
+    "%j" -> "DDD", "%p" -> "a", "%z" -> "xx", "%Z" -> "zz", "%%" -> "%")
+  private[functions] def cFormatToJava(fmt: String): String = {
+    // escape literal letters for Java patterns, then substitute % tokens
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val tok = fmt.substring(i, i + 2)
+        sb.append(strfMap.toMap.getOrElse(tok,
+          throw new IllegalArgumentException(s"strftime: unsupported $tok")))
+        i += 2
+      } else {
+        val c = fmt.charAt(i)
+        if (c.isLetter) sb.append("'").append(c).append("'") else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+  /** `ts_strptime(fmt)` — bloblang_time.go:296. */
+  def tsStrptime(c: Column, cFormat: String): Column = to_timestamp(c, cFormatToJava(cFormat))
+  /** `ts_strftime(fmt)` — bloblang_time.go:449. */
+  def tsStrftime(c: Column, cFormat: String): Column = date_format(c, cFormatToJava(cFormat))
+
+  /** `ts_add_iso8601` / `ts_sub_iso8601` — bloblang_time.go:110,118: the
+    * duration is a plan-time literal; arithmetic stays in codegen. */
+  def tsAddIso8601(c: Column, isoDuration: String): Column = {
+    val micros = java.time.Duration.parse(isoDuration).toNanos / 1000L
+    timestamp_micros(unix_micros(c.cast(TimestampType)) + lit(micros))
+  }
+  def tsSubIso8601(c: Column, isoDuration: String): Column = {
+    val micros = java.time.Duration.parse(isoDuration).toNanos / 1000L
+    timestamp_micros(unix_micros(c.cast(TimestampType)) - lit(micros))
+  }
 
   // ===== bloblang functions (functions.go) ===================================
 

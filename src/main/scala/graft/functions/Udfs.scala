@@ -112,5 +112,6 @@ object Udfs {
     spark.udf.register("blob_nanoid", udf(nanoid).asNondeterministic())
     spark.udf.register("blob_parse_form_url_encoded", udf(parseFormUrlEncoded))
     Codecs.register(spark)
+    Crypto.register(spark)
   }
 }

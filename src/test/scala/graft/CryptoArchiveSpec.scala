@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{Blob, Crypto}
+import graft.operators.Archives
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases for the crypto/id/archive long tail (beyond oracle queries). */
+class CryptoArchiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hmac-sha256 matches RFC 4231 test vector #2") {
+    val got = Crypto.hmacSha256("Jefe".getBytes, "what do ya want for nothing?".getBytes)
+      .map("%02x".format(_)).mkString
+    assert(got == "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("jwt: tampered token and wrong secret are rejected") {
+    val tok = Crypto.signJwtHs("HS256")("""{"sub":"u1","n":7}""", "k")
+    assert(Crypto.parseJwtHs("HS256")(tok, "k") == """{"sub":"u1","n":7}""")
+    assert(Crypto.parseJwtHs("HS256")(tok, "wrong") == null)
+    val parts = tok.split('.')
+    val tampered = parts(0) + "." + java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString("""{"sub":"u2","n":7}""".getBytes) + "." + parts(2)
+    assert(Crypto.parseJwtHs("HS256")(tampered, "k") == null)
+    // HS384/512 round-trip
+    for (alg <- Seq("HS384", "HS512")) {
+      val t2 = Crypto.signJwtHs(alg)("""{"a":1}""", "s")
+      assert(Crypto.parseJwtHs(alg)(t2, "s") == """{"a":1}""")
+    }
+  }
+
+  test("ulid/ksuid/snowflake have correct shape and are time-sortable") {
+    val u1 = Crypto.ulid(); Thread.sleep(2); val u2 = Crypto.ulid()
+    assert(u1.length == 26 && u1.matches("[0-9A-HJKMNP-TV-Z]{26}"))
+    assert(u1.substring(0, 10) <= u2.substring(0, 10), "ulid timestamp prefix sorts")
+    val k = Crypto.ksuid()
+    assert(k.length == 27 && k.matches("[0-9A-Za-z]{27}"))
+    val s1 = Crypto.snowflakeId(3)
+    val s2 = Crypto.snowflakeId(3)
+    assert(s1 != s2 && ((s1 >> 12) & 0x3FF) == 3)
+  }
+
+  test("tar and zip round-trip unicode names and binary content") {
+    val entries = Seq(("héllo 中.txt", Array[Byte](0, 1, 2, -1)), ("b/c.bin", Array[Byte]()))
+    val rows = entries.map { case (n, c) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](n, c), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+      ): org.apache.spark.sql.Row
+    }
+    for ((create, extract) <- Seq(
+        (Archives.tarCreate, Archives.tarExtract),
+        (Archives.zipCreate, Archives.zipExtract))) {
+      val rt = extract(create(rows))
+      assert(rt.map(_._1) == entries.map(_._1))
+      assert(rt.map(_._2.toSeq) == entries.map(_._2.toSeq))
+    }
+  }
+
+  test("re_find_object / re_find_all_object extract named groups") {
+    val df = Seq("k=a v=1; k=b v=2").toDF("s")
+    val obj = df.select(Blob.reFindObject(col("s"), "k=(?<key>\\w+) v=(?<num>\\d+)"))
+      .as[Map[String, String]].collect().head
+    assert(obj == Map("key" -> "a", "num" -> "1"))
+    val all = df.select(Blob.reFindAllObject(col("s"), "k=(?<key>\\w+) v=(?<num>\\d+)"))
+      .as[Seq[Map[String, String]]].collect().head
+    assert(all == Seq(Map("key" -> "a", "num" -> "1"), Map("key" -> "b", "num" -> "2")))
+  }
+
+  test("strftime translation formats correctly and rejects unknown tokens") {
+    val got = Seq("2024-03-05 10:20:30").toDF("s")
+      .select(Blob.tsStrftime(col("s").cast("timestamp"), "%d/%b/%Y %H:%M"))
+      .as[String].collect().head
+    assert(got == "05/Mar/2024 10:20")
+    intercept[IllegalArgumentException] { Blob.tsStrftime(lit("x"), "%Q") }
+  }
+}
