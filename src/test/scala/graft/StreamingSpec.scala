@@ -59,17 +59,11 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful running counter via mapGroupsWithState (bloblang count()/counter())") {
+  test("stateful running counter via Stateful.runningCount (bloblang count()/counter())") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
-    val counted = input.toDS()
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (key, n)
-      }
+    val counted = graft.streaming.Stateful.runningCount(
+      input.toDF().toDF("key", "v"), "key")
     val q = counted.toDF("key", "n").writeStream.outputMode("update")
       .format("memory").queryName("cnt_out").start()
     try {
@@ -78,6 +72,48 @@ class StreamingSpec extends SparkSpec {
       val last = spark.table("cnt_out").groupBy("key").agg(max("n").as("n"))
         .as[(String, Long)].collect().toMap
       assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+
+  test("ttlLastValue: writes emit values, idle keys expire with tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val cached = graft.streaming.Stateful.ttlLastValue(
+      input.toDF().toDF("key", "value"), "key", "value", ttlMs = 200)
+    // NB: processAllAvailable can block forever once ProcessingTimeTimeout
+    // schedules no-data batches — poll the sink instead.
+    def waitFor(cond: => Boolean, ms: Long = 30000): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!cond && System.currentTimeMillis - t0 < ms) Thread.sleep(100)
+      assert(cond, "condition not met within timeout")
+    }
+    def rows() = spark.table("ttl_out").as[(String, String, Boolean)].collect()
+    val q = cached.toDF("key", "value", "expired").writeStream.outputMode("update")
+      .format("memory").queryName("ttl_out").start()
+    try {
+      input.addData(("k1", "v1"), ("k2", "x"))
+      waitFor(rows().count(!_._3) >= 2)
+      input.addData(("k1", "v2"))
+      waitFor(rows().map(r => (r._1, r._2)).contains(("k1", "v2")))
+      Thread.sleep(400) // let the processing-time TTL lapse
+      input.addData(("k3", "y")) // a new batch fires the pending timeouts
+      waitFor(rows().exists(r => r._3 && r._2 == null))
+      val writes = rows().filter(!_._3).map(r => (r._1, r._2)).toSet
+      assert(Set(("k1", "v1"), ("k1", "v2"), ("k2", "x")).subsetOf(writes))
+    } finally q.stop()
+  }
+
+  test("dedupeWithinWatermark library op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = graft.streaming.Stateful.dedupeWithinWatermark(
+      input.toDF().toDF("ts", "key"), "ts", "10 minutes", Seq("key"))
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("ddw_out").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), "k1"), (ts("2024-01-01 00:01:00"), "k1"))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 1)
     } finally q.stop()
   }
 
