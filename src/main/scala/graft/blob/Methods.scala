@@ -221,14 +221,37 @@ object Methods {
         case "base64" => java.util.Base64.getEncoder.encodeToString(rawBytes(t))
         case "base64url" => java.util.Base64.getUrlEncoder.encodeToString(rawBytes(t))
         case "hex" => rawBytes(t).map("%02x".format(_)).mkString
+        case "ascii85" => graft.functions.Codecs.ascii85Encode(rawBytes(t))
+        case "z85" => graft.functions.Codecs.z85Encode(rawBytes(t))
         case s => err(s"unknown encoding $s")
       }
       case "decode" => argStr(0) match {
         case "base64" => VBytes(java.util.Base64.getDecoder.decode(toStr(t)))
         case "base64url" => VBytes(java.util.Base64.getUrlDecoder.decode(toStr(t)))
         case "hex" => VBytes(toStr(t).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        case "ascii85" => VBytes(graft.functions.Codecs.ascii85Decode(toStr(t)))
+        case "z85" => VBytes(graft.functions.Codecs.z85Decode(toStr(t)))
         case s => err(s"unknown encoding $s")
       }
+      case "compress" => argStr(0) match {
+        case "gzip" => VBytes(graft.functions.Udfs.gzipCompress(rawBytes(t)))
+        case "zstd" => VBytes(graft.functions.Codecs.zstdCompress(rawBytes(t)))
+        case "lz4" => VBytes(graft.functions.Codecs.lz4Compress(rawBytes(t)))
+        case "snappy" => VBytes(graft.functions.Codecs.snappyCompress(rawBytes(t)))
+        case "flate" => VBytes(graft.functions.Codecs.flateCompress(rawBytes(t)))
+        case s => err(s"unknown compression $s")
+      }
+      case "decompress" => argStr(0) match {
+        case "gzip" => VBytes(graft.functions.Udfs.gzipDecompress(rawBytes(t)))
+        case "zstd" => VBytes(graft.functions.Codecs.zstdDecompress(rawBytes(t)))
+        case "lz4" => VBytes(graft.functions.Codecs.lz4Decompress(rawBytes(t)))
+        case "snappy" => VBytes(graft.functions.Codecs.snappyDecompress(rawBytes(t)))
+        case "flate" => VBytes(graft.functions.Codecs.flateDecompress(rawBytes(t)))
+        case s => err(s"unknown compression $s")
+      }
+      case "parse_yaml" => parseJsonTyped(graft.functions.Codecs.yamlToJson(toStr(t)))
+      case "parse_msgpack" => parseJsonTyped(graft.functions.Codecs.msgpackToJson(rawBytes(t)))
+      case "format_msgpack" => VBytes(graft.functions.Codecs.jsonToMsgpack(marshalJson(t)))
       case "hash" =>
         val alg = argStr(0) match {
           case "md5" => "MD5"; case "sha1" => "SHA-1"
@@ -353,8 +376,83 @@ object Methods {
       }
       case "concat" => seqOf(t) ++ args.flatMap(a => seqOf(Interp.eval(a, ctx)))
 
+      // `.collapse()` — methods_structured.go:145: tree → flat dot-path map
+      case "collapse" =>
+        def walk(prefix: String, v: Any, acc: scala.collection.mutable.Builder[(String, Any), Vector[(String, Any)]]): Unit = v match {
+          case m: VectorMap[String @unchecked, Any @unchecked] if m.nonEmpty =>
+            m.foreach { case (k, mv) => walk(if (prefix.isEmpty) k else s"$prefix.$k", mv, acc) }
+          case a: Vector[Any @unchecked] if a.nonEmpty =>
+            a.zipWithIndex.foreach { case (mv, i) => walk(s"$prefix.$i", mv, acc) }
+          case leaf => acc += (prefix -> leaf)
+        }
+        val b = Vector.newBuilder[(String, Any)]
+        walk("", t, b)
+        VectorMap.from(b.result())
+      // `.squash()` — bloblang_objects.go:15: merge an array of objects
+      case "squash" =>
+        seqOf(t).foldLeft(VectorMap.empty[String, Any]) {
+          case (acc, m: VectorMap[String @unchecked, Any @unchecked]) =>
+            m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, v) }
+          case (_, other) => err(s"squash: expected objects, got ${typeName(other)}")
+        }
+      // `.with(paths...)` — bloblang_objects.go:39: keep only listed keys
+      case "with" => t match {
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          val ks = args.map(a => toStr(Interp.eval(a, ctx)))
+          ks.foldLeft(VectorMap.empty[String, Any]) { (acc, k) =>
+            m.get(k).fold(acc)(acc.updated(k, _))
+          }
+        case other => err(s"with on ${typeName(other)}")
+      }
+
+      // ===== timestamps (bloblang_time.go; C-format translation shared
+      // with the Column DSL) ==================================================
+      case "ts_parse" | "parse_timestamp" => parseTs(toStr(t), argStr(0))
+      case "ts_strptime" => parseTs(toStr(t), cToJava(argStr(0)))
+      case "ts_format" | "format_timestamp" => formatTs(t, argStr(0))
+      case "ts_strftime" => formatTs(t, cToJava(argStr(0)))
+      case "ts_unix" => tsEpochMicros(t) / 1000000L
+      case "ts_unix_milli" => tsEpochMicros(t) / 1000L
+      case "ts_unix_micro" => tsEpochMicros(t)
+
       case other => err(s"unknown method $other on ${typeName(t)}")
     }
+  }
+
+  // ===== timestamp helpers (values travel as RFC3339 strings) ===============
+
+  private def cToJava(fmt: String): String = graft.functions.Blob.cFormatToJava(fmt)
+
+  private def tsInstant(t: Any): java.time.Instant = t match {
+    case s: String =>
+      try java.time.Instant.parse(s)
+      catch { case _: Exception =>
+        try java.time.OffsetDateTime.parse(s).toInstant
+        catch { case _: Exception =>
+          java.time.LocalDateTime.parse(s.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC) } }
+    case l: Long => java.time.Instant.ofEpochSecond(l)
+    case d: Double => java.time.Instant.ofEpochMilli((d * 1000).toLong)
+    case b: VBytes => tsInstant(b.str)
+    case other => err(s"expected timestamp, got ${typeName(other)}")
+  }
+
+  private def parseTs(s: String, javaFmt: String): String = {
+    val f = java.time.format.DateTimeFormatter.ofPattern(javaFmt, java.util.Locale.US)
+    val inst =
+      try java.time.LocalDateTime.parse(s, f).toInstant(java.time.ZoneOffset.UTC)
+      catch { case _: Exception =>
+        try java.time.LocalDate.parse(s, f).atStartOfDay.toInstant(java.time.ZoneOffset.UTC)
+        catch { case _: Exception => java.time.OffsetDateTime.parse(s, f).toInstant } }
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst)
+  }
+
+  private def formatTs(t: Any, javaFmt: String): String =
+    java.time.format.DateTimeFormatter.ofPattern(javaFmt, java.util.Locale.US)
+      .withZone(java.time.ZoneOffset.UTC).format(tsInstant(t))
+
+  private def tsEpochMicros(t: Any): Long = {
+    val i = tsInstant(t)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
   private def rawBytes(t: Any): Array[Byte] = t match {

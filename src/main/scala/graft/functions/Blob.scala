@@ -240,7 +240,7 @@ object Blob {
     "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS",
     "%b" -> "MMM", "%B" -> "MMMM", "%a" -> "EEE", "%A" -> "EEEE",
     "%j" -> "DDD", "%p" -> "a", "%z" -> "xx", "%Z" -> "zz", "%%" -> "%")
-  private[functions] def cFormatToJava(fmt: String): String = {
+  private[graft] def cFormatToJava(fmt: String): String = {
     // escape literal letters for Java patterns, then substitute % tokens
     val sb = new StringBuilder
     var i = 0

@@ -226,6 +226,95 @@ object Codecs {
     case other => throw new IllegalArgumentException(s"json emit: ${other.getClass}")
   }
 
+  // ===== ascii85 / z85 (encode/decode schemes — methods_strings.go:90,196) ==
+
+  /** Ascii85 (btoa flavor, no <~ ~> framing — matches Go's
+    * encoding/ascii85 used by the reference). */
+  val ascii85Encode: Array[Byte] => String = { in =>
+    if (in == null) null else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < in.length) {
+        val chunk = math.min(4, in.length - i)
+        var v = 0L
+        for (k <- 0 until 4) v = (v << 8) | (if (i + k < in.length) in(i + k) & 0xFFL else 0L)
+        if (v == 0 && chunk == 4) sb += 'z'
+        else {
+          val cs = new Array[Char](5)
+          var n = v
+          for (k <- 4 to 0 by -1) { cs(k) = ((n % 85) + 33).toChar; n /= 85 }
+          sb.appendAll(cs, 0, chunk + 1)
+        }
+        i += 4
+      }
+      sb.toString
+    }
+  }
+
+  val ascii85Decode: String => Array[Byte] = { s =>
+    if (s == null) null else {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == 'z') {
+          out.write(Array[Byte](0, 0, 0, 0)); i += 1
+        } else {
+          val chunk = math.min(5, s.length - i)
+          var v = 0L
+          for (k <- 0 until 5) {
+            val c = if (i + k < s.length && k < chunk) s.charAt(i + k) - 33 else 84
+            v = v * 85 + c
+          }
+          val bs = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+          out.write(bs, 0, chunk - 1)
+          i += 5
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Z85 (ZeroMQ spec: length must be a multiple of 4). */
+  private val z85Chars = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val z85Rev: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    z85Chars.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+  val z85Encode: Array[Byte] => String = { in =>
+    if (in == null) null else {
+      require(in.length % 4 == 0, "z85: input length must be a multiple of 4")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < in.length) {
+        var v = 0L
+        for (k <- 0 until 4) v = (v << 8) | (in(i + k) & 0xFFL)
+        val cs = new Array[Char](5)
+        var n = v
+        for (k <- 4 to 0 by -1) { cs(k) = z85Chars(((n % 85)).toInt); n /= 85 }
+        sb.appendAll(cs)
+        i += 4
+      }
+      sb.toString
+    }
+  }
+  val z85Decode: String => Array[Byte] = { s =>
+    if (s == null) null else {
+      require(s.length % 5 == 0, "z85: input length must be a multiple of 5")
+      val out = new Array[Byte](s.length / 5 * 4)
+      var i = 0
+      var o = 0
+      while (i < s.length) {
+        var v = 0L
+        for (k <- 0 until 5) v = v * 85 + z85Rev(s.charAt(i + k).toInt)
+        out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+        out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+        i += 5; o += 4
+      }
+      out
+    }
+  }
+
   // ===== YAML (parse_yaml — methods_strings.go:1169) =========================
 
   /** YAML document → JSON string via snakeyaml (ships with Spark). */
@@ -259,5 +348,9 @@ object Codecs {
     spark.udf.register("blob_format_msgpack", udf(jsonToMsgpack))
     spark.udf.register("blob_parse_msgpack", udf(msgpackToJson))
     spark.udf.register("blob_parse_yaml", udf(yamlToJson))
+    spark.udf.register("blob_encode_ascii85", udf(ascii85Encode))
+    spark.udf.register("blob_decode_ascii85", udf(ascii85Decode))
+    spark.udf.register("blob_encode_z85", udf(z85Encode))
+    spark.udf.register("blob_decode_z85", udf(z85Decode))
   }
 }

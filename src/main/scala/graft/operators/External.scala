@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.conn.Outputs
+import graft.core.Processor
+import org.apache.spark.sql.{DataFrame, Encoder, Observation, Row}
+import org.apache.spark.sql.functions._
+
+/** Observability + external-call operator patterns (SURVEY §2.4: `log`,
+  * `metric`, `http`, `command`, `sql_select` per-message lookups).
+  */
+object External {
+
+  /** `metric` processor (processor_metric.go:32): emit aggregate metrics
+    * from the flowing data WITHOUT a second scan — Spark's `observe` API
+    * attaches accumulator-backed metrics to the existing plan; read them
+    * from the Observation after the action completes. */
+  def metric(obs: Observation, exprs: org.apache.spark.sql.Column*): Processor =
+    Processor("metric")(df => df.observe(obs, exprs.head, exprs.tail: _*))
+
+  /** `log` processor (processor_log.go:28): sampled row logging via
+    * foreachPartition side-channel would break plan purity; instead count
+    * matches observably and log the aggregate driver-side. `sample` rows
+    * are tagged for downstream sinks to log. */
+  def logSample(markCol: String, cond: org.apache.spark.sql.Column, sampleRate: Double = 0.001): Processor =
+    Processor("log")(df => df.withColumn(markCol, cond && rand(7L) < sampleRate))
+
+  /** The generic per-message external-call pattern behind `http`,
+    * `command`, `sql_select`, redis/mongo lookups (impl/io/processor_http.
+    * go:16, impl/sql/processor_sql_select.go:25): mapPartitions with a
+    * per-partition client lifecycle — ONE client per partition, not per
+    * row; rows stream through the open client; close on exhaustion.
+    * At 100 TB this is the only viable shape for side-effectful
+    * enrichment: connection count scales with partitions, not rows.
+    *
+    * `init` runs executor-side per partition; `call` maps one row;
+    * `close` releases the client even when downstream aborts early.
+    */
+  def perPartitionLookup[C, T: Encoder](df: DataFrame)(
+      init: () => C)(call: (C, Row) => T)(close: C => Unit): org.apache.spark.sql.Dataset[T] =
+    df.mapPartitions { rows =>
+      val client = init()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; close(client) }
+      new Iterator[T] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h) closeOnce()
+          h
+        }
+        def next(): T =
+          try call(client, rows.next())
+          catch { case e: Throwable => closeOnce(); throw e }
+      }
+    }
+
+  /** `sql_select` input / lookup (impl/sql/input_sql_select.go:25-49):
+    * scan+projection+filter pushdown config over JDBC — the reference's
+    * table/columns/where options map directly onto Spark's JDBC source
+    * options (predicate pushdown is free). Requires the JDBC driver jar
+    * on the cluster classpath. */
+  def jdbcSelect(spark: org.apache.spark.sql.SparkSession, url: String, table: String,
+                 columns: Seq[String] = Nil, where: Option[String] = None,
+                 partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val dbtable = {
+      val cols = if (columns.isEmpty) "*" else columns.mkString(", ")
+      val w = where.map(" WHERE " + _).getOrElse("")
+      s"(SELECT $cols FROM $table$w) AS t"
+    }
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+    partitionColumn.fold(r) { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
+
+  /** `sql_insert` output: idempotent-append JDBC write per micro-batch. */
+  def jdbcInsertSink(url: String, table: String): Outputs.Sink =
+    df => df.write.format("jdbc").option("url", url).option("dbtable", table)
+      .mode("append").save()
+}

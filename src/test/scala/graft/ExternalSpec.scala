@@ -1,0 +1,81 @@
+package graft
+
+import graft.blob.{Bloblang, Interp}
+import graft.functions.Codecs
+import graft.operators.External
+import org.apache.spark.sql.{Observation, Row}
+import org.apache.spark.sql.functions._
+
+/** Tests for observe-based metrics, the per-partition external-call
+  * pattern, ascii85/z85, and interpreter long-tail methods. */
+class ExternalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("metric processor attaches observed metrics to the existing plan") {
+    val obs = Observation("m")
+    val df = External.metric(obs, count(lit(1)).as("rows"), sum("n").as("total"))(
+      Seq(1, 2, 3).toDF("n"))
+    df.collect()
+    assert(obs.get("rows") == 3L && obs.get("total") == 6L)
+  }
+
+  test("perPartitionLookup opens one client per partition and closes it") {
+    val inits = spark.sparkContext.collectionAccumulator[String]("inits")
+    val closes = spark.sparkContext.collectionAccumulator[String]("closes")
+    val df = Seq(1, 2, 3, 4, 5, 6).toDF("n").repartition(2)
+    val out = External.perPartitionLookup(df) { () =>
+      inits.add("i"); new java.util.concurrent.atomic.AtomicLong()
+    } { (client, row: Row) =>
+      client.incrementAndGet(); row.getInt(0) * 10
+    } { _ => closes.add("c") }
+    assert(out.collect().sorted.toSeq == Seq(10, 20, 30, 40, 50, 60))
+    assert(inits.value.size == 2, s"one client per partition, got ${inits.value.size}")
+    assert(closes.value.size == 2, "clients closed on exhaustion")
+  }
+
+  test("jdbcSelect builds a pushdown subquery") {
+    // no database in this environment: assert the option construction path
+    // doesn't throw before load(); the subquery text is the contract
+    val e = intercept[Exception] {
+      External.jdbcSelect(spark, "jdbc:invalid://nope", "t",
+        Seq("a", "b"), Some("a > 1"), Some(("a", 0L, 100L, 4))).collect()
+    }
+    assert(e != null) // driver resolution fails, as expected without a jar
+  }
+
+  test("ascii85 and z85 round-trip binary data") {
+    val data = Array.range(0, 256).map(_.toByte)
+    assert(Codecs.ascii85Decode(Codecs.ascii85Encode(data)).toSeq == data.toSeq)
+    // odd-length tail + all-zero group (the 'z' shortcut)
+    val odd = Array[Byte](0, 0, 0, 0, 1, 2, 3)
+    assert(Codecs.ascii85Decode(Codecs.ascii85Encode(odd)).toSeq == odd.toSeq)
+    val z85data = Array.range(0, 64).map(_.toByte) // multiple of 4
+    assert(Codecs.z85Decode(Codecs.z85Encode(z85data)).toSeq == z85data.toSeq)
+    // z85 spec vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B -> HelloWorld
+    val spec = Array(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B).map(_.toByte)
+    assert(Codecs.z85Encode(spec) == "HelloWorld")
+  }
+
+  test("interpreter: collapse/squash/with/timestamps/compression") {
+    def run(src: String, content: String): String =
+      Interp.run(Bloblang.parse(src), content).get
+    assert(run("root = this.collapse()", """{"a":{"b":1,"c":[1,2]}}""") ==
+      """{"a.b":1,"a.c.0":1,"a.c.1":2}""")
+    assert(run("root = this.squash()", """[{"a":1},{"b":2},{"a":3}]""") ==
+      """{"a":3,"b":2}""")
+    assert(run("""root = this.with("a","c")""", """{"a":1,"b":2,"c":3}""") ==
+      """{"a":1,"c":3}""")
+    assert(run("""root.u = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_unix()""",
+      """{"t":"2024-01-02 03:04:05"}""") == """{"u":1704164645}""")
+    assert(run("""root.f = this.t.ts_strptime("%Y-%m-%d").ts_strftime("%d/%m/%Y")""",
+      """{"t":"2024-01-02"}""") == """{"f":"02/01/2024"}""")
+    assert(run("""root.rt = this.s.compress("zstd").decompress("zstd").string()""",
+      """{"s":"hello hello hello"}""") == """{"rt":"hello hello hello"}""")
+    assert(run("""root.a85 = this.s.encode("ascii85").decode("ascii85").string()""",
+      """{"s":"data!"}""") == """{"a85":"data!"}""")
+    assert(run("""root.y = this.y.parse_yaml()""",
+      """{"y":"k: 1"}""") == """{"y":{"k":1}}""")
+    assert(run("""root.m = this.format_msgpack().parse_msgpack()""",
+      """{"k":5}""") == """{"m":{"k":5}}""")
+  }
+}
