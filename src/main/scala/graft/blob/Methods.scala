@@ -405,6 +405,34 @@ object Methods {
         case other => err(s"with on ${typeName(other)}")
       }
 
+      // `.json_path("$.a.b[0]")` — impl/jsonpath/bloblang_jsonpath.go:18
+      case "json_path" =>
+        val segs = argStr(0).stripPrefix("$").split("[.\\[]").filter(_.nonEmpty)
+        segs.foldLeft(t) {
+          case (m: VectorMap[String @unchecked, Any @unchecked], seg) => m.getOrElse(seg, null)
+          case (a: Vector[Any @unchecked], seg) if seg.endsWith("]") =>
+            val i = seg.stripSuffix("]").toInt
+            if (i >= 0 && i < a.length) a(i) else null
+          case (null, _) => null
+          case (other, seg) => err(s"json_path: `$seg` on ${typeName(other)}")
+        }
+
+      // `.diff(old)` / `.patch(ops)` — impl/changelog/bloblang.go:18,50
+      // (RFC-6902 style add/remove/replace; old.patch(new.diff(old)) == new)
+      case "diff" => Vector.from(jsonDiff(arg(0), t, ""))
+      case "patch" => seqOf(arg(0)).foldLeft(t) { (acc, op) =>
+        op match {
+          case m: VectorMap[String @unchecked, Any @unchecked] =>
+            val path = toStr(m("path")).split('/').filter(_.nonEmpty).toList
+            toStr(m("op")) match {
+              case "remove" => jsonPatchApply(acc, path, None)
+              case "add" | "replace" => jsonPatchApply(acc, path, Some(m.getOrElse("value", null)))
+              case o => err(s"patch: unknown op $o")
+            }
+          case other => err(s"patch: expected op objects, got ${typeName(other)}")
+        }
+      }
+
       // ===== timestamps (bloblang_time.go; C-format translation shared
       // with the Column DSL) ==================================================
       case "ts_parse" | "parse_timestamp" => parseTs(toStr(t), argStr(0))
@@ -418,6 +446,49 @@ object Methods {
       case other => err(s"unknown method $other on ${typeName(t)}")
     }
   }
+
+  // ===== diff/patch helpers ==================================================
+
+  private def jsonDiff(from: Any, to: Any, path: String): Vector[VectorMap[String, Any]] =
+    (from, to) match {
+      case (a, b) if valueEq(a, b) => Vector.empty
+      case (a: VectorMap[String @unchecked, Any @unchecked], b: VectorMap[String @unchecked, Any @unchecked]) =>
+        val removed = a.keys.filterNot(b.contains).map(k =>
+          VectorMap[String, Any]("op" -> "remove", "path" -> s"$path/$k")).toVector
+        val added = b.collect { case (k, v) if !a.contains(k) =>
+          VectorMap[String, Any]("op" -> "add", "path" -> s"$path/$k", "value" -> v) }.toVector
+        val changed = b.toVector.collect { case (k, v) if a.contains(k) =>
+          jsonDiff(a(k), v, s"$path/$k") }.flatten
+        removed ++ added ++ changed
+      case (a: Vector[Any @unchecked], b: Vector[Any @unchecked]) =>
+        val common = a.indices.intersect(b.indices).toVector.flatMap(i =>
+          jsonDiff(a(i), b(i), s"$path/$i"))
+        val removed = (b.length until a.length).reverse.map(i =>
+          VectorMap[String, Any]("op" -> "remove", "path" -> s"$path/$i")).toVector
+        val added = (a.length until b.length).map(i =>
+          VectorMap[String, Any]("op" -> "add", "path" -> s"$path/$i", "value" -> b(i))).toVector
+        common ++ removed ++ added
+      case (_, b) =>
+        Vector(VectorMap[String, Any]("op" -> "replace", "path" -> (if (path.isEmpty) "/" else path), "value" -> b))
+    }
+
+  private def jsonPatchApply(t: Any, path: List[String], value: Option[Any]): Any =
+    (t, path) match {
+      case (_, Nil) => value.getOrElse(err("patch: remove at root"))
+      case (m: VectorMap[String @unchecked, Any @unchecked], k :: Nil) =>
+        value.fold(m - k: Any)(v => m.updated(k, v))
+      case (m: VectorMap[String @unchecked, Any @unchecked], k :: rest) =>
+        m.updated(k, jsonPatchApply(m.getOrElse(k, VectorMap.empty[String, Any]), rest, value))
+      case (a: Vector[Any @unchecked], k :: Nil) =>
+        val i = k.toInt
+        value.fold(a.patch(i, Nil, 1): Any) { v =>
+          if (i == a.length) a :+ v else a.updated(i, v)
+        }
+      case (a: Vector[Any @unchecked], k :: rest) =>
+        val i = k.toInt
+        a.updated(i, jsonPatchApply(a(i), rest, value))
+      case (other, seg) => err(s"patch: `${seg.head}` on ${typeName(other)}")
+    }
 
   // ===== timestamp helpers (values travel as RFC3339 strings) ===============
 

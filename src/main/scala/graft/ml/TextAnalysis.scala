@@ -63,7 +63,9 @@ object TextAnalysis {
     "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "was", "with"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los", "una", "para"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den", "von", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour", "qui", "sur"))
+    // "de"/"que"/"la" are top-frequency in BOTH es and fr: present in both
+    // profiles they cancel out, leaving unique markers to break ties
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour", "qui", "sur", "de", "je"))
 
   /** Predict language: CJK-char share for zh, else best stopword-profile
     * hit rate; "und" when nothing matches. Pure Column expression. */

@@ -78,4 +78,22 @@ class ExternalSpec extends SparkSpec {
     assert(run("""root.m = this.format_msgpack().parse_msgpack()""",
       """{"k":5}""") == """{"m":{"k":5}}""")
   }
+
+  test("interpreter: diff/patch round-trip and json_path") {
+    def run(src: String, content: String): String =
+      Interp.run(Bloblang.parse(src), content).get
+    // old.patch(new.diff(old)) == new, across nested add/remove/replace
+    val src = """
+      let d = this.next.diff(this.prev)
+      root.patched = this.prev.patch($d)
+      root.same = this.prev.patch($d) == this.next
+    """
+    val content =
+      """{"prev":{"a":1,"b":{"c":[1,2,3],"d":"x"},"gone":true},
+         "next":{"a":2,"b":{"c":[1,9],"d":"x"},"new":[1]}}""".replaceAll("\n\\s*", "")
+    val out = run(src, content)
+    assert(out.contains(""""same":true"""), out)
+    assert(run("""root.v = this.json_path("$.a.b[1]")""", """{"a":{"b":[5,6,7]}}""") ==
+      """{"v":6}""")
+  }
 }
