@@ -85,6 +85,62 @@ object QueriesExt {
         to_json(Blob.reFindAllSubmatch(col("p_name"), "(\\w)(\\w+)")).as("subs"))
     }),
 
+    // ascii85/z85 encode→decode round-trips (bloblang encode schemes,
+    // methods_strings.go:90; z85 needs length % 4 == 0 — padded input)
+    "blob_encode3" -> ((s, dir) => t(s, dir, "part")
+      .withColumn("padded", rpad(col("p_name"), 16, "_"))
+      .select(
+        col("p_partkey"),
+        call_udf("blob_decode_ascii85",
+          call_udf("blob_encode_ascii85", col("p_name").cast(BinaryType)))
+          .cast(StringType).as("a85_rt"),
+        call_udf("blob_decode_z85",
+          call_udf("blob_encode_z85", col("padded").cast(BinaryType)))
+          .cast(StringType).as("z85_rt"))),
+
+    // metric processor (processor_metric.go:32): observe() metrics attach
+    // to the plan WITHOUT changing rows — the oracle checks transparency
+    "proc_metric" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation("m_" + java.util.UUID.randomUUID())
+      graft.operators.External.metric(obs, count(lit(1)).as("rows"))(
+        t(s, dir, "orders")).select("o_orderkey", "o_totalprice")
+    }),
+
+    // stateful counter in batch mode (Stateful.runningCount over a bounded
+    // frame = per-key group sizes; streaming flavor in StreamingSpec)
+    "stateful_count" -> ((s, dir) =>
+      graft.streaming.Stateful.runningCount(t(s, dir, "events"), "user_id")
+        .toDF("user_key", "n")),
+
+    // cache_set last-writer-wins (bloblang_cache.go:37): deterministic
+    // order column makes the parallel build reproducible
+    "cache_set_last" -> ((s, dir) => {
+      val cache = graft.operators.Caches.buildLastWins(
+        t(s, dir, "events"), pmod(col("user_id"), lit(10L)), col("event_type"), col("event_id"))
+      cache.kv.select(col("k").cast(LongType).as("k"), col("v"))
+    }),
+
+    // Bloblang TEXT frontend #2: match/lambdas/higher-order over arrays
+    "blob_text_mapping2" -> ((s, dir) => {
+      val mapping = """
+        let toks = this.text.lowercase().re_replace_all("[^a-z0-9 ]", " ").split(" ").filter(t -> t.length() > 0)
+        root.n = $toks.length()
+        root.longest = $toks.sort_by(t -> -t.length()).index(0)
+        root.cls = match {
+          $toks.length() > 60 => "long",
+          $toks.length() > 25 => "mid",
+          _ => "short",
+        }
+      """
+      val f = graft.blob.BloblangUdf.mappingUdf(mapping)
+      t(s, dir, "documents")
+        .withColumn("out", f(to_json(struct(col("text")))))
+        .select(col("doc_id"),
+          get_json_object(col("out"), "$.n").cast(LongType).as("n"),
+          get_json_object(col("out"), "$.longest").as("longest"),
+          get_json_object(col("out"), "$.cls").as("cls"))
+    }),
+
     // C-style timestamp formats + ISO-8601 duration arithmetic
     // (bloblang_time.go:110,296,449)
     "blob_ts3" -> ((s, dir) => t(s, dir, "orders").select(
@@ -126,6 +182,28 @@ object QueriesExt {
            to_json(list_transform(regexp_extract_all(p_name, '(\w)(\w+)'),
              m -> [m, regexp_extract(m, '(\w)(\w+)', 1), regexp_extract(m, '(\w)(\w+)', 2)])) AS subs
          FROM part""",
+    "blob_encode3" ->
+      """SELECT p_partkey, p_name AS a85_rt, rpad(p_name, 16, '_') AS z85_rt FROM part""",
+    "proc_metric" ->
+      """SELECT o_orderkey, o_totalprice FROM orders""",
+    "stateful_count" ->
+      """SELECT user_id::VARCHAR AS user_key, COUNT(*) AS n FROM events GROUP BY user_id""",
+    "cache_set_last" ->
+      """SELECT (user_id % 10)::BIGINT AS k, max_by(event_type, event_id) AS v
+         FROM events GROUP BY 1""",
+    "blob_text_mapping2" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(
+             string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+             t -> length(t) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, len(toks)::BIGINT AS n,
+           (list_filter(toks, t -> length(t) =
+              list_max(list_transform(toks, x -> length(x)))))[1] AS longest,
+           CASE WHEN len(toks) > 60 THEN 'long'
+                WHEN len(toks) > 25 THEN 'mid'
+                ELSE 'short' END AS cls
+         FROM tk""",
     "blob_ts3" ->
       """SELECT o_orderkey,
            strftime(o_orderdate, '%d/%b/%Y %H:%M') AS f1,
