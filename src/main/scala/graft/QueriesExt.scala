@@ -85,6 +85,23 @@ object QueriesExt {
         to_json(Blob.reFindAllSubmatch(col("p_name"), "(\\w)(\\w+)")).as("subs"))
     }),
 
+    // geoip-shaped range enrichment (bloblang_geoip.go:55): broadcast
+    // range table + non-equi join (the licensed mmdb is the data, not the
+    // operator — synthetic ranges exercise the machinery)
+    "proc_geoip" -> ((s, dir) => {
+      import s.implicits._
+      val ranges = Seq(
+        (167772160L, 167788543L, "net-a"),
+        (167788544L, 167804927L, "net-b"),
+        (167804928L, 167837695L, "net-c")).toDF("lo", "hi", "geo")
+      val ev = t(s, dir, "events").withColumn("ip",
+        format_string("10.0.%d.%d",
+          expr("user_id div 256 % 256"), expr("user_id % 256")))
+      graft.operators.Geo.enrichJoin(ev, graft.operators.Geo.ipToLong(col("ip")),
+          ranges, "lo", "hi")
+        .select("event_id", "ip", "geo")
+    }),
+
     // ascii85/z85 encode→decode round-trips (bloblang encode schemes,
     // methods_strings.go:90; z85 needs length % 4 == 0 — padded input)
     "blob_encode3" -> ((s, dir) => t(s, dir, "part")
@@ -182,6 +199,17 @@ object QueriesExt {
            to_json(list_transform(regexp_extract_all(p_name, '(\w)(\w+)'),
              m -> [m, regexp_extract(m, '(\w)(\w+)', 1), regexp_extract(m, '(\w)(\w+)', 2)])) AS subs
          FROM part""",
+    "proc_geoip" ->
+      """WITH r(lo, hi, geo) AS (VALUES
+           (167772160, 167788543, 'net-a'),
+           (167788544, 167804927, 'net-b'),
+           (167804928, 167837695, 'net-c'))
+         SELECT e.event_id,
+           '10.0.' || (e.user_id // 256 % 256) || '.' || (e.user_id % 256) AS ip,
+           r.geo
+         FROM events e LEFT JOIN r
+           ON (167772160 + (e.user_id // 256 % 256) * 256 + e.user_id % 256)
+              BETWEEN r.lo AND r.hi""",
     "blob_encode3" ->
       """SELECT p_partkey, p_name AS a85_rt, rpad(p_name, 16, '_') AS z85_rt FROM part""",
     "proc_metric" ->

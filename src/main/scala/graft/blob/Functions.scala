@@ -57,6 +57,24 @@ object Functions {
     case "error" => null // error facet handled at the row level (Msg.ErrorCol)
     case "errored" => false
     case "pi" => math.Pi
+    case "hostname" => // io/bloblang.go:13 — resolved where the row executes
+      try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "localhost" }
+    case "file" => // io/bloblang.go:189 — plan-time read (reference reads at mapping init)
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(toStr(args(0)))), "UTF-8")
+    case "fake" => // impl/lang/bloblang.go:79 — deterministic-per-call subset
+      val rnd = java.util.concurrent.ThreadLocalRandom.current()
+      toStr(args(0)) match {
+        case "name" =>
+          val first = Vector("Ada", "Grace", "Alan", "Edsger", "Barbara", "Donald")
+          val last = Vector("Lovelace", "Hopper", "Turing", "Dijkstra", "Liskov", "Knuth")
+          s"${first(rnd.nextInt(first.size))} ${last(rnd.nextInt(last.size))}"
+        case "email" =>
+          val user = Vector("ada", "grace", "alan", "barbara")(rnd.nextInt(4))
+          s"$user${rnd.nextInt(1000)}@example.com"
+        case "uuid" => java.util.UUID.randomUUID().toString
+        case other => err(s"fake: unsupported type $other")
+      }
     case other => err(s"unknown function $other")
   }
 }

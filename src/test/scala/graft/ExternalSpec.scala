@@ -79,6 +79,36 @@ class ExternalSpec extends SparkSpec {
       """{"k":5}""") == """{"m":{"k":5}}""")
   }
 
+  test("Geo: binary-search lookup agrees with the broadcast range join") {
+    val ranges = Seq((0L, 99L, "low"), (100L, 199L, "mid"), (500L, 999L, "high"))
+    val df = Seq("0.0.0.5", "0.0.0.150", "0.0.2.200", "0.0.0.250").toDF("ip")
+      .withColumn("ipl", graft.operators.Geo.ipToLong(col("ip")))
+    val viaJoin = graft.operators.Geo.enrichJoin(df, col("ipl"),
+        ranges.toDF("lo", "hi", "geo"), "lo", "hi")
+      .select("ip", "geo").as[(String, String)].collect().toMap
+    val look = graft.operators.Geo.lookupExpr(spark, ranges)
+    val viaLookup = df.select(col("ip"), look(col("ipl"))).as[(String, String)].collect().toMap
+    assert(viaJoin == viaLookup)
+    assert(viaJoin("0.0.0.5") == "low" && viaJoin("0.0.2.200") == "high")
+    assert(viaJoin("0.0.0.250") == null)
+    intercept[IllegalArgumentException] {
+      graft.operators.Geo.lookupExpr(spark, Seq((0L, 50L, "a"), (40L, 99L, "b")))
+    }
+  }
+
+  test("interpreter: hostname/file/fake functions") {
+    def run(src: String, content: String): String =
+      Interp.run(Bloblang.parse(src), content).get
+    val tmp = java.nio.file.Files.createTempFile("blob", ".txt")
+    java.nio.file.Files.writeString(tmp, "from-file")
+    assert(run(s"""root.f = file("${tmp}")""", "{}") == """{"f":"from-file"}""")
+    assert(run("""root.h = hostname().length() > 0""", "{}") == """{"h":true}""")
+    val fake = run("""root.n = fake("name")""", "{}")
+    assert(fake.matches("""\{"n":"[A-Za-z]+ [A-Za-z]+"\}"""), fake)
+    val email = run("""root.e = fake("email")""", "{}")
+    assert(email.contains("@example.com"))
+  }
+
   test("interpreter: diff/patch round-trip and json_path") {
     def run(src: String, content: String): String =
       Interp.run(Bloblang.parse(src), content).get
