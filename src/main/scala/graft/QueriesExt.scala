@@ -85,6 +85,36 @@ object QueriesExt {
         to_json(Blob.reFindAllSubmatch(col("p_name"), "(\\w)(\\w+)")).as("subs"))
     }),
 
+    // sequence.sharded_join (input_sequence.go:27): full-outer merge of
+    // datasets on an id with "replace" collision strategy
+    "join_sharded" -> ((s, dir) => {
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val b = t(s, dir, "orders").groupBy(col("o_custkey").as("id"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("bal"))
+        .select(col("id"), col("bal"))
+      graft.conn.Sources.sequenceShardedJoin(Seq(a, b), "id", "replace")
+    }),
+
+    // read_until (input_read_until.go:35): rows strictly before the first
+    // predicate hit in event_id order
+    "src_read_until" -> ((s, dir) =>
+      graft.conn.Sources.readUntil(t(s, dir, "events"), "event_id",
+          col("event_type") === "error" && col("value") > 200)
+        .select("event_id", "event_type")),
+
+    // metadata facet: meta k = v write + @k read (mapping_parser.go:45-60)
+    "blob_meta" -> ((s, dir) => {
+      val env = graft.core.Msg.envelope(
+        t(s, dir, "events").select("event_id", "event_type"))
+      graft.core.Msg.setMeta(env, "src",
+          get_json_object(col(graft.core.Msg.ContentCol), "$.event_type"))
+        .select(
+          get_json_object(col(graft.core.Msg.ContentCol), "$.event_id")
+            .cast(LongType).as("event_id"),
+          graft.core.Msg.meta("src").as("src"))
+    }),
+
     // geoip-shaped range enrichment (bloblang_geoip.go:55): broadcast
     // range table + non-equi join (the licensed mmdb is the data, not the
     // operator — synthetic ranges exercise the machinery)
@@ -199,6 +229,20 @@ object QueriesExt {
            to_json(list_transform(regexp_extract_all(p_name, '(\w)(\w+)'),
              m -> [m, regexp_extract(m, '(\w)(\w+)', 1), regexp_extract(m, '(\w)(\w+)', 2)])) AS subs
          FROM part""",
+    "join_sharded" ->
+      """WITH a AS (SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer),
+            b AS (SELECT o_custkey AS id,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bal
+                  FROM orders GROUP BY 1)
+         SELECT COALESCE(a.id, b.id)::VARCHAR AS id,
+           COALESCE(b.bal, a.bal) AS bal, a.name AS name
+         FROM a FULL OUTER JOIN b ON a.id = b.id""",
+    "src_read_until" ->
+      """SELECT event_id, event_type FROM events
+         WHERE event_id < (SELECT min(event_id) FROM events
+                           WHERE event_type = 'error' AND value > 200)""",
+    "blob_meta" ->
+      """SELECT event_id, event_type AS src FROM events""",
     "proc_geoip" ->
       """WITH r(lo, hi, geo) AS (VALUES
            (167772160, 167788543, 'net-a'),

@@ -69,6 +69,44 @@ object Sources {
     maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n))
   }
 
+  /** `sequence.sharded_join` (impl/pure/input_sequence.go:27-60,193-239):
+    * merge N datasets on an id with a collision strategy for overlapping
+    * columns — the reference shards to bound memory; Spark's sort-merge
+    * join + spill makes sharding implicit. Strategies on a column present
+    * in several inputs: "replace" (last input wins), "keep" (first input
+    * wins), "array" (collect all non-null values). */
+  def sequenceShardedJoin(inputs: Seq[DataFrame], key: String,
+                          strategy: String = "replace"): DataFrame = {
+    require(inputs.nonEmpty, "sharded_join: no inputs")
+    val tagged = inputs.zipWithIndex.map { case (df, i) =>
+      df.select(col(key).cast("string").as("_sj_key") +:
+        df.columns.filter(_ != key).map(c => col(c).as(s"${c}__$i")): _*)
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq("_sj_key"), "full_outer"))
+    val byBase = inputs.zipWithIndex
+      .flatMap { case (df, i) => df.columns.filter(_ != key).map(c => (c, s"${c}__$i")) }
+      .groupBy(_._1)
+    val merged = byBase.toSeq.sortBy(_._1).map { case (base, variants) =>
+      val cols = variants.map(v => col(v._2))
+      strategy match {
+        case "replace" => coalesce(cols.reverse: _*).as(base)
+        case "keep" => coalesce(cols: _*).as(base)
+        case "array" =>
+          filter(array(cols: _*), c => c.isNotNull).as(base)
+        case other => throw new IllegalArgumentException(s"sharded_join: strategy $other")
+      }
+    }
+    joined.select(col("_sj_key").as(key) +: merged: _*)
+  }
+
+  /** `read_until` (input_read_until.go:35): consume rows in `orderCol`
+    * order until the predicate first fires (exclusive). Batch form: one
+    * scalar min over the matching rows — no global sort of the data. */
+  def readUntil(df: DataFrame, orderCol: String, stop: org.apache.spark.sql.Column): DataFrame = {
+    val bound = df.filter(stop).agg(min(col(orderCol))).head()
+    if (bound.isNullAt(0)) df else df.filter(col(orderCol) < bound.get(0))
+  }
+
   /** Kafka record frame → Msg envelope columns (apply after .load()). */
   def kafkaToEnvelope(df: DataFrame): DataFrame =
     df.select(

@@ -61,6 +61,23 @@ object Msg {
         .when(cond, message)
         .otherwise(lit(null).cast(StringType)))
 
+  /** Error-source label facet (reference `error_source_label()` —
+    * functions.go:355-426): which component failed. Stored as a second
+    * column so DLQ consumers can route by origin. */
+  val ErrorLabelCol = "error_label"
+
+  def markErrorLabeled(df: DataFrame, cond: Column, message: Column, label: String): DataFrame = {
+    val base = if (df.columns.contains(ErrorLabelCol)) df
+      else df.withColumn(ErrorLabelCol, lit(null).cast(StringType))
+    markError(base, cond, message)
+      .withColumn(ErrorLabelCol,
+        when(col(ErrorLabelCol).isNotNull, col(ErrorLabelCol))
+          .when(cond && col(ErrorCol).isNotNull, lit(label))
+          .otherwise(col(ErrorLabelCol)))
+  }
+
+  def errorSourceLabel: Column = col(ErrorLabelCol)
+
   /** Metadata write: `meta k = v` (reference: mapping_parser.go:45-60). */
   def setMeta(df: DataFrame, key: String, value: Column): DataFrame =
     df.withColumn(MetaCol,

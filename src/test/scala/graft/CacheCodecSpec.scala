@@ -97,6 +97,33 @@ class CacheCodecSpec extends SparkSpec {
     assert(errs(3) != null && errs(3).contains("b"))
   }
 
+  test("markErrorLabeled records the failing component; first label wins") {
+    val df = Seq((1, 5.0), (2, 50.0)).toDF("id", "v")
+      .withColumn(Msg.ErrorCol, lit(null).cast(StringType))
+    val out = Msg.markErrorLabeled(
+      Msg.markErrorLabeled(df, col("v") < 10, lit("too small"), "bounds_check"),
+      col("v") < 100, lit("also bad"), "second")
+    val r = out.orderBy("id").select(Msg.ErrorCol, Msg.ErrorLabelCol)
+      .as[(String, String)].collect()
+    assert(r(0) == (("too small", "bounds_check"))) // first error + label kept
+    assert(r(1) == (("also bad", "second")))
+  }
+
+  test("sequenceShardedJoin collision strategies: replace, keep, array") {
+    val a = Seq((1L, "a1", 10), (2L, "a2", 20)).toDF("id", "name", "n")
+    val b = Seq((2L, 200), (3L, 300)).toDF("id", "n")
+    def byId(strategy: String) =
+      graft.conn.Sources.sequenceShardedJoin(Seq(a, b), "id", strategy)
+        .collect().map(r => r.getAs[String]("id") -> r).toMap
+    val rep = byId("replace")
+    assert(rep("2").getAs[Int]("n") == 200 && rep("1").getAs[Int]("n") == 10)
+    assert(rep("3").getAs[String]("name") == null)
+    val keep = byId("keep")
+    assert(keep("2").getAs[Int]("n") == 20 && keep("3").getAs[Int]("n") == 300)
+    val arr = byId("array")
+    assert(arr("2").getAs[scala.collection.Seq[Int]]("n").toSeq == Seq(20, 200))
+  }
+
   test("compression codecs round-trip unicode and empty payloads") {
     for (codec <- Seq(
         (Codecs.zstdCompress, Codecs.zstdDecompress),
