@@ -115,6 +115,54 @@ object QueriesExt {
           graft.core.Msg.meta("src").as("src"))
     }),
 
+    // interpolated field template `${! expr }` (field_parser.go:17-83):
+    // mixed static/dynamic segments + uppercase method + escape block
+    "proc_template" -> ((s, dir) => {
+      val env = graft.core.Msg.envelope(
+        t(s, dir, "events").select("event_id", "event_type", "user_id"))
+      val tpl = "ev:${! json(\"event_type\").uppercase() }/u${! json(\"user_id\") } ${{!literal}}"
+      env.select(
+        get_json_object(col(graft.core.Msg.ContentCol), "$.event_id")
+          .cast(LongType).as("event_id"),
+        graft.blob.Interpolate.column(tpl, col(graft.core.Msg.ContentCol)).as("rendered"))
+    }),
+
+    // avro to_json/from_json round-trip (impl/avro/processor.go:26-154);
+    // avro_len lets the oracle independently verify the zigzag-varint
+    // binary encoding length, not just the decoded values
+    "codec_avro" -> ((s, dir) => {
+      val schema = """{"type":"record","name":"n","fields":[
+        {"name":"n_nationkey","type":"long"},{"name":"n_name","type":"string"}]}"""
+      val enc = udf((j: String) => graft.functions.Formats.avroFromJson(j, schema))
+      val dec = udf((b: Array[Byte]) => graft.functions.Formats.avroToJson(b, schema))
+      t(s, dir, "nation")
+        .withColumn("avro", enc(to_json(struct(
+          col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name")))))
+        .withColumn("back", dec(col("avro")))
+        .select(
+          get_json_object(col("back"), "$.n_nationkey").cast(LongType).as("n_nationkey"),
+          get_json_object(col("back"), "$.n_name").as("n_name"),
+          length(col("avro")).cast(LongType).as("avro_len"))
+    }),
+
+    // protobuf wire-format round-trip (impl/protobuf/processor_protobuf.
+    // go:49-68): varint + length-delimited + fixed64; proto_len checked
+    // against the oracle's independent wire-size computation
+    "codec_protobuf" -> ((s, dir) => {
+      val desc = "1:int64:event_id,2:string:event_type,3:double:value"
+      val fields = graft.functions.Formats.protoDescriptor(desc)
+      val enc = udf((j: String) => graft.functions.Formats.protoFromJson(j, fields))
+      val dec = udf((b: Array[Byte]) => graft.functions.Formats.protoToJson(b, fields))
+      t(s, dir, "events")
+        .withColumn("pb", enc(to_json(struct(col("event_id"), col("event_type"), col("value")))))
+        .withColumn("back", dec(col("pb")))
+        .select(
+          get_json_object(col("back"), "$.event_id").cast(LongType).as("event_id"),
+          get_json_object(col("back"), "$.event_type").as("event_type"),
+          get_json_object(col("back"), "$.value").cast(DoubleType).as("value"),
+          length(col("pb")).cast(LongType).as("proto_len"))
+    }),
+
     // geoip-shaped range enrichment (bloblang_geoip.go:55): broadcast
     // range table + non-equi join (the licensed mmdb is the data, not the
     // operator — synthetic ranges exercise the machinery)
@@ -243,6 +291,23 @@ object QueriesExt {
                            WHERE event_type = 'error' AND value > 200)""",
     "blob_meta" ->
       """SELECT event_id, event_type AS src FROM events""",
+    "proc_template" ->
+      """SELECT event_id,
+           'ev:' || upper(event_type) || '/u' || user_id || ' ${!literal}' AS rendered
+         FROM events""",
+    "codec_avro" ->
+      """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           (CASE WHEN n_nationkey < 64 THEN 1 WHEN n_nationkey < 8192 THEN 2 ELSE 3 END
+            + 1 + length(n_name))::BIGINT AS avro_len
+         FROM nation""",
+    "codec_protobuf" ->
+      """SELECT event_id, event_type, value,
+           ((1 + CASE WHEN event_id < 128 THEN 1 WHEN event_id < 16384 THEN 2
+                      WHEN event_id < 2097152 THEN 3 WHEN event_id < 268435456 THEN 4
+                      ELSE 5 END)
+            + (CASE WHEN event_type IS NULL THEN 0 ELSE 2 + length(event_type) END)
+            + (CASE WHEN value IS NULL THEN 0 ELSE 9 END))::BIGINT AS proto_len
+         FROM events""",
     "proc_geoip" ->
       """WITH r(lo, hi, geo) AS (VALUES
            (167772160, 167788543, 'net-a'),

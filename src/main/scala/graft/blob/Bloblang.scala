@@ -172,6 +172,8 @@ object Bloblang {
 
     def parseExpr(): Expr = parsePipe()
 
+    def parseExprToEof(): Expr = { val e = parseExpr(); expect("eof"); e }
+
     private def parsePipe(): Expr = {
       var l = parseOr()
       while (at("op", "|")) { eat(); l = Bin("|", l, parseOr()) }
@@ -337,4 +339,8 @@ object Bloblang {
   }
 
   def parse(src: String): Mapping = new Parser(lex(src)).parseMapping()
+
+  /** Parse a single query expression (the payload of `${! ... }`
+    * interpolations — reference field syntax, field/parser.go). */
+  def parseExpr(src: String): Expr = new Parser(lex(src)).parseExprToEof()
 }

@@ -124,4 +124,35 @@ class BlobTextSpec extends AnyFunSuite {
       Msg.envelope(Seq(1).toDF("n")).withColumn(Msg.ContentCol, lit("{}")))
     assert(bad.filter(Msg.errored).count() == 1)
   }
+
+  test("interpolation: static/dynamic segments, methods, escape, nesting") {
+    import graft.blob.Interpolate
+    def r(tpl: String, content: String) = Interpolate.render(Interpolate.compile(tpl), content)
+    assert(r("plain text", "{}") == "plain text")
+    assert(r("a ${! this.x } b", """{"x":7}""") == "a 7 b")
+    assert(r("${! this.s.uppercase() }!", """{"s":"hi"}""") == "HI!")
+    // object literal inside the expression: brace matching must not end early
+    assert(r("${! {\"k\": this.x}.k + 1 }", """{"x":2}""") == "3")
+    // string containing '}' inside the expression
+    assert(r("${! \"}\" + this.s }", """{"s":"z"}""") == "}z")
+    // escape block renders the literal interpolation text
+    assert(r("${{! meta(\"x\") }}", "{}") == "${! meta(\"x\") }")
+    // missing field renders null (reference field null render)
+    assert(r("v=${! this.nope }", "{}") == "v=null")
+    // parse error surfaces at compile, driver-side
+    intercept[Exception](Interpolate.compile("${! this.x"))
+  }
+
+  test("interpolation Column: static template stays literal, dynamic renders per row") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import graft.blob.Interpolate
+    val staticCol = Interpolate.column("just static", lit("{}"))
+    assert(staticCol.toString.contains("just static") && !staticCol.toString.toLowerCase.contains("udf"))
+    val df = Msg.envelope(Seq(("a", 1), ("b", 2)).toDF("s", "n"))
+    val out = df.select(Interpolate.column(
+        "${! json(\"s\").uppercase() }-${! json(\"n\") }", col(Msg.ContentCol)).as("r"))
+      .as[String].collect().sorted
+    assert(out.toSeq == Seq("A-1", "B-2"))
+  }
 }

@@ -124,6 +124,35 @@ class CacheCodecSpec extends SparkSpec {
     assert(arr("2").getAs[scala.collection.Seq[Int]]("n").toSeq == Seq(20, 200))
   }
 
+  test("avro codec: json round-trip, deterministic bytes, schema cache") {
+    import graft.functions.Formats
+    val schema = """{"type":"record","name":"r","fields":[
+      {"name":"id","type":"long"},{"name":"s","type":"string"},{"name":"d","type":"double"}]}"""
+    val doc = """{"id":150,"s":"héllo","d":-2.5e-3}"""
+    val bytes = Formats.avroFromJson(doc, schema)
+    // zigzag varint: 150 -> 300 -> 2 bytes; "héllo" utf8 = 6 bytes + 1 len; double = 8
+    assert(bytes.length == 2 + 7 + 8)
+    val back = Formats.avroToJson(bytes, schema)
+    assert(back == """{"id":150,"s":"héllo","d":-0.0025}""")
+    assert(Formats.avroFromJson(doc, schema).toSeq == bytes.toSeq) // deterministic
+  }
+
+  test("protobuf wire codec: round-trip, omitted nulls, unknown fields skipped") {
+    import graft.functions.Formats
+    val desc = Formats.protoDescriptor("1:int64:id,2:string:s,3:double:d")
+    val bytes = Formats.protoFromJson("""{"id":300,"s":"ab","d":1.5}""", desc)
+    // tag+varint(300)=1+2, tag+len+2, tag+8
+    assert(bytes.length == 3 + 4 + 9)
+    // marshalJson emits keys sorted (Go map marshal order)
+    assert(Formats.protoToJson(bytes, desc) == """{"d":1.5,"id":300,"s":"ab"}""")
+    // null/absent fields are omitted on the wire and absent after decode
+    val sparse = Formats.protoFromJson("""{"id":1}""", desc)
+    assert(sparse.length == 2 && Formats.protoToJson(sparse, desc) == """{"id":1}""")
+    // decoding with a narrower descriptor skips unknown field numbers
+    val narrow = Formats.protoDescriptor("2:string:s")
+    assert(Formats.protoToJson(bytes, narrow) == """{"s":"ab"}""")
+  }
+
   test("compression codecs round-trip unicode and empty payloads") {
     for (codec <- Seq(
         (Codecs.zstdCompress, Codecs.zstdDecompress),
