@@ -127,6 +127,41 @@ object QueriesExt {
         graft.blob.Interpolate.column(tpl, col(graft.core.Msg.ContentCol)).as("rendered"))
     }),
 
+    // nlp_classify_text (impl/huggingface/processor_text_classification.
+    // go:13-79): batched per-partition inference; stub scorer is
+    // deterministic lexical math so the oracle can replay it
+    "nlp_classify" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.Nlp.classifyText(t(s, dir, "documents")).toDF()
+    }),
+
+    // nlp_classify_tokens (processor_token_classification.go): NER-shaped
+    // explode — one labelled row per token
+    "nlp_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        concat_ws(" ", col("c_name"), col("c_custkey").cast(StringType),
+          col("c_mktsegment"), lower(col("c_mktsegment"))).as("text"))
+      graft.ml.Nlp.classifyTokens(docs).toDF()
+    }),
+
+    // batch policy `count` trigger (batch/policy/policy.go:110-114):
+    // per-user ordered stream chopped into batches of exactly 7
+    "batch_count" -> ((s, dir) =>
+      graft.operators.BatchPolicy.byCount(
+          t(s, dir, "events").select("event_id", "user_id"),
+          col("user_id"), col("event_id"), 7)
+        .select("event_id", "user_id", "batch_id")),
+
+    // batch policy `check` trigger (policy.go:120-132): an 'error' event
+    // closes its own batch (inclusive)
+    "batch_check" -> ((s, dir) =>
+      graft.operators.BatchPolicy.byCheck(
+          t(s, dir, "events").select("event_id", "user_id", "event_type"),
+          col("user_id"), col("event_id"), col("event_type") === "error")
+        .select("event_id", "user_id", "batch_id")),
+
     // avro to_json/from_json round-trip (impl/avro/processor.go:26-154);
     // avro_len lets the oracle independently verify the zigzag-varint
     // binary encoding length, not just the decoded values
@@ -294,6 +329,45 @@ object QueriesExt {
     "proc_template" ->
       """SELECT event_id,
            'ev:' || upper(event_type) || '/u' || user_id || ' ${!literal}' AS rendered
+         FROM events""",
+    "nlp_classify" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(
+             string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+             t -> length(t) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                 AND (len(list_filter(toks, t -> length(t) > 4))::DOUBLE / len(toks)) * 3.0 > 1.0
+                THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE floor((len(list_filter(toks, t -> length(t) > 4))::DOUBLE / len(toks)) * 1e6 + 0.5) / 1e6
+           END AS score
+         FROM tk""",
+    "nlp_tokens" ->
+      """WITH d AS (
+           SELECT c_custkey AS doc_id,
+             concat_ws(' ', c_name, c_custkey::VARCHAR, c_mktsegment, lower(c_mktsegment)) AS text
+           FROM customer),
+         tk AS (
+           SELECT doc_id, list_transform(
+             list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+             (t, i) -> struct_pack(idx := i - 1, tok := t)) AS toks
+           FROM d)
+         SELECT doc_id, u.idx::INTEGER AS idx, u.tok AS token,
+           CASE WHEN regexp_matches(u.tok, '^[A-Z]') THEN 'ENT'
+                WHEN regexp_matches(u.tok, '^[0-9]+([.,][0-9]+)?$') THEN 'NUM'
+                ELSE 'O' END AS label
+         FROM tk, unnest(toks) AS t(u)""",
+    "batch_count" ->
+      """SELECT event_id, user_id,
+           ((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 7)::BIGINT AS batch_id
+         FROM events""",
+    "batch_check" ->
+      """SELECT event_id, user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS batch_id
          FROM events""",
     "codec_avro" ->
       """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,

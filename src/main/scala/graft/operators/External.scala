@@ -79,4 +79,43 @@ object External {
   def jdbcInsertSink(url: String, table: String): Outputs.Sink =
     df => df.write.format("jdbc").option("url", url).option("dbtable", table)
       .mode("append").save()
+
+  /** `rate_limit` (processor_rate_limit.go:24) / `sleep` (processor_sleep.
+    * go:25). Per-row blocking on executors is only legitimate for pacing
+    * EXTERNAL calls (the reference's primary use of both). Two mappings:
+    *
+    *  1. Ingestion throttling — the scale-correct form for "slow the
+    *     pipeline down": `maxOffsetsPerTrigger`/`maxFilesPerTrigger` on
+    *     the source + a `ProcessingTime` trigger. See
+    *     Sources.kafkaReader/fileStream and Outputs.start.
+    *  2. A token bucket for client-side API caps inside
+    *     `perPartitionLookup` — state is per partition, so divide the
+    *     global budget by concurrent partitions (executors × cores /
+    *     partition size), exactly how the reference divides a shared
+    *     rate-limit resource across pipeline threads.
+    */
+  final class RateLimiter(permitsPerSec: Double) extends Serializable {
+    private val intervalNanos = (1e9 / permitsPerSec).toLong
+    @transient private var nextFree = 0L
+    /** Block until a permit is available (monotonic clock; first call is
+      * free after deserialization on the executor). */
+    def acquire(): Unit = {
+      val now = System.nanoTime()
+      if (nextFree == 0L || now >= nextFree) nextFree = now + intervalNanos
+      else {
+        val waitNanos = nextFree - now
+        nextFree += intervalNanos
+        Thread.sleep(waitNanos / 1000000, (waitNanos % 1000000).toInt)
+      }
+    }
+  }
+
+  /** External lookup with a per-partition rate cap: the token bucket rides
+    * inside the client lifecycle, so throttling composes with connection
+    * pooling (one client AND one bucket per partition, not per row). */
+  def rateLimitedLookup[C, T: Encoder](df: DataFrame, permitsPerSecPerPartition: Double)(
+      init: () => C)(call: (C, Row) => T)(close: C => Unit): org.apache.spark.sql.Dataset[T] =
+    perPartitionLookup(df)(() => (init(), new RateLimiter(permitsPerSecPerPartition))) {
+      case ((client, limiter), row) => limiter.acquire(); call(client, row)
+    } { case (client, _) => close(client) }
 }

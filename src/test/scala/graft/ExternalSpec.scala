@@ -126,4 +126,22 @@ class ExternalSpec extends SparkSpec {
     assert(run("""root.v = this.json_path("$.a.b[1]")""", """{"a":{"b":[5,6,7]}}""") ==
       """{"v":6}""")
   }
+
+  test("rate limiter paces permits; rateLimitedLookup keeps one client per partition") {
+    val rl = new External.RateLimiter(100.0) // 10ms interval
+    val t0 = System.nanoTime()
+    (1 to 6).foreach(_ => rl.acquire())
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 45.0, s"6 permits at 100/s took ${elapsedMs}ms; expected >=50ms pacing")
+
+    val inits = spark.sparkContext.longAccumulator("inits")
+    val out = External.rateLimitedLookup(
+        (1 to 8).toDF("n").repartition(2), 1e6)(
+        () => { inits.add(1); "client" })(
+        (c, r) => r.getInt(0) * 2)(
+        _ => ())
+      .collect().sorted
+    assert(out.toSeq == Seq(2, 4, 6, 8, 10, 12, 14, 16))
+    assert(inits.value == 2) // one client+bucket per partition, not per row
+  }
 }

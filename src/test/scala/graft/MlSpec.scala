@@ -211,4 +211,28 @@ class MlSpec extends SparkSpec {
     val n = emb.count()
     assert(pairs.count() >= (n * 0.95).toLong)
   }
+
+  test("nlp: classify/ner/embed keep one row per unit, embeddings unit-norm, zero-shot argmax") {
+    import spark.implicits._
+    import graft.ml.Nlp
+    val docs = Seq(
+      (1L, "so and tiny up"),                         // 0 long tokens -> NEGATIVE
+      (2L, "magnificent wonderful excellent things"), // 4/4 long -> POSITIVE
+      (3L, "Alice saw 42 balloons")).toDF("doc_id", "text")
+    val cls = Nlp.classifyText(docs, batchSize = 2).collect().map(r => r.doc_id -> r).toMap
+    assert(cls(1L).label == "NEGATIVE" && cls(1L).score == 0.0)
+    assert(cls(2L).label == "POSITIVE" && cls(2L).score == 1.0)
+    val ner = Nlp.classifyTokens(docs.filter($"doc_id" === 3L)).collect()
+      .sortBy(_.idx).map(t => (t.token, t.label)).toSeq
+    assert(ner == Seq(("Alice", "ENT"), ("saw", "O"), ("42", "NUM"), ("balloons", "O")))
+    val feats = Nlp.extractFeatures(docs, dim = 16).collect()
+    assert(feats.length == 3)
+    feats.filter(_.feature.exists(_ != 0f)).foreach { f =>
+      val norm = math.sqrt(f.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+    val zs = Nlp.zeroShot(docs, Seq("balloons", "tiny"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(zs(1L) == "tiny" && zs(3L) == "balloons")
+  }
 }

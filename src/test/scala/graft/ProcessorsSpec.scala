@@ -112,6 +112,38 @@ class ProcessorsSpec extends SparkSpec {
     assert(dlq.select("content").as[String].collect().toSeq == Seq("bad"))
   }
 
+  test("batch policy: general assign matches window fast paths on single triggers") {
+    import graft.operators.BatchPolicy
+    val df = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "error", 10L), (1L, 3L, "b", 10L),
+      (1L, 4L, "c", 10L), (1L, 5L, "error", 10L), (1L, 6L, "d", 10L),
+      (2L, 1L, "x", 10L), (2L, 2L, "y", 10L), (2L, 3L, "z", 10L))
+      .toDF("k", "o", "typ", "bytes")
+    def ids(out: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      out.select("k", "o", "batch_id").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // count-only: greedy loop == pure window math
+    assert(ids(BatchPolicy.assign(df, "k", "o", count = 2)) ==
+      ids(BatchPolicy.byCount(df, col("k"), col("o"), 2)))
+    // check-only: greedy loop == pure window math
+    assert(ids(BatchPolicy.assign(df, "k", "o", check = col("typ") === "error")) ==
+      ids(BatchPolicy.byCheck(df, col("k"), col("o"), col("typ") === "error")))
+    // combined count+check: the check-flush RESETS the count (not window-expressible)
+    val combined = ids(BatchPolicy.assign(df, "k", "o", count = 3, check = col("typ") === "error"))
+    // k=1: o=1,2 (error at 2 flushes) | o=3,4,5 (count=3... but error at 5 also within) -> o=3,4,5 via count
+    assert(combined.filter(_._1 == 1L).map(_._3) == Seq(0L, 0L, 1L, 1L, 1L, 2L))
+    assert(combined.filter(_._1 == 2L).map(_._3) == Seq(0L, 0L, 0L))
+  }
+
+  test("batch policy byte_size: trigger threshold includes the overflowing row, tally resets") {
+    import graft.operators.BatchPolicy
+    val df = Seq((1L, 1L, 60L), (1L, 2L, 60L), (1L, 3L, 10L), (1L, 4L, 200L), (1L, 5L, 5L))
+      .toDF("k", "o", "bytes")
+    val out = BatchPolicy.assign(df, "k", "o", byteSize = 100L, sizeOf = col("bytes"))
+      .select("o", "batch_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // 60 -> 120>=100 flush (rows 1,2) | 10 -> 210>=100 flush (rows 3,4) | 5 open
+    assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
+  }
+
   test("envelope wraps arbitrary rows and meta set/get works") {
     val df = Seq((1, "x")).toDF("id", "name")
     val env = Msg.envelope(df)
