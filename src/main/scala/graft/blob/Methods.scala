@@ -33,6 +33,27 @@ object Methods {
   private def entry(k: String, v: Any): VectorMap[String, Any] =
     VectorMap("key" -> k, "value" -> v)
 
+  /** merge/assign collision rules (methods.md `merge`/`assign`): objects
+    * deep-merge; non-object collisions either overwrite (assign) or
+    * combine into arrays with array operands expanded (merge). */
+  private def deepMerge(a: VectorMap[String, Any], b: VectorMap[String, Any],
+                        overwrite: Boolean): VectorMap[String, Any] =
+    b.foldLeft(a) { case (acc, (k, v)) =>
+      acc.updated(k, acc.get(k) match {
+        case None => v
+        case Some(ex) => (ex, v) match {
+          case (me: VectorMap[String @unchecked, Any @unchecked],
+                mv: VectorMap[String @unchecked, Any @unchecked]) =>
+            deepMerge(me, mv, overwrite)
+          case _ if overwrite => v
+          case (ea: Vector[Any @unchecked], va: Vector[Any @unchecked]) => ea ++ va
+          case (ea: Vector[Any @unchecked], x) => ea :+ x
+          case (x, va: Vector[Any @unchecked]) => x +: va
+          case (x, y) => Vector(x, y)
+        }
+      })
+    }
+
   def call(targetE: Expr, name: String, args: Vector[Expr], ctx: Ctx): Any = name match {
     // error-channel methods control target evaluation (methods.go:148,807)
     case "catch" =>
@@ -165,6 +186,44 @@ object Methods {
             .asInstanceOf[Vector[Char]].mkString
       }
       case "split" => Vector.from(toStr(t).split(java.util.regex.Pattern.quote(argStr(0)), -1))
+      // `.split_by(q)` — segments between chars where the query holds
+      // (Go strings.FieldsFunc semantics: empty segments dropped)
+      case "split_by" =>
+        val s = toStr(t)
+        val out = Vector.newBuilder[Any]
+        val sb = new StringBuilder
+        s.foreach { c =>
+          if (asBool(applyFn(args(0), c.toString, ctx))) {
+            if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+          } else sb.append(c)
+        }
+        if (sb.nonEmpty) out += sb.toString
+        out.result()
+      // `.filepath_join()` / `.filepath_split()` — Go path/filepath
+      // semantics with '/' (executors are Linux)
+      case "filepath_join" =>
+        seqOf(t).map(toStr).filter(_.nonEmpty).mkString("/")
+          .replaceAll("/+", "/") match { case "" => "" case p => p }
+      case "filepath_split" =>
+        val s = toStr(t)
+        val i = s.lastIndexOf('/')
+        if (i < 0) Vector("", s) else Vector(s.substring(0, i + 1), s.substring(i + 1))
+      // `.format_yaml()` — snakeyaml emit (reference format_yaml)
+      case "format_yaml" =>
+        def toJava(v: Any): Any = v match {
+          case m: VectorMap[String @unchecked, Any @unchecked] =>
+            val lm = new java.util.LinkedHashMap[String, Any]()
+            m.foreach { case (k, mv) => lm.put(k, toJava(mv)) }
+            lm
+          case a: Vector[Any @unchecked] =>
+            val l = new java.util.ArrayList[Any]()
+            a.foreach(e => l.add(toJava(e)))
+            l
+          case other => other
+        }
+        val opts = new org.yaml.snakeyaml.DumperOptions()
+        opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+        new org.yaml.snakeyaml.Yaml(opts).dump(toJava(t))
       case "join" => t match {
         case a: Vector[Any @unchecked] =>
           val sep = if (args.isEmpty) "" else argStr(0)
@@ -274,6 +333,21 @@ object Methods {
       case "pow" => math.pow(toNum(t), toNum(arg(0)))
       case "int64" => toLong(t)
       case "float64" => toNum(t)
+      // sized integer casts (methods.md int8…uint64): range-checked, carried
+      // as Long (the interpreter's integer repr); overflow is a blob error
+      case "int8" | "int16" | "int32" | "uint8" | "uint16" | "uint32" | "uint64" =>
+        val v = toLong(t)
+        val ok = name match {
+          case "int8" => v >= Byte.MinValue && v <= Byte.MaxValue
+          case "int16" => v >= Short.MinValue && v <= Short.MaxValue
+          case "int32" => v >= Int.MinValue && v <= Int.MaxValue
+          case "uint8" => v >= 0 && v <= 255
+          case "uint16" => v >= 0 && v <= 65535
+          case "uint32" => v >= 0 && v <= 0xFFFFFFFFL
+          case "uint64" => v >= 0 // > Long.MaxValue unrepresentable here
+        }
+        if (!ok) err(s"$name: value $v out of range") else v
+      case "float32" => toNum(t).toFloat.toDouble // value snapped to f32 precision
       case "max" => reduceNum(t, math.max)
       case "min" => reduceNum(t, math.min)
       case "sum" => t match {
@@ -341,10 +415,18 @@ object Methods {
           }
         case other => err(s"map_each_key on ${typeName(other)}")
       }
+      // `.merge()` collides non-object keys into arrays (arrays expand);
+      // `.assign()` overwrites on collision — methods.md, query/
+      // methods_structured.go merge/assign specs. Objects deep-merge in both.
       case "merge" => (t, arg(0)) match {
         case (a: VectorMap[String @unchecked, Any @unchecked], b: VectorMap[String @unchecked, Any @unchecked]) =>
-          b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, v) }
+          deepMerge(a, b, overwrite = false)
         case (a, b) => err(s"merge ${typeName(a)} with ${typeName(b)}")
+      }
+      case "assign" => (t, arg(0)) match {
+        case (a: VectorMap[String @unchecked, Any @unchecked], b: VectorMap[String @unchecked, Any @unchecked]) =>
+          deepMerge(a, b, overwrite = true)
+        case (a, b) => err(s"assign ${typeName(a)} with ${typeName(b)}")
       }
       case "not_empty" => t match {
         case s: String if s.nonEmpty => s
@@ -376,6 +458,51 @@ object Methods {
       }
       case "concat" => seqOf(t) ++ args.flatMap(a => seqOf(Interp.eval(a, ctx)))
 
+      // `.find` / `.find_all` / `.find_by` / `.find_all_by` — index search
+      // with type-agnostic numeric equality (methods.md find*)
+      case "find" =>
+        val v = arg(0); seqOf(t).indexWhere(valueEq(_, v)).toLong
+      case "find_all" =>
+        val v = arg(0)
+        seqOf(t).zipWithIndex.collect { case (e, i) if valueEq(e, v) => i.toLong }
+      case "find_by" =>
+        seqOf(t).indexWhere(e => asBool(applyFn(args(0), e, ctx))).toLong
+      case "find_all_by" =>
+        seqOf(t).zipWithIndex.collect {
+          case (e, i) if asBool(applyFn(args(0), e, ctx)) => i.toLong
+        }
+      // `.array()` — wrap unless already an array
+      case "array" => t match {
+        case a: Vector[_] => a
+        case other => Vector(other)
+      }
+      // `.explode(path)` — methods.md explode: array → array of docs each
+      // holding one element; object → object of docs keyed like the target
+      case "explode" =>
+        val path = argStr(0).split('.').toList
+        def getAt(v: Any, p: List[String]): Any = p match {
+          case Nil => v
+          case h :: rest => v match {
+            case m: VectorMap[String @unchecked, Any @unchecked] =>
+              getAt(m.getOrElse(h, err(s"explode: path $h not found")), rest)
+            case other => err(s"explode: ${typeName(other)} at $h")
+          }
+        }
+        def setAt(v: Any, p: List[String], nv: Any): Any = p match {
+          case Nil => nv
+          case h :: rest => v match {
+            case m: VectorMap[String @unchecked, Any @unchecked] =>
+              m.updated(h, setAt(m(h), rest, nv))
+            case other => err(s"explode: ${typeName(other)} at $h")
+          }
+        }
+        getAt(t, path) match {
+          case a: Vector[Any @unchecked] => a.map(e => setAt(t, path, e))
+          case m: VectorMap[String @unchecked, Any @unchecked] =>
+            m.map { case (k, v) => k -> setAt(t, path, v) }
+          case other => err(s"explode: target is ${typeName(other)}")
+        }
+
       // `.collapse()` — methods_structured.go:145: tree → flat dot-path map
       case "collapse" =>
         def walk(prefix: String, v: Any, acc: scala.collection.mutable.Builder[(String, Any), Vector[(String, Any)]]): Unit = v match {
@@ -389,10 +516,11 @@ object Methods {
         walk("", t, b)
         VectorMap.from(b.result())
       // `.squash()` — bloblang_objects.go:15: merge an array of objects
+      // with `.merge()` collision rules (values collide into arrays)
       case "squash" =>
         seqOf(t).foldLeft(VectorMap.empty[String, Any]) {
           case (acc, m: VectorMap[String @unchecked, Any @unchecked]) =>
-            m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, v) }
+            deepMerge(acc, m, overwrite = false)
           case (_, other) => err(s"squash: expected objects, got ${typeName(other)}")
         }
       // `.with(paths...)` — bloblang_objects.go:39: keep only listed keys

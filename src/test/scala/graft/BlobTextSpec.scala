@@ -125,6 +125,51 @@ class BlobTextSpec extends AnyFunSuite {
     assert(bad.filter(Msg.errored).count() == 1)
   }
 
+  test("merge collides into arrays, assign overwrites, squash follows merge rules") {
+    // methods.md merge: non-object collisions -> array with both values
+    assert(run("""root = {"a":1,"b":2}.merge({"a":3,"c":4})""", "{}") ==
+      Some("""{"a":[1,3],"b":2,"c":4}"""))
+    // arrays expand into the result array
+    assert(run("""root = {"a":[1,2]}.merge({"a":3})""", "{}") == Some("""{"a":[1,2,3]}"""))
+    // nested objects deep-merge
+    assert(run("""root = {"o":{"x":1}}.merge({"o":{"y":2}})""", "{}") ==
+      Some("""{"o":{"x":1,"y":2}}"""))
+    // assign: source wins
+    assert(run("""root = {"a":1,"b":2}.assign({"a":3,"c":4})""", "{}") ==
+      Some("""{"a":3,"b":2,"c":4}"""))
+    assert(run("""root = [{"a":1},{"a":2},{"b":3}].squash()""", "{}") ==
+      Some("""{"a":[1,2],"b":3}"""))
+  }
+
+  test("find family, explode, array, sized casts, split_by, filepath, format_yaml") {
+    assert(run("""root.i = [5,6,5].find(5)
+                  root.a = [5,6,5].find_all(5)
+                  root.m = [5,6,5].find(9)""", "{}") ==
+      Some("""{"a":[0,2],"i":0,"m":-1}"""))
+    assert(run("""root.i = [1,8,9].find_by(v -> v > 5)
+                  root.a = [1,8,9].find_all_by(v -> v > 5)""", "{}") ==
+      Some("""{"a":[1,2],"i":1}"""))
+    // explode on array and on object (methods.md examples)
+    assert(run("""root = this.explode("value")""", """{"id":1,"value":["foo","bar"]}""") ==
+      Some("""[{"id":1,"value":"foo"},{"id":1,"value":"bar"}]"""))
+    assert(run("""root = this.explode("value")""", """{"id":1,"value":{"foo":2,"bar":[3]}}""") ==
+      Some("""{"bar":{"id":1,"value":[3]},"foo":{"id":1,"value":2}}"""))
+    assert(run("""root.a = 5.array()
+                  root.b = [5].array()""", "{}") == Some("""{"a":[5],"b":[5]}"""))
+    assert(run("""root.ok = 200.uint8() | "overflow"
+                  root.bad = 300.uint8() | "overflow"
+                  root.f = 1.1.float32()""", "{}") ==
+      Some("""{"bad":"overflow","f":1.100000023841858,"ok":200}"""))
+    assert(run("""root = "a1b22c".split_by(c -> c.number().catch(e -> -1) >= 0)""", "{}") ==
+      Some("""["a","b","c"]"""))
+    assert(run("""root.j = ["a","b","c.txt"].filepath_join()
+                  root.s = "a/b/c.txt".filepath_split()
+                  root.n = "file".filepath_split()""", "{}") ==
+      Some("""{"j":"a/b/c.txt","n":["","file"],"s":["a/b/","c.txt"]}"""))
+    val y = run("""root.y = {"a":1,"b":[2,3]}.format_yaml()""", "{}").get
+    assert(y.contains("a: 1") && y.contains("- 2"))
+  }
+
   test("interpolation: static/dynamic segments, methods, escape, nesting") {
     import graft.blob.Interpolate
     def r(tpl: String, content: String) = Interpolate.render(Interpolate.compile(tpl), content)

@@ -61,8 +61,9 @@ class ExternalSpec extends SparkSpec {
       Interp.run(Bloblang.parse(src), content).get
     assert(run("root = this.collapse()", """{"a":{"b":1,"c":[1,2]}}""") ==
       """{"a.b":1,"a.c.0":1,"a.c.1":2}""")
+    // squash follows merge collision rules: a collides -> [1,3]
     assert(run("root = this.squash()", """[{"a":1},{"b":2},{"a":3}]""") ==
-      """{"a":3,"b":2}""")
+      """{"a":[1,3],"b":2}""")
     assert(run("""root = this.with("a","c")""", """{"a":1,"b":2,"c":3}""") ==
       """{"a":1,"c":3}""")
     assert(run("""root.u = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_unix()""",
