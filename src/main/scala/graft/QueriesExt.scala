@@ -127,6 +127,27 @@ object QueriesExt {
         graft.blob.Interpolate.column(tpl, col(graft.core.Msg.ContentCol)).as("rendered"))
     }),
 
+    // jq processor subset (processor_jq.go:29): path + terminal filter,
+    // compiled onto the Bloblang interpreter
+    "proc_jq" -> ((s, dir) => t(s, dir, "events").select(
+      col("event_id"),
+      graft.operators.Jq.jq(".k", col("props")).cast(LongType).as("k"),
+      graft.operators.Jq.jq(". | keys", col("props")).as("ks"),
+      graft.operators.Jq.jq(".missing.deep", col("props")).as("m"))),
+
+    // subprocess processor (impl/io/processor_subprocess.go:44): rows
+    // stream through a per-partition child process; `cat` makes the
+    // round-trip oracle-exact while exercising the full pipe machinery
+    "proc_subprocess" -> ((s, dir) => {
+      val env = graft.core.Msg.envelope(
+        t(s, dir, "events").select("event_id", "event_type"))
+      graft.operators.Subprocess.pipe(env, Seq("cat"))
+        .select(
+          get_json_object(col(graft.core.Msg.ContentCol), "$.event_id")
+            .cast(LongType).as("event_id"),
+          get_json_object(col(graft.core.Msg.ContentCol), "$.event_type").as("event_type"))
+    }),
+
     // nlp_classify_text (impl/huggingface/processor_text_classification.
     // go:13-79): batched per-partition inference; stub scorer is
     // deterministic lexical math so the oracle can replay it
@@ -330,6 +351,12 @@ object QueriesExt {
       """SELECT event_id,
            'ev:' || upper(event_type) || '/u' || user_id || ' ${!literal}' AS rendered
          FROM events""",
+    "proc_jq" ->
+      """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k,
+           '["k"]' AS ks, NULL::VARCHAR AS m
+         FROM events""",
+    "proc_subprocess" ->
+      """SELECT event_id, event_type FROM events""",
     "nlp_classify" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(

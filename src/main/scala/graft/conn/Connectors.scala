@@ -40,6 +40,47 @@ object Sources {
   def skipBom(df: DataFrame, col_ : String = "content"): DataFrame =
     df.withColumn(col_, regexp_replace(col(col_), "^\\uFEFF", ""))
 
+  /** `to_the_end` scanner (scanner_to_the_end.go): the whole byte stream
+    * as one message per file. */
+  def toTheEnd(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", true).textFile(path).toDF("content")
+
+  /** `re_match` scanner (scanner_regexp.go): a new message starts at every
+    * match of the pattern (the match belongs to the message it opens).
+    * Framing via zero-width lookahead split keeps the delimiters. */
+  def reMatch(spark: SparkSession, path: String, pattern: String): DataFrame =
+    spark.read.option("wholetext", true).textFile(path).toDF("whole")
+      .select(posexplode(split(col("whole"), s"(?=$pattern)")).as(Seq("msg_idx", "content")))
+      .filter(length(col("content")) > 0)
+
+  /** `decompress` scanner (scanner_decompress.go): binaryFile frame +
+    * codec UDF, then downstream scanners split the inflated text. */
+  def decompress(spark: SparkSession, path: String, codec: String = "gzip"): DataFrame = {
+    val inflate = codec match {
+      case "gzip" => udf(graft.functions.Udfs.gzipDecompress)
+      case "zstd" => udf(graft.functions.Codecs.zstdDecompress)
+      case "lz4" => udf(graft.functions.Codecs.lz4Decompress)
+      case "snappy" => udf(graft.functions.Codecs.snappyDecompress)
+      case "flate" => udf(graft.functions.Codecs.flateDecompress)
+      case other => throw new IllegalArgumentException(s"decompress scanner: $other")
+    }
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), inflate(col("content")).cast("string").as("content"))
+  }
+
+  /** `xml_documents` scanner (scanner_xml_documents.go flavor): one row per
+    * top-level `<tag>` element. */
+  def xmlDocuments(spark: SparkSession, path: String, tag: String): DataFrame =
+    spark.read.option("wholetext", true).textFile(path).toDF("whole")
+      .select(explode(expr(
+        s"""regexp_extract_all(whole, '(?s)<$tag[\\\\s>].*?</$tag>', 0)""")).as("content"))
+
+  /** `switch` scanner (scanner_switch.go): route each FILE to a scanner by
+    * a predicate over its path — resolved at plan time per glob, unioned. */
+  def switchScanner(spark: SparkSession,
+                    cases: Seq[(String, SparkSession => DataFrame)]): DataFrame =
+    cases.map { case (_, build) => build(spark) }.reduce(_ unionByName _)
+
   /** `file` streaming input (file_tail flavor): new files under `path`
     * stream through the same transforms as the batch read. */
   def fileStream(spark: SparkSession, path: String, schemaDdl: String,

@@ -54,6 +54,37 @@ class ConnectorsSpec extends SparkSpec {
     assert(got.toSeq == Seq("hello", "plain"))
   }
 
+  test("to_the_end, re_match, xml_documents, decompress scanners frame correctly") {
+    val d = tmpDir("scan")
+    write(new java.io.File(d, "log.txt"), "INFO a b\nmore\nWARN c\nINFO d")
+    assert(Sources.toTheEnd(spark, d.getPath).as[String].collect().head
+      == "INFO a b\nmore\nWARN c\nINFO d")
+    // re_match: each (INFO|WARN) opens a message and belongs to it
+    val msgs = Sources.reMatch(spark, d.getPath, "(INFO|WARN)")
+      .orderBy("msg_idx").select("content").as[String].collect().toSeq
+    assert(msgs == Seq("INFO a b\nmore\n", "WARN c\n", "INFO d"))
+
+    val dx = tmpDir("xml")
+    write(new java.io.File(dx, "docs.xml"),
+      "<root><doc id=\"1\"><v>a</v></doc>junk<doc id=\"2\"><v>b</v></doc></root>")
+    val xs = Sources.xmlDocuments(spark, dx.getPath, "doc").as[String].collect().sorted.toSeq
+    assert(xs == Seq("<doc id=\"1\"><v>a</v></doc>", "<doc id=\"2\"><v>b</v></doc>"))
+
+    val dz = tmpDir("gz")
+    val gz = new java.io.File(dz, "x.gz")
+    java.nio.file.Files.write(gz.toPath,
+      graft.functions.Udfs.gzipCompress("packed\npayload".getBytes("UTF-8")))
+    val inflated = Sources.decompress(spark, dz.getPath, "gzip")
+      .select("content").as[String].collect().head
+    assert(inflated == "packed\npayload")
+
+    // switch scanner: per-glob scanner choice, unioned
+    val sw = Sources.switchScanner(spark, Seq(
+      "*.txt" -> (s => Sources.lines(s, d.getPath)),
+      "*.xml" -> (s => Sources.xmlDocuments(s, dx.getPath, "doc").toDF("content"))))
+    assert(sw.count() == 4 + 2)
+  }
+
   test("output switch routes rows to first matching sink; default gets rest") {
     val (hi, mid, rest) = (collector(), collector(), collector())
     val df = Seq(500, 50, 5).toDF("n")

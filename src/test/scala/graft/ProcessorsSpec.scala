@@ -112,6 +112,36 @@ class ProcessorsSpec extends SparkSpec {
     assert(dlq.select("content").as[String].collect().toSeq == Seq("bad"))
   }
 
+  test("jq subset: paths, index, filters; compile fails fast on unsupported programs") {
+    import graft.operators.Jq
+    val df = Seq("""{"a":{"b":[10,20,30]},"s":"hi"}""").toDF("content")
+    def q(prog: String): String =
+      df.select(Jq.jq(prog, col("content"))).as[String].collect().head
+    assert(q(".a.b[1]") == "20")
+    assert(q(".a.b | length") == "3")
+    assert(q(". | keys") == """["a","s"]""")
+    assert(q(".s | tostring") == "hi")
+    assert(q(".a.b[0] | tostring") == "10")
+    assert(q(".nope.deep") == null)
+    intercept[IllegalArgumentException](Jq.compile(".a | map(.x)"))
+    intercept[IllegalArgumentException](Jq.compile("keys"))
+  }
+
+  test("subprocess pipe transforms content per partition; command sets error facet on failure") {
+    import graft.operators.Subprocess
+    val env = Msg.envelope(Seq(1, 2, 3).toDF("n"))
+    val piped = Subprocess.pipe(env, Seq("sed", "s/n/m/"))
+      .as[String].collect().sorted.toSeq
+    assert(piped == Seq("""{"m":1}""", """{"m":2}""", """{"m":3}"""))
+    val ok = Subprocess.command(env, Seq("tr", "n", "z"))
+    assert(ok.filter(Msg.errored).count() == 0)
+    assert(ok.select(Msg.ContentCol).as[String].collect().sorted.head == """{"z":1}""")
+    val bad = Subprocess.command(env, Seq("false"))
+    assert(bad.filter(Msg.errored).count() == 3)
+    // failed rows keep their content (reference error-facet contract)
+    assert(bad.select(Msg.ContentCol).as[String].collect().sorted.head == """{"n":1}""")
+  }
+
   test("batch policy: general assign matches window fast paths on single triggers") {
     import graft.operators.BatchPolicy
     val df = Seq(
