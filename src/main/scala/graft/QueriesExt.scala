@@ -127,6 +127,37 @@ object QueriesExt {
         graft.blob.Interpolate.column(tpl, col(graft.core.Msg.ContentCol)).as("rendered"))
     }),
 
+    // group_by with first-match routing + per-group sub-pipelines
+    // (processor_group_by.go:27): errors get flagged, big values get
+    // bucketed, the rest is dropped
+    "proc_group_by" -> ((s, dir) => {
+      import graft.core.{Flow, Processor}
+      Flow(t(s, dir, "events").select("event_id", "event_type", "value"))
+        .pipe(graft.operators.Processors.groupByChecks(Seq(
+          (col("event_type") === "error",
+            Processor("flag")(_.withColumn("grp", lit("err")).drop("value"))),
+          (col("value") > 100,
+            Processor("bucket")(_.withColumn("grp", lit("big"))
+              .withColumn("value", (floor(col("value") / 100) * 100).cast(DoubleType)))))))
+        .result.select("event_id", "event_type", "grp", "value")
+    }),
+
+    // schema_registry_encode/decode avro framing (impl/confluent/
+    // processor_schema_registry_{encode,decode}.go:269,235): magic byte +
+    // BE schema id + avro payload; decode resolves the embedded id
+    "codec_schema_registry" -> ((s, dir) => {
+      val schema = """{"type":"record","name":"r","fields":[
+        {"name":"o_orderkey","type":"long"},{"name":"o_orderstatus","type":"string"}]}"""
+      val enc = udf((j: String) => graft.functions.Formats.schemaRegistryEncode(j, 42, schema))
+      val dec = udf((b: Array[Byte]) => graft.functions.Formats.schemaRegistryDecode(b, Map(42 -> schema)))
+      t(s, dir, "orders")
+        .withColumn("framed", enc(to_json(struct(col("o_orderkey"), col("o_orderstatus")))))
+        .select(
+          get_json_object(dec(col("framed")), "$.o_orderkey").cast(LongType).as("o_orderkey"),
+          get_json_object(dec(col("framed")), "$.o_orderstatus").as("o_orderstatus"),
+          length(col("framed")).cast(LongType).as("framed_len"))
+    }),
+
     // jq processor subset (processor_jq.go:29): path + terminal filter,
     // compiled onto the Bloblang interpreter
     "proc_jq" -> ((s, dir) => t(s, dir, "events").select(
@@ -351,6 +382,19 @@ object QueriesExt {
       """SELECT event_id,
            'ev:' || upper(event_type) || '/u' || user_id || ' ${!literal}' AS rendered
          FROM events""",
+    "proc_group_by" ->
+      """SELECT event_id, event_type, 'err' AS grp, NULL::DOUBLE AS value
+         FROM events WHERE event_type = 'error'
+         UNION ALL
+         SELECT event_id, event_type, 'big' AS grp, floor(value / 100) * 100 AS value
+         FROM events WHERE event_type != 'error' AND value > 100""",
+    "codec_schema_registry" ->
+      """SELECT o_orderkey, o_orderstatus,
+           (5 + CASE WHEN o_orderkey < 64 THEN 1 WHEN o_orderkey < 8192 THEN 2
+                     WHEN o_orderkey < 1048576 THEN 3 WHEN o_orderkey < 134217728 THEN 4
+                     ELSE 5 END
+              + 1 + length(o_orderstatus))::BIGINT AS framed_len
+         FROM orders""",
     "proc_jq" ->
       """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k,
            '["k"]' AS ks, NULL::VARCHAR AS m

@@ -570,6 +570,20 @@ object Methods {
       case "ts_unix" => tsEpochMicros(t) / 1000000L
       case "ts_unix_milli" => tsEpochMicros(t) / 1000L
       case "ts_unix_micro" => tsEpochMicros(t)
+      // µs is the engine's native precision (Spark TimestampType); the
+      // nano variant scales it — sub-µs digits are zero by construction
+      case "ts_unix_nano" => tsEpochMicros(t) * 1000L
+
+      // `.parse_big_decimal(scale)` — Kafka Connect / Debezium decimal:
+      // two's-complement big-endian unscaled int → decimal string
+      case "parse_big_decimal" =>
+        val bytes = t match {
+          case b: VBytes => b.bytes
+          case s: String => s.getBytes("ISO-8859-1")
+          case other => err(s"parse_big_decimal on ${typeName(other)}")
+        }
+        val scale = argLong(0).toInt
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), scale).toPlainString
 
       case other => err(s"unknown method $other on ${typeName(t)}")
     }

@@ -152,6 +152,48 @@ object Formats {
     }
   }
 
+  // ===== Confluent schema-registry framing (impl/confluent/processor_
+  // schema_registry_{encode,decode}.go:269,235-244): 0x00 magic + 4-byte
+  // big-endian schema id + payload =====
+
+  def schemaRegistryFrame(payload: Array[Byte], schemaId: Int): Array[Byte] = {
+    if (payload == null) null else {
+      val out = new Array[Byte](payload.length + 5)
+      out(0) = 0
+      out(1) = (schemaId >>> 24).toByte; out(2) = (schemaId >>> 16).toByte
+      out(3) = (schemaId >>> 8).toByte; out(4) = schemaId.toByte
+      System.arraycopy(payload, 0, out, 5, payload.length)
+      out
+    }
+  }
+
+  /** Returns (schemaId, payload); malformed frames throw (the reference
+    * errors the message — callers route to the error facet). */
+  def schemaRegistryUnframe(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes != null && bytes.length > 4 && bytes(0) == 0,
+      "schema_registry: missing magic byte header")
+    val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+      ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+    (id, java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
+  }
+
+  /** `schema_registry_encode` for avro: JSON doc → framed avro binary.
+    * The registry client is config plumbing; the schema map stands in for
+    * its id→schema cache. */
+  def schemaRegistryEncode(jsonDoc: String, schemaId: Int, schemaJson: String): Array[Byte] =
+    schemaRegistryFrame(avroFromJson(jsonDoc, schemaJson), schemaId)
+
+  /** `schema_registry_decode` for avro: framed bytes → JSON doc, resolving
+    * the embedded id against the provided id→schema map. */
+  def schemaRegistryDecode(bytes: Array[Byte], schemas: Map[Int, String]): String = {
+    if (bytes == null) null else {
+      val (id, payload) = schemaRegistryUnframe(bytes)
+      val schema = schemas.getOrElse(id,
+        throw new IllegalArgumentException(s"schema_registry: unknown schema id $id"))
+      avroToJson(payload, schema)
+    }
+  }
+
   /** Register codec UDFs for spark.sql / call_udf use. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("blob_avro_encode",

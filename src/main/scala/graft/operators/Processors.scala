@@ -134,6 +134,23 @@ object Processors {
   def groupByValue(value: Column, as: String = "group_key"): Processor =
     Processor("group_by_value")(df => df.withColumn(as, value))
 
+  /** `group_by` (processor_group_by.go:27): route each row to the FIRST
+    * group whose check matches, run that group's processors, union the
+    * results. The group tag is computed once (single when/otherwise
+    * projection); rows matching no check are dropped, as in the
+    * reference's default. Schemas may diverge per group — the union is
+    * by name with nulls for missing columns. */
+  def groupByChecks(cases: Seq[(Column, Processor)]): Processor =
+    Processor("group_by") { df =>
+      val tag = cases.zipWithIndex.reverse.foldLeft(lit(-1)) {
+        case (acc, ((check, _), i)) => when(check, lit(i)).otherwise(acc)
+      }
+      val tagged = df.withColumn("_gb", tag)
+      cases.zipWithIndex.map { case ((_, proc), i) =>
+        proc(tagged.filter(col("_gb") === i).drop("_gb"))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
   /** `select_parts` (processor_select_parts.go:21): keep batch indexes. */
   def selectParts(indexes: Seq[Long], seqCol: Column = col(Msg.SeqCol)): Processor =
     Processor("select_parts")(df => df.filter(seqCol.isin(indexes: _*)))

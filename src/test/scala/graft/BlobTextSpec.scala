@@ -170,6 +170,16 @@ class BlobTextSpec extends AnyFunSuite {
     assert(y.contains("a: 1") && y.contains("- 2"))
   }
 
+  test("ts_unix_nano and parse_big_decimal (Kafka Connect decimal)") {
+    assert(run("""root.n = this.t.ts_parse("yyyy-MM-dd").ts_unix_nano()""",
+      """{"t":"2024-01-02"}""") == Some("""{"n":1704153600000000000}"""))
+    // reference doc examples: MDk= -> 123.45, /w== -> -0.01 at scale 2
+    assert(run("""root.a = this.amount.decode("base64").parse_big_decimal(2)""",
+      """{"amount":"MDk="}""") == Some("""{"a":"123.45"}"""))
+    assert(run("""root.a = this.amount.decode("base64").parse_big_decimal(2)""",
+      """{"amount":"/w=="}""") == Some("""{"a":"-0.01"}"""))
+  }
+
   test("interpolation: static/dynamic segments, methods, escape, nesting") {
     import graft.blob.Interpolate
     def r(tpl: String, content: String) = Interpolate.render(Interpolate.compile(tpl), content)

@@ -153,6 +153,20 @@ class CacheCodecSpec extends SparkSpec {
     assert(Formats.protoToJson(bytes, narrow) == """{"s":"ab"}""")
   }
 
+  test("schema registry framing: magic byte + BE id round-trip; malformed frames throw") {
+    import graft.functions.Formats
+    val schema = """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}"""
+    val framed = Formats.schemaRegistryEncode("""{"x":7}""", 1234567, schema)
+    assert(framed(0) == 0.toByte)
+    val (id, payload) = Formats.schemaRegistryUnframe(framed)
+    assert(id == 1234567 && payload.toSeq == Formats.avroFromJson("""{"x":7}""", schema).toSeq)
+    assert(Formats.schemaRegistryDecode(framed, Map(1234567 -> schema)) == """{"x":7}""")
+    intercept[IllegalArgumentException](
+      Formats.schemaRegistryDecode(framed, Map(1 -> schema))) // unknown id
+    intercept[IllegalArgumentException](
+      Formats.schemaRegistryUnframe("nope".getBytes)) // no magic byte
+  }
+
   test("compression codecs round-trip unicode and empty payloads") {
     for (codec <- Seq(
         (Codecs.zstdCompress, Codecs.zstdDecompress),
