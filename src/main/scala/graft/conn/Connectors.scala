@@ -75,6 +75,25 @@ object Sources {
       .select(explode(expr(
         s"""regexp_extract_all(whole, '(?s)<$tag[\\\\s>].*?</$tag>', 0)""")).as("content"))
 
+  /** `avro` scanner (scanner_avro.go): Avro Object Container Files →
+    * one JSON document per record. binaryFile frames the file; the OCF
+    * blocks (header, codec, sync markers) are decoded per partition with
+    * the file's own embedded writer schema. */
+  def avroScanner(spark: SparkSession, path: String): DataFrame = {
+    val read = udf { (bytes: Array[Byte]) =>
+      val in = new org.apache.avro.file.SeekableByteArrayInput(bytes)
+      val reader = new org.apache.avro.file.DataFileReader(
+        in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try {
+        val out = Vector.newBuilder[String]
+        while (reader.hasNext) out += reader.next().toString // Avro JSON encoding
+        out.result()
+      } finally reader.close()
+    }
+    spark.read.format("binaryFile").load(path)
+      .select(explode(read(col("content"))).as("content"))
+  }
+
   /** `switch` scanner (scanner_switch.go): route each FILE to a scanner by
     * a predicate over its path — resolved at plan time per glob, unioned. */
   def switchScanner(spark: SparkSession,

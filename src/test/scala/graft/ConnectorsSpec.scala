@@ -78,6 +78,21 @@ class ConnectorsSpec extends SparkSpec {
       .select("content").as[String].collect().head
     assert(inflated == "packed\npayload")
 
+    // avro scanner: write an OCF with the avro lib, read via the scanner
+    val da = tmpDir("avro")
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}""")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(da, "data.avro"))
+    for (i <- 1 to 3) {
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("x", i.toLong); w.append(rec)
+    }
+    w.close()
+    val av = Sources.avroScanner(spark, da.getPath).as[String].collect().sorted.toSeq
+    assert(av == Seq("""{"x": 1}""", """{"x": 2}""", """{"x": 3}"""))
+
     // switch scanner: per-glob scanner choice, unioned
     val sw = Sources.switchScanner(spark, Seq(
       "*.txt" -> (s => Sources.lines(s, d.getPath)),
