@@ -138,7 +138,9 @@ object QueriesBlob {
         rt("zstd").as("rt_zstd"),
         rt("lz4").as("rt_lz4"),
         rt("snappy").as("rt_snappy"),
-        rt("flate").as("rt_flate"))
+        rt("flate").as("rt_flate"),
+        rt("zlib").as("rt_zlib"),
+        rt("bzip2").as("rt_bzip2"))
     }),
 
     // batch-positional functions: from_all().sum(), batch_size, from(0)
@@ -244,7 +246,8 @@ object QueriesBlob {
          FROM part""",
     "blob_compress" ->
       """SELECT doc_id, md5(text) AS rt_gzip, md5(text) AS rt_zstd,
-           md5(text) AS rt_lz4, md5(text) AS rt_snappy, md5(text) AS rt_flate
+           md5(text) AS rt_lz4, md5(text) AS rt_snappy, md5(text) AS rt_flate,
+           md5(text) AS rt_zlib, md5(text) AS rt_bzip2
          FROM documents""",
     "blob_from_all" ->
       """SELECT event_id,

@@ -292,20 +292,26 @@ object Methods {
         case "z85" => VBytes(graft.functions.Codecs.z85Decode(toStr(t)))
         case s => err(s"unknown encoding $s")
       }
+      // full reference codec set (algorithms.go): pgzip is gzip's wire
+      // format behind a parallel encoder — one codec here
       case "compress" => argStr(0) match {
-        case "gzip" => VBytes(graft.functions.Udfs.gzipCompress(rawBytes(t)))
+        case "gzip" | "pgzip" => VBytes(graft.functions.Udfs.gzipCompress(rawBytes(t)))
         case "zstd" => VBytes(graft.functions.Codecs.zstdCompress(rawBytes(t)))
         case "lz4" => VBytes(graft.functions.Codecs.lz4Compress(rawBytes(t)))
         case "snappy" => VBytes(graft.functions.Codecs.snappyCompress(rawBytes(t)))
         case "flate" => VBytes(graft.functions.Codecs.flateCompress(rawBytes(t)))
+        case "zlib" => VBytes(graft.functions.Codecs.zlibCompress(rawBytes(t)))
+        case "bzip2" => VBytes(graft.functions.Codecs.bzip2Compress(rawBytes(t)))
         case s => err(s"unknown compression $s")
       }
       case "decompress" => argStr(0) match {
-        case "gzip" => VBytes(graft.functions.Udfs.gzipDecompress(rawBytes(t)))
+        case "gzip" | "pgzip" => VBytes(graft.functions.Udfs.gzipDecompress(rawBytes(t)))
         case "zstd" => VBytes(graft.functions.Codecs.zstdDecompress(rawBytes(t)))
         case "lz4" => VBytes(graft.functions.Codecs.lz4Decompress(rawBytes(t)))
         case "snappy" => VBytes(graft.functions.Codecs.snappyDecompress(rawBytes(t)))
         case "flate" => VBytes(graft.functions.Codecs.flateDecompress(rawBytes(t)))
+        case "zlib" => VBytes(graft.functions.Codecs.zlibDecompress(rawBytes(t)))
+        case "bzip2" => VBytes(graft.functions.Codecs.bzip2Decompress(rawBytes(t)))
         case s => err(s"unknown compression $s")
       }
       case "parse_yaml" => parseJsonTyped(graft.functions.Codecs.yamlToJson(toStr(t)))

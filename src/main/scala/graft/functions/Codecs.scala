@@ -58,23 +58,44 @@ object Codecs {
   val snappyDecompress: Array[Byte] => Array[Byte] = in =>
     if (in == null) null else org.xerial.snappy.Snappy.uncompress(in)
 
-  val flateCompress: Array[Byte] => Array[Byte] = in =>
+  // Go's `flate` is RAW deflate (nowrap); `zlib` adds the RFC-1950 wrapper
+  // — two distinct codecs in the reference (algorithms.go)
+  private def deflateWith(raw: Boolean): Array[Byte] => Array[Byte] = in =>
     if (in == null) null else {
-      val d = new java.util.zip.Deflater()
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
       d.setInput(in); d.finish()
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       while (!d.finished()) out.write(buf, 0, d.deflate(buf))
       d.end(); out.toByteArray
     }
-  val flateDecompress: Array[Byte] => Array[Byte] = in =>
+  private def inflateWith(raw: Boolean): Array[Byte] => Array[Byte] = in =>
     if (in == null) null else {
-      val inf = new java.util.zip.Inflater()
+      val inf = new java.util.zip.Inflater(raw)
       inf.setInput(in)
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
       inf.end(); out.toByteArray
+    }
+  val flateCompress: Array[Byte] => Array[Byte] = deflateWith(raw = true)
+  val flateDecompress: Array[Byte] => Array[Byte] = inflateWith(raw = true)
+  val zlibCompress: Array[Byte] => Array[Byte] = deflateWith(raw = false)
+  val zlibDecompress: Array[Byte] => Array[Byte] = inflateWith(raw = false)
+
+  /** bzip2 via commons-compress (ships with Spark). */
+  val bzip2Compress: Array[Byte] => Array[Byte] = in =>
+    if (in == null) null else {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(out)
+      z.write(in); z.close()
+      out.toByteArray
+    }
+  val bzip2Decompress: Array[Byte] => Array[Byte] = in =>
+    if (in == null) null else {
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new java.io.ByteArrayInputStream(in))
+      try drain(z) finally z.close()
     }
 
   // ===== MessagePack (subset: nil/bool/long/double/string/array/map) =========
@@ -345,6 +366,10 @@ object Codecs {
     spark.udf.register("blob_decompress_snappy", udf(snappyDecompress))
     spark.udf.register("blob_compress_flate", udf(flateCompress))
     spark.udf.register("blob_decompress_flate", udf(flateDecompress))
+    spark.udf.register("blob_compress_zlib", udf(zlibCompress))
+    spark.udf.register("blob_decompress_zlib", udf(zlibDecompress))
+    spark.udf.register("blob_compress_bzip2", udf(bzip2Compress))
+    spark.udf.register("blob_decompress_bzip2", udf(bzip2Decompress))
     spark.udf.register("blob_format_msgpack", udf(jsonToMsgpack))
     spark.udf.register("blob_parse_msgpack", udf(msgpackToJson))
     spark.udf.register("blob_parse_yaml", udf(yamlToJson))

@@ -169,6 +169,8 @@ class CacheCodecSpec extends SparkSpec {
 
   test("compression codecs round-trip unicode and empty payloads") {
     for (codec <- Seq(
+        (Codecs.zlibCompress, Codecs.zlibDecompress),
+        (Codecs.bzip2Compress, Codecs.bzip2Decompress),
         (Codecs.zstdCompress, Codecs.zstdDecompress),
         (Codecs.lz4Compress, Codecs.lz4Decompress),
         (Codecs.snappyCompress, Codecs.snappyDecompress),
