@@ -110,6 +110,23 @@ object Interpolate {
     }
   }
 
+  /** Like [[column]] but with the envelope's metadata map in scope, so
+    * `${! meta("key") }` resolves — the dominant template shape in
+    * reference configs (topic/path routing by metadata). */
+  def columnWithMeta(template: String, content: Column, metaCol: Column,
+                     env: Map[String, String] = Map.empty): Column = {
+    val segs = compile(template)
+    if (segs.forall(_.isInstanceOf[Static]))
+      lit(segs.collect { case Static(s) => s }.mkString)
+    else {
+      val u = udf { (c: String, m: Map[String, String]) =>
+        if (c == null) null
+        else render(segs, c, if (m == null) Map.empty[String, String] else m, env)
+      }
+      u(content, metaCol)
+    }
+  }
+
   /** `template`-shaped processor: render the interpolated template as the
     * new content (reference template rendering semantics; a render error
     * lands in the error facet instead of failing the job). */

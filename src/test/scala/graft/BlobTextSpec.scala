@@ -209,5 +209,11 @@ class BlobTextSpec extends AnyFunSuite {
         "${! json(\"s\").uppercase() }-${! json(\"n\") }", col(Msg.ContentCol)).as("r"))
       .as[String].collect().sorted
     assert(out.toSeq == Seq("A-1", "B-2"))
+    // meta() resolves against the envelope's metadata map
+    val withMeta = Msg.setMeta(df, "topic", concat(lit("t-"), get_json_object(col(Msg.ContentCol), "$.s")))
+    val routed = withMeta.select(Interpolate.columnWithMeta(
+        "out/${! meta(\"topic\") }", col(Msg.ContentCol), col(Msg.MetaCol)).as("r"))
+      .as[String].collect().sorted
+    assert(routed.toSeq == Seq("out/t-a", "out/t-b"))
   }
 }
