@@ -208,6 +208,32 @@ object Methods {
         val s = toStr(t)
         val i = s.lastIndexOf('/')
         if (i < 0) Vector("", s) else Vector(s.substring(0, i + 1), s.substring(i + 1))
+      // `.format_xml(indent?)` — impl/xml/bloblang.go:60-89: object keys
+      // become tags; pretty-printed, 4-space indent by default
+      case "format_xml" =>
+        val indent = if (args.isEmpty) "    " else argStr(0)
+        val sb = new StringBuilder
+        def emit(tag: String, v: Any, depth: Int): Unit = {
+          val pad = indent * depth
+          v match {
+            case m: VectorMap[String @unchecked, Any @unchecked] =>
+              sb.append(pad).append('<').append(tag).append(">\n")
+              m.foreach { case (k, mv) => emit(k, mv, depth + 1) }
+              sb.append(pad).append("</").append(tag).append(">\n")
+            case a: Vector[Any @unchecked] => // repeated sibling elements
+              a.foreach(e => emit(tag, e, depth))
+            case leaf =>
+              sb.append(pad).append('<').append(tag).append('>')
+                .append(toStr(leaf).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
+                .append("</").append(tag).append(">\n")
+          }
+        }
+        t match {
+          case m: VectorMap[String @unchecked, Any @unchecked] =>
+            m.foreach { case (k, v) => emit(k, v, 0) }
+          case other => err(s"format_xml on ${typeName(other)}")
+        }
+        sb.toString.stripLineEnd
       // `.format_yaml()` — snakeyaml emit (reference format_yaml)
       case "format_yaml" =>
         def toJava(v: Any): Any = v match {

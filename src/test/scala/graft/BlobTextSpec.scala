@@ -170,6 +170,18 @@ class BlobTextSpec extends AnyFunSuite {
     assert(y.contains("a: 1") && y.contains("- 2"))
   }
 
+  test("format_xml matches the reference doc example") {
+    // impl/xml/bloblang.go:66-84 examples, 4-space default + custom indent
+    val out = run("""root = this.format_xml()""",
+      """{"foo":{"bar":{"baz":"foo bar baz"}}}""").get
+    assert(out == "<foo>\n    <bar>\n        <baz>foo bar baz</baz>\n    </bar>\n</foo>")
+    val two = run("""root = this.format_xml("  ")""",
+      """{"foo":{"bar":{"baz":"x"}}}""").get
+    assert(two == "<foo>\n  <bar>\n    <baz>x</baz>\n  </bar>\n</foo>")
+    assert(run("""root = {"a":["x","<y>"]}.format_xml("")""", "{}").get ==
+      "<a>x</a>\n<a>&lt;y&gt;</a>")
+  }
+
   test("ts_unix_nano and parse_big_decimal (Kafka Connect decimal)") {
     assert(run("""root.n = this.t.ts_parse("yyyy-MM-dd").ts_unix_nano()""",
       """{"t":"2024-01-02"}""") == Some("""{"n":1704153600000000000}"""))

@@ -30,6 +30,36 @@ class CryptoArchiveSpec extends SparkSpec {
     }
   }
 
+  test("jwt RS/ES: sign with PEM private key, verify with public; wrong key rejected") {
+    def pem(label: String, der: Array[Byte]): String =
+      s"-----BEGIN $label-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
+        s"\n-----END $label-----\n"
+    val rsaGen = java.security.KeyPairGenerator.getInstance("RSA")
+    rsaGen.initialize(2048)
+    val rsa = rsaGen.generateKeyPair()
+    val rsa2 = rsaGen.generateKeyPair()
+    val claims = """{"sub":"u1","scope":"read"}"""
+    for (alg <- Seq("RS256", "RS384", "RS512")) {
+      val tok = Crypto.signJwtPk(alg)(claims, pem("PRIVATE KEY", rsa.getPrivate.getEncoded))
+      assert(Crypto.parseJwtPk(alg)(tok, pem("PUBLIC KEY", rsa.getPublic.getEncoded)) == claims)
+      assert(Crypto.parseJwtPk(alg)(tok, pem("PUBLIC KEY", rsa2.getPublic.getEncoded)) == null)
+    }
+    for ((alg, curve) <- Seq("ES256" -> "secp256r1", "ES384" -> "secp384r1", "ES512" -> "secp521r1")) {
+      val ecGen = java.security.KeyPairGenerator.getInstance("EC")
+      ecGen.initialize(new java.security.spec.ECGenParameterSpec(curve))
+      val ec = ecGen.generateKeyPair()
+      val tok = Crypto.signJwtPk(alg)(claims, pem("PRIVATE KEY", ec.getPrivate.getEncoded))
+      // ES signature must be raw R||S of exactly 2*fieldLen bytes (RFC 7518)
+      val sigLen = java.util.Base64.getUrlDecoder.decode(tok.split('.')(2)).length
+      val expect = alg match { case "ES256" => 64; case "ES384" => 96; case _ => 132 }
+      assert(sigLen == expect, s"$alg signature length $sigLen")
+      assert(Crypto.parseJwtPk(alg)(tok, pem("PUBLIC KEY", ec.getPublic.getEncoded)) == claims)
+      val tampered = tok.dropRight(4) + "AAAA"
+      assert(Crypto.parseJwtPk(alg)(tampered, pem("PUBLIC KEY", ec.getPublic.getEncoded)) == null)
+    }
+  }
+
   test("ulid/ksuid/snowflake have correct shape and are time-sortable") {
     val u1 = Crypto.ulid(); Thread.sleep(2); val u2 = Crypto.ulid()
     assert(u1.length == 26 && u1.matches("[0-9A-HJKMNP-TV-Z]{26}"))
