@@ -127,6 +127,26 @@ object QueriesExt {
         graft.blob.Interpolate.column(tpl, col(graft.core.Msg.ContentCol)).as("rendered"))
     }),
 
+    // YAML pipeline-config frontend (`bento -c config.yaml` shape,
+    // SURVEY §3.1): the whole pipeline below is declared as config TEXT
+    // and compiles to one Catalyst plan
+    "config_pipeline" -> ((s, dir) => {
+      val cfg = s"""
+input:
+  parquet:
+    path: $dir/orders.parquet
+pipeline:
+  processors:
+    - mapping: |
+        root.okey = this.o_orderkey
+        root.flag = this.o_orderstatus.lowercase()
+        root = if this.o_totalprice < 100000 { deleted() }
+"""
+      graft.conn.PipelineConfig.load(cfg).frame(s).select(
+        get_json_object(col(graft.core.Msg.ContentCol), "$.okey").cast(LongType).as("okey"),
+        get_json_object(col(graft.core.Msg.ContentCol), "$.flag").as("flag"))
+    }),
+
     // group_by with first-match routing + per-group sub-pipelines
     // (processor_group_by.go:27): errors get flagged, big values get
     // bucketed, the rest is dropped
@@ -382,6 +402,9 @@ object QueriesExt {
       """SELECT event_id,
            'ev:' || upper(event_type) || '/u' || user_id || ' ${!literal}' AS rendered
          FROM events""",
+    "config_pipeline" ->
+      """SELECT o_orderkey AS okey, lower(o_orderstatus) AS flag
+         FROM orders WHERE o_totalprice >= 100000""",
     "proc_group_by" ->
       """SELECT event_id, event_type, 'err' AS grp, NULL::DOUBLE AS value
          FROM events WHERE event_type = 'error'

@@ -1,0 +1,181 @@
+package graft.conn
+
+import graft.blob.{BloblangUdf, Interpolate}
+import graft.core.{Msg, Processor}
+import graft.operators.{Jq, Processors, Subprocess}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** YAML pipeline-config frontend — the reference's primary entry point
+  * (`bento -c config.yaml`; lifecycle internal/cli + config/lint,
+  * SURVEY §3.1): `input → pipeline.processors → output` parsed into a
+  * lazy Flow over the Msg envelope. The whole config compiles to ONE
+  * Catalyst plan: processors are plan fragments, so pushdown and codegen
+  * cross config-section boundaries exactly as they do in the Scala DSL.
+  *
+  * Supported components (the pure core; connector-specific inputs map to
+  * the same envelope via the Sources/Outputs wiring):
+  *  - input: `file` (scanner: lines|csv|json_documents), `parquet`
+  *    (native extension), `generate` (count + mapping), `broker` (inputs)
+  *  - processors: mapping, mutation, bloblang, jq, dedupe (interpolated
+  *    key), bounds_check, select_parts, split, compress, decompress,
+  *    subprocess, template (interpolation), noop
+  *  - output: `file` (path; lines codec), `parquet` (path), `drop`
+  */
+object PipelineConfig {
+
+  final case class Loaded(input: SparkSession => DataFrame,
+                          processors: Seq[Processor],
+                          output: Option[DataFrame => Unit]) {
+    /** Build the full plan (input → processors) without running output. */
+    def frame(spark: SparkSession): DataFrame =
+      processors.foldLeft(input(spark))((df, p) => p(df))
+    /** Run end-to-end: returns the final frame after any output write. */
+    def run(spark: SparkSession): DataFrame = {
+      val df = frame(spark)
+      output.foreach(_(df))
+      df
+    }
+  }
+
+  def load(yaml: String): Loaded = {
+    val doc = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](yaml)
+    require(doc != null && doc.containsKey("input"), "config: missing input section")
+    val input = parseInput(section(doc.get("input")))
+    val procs = Option(doc.get("pipeline")).map(section).toSeq
+      .flatMap(p => Option(p.get("processors")).toSeq)
+      .flatMap(_.asInstanceOf[java.util.List[_]].asScala)
+      .map(p => parseProcessor(section(p)))
+    val output = Option(doc.get("output")).map(o => parseOutput(section(o)))
+    Loaded(input, procs, output)
+  }
+
+  private def section(v: Any): java.util.Map[String, Any] =
+    v.asInstanceOf[java.util.Map[String, Any]]
+  private def one(m: java.util.Map[String, Any]): (String, java.util.Map[String, Any]) = {
+    val keys = m.keySet().asScala.toSeq
+    require(keys.size == 1, s"config: expected one component key, got $keys")
+    m.get(keys.head) match {
+      // scalar-valued components (mapping: |, template: |) carry their
+      // config as the value itself; callers read it off the outer map
+      case mm: java.util.Map[_, _] => (keys.head, mm.asInstanceOf[java.util.Map[String, Any]])
+      case _ => (keys.head, new java.util.HashMap[String, Any]())
+    }
+  }
+  private def str(m: java.util.Map[String, Any], k: String): String =
+    String.valueOf(m.get(k))
+
+  private def parseInput(m: java.util.Map[String, Any]): SparkSession => DataFrame = {
+    val (kind, conf) = one(m)
+    kind match {
+      case "file" =>
+        val path = conf.get("paths") match {
+          case l: java.util.List[_] => l.asScala.map(String.valueOf).mkString(",")
+          case s => String.valueOf(s)
+        }
+        val scanner = Option(conf.get("scanner")).map(s => one(section(s))._1).getOrElse("lines")
+        spark => scanner match {
+          case "lines" => rawEnvelope(Sources.lines(spark, path))
+          case "json_documents" =>
+            Msg.envelope(Sources.jsonDocuments(spark, path))
+          case "csv" => Msg.envelope(Sources.csv(spark, path))
+          case other => throw new IllegalArgumentException(s"config: scanner $other")
+        }
+      case "parquet" =>
+        val path = str(conf, "path")
+        spark => Msg.envelope(spark.read.parquet(path))
+      case "generate" =>
+        val count = str(conf, "count").toLong
+        val mapping = str(conf, "mapping")
+        spark => {
+          val base = Msg.envelope(spark.range(count).toDF("seq_id"))
+          BloblangUdf.mappingProcessor(mapping)(base)
+        }
+      case "broker" =>
+        val inputs = conf.get("inputs").asInstanceOf[java.util.List[_]].asScala
+          .map(i => parseInput(section(i))).toSeq
+        spark => inputs.map(_(spark)).reduce(_ unionByName _)
+      case other => throw new IllegalArgumentException(s"config: input $other")
+    }
+  }
+
+  /** Raw-content envelope: the line IS the content (file input contract —
+    * the reference's message body is the raw bytes, not a JSON wrapper). */
+  private def rawEnvelope(lines: DataFrame): DataFrame =
+    lines.select(
+      col(lines.columns.head).cast("string").as(Msg.ContentCol),
+      map().cast("map<string,string>").as(Msg.MetaCol),
+      lit(null).cast("string").as(Msg.ErrorCol),
+      monotonically_increasing_id().as(Msg.SeqCol))
+
+  private def parseProcessor(m: java.util.Map[String, Any]): Processor = {
+    val (kind, conf) = one(m)
+    kind match {
+      case "mapping" | "bloblang" =>
+        BloblangUdf.mappingProcessor(m.get(kind).asInstanceOf[String])
+      case "mutation" =>
+        // mutation = mapping whose root starts as `this`
+        val parsed = graft.blob.Bloblang.parse(m.get(kind).asInstanceOf[String])
+        val withThis = parsed.copy(stmts =
+          graft.blob.Bloblang.AssignRoot(Vector.empty, graft.blob.Bloblang.This) +: parsed.stmts)
+        mutationProcessor(withThis)
+      case "jq" => Jq.processor(str(conf, "query"))
+      case "dedupe" =>
+        val keyTpl = str(conf, "key")
+        Processor("dedupe") { df =>
+          df.withColumn("_dk", Interpolate.columnWithMeta(keyTpl, col(Msg.ContentCol), col(Msg.MetaCol)))
+            .transform(d => Processors.dedupe(Seq(col("_dk")), col(Msg.SeqCol))(d))
+            .drop("_dk")
+        }
+      case "bounds_check" =>
+        val minP = Option(conf.get("min_part_size")).map(String.valueOf(_).toInt).getOrElse(1)
+        val maxP = Option(conf.get("max_part_size")).map(String.valueOf(_).toInt).getOrElse(1 << 30)
+        Processors.boundsCheck(col(Msg.ContentCol), minP, maxP)
+      case "select_parts" =>
+        val parts = conf.get("parts").asInstanceOf[java.util.List[_]].asScala
+          .map(String.valueOf(_).toLong).toSeq
+        Processors.selectParts(parts)
+      case "split" => Processors.split(str(conf, "size").toInt)
+      case "compress" =>
+        val f = call_udf(s"blob_compress_${str(conf, "algorithm")}", col(Msg.ContentCol).cast("binary"))
+        Processor("compress")(_.withColumn(Msg.ContentCol, base64(f)))
+      case "decompress" =>
+        val f = call_udf(s"blob_decompress_${str(conf, "algorithm")}", unbase64(col(Msg.ContentCol)))
+        Processor("decompress")(_.withColumn(Msg.ContentCol, f.cast("string")))
+      case "subprocess" =>
+        val name = str(conf, "name")
+        val args = Option(conf.get("args")).map(_.asInstanceOf[java.util.List[_]]
+          .asScala.map(String.valueOf).toSeq).getOrElse(Nil)
+        Processor("subprocess")(df => Subprocess.pipe(df, name +: args))
+      case "template" =>
+        Interpolate.templateProcessor(m.get(kind).asInstanceOf[String])
+      case "noop" => Processor.noop
+      case other => throw new IllegalArgumentException(s"config: processor $other")
+    }
+  }
+
+  private def mutationProcessor(prog: graft.blob.Bloblang.Mapping): Processor = {
+    val f = udf { (content: String) =>
+      if (content == null) null
+      else try graft.blob.Interp.run(prog, content).orNull
+      catch { case _: graft.blob.Bloblang.BlobError => content }
+    }
+    Processor("mutation")(df => df.withColumn(Msg.ContentCol, f(col(Msg.ContentCol)))
+      .filter(col(Msg.ContentCol).isNotNull))
+  }
+
+  private def parseOutput(m: java.util.Map[String, Any]): DataFrame => Unit = {
+    val (kind, conf) = one(m)
+    kind match {
+      case "file" =>
+        val path = str(conf, "path")
+        df => df.select(col(Msg.ContentCol)).write.mode("overwrite").text(path)
+      case "parquet" =>
+        val path = str(conf, "path")
+        df => df.write.mode("overwrite").parquet(path)
+      case "drop" => _ => ()
+      case other => throw new IllegalArgumentException(s"config: output $other")
+    }
+  }
+}

@@ -100,6 +100,58 @@ class ConnectorsSpec extends SparkSpec {
     assert(sw.count() == 4 + 2)
   }
 
+  test("YAML pipeline config: file input -> mapping/jq/dedupe -> file output end-to-end") {
+    import graft.conn.PipelineConfig
+    val in = tmpDir("cfgin")
+    val out = tmpDir("cfgout")
+    write(new java.io.File(in, "data.jsonl"),
+      """{"user":"a","n":1}
+        |{"user":"b","n":2}
+        |{"user":"a","n":3}
+        |{"user":"c","n":60}""".stripMargin)
+    val cfg = s"""
+input:
+  file:
+    paths: [ ${in.getPath}/*.jsonl ]
+    scanner:
+      lines: {}
+pipeline:
+  processors:
+    - mapping: |
+        root.user = this.user
+        root.score = this.n * 10
+        root = if this.n > 50 { deleted() }
+    - dedupe:
+        key: "$${! json(\\"user\\") }"
+output:
+  file:
+    path: ${out.getPath}/result
+"""
+    val loaded = PipelineConfig.load(cfg)
+    val df = loaded.run(spark)
+    // deleted() dropped n=60; dedupe kept first message per user
+    val got = spark.read.text(out.getPath + "/result").as[String].collect()
+      .map(s => graft.blob.Interp.parseJsonTyped(s).asInstanceOf[Map[String, Any]])
+      .map(m => m("user").toString -> m("score")).toMap
+    assert(got == Map("a" -> 10L, "b" -> 20L))
+    assert(df.columns.contains(Msg.ContentCol)) // envelope survives the run
+
+    // generate input + jq + template compose the same way
+    val cfg2 = """
+input:
+  generate:
+    count: 3
+    mapping: 'root.v = this.seq_id.number() + 1'
+pipeline:
+  processors:
+    - jq:
+        query: ".v"
+"""
+    val vals = PipelineConfig.load(cfg2).run(spark)
+      .select(Msg.ContentCol).as[String].collect().sorted.toSeq
+    assert(vals == Seq("1", "2", "3"))
+  }
+
   test("output switch routes rows to first matching sink; default gets rest") {
     val (hi, mid, rest) = (collector(), collector(), collector())
     val df = Seq(500, 50, 5).toDF("n")
