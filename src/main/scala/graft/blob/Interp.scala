@@ -39,7 +39,10 @@ object Interp {
     m.stmts.foreach(exec(_, ctx))
     ctx.root match {
       case VDelete => None
-      case VNothing => Some(marshal(VectorMap.empty[String, Any]))
+      // root never assigned (e.g. `root = match {...}` with no matching
+      // case): the message passes through UNCHANGED — reference
+      // nothing-assignment semantics (mapping/executor.go)
+      case VNothing => Some(content)
       case v => Some(marshal(v))
     }
   }
@@ -62,7 +65,7 @@ object Interp {
       m.stmts.foreach(exec(_, ctx))
       ctx.root match {
         case VDelete => None
-        case VNothing => Some(marshal(VectorMap.empty[String, Any]))
+        case VNothing => Some(c) // unassigned root: passthrough
         case v => Some(marshal(v))
       }
     }
@@ -90,7 +93,7 @@ object Interp {
     }
     val out = ctx.root match {
       case VDelete => None
-      case VNothing => Some(marshal(VectorMap.empty[String, Any]))
+      case VNothing => Some(content) // unassigned root: passthrough
       case v => Some(marshal(v))
     }
     (out, outMeta)

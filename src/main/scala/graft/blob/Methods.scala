@@ -276,7 +276,10 @@ object Methods {
         Vector.from(argStr(0).r.findAllMatchIn(toStr(t)).map(m =>
           Vector.tabulate(m.groupCount + 1)(g => Option(m.group(g)).getOrElse(""): Any)).toSeq)
       case "format" =>
-        String.format(toStr(t), args.map(a => Interp.eval(a, ctx) match {
+        // Go fmt verbs: %v = default-format any value → Java %s
+        val jfmt = toStr(t).replace("%%", "\u0000")
+          .replace("%v", "%s").replace("\u0000", "%%")
+        String.format(jfmt, args.map(a => Interp.eval(a, ctx) match {
           case l: Long => java.lang.Long.valueOf(l)
           case d: Double => java.lang.Double.valueOf(d)
           case b: Boolean => java.lang.Boolean.valueOf(b)

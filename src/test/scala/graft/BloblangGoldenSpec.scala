@@ -12,7 +12,10 @@ import scala.jdk.CollectionConverters._
   */
 class BloblangGoldenSpec extends AnyFunSuite {
 
-  private val corpusDir = new java.io.File("/root/reference/config/test/bloblang")
+  private val corpusDirs = Seq(
+    new java.io.File("/root/reference/config/test/bloblang"),
+    new java.io.File("/root/reference/config/test"),
+    new java.io.File("/root/reference/config/test/cookbooks"))
   private val yaml = new org.yaml.snakeyaml.Yaml()
 
   private def anyRef(v: Any): Any = v // readability alias
@@ -36,20 +39,37 @@ class BloblangGoldenSpec extends AnyFunSuite {
         Option(testCase.get("target_processors")).map(_.toString).flatMap { tp =>
           val (doc, pointer) =
             if (tp.startsWith("/")) (selfDoc, tp)
-            else {
+            else if (tp.contains("#")) {
               val Array(relF, ptr) = tp.split("#", 2)
               (loadYaml(new java.io.File(selfFile.getParentFile, relF)), ptr)
-            }
-          val node = pointer.stripPrefix("/").split("/").foldLeft(anyRef(doc)) {
+            } else return None // unsupported pointer form
+          def resolve(in: Any): Any = pointer.stripPrefix("/").split("/").foldLeft(in) {
             case (m: java.util.Map[_, _], seg) => m.asInstanceOf[java.util.Map[String, Any]].get(seg)
             case (l: java.util.List[_], seg) => l.get(seg.toInt)
             case _ => null
+          }
+          // `X_bento_test.yaml` tests target the sibling config `X.yaml`
+          // (reference test runner pairing, internal/cli/test/) when the
+          // pointer doesn't resolve in the test file itself
+          val node = resolve(doc) match {
+            case null if selfFile.getName.endsWith("_bento_test.yaml") =>
+              val sibling = new java.io.File(selfFile.getParentFile,
+                selfFile.getName.stripSuffix("_bento_test.yaml") + ".yaml")
+              if (sibling.exists()) resolve(loadYaml(sibling)) else null
+            case n => n
           }
           def asProc(o: Any): Option[java.util.Map[String, Any]] = o match {
             case p: java.util.Map[_, _] => Some(p.asInstanceOf[java.util.Map[String, Any]])
             case _ => None
           }
           node match {
+            // pointer straight at ONE processor (e.g. /pipeline/processors/0)
+            case p: java.util.Map[_, _] =>
+              val pm = p.asInstanceOf[java.util.Map[String, Any]]
+              Option(pm.get("bloblang")).orElse(Option(pm.get("mapping")))
+                .map(s => Pipeline(s.toString, mutation = false, unarchive = false))
+                .orElse(Option(pm.get("mutation"))
+                  .map(s => Pipeline(s.toString, mutation = true, unarchive = false)))
             case procs: java.util.List[_] if procs.size >= 1 =>
               asProc(procs.get(0)).flatMap { pm =>
                 val srcOpt = Option(pm.get("bloblang")).orElse(Option(pm.get("mapping")))
@@ -78,7 +98,8 @@ class BloblangGoldenSpec extends AnyFunSuite {
   private def runCorpus(): (Int, Int, Int, Seq[String]) = {
     var (passed, failed, skipped) = (0, 0, 0)
     val failures = Seq.newBuilder[String]
-    val files = corpusDir.listFiles().filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
+    val files = corpusDirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
     for (f <- files) {
       val doc = try loadYaml(f) catch { case _: Exception => null }
       val tests = if (doc == null) null else doc.get("tests")
@@ -116,7 +137,17 @@ class BloblangGoldenSpec extends AnyFunSuite {
                           .writeValueAsString(in.get("json_content"))
                       else String.valueOf(in.get("content"))
                     }.toSeq
-                    val mapped = Interp.runBatch(prog, contents, env).flatten
+                    val metas = inputs.map(in => Option(in.get("metadata"))
+                      .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
+                        .map { case (k, v) => k -> String.valueOf(v) }.toMap)
+                      .getOrElse(Map.empty[String, String])).toSeq
+                    // metadata is per-message: run individually when any
+                    // input carries it (batch functions don't, in these cases)
+                    val mapped =
+                      if (metas.forall(_.isEmpty)) Interp.runBatch(prog, contents, env).flatten
+                      else contents.zip(metas).flatMap { case (c, m) =>
+                        Interp.run(prog, c, m, env)
+                      }
                     val outs =
                       if (!pipe.unarchive) mapped
                       else mapped.flatMap { out =>
