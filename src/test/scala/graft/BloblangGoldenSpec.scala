@@ -36,7 +36,10 @@ class BloblangGoldenSpec extends AnyFunSuite {
         val f = new java.io.File(selfFile.getParentFile, rel)
         Some(Pipeline(java.nio.file.Files.readString(f.toPath), mutation = false, unarchive = false))
       case None =>
-        Option(testCase.get("target_processors")).map(_.toString).flatMap { tp =>
+        // no target at all defaults to the config's own pipeline
+        // (reference test runner default, internal/cli/test/)
+        Option(testCase.get("target_processors")).map(_.toString)
+          .orElse(Some("/pipeline/processors")).flatMap { tp =>
           val (doc, pointer) =
             if (tp.startsWith("/")) (selfDoc, tp)
             else if (tp.contains("#")) {
@@ -116,16 +119,25 @@ class BloblangGoldenSpec extends AnyFunSuite {
                     .map { case (k, v) => k -> String.valueOf(v) }.toMap).getOrElse(Map.empty)
                 val inputs = tc.get("input_batch").asInstanceOf[java.util.List[_]].asScala
                   .map(_.asInstanceOf[java.util.Map[String, Any]])
-                val expected = tc.get("output_batches").asInstanceOf[java.util.List[_]]
-                  .get(0).asInstanceOf[java.util.List[_]].asScala
-                  .map(_.asInstanceOf[java.util.Map[String, Any]])
-                // all assertions must be content_equals / json_equals
+                // absent output_batches = the batch is expected to be empty
+                val expected = Option(tc.get("output_batches"))
+                  .map(_.asInstanceOf[java.util.List[_]]
+                    .get(0).asInstanceOf[java.util.List[_]].asScala
+                    .map(_.asInstanceOf[java.util.Map[String, Any]]))
+                  .getOrElse(scala.collection.mutable.Buffer.empty[java.util.Map[String, Any]])
+                // all assertions must be content/json/file_equals
                 if (!expected.forall(a =>
-                    a.containsKey("content_equals") || a.containsKey("json_equals"))) {
+                    a.containsKey("content_equals") || a.containsKey("json_equals") ||
+                    a.containsKey("file_equals"))) {
                   skipped += 1
                 } else {
                   try {
-                    val parsed = Bloblang.parse(pipe.src)
+                    // config-level env interpolation `${VAR}`/`${VAR:default}`
+                    // (distinct from `${!expr}` field interpolation)
+                    val src = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\\}".r
+                      .replaceAllIn(pipe.src, m => java.util.regex.Matcher.quoteReplacement(
+                        env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
+                    val parsed = Bloblang.parse(src)
                     // mutation = mapping whose root starts as `this`
                     val prog = if (pipe.mutation)
                       parsed.copy(stmts =
@@ -135,6 +147,9 @@ class BloblangGoldenSpec extends AnyFunSuite {
                       if (in.containsKey("json_content"))
                         new com.fasterxml.jackson.databind.ObjectMapper()
                           .writeValueAsString(in.get("json_content"))
+                      else if (in.containsKey("file_content"))
+                        java.nio.file.Files.readString(new java.io.File(
+                          f.getParentFile, in.get("file_content").toString).toPath).stripLineEnd
                       else String.valueOf(in.get("content"))
                     }.toSeq
                     val metas = inputs.map(in => Option(in.get("metadata"))
@@ -161,6 +176,10 @@ class BloblangGoldenSpec extends AnyFunSuite {
                         Option(exp.get("content_equals")) match {
                           case Some(want) =>
                             got.stripSuffix("\n") == want.toString.stripSuffix("\n")
+                          case None if exp.containsKey("file_equals") =>
+                            val want = java.nio.file.Files.readString(new java.io.File(
+                              f.getParentFile, exp.get("file_equals").toString).toPath)
+                            got.stripSuffix("\n") == want.stripSuffix("\n")
                           case None =>
                             val want = exp.get("json_equals")
                             val wantJson = want match {
