@@ -47,5 +47,8 @@ object SparkEntry {
     "agg_q1", "join_topk", "agg_group_nation", "window_rank", "win_tumbling",
     "proc_dedupe", "llm_quality", "llm_minhash_pairs", "llm_cosine_topk",
     "llm_fingerprint", "llm_simhash_pairs", "llm_embed_pairs", "win_sliding",
-    "proc_branch")
+    "proc_branch",
+    // round-2 surface: batch policy (window), nlp (mapPartitions batch
+    // inference), wire codec (udf round-trip), config-text pipeline
+    "batch_count", "nlp_classify", "codec_protobuf", "config_pipeline")
 }
