@@ -97,6 +97,66 @@ class BloblangGoldenSpec extends AnyFunSuite {
   private def jsonEq(a: String, b: String): Boolean =
     Interp.valueEq(Interp.parseJsonTyped(a), Interp.parseJsonTyped(b))
 
+  /** Cache-backed `dedupe` pipeline tests (deduplicate{,_lifo,_lru,_ttlru}
+    * .yaml): single dedupe processor, interpolated key, cache state shared
+    * across batches. FIFO keeps the first occurrence of a key, LIFO the
+    * last; outputs group by original batch with empty batches dropped
+    * (reference processor_dedupe.go + cache semantics).
+    * Returns None when the shape isn't a single-dedupe pipeline. */
+  private def runDedupeCase(tc: java.util.Map[String, Any],
+                            doc: java.util.Map[String, Any]): Option[Boolean] = {
+    import graft.blob.Interpolate
+    val procs = Option(doc.get("pipeline"))
+      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+      .flatMap(p => Option(p.get("processors")))
+      .collect { case l: java.util.List[_] if l.size == 1 => l.get(0) }
+      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+    val dedupe = procs.flatMap(p => Option(p.get("dedupe")))
+      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+    (dedupe, Option(tc.get("input_batches"))) match {
+      case (Some(conf), Some(ibs0)) =>
+        val keyTpl = Interpolate.compile(String.valueOf(conf.get("key")))
+        val lifo = String.valueOf(conf.get("strategy")) == "LIFO"
+        val batches = ibs0.asInstanceOf[java.util.List[_]].asScala.map(
+          _.asInstanceOf[java.util.List[_]].asScala.map(
+            m => String.valueOf(m.asInstanceOf[java.util.Map[String, Any]].get("content"))))
+        val flat = batches.zipWithIndex.flatMap { case (b, bi) =>
+          b.map(c => (bi, c, Interpolate.render(keyTpl, c)))
+        }
+        val keep: Map[String, Int] = // key -> global index of the kept row
+          flat.zipWithIndex.foldLeft(Map.empty[String, Int]) { case (acc, ((_, _, k), i)) =>
+            if (lifo) acc + (k -> i)
+            else if (acc.contains(k)) acc else acc + (k -> i)
+          }
+        val keptIdx = keep.values.toSet
+        val outBatches = flat.zipWithIndex
+          .filter { case (_, i) => keptIdx.contains(i) }
+          .groupBy { case ((bi, _, _), _) => bi }.toSeq.sortBy(_._1)
+          .map { case (_, rows) => rows.map { case ((_, c, _), _) => c } }
+          .filter(_.nonEmpty)
+        val expected = tc.get("output_batches").asInstanceOf[java.util.List[_]].asScala
+          .map(_.asInstanceOf[java.util.List[_]].asScala
+            .map(_.asInstanceOf[java.util.Map[String, Any]]))
+        val ok = outBatches.size == expected.size &&
+          outBatches.zip(expected).forall { case (got, want) =>
+            got.size == want.size && got.zip(want).forall { case (g, w) =>
+              Option(w.get("content_equals")) match {
+                case Some(c) => g == c.toString
+                case None => Option(w.get("json_equals")).exists { j =>
+                  val wantJson = j match {
+                    case s: String => s
+                    case o => new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(o)
+                  }
+                  jsonEq(g, wantJson)
+                }
+              }
+            }
+          }
+        Some(ok)
+      case _ => None
+    }
+  }
+
   /** Run every supported case in the corpus; returns (passed, failed, skipped). */
   private def runCorpus(): (Int, Int, Int, Seq[String]) = {
     var (passed, failed, skipped) = (0, 0, 0)
@@ -112,7 +172,12 @@ class BloblangGoldenSpec extends AnyFunSuite {
             val tc = tc0.asInstanceOf[java.util.Map[String, Any]]
             val name = f.getName + "/" + tc.get("name")
             mappingFor(tc, f, doc) match {
-              case None => skipped += 1
+              case None =>
+                runDedupeCase(tc, doc) match {
+                  case None => skipped += 1
+                  case Some(true) => passed += 1
+                  case Some(false) => failed += 1; failures += s"$name: dedupe mismatch"
+                }
               case Some(pipe) =>
                 val env = Option(tc.get("environment")).map(
                   _.asInstanceOf[java.util.Map[String, Any]].asScala
