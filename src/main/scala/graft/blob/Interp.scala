@@ -87,6 +87,10 @@ object Interp {
         eval(e, ctx) match {
           case VNothing => ()
           case VDelete => outMeta = outMeta - k
+          // structured metadata values (reference metadata is any-typed;
+          // the string transport carries them as JSON)
+          case v @ (_: VectorMap[_, _] | _: Vector[_]) =>
+            outMeta = outMeta + (k -> marshalJson(v))
           case v => outMeta = outMeta + (k -> toStr(v))
         }
       case s => exec(s, ctx)

@@ -190,10 +190,10 @@ class BloblangGoldenSpec extends AnyFunSuite {
                     .get(0).asInstanceOf[java.util.List[_]].asScala
                     .map(_.asInstanceOf[java.util.Map[String, Any]]))
                   .getOrElse(scala.collection.mutable.Buffer.empty[java.util.Map[String, Any]])
-                // all assertions must be content/json/file_equals
+                // all assertions must be content/json/file/metadata_equals
                 if (!expected.forall(a =>
                     a.containsKey("content_equals") || a.containsKey("json_equals") ||
-                    a.containsKey("file_equals"))) {
+                    a.containsKey("file_equals") || a.containsKey("metadata_equals"))) {
                   skipped += 1
                 } else {
                   try {
@@ -222,11 +222,19 @@ class BloblangGoldenSpec extends AnyFunSuite {
                         .map { case (k, v) => k -> String.valueOf(v) }.toMap)
                       .getOrElse(Map.empty[String, String])).toSeq
                     // metadata is per-message: run individually when any
-                    // input carries it (batch functions don't, in these cases)
-                    val mapped =
-                      if (metas.forall(_.isEmpty)) Interp.runBatch(prog, contents, env).flatten
-                      else contents.zip(metas).flatMap { case (c, m) =>
-                        Interp.run(prog, c, m, env)
+                    // input carries it or an assertion inspects it
+                    // (batch functions don't appear in those cases)
+                    val needMeta = expected.exists(_.containsKey("metadata_equals"))
+                    val (mapped, outMetas) =
+                      if (metas.forall(_.isEmpty) && !needMeta)
+                        (Interp.runBatch(prog, contents, env).flatten,
+                          Seq.fill(contents.size)(Map.empty[String, String]))
+                      else {
+                        val rs = contents.zip(metas).flatMap { case (c, m) =>
+                          val (out, om) = Interp.runWithMeta(prog, c, m, env)
+                          out.map(o => (o, om))
+                        }
+                        (rs.map(_._1), rs.map(_._2))
                       }
                     val outs =
                       if (!pipe.unarchive) mapped
@@ -236,24 +244,37 @@ class BloblangGoldenSpec extends AnyFunSuite {
                           case v => Seq(Interp.marshal(v))
                         }
                       }
-                    val ok = outs.size == expected.size && outs.zip(expected).forall {
-                      case (got, exp) =>
-                        Option(exp.get("content_equals")) match {
-                          case Some(want) =>
-                            got.stripSuffix("\n") == want.toString.stripSuffix("\n")
-                          case None if exp.containsKey("file_equals") =>
+                    val ok = outs.size == expected.size && outs.zip(expected).zipWithIndex.forall {
+                      case ((got, exp), i) =>
+                        val contentOk =
+                          if (exp.containsKey("content_equals"))
+                            got.stripSuffix("\n") == exp.get("content_equals").toString.stripSuffix("\n")
+                          else if (exp.containsKey("file_equals")) {
                             val want = java.nio.file.Files.readString(new java.io.File(
                               f.getParentFile, exp.get("file_equals").toString).toPath)
                             got.stripSuffix("\n") == want.stripSuffix("\n")
-                          case None =>
-                            val want = exp.get("json_equals")
-                            val wantJson = want match {
+                          } else if (exp.containsKey("json_equals")) {
+                            val wantJson = exp.get("json_equals") match {
                               case s: String => s
                               case o => new com.fasterxml.jackson.databind.ObjectMapper()
                                 .writeValueAsString(o)
                             }
                             jsonEq(got, wantJson)
+                          } else true
+                        val metaOk = Option(exp.get("metadata_equals")).forall { me =>
+                          me.asInstanceOf[java.util.Map[String, Any]].asScala.forall {
+                            case (k, want) =>
+                              outMetas.lift(i).flatMap(_.get(k)).exists { gv =>
+                                want match {
+                                  case s: String => gv == s
+                                  case o => jsonEq(gv,
+                                    new com.fasterxml.jackson.databind.ObjectMapper()
+                                      .writeValueAsString(o))
+                                }
+                              }
+                          }
                         }
+                        contentOk && metaOk
                     }
                     if (ok) passed += expected.size // count message-level assertions
                     else { failed += 1; failures += s"$name: got=${outs.mkString(" | ")}" }
