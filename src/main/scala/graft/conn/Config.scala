@@ -100,6 +100,25 @@ object PipelineConfig {
     }
   }
 
+  /** Bloblang check expression → boolean Column over the content facet
+    * (the `check:` fields of switch/group_by configs). Compiles once,
+    * driver-side; evaluation failures count as false (reference check
+    * semantics). */
+  private def checkColumn(src: String): org.apache.spark.sql.Column = {
+    val e = graft.blob.Bloblang.parseExpr(src)
+    val u = udf { (c: String) =>
+      if (c == null) false
+      else try {
+        val ctx = graft.blob.Interp.Ctx(
+          () => graft.blob.Interp.parseJsonTyped(c), c,
+          scala.collection.mutable.Map.empty, Map.empty, Map.empty, Map.empty,
+          graft.blob.Bloblang.VNothing)
+        graft.blob.Interp.eval(e, ctx) match { case b: Boolean => b; case _ => false }
+      } catch { case _: graft.blob.Bloblang.BlobError => false }
+    }
+    u(col(Msg.ContentCol))
+  }
+
   /** Raw-content envelope: the line IS the content (file input contract —
     * the reference's message body is the raw bytes, not a JSON wrapper). */
   private def rawEnvelope(lines: DataFrame): DataFrame =
@@ -150,6 +169,41 @@ object PipelineConfig {
         Processor("subprocess")(df => Subprocess.pipe(df, name +: args))
       case "template" =>
         Interpolate.templateProcessor(m.get(kind).asInstanceOf[String])
+      case "switch" =>
+        // list of { check: <bloblang expr>, processors: [...] }; a case
+        // with no check is the default (processor_switch.go:29)
+        val cases = m.get(kind).asInstanceOf[java.util.List[_]].asScala.map(section).toSeq
+        val built = cases.map { c =>
+          val procs = c.get("processors").asInstanceOf[java.util.List[_]].asScala
+            .map(p => parseProcessor(section(p))).toSeq
+          val child = Processor.chain(procs)
+          Option(c.get("check")).map(chk => (checkColumn(String.valueOf(chk)), child))
+            .toRight(child) // Left = checkless default case
+        }
+        Processors.switch(
+          built.collect { case Right(cp) => cp },
+          built.collect { case Left(p) => p }.headOption.getOrElse(Processor.noop))
+      case "try" =>
+        val procs = m.get(kind).asInstanceOf[java.util.List[_]].asScala
+          .map(p => parseProcessor(section(p))).toSeq
+        Processors.tryProc(Processor.chain(procs))
+      case "catch" =>
+        val procs = m.get(kind).asInstanceOf[java.util.List[_]].asScala
+          .map(p => parseProcessor(section(p))).toSeq
+        Processors.catchProc(Processor.chain(procs))
+      case "grok" =>
+        val pattern = str(conf, "expressions") match {
+          case s if s.startsWith("[") =>
+            conf.get("expressions").asInstanceOf[java.util.List[_]].asScala.map(String.valueOf).head
+          case s => s
+        }
+        graft.operators.Grok.processor(col(Msg.ContentCol), pattern)
+      case "archive" =>
+        require(str(conf, "format") == "lines", "config: archive supports lines")
+        Processors.archive(Seq(lit(1)), col(Msg.ContentCol))
+      case "unarchive" =>
+        require(str(conf, "format") == "lines", "config: unarchive supports lines")
+        Processors.unarchiveLines(col(Msg.ContentCol), Msg.ContentCol)
       case "noop" => Processor.noop
       case other => throw new IllegalArgumentException(s"config: processor $other")
     }

@@ -152,6 +152,33 @@ pipeline:
     assert(vals == Seq("1", "2", "3"))
   }
 
+  test("YAML config switch/try/catch: checks route, errors flow to catch branch") {
+    import graft.conn.PipelineConfig
+    val cfg = """
+input:
+  generate:
+    count: 4
+    mapping: 'root.n = this.seq_id.number()'
+pipeline:
+  processors:
+    - switch:
+        - check: 'this.n >= 2'
+          processors:
+            - mapping: 'root.big = this.n'
+        - processors:
+            - mapping: 'root.small = this.n'
+    - try:
+        - mapping: 'root.v = this.big.not_null()'
+    - catch:
+        - mapping: 'root = {"v": -1}'
+"""
+    val out = PipelineConfig.load(cfg).run(spark)
+      .select(get_json_object(col(Msg.ContentCol), "$.v").cast("long")).as[Long]
+      .collect().sorted.toSeq
+    // n=0,1 -> small branch -> try fails (-1 via catch); n=2,3 -> big -> v=n
+    assert(out == Seq(-1L, -1L, 2L, 3L))
+  }
+
   test("output switch routes rows to first matching sink; default gets rest") {
     val (hi, mid, rest) = (collector(), collector(), collector())
     val df = Seq(500, 50, 5).toDF("n")
