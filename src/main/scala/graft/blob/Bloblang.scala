@@ -222,6 +222,9 @@ object Bloblang {
           eat()
           if (at("num")) {
             e = Index(e, Lit(eat().text.toLong))
+          } else if (at("str")) {
+            // quoted path segment: this."field.with.dots" (field_paths doc)
+            e = Field(e, eat().text)
           } else {
             val name = expect("ident").text
             if (at("op", "(")) e = MethodCall(e, name, parseArgs())

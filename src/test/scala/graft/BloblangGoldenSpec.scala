@@ -40,12 +40,23 @@ class BloblangGoldenSpec extends AnyFunSuite {
         // (reference test runner default, internal/cli/test/)
         Option(testCase.get("target_processors")).map(_.toString)
           .orElse(Some("/pipeline/processors")).flatMap { tp =>
+          // a bare name targets a labelled processor_resources entry
+          if (!tp.startsWith("/") && !tp.contains("#")) {
+            return Option(selfDoc.get("processor_resources")).toSeq
+              .flatMap(_.asInstanceOf[java.util.List[_]].asScala)
+              .map(_.asInstanceOf[java.util.Map[String, Any]])
+              .find(r => String.valueOf(r.get("label")) == tp)
+              .flatMap { r =>
+                Option(r.get("mapping")).orElse(Option(r.get("bloblang")))
+                  .map(s => Pipeline(s.toString, mutation = false, unarchive = false))
+              }
+          }
           val (doc, pointer) =
             if (tp.startsWith("/")) (selfDoc, tp)
-            else if (tp.contains("#")) {
+            else {
               val Array(relF, ptr) = tp.split("#", 2)
               (loadYaml(new java.io.File(selfFile.getParentFile, relF)), ptr)
-            } else return None // unsupported pointer form
+            }
           def resolve(in: Any): Any = pointer.stripPrefix("/").split("/").foldLeft(in) {
             case (m: java.util.Map[_, _], seg) => m.asInstanceOf[java.util.Map[String, Any]].get(seg)
             case (l: java.util.List[_], seg) => l.get(seg.toInt)
@@ -96,6 +107,16 @@ class BloblangGoldenSpec extends AnyFunSuite {
 
   private def jsonEq(a: String, b: String): Boolean =
     Interp.valueEq(Interp.parseJsonTyped(a), Interp.parseJsonTyped(b))
+
+  /** json_contains assertion: `want` is a recursive subset of `got`. */
+  private def jsonContains(got: Any, want: Any): Boolean = (got, want) match {
+    case (g: scala.collection.immutable.VectorMap[String @unchecked, Any @unchecked],
+          w: scala.collection.immutable.VectorMap[String @unchecked, Any @unchecked]) =>
+      w.forall { case (k, wv) => g.get(k).exists(jsonContains(_, wv)) }
+    case (g: Vector[Any @unchecked], w: Vector[Any @unchecked]) =>
+      w.forall(wv => g.exists(jsonContains(_, wv)))
+    case (g, w) => Interp.valueEq(g, w)
+  }
 
   /** Cache-backed `dedupe` pipeline tests (deduplicate{,_lifo,_lru,_ttlru}
     * .yaml): single dedupe processor, interpolated key, cache state shared
@@ -191,9 +212,11 @@ class BloblangGoldenSpec extends AnyFunSuite {
                     .map(_.asInstanceOf[java.util.Map[String, Any]]))
                   .getOrElse(scala.collection.mutable.Buffer.empty[java.util.Map[String, Any]])
                 // all assertions must be content/json/file/metadata_equals
+                // or json_contains
                 if (!expected.forall(a =>
                     a.containsKey("content_equals") || a.containsKey("json_equals") ||
-                    a.containsKey("file_equals") || a.containsKey("metadata_equals"))) {
+                    a.containsKey("file_equals") || a.containsKey("metadata_equals") ||
+                    a.containsKey("json_contains"))) {
                   skipped += 1
                 } else {
                   try {
@@ -260,6 +283,11 @@ class BloblangGoldenSpec extends AnyFunSuite {
                                 .writeValueAsString(o)
                             }
                             jsonEq(got, wantJson)
+                          } else if (exp.containsKey("json_contains")) {
+                            val wantJson = new com.fasterxml.jackson.databind.ObjectMapper()
+                              .writeValueAsString(exp.get("json_contains"))
+                            jsonContains(Interp.parseJsonTyped(got),
+                              Interp.parseJsonTyped(wantJson))
                           } else true
                         val metaOk = Option(exp.get("metadata_equals")).forall { me =>
                           me.asInstanceOf[java.util.Map[String, Any]].asScala.forall {
