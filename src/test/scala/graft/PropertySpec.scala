@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{Codecs, Formats, Udfs}
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the byte-level codecs: round-trips over arbitrary
+  * inputs, wire-length laws, and boundary behavior the example-based
+  * specs can't sweep. (Plain scalacheck generators — the scalatest
+  * bridge artifact isn't in the offline cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 60): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])
+
+  test("compression codecs round-trip arbitrary byte arrays") {
+    val codecs = Seq[(String, Array[Byte] => Array[Byte], Array[Byte] => Array[Byte])](
+      ("gzip", Udfs.gzipCompress, Udfs.gzipDecompress),
+      ("flate", Codecs.flateCompress, Codecs.flateDecompress),
+      ("zlib", Codecs.zlibCompress, Codecs.zlibDecompress),
+      ("bzip2", Codecs.bzip2Compress, Codecs.bzip2Decompress),
+      ("zstd", Codecs.zstdCompress, Codecs.zstdDecompress),
+      ("lz4", Codecs.lz4Compress, Codecs.lz4Decompress),
+      ("snappy", Codecs.snappyCompress, Codecs.snappyDecompress))
+    for (bs <- samples(bytesGen); (name, c, d) <- codecs)
+      assert(d(c(bs)).toSeq == bs.toSeq, s"$name failed on ${bs.length} bytes")
+  }
+
+  test("ascii85/z85 round-trip; z85 requires 4-byte alignment") {
+    for (bs <- samples(bytesGen))
+      assert(Codecs.ascii85Decode(Codecs.ascii85Encode(bs)).toSeq == bs.toSeq)
+    for (bs0 <- samples(bytesGen)) {
+      val bs = bs0.take(bs0.length / 4 * 4)
+      assert(Codecs.z85Decode(Codecs.z85Encode(bs)).toSeq == bs.toSeq)
+    }
+  }
+
+  test("protobuf wire codec round-trips arbitrary flat documents") {
+    val desc = Formats.protoDescriptor("1:int64:a,2:string:s,3:double:d")
+    val docGen = for {
+      a <- Gen.chooseNum(0L, 1L << 60)
+      s <- Gen.asciiPrintableStr.map(_.filter(c => c != '"' && c != '\\'))
+      d <- Gen.chooseNum(-1e12, 1e12)
+    } yield (a, s, d)
+    for ((a, s, d) <- samples(docGen)) {
+      val dStr = graft.blob.Interp.fmtDouble(d)
+      val json = s"""{"a":$a,"s":"$s","d":$dStr}"""
+      val back = Formats.protoToJson(Formats.protoFromJson(json, desc), desc)
+      val m = graft.blob.Interp.parseJsonTyped(back).asInstanceOf[Map[String, Any]]
+      assert(m("a") == a && m("s") == s)
+      // double survives bit-exactly through fixed64
+      assert(java.lang.Double.doubleToLongBits(graft.blob.Interp.toNum(m("d"))) ==
+        java.lang.Double.doubleToLongBits(dStr.toDouble))
+    }
+  }
+
+  test("avro codec round-trips arbitrary long/string records with correct zigzag length") {
+    val schema = """{"type":"record","name":"r","fields":[
+      {"name":"x","type":"long"},{"name":"s","type":"string"}]}"""
+    val gen = for {
+      x <- Arbitrary.arbitrary[Long]
+      s <- Gen.asciiPrintableStr.map(_.filter(c => c != '"' && c != '\\').take(90))
+    } yield (x, s)
+    // avro longs AND string lengths are zigzag varints
+    def zzVarintLen(v: Long): Int = {
+      val zz = (v << 1) ^ (v >> 63)
+      math.max(1, (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7)
+    }
+    for ((x, s) <- samples(gen)) {
+      val bytes = Formats.avroFromJson(s"""{"x":$x,"s":"$s"}""", schema)
+      val sLen = s.getBytes("UTF-8").length
+      assert(bytes.length == zzVarintLen(x) + zzVarintLen(sLen) + sLen,
+        s"x=$x sLen=$sLen got=${bytes.length}")
+      val back = Formats.avroToJson(bytes, schema)
+      assert(graft.blob.Interp.parseJsonTyped(back)
+        .asInstanceOf[Map[String, Any]]("x") == x)
+    }
+  }
+
+  test("schema registry framing: id round-trips over the full non-negative int range") {
+    for (id <- samples(Gen.chooseNum(0, Int.MaxValue))) {
+      val (gotId, payload) = Formats.schemaRegistryUnframe(
+        Formats.schemaRegistryFrame(Array[Byte](1, 2, 3), id))
+      assert(gotId == id && payload.toSeq == Seq[Byte](1, 2, 3))
+    }
+  }
+
+  test("batch policy count law: every batch except the last has exactly n rows") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for ((n, rows) <- samples(Gen.zip(Gen.chooseNum(1, 15), Gen.chooseNum(1, 50)), 8)) {
+      val df = (0 until rows).map(i => (1L, i.toLong)).toDF("k", "o")
+      val sizes = graft.operators.BatchPolicy.byCount(df, col("k"), col("o"), n)
+        .groupBy("batch_id").count().orderBy("batch_id")
+        .select("count").as[Long].collect().toSeq
+      assert(sizes.init.forall(_ == n.toLong))
+      assert(sizes.last <= n.toLong && sizes.last >= 1)
+      assert(sizes.sum == rows.toLong)
+    }
+  }
+}
