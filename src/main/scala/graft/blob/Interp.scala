@@ -71,6 +71,25 @@ object Interp {
     }
   }
 
+  /** Run with a pre-seeded root — the `branch.result_map` contract
+    * (processor_branch.go:25-44): `this` is the child result, root starts
+    * as the ORIGINAL message and the mapping grafts result fields onto it. */
+  def runSeeded(m: Mapping, content: String, seedJson: String): Option[String] = {
+    val parsed: () => Any = {
+      lazy val v: Either[Throwable, Any] =
+        try Right(parseJsonTyped(content))
+        catch { case e: Exception => Left(new BlobError(s"invalid JSON: ${e.getMessage}")) }
+      () => v.fold(throw _, identity)
+    }
+    val ctx = Ctx(parsed, content, scala.collection.mutable.Map.empty, Map.empty,
+      Map.empty, m.maps, parseJsonTyped(seedJson))
+    m.stmts.foreach(exec(_, ctx))
+    ctx.root match {
+      case VDelete => None
+      case v => Some(marshal(v))
+    }
+  }
+
   /** Run a mapping and also return resulting metadata (for the test runner). */
   def runWithMeta(m: Mapping, content: String, meta: Map[String, String],
                   env: Map[String, String]): (Option[String], Map[String, String]) = {

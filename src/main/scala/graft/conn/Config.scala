@@ -204,6 +204,38 @@ object PipelineConfig {
       case "unarchive" =>
         require(str(conf, "format") == "lines", "config: unarchive supports lines")
         Processors.unarchiveLines(col(Msg.ContentCol), Msg.ContentCol)
+      case "branch" =>
+        // request_map → child processors → result_map grafted onto the
+        // original message (processor_branch.go:25-44); a failed/absent
+        // child result leaves the original unchanged
+        val reqProg = graft.blob.Bloblang.parse(str(conf, "request_map"))
+        val resProg = graft.blob.Bloblang.parse(str(conf, "result_map"))
+        val children = Option(conf.get("processors")).toSeq
+          .flatMap(_.asInstanceOf[java.util.List[_]].asScala)
+          .map(p => parseProcessor(section(p)))
+        val reqUdf = udf { (c: String) =>
+          if (c == null) null
+          else try graft.blob.Interp.run(reqProg, c).orNull
+          catch { case _: graft.blob.Bloblang.BlobError => null }
+        }
+        val mergeUdf = udf { (orig: String, child: String) =>
+          if (child == null || orig == null) orig
+          else try graft.blob.Interp.runSeeded(resProg, child, orig).orNull
+          catch { case _: graft.blob.Bloblang.BlobError => orig }
+        }
+        Processor("branch") { df =>
+          // id evaluated once on a checkpointed frame (stable under AQE
+          // re-planning — same contract as Processors.branch)
+          val idd = df.withColumn("_bid", monotonically_increasing_id())
+            .localCheckpoint(false)
+          val request = idd.withColumn(Msg.ContentCol, reqUdf(col(Msg.ContentCol)))
+            .filter(col(Msg.ContentCol).isNotNull)
+          val childOut = Processor.chain(children.toSeq)(request)
+            .select(col("_bid"), col(Msg.ContentCol).as("_bres"))
+          idd.join(childOut, Seq("_bid"), "left")
+            .withColumn(Msg.ContentCol, mergeUdf(col(Msg.ContentCol), col("_bres")))
+            .drop("_bid", "_bres")
+        }
       case "noop" => Processor.noop
       case other => throw new IllegalArgumentException(s"config: processor $other")
     }

@@ -179,6 +179,30 @@ pipeline:
     assert(out == Seq(-1L, -1L, 2L, 3L))
   }
 
+  test("YAML config branch: request_map -> child -> result_map grafts onto the original") {
+    import graft.conn.PipelineConfig
+    val cfg = """
+input:
+  generate:
+    count: 3
+    mapping: 'root.n = this.seq_id.number()'
+pipeline:
+  processors:
+    - branch:
+        request_map: 'root.v = this.n * 10'
+        processors:
+          - mapping: 'root.doubled = this.v * 2'
+        result_map: 'root.enriched = this.doubled'
+"""
+    val rows = PipelineConfig.load(cfg).run(spark)
+      .select(
+        get_json_object(col(Msg.ContentCol), "$.n").cast("long"),
+        get_json_object(col(Msg.ContentCol), "$.enriched").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // original field n survives; enriched = n*10*2
+    assert(rows == Seq((0L, 0L), (1L, 20L), (2L, 40L)))
+  }
+
   test("output switch routes rows to first matching sink; default gets rest") {
     val (hi, mid, rest) = (collector(), collector(), collector())
     val df = Seq(500, 50, 5).toDF("n")
