@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * columns plus typed metadata, with decode/feature-extract as
   * `mapPartitions` batch transforms.
   *
-  * The actual codec step is STUBBED (no image/audio libs in this
-  * container) with a deterministic fake decoder — the Spark-side contract
+  * Decode is REAL for the self-describing pure-JDK formats (24-bit BMP
+  * images → dimension/color/luma stats; 16-bit PCM WAV audio → sample
+  * rate/RMS/zero-crossing stats) and STUBBED for codecs that need native
+  * libs (JPEG/MP4…) with a deterministic fake. The Spark-side contract
   * (schema, partition-local batching, per-partition init cost amortized
-  * across a partition, no shuffles) is real and tested. At scale this is
-  * the standard shape: heavy per-row native decode work stays inside a
-  * partition; only extracted features (small) flow onward.
+  * across a partition, no shuffles) is the same either way: heavy per-row
+  * decode work stays inside a partition; only extracted features (small)
+  * flow onward.
   */
 object Multimodal {
 
@@ -30,18 +32,95 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, modality: String,
                                  n_bytes: Long, feature: Array[Double])
 
-  /** STUB decoder: a real build would call the native codec here (e.g.
-    * libjpeg/ffmpeg via JNI). Deterministic fake = 8 byte-histogram-ish
-    * moments so tests are stable. Marked clearly as the seam to replace. */
-  private def decodeStub(modality: String, data: Array[Byte]): Array[Double] = {
-    // ??? <- real codec goes here; deterministic fake below
+  /** Decoder front: REAL parsers for the self-describing formats a JDK
+    * can read without native libs (24-bit BMP images, 16-bit PCM WAV
+    * audio), detected by magic bytes; anything else falls to the
+    * deterministic stub (the seam where libjpeg/ffmpeg-class codecs would
+    * plug in via JNI). */
+  private[ml] def decode(modality: String, data: Array[Byte]): Array[Double] = {
     if (data == null || data.isEmpty) Array.fill(8)(0.0)
-    else {
-      val out = new Array[Double](8)
-      var i = 0
-      while (i < data.length) { out(i % 8) += (data(i) & 0xFF) / 255.0; i += 1 }
-      out.map(_ / math.max(1, data.length / 8))
+    else if (data.length > 2 && data(0) == 'B' && data(1) == 'M') decodeBmp24(data)
+    else if (data.length > 12 && new String(data, 0, 4, "US-ASCII") == "RIFF"
+      && new String(data, 8, 4, "US-ASCII") == "WAVE") decodeWavPcm16(data)
+    else decodeStub(modality, data)
+  }
+
+  private def u16le(d: Array[Byte], i: Int): Int = (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8)
+  private def u32le(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8) | ((d(i + 2) & 0xFF) << 16) | ((d(i + 3) & 0xFF) << 24)
+
+  /** 24-bit uncompressed BMP → [width, height, meanB, meanG, meanR,
+    * stdLuma, 0, 0]. Row stride pads to 4 bytes; rows are bottom-up. */
+  private def decodeBmp24(d: Array[Byte]): Array[Double] = {
+    val off = u32le(d, 10)
+    val w = u32le(d, 18)
+    val h = u32le(d, 22)
+    require(u16le(d, 28) == 24, s"bmp: only 24bpp supported, got ${u16le(d, 28)}")
+    val stride = (w * 3 + 3) / 4 * 4
+    var (sb, sg, sr, sl, sl2) = (0.0, 0.0, 0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + y * stride + x * 3
+        val (b, g, r) = ((d(p) & 0xFF) / 255.0, (d(p + 1) & 0xFF) / 255.0, (d(p + 2) & 0xFF) / 255.0)
+        sb += b; sg += g; sr += r
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sl += luma; sl2 += luma * luma
+        x += 1
+      }
+      y += 1
     }
+    val n = math.max(1, w * h).toDouble
+    val stdLuma = math.sqrt(math.max(0, sl2 / n - (sl / n) * (sl / n)))
+    Array(w.toDouble, h.toDouble, sb / n, sg / n, sr / n, stdLuma, 0.0, 0.0)
+  }
+
+  /** RIFF/WAVE with 16-bit PCM `data` chunk → [sampleRate, nSamples,
+    * rms, zeroCrossRate, meanAbs, 0, 0, 0]. Walks chunks to find fmt/data
+    * (they need not be adjacent). */
+  private def decodeWavPcm16(d: Array[Byte]): Array[Double] = {
+    var i = 12
+    var sampleRate = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (i + 8 <= d.length) {
+      val id = new String(d, i, 4, "US-ASCII")
+      val len = u32le(d, i + 4)
+      if (id == "fmt ") {
+        require(u16le(d, i + 8) == 1 && u16le(d, i + 8 + 14) == 16,
+          "wav: only 16-bit PCM supported")
+        sampleRate = u32le(d, i + 8 + 4)
+      } else if (id == "data") { dataOff = i + 8; dataLen = len }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0, "wav: missing fmt/data chunk")
+    val n = dataLen / 2
+    var (sum2, sumAbs, crossings) = (0.0, 0.0, 0L)
+    var prev = 0
+    var k = 0
+    while (k < n) {
+      val s = u16le(d, dataOff + 2 * k).toShort.toInt
+      val x = s / 32768.0
+      sum2 += x * x; sumAbs += math.abs(x)
+      if (k > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+      prev = s
+      k += 1
+    }
+    val nn = math.max(1, n).toDouble
+    Array(sampleRate.toDouble, n.toDouble, math.sqrt(sum2 / nn),
+      crossings / math.max(1.0, nn - 1), sumAbs / nn, 0.0, 0.0, 0.0)
+  }
+
+  /** STUB decoder for formats without a pure-JDK parser (JPEG/PNG/MP4…):
+    * deterministic byte-histogram moments so tests are stable. This is
+    * the seam where a native codec would plug in. */
+  private def decodeStub(modality: String, data: Array[Byte]): Array[Double] = {
+    // ??? <- native codec goes here; deterministic fake below
+    val out = new Array[Double](8)
+    var i = 0
+    while (i < data.length) { out(i % 8) += (data(i) & 0xFF) / 255.0; i += 1 }
+    out.map(_ / math.max(1, data.length / 8))
   }
 
   /** Feature extraction over media rows: partition-local, batched, with a
@@ -55,7 +134,7 @@ object Multimodal {
         rows.map { case (id, modality, data) =>
           MediaFeatures(id, modality,
             if (data == null) 0L else data.length.toLong,
-            decodeStub(modality, data))
+            decode(modality, data))
         }
       }
   }

@@ -212,6 +212,36 @@ class MlSpec extends SparkSpec {
     assert(pairs.count() >= (n * 0.95).toLong)
   }
 
+  test("multimodal: real BMP and WAV decoders extract verifiable features") {
+    import spark.implicits._
+    import graft.ml.Multimodal
+    // 2x2 24bpp BMP: bottom row (blue, green), top row (red, white)
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+    val pixels = Array[Byte]( // BGR rows, stride 8 (2*3 padded to 8)
+      -1, 0, 0, 0, -1, 0, 0, 0, // row0 (bottom): blue, green + pad
+      0, 0, -1, -1, -1, -1, 0, 0) // row1 (top): red, white + pad
+    val bmp = "BM".getBytes ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ Array.fill(24)(0.toByte) ++ pixels
+    // WAV: 4 samples of 16-bit PCM at 8000 Hz: +16384, -16384, +16384, -16384
+    val samples = Seq(16384, -16384, 16384, -16384).flatMap(le16)
+    val wav = "RIFF".getBytes ++ le32(36 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(8) ++ samples
+    val df = Seq((1L, "image", bmp), (2L, "audio", wav),
+      (3L, "image", "not-a-codec".getBytes)).toDF("media_id", "modality", "data")
+    val f = Multimodal.extractFeatures(df).collect().map(r => r.media_id -> r.feature).toMap
+    // BMP: w=2 h=2; means: B=(1+0+0+1)/4=.5 G=(0+1+0+1)/4=.5 R=(0+0+1+1)/4=.5
+    assert(f(1L)(0) == 2.0 && f(1L)(1) == 2.0)
+    assert(math.abs(f(1L)(2) - 0.5) < 1e-9 && math.abs(f(1L)(4) - 0.5) < 1e-9)
+    // WAV: rate=8000, n=4, rms=0.5, zero-cross rate = 3/3 = 1
+    assert(f(2L)(0) == 8000.0 && f(2L)(1) == 4.0)
+    assert(math.abs(f(2L)(2) - 0.5) < 1e-3 && f(2L)(3) == 1.0)
+    // unknown codec falls back to the deterministic stub (8 moments)
+    assert(f(3L).length == 8 && f(3L).exists(_ != 0.0))
+  }
+
   test("nlp: classify/ner/embed keep one row per unit, embeddings unit-norm, zero-shot argmax") {
     import spark.implicits._
     import graft.ml.Nlp
