@@ -129,7 +129,25 @@ object QueriesLlm {
 
     // multimodal frame sampling (explode plumbing)
     "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.syntheticMedia(s, dir), n = 4))
+      Multimodal.frameSample(Multimodal.syntheticMedia(s, dir), n = 4)),
+
+    // REAL bmp decode: synthesize deterministic 2x2 BMPs, decode them
+    // executor-side, and let the oracle recompute dimensions + channel
+    // means from the pixel formula — verifies the actual byte parser
+    "mm_decode_bmp" -> ((s, dir) => {
+      val mk = udf((k: Long) => Multimodal.syntheticBmp(k))
+      val media = t(s, dir, "customer").select(
+        col("c_custkey").cast(LongType).as("media_id"),
+        lit("image").as("modality"),
+        mk(col("c_custkey").cast(LongType)).as("data"))
+      Multimodal.extractFeatures(media).toDF().select(
+        col("media_id"),
+        col("feature").getItem(0).cast(LongType).as("w"),
+        col("feature").getItem(1).cast(LongType).as("h"),
+        round(col("feature").getItem(2), 6).as("mean_b"),
+        round(col("feature").getItem(3), 6).as("mean_g"),
+        round(col("feature").getItem(4), 6).as("mean_r"))
+    })
   )
 
   // Tokenization used in oracles — MUST stay in sync with Dedup.tokens:
@@ -197,6 +215,15 @@ object QueriesLlm {
     "mm_frames" ->
       """SELECT doc_id AS media_id, unnest(generate_series(0, 3)) AS frame_idx,
            CAST(floor(unnest(generate_series(0, 3)) / 4.0 * (n_chars * 10)) AS BIGINT) AS offset_ms
-         FROM documents WHERE doc_id % 3 = 2"""
+         FROM documents WHERE doc_id % 3 = 2""",
+    "mm_decode_bmp" ->
+      """SELECT c_custkey AS media_id, 2::BIGINT AS w, 2::BIGINT AS h,
+           round((((c_custkey*37 + 0) % 256)/255.0 + ((c_custkey*37 + 4) % 256)/255.0
+                 + ((c_custkey*37 + 16) % 256)/255.0 + ((c_custkey*37 + 20) % 256)/255.0) / 4.0, 6) AS mean_b,
+           round((((c_custkey*37 + 1) % 256)/255.0 + ((c_custkey*37 + 5) % 256)/255.0
+                 + ((c_custkey*37 + 17) % 256)/255.0 + ((c_custkey*37 + 21) % 256)/255.0) / 4.0, 6) AS mean_g,
+           round((((c_custkey*37 + 2) % 256)/255.0 + ((c_custkey*37 + 6) % 256)/255.0
+                 + ((c_custkey*37 + 18) % 256)/255.0 + ((c_custkey*37 + 22) % 256)/255.0) / 4.0, 6) AS mean_r
+         FROM customer"""
   )
 }

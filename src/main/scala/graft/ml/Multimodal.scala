@@ -148,6 +148,21 @@ object Multimodal {
         floor(col("frame_idx").cast(DoubleType) / n * coalesce(col("duration_ms"), lit(0L))).cast(LongType))
       .select("media_id", "frame_idx", "offset_ms")
 
+  /** Deterministic 2×2 24-bit BMP whose pixel bytes derive from `key`:
+    * channel c of pixel (x, y) = (key*37 + y*16 + x*4 + c) mod 256.
+    * Lets an oracle recompute decoder outputs independently. */
+  def syntheticBmp(key: Long): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+    def px(x: Int, y: Int, c: Int): Byte = ((key * 37 + y * 16 + x * 4 + c) % 256).toByte
+    val rows = (0 until 2).flatMap { y =>
+      (0 until 2).flatMap(x => Seq(px(x, y, 0), px(x, y, 1), px(x, y, 2))) ++ Seq(0.toByte, 0.toByte)
+    }.toArray // stride 8 = 2*3 padded to 4-byte boundary
+    "BM".getBytes ++ le32(54 + rows.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      Array.fill(24)(0.toByte) ++ rows
+  }
+
   /** Deterministic synthetic media table for tests (derived from the
     * documents table so it exists at every SF). */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
