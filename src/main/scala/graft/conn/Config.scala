@@ -236,6 +236,25 @@ object PipelineConfig {
             .withColumn(Msg.ContentCol, mergeUdf(col(Msg.ContentCol), col("_bres")))
             .drop("_bid", "_bres")
         }
+      case "group_by" =>
+        // list of { check, processors }: first matching group wins
+        // (processor_group_by.go:27)
+        val cases = m.get(kind).asInstanceOf[java.util.List[_]].asScala.map(section).toSeq
+        Processors.groupByChecks(cases.map { c =>
+          val procs = c.get("processors").asInstanceOf[java.util.List[_]].asScala
+            .map(p => parseProcessor(section(p))).toSeq
+          (checkColumn(String.valueOf(c.get("check"))), Processor.chain(procs))
+        })
+      case "while" =>
+        // bounded driver loop: children repeat while any row passes the
+        // check (processor_while.go:32; max_loops bounds it)
+        val maxLoops = Option(conf.get("max_loops")).map(String.valueOf(_).toInt).getOrElse(10)
+        val check = checkColumn(str(conf, "check"))
+        val procs = conf.get("processors").asInstanceOf[java.util.List[_]].asScala
+          .map(p => parseProcessor(section(p))).toSeq
+        Processors.whileLoop(maxLoops,
+          df => df.filter(check).limit(1).count() > 0,
+          Processor.chain(procs))
       case "noop" => Processor.noop
       case other => throw new IllegalArgumentException(s"config: processor $other")
     }
@@ -261,6 +280,37 @@ object PipelineConfig {
         val path = str(conf, "path")
         df => df.write.mode("overwrite").parquet(path)
       case "drop" => _ => ()
+      // `broker` fan_out: every output gets the full frame; the frame is
+      // persisted once so N sinks don't recompute the plan N times
+      // (output_broker.go:24 + fan_out pattern)
+      case "broker" =>
+        val outs = conf.get("outputs").asInstanceOf[java.util.List[_]].asScala
+          .map(o => parseOutput(section(o))).toSeq
+        df => {
+          val cached = df.persist()
+          try { cached.count(); outs.foreach(_(cached)) }
+          finally cached.unpersist(false)
+        }
+      // output `switch`: first matching case takes the row
+      // (output_switch.go:36)
+      case "switch" =>
+        val cases = conf.get("cases").asInstanceOf[java.util.List[_]].asScala
+          .map(section).map { c =>
+            (Option(c.get("check")).map(chk => checkColumn(String.valueOf(chk))),
+              parseOutput(section(c.get("output"))))
+          }.toSeq
+        df => {
+          val cached = df.persist()
+          try {
+            cached.count()
+            cases.foldLeft(lit(false)) { case (seen, (check, out)) =>
+              val cond = check.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+              out(cached.filter(cond && !seen))
+              seen || cond
+            }
+            ()
+          } finally cached.unpersist(false)
+        }
       case other => throw new IllegalArgumentException(s"config: output $other")
     }
   }

@@ -203,6 +203,49 @@ pipeline:
     assert(rows == Seq((0L, 0L), (1L, 20L), (2L, 40L)))
   }
 
+  test("YAML config group_by, while, and output broker/switch routing") {
+    import graft.conn.PipelineConfig
+    val outA = tmpDir("swa"); val outB = tmpDir("swb")
+    val cfg = s"""
+input:
+  generate:
+    count: 6
+    mapping: 'root.n = this.seq_id.number()'
+pipeline:
+  processors:
+    - group_by:
+        - check: 'this.n < 2'
+          processors:
+            - mapping: 'root = {"n": this.n, "g": "low"}'
+        - check: 'this.n >= 2'
+          processors:
+            - mapping: 'root = {"n": this.n, "g": "high"}'
+    - while:
+        check: 'this.n < 4'
+        max_loops: 10
+        processors:
+          - mapping: 'root = {"n": this.n + 2, "g": this.g}'
+output:
+  switch:
+    cases:
+      - check: 'this.g == "low"'
+        output:
+          file:
+            path: ${outA.getPath}/r
+      - output:
+          file:
+            path: ${outB.getPath}/r
+"""
+    PipelineConfig.load(cfg).run(spark)
+    def read(d: java.io.File): Seq[Long] = spark.read.text(d.getPath + "/r").as[String].collect()
+      .map(s => graft.blob.Interp.toLong(
+        graft.blob.Interp.parseJsonTyped(s).asInstanceOf[Map[String, Any]]("n"))).toSeq.sorted
+    // while runs children on the whole batch until no row passes the
+    // check: two iterations (+2 each) since low rows start at 0/1
+    assert(read(outA) == Seq(4L, 5L))
+    assert(read(outB) == Seq(6L, 7L, 8L, 9L))
+  }
+
   test("output switch routes rows to first matching sink; default gets rest") {
     val (hi, mid, rest) = (collector(), collector(), collector())
     val df = Seq(500, 50, 5).toDF("n")
