@@ -285,6 +285,7 @@ object Methods {
           case b: Boolean => java.lang.Boolean.valueOf(b)
           case s => toStr(s)
         }): _*)
+      case "repeat" => toStr(t) * argLong(0).toInt
       case "reverse" => t match {
         case a: Vector[Any @unchecked] => a.reverse
         case s => toStr(s).reverse
@@ -365,6 +366,9 @@ object Methods {
       case "sqrt" => math.sqrt(toNum(t))
       case "log" => math.log(toNum(t))
       case "log10" => math.log10(toNum(t))
+      case "sin" => math.sin(toNum(t))
+      case "cos" => math.cos(toNum(t))
+      case "tan" => math.tan(toNum(t))
       case "pow" => math.pow(toNum(t), toNum(arg(0)))
       case "int64" => toLong(t)
       case "float64" => toNum(t)

@@ -182,6 +182,13 @@ class BlobTextSpec extends AnyFunSuite {
       "<a>x</a>\n<a>&lt;y&gt;</a>")
   }
 
+  test("trig and repeat methods") {
+    assert(run("""root.s = 0.0.sin()
+                  root.c = 0.0.cos()
+                  root.r = "ab".repeat(3)""", "{}") ==
+      Some("""{"c":1,"r":"ababab","s":0}"""))
+  }
+
   test("ts_unix_nano and parse_big_decimal (Kafka Connect decimal)") {
     assert(run("""root.n = this.t.ts_parse("yyyy-MM-dd").ts_unix_nano()""",
       """{"t":"2024-01-02"}""") == Some("""{"n":1704153600000000000}"""))
