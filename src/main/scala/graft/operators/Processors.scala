@@ -145,7 +145,10 @@ object Processors {
       val tag = cases.zipWithIndex.reverse.foldLeft(lit(-1)) {
         case (acc, ((check, _), i)) => when(check, lit(i)).otherwise(acc)
       }
-      val tagged = df.withColumn("_gb", tag)
+      // materialize the tagged frame once (lazy localCheckpoint): each
+      // group's sub-plan reads the checkpoint instead of re-scanning the
+      // input N times — same single-scan contract as `branch`
+      val tagged = df.withColumn("_gb", tag).localCheckpoint(false)
       cases.zipWithIndex.map { case ((_, proc), i) =>
         proc(tagged.filter(col("_gb") === i).drop("_gb"))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
