@@ -63,13 +63,16 @@ object Processors {
     */
   def switch(cases: Seq[(Column, Processor)], default: Processor = Processor.noop): Processor =
     Processor("switch") { df =>
+      // materialize once (lazy localCheckpoint): N cases + default read
+      // the checkpoint instead of re-scanning the input N+1 times
+      val src = df.localCheckpoint(false)
       val (branches, _) = cases.foldLeft((Vector.empty[DataFrame], lit(false))) {
         case ((acc, seen), (cond, proc)) =>
           val c = coalesce(cond, lit(false))
-          (acc :+ proc(df.filter(c && !seen)), seen || c)
+          (acc :+ proc(src.filter(c && !seen)), seen || c)
       }
       val anyCase = cases.map(c => coalesce(c._1, lit(false))).reduceOption(_ || _).getOrElse(lit(false))
-      val rest = default(df.filter(!anyCase))
+      val rest = default(src.filter(!anyCase))
       (branches :+ rest).reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
