@@ -131,6 +131,23 @@ object QueriesLlm {
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.syntheticMedia(s, dir), n = 4)),
 
+    // PII scrub (training-data pipeline extension): plant synthetic
+    // emails/IPs/ids into the text, scrub, verify masks + count
+    "llm_pii_scrub" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0.0."),
+        pmod(col("doc_id"), lit(256)), lit(" id 9988776655"), col("doc_id"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ml.TextAnalysis.piiScrub(planted).as("clean"))
+    }),
+
+    // repetition score (Gopher-style boilerplate signal): duplicated
+    // 3-gram fraction per document
+    "llm_repetition" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      round(graft.ml.TextAnalysis.repetitionScore(col("text"), 3), 6).as("rep3"))),
+
     // REAL bmp decode: synthesize deterministic 2x2 BMPs, decode them
     // executor-side, and let the oracle recompute dimensions + channel
     // means from the pixel formula — verifies the actual byte parser
@@ -216,6 +233,25 @@ object QueriesLlm {
       """SELECT doc_id AS media_id, unnest(generate_series(0, 3)) AS frame_idx,
            CAST(floor(unnest(generate_series(0, 3)) / 4.0 * (n_chars * 10)) AS BIGINT) AS offset_ms
          FROM documents WHERE doc_id % 3 = 2""",
+    "llm_pii_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || doc_id || '@example.com from 10.0.0.'
+                  || (doc_id % 256) || ' id 9988776655' || doc_id,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{9,}\b', '<NUM>', 'g') AS clean
+         FROM documents""",
+    "llm_repetition" ->
+      s"""WITH sh AS (
+           SELECT doc_id, CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]
+             ELSE list_transform(generate_series(0, len($oTok) - 3),
+               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3])) END AS g
+           FROM documents)
+         SELECT doc_id,
+           round(CASE WHEN len(g) <= 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g) END, 6) AS rep3
+         FROM sh""",
     "mm_decode_bmp" ->
       """SELECT c_custkey AS media_id, 2::BIGINT AS w, 2::BIGINT AS h,
            round((((c_custkey*37 + 0) % 256)/255.0 + ((c_custkey*37 + 4) % 256)/255.0

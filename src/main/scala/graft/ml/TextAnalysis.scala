@@ -91,4 +91,29 @@ object TextAnalysis {
     * (winnowing flavor) — robust to local edits. */
   def winnowFingerprint(text: Column, n: Int = 4): Column =
     array_min(transform(Dedup.shingles(text, n), s => xxhash64(s)))
+
+  // ===== training-data pipeline extensions (beyond the reference) ==========
+
+  /** PII scrub: mask emails, IPv4 addresses, and long digit runs with
+    * typed placeholders. Pure `regexp_replace` chain — codegen'd, no
+    * UDF; patterns are RE2-safe (no backrefs/lookaround) so external
+    * validators can replay them. Order matters: emails first (an email
+    * may embed digits), then IPs, then loose digit runs. */
+  def piiScrub(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{9,}\\b", "<NUM>")
+  }
+
+  /** Repetition score (Gopher-style quality signal): fraction of word
+    * n-grams that are duplicates of an earlier n-gram in the same
+    * document — high values flag boilerplate/spam. 0.0 for docs shorter
+    * than n words. */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val grams = Dedup.shingles(text, n)
+    when(size(grams) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
 }
