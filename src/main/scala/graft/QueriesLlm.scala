@@ -148,6 +148,16 @@ object QueriesLlm {
       col("doc_id"),
       round(graft.ml.TextAnalysis.repetitionScore(col("text"), 3), 6).as("rep3"))),
 
+    // decontamination (GPT-3 13-gram shape, n=5 here): eval set = first-20-
+    // word prefixes of every 10th doc (planted contamination, same pattern
+    // as plantedCorpus) → flag train docs sharing any 5-gram, with counts
+    "llm_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+        .select(substring_index(col("text"), " ", 20).as("text"))
+      Dedup.decontaminate(docs, evalSet, "doc_id", "text", n = 5)
+    }),
+
     // REAL bmp decode: synthesize deterministic 2x2 BMPs, decode them
     // executor-side, and let the oracle recompute dimensions + channel
     // means from the pixel formula — verifies the actual byte parser
@@ -252,6 +262,20 @@ object QueriesLlm {
            round(CASE WHEN len(g) <= 0 THEN 0.0
                  ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g) END, 6) AS rep3
          FROM sh""",
+    "llm_decontaminate" -> {
+      val gram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
+             ELSE list_transform(generate_series(0, len($oTok) - 5),
+               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3], ($oTok)[i+4], ($oTok)[i+5])) END"""
+      s"""WITH ev AS (
+           SELECT CASE WHEN len(string_split(text, ' ')) <= 20 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:20], ' ') END AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         evg AS (SELECT DISTINCT unnest($gram5) AS g FROM ev),
+         tr AS (SELECT doc_id, unnest(list_distinct($gram5)) AS g FROM documents)
+         SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
+         FROM tr JOIN evg ON tr.g = evg.g
+         GROUP BY tr.doc_id"""
+    },
     "mm_decode_bmp" ->
       """SELECT c_custkey AS media_id, 2::BIGINT AS w, 2::BIGINT AS h,
            round((((c_custkey*37 + 0) % 256)/255.0 + ((c_custkey*37 + 4) % 256)/255.0

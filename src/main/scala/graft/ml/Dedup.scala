@@ -230,6 +230,27 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Decontamination: flag training docs that share any word n-gram with
+    * an eval/benchmark set (the GPT-3 13-gram decontamination shape).
+    *
+    * Scale plan: the eval set's distinct n-grams are tiny relative to a
+    * 100 TB corpus → collected into a broadcast hash relation; the train
+    * side explodes per-doc DISTINCT n-grams map-side and broadcast-joins
+    * (the corpus itself never shuffles), then partial-aggregates overlap
+    * counts per doc — the only shuffle carries (id, partial count) for
+    * contaminated docs. Output: (idCol, n_overlap) for contaminated docs
+    * only; anti-join the result against the corpus to get the clean set.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(col(textCol), n)).as("_g")).distinct()
+    val trainGrams = train.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), n))).as("_g"))
+    trainGrams.join(broadcast(evalGrams), "_g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Embedding cosine near-dup pairs via random-hyperplane LSH buckets:
     * docs whose sign-signature agrees on one of `tables` projections are
     * candidates; verified with exact cosine. Like minhash, the candidate

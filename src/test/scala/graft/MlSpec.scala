@@ -87,6 +87,22 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags exactly the docs sharing an eval n-gram, with counts") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 5-gram
+      (2L, "one two three four five six"),           // no overlap
+      (3L, "alpha beta gamma delta epsilon eta"),    // same leading 5-gram
+      (4L, "zeta alpha beta gamma delta epsilon")    // shifted: one eval gram
+    ).toDF("doc_id", "text")
+    val evalSet = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val got = Dedup.decontaminate(train, evalSet, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // eval 5-grams: {a b g d e, b g d e z}. doc1 hits both, doc3 hits the
+    // first, doc4's second window is "a b g d e" (its first starts at zeta
+    // and matches nothing), doc2 is clean and absent.
+    assert(got === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("exact dedup keeps one deterministic winner per distinct text") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", col("doc_id"))
