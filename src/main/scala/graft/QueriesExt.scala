@@ -73,6 +73,28 @@ object QueriesExt {
         Blob.jsonPath(col("claims"), "$.k").cast(LongType).as("k"),
         col("claims").isNotNull.as("verified"))),
 
+    // bcrypt + argon2 password hashing (impl/crypto/bcrypt.go:25,
+    // argon2.go): deterministic salts, hash → compare accept/reject.
+    // Absolute correctness is pinned by published vectors in
+    // CryptoArchiveSpec (crypt_blowfish + RFC 9106); the oracle gates the
+    // accept/reject contract end-to-end. Costs kept minimal (cost 4 /
+    // t=1,m=16KiB) — this gates correctness, not hardness.
+    "blob_passwords" -> ((s, dir) => {
+      import graft.functions.{Argon2, Bcrypt}
+      val bhash = udf((pw: String, seed: Long) => Bcrypt.hash(pw, Bcrypt.saltFromSeed(4, seed)))
+      val bok = udf((pw: String, h: String) => Bcrypt.check(pw, h))
+      val ahash = udf((pw: String, seed: Long) =>
+        Argon2.hash(pw, Argon2.saltFromSeed(seed), variant = 2, t = 1, mKiB = 16, p = 1))
+      val aok = udf((pw: String, h: String) => Argon2.check(pw, h))
+      val pw = concat(lit("pw-"), col("doc_id"))
+      t(s, dir, "documents").filter(col("doc_id") < 40).select(
+        col("doc_id"),
+        bok(pw, bhash(pw, col("doc_id"))).as("bcrypt_ok"),
+        bok(concat(pw, lit("!")), bhash(pw, col("doc_id"))).as("bcrypt_reject"),
+        aok(pw, ahash(pw, col("doc_id"))).as("argon2_ok"),
+        aok(concat(pw, lit("!")), ahash(pw, col("doc_id"))).as("argon2_reject"))
+    }),
+
     // named-group regex: re_find_object + re_find_all_submatch
     // (methods_strings.go:1623,1677)
     "blob_regex2" -> ((s, dir) => {
@@ -375,6 +397,10 @@ pipeline:
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k,
            true AS verified
          FROM events""",
+    "blob_passwords" ->
+      """SELECT doc_id, true AS bcrypt_ok, false AS bcrypt_reject,
+           true AS argon2_ok, false AS argon2_reject
+         FROM documents WHERE doc_id < 40""",
     "blob_regex2" ->
       """SELECT p_partkey,
            regexp_extract(printf('type=%s size=%d', p_type, p_size),

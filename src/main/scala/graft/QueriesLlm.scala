@@ -148,6 +148,25 @@ object QueriesLlm {
       col("doc_id"),
       round(graft.ml.TextAnalysis.repetitionScore(col("text"), 3), 6).as("rep3"))),
 
+    // paragraph-level exact dedup: synthesize 3-paragraph docs (first-12
+    // words, a SHARED boilerplate footer, last-12 words) — the footer
+    // survives only in the winning doc, natural chunk collisions dedup too
+    "llm_paragraph_dedup" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"), concat_ws("\n\n",
+        substring_index(col("text"), " ", 12),
+        lit("subscribe to our newsletter for updates"),
+        substring_index(col("text"), " ", -12)).as("text"))
+      TextAnalysis.paragraphDedup(synth, "doc_id", "text")
+        .select(col("doc_id"), col("para_idx").cast(LongType).as("para_idx"), col("para"))
+    }),
+
+    // unigram log-prob quality signal (CCNet perplexity-proxy): mean
+    // log10 P(token) under the corpus's own unigram distribution
+    "llm_unigram_logprob" -> ((s, dir) => {
+      val r = TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      r.select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"), col("n_tokens"))
+    }),
+
     // decontamination (GPT-3 13-gram shape, n=5 here): eval set = first-20-
     // word prefixes of every 10th doc (planted contamination, same pattern
     // as plantedCorpus) → flag train docs sharing any 5-gram, with counts
@@ -262,6 +281,30 @@ object QueriesLlm {
            round(CASE WHEN len(g) <= 0 THEN 0.0
                  ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g) END, 6) AS rep3
          FROM sh""",
+    "llm_paragraph_dedup" ->
+      """WITH synth AS (
+           SELECT doc_id, [
+             CASE WHEN len(string_split(text, ' ')) <= 12 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:12], ' ') END,
+             'subscribe to our newsletter for updates',
+             CASE WHEN len(string_split(text, ' ')) <= 12 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[len(string_split(text, ' '))-11:len(string_split(text, ' '))], ' ') END
+           ] AS paras FROM documents),
+         px AS (SELECT doc_id, generate_subscripts(paras, 1) - 1 AS para_idx,
+                  unnest(paras) AS para FROM synth),
+         f AS (SELECT doc_id, para_idx, para,
+                 row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+               FROM px WHERE length(trim(para)) > 0)
+         SELECT doc_id, para_idx, para FROM f WHERE rn = 1""",
+    "llm_unigram_logprob" -> {
+      s"""WITH tok AS (SELECT doc_id, unnest($oTok) AS tok FROM documents),
+         vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+         tot AS (SELECT sum(tf)::DOUBLE AS n FROM vocab)
+         SELECT tok.doc_id, round(avg(log10(vocab.tf / tot.n)), 6) AS avg_logprob,
+           count(*)::BIGINT AS n_tokens
+         FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+         GROUP BY tok.doc_id"""
+    },
     "llm_decontaminate" -> {
       val gram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
              ELSE list_transform(generate_series(0, len($oTok) - 5),

@@ -354,6 +354,10 @@ object Methods {
           case s => err(s"unknown hash $s")
         }
         VBytes(java.security.MessageDigest.getInstance(alg).digest(rawBytes(t)))
+      // password compares (impl/crypto/bcrypt.go:25, argon2.go): target is
+      // the plaintext, the arg is the hashed secret
+      case "compare_bcrypt" => graft.functions.Bcrypt.check(toStr(t), argStr(0))
+      case "compare_argon2" => graft.functions.Argon2.check(toStr(t), argStr(0))
 
       // ===== numbers (methods_numbers.go, bloblang_numbers.go) ===============
       case "abs" => t match { case l: Long => math.abs(l); case v => math.abs(toNum(v)) }

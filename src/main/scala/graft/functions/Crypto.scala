@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions.udf
   * jwt_parse.go:80, jwt_sign.go:76; id generators — functions.go:944-982,
   * impl/lang/bloblang.go:104-281). Pure-JDK implementations (javax.crypto
   * + java.security; PEM PKCS#8/X.509 key parsing, ES raw↔DER signature
-  * conversion per RFC 7518 §3.4). argon2/bcrypt stay out of scope (no
-  * public jar in this build).
+  * conversion per RFC 7518 §3.4). bcrypt and argon2 are pure-Scala
+  * ([[Bcrypt]], [[Argon2]]) — no external jars needed.
   */
 object Crypto {
 
@@ -206,5 +206,9 @@ object Crypto {
     spark.udf.register("blob_ulid", udf(() => ulid()).asNondeterministic())
     spark.udf.register("blob_ksuid", udf(() => ksuid()).asNondeterministic())
     spark.udf.register("blob_snowflake_id", udf((n: Long) => snowflakeId(n)).asNondeterministic())
+    spark.udf.register("blob_compare_bcrypt",
+      udf((pw: String, h: String) => Bcrypt.check(pw, h)))
+    spark.udf.register("blob_compare_argon2",
+      udf((pw: String, h: String) => Argon2.check(pw, h)))
   }
 }

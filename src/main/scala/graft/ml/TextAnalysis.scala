@@ -116,4 +116,48 @@ object TextAnalysis {
     when(size(grams) <= 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
   }
+
+  /** Paragraph-level exact dedup (the standard intra-corpus boilerplate
+    * killer: repeated headers/footers/nav-chrome dedup at paragraph
+    * granularity). Explode docs into (doc, paragraph-index, paragraph),
+    * keep one deterministic winner per paragraph digest.
+    *
+    * Scale plan: the explode is map-side; the only shuffle keys on the
+    * paragraph digest (not the text — same 100 TB discipline as
+    * [[Dedup.exact]]). Returns (idCol, para_idx, para) of survivors;
+    * re-assembling cleaned documents is a groupBy(idCol) sort_by(para_idx)
+    * away. */
+  def paragraphDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, sep: String = "\n\n"): org.apache.spark.sql.DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("para_idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("para").cast(BinaryType), 256))
+      .orderBy(col(idCol), col("para_idx"))
+    paras.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Unigram log-probability quality signal (CCNet-flavor perplexity
+    * proxy): mean log₁₀ P(token) under the corpus's own unigram model.
+    * Low (very negative) scores flag gibberish/rare-token soup; high
+    * scores flag natural, common-word text.
+    *
+    * Two-pass scale plan: pass 1 aggregates token frequencies (map-side
+    * explode → partial-agg shuffle on token — the classic word-count);
+    * pass 2 joins tokens back to the frequency table. At 100 TB the
+    * vocabulary table is millions of rows (Zipf), far smaller than the
+    * corpus — AQE picks broadcast when it fits, shuffle-join otherwise;
+    * we deliberately do NOT force broadcast. */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum("tf")).first().getLong(0)
+    toks.join(vocab, "tok")
+      .groupBy(idCol)
+      .agg(avg(log10(col("tf").cast(DoubleType) / total.toDouble)).as("avg_logprob"),
+        count(lit(1)).cast(LongType).as("n_tokens"))
+  }
 }

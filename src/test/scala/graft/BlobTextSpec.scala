@@ -86,6 +86,20 @@ class BlobTextSpec extends AnyFunSuite {
       Some("""{"v":"bad"}"""))
   }
 
+  test("compare_bcrypt / compare_argon2 methods verify hashed secrets") {
+    val bh = graft.functions.Bcrypt.hash("hunter2", graft.functions.Bcrypt.saltFromSeed(4, 9L))
+    val ah = graft.functions.Argon2.hash("hunter2", graft.functions.Argon2.saltFromSeed(9L),
+      variant = 2, t = 1, mKiB = 16, p = 1)
+    assert(run(s"""root.ok = this.pw.compare_bcrypt("$bh")""", """{"pw":"hunter2"}""")
+      == Some("""{"ok":true}"""))
+    assert(run(s"""root.ok = this.pw.compare_bcrypt("$bh")""", """{"pw":"wrong"}""")
+      == Some("""{"ok":false}"""))
+    assert(run(s"""root.ok = this.pw.compare_argon2("$ah")""", """{"pw":"hunter2"}""")
+      == Some("""{"ok":true}"""))
+    assert(run(s"""root.ok = this.pw.compare_argon2("$ah")""", """{"pw":"wrong"}""")
+      == Some("""{"ok":false}"""))
+  }
+
   test("throw routes to catch; uncaught errors surface as BlobError") {
     assert(run("""root.a = throw("boom").catch("saved")""", "{}") == Some("""{"a":"saved"}"""))
     intercept[Bloblang.BlobError] { run("""root.a = throw("boom")""", "{}") }

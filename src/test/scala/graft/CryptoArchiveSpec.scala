@@ -15,6 +15,52 @@ class CryptoArchiveSpec extends SparkSpec {
     assert(got == "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
   }
 
+  test("bcrypt: published crypt_blowfish vectors, round-trip, and rejection") {
+    import graft.functions.Bcrypt
+    // Public test vectors from the crypt_blowfish / jBCrypt test suites.
+    assert(Bcrypt.hash("", "$2a$06$DCq7YPn5Rq63x1Lad4cll.") ===
+      "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.")
+    assert(Bcrypt.hash("a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO") ===
+      "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe")
+    // hashing with a full previous hash as the salt reproduces it (crypt(3))
+    val h = Bcrypt.hash("s3cret", Bcrypt.saltFromSeed(4, 7L))
+    assert(Bcrypt.hash("s3cret", h) === h)
+    assert(Bcrypt.check("s3cret", h))
+    assert(!Bcrypt.check("s3cret!", h))
+    assert(!Bcrypt.check("s3cret", h.replace(h.takeRight(1), if (h.endsWith("a")) "b" else "a")))
+    // deterministic salt → deterministic hash; different seed → different hash
+    assert(Bcrypt.hash("x", Bcrypt.saltFromSeed(4, 1L)) ===
+      Bcrypt.hash("x", Bcrypt.saltFromSeed(4, 1L)))
+    assert(Bcrypt.hash("x", Bcrypt.saltFromSeed(4, 1L)) !==
+      Bcrypt.hash("x", Bcrypt.saltFromSeed(4, 2L)))
+  }
+
+  test("argon2: RFC 7693 blake2b vector and RFC 9106 d/i/id vectors") {
+    import graft.functions.Argon2
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    // RFC 7693 appendix A: BLAKE2b-512("abc")
+    assert(hex(Argon2.blake2b(64, "abc".getBytes("US-ASCII"))) ===
+      "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1" +
+      "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
+    // RFC 9106 §5: t=3, m=32 KiB, p=4, 32-byte tag, P=32×01, S=16×02,
+    // K=8×03, X=12×04
+    val pw = Array.fill[Byte](32)(1)
+    val salt = Array.fill[Byte](16)(2)
+    val secret = Array.fill[Byte](8)(3)
+    val ad = Array.fill[Byte](12)(4)
+    def run(v: Int) = hex(Argon2.rawHash(v, pw, salt, t = 3, mKiB = 32, p = 4,
+      tagLen = 32, secret = secret, ad = ad))
+    assert(run(0) === "512b391b6f1162975371d30919734294f868e3be3984f3c1a13a4db9fabe4acb") // §5.1 argon2d
+    assert(run(1) === "c814d9d1dc7f37aa13f0d77f2494bda1c8de6b016dd388d29952a4c4672b6ce8") // §5.2 argon2i
+    assert(run(2) === "0d640df58d78766c08c037a34a8b53c9d01ef0452d75b65eb52520e96b01e659") // §5.3 argon2id
+    // PHC round-trip + rejection (small params for speed)
+    val phc = Argon2.hash("s3cret", Argon2.saltFromSeed(1L), variant = 2,
+      t = 1, mKiB = 64, p = 2)
+    assert(Argon2.check("s3cret", phc))
+    assert(!Argon2.check("wrong", phc))
+    assert(!Argon2.check("s3cret", phc.dropRight(4) + "AAAA"))
+  }
+
   test("jwt: tampered token and wrong secret are rejected") {
     val tok = Crypto.signJwtHs("HS256")("""{"sub":"u1","n":7}""", "k")
     assert(Crypto.parseJwtHs("HS256")(tok, "k") == """{"sub":"u1","n":7}""")

@@ -103,6 +103,32 @@ class MlSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("paragraph dedup keeps one winner per paragraph digest, ordered deterministically") {
+    val df = Seq(
+      (1L, "intro one\n\nshared footer\n\nbody one"),
+      (2L, "intro two\n\nshared footer\n\nbody two"),
+      (3L, "intro one\n\n\n\nbody three") // dup of doc1's intro + empty para
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedup(df, "doc_id", "text")
+      .select("doc_id", "para_idx", "para").as[(Long, Int, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0, "intro one"), (1L, 1, "shared footer"), (1L, 2, "body one"),
+      (2L, 0, "intro two"), (2L, 2, "body two"),
+      (3L, 2, "body three"))) // doc3's intro lost to doc1 (lower id); empty para dropped
+  }
+
+  test("unigram log-prob matches hand-computed values") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .select("doc_id", "avg_logprob", "n_tokens").as[(Long, Double, Long)]
+      .collect().map { case (id, lp, n) => id -> ((lp * 1e9).round / 1e9, n) }.toMap
+    // tf: a=2 b=2 c=1, total=5. doc1 = avg(log10(.4)×3) = log10(.4);
+    // doc2 = (log10(.4)+log10(.2))/2
+    def r(x: Double) = (x * 1e9).round / 1e9
+    assert(got(1L) === ((r(math.log10(0.4)), 3L)))
+    assert(got(2L) === ((r((math.log10(0.4) + math.log10(0.2)) / 2), 2L)))
+  }
+
   test("exact dedup keeps one deterministic winner per distinct text") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", col("doc_id"))
