@@ -243,10 +243,14 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
+    // n-grams are HASHED numerically (shingleHashes: token-hash windows,
+    // no per-gram string concat) — the explode carries 8-byte longs, the
+    // broadcast map holds longs, and no gram string is ever materialized.
+    // Same count modulo negligible 64-bit collisions (cf. ngramJaccard).
     val evalGrams = evalSet
-      .select(explode(shingles(col(textCol), n)).as("_g")).distinct()
+      .select(explode(shingleHashes(col(textCol), n)).as("_g")).distinct()
     val trainGrams = train.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), n))).as("_g"))
+      explode(shingleHashes(col(textCol), n)).as("_g"))
     trainGrams.join(broadcast(evalGrams), "_g")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
   }
