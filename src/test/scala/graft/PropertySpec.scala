@@ -30,6 +30,29 @@ class PropertySpec extends AnyFunSuite {
       assert(d(c(bs)).toSeq == bs.toSeq, s"$name failed on ${bs.length} bytes")
   }
 
+  test("bcrypt/argon2 laws: verify(hash(pw)) holds, wrong password rejected, 72-byte truncation") {
+    import graft.functions.{Argon2, Bcrypt}
+    val pwGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(30)),
+      Gen.listOf(Gen.oneOf("é", "ü", "中", "🙂", "a", " ")).map(_.mkString.take(20)))
+    for ((pw, i) <- samples(pwGen, 8).zipWithIndex) {
+      val bh = Bcrypt.hash(pw, Bcrypt.saltFromSeed(4, i.toLong))
+      assert(Bcrypt.check(pw, bh), s"bcrypt self-verify failed for ${pw.length}-char pw")
+      assert(!Bcrypt.check(pw + "x", bh))
+      val ah = Argon2.hash(pw, Argon2.saltFromSeed(i.toLong), variant = 2, t = 1, mKiB = 8, p = 1)
+      assert(Argon2.check(pw, ah), s"argon2 self-verify failed for ${pw.length}-char pw")
+      assert(!Argon2.check(pw + "x", ah))
+    }
+    // bcrypt truncates the key at 72 bytes (crypt(3) law): same prefix → same hash
+    val long1 = "a" * 72 + "tail-one"
+    val long2 = "a" * 72 + "other-tail"
+    val salt = Bcrypt.saltFromSeed(4, 99L)
+    assert(Bcrypt.hash(long1, salt) === Bcrypt.hash(long2, salt))
+    // …but argon2 does NOT truncate
+    assert(Argon2.hash(long1, Argon2.saltFromSeed(99L), 2, 1, 8, 1) !==
+      Argon2.hash(long2, Argon2.saltFromSeed(99L), 2, 1, 8, 1))
+  }
+
   test("ascii85/z85 round-trip; z85 requires 4-byte alignment") {
     for (bs <- samples(bytesGen))
       assert(Codecs.ascii85Decode(Codecs.ascii85Encode(bs)).toSeq == bs.toSeq)
