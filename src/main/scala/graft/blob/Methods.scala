@@ -617,6 +617,82 @@ object Methods {
       // nano variant scales it — sub-µs digits are zero by construction
       case "ts_unix_nano" => tsEpochMicros(t) * 1000L
 
+      // long-form timestamp aliases (methods.md)
+      case "parse_timestamp_strptime" => parseTs(toStr(t), cToJava(argStr(0)))
+      case "format_timestamp_strftime" => formatTs(t, cToJava(argStr(0)))
+      case "format_timestamp_unix" => tsEpochMicros(t) / 1000000L
+      case "format_timestamp_unix_milli" => tsEpochMicros(t) / 1000L
+      case "format_timestamp_unix_micro" => tsEpochMicros(t)
+      case "format_timestamp_unix_nano" => tsEpochMicros(t) * 1000L
+
+      // `.set(path, value)` — methods.md `set`: dot-path write with array
+      // indices; writing deleted() removes the field
+      case "set" =>
+        val v = arg(1)
+        def write(cur: Any, path: List[String]): Any = path match {
+          case Nil => v
+          case seg :: rest =>
+            cur match {
+              case l: Vector[Any @unchecked] =>
+                val i = try seg.toInt catch {
+                  case _: NumberFormatException => err(s"set: non-numeric index '$seg' into array")
+                }
+                if (i < 0 || i >= l.length) err(s"set: index $i out of bounds")
+                else if (rest.isEmpty && v == VDelete) l.patch(i, Nil, 1)
+                else l.updated(i, write(l(i), rest))
+              case m: VectorMap[String @unchecked, Any @unchecked] =>
+                if (rest.isEmpty && v == VDelete) m - seg
+                else write(m.getOrElse(seg, null), rest) match {
+                  case VDelete => m - seg
+                  case w => m.updated(seg, w)
+                }
+              case null | VNothing =>
+                if (rest.isEmpty && v == VDelete) VectorMap.empty[String, Any]
+                else VectorMap.empty[String, Any].updated(seg, write(null, rest))
+              case other => err(s"set: cannot descend into ${typeName(other)}")
+            }
+        }
+        write(t, toStr(arg(0)).split('.').toList.filter(_.nonEmpty))
+
+      // `.parse_csv(parse_header_row?, delimiter?, lazy_quotes?)`
+      // (methods_strings.go:1008): RFC-4180 quoting; header row → objects
+      case "parse_csv" =>
+        val header = if (args.isEmpty) true else arg(0) match {
+          case b: Boolean => b
+          case other => err(s"parse_csv: expected bool, got ${typeName(other)}")
+        }
+        val delim = if (args.length > 1) argStr(1).headOption.getOrElse(',') else ','
+        val rows = parseCsvRows(toStr(t), delim)
+        if (rows.isEmpty) Vector.empty[Any]
+        else if (header) {
+          val hs = rows.head
+          rows.tail.map { r =>
+            if (r.length != hs.length)
+              err(s"parse_csv: row has ${r.length} values, header has ${hs.length}")
+            VectorMap.from(hs.zip(r))
+          }
+        } else rows.map(r => r: Any)
+
+      // `.parse_xml()` — impl/xml/bloblang.go:13: attributes become "-k"
+      // keys, text "#text" when mixed with attrs/children, repeats → arrays
+      case "parse_xml" => parseXmlValue(toStr(t))
+
+      // JWT methods (impl/crypto/jwt_sign.go:76, jwt_parse.go:80): sign on
+      // the claims object, parse verifies and returns the claims object
+      case jwt if jwt.startsWith("sign_jwt_") || jwt.startsWith("parse_jwt_") =>
+        val alg = jwt.substring(jwt.lastIndexOf('_') + 1).toUpperCase
+        val key = argStr(0)
+        if (jwt.startsWith("sign_jwt_")) {
+          val claims = marshalJson(t)
+          if (alg.startsWith("HS")) graft.functions.Crypto.signJwtHs(alg)(claims, key)
+          else graft.functions.Crypto.signJwtPk(alg)(claims, key)
+        } else {
+          val parsed =
+            if (alg.startsWith("HS")) graft.functions.Crypto.parseJwtHs(alg)(toStr(t), key)
+            else graft.functions.Crypto.parseJwtPk(alg)(toStr(t), key)
+          if (parsed == null) err(s"$jwt: failed to verify token") else parseJsonTyped(parsed)
+        }
+
       // `.parse_big_decimal(scale)` — Kafka Connect / Debezium decimal:
       // two's-complement big-endian unscaled int → decimal string
       case "parse_big_decimal" =>
@@ -756,5 +832,78 @@ object Methods {
     val n = a.length
     def norm(i: Long): Int = (if (i < 0) math.max(0L, n + i) else math.min(i, n)).toInt
     a.slice(norm(from), until.map(norm).getOrElse(n))
+  }
+
+  /** RFC-4180 CSV: quoted fields, "" escapes, CRLF/LF rows. */
+  private def parseCsvRows(s: String, delim: Char): Vector[Vector[String]] = {
+    val rows = Vector.newBuilder[Vector[String]]
+    var row = Vector.newBuilder[String]
+    val field = new StringBuilder
+    var inQuotes = false
+    var sawAny = false
+    var i = 0
+    def endField(): Unit = { row += field.toString; field.clear() }
+    def endRow(): Unit = { endField(); rows += row.result(); row = Vector.newBuilder[String] }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      sawAny = true
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { field.append('"'); i += 1 }
+          else inQuotes = false
+        } else field.append(c)
+      } else c match {
+        case '"' if field.isEmpty => inQuotes = true
+        case `delim` => endField()
+        case '\r' if i + 1 < s.length && s.charAt(i + 1) == '\n' => endRow(); i += 1
+        case '\n' => endRow()
+        case other => field.append(other)
+      }
+      i += 1
+    }
+    if (inQuotes) err("parse_csv: unterminated quote")
+    if (field.nonEmpty || row.result().nonEmpty || (sawAny && !s.endsWith("\n")))
+      endRow()
+    rows.result()
+  }
+
+  /** Bento parse_xml value model (impl/xml/bloblang.go + xml/map.go):
+    * attributes → "-name" keys, text → "#text" when the element also has
+    * attributes/children (bare string otherwise), repeated child names
+    * collapse into arrays. */
+  private def parseXmlValue(s: String): Any = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true) // no XXE
+    dbf.setNamespaceAware(false)
+    val doc =
+      try dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+      catch { case e: Exception => err(s"parse_xml: ${e.getMessage}") }
+
+    def elemValue(e: org.w3c.dom.Element): Any = {
+      val attrs = e.getAttributes
+      val fields = Vector.newBuilder[(String, Any)]
+      for (i <- 0 until attrs.getLength) {
+        val a = attrs.item(i)
+        fields += (("-" + a.getNodeName) -> a.getNodeValue)
+      }
+      val kids = e.getChildNodes
+      val childVals = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Any]]
+      val text = new StringBuilder
+      for (i <- 0 until kids.getLength) kids.item(i) match {
+        case ce: org.w3c.dom.Element =>
+          childVals(ce.getTagName) = childVals.getOrElse(ce.getTagName, Vector.empty) :+ elemValue(ce)
+        case tn: org.w3c.dom.Text => text.append(tn.getData)
+        case _ => ()
+      }
+      childVals.foreach { case (k, vs) =>
+        fields += (k -> (if (vs.length == 1) vs.head else vs))
+      }
+      val txt = text.toString.trim
+      val fs = fields.result()
+      if (fs.isEmpty) txt
+      else VectorMap.from(if (txt.nonEmpty) fs :+ ("#text" -> (txt: Any)) else fs)
+    }
+    VectorMap[String, Any](doc.getDocumentElement.getTagName -> elemValue(doc.getDocumentElement))
   }
 }

@@ -86,6 +86,49 @@ class BlobTextSpec extends AnyFunSuite {
       Some("""{"v":"bad"}"""))
   }
 
+  test("set method writes dot paths, array indices, and deletes") {
+    assert(run("""root = this.set("nested.field", "foo")""", """{"bar":"value"}""")
+      == Some("""{"bar":"value","nested":{"field":"foo"}}"""))
+    assert(run("""root = this.set("field", deleted())""", """{"bar":"v","field":"foo"}""")
+      == Some("""{"bar":"v"}"""))
+    assert(run("""root = this.set("arr.0", "foo")""", """{"arr":["value"]}""")
+      == Some("""{"arr":["foo"]}"""))
+    assert(run("""root = this.set("a", 1).set("b", 2)""", "{}")
+      == Some("""{"a":1,"b":2}"""))
+  }
+
+  test("parse_csv: header objects, quoting, no-header arrays") {
+    assert(run("""root.rows = this.csv.parse_csv()""",
+      """{"csv":"name,age\nalice,30\nbob,41"}""")
+      == Some("""{"rows":[{"age":"30","name":"alice"},{"age":"41","name":"bob"}]}"""))
+    assert(run("""root.rows = this.csv.parse_csv(false)""",
+      """{"csv":"a,\"b,c\",\"d\"\"e\""}""")
+      == Some("""{"rows":[["a","b,c","d\"e"]]}"""))
+  }
+
+  test("parse_xml: attributes, text nodes, repeated elements") {
+    assert(run("""root = this.x.parse_xml()""",
+      """{"x":"<r><a k=\"v\">hi</a><b>1</b><b>2</b></r>"}""")
+      == Some("""{"r":{"a":{"#text":"hi","-k":"v"},"b":["1","2"]}}"""))
+  }
+
+  test("jwt sign/parse methods round-trip claims and reject bad secrets") {
+    assert(run("""root = this.sign_jwt_hs256("s3cret").parse_jwt_hs256("s3cret")""",
+      """{"sub":"alice","n":7}""")
+      == Some("""{"n":7,"sub":"alice"}"""))
+    assert(run(
+      """root.ok = this.sign_jwt_hs256("s3cret").parse_jwt_hs256("wrong").catch("rejected")""",
+      """{"sub":"alice"}""")
+      == Some("""{"ok":"rejected"}"""))
+  }
+
+  test("long-form timestamp aliases match the ts_* forms") {
+    assert(run("""root.u = "2023-01-15T10:30:00Z".parse_timestamp("yyyy-MM-dd'T'HH:mm:ssX").format_timestamp_unix()""", "{}")
+      == Some("""{"u":1673778600}"""))
+    assert(run("""root.s = "2023-01-15 10:30:00".parse_timestamp_strptime("%Y-%m-%d %H:%M:%S").format_timestamp_strftime("%d/%m/%Y")""", "{}")
+      == Some("""{"s":"15/01/2023"}"""))
+  }
+
   test("compare_bcrypt / compare_argon2 methods verify hashed secrets") {
     val bh = graft.functions.Bcrypt.hash("hunter2", graft.functions.Bcrypt.saltFromSeed(4, 9L))
     val ah = graft.functions.Argon2.hash("hunter2", graft.functions.Argon2.saltFromSeed(9L),
