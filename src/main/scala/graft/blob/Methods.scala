@@ -693,6 +693,118 @@ object Methods {
           if (parsed == null) err(s"$jwt: failed to verify token") else parseJsonTyped(parsed)
         }
 
+      // remaining ts_* family (bloblang_time.go)
+      case "ts_sub" => // difference t1 - t2 in NANOSECONDS (doc contract)
+        (tsEpochMicros(t) - tsEpochMicros(arg(0))) * 1000L
+      case "ts_round" => // round to nearest multiple of the ns duration, half up
+        val ns = argLong(0)
+        if (ns <= 0) err("ts_round: duration must be positive")
+        val du = math.max(1L, ns / 1000L) // engine precision is µs
+        val m = tsEpochMicros(t)
+        val rounded = Math.floorDiv(m + du / 2, du) * du
+        java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(rounded, 1000000L),
+            Math.floorMod(rounded, 1000000L) * 1000L))
+      case "ts_tz" =>
+        val zone = try java.time.ZoneId.of(argStr(0))
+          catch { case e: Exception => err(s"ts_tz: ${e.getMessage}") }
+        java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME.format(
+          tsInstant(t).atZone(zone))
+      case "ts_add_iso8601" | "ts_sub_iso8601" =>
+        val neg = name == "ts_sub_iso8601"
+        val (period, duration) = parseIso8601Span(argStr(0))
+        val odt = tsInstant(t).atOffset(java.time.ZoneOffset.UTC)
+        val shifted =
+          if (neg) odt.minus(period).minus(duration)
+          else odt.plus(period).plus(duration)
+        java.time.format.DateTimeFormatter.ISO_INSTANT.format(shifted.toInstant)
+
+      // named/indexed group extraction (methods_strings.go:1623,1677)
+      case "re_find_object" =>
+        reFindObjects(toStr(t), argStr(0), firstOnly = true)
+          .headOption.getOrElse(VectorMap.empty[String, Any])
+      case "re_find_all_object" =>
+        reFindObjects(toStr(t), argStr(0), firstOnly = false)
+
+      case "parse_duration_iso8601" =>
+        graft.functions.Udfs.parseDurationIso(toStr(t))
+      case "parse_form_url_encoded" =>
+        val m = graft.functions.Udfs.parseFormUrlEncoded(toStr(t))
+        if (m == null) err("parse_form_url_encoded on null") else VectorMap.from(m)
+
+      // `.parse_url()` — fields follow Go net/url.URL (methods doc)
+      case "parse_url" =>
+        val u = try new java.net.URI(toStr(t))
+          catch { case e: Exception => err(s"parse_url: ${e.getMessage}") }
+        val hostPort =
+          Option(u.getHost).map(h => if (u.getPort >= 0) s"$h:${u.getPort}" else h)
+        var out = VectorMap[String, Any](
+          "fragment" -> Option(u.getFragment).getOrElse(""),
+          "host" -> hostPort.getOrElse(""),
+          "opaque" -> (if (u.isOpaque) Option(u.getSchemeSpecificPart).getOrElse("") else ""),
+          "path" -> Option(u.getPath).getOrElse(""),
+          "raw_fragment" -> "",
+          "raw_path" -> Option(u.getRawPath).filter(_ != Option(u.getPath).getOrElse("")).getOrElse(""),
+          "raw_query" -> Option(u.getRawQuery).getOrElse(""),
+          "scheme" -> Option(u.getScheme).getOrElse(""))
+        Option(u.getUserInfo).foreach { ui =>
+          val (n, pw) = ui.indexOf(':') match {
+            case -1 => (ui, None)
+            case i => (ui.take(i), Some(ui.drop(i + 1)))
+          }
+          val user = VectorMap[String, Any]("name" -> n) ++
+            pw.map(p => VectorMap[String, Any]("password" -> p)).getOrElse(VectorMap.empty)
+          out = out.updated("user", user)
+        }
+        out
+
+      // AES (methods_encryption.go): ctr / cbc (NoPadding, Go parity) / gcm
+      // (nonce + ciphertext‖tag, Go Seal parity)
+      case "encrypt_aes" | "decrypt_aes" =>
+        val encrypt = name == "encrypt_aes"
+        val scheme = argStr(0)
+        val key = new javax.crypto.spec.SecretKeySpec(rawBytes(arg(1)), "AES")
+        val iv = rawBytes(arg(2))
+        val mode = if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE
+        val cipher = scheme match {
+          case "ctr" | "ofb" =>
+            val c = javax.crypto.Cipher.getInstance(s"AES/${scheme.toUpperCase}/NoPadding")
+            c.init(mode, key, new javax.crypto.spec.IvParameterSpec(iv)); c
+          case "cbc" =>
+            val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+            c.init(mode, key, new javax.crypto.spec.IvParameterSpec(iv)); c
+          case "gcm" =>
+            val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+            c.init(mode, key, new javax.crypto.spec.GCMParameterSpec(128, iv)); c
+          case s => err(s"unknown AES scheme $s")
+        }
+        try VBytes(cipher.doFinal(rawBytes(t)))
+        catch { case e: java.security.GeneralSecurityException => err(s"$name: ${e.getMessage}") }
+
+      // `.json_schema(schema)` — processor_jsonschema.go flavor: validates
+      // type/properties/required/items subset, errors on violation,
+      // returns the target unchanged
+      case "json_schema" =>
+        val schema = arg(0) match {
+          case m: VectorMap[String @unchecked, Any @unchecked] => m
+          case s: String => parseJsonTyped(s) match {
+            case m: VectorMap[String @unchecked, Any @unchecked] => m
+            case _ => err("json_schema: schema must be an object")
+          }
+          case other => err(s"json_schema: schema must be an object, got ${typeName(other)}")
+        }
+        validateJsonSchema(t, schema, "root")
+        t
+
+      // `.bloblang(mapping)` — dynamic mapping execution (methods.md)
+      case "bloblang" =>
+        val prog = try Bloblang.parse(argStr(0))
+          catch { case e: Exception => err(s"bloblang: ${e.getMessage}") }
+        Interp.run(prog, marshalJson(t), Map.empty, Map.empty) match {
+          case Some(out) => parseJsonTyped(out)
+          case None => VDelete
+        }
+
       // `.parse_big_decimal(scale)` — Kafka Connect / Debezium decimal:
       // two's-complement big-endian unscaled int → decimal string
       case "parse_big_decimal" =>
@@ -832,6 +944,89 @@ object Methods {
     val n = a.length
     def norm(i: Long): Int = (if (i < 0) math.max(0L, n + i) else math.min(i, n)).toInt
     a.slice(norm(from), until.map(norm).getOrElse(n))
+  }
+
+  /** ISO-8601 span: date part → Period, time part → Duration (mixed
+    * "P1MT2H" splits at 'T'; pure "PT…" is Duration-only). */
+  private def parseIso8601Span(s: String): (java.time.Period, java.time.Duration) =
+    try {
+      if (s.startsWith("PT") || s.startsWith("-PT"))
+        (java.time.Period.ZERO, java.time.Duration.parse(s))
+      else s.indexOf('T') match {
+        case -1 => (java.time.Period.parse(s), java.time.Duration.ZERO)
+        case i => (java.time.Period.parse(s.substring(0, i)),
+          java.time.Duration.parse("P" + s.substring(i)))
+      }
+    } catch { case e: java.time.format.DateTimeParseException =>
+      err(s"invalid ISO-8601 duration '$s': ${e.getMessage}")
+    }
+
+  /** Go-flavored named-group matching: translate `(?P<n>` → `(?<n>`, key
+    * each group by name when present else by index, "0" = whole match. */
+  private def reFindObjects(s: String, pattern: String, firstOnly: Boolean): Vector[Any] = {
+    val javaPat = pattern.replace("(?P<", "(?<")
+    val names = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r
+      .findAllMatchIn(javaPat).map(_.group(1)).toVector
+    val m = try java.util.regex.Pattern.compile(javaPat).matcher(s)
+      catch { case e: Exception => err(s"invalid pattern: ${e.getMessage}") }
+    val out = Vector.newBuilder[Any]
+    while (m.find()) {
+      var obj = VectorMap[String, Any]("0" -> m.group(0))
+      var named = 0
+      for (g <- 1 to m.groupCount()) {
+        // named groups keep positional numbering in Java, so resolve each
+        // index's name by probing the name list
+        val name = names.find(n =>
+          try m.group(n) != null && m.start(n) == m.start(g) && m.end(g) == m.end(n)
+          catch { case _: Exception => false })
+        (name, Option(m.group(g))) match {
+          case (Some(n), Some(v)) => obj = obj.updated(n, v); named += 1
+          case (None, Some(v)) => obj = obj.updated(g.toString, v)
+          case _ => ()
+        }
+      }
+      out += obj
+      if (firstOnly) return out.result()
+    }
+    out.result()
+  }
+
+  /** Minimal JSON-schema validator: type / properties / required / items. */
+  private def validateJsonSchema(v: Any, schema: VectorMap[String, Any], path: String): Unit = {
+    schema.get("type").foreach { ty =>
+      val ok = (toStr(ty), v) match {
+        case ("object", _: VectorMap[_, _]) => true
+        case ("array", _: Vector[_]) => true
+        case ("string", _: String) | ("string", _: VBytes) => true
+        case ("integer", _: Long) => true
+        case ("number", _: Long) | ("number", _: Double) => true
+        case ("boolean", _: Boolean) => true
+        case ("null", null) => true
+        case _ => false
+      }
+      if (!ok) err(s"json_schema: $path: expected ${toStr(ty)}, got ${typeName(v)}")
+    }
+    (v, schema.get("required")) match {
+      case (m: VectorMap[String @unchecked, Any @unchecked], Some(req: Vector[Any @unchecked])) =>
+        req.foreach(r => if (!m.contains(toStr(r)))
+          err(s"json_schema: $path: missing required field ${toStr(r)}"))
+      case _ => ()
+    }
+    (v, schema.get("properties")) match {
+      case (m: VectorMap[String @unchecked, Any @unchecked],
+            Some(props: VectorMap[String @unchecked, Any @unchecked])) =>
+        props.foreach {
+          case (k, sub: VectorMap[String @unchecked, Any @unchecked]) =>
+            m.get(k).foreach(pv => validateJsonSchema(pv, sub, s"$path.$k"))
+          case _ => ()
+        }
+      case _ => ()
+    }
+    (v, schema.get("items")) match {
+      case (a: Vector[Any @unchecked], Some(items: VectorMap[String @unchecked, Any @unchecked])) =>
+        a.zipWithIndex.foreach { case (e, i) => validateJsonSchema(e, items, s"$path[$i]") }
+      case _ => ()
+    }
   }
 
   /** RFC-4180 CSV: quoted fields, "" escapes, CRLF/LF rows. */
