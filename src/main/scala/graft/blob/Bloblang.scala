@@ -58,6 +58,29 @@ object Bloblang {
   final case class AssignRoot(path: Vector[String], e: Expr) extends Stmt
   final case class AssignMeta(key: Option[String], e: Expr) extends Stmt
   final case class AssignVar(name: String, e: Expr) extends Stmt
+  /** Bare expression statement (side-effecting calls, e.g. `cache_set(...)`). */
+  final case class ExprStmt(e: Expr) extends Stmt
+
+  /** Declared parameter order per function, for named-argument calls
+    * (`cache_set(resource: "c", key: "k", value: "v")` — the reference
+    * resolves names against the registered param spec). */
+  val fnParams: Map[String, Vector[String]] = Map(
+    "cache_get" -> Vector("resource", "key"),
+    "cache_set" -> Vector("resource", "key", "value"),
+    "cache_add" -> Vector("resource", "key", "value"),
+    "cache_delete" -> Vector("resource", "key"),
+    "range" -> Vector("start", "stop", "step"),
+    "random_int" -> Vector("seed", "max", "min"),
+    "fake" -> Vector("type"),
+    "env" -> Vector("name"),
+    "file" -> Vector("path"),
+    "file_rel" -> Vector("path"),
+    "json" -> Vector("path"),
+    "meta" -> Vector("key"),
+    "metadata" -> Vector("key"),
+    "root_meta" -> Vector("key"),
+    "throw" -> Vector("message"),
+    "snowflake_id" -> Vector("node_id"))
   final case class Mapping(maps: Map[String, Vector[Stmt]], stmts: Vector[Stmt])
     extends Serializable
 
@@ -162,6 +185,8 @@ object Bloblang {
         val path = Vector.newBuilder[String]
         while (at("op", ".")) { eat(); path += eat().text }
         expect("op", "="); AssignRoot(path.result(), parseExpr())
+      } else if (at("ident") && toks(p + 1).kind == "op" && toks(p + 1).text == "(") {
+        ExprStmt(parseExpr()) // bare side-effecting call, e.g. cache_set(...)
       } else if (at("ident")) {
         val path = Vector.newBuilder[String]
         path += eat().text
@@ -237,9 +262,14 @@ object Bloblang {
       e
     }
 
-    private def parseArgs(): Vector[Expr] = {
+    private def parseArgs(): Vector[Expr] = parseArgsNamed()._1
+
+    /** Returns (positional args, named args). Mixing is rejected. */
+    private def parseArgsNamed(): (Vector[Expr], Vector[(String, Expr)]) = {
       expect("op", "(")
       val args = Vector.newBuilder[Expr]
+      val named = Vector.newBuilder[(String, Expr)]
+      var (nPos, nNamed) = (0, 0)
       while (!at("op", ")")) {
         // lambda: IDENT '->' expr
         if (at("ident") && toks(p + 1).kind == "op" && toks(p + 1).text == "->") {
@@ -248,11 +278,31 @@ object Bloblang {
           val body = parseExpr()
           lambdaParams = lambdaParams.tail
           args += Lambda(param, body)
-        } else args += parseExpr()
+          nPos += 1
+        } else if (at("ident") && toks(p + 1).kind == "op" && toks(p + 1).text == ":") {
+          val name = eat().text; eat()
+          named += name -> parseExpr()
+          nNamed += 1
+        } else { args += parseExpr(); nPos += 1 }
         if (at("op", ",")) eat()
       }
       expect("op", ")")
-      args.result()
+      if (nPos > 0 && nNamed > 0) err(s"parse: cannot mix named and positional args (${cur.pos})")
+      (args.result(), named.result())
+    }
+
+    /** Resolve named args to the declared positional order. */
+    private def resolveNamed(fn: String, named: Vector[(String, Expr)]): Vector[Expr] = {
+      val params = fnParams.getOrElse(fn,
+        err(s"parse: function $fn does not support named arguments"))
+      val m = named.toMap
+      named.foreach { case (k, _) =>
+        if (!params.contains(k)) err(s"parse: unknown parameter $k for $fn")
+      }
+      params.takeWhile(m.contains).map(m) match {
+        case resolved if resolved.length == named.length => resolved
+        case _ => err(s"parse: $fn named args must cover a prefix of ${params.mkString(", ")}")
+      }
     }
 
     private def parsePrimary(): Expr = {
@@ -320,7 +370,10 @@ object Bloblang {
       }
       else if (at("ident")) {
         val name = eat().text
-        if (at("op", "(")) FnCall(name, parseArgs())
+        if (at("op", "(")) {
+          val (pos, named) = parseArgsNamed()
+          FnCall(name, if (named.nonEmpty) resolveNamed(name, named) else pos)
+        }
         else if (lambdaParams.contains(name)) VarRef(name)
         else Field(This, name)
       }

@@ -75,6 +75,55 @@ object Functions {
         case "uuid" => java.util.UUID.randomUUID().toString
         case other => err(s"fake: unsupported type $other")
       }
+    case "timestamp_unix_nano" => System.currentTimeMillis() * 1000000L
+    case "error_source_label" | "error_source_path" | "error_source_type" =>
+      null // error facets live at the row level (Msg.ErrorCol family)
+    // tracing is not wired (no OTel substrate): reference-disabled values —
+    // zeroed trace id, null span, null flow id (functions.md EXPERIMENTAL)
+    case "tracing_id" => "0" * 32
+    case "tracing_span" | "flow_id" => null
+    case "ksuid" => graft.functions.Crypto.ksuid()
+    case "ulid" => graft.functions.Crypto.ulid()
+    case "snowflake_id" =>
+      graft.functions.Crypto.snowflakeId(if (args.isEmpty) 1L else toLong(args(0)))
+    case "cosine_similarity" => // bloblang_numbers_v2.go:36
+      val (a, b) = (vecOf(args(0)), vecOf(args(1)))
+      if (a.length != b.length) err(s"cosine_similarity: lengths ${a.length} != ${b.length}")
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    // file_rel*: relative paths resolve from the mapping's directory; the
+    // standalone runner has no mapping file, so resolution is cwd-based
+    case "file_rel" =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(toStr(args(0)))), "UTF-8")
+    case "file_rel_json" =>
+      Interp.parseJsonTyped(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(toStr(args(0)))), "UTF-8"))
+    // cache resources (bloblang_cache.go:37-144): get errors on a missing
+    // key (catchable), add errors when the key exists, delete is no-op-safe
+    case "cache_get" =>
+      cacheOf(ctx, args).get(toStr(args(1)))
+        .map(v => VBytes(v.getBytes("UTF-8")))
+        .getOrElse(err(s"key does not exist"))
+    case "cache_set" =>
+      cacheOf(ctx, args)(toStr(args(1))) = toStr(args(2)); null
+    case "cache_add" =>
+      val c = cacheOf(ctx, args)
+      val k = toStr(args(1))
+      if (c.contains(k)) err("key already exists")
+      c(k) = toStr(args(2)); null
+    case "cache_delete" =>
+      cacheOf(ctx, args).remove(toStr(args(1))); null
     case other => err(s"unknown function $other")
+  }
+
+  private def cacheOf(ctx: Ctx, args: Vector[Any]): scala.collection.mutable.Map[String, String] =
+    ctx.caches.getOrElseUpdate(toStr(args(0)), scala.collection.mutable.Map.empty)
+
+  private def vecOf(v: Any): Array[Double] = v match {
+    case a: Vector[Any @unchecked] => a.map(toNum).toArray
+    case other => err(s"expected array of numbers, got ${typeName(other)}")
   }
 }

@@ -21,7 +21,16 @@ object Interp {
       maps: Map[String, Vector[Stmt]],
       var root: Any,
       batch: Vector[() => Any] = Vector.empty,
-      batchIndex: Long = 0L)
+      batchIndex: Long = 0L,
+      // named cache resources for cache_get/set/add/delete
+      // (bloblang_cache.go:37-144); shared across a batch when the caller
+      // passes one instance to every Ctx
+      caches: scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]] =
+        scala.collection.mutable.Map.empty,
+      // per-batch-member metadata for `.from(i)` / `.from_all()` (the
+      // reference rebinds the WHOLE message context, metadata included);
+      // null = no batch metadata available, keep the current meta
+      batchMeta: Int => Map[String, String] = null)
 
   // ===== entry points ========================================================
 
@@ -59,9 +68,11 @@ object Interp {
         catch { case e: Exception => Left(new BlobError(s"invalid JSON: ${e.getMessage}")) }
       () => v.fold(throw _, identity)
     }
+    val sharedCaches =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, String]]
     contents.toVector.zipWithIndex.map { case (c, i) =>
       val ctx = Ctx(parsedAll(i), c, scala.collection.mutable.Map.empty, Map.empty, env,
-        m.maps, VNothing, parsedAll, i.toLong)
+        m.maps, VNothing, parsedAll, i.toLong, sharedCaches)
       m.stmts.foreach(exec(_, ctx))
       ctx.root match {
         case VDelete => None
@@ -91,6 +102,49 @@ object Interp {
   }
 
   /** Run a mapping and also return resulting metadata (for the test runner). */
+  /** Batch run with metadata in/out: messages are processed in order and
+    * each sees the UPDATED metadata of earlier members via `.from(i)`
+    * (the reference applies a mapping processor batch-wise, so message 0's
+    * `meta x = …` is visible to message 1's `meta("x").from(0)`). */
+  def runBatchWithMeta(m: Mapping, msgs: Seq[(String, Map[String, String])],
+                       env: Map[String, String] = Map.empty,
+                       caches: scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]] = null)
+      : Seq[(Option[String], Map[String, String])] = {
+    val parsedAll: Vector[() => Any] = msgs.toVector.map { case (c, _) =>
+      lazy val v: Either[Throwable, Any] =
+        try Right(parseJsonTyped(c))
+        catch { case e: Exception => Left(new BlobError(s"invalid JSON: ${e.getMessage}")) }
+      () => v.fold(throw _, identity)
+    }
+    val metas = scala.collection.mutable.ArrayBuffer.from(msgs.map(_._2))
+    val sharedCaches = if (caches ne null) caches else
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, String]]
+    msgs.toVector.zipWithIndex.map { case ((c, meta), i) =>
+      var outMeta = meta
+      val ctx = Ctx(parsedAll(i), c, scala.collection.mutable.Map.empty, meta, env,
+        m.maps, VNothing, parsedAll, i.toLong, sharedCaches, j => metas(j))
+      m.stmts.foreach {
+        case AssignMeta(Some(k), e) =>
+          eval(e, ctx) match {
+            case VNothing => ()
+            case VDelete => outMeta = outMeta - k
+            case v @ (_: VectorMap[_, _] | _: Vector[_]) =>
+              outMeta = outMeta + (k -> marshalJson(v))
+            case v => outMeta = outMeta + (k -> toStr(v))
+          }
+          metas(i) = outMeta // visible to later members immediately
+        case s => exec(s, ctx)
+      }
+      metas(i) = outMeta
+      val out = ctx.root match {
+        case VDelete => None
+        case VNothing => Some(c)
+        case v => Some(marshal(v))
+      }
+      (out, outMeta)
+    }
+  }
+
   def runWithMeta(m: Mapping, content: String, meta: Map[String, String],
                   env: Map[String, String]): (Option[String], Map[String, String]) = {
     var outMeta = meta
@@ -125,6 +179,7 @@ object Interp {
   private[blob] def execStmt(s: Stmt, ctx: Ctx): Unit = exec(s, ctx)
 
   private def exec(s: Stmt, ctx: Ctx): Unit = s match {
+    case ExprStmt(e) => eval(e, ctx) // side-effecting call (e.g. cache_set)
     case AssignVar(name, e) => ctx.vars(name) = eval(e, ctx)
     case AssignMeta(_, _) => () // metadata writes handled by runWithMeta
     case AssignRoot(path, e) =>

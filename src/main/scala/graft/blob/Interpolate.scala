@@ -95,6 +95,30 @@ object Interpolate {
     }.mkString
   }
 
+  /** Batch-aware render: the expression sees the i-th message as `this`/
+    * `content()`/`meta()` and the whole batch via `.from(j)`/`.from_all()`
+    * (needed for keys like `${! meta("tag").from(0) + content() }`). */
+  def renderInBatch(segs: Vector[Seg], contents: Vector[String],
+                    metas: Vector[Map[String, String]], idx: Int,
+                    env: Map[String, String] = Map.empty): String = {
+    val parsedAll: Vector[() => Any] = contents.map { c =>
+      lazy val v: Either[Throwable, Any] =
+        try Right(Interp.parseJsonTyped(c))
+        catch { case e: Exception => Left(new Bloblang.BlobError(s"invalid JSON: ${e.getMessage}")) }
+      () => v.fold(throw _, identity)
+    }
+    val ctx = Interp.Ctx(parsedAll(idx), contents(idx),
+      scala.collection.mutable.Map.empty, metas(idx), env, Map.empty, Bloblang.VNothing,
+      parsedAll, idx.toLong, scala.collection.mutable.Map.empty, j => metas(j))
+    segs.map {
+      case Static(s) => s
+      case Dyn(_, e) => Interp.eval(e, ctx) match {
+        case Bloblang.VNothing | null => "null"
+        case v => Interp.toStr(v)
+      }
+    }.mkString
+  }
+
   /** Template → Column over a JSON-content column. Static-only templates
     * stay pure-Column (codegen, no UDF). */
   def column(template: String, content: Column,

@@ -25,6 +25,9 @@ object Methods {
     case e => Interp.eval(e, ctx.copy(self = () => elem))
   }
 
+  private def batchMetaAt(ctx: Ctx, i: Int): Map[String, String] =
+    if (ctx.batchMeta ne null) ctx.batchMeta(i) else ctx.meta
+
   private def asBool(v: Any): Boolean = v match {
     case b: Boolean => b
     case other => err(s"expected bool from query, got ${typeName(other)}")
@@ -79,11 +82,13 @@ object Methods {
     // batch-positional methods re-evaluate the target query against other
     // batch members (functions.go:186-229, methods.go:187-229)
     case "from_all" =>
-      ctx.batch.map(b => Interp.eval(targetE, ctx.copy(self = b)))
+      ctx.batch.zipWithIndex.map { case (b, i) =>
+        Interp.eval(targetE, ctx.copy(self = b, meta = batchMetaAt(ctx, i)))
+      }
     case "from" =>
       val i = Interp.toLong(Interp.eval(args(0), ctx))
       if (i < 0 || i >= ctx.batch.length) err(s"from($i): batch size ${ctx.batch.length}")
-      Interp.eval(targetE, ctx.copy(self = ctx.batch(i.toInt)))
+      Interp.eval(targetE, ctx.copy(self = ctx.batch(i.toInt), meta = batchMetaAt(ctx, i.toInt)))
     case _ =>
       val t = Interp.eval(targetE, ctx)
       try dispatch(t, name, args, ctx)

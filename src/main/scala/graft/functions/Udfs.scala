@@ -70,7 +70,9 @@ object Udfs {
 
   // --- id generators (functions.go:944-982; deterministic-seed variants for tests)
   val nanoid: () => String = { () =>
-    val alphabet = "useandom26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjklqvwyzrict"
+    // the standard 64-char nanoid alphabet — including '-' (a 63-char
+    // variant with nextInt(64) crashes one call in ~28)
+    val alphabet = "useandom-26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjklqvwyzrict"
     val rnd = java.util.concurrent.ThreadLocalRandom.current()
     (1 to 21).map(_ => alphabet(rnd.nextInt(64))).mkString
   }

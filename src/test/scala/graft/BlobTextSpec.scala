@@ -213,6 +213,39 @@ class BlobTextSpec extends AnyFunSuite {
       == Some("""{"ok":false}"""))
   }
 
+  test("cache functions: set/get/add/delete with shared state across a batch") {
+    assert(run(
+      """root.a = cache_set("c", "k", "v1")
+        |root.b = cache_get("c", "k").string()
+        |root.c = cache_add("c", "k", "v2").catch("exists")
+        |root.d = cache_delete("c", "k")
+        |root.e = cache_get("c", "k").catch("gone")""".stripMargin, "{}")
+      == Some("""{"a":null,"b":"v1","c":"exists","d":null,"e":"gone"}"""))
+    // batch-shared: message 0 seeds, message 1 reads
+    val outs = Interp.runBatch(Bloblang.parse(
+      """root.i = batch_index()
+        |root.v = if batch_index() == 0 { cache_set("c", "x", "seeded") } else { cache_get("c", "x").string() }""".stripMargin),
+      Seq("{}", "{}"))
+    assert(outs.flatten == Seq("""{"i":0,"v":null}""", """{"i":1,"v":"seeded"}"""))
+  }
+
+  test("cosine_similarity, id generators, tracing stubs, timestamp_unix_nano") {
+    assert(run("""root.c = cosine_similarity([1.0, 0.0], [1.0, 0.0])""", "{}")
+      == Some("""{"c":1}"""))
+    assert(run("""root.c = cosine_similarity([1.0, 0.0], [0.0, 1.0])""", "{}")
+      == Some("""{"c":0}"""))
+    assert(run("""root.t = tracing_id()""", "{}")
+      == Some("""{"t":"00000000000000000000000000000000"}"""))
+    assert(run("""root.s = tracing_span()
+                 |root.f = flow_id()""".stripMargin, "{}")
+      == Some("""{"f":null,"s":null}"""))
+    // shape-only: ulid 26 chars, ksuid 27, snowflake positive
+    val out = run("""root.u = ulid().length()
+                    |root.k = ksuid().length()
+                    |root.s = snowflake_id(3) > 0""".stripMargin, "{}")
+    assert(out == Some("""{"k":27,"s":true,"u":26}"""))
+  }
+
   test("throw routes to catch; uncaught errors surface as BlobError") {
     assert(run("""root.a = throw("boom").catch("saved")""", "{}") == Some("""{"a":"saved"}"""))
     intercept[Bloblang.BlobError] { run("""root.a = throw("boom")""", "{}") }

@@ -126,23 +126,45 @@ class BloblangGoldenSpec extends AnyFunSuite {
     * Returns None when the shape isn't a single-dedupe pipeline. */
   private def runDedupeCase(tc: java.util.Map[String, Any],
                             doc: java.util.Map[String, Any]): Option[Boolean] = {
-    import graft.blob.Interpolate
-    val procs = Option(doc.get("pipeline"))
+    import graft.blob.{Bloblang, Interp, Interpolate}
+    // pipeline = optional leading `mapping` (e.g. batch-tagging) + `dedupe`
+    val procList = Option(doc.get("pipeline"))
       .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
       .flatMap(p => Option(p.get("processors")))
-      .collect { case l: java.util.List[_] if l.size == 1 => l.get(0) }
+      .collect { case l: java.util.List[_] if l.size == 1 || l.size == 2 =>
+        l.asScala.toList.map(_.asInstanceOf[java.util.Map[String, Any]]) }
+      .getOrElse(Nil)
+    val dedupe = procList.lastOption.flatMap(p => Option(p.get("dedupe")))
       .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
-    val dedupe = procs.flatMap(p => Option(p.get("dedupe")))
-      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+    val preMapping = procList.dropRight(1).headOption
+      .flatMap(p => Option(p.get("mapping")).orElse(Option(p.get("bloblang"))))
+      .flatMap(src => scala.util.Try(Bloblang.parse(String.valueOf(src))).toOption)
     (dedupe, Option(tc.get("input_batches"))) match {
       case (Some(conf), Some(ibs0)) =>
         val keyTpl = Interpolate.compile(String.valueOf(conf.get("key")))
         val lifo = String.valueOf(conf.get("strategy")) == "LIFO"
         val batches = ibs0.asInstanceOf[java.util.List[_]].asScala.map(
-          _.asInstanceOf[java.util.List[_]].asScala.map(
-            m => String.valueOf(m.asInstanceOf[java.util.Map[String, Any]].get("content"))))
+          _.asInstanceOf[java.util.List[_]].asScala.map { m0 =>
+            val m = m0.asInstanceOf[java.util.Map[String, Any]]
+            val meta = Option(m.get("metadata")).map(
+              _.asInstanceOf[java.util.Map[String, Any]].asScala
+                .map { case (k, v) => k -> String.valueOf(v) }.toMap).getOrElse(Map.empty[String, String])
+            (String.valueOf(m.get("content")), meta)
+          })
         val flat = batches.zipWithIndex.flatMap { case (b, bi) =>
-          b.map(c => (bi, c, Interpolate.render(keyTpl, c)))
+          // apply the tagging mapping batch-wise, then render each key in
+          // full batch context (meta(...).from(0) etc.)
+          val msgs = preMapping match {
+            case Some(prog) =>
+              Interp.runBatchWithMeta(prog, b.toSeq).collect {
+                case (Some(c), meta) => (c, meta)
+              }.toVector
+            case None => b.toVector
+          }
+          val (cs, ms) = (msgs.map(_._1), msgs.map(_._2))
+          msgs.zipWithIndex.map { case ((c, _), i) =>
+            (bi, c, Interpolate.renderInBatch(keyTpl, cs, ms, i))
+          }
         }
         val keep: Map[String, Int] = // key -> global index of the kept row
           flat.zipWithIndex.foldLeft(Map.empty[String, Int]) { case (acc, ((_, _, k), i)) =>
@@ -178,10 +200,66 @@ class BloblangGoldenSpec extends AnyFunSuite {
     }
   }
 
+  /** Pipelines where EVERY processor is a mapping (e.g. cache_resource:
+    * cache_set then cache_get across two processors): run each processor
+    * batch-wise in order with one shared cache-resource map. */
+  private def runMappingPipelineCase(tc: java.util.Map[String, Any],
+                                     doc: java.util.Map[String, Any]): Option[Boolean] = {
+    import graft.blob.{Bloblang, Interp}
+    val procs = Option(doc.get("pipeline"))
+      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+      .flatMap(p => Option(p.get("processors")))
+      .collect { case l: java.util.List[_] =>
+        l.asScala.toList.map(_.asInstanceOf[java.util.Map[String, Any]]) }
+      .getOrElse(Nil)
+    val mappings = procs.flatMap(p =>
+      Option(p.get("mapping")).orElse(Option(p.get("bloblang"))).toList)
+      .flatMap(src => scala.util.Try(Bloblang.parse(String.valueOf(src))).toOption)
+    if (procs.isEmpty || mappings.size != procs.size) return None
+    Option(tc.get("input_batches")).map { ibs0 =>
+      val batches = ibs0.asInstanceOf[java.util.List[_]].asScala.map(
+        _.asInstanceOf[java.util.List[_]].asScala.map { m0 =>
+          val m = m0.asInstanceOf[java.util.Map[String, Any]]
+          val meta = Option(m.get("metadata")).map(
+            _.asInstanceOf[java.util.Map[String, Any]].asScala
+              .map { case (k, v) => k -> String.valueOf(v) }.toMap)
+            .getOrElse(Map.empty[String, String])
+          (String.valueOf(m.get("content")), meta)
+        }.toVector)
+      val caches = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Map[String, String]]
+      val outBatches = batches.map { b =>
+        mappings.foldLeft(b) { (msgs, prog) =>
+          Interp.runBatchWithMeta(prog, msgs, Map.empty, caches)
+            .collect { case (Some(c), meta) => (c, meta) }.toVector
+        }
+      }.filter(_.nonEmpty)
+      val expected = tc.get("output_batches").asInstanceOf[java.util.List[_]].asScala
+        .map(_.asInstanceOf[java.util.List[_]].asScala
+          .map(_.asInstanceOf[java.util.Map[String, Any]]))
+      outBatches.size == expected.size &&
+        outBatches.zip(expected).forall { case (got, want) =>
+          got.size == want.size && got.zip(want).forall { case ((g, _), w) =>
+            Option(w.get("content_equals")) match {
+              case Some(c) => g == c.toString
+              case None => Option(w.get("json_equals")).exists { j =>
+                val wantJson = j match {
+                  case s: String => s
+                  case o => new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(o)
+                }
+                jsonEq(g, wantJson)
+              }
+            }
+          }
+        }
+    }
+  }
+
   /** Run every supported case in the corpus; returns (passed, failed, skipped). */
-  private def runCorpus(): (Int, Int, Int, Seq[String]) = {
+  private def runCorpus(): (Int, Int, Int, Seq[String], Seq[String]) = {
     var (passed, failed, skipped) = (0, 0, 0)
     val failures = Seq.newBuilder[String]
+    val skips = Seq.newBuilder[String]
     val files = corpusDirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
     for (f <- files) {
@@ -194,10 +272,10 @@ class BloblangGoldenSpec extends AnyFunSuite {
             val name = f.getName + "/" + tc.get("name")
             mappingFor(tc, f, doc) match {
               case None =>
-                runDedupeCase(tc, doc) match {
-                  case None => skipped += 1
+                runDedupeCase(tc, doc).orElse(runMappingPipelineCase(tc, doc)) match {
+                  case None => skipped += 1; skips += name
                   case Some(true) => passed += 1
-                  case Some(false) => failed += 1; failures += s"$name: dedupe mismatch"
+                  case Some(false) => failed += 1; failures += s"$name: pipeline mismatch"
                 }
               case Some(pipe) =>
                 val env = Option(tc.get("environment")).map(
@@ -218,6 +296,7 @@ class BloblangGoldenSpec extends AnyFunSuite {
                     a.containsKey("file_equals") || a.containsKey("metadata_equals") ||
                     a.containsKey("json_contains"))) {
                   skipped += 1
+                  skips += name
                 } else {
                   try {
                     // config-level env interpolation `${VAR}`/`${VAR:default}`
@@ -315,12 +394,13 @@ class BloblangGoldenSpec extends AnyFunSuite {
         case _ => ()
       }
     }
-    (passed, failed, skipped, failures.result())
+    (passed, failed, skipped, failures.result(), skips.result())
   }
 
   test("reference bloblang golden corpus: >= 20 cases pass verbatim, none fail") {
-    val (passed, failed, skipped, failures) = runCorpus()
+    val (passed, failed, skipped, failures, skips) = runCorpus()
     info(s"golden corpus: passed=$passed failed=$failed skipped=$skipped")
+    skips.foreach(n => info(s"SKIP $n"))
     failures.foreach(f => info(s"FAIL $f"))
     assert(failed == 0, s"failures:\n${failures.mkString("\n")}")
     assert(passed >= 20, s"only $passed golden cases passed")

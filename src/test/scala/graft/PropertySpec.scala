@@ -53,6 +53,15 @@ class PropertySpec extends AnyFunSuite {
       Argon2.hash(long2, Argon2.saltFromSeed(99L), 2, 1, 8, 1))
   }
 
+  test("nanoid: 21 chars from the 64-char alphabet, never throws (1000 draws)") {
+    val alphabet = "useandom-26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjklqvwyzrict".toSet
+    for (_ <- 1 to 1000) {
+      val id = Udfs.nanoid()
+      assert(id.length == 21)
+      assert(id.forall(alphabet.contains))
+    }
+  }
+
   test("ascii85/z85 round-trip; z85 requires 4-byte alignment") {
     for (bs <- samples(bytesGen))
       assert(Codecs.ascii85Decode(Codecs.ascii85Encode(bs)).toSeq == bs.toSeq)
