@@ -81,7 +81,8 @@ object Bloblang {
     "root_meta" -> Vector("key"),
     "throw" -> Vector("message"),
     "snowflake_id" -> Vector("node_id"))
-  final case class Mapping(maps: Map[String, Vector[Stmt]], stmts: Vector[Stmt])
+  final case class Mapping(maps: Map[String, Vector[Stmt]], stmts: Vector[Stmt],
+                           stmtLines: Vector[Int] = Vector.empty)
     extends Serializable
 
   // ===== lexer ===============================================================
@@ -142,7 +143,11 @@ object Bloblang {
 
   // ===== parser ==============================================================
 
-  final class Parser(toks: Vector[Tok]) {
+  final class Parser(toks: Vector[Tok], src: String = "") {
+    /** 1-based line of a character offset (for reference-exact error text). */
+    private def lineOf(pos: Int): Int =
+      1 + src.view.take(math.min(pos, src.length)).count(_ == '\n')
+
     private var p = 0
     // lambda parameters in scope: bare idents matching one resolve to the
     // bound element, not to a field of `this`
@@ -159,6 +164,7 @@ object Bloblang {
     def parseMapping(): Mapping = {
       val maps = Map.newBuilder[String, Vector[Stmt]]
       val stmts = Vector.newBuilder[Stmt]
+      val lines = Vector.newBuilder[Int]
       while (!at("eof")) {
         if (at("ident", "map") && toks(p + 1).kind == "ident" &&
             (toks(p + 2).kind == "op" && toks(p + 2).text == "{")) {
@@ -167,9 +173,9 @@ object Bloblang {
           while (!at("op", "}")) body += parseStmt()
           expect("op", "}")
           maps += name -> body.result()
-        } else stmts += parseStmt()
+        } else { lines += lineOf(cur.pos); stmts += parseStmt() }
       }
-      Mapping(maps.result(), stmts.result())
+      Mapping(maps.result(), stmts.result(), lines.result())
     }
 
     def parseStmt(): Stmt = {
@@ -394,9 +400,9 @@ object Bloblang {
     }
   }
 
-  def parse(src: String): Mapping = new Parser(lex(src)).parseMapping()
+  def parse(src: String): Mapping = new Parser(lex(src), src).parseMapping()
 
   /** Parse a single query expression (the payload of `${! ... }`
     * interpolations — reference field syntax, field/parser.go). */
-  def parseExpr(src: String): Expr = new Parser(lex(src)).parseExprToEof()
+  def parseExpr(src: String): Expr = new Parser(lex(src), src).parseExprToEof()
 }

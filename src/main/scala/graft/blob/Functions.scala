@@ -54,8 +54,9 @@ object Functions {
       val key = if (args.nonEmpty) toStr(args(0)) else ""
       counters.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong())
         .incrementAndGet()
-    case "error" => null // error facet handled at the row level (Msg.ErrorCol)
-    case "errored" => false
+    case "error" => ctx.errorMsg // null when not errored (processor-level
+    // failures thread it via runBatchWithErrors; Spark rows use Msg.ErrorCol)
+    case "errored" => ctx.errorMsg != null
     case "pi" => math.Pi
     case "hostname" => // io/bloblang.go:13 — resolved where the row executes
       try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "localhost" }

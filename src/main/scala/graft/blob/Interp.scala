@@ -30,7 +30,10 @@ object Interp {
       // per-batch-member metadata for `.from(i)` / `.from_all()` (the
       // reference rebinds the WHOLE message context, metadata included);
       // null = no batch metadata available, keep the current meta
-      batchMeta: Int => Map[String, String] = null)
+      batchMeta: Int => Map[String, String] = null,
+      // error facet from an upstream FAILED processor: error()/errored()
+      // read it (null = not errored) — mapping/executor.go error channel
+      errorMsg: String = null)
 
   // ===== entry points ========================================================
 
@@ -144,6 +147,66 @@ object Interp {
       (out, outMeta)
     }
   }
+
+  /** One message-state in a processor chain: content, metadata, error
+    * facet (null = healthy). */
+  type MsgState = (String, Map[String, String], String)
+
+  /** Batch run with the PROCESSOR error contract (mapping/executor.go): a
+    * mapping that throws leaves the message's content unchanged and sets
+    * the error facet to "failed assignment (line N): msg"; downstream
+    * mappings still run and can read error()/errored(). Deleted messages
+    * drop out. */
+  def runBatchWithErrors(m: Mapping, msgs: Seq[MsgState],
+                         env: Map[String, String] = Map.empty,
+                         caches: scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]] = null)
+      : Seq[MsgState] = {
+    val parsedAll: Vector[() => Any] = msgs.toVector.map { case (c, _, _) =>
+      lazy val v: Either[Throwable, Any] =
+        try Right(parseJsonTyped(c))
+        catch { case e: Exception => Left(new BlobError(s"invalid JSON: ${e.getMessage}")) }
+      () => v.fold(throw _, identity)
+    }
+    val metas = scala.collection.mutable.ArrayBuffer.from(msgs.map(_._2))
+    val sharedCaches = if (caches ne null) caches else
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, String]]
+    msgs.toVector.zipWithIndex.flatMap { case ((c, meta, errIn), i) =>
+      var outMeta = meta
+      val ctx = Ctx(parsedAll(i), c, scala.collection.mutable.Map.empty, meta, env,
+        m.maps, VNothing, parsedAll, i.toLong, sharedCaches, j => metas(j), errIn)
+      try {
+        m.stmts.zipWithIndex.foreach { case (s, si) =>
+          try {
+            s match {
+              case AssignMeta(Some(k), e) =>
+                eval(e, ctx) match {
+                  case VNothing => ()
+                  case VDelete => outMeta = outMeta - k
+                  case v @ (_: VectorMap[_, _] | _: Vector[_]) =>
+                    outMeta = outMeta + (k -> marshalJson(v))
+                  case v => outMeta = outMeta + (k -> toStr(v))
+                }
+                metas(i) = outMeta
+              case other => exec(other, ctx)
+            }
+          } catch {
+            case e: BlobError =>
+              val line = m.stmtLines.lift(si).getOrElse(0) match { case 0 => 1; case l => l }
+              throw new MappingFailed(s"failed assignment (line $line): ${e.msg}")
+          }
+        }
+        metas(i) = outMeta
+        ctx.root match {
+          case VDelete => None
+          case VNothing => Some((c, outMeta, errIn))
+          case v => Some((marshal(v), outMeta, errIn))
+        }
+      } catch {
+        case mf: MappingFailed => Some((c, meta, mf.getMessage)) // content unchanged, errored
+      }
+    }
+  }
+  private final class MappingFailed(msg: String) extends RuntimeException(msg)
 
   def runWithMeta(m: Mapping, content: String, meta: Map[String, String],
                   env: Map[String, String]): (Option[String], Map[String, String]) = {

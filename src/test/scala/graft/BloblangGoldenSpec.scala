@@ -255,6 +255,152 @@ class BloblangGoldenSpec extends AnyFunSuite {
     }
   }
 
+  /** Pipelines whose single processor is `awk` (awk_bento_test.yaml):
+    * run the Awk subset interpreter per message. */
+  private def runAwkCase(tc: java.util.Map[String, Any],
+                         doc0: java.util.Map[String, Any],
+                         selfFile: java.io.File): Option[Boolean] = {
+    // X_bento_test.yaml targets the sibling config X.yaml
+    val doc =
+      if (doc0.get("pipeline") == null && selfFile.getName.endsWith("_bento_test.yaml")) {
+        val sibling = new java.io.File(selfFile.getParentFile,
+          selfFile.getName.stripSuffix("_bento_test.yaml") + ".yaml")
+        if (sibling.exists()) loadYaml(sibling) else doc0
+      } else doc0
+    val awkConf = Option(doc.get("pipeline"))
+      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+      .flatMap(p => Option(p.get("processors")))
+      .collect { case l: java.util.List[_] if l.size == 1 => l.get(0) }
+      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+      .flatMap(p => Option(p.get("awk")))
+      .collect { case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]] }
+    awkConf.flatMap { conf =>
+      val program = String.valueOf(conf.get("program"))
+      Option(tc.get("input_batch")).map { ib =>
+        val inputs = ib.asInstanceOf[java.util.List[_]].asScala.map(
+          _.asInstanceOf[java.util.Map[String, Any]])
+        val expected = tc.get("output_batches").asInstanceOf[java.util.List[_]]
+          .get(0).asInstanceOf[java.util.List[_]].asScala
+          .map(_.asInstanceOf[java.util.Map[String, Any]])
+        inputs.size == expected.size && inputs.zip(expected).forall { case (in, w) =>
+          val meta = Option(in.get("metadata")).map(
+            _.asInstanceOf[java.util.Map[String, Any]].asScala
+              .map { case (k, v) => k -> String.valueOf(v) }.toMap)
+            .getOrElse(Map.empty[String, String])
+          val (outC, outM) = graft.operators.Awk.run(
+            program, String.valueOf(in.get("content")), meta)
+          val contentOk = Option(w.get("content_equals")) match {
+            case Some(c) => jsonEq(outC, c.toString) || outC == c.toString
+            case None => true
+          }
+          val metaOk = Option(w.get("metadata_equals")).forall { mo =>
+            mo.asInstanceOf[java.util.Map[String, Any]].asScala.forall {
+              case (k, v) => outM.get(k).contains(String.valueOf(v))
+            }
+          }
+          contentOk && metaOk
+        }
+      }
+    }
+  }
+
+  /** Mock-aware pipelines (mock_http_proc*, infile_resource_mock): each
+    * processor is a mapping, a labelled non-mapping (http/…) whose label
+    * is mocked by a mapping, or a `resource` ref mocked by name; a mock
+    * keyed by the JSON-pointer `/pipeline/processors/-` appends one.
+    * Runs the chain with the processor error contract (failed mapping →
+    * content unchanged + error facet) and supports content/json/metadata
+    * and truthy-`bloblang` assertions. */
+  private def runMockPipelineCase(tc: java.util.Map[String, Any],
+                                  doc: java.util.Map[String, Any]): Option[Boolean] = {
+    import graft.blob.{Bloblang, Interp}
+    def asMap(o: Any): java.util.Map[String, Any] = o.asInstanceOf[java.util.Map[String, Any]]
+    def mappingSrc(p: java.util.Map[String, Any]): Option[String] =
+      Option(p.get("mapping")).orElse(Option(p.get("bloblang"))).map(String.valueOf)
+
+    val procs = Option(doc.get("pipeline")).map(asMap)
+      .flatMap(p => Option(p.get("processors")))
+      .collect { case l: java.util.List[_] => l.asScala.toList.map(asMap) }
+      .getOrElse(Nil)
+    val mocks0 = Option(tc.get("mocks")).map(asMap).map(_.asScala.toMap).getOrElse(Map.empty)
+    if (procs.isEmpty || mocks0.isEmpty) return None
+    val mocks = mocks0.map { case (k, v) => k -> mappingSrc(asMap(v)) }
+    if (mocks.values.exists(_.isEmpty)) return None
+
+    // resolve each processor to a mapping source: own mapping, or mock by
+    // label / resource name / JSON-pointer index (/pipeline/processors/N)
+    val resolved: List[Option[String]] = procs.zipWithIndex.map { case (p, i) =>
+      val key = Option(p.get("label")).map(String.valueOf)
+        .orElse(Option(p.get("resource")).map(String.valueOf))
+      key.flatMap(mocks.get).flatten
+        .orElse(mocks.get(s"/pipeline/processors/$i").flatten)
+        .orElse(mappingSrc(p))
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val appended = mocks.get("/pipeline/processors/-").flatten.toList
+    val sources = resolved.flatten ++ appended
+    val progs =
+      try sources.map(Bloblang.parse)
+      catch { case _: Exception => return None }
+
+    val inputs = Option(tc.get("input_batch"))
+      .collect { case l: java.util.List[_] => l.asScala.toList.map(asMap) }
+      .getOrElse(return None)
+      .map { m =>
+        val content = Option(m.get("content")).map(String.valueOf).getOrElse {
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(m.get("json_content"))
+        }
+        val meta = Option(m.get("metadata")).map(
+          asMap(_).asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap)
+          .getOrElse(Map.empty[String, String])
+        (content, meta, null: String)
+      }
+
+    val caches = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, String]]
+    val out = progs.foldLeft(inputs.toVector) { (msgs, prog) =>
+      Interp.runBatchWithErrors(prog, msgs, Map.empty, caches).toVector
+    }
+
+    val expected = Option(tc.get("output_batches"))
+      .collect { case l: java.util.List[_] =>
+        l.asScala.toList.map(_.asInstanceOf[java.util.List[_]].asScala.toList.map(asMap)) }
+      .getOrElse(List(Nil))
+    val wantBatch = expected.headOption.getOrElse(Nil)
+    Some(expected.size <= 1 && out.size == wantBatch.size &&
+      out.zip(wantBatch).forall { case ((g, gm, gerr), w) =>
+        val contentOk = Option(w.get("content_equals")) match {
+          case Some(c) => g == c.toString
+          case None => Option(w.get("json_equals")) match {
+            case Some(j) =>
+              val wantJson = j match {
+                case s: String => s
+                case o => new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(o)
+              }
+              jsonEq(g, wantJson)
+            case None => true
+          }
+        }
+        val metaOk = Option(w.get("metadata_equals")).forall { mo =>
+          asMap(mo).asScala.forall { case (k, v) => gm.get(k).contains(String.valueOf(v)) }
+        }
+        val blobOk = Option(w.get("bloblang")).forall { srcB =>
+          try {
+            val e = Bloblang.parseExpr(String.valueOf(srcB))
+            val parsed: () => Any = {
+              lazy val v = try Interp.parseJsonTyped(g) catch { case _: Exception => null }
+              () => v
+            }
+            Interp.eval(e, Interp.Ctx(parsed, g, scala.collection.mutable.Map.empty,
+              gm, Map.empty, Map.empty, graft.blob.Bloblang.VNothing,
+              errorMsg = gerr)) == true
+          } catch { case _: Exception => false }
+        }
+        contentOk && metaOk && blobOk
+      })
+  }
+
   /** Run every supported case in the corpus; returns (passed, failed, skipped). */
   private def runCorpus(): (Int, Int, Int, Seq[String], Seq[String]) = {
     var (passed, failed, skipped) = (0, 0, 0)
@@ -272,7 +418,9 @@ class BloblangGoldenSpec extends AnyFunSuite {
             val name = f.getName + "/" + tc.get("name")
             mappingFor(tc, f, doc) match {
               case None =>
-                runDedupeCase(tc, doc).orElse(runMappingPipelineCase(tc, doc)) match {
+                runDedupeCase(tc, doc).orElse(runMappingPipelineCase(tc, doc))
+                    .orElse(runMockPipelineCase(tc, doc))
+                    .orElse(runAwkCase(tc, doc, f)) match {
                   case None => skipped += 1; skips += name
                   case Some(true) => passed += 1
                   case Some(false) => failed += 1; failures += s"$name: pipeline mismatch"

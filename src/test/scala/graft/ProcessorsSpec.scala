@@ -20,6 +20,33 @@ class ProcessorsSpec extends SparkSpec {
     assert(out.collect().head.toSeq == Seq(3, "X"))
   }
 
+  test("awk: expressions, json/metadata functions, guards; Spark processor form") {
+    import graft.operators.Awk
+    // the reference golden program shape: numeric coercion of strings
+    val (c1, _) = Awk.run(
+      """{ json_set_int("result", json_get("result") + metadata_get("foo") + metadata_get("bar")); }""",
+      """{"result":10}""", Map("foo" -> "5", "bar" -> "7"))
+    assert(c1 === """{"result":22}""")
+    // guard patterns, BEGIN, variables, if/else, metadata_set
+    val (c2, m2) = Awk.run(
+      """BEGIN { x = 2 }
+        |json_get("n") > 3 { json_set("big", "yes") }
+        |{ if (json_get("n") % 2 == 0) { metadata_set("parity", "even") } else { metadata_set("parity", "odd") }
+        |  json_set_float("scaled", json_get("n") * x) }""".stripMargin,
+      """{"n":6}""", Map.empty)
+    assert(c2 === """{"big":"yes","n":6,"scaled":12}""")
+    assert(m2 === Map("parity" -> "even"))
+    // non-matching guard leaves doc untouched
+    val (c3, _) = Awk.run("""json_get("n") > 3 { json_set("big","yes") }""", """{"n":1}""", Map.empty)
+    assert(c3 === """{"n":1}""")
+    // Spark processor form
+    val df = msgs("""{"result":10}""" -> 0L)
+      .withColumn("meta", map(lit("foo"), lit("5"), lit("bar"), lit("7")))
+    val out = Awk.processor(
+      """{ json_set_int("result", json_get("result") + metadata_get("foo") + metadata_get("bar")); }""")(df)
+    assert(out.select("content").as[String].collect().head === """{"result":22}""")
+  }
+
   test("switch routes each row to exactly one branch (first match wins)") {
     val df = Seq(5, 15, 25, 35).toDF("v")
     val out = Processors.switch(Seq(
