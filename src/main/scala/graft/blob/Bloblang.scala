@@ -252,7 +252,10 @@ object Bloblang {
         if (at("op", ".")) {
           eat()
           if (at("num")) {
-            e = Index(e, Lit(eat().text.toLong))
+            // dot-path numeric segment: reference PATH semantics (null when
+            // out of bounds — unlike `.index(n)` which errors); also keys
+            // objects by the literal digit string
+            e = Field(e, eat().text)
           } else if (at("str")) {
             // quoted path segment: this."field.with.dots" (field_paths doc)
             e = Field(e, eat().text)

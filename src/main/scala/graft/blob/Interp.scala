@@ -296,6 +296,11 @@ object Interp {
     case Field(t, name) =>
       eval(t, ctx) match {
         case m: VectorMap[String @unchecked, Any @unchecked] => m.getOrElse(name, null)
+        // numeric path segment on an array indexes it (reference path
+        // semantics: `this.0` on `[]` → null, not an error)
+        case a: Vector[Any @unchecked] if name.nonEmpty && name.forall(_.isDigit) =>
+          val i = name.toInt
+          if (i < a.length) a(i) else null
         case null => null
         case other => err(s"field `$name` on ${typeName(other)}")
       }

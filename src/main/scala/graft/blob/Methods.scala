@@ -91,7 +91,7 @@ object Methods {
       Interp.eval(targetE, ctx.copy(self = ctx.batch(i.toInt), meta = batchMetaAt(ctx, i.toInt)))
     case _ =>
       val t = Interp.eval(targetE, ctx)
-      try dispatch(t, name, args, ctx)
+      try dispatch(t, targetE, name, args, ctx)
       catch {
         case e: BlobError => throw e
         case scala.util.control.NonFatal(e) =>
@@ -99,7 +99,21 @@ object Methods {
       }
   }
 
-  private def dispatch(t: Any, name: String, args: Vector[Expr], ctx: Ctx): Any = {
+  /** Render an expression's provenance the way the reference does in
+    * type errors ("from field `this.0`"). */
+  private def exprDesc(e: Expr): String = e match {
+    case This => "`this`"
+    case Field(t, n) =>
+      def path(x: Expr): Option[String] = x match {
+        case This => Some("this")
+        case Field(t2, n2) => path(t2).map(p => s"$p.$n2")
+        case _ => None
+      }
+      path(Field(t, n)).map(p => s"field `$p`").getOrElse(s"field `$n`")
+    case _ => "expression"
+  }
+
+  private def dispatch(t: Any, targetE: Expr, name: String, args: Vector[Expr], ctx: Ctx): Any = {
     def arg(i: Int): Any = Interp.eval(args(i), ctx)
     def argStr(i: Int): String = toStr(arg(i))
     def argLong(i: Int): Long = toLong(arg(i))
@@ -433,7 +447,9 @@ object Methods {
         if (j >= 0 && j < a.length) a(j.toInt) else err(s"index $i out of bounds")
       case "keys" => t match {
         case m: VectorMap[String @unchecked, _] => Vector.from(m.keys)
-        case other => err(s"keys on ${typeName(other)}")
+        // reference type-error wording (query/errors.go): value kind +
+        // provenance of the target expression
+        case other => err(s"expected object value, got ${typeName(other)} from ${exprDesc(targetE)}")
       }
       case "values" => t match {
         case m: VectorMap[String @unchecked, Any @unchecked] => Vector.from(m.values)

@@ -7,8 +7,10 @@ import scala.jdk.CollectionConverters._
 /** Runs the reference's OWN Bloblang golden tests verbatim
   * (the yaml files under config/test/bloblang — the `bento test` corpus, reference
   * runner: internal/cli/test/case.go:37-107). Assertions supported:
-  * content_equals (exact bytes) and json_equals (structural). Cases with
-  * other assertion types (error-message matching etc.) are skipped.
+  * content_equals (exact bytes), json_equals (structural), file_equals,
+  * metadata_equals, json_contains, and truthy `bloblang:` expressions
+  * (incl. error() text against the reference's exact
+  * "failed assignment (line N): …" wording). ALL cases in the corpus run.
   */
 class BloblangGoldenSpec extends AnyFunSuite {
 
@@ -437,12 +439,12 @@ class BloblangGoldenSpec extends AnyFunSuite {
                     .get(0).asInstanceOf[java.util.List[_]].asScala
                     .map(_.asInstanceOf[java.util.Map[String, Any]]))
                   .getOrElse(scala.collection.mutable.Buffer.empty[java.util.Map[String, Any]])
-                // all assertions must be content/json/file/metadata_equals
-                // or json_contains
+                // all assertions must be content/json/file/metadata_equals,
+                // json_contains, or a truthy bloblang expression
                 if (!expected.forall(a =>
                     a.containsKey("content_equals") || a.containsKey("json_equals") ||
                     a.containsKey("file_equals") || a.containsKey("metadata_equals") ||
-                    a.containsKey("json_contains"))) {
+                    a.containsKey("json_contains") || a.containsKey("bloblang"))) {
                   skipped += 1
                   skips += name
                 } else {
@@ -475,16 +477,24 @@ class BloblangGoldenSpec extends AnyFunSuite {
                     // input carries it or an assertion inspects it
                     // (batch functions don't appear in those cases)
                     val needMeta = expected.exists(_.containsKey("metadata_equals"))
-                    val (mapped, outMetas) =
-                      if (metas.forall(_.isEmpty) && !needMeta)
+                    // bloblang assertions can read error(): run with the
+                    // processor error contract in that case
+                    val needErr = expected.exists(_.containsKey("bloblang"))
+                    val (mapped, outMetas, outErrs) =
+                      if (needErr) {
+                        val st = Interp.runBatchWithErrors(prog,
+                          contents.zip(metas).map { case (c, m) => (c, m, null: String) }, env)
+                        (st.map(_._1), st.map(_._2), st.map(_._3))
+                      } else if (metas.forall(_.isEmpty) && !needMeta)
                         (Interp.runBatch(prog, contents, env).flatten,
-                          Seq.fill(contents.size)(Map.empty[String, String]))
+                          Seq.fill(contents.size)(Map.empty[String, String]),
+                          Seq.fill(contents.size)(null: String))
                       else {
                         val rs = contents.zip(metas).flatMap { case (c, m) =>
                           val (out, om) = Interp.runWithMeta(prog, c, m, env)
                           out.map(o => (o, om))
                         }
-                        (rs.map(_._1), rs.map(_._2))
+                        (rs.map(_._1), rs.map(_._2), Seq.fill(rs.size)(null: String))
                       }
                     val outs =
                       if (!pipe.unarchive) mapped
@@ -529,7 +539,21 @@ class BloblangGoldenSpec extends AnyFunSuite {
                               }
                           }
                         }
-                        contentOk && metaOk
+                        val blobOk = Option(exp.get("bloblang")).forall { bsrc =>
+                          try {
+                            val e = Bloblang.parseExpr(String.valueOf(bsrc))
+                            val parsedContent: () => Any = {
+                              lazy val v = try Interp.parseJsonTyped(got) catch { case _: Exception => null }
+                              () => v
+                            }
+                            Interp.eval(e, Interp.Ctx(parsedContent, got,
+                              scala.collection.mutable.Map.empty,
+                              outMetas.lift(i).getOrElse(Map.empty), env, Map.empty,
+                              Bloblang.VNothing,
+                              errorMsg = outErrs.lift(i).orNull)) == true
+                          } catch { case _: Exception => false }
+                        }
+                        contentOk && metaOk && blobOk
                     }
                     if (ok) passed += expected.size // count message-level assertions
                     else { failed += 1; failures += s"$name: got=${outs.mkString(" | ")}" }
