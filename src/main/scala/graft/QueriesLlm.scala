@@ -167,6 +167,13 @@ object QueriesLlm {
       r.select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"), col("n_tokens"))
     }),
 
+    // deterministic data mixing: per-language keep rates via a hashed
+    // coin (md5-keyed, salt 'graft') — reproducible across runs/engines
+    "llm_sample_mix" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), defaultRate = 0.1)
+        .select("doc_id", "lang")),
+
     // decontamination (GPT-3 13-gram shape, n=5 here): eval set = first-20-
     // word prefixes of every 10th doc (planted contamination, same pattern
     // as plantedCorpus) → flag train docs sharing any 5-gram, with counts
@@ -305,6 +312,11 @@ object QueriesLlm {
          FROM tok JOIN vocab USING (tok) CROSS JOIN tot
          GROUP BY tok.doc_id"""
     },
+    "llm_sample_mix" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT
+           < CAST(floor((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                         WHEN 'fr' THEN 1.0 ELSE 0.1 END) * 4294967296.0) AS BIGINT)""",
     "llm_decontaminate" -> {
       val gram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
              ELSE list_transform(generate_series(0, len($oTok) - 5),

@@ -202,7 +202,9 @@ object Interp {
           case v => Some((marshal(v), outMeta, errIn))
         }
       } catch {
-        case mf: MappingFailed => Some((c, meta, mf.getMessage)) // content unchanged, errored
+        case mf: MappingFailed =>
+          metas(i) = meta // discard partial meta writes from the failed run
+          Some((c, meta, mf.getMessage)) // content unchanged, errored
       }
     }
   }

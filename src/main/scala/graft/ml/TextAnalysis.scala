@@ -139,6 +139,33 @@ object TextAnalysis {
     paras.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Deterministic stratified sampler — the data-MIXING step of a
+    * training pipeline: keep each row with a per-stratum rate (e.g.
+    * "web 10%, books 100%, code 50%"). The coin is a hash of the row key
+    * (+ salt), NOT rand(): the sample is reproducible across runs,
+    * retries, and engines — at 100 TB a non-deterministic sample breaks
+    * resumability and any train/eval split audit. Pure Column filter:
+    * no shuffle, fully pushed into the scan stage.
+    *
+    * Coin: first 8 hex chars of md5(key ‖ salt) as a uniform 32-bit
+    * value (md5, not xxhash64, so external SQL engines can replay the
+    * exact sample). */
+  def sampleCoin(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 8), 16, 10)
+      .cast(LongType)
+
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                       stratumCol: String, rates: Map[String, Double],
+                       defaultRate: Double = 0.0, salt: String = "graft")
+      : org.apache.spark.sql.DataFrame = {
+    val coin = sampleCoin(col(keyCol), salt)
+    val threshold = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, rate)) =>
+      when(col(stratumCol) === stratum, lit(rate)).otherwise(acc)
+    }
+    // keep iff coin < rate * 2^32
+    df.filter(coin < (threshold * lit(4294967296.0)).cast(LongType))
+  }
+
   /** Unigram log-probability quality signal (CCNet-flavor perplexity
     * proxy): mean log₁₀ P(token) under the corpus's own unigram model.
     * Low (very negative) scores flag gibberish/rare-token soup; high

@@ -129,6 +129,27 @@ class MlSpec extends SparkSpec {
     assert(got(2L) === ((r((math.log10(0.4) + math.log10(0.2)) / 2), 2L)))
   }
 
+  test("stratified sample: deterministic, rate-accurate, stratum-scoped") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val s1 = TextAnalysis.stratifiedSample(df, "id", "src", Map("a" -> 0.3, "b" -> 0.8))
+      .select("id").as[Long].collect().toSet
+    val s2 = TextAnalysis.stratifiedSample(df, "id", "src", Map("a" -> 0.3, "b" -> 0.8))
+      .select("id").as[Long].collect().toSet
+    assert(s1 === s2) // reproducible — identical sample on re-run
+    val aRate = s1.count(_ % 2 == 0) / 2000.0
+    val bRate = s1.count(_ % 2 == 1) / 2000.0
+    assert(math.abs(aRate - 0.3) < 0.05, s"a rate $aRate")
+    assert(math.abs(bRate - 0.8) < 0.05, s"b rate $bRate")
+    // defaultRate 0.0 drops unknown strata entirely
+    val s3 = TextAnalysis.stratifiedSample(df, "id", "src", Map("a" -> 1.0))
+      .select("src").distinct().as[String].collect().toSeq
+    assert(s3 === Seq("a"))
+    // different salt → different (but still deterministic) sample
+    val s4 = TextAnalysis.stratifiedSample(df, "id", "src", Map("a" -> 0.3, "b" -> 0.8),
+      salt = "other").select("id").as[Long].collect().toSet
+    assert(s4 !== s1)
+  }
+
   test("exact dedup keeps one deterministic winner per distinct text") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", col("doc_id"))
