@@ -167,6 +167,16 @@ object QueriesLlm {
       r.select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"), col("n_tokens"))
     }),
 
+    // sequence packing: shard by key hash (one shuffle, per-shard window
+    // sort — never a global orderBy), cumulative-token bucketing into
+    // 512-token packs
+    "llm_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      TextAnalysis.packSequences(d, "doc_id", "n_tokens", budget = 512, shards = 8)
+        .select("doc_id", "shard", "pack_id", "n_tokens")
+    }),
+
     // deterministic data mixing: per-language keep rates via a hashed
     // coin (md5-keyed, salt 'graft') — reproducible across runs/engines
     "llm_sample_mix" -> ((s, dir) =>
@@ -312,6 +322,18 @@ object QueriesLlm {
          FROM tok JOIN vocab USING (tok) CROSS JOIN tot
          GROUP BY tok.doc_id"""
     },
+    "llm_pack_sequences" ->
+      """WITH tok AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+           FROM documents)
+         SELECT doc_id, shard, CAST(floor(
+             (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 512.0) AS BIGINT) AS pack_id,
+           n_tokens
+         FROM tok""",
     "llm_sample_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT

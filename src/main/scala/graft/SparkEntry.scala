@@ -51,6 +51,7 @@ object SparkEntry {
     // round-2 surface: batch policy (window), nlp (mapPartitions batch
     // inference), wire codec (udf round-trip), config-text pipeline
     "batch_count", "nlp_classify", "codec_protobuf", "config_pipeline",
-    // round-2 late additions: broadcast decontamination, two-pass unigram LM
-    "llm_decontaminate", "llm_unigram_logprob")
+    // round-2 late additions: broadcast decontamination, two-pass unigram
+    // LM, sharded sequence packing
+    "llm_decontaminate", "llm_unigram_logprob", "llm_pack_sequences")
 }

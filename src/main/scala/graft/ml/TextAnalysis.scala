@@ -166,6 +166,31 @@ object TextAnalysis {
     df.filter(coin < (threshold * lit(4294967296.0)).cast(LongType))
   }
 
+  /** Token-budget sequence packing — the step that turns a filtered
+    * corpus into fixed-budget training sequences. Docs are bucketed into
+    * `shards` by key hash, ordered deterministically within the shard,
+    * and assigned pack ids by cumulative-token bucketing
+    * (`floor(running_tokens / budget)`).
+    *
+    * Scale plan: ONE shuffle on the shard key; the window sort runs
+    * per-shard, never globally — a global orderBy would funnel 100 TB
+    * through one task. Shard count trades pack-boundary waste against
+    * parallelism (each shard's last pack may be short). Deterministic:
+    * same corpus → same packs, per the sampling/dedup discipline. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                    tokensCol: String, budget: Long, shards: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    val shard = pmod(col(keyCol), lit(shards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("shard", shard.cast(LongType))
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("_cum") - col(tokensCol)).cast(DoubleType) / budget).cast(LongType))
+      .drop("_cum")
+  }
+
   /** Unigram log-probability quality signal (CCNet-flavor perplexity
     * proxy): mean log₁₀ P(token) under the corpus's own unigram model.
     * Low (very negative) scores flag gibberish/rare-token soup; high

@@ -150,6 +150,31 @@ class MlSpec extends SparkSpec {
     assert(s4 !== s1)
   }
 
+  test("sequence packing: per-shard budget law, contiguous pack ids, deterministic") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 500L).map(i => (i, 1L + rnd.nextInt(100))).toDF("id", "toks")
+    val packed = TextAnalysis.packSequences(df, "id", "toks", budget = 256, shards = 4)
+      .select("id", "shard", "pack_id", "toks")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.length == 500)
+    val byPack = packed.groupBy(p => (p._2, p._3))
+    byPack.foreach { case ((shard, pack), docs) =>
+      val total = docs.map(_._4).sum
+      val lastDoc = docs.maxBy(_._1)._4
+      // cumulative bucketing: only the boundary-crossing doc may overflow
+      assert(total - lastDoc < 256, s"pack ($shard,$pack) sums $total")
+    }
+    // pack ids contiguous from 0 within each shard
+    packed.groupBy(_._2).foreach { case (shard, docs) =>
+      val ids = docs.map(_._3).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length), s"shard $shard pack ids not contiguous")
+    }
+    // deterministic on re-run
+    val again = TextAnalysis.packSequences(df, "id", "toks", budget = 256, shards = 4)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(packed.map(p => p._1 -> p._3).toMap === again)
+  }
+
   test("exact dedup keeps one deterministic winner per distinct text") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", col("doc_id"))
