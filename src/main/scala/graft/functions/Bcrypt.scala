@@ -218,12 +218,13 @@ object Bcrypt {
     * hash also works — extra chars are ignored, as in crypt(3)). */
   def hash(password: String, salt: String): String = {
     require(salt.length >= 29 && salt.startsWith("$2"), s"malformed bcrypt salt")
+    // only the modern minor variants: the ancient "$2$" form predates the
+    // $2a fix and would re-serialize ambiguously — reject it loudly
     val minor = salt(2) match {
-      case '$' => ' ' // "$2$NN$…" ancient form
       case m @ ('a' | 'b' | 'y') => m
       case m => throw new IllegalArgumentException(s"unsupported bcrypt variant 2$m")
     }
-    val costOff = if (minor == ' ') 3 else 4
+    val costOff = 4
     val cost = salt.substring(costOff, costOff + 2).toInt
     require(cost >= 4 && cost <= 31, s"bcrypt cost $cost out of range [4,31]")
     val salt16 = unb64(salt.substring(costOff + 3, costOff + 25), 16)

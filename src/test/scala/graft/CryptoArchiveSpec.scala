@@ -28,6 +28,9 @@ class CryptoArchiveSpec extends SparkSpec {
     assert(Bcrypt.check("s3cret", h))
     assert(!Bcrypt.check("s3cret!", h))
     assert(!Bcrypt.check("s3cret", h.replace(h.takeRight(1), if (h.endsWith("a")) "b" else "a")))
+    // ancient "$2$" form is rejected loudly (it would re-serialize ambiguously)
+    intercept[IllegalArgumentException](Bcrypt.hash("x", "$2$06$DCq7YPn5Rq63x1Lad4cll."))
+    assert(!Bcrypt.check("x", "$2$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s."))
     // deterministic salt → deterministic hash; different seed → different hash
     assert(Bcrypt.hash("x", Bcrypt.saltFromSeed(4, 1L)) ===
       Bcrypt.hash("x", Bcrypt.saltFromSeed(4, 1L)))

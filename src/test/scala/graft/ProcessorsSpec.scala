@@ -47,6 +47,19 @@ class ProcessorsSpec extends SparkSpec {
     assert(out.select("content").as[String].collect().head === """{"result":22}""")
   }
 
+  test("awk edge cases: unterminated string fails, signed exponents, POSIX substr") {
+    import graft.operators.Awk
+    intercept[IllegalArgumentException](Awk.run("""{ x = "abc }""", "{}", Map.empty))
+    val (c1, _) = Awk.run("""{ json_set_float("x", 1e+5 + 2E-3) }""", "{}", Map.empty)
+    assert(c1 === """{"x":100000.002}""")
+    val (_, m) = Awk.run(
+      """{ metadata_set("a", substr("hello", 0, 3));
+        |  metadata_set("b", substr("hello", 2, 3));
+        |  metadata_set("c", substr("hello", 4)) }""".stripMargin, "{}", Map.empty)
+    // POSIX: chars at positions [max(1,m), m+n-1] — substr("hello",0,3) = "he"
+    assert(m === Map("a" -> "he", "b" -> "ell", "c" -> "lo"))
+  }
+
   test("switch routes each row to exactly one branch (first match wins)") {
     val df = Seq(5, 15, 25, 35).toDF("v")
     val out = Processors.switch(Seq(
