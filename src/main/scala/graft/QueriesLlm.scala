@@ -173,7 +173,10 @@ object QueriesLlm {
     "llm_pack_sequences" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-      TextAnalysis.packSequences(d, "doc_id", "n_tokens", budget = 512, shards = 8)
+      // explicit modulus shard so the oracle can replay it (the library
+      // default is pmod(xxhash64(key), shards), which DuckDB cannot)
+      TextAnalysis.packSequences(d, "doc_id", "n_tokens", budget = 512, shards = 8,
+          shardBy = Some(pmod(col("doc_id"), lit(8L))))
         .select("doc_id", "shard", "pack_id", "n_tokens")
     }),
 

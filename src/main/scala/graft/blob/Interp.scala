@@ -345,7 +345,13 @@ object Interp {
           }
       }.collectFirst { case Some(v) => v }.getOrElse(VNothing)
     case Bin(op, l, r) => binOp(op, l, r, ctx)
-    case FnCall(name, args) => Functions.call(name, args.map(eval(_, ctx)), ctx)
+    case FnCall(name, args) =>
+      try Functions.call(name, args.map(eval(_, ctx)), ctx)
+      catch {
+        case e: BlobError => throw e
+        case scala.util.control.NonFatal(e) =>
+          err(s"$name: ${e.getMessage}") // JDK exceptions become catchable blob errors
+      }
     case MethodCall(t, name, args) => Methods.call(t, name, args, ctx)
   }
 
@@ -409,7 +415,9 @@ object Interp {
     case "%" =>
       (eval(le, ctx), eval(re, ctx)) match {
         case (a: Long, b: Long) => if (b == 0) err("modulo by zero") else a % b
-        case (a, b) => toNum(a) % toNum(b)
+        case (a, b) =>
+          val d = toNum(b)
+          if (d == 0.0) err("modulo by zero") else toNum(a) % d
       }
   }
 

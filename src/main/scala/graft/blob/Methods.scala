@@ -282,6 +282,8 @@ object Methods {
       case "replace_all" => toStr(t).replace(argStr(0), argStr(1))
       case "replace_all_many" => arg(0) match {
         case a: Vector[Any @unchecked] =>
+          if (a.length % 2 != 0)
+            err(s"replace_all_many: expected an even number of arguments, got ${a.length}")
           a.grouped(2).foldLeft(toStr(t)) {
             case (acc, Vector(f, to)) => acc.replace(toStr(f), toStr(to))
             case (acc, _) => acc
@@ -955,8 +957,10 @@ object Methods {
     "&(#?\\w+);".r.replaceAllIn(s, m => {
       val e = m.group(1)
       val rep =
-        if (e.startsWith("#x") || e.startsWith("#X")) Integer.parseInt(e.drop(2), 16).toChar.toString
-        else if (e.startsWith("#")) Integer.parseInt(e.drop(1)).toChar.toString
+        if (e.startsWith("#x") || e.startsWith("#X"))
+          new String(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+        else if (e.startsWith("#"))
+          new String(Character.toChars(Integer.parseInt(e.drop(1))))
         else namedEntities.getOrElse(e, m.matched)
       java.util.regex.Matcher.quoteReplacement(rep)
     })
@@ -971,7 +975,11 @@ object Methods {
     * "P1MT2H" splits at 'T'; pure "PT…" is Duration-only). */
   private def parseIso8601Span(s: String): (java.time.Period, java.time.Duration) =
     try {
-      if (s.startsWith("PT") || s.startsWith("-PT"))
+      // a leading '-' negates the WHOLE span (both date and time parts)
+      if (s.startsWith("-")) {
+        val (p, d) = parseIso8601Span(s.substring(1))
+        (p.negated(), d.negated())
+      } else if (s.startsWith("PT"))
         (java.time.Period.ZERO, java.time.Duration.parse(s))
       else s.indexOf('T') match {
         case -1 => (java.time.Period.parse(s), java.time.Duration.ZERO)

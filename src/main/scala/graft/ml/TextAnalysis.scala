@@ -175,12 +175,18 @@ object TextAnalysis {
     * Scale plan: ONE shuffle on the shard key; the window sort runs
     * per-shard, never globally — a global orderBy would funnel 100 TB
     * through one task. Shard count trades pack-boundary waste against
-    * parallelism (each shard's last pack may be short). Deterministic:
-    * same corpus → same packs, per the sampling/dedup discipline. */
+    * parallelism (each shard's last pack may be short). Deterministic
+    * when keys are unique (the window orders by the key): same corpus →
+    * same packs, per the sampling/dedup discipline.
+    *
+    * The default shard is `pmod(xxhash64(key), shards)` — works for any
+    * key type and spreads skewed numeric ranges; pass `shardBy` to
+    * override (e.g. a modulus an external system must reproduce). */
   def packSequences(df: org.apache.spark.sql.DataFrame, keyCol: String,
-                    tokensCol: String, budget: Long, shards: Int = 32)
+                    tokensCol: String, budget: Long, shards: Int = 32,
+                    shardBy: Option[Column] = None)
       : org.apache.spark.sql.DataFrame = {
-    val shard = pmod(col(keyCol), lit(shards.toLong))
+    val shard = shardBy.getOrElse(pmod(xxhash64(col(keyCol)), lit(shards.toLong)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(shard).orderBy(col(keyCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -246,6 +246,22 @@ class BlobTextSpec extends AnyFunSuite {
     assert(out == Some("""{"k":27,"s":true,"u":26}"""))
   }
 
+  test("error-channel hardening: fn exceptions, modulo zero, odd replace pairs, negative spans") {
+    // function-level JDK exceptions are catchable blob errors, not crashes
+    assert(run("""root.a = file("/nope/missing").catch("no file")""", "{}")
+      == Some("""{"a":"no file"}"""))
+    assert(run("""root.a = (5.0 % 0).catch("mod zero")""", "{}")
+      == Some("""{"a":"mod zero"}"""))
+    assert(run("""root.a = "abc".replace_all_many(["a","b","c"]).catch("odd")""", "{}")
+      == Some("""{"a":"odd"}"""))
+    // a leading '-' negates BOTH parts of a mixed ISO-8601 span: -26h, not -22h
+    assert(run("""root.t = "2020-08-14T05:54:23Z".ts_add_iso8601("-P1DT2H")""", "{}")
+      == Some("""{"t":"2020-08-13T03:54:23Z"}"""))
+    // astral-plane numeric entities decode to surrogate pairs
+    assert(run("""root.e = "&#128512;".unescape_html()""", "{}")
+      == Some("""{"e":"😀"}"""))
+  }
+
   test("throw routes to catch; uncaught errors surface as BlobError") {
     assert(run("""root.a = throw("boom").catch("saved")""", "{}") == Some("""{"a":"saved"}"""))
     intercept[Bloblang.BlobError] { run("""root.a = throw("boom")""", "{}") }
