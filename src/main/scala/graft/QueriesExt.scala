@@ -118,8 +118,9 @@ object QueriesExt {
       graft.conn.Sources.sequenceShardedJoin(Seq(a, b), "id", "replace")
     }),
 
-    // read_until (input_read_until.go:35): rows strictly before the first
-    // predicate hit in event_id order
+    // read_until (input_read_until.go:35): rows up to AND INCLUDING the
+    // first predicate hit in event_id order (the reference delivers the
+    // message that tripped the check before closing)
     "src_read_until" -> ((s, dir) =>
       graft.conn.Sources.readUntil(t(s, dir, "events"), "event_id",
           col("event_type") === "error" && col("value") > 200)
@@ -420,8 +421,8 @@ pipeline:
          FROM a FULL OUTER JOIN b ON a.id = b.id""",
     "src_read_until" ->
       """SELECT event_id, event_type FROM events
-         WHERE event_id < (SELECT min(event_id) FROM events
-                           WHERE event_type = 'error' AND value > 200)""",
+         WHERE event_id <= (SELECT min(event_id) FROM events
+                            WHERE event_type = 'error' AND value > 200)""",
     "blob_meta" ->
       """SELECT event_id, event_type AS src FROM events""",
     "proc_template" ->

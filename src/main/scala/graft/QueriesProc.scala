@@ -146,7 +146,7 @@ object QueriesProc {
     // Spark's split keeps a trailing "" when length is an exact multiple of
     // the chunk size — filter it (Go's chunker emits no empty chunk).
     "scan_chunker" -> ((s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), "(?<=\\G.{100})"))
+      .select(col("doc_id"), posexplode(split(col("text"), "(?s)(?<=\\G.{100})"))
         .as(Seq("chunk_idx", "chunk")))
       .filter(length(col("chunk")) > 0)
       .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),

@@ -30,10 +30,12 @@ object Sources {
     spark.read.option("multiLine", multiLine).json(path)
 
   /** `chunker` scanner (scanner_chunker.go): fixed-size chunks of the raw
-    * file bytes. wholetext=true frames the file, the split is columnar. */
+    * file bytes. wholetext=true frames the file, the split is columnar.
+    * DOTALL so chunk boundaries cross newlines; note textFile UTF-8-decodes,
+    * so byte-exact chunking of binary files needs binaryFile instead. */
   def chunker(spark: SparkSession, path: String, size: Int): DataFrame =
     spark.read.option("wholetext", true).textFile(path).toDF("whole")
-      .select(posexplode(split(col("whole"), s"(?<=\\G.{$size})")).as(Seq("chunk_idx", "content")))
+      .select(posexplode(split(col("whole"), s"(?s)(?<=\\G.{$size})")).as(Seq("chunk_idx", "content")))
       .filter(length(col("content")) > 0)
 
   /** `skip_bom` scanner (scanner_skip_bom.go). */
@@ -160,11 +162,13 @@ object Sources {
   }
 
   /** `read_until` (input_read_until.go:35): consume rows in `orderCol`
-    * order until the predicate first fires (exclusive). Batch form: one
-    * scalar min over the matching rows — no global sort of the data. */
+    * order until the predicate first fires. The triggering row IS delivered
+    * (the reference sends the message that tripped the check before
+    * closing) — inclusive bound. Batch form: one scalar min over the
+    * matching rows — no global sort of the data. */
   def readUntil(df: DataFrame, orderCol: String, stop: org.apache.spark.sql.Column): DataFrame = {
     val bound = df.filter(stop).agg(min(col(orderCol))).head()
-    if (bound.isNullAt(0)) df else df.filter(col(orderCol) < bound.get(0))
+    if (bound.isNullAt(0)) df else df.filter(col(orderCol) <= bound.get(0))
   }
 
   /** Kafka record frame → Msg envelope columns (apply after .load()). */

@@ -133,8 +133,9 @@ object Argon2 {
   private def le32(x: Int): Array[Byte] = Array(
     x.toByte, (x >>> 8).toByte, (x >>> 16).toByte, (x >>> 24).toByte)
 
-  /** Variable-length hash H' (RFC 9106 §3.3). */
-  private def hPrime(outLen: Int, a: Array[Byte]): Array[Byte] = {
+  /** Variable-length hash H' (RFC 9106 §3.3). Package-visible for the
+    * external-oracle spec (python hashlib.blake2b replay). */
+  private[graft] def hPrime(outLen: Int, a: Array[Byte]): Array[Byte] = {
     if (outLen <= 64) return blake2b(outLen, le32(outLen), a)
     val out = new Array[Byte](outLen)
     var v = blake2b(64, le32(outLen), a)
@@ -144,7 +145,10 @@ object Argon2 {
       System.arraycopy(v, 0, out, pos, 32)
       pos += 32
       rem -= 32
-      v = blake2b(64, v)
+      // RFC 9106 §3.3: V_{r+1} is a Blake2b with digest length T-32r (not a
+      // truncated Blake2b-64 — the length is part of the IV), so when the
+      // remainder after this step is the final block, size it exactly.
+      v = if (rem > 64) blake2b(64, v) else blake2b(rem, v)
     }
     System.arraycopy(v, 0, out, pos, rem)
     out

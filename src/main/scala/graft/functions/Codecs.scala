@@ -72,10 +72,20 @@ object Codecs {
   private def inflateWith(raw: Boolean): Array[Byte] => Array[Byte] = in =>
     if (in == null) null else {
       val inf = new java.util.zip.Inflater(raw)
-      inf.setInput(in)
+      // Inflater javadoc: nowrap mode needs an extra dummy byte of input
+      // (zlib native-library requirement) — without it a complete raw
+      // stream can report needsInput() before finished().
+      inf.setInput(if (raw) in :+ 0.toByte else in)
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
-      while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        // Truncated input: inflate returns 0 asking for more bytes we don't
+        // have — fail loudly instead of spinning on the executor.
+        if (n == 0 && inf.needsInput() && !inf.finished())
+          throw new java.util.zip.ZipException("decompress: truncated deflate stream")
+        out.write(buf, 0, n)
+      }
       inf.end(); out.toByteArray
     }
   val flateCompress: Array[Byte] => Array[Byte] = deflateWith(raw = true)

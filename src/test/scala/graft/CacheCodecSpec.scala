@@ -183,6 +183,13 @@ class CacheCodecSpec extends SparkSpec {
     }
   }
 
+  test("truncated deflate input fails loudly instead of spinning") {
+    val full = Codecs.zlibCompress("a healthy payload that compresses".getBytes("UTF-8"))
+    intercept[java.util.zip.ZipException](Codecs.zlibDecompress(full.dropRight(6)))
+    val raw = Codecs.flateCompress("another payload".getBytes("UTF-8"))
+    intercept[java.util.zip.ZipException](Codecs.flateDecompress(raw.dropRight(4)))
+  }
+
   test("msgpack round-trips nested JSON values") {
     val cases = Seq(
       """{"a":1,"b":"two","c":[1,2.5,null,true],"d":{"e":"f"}}""",

@@ -48,6 +48,14 @@ class ConnectorsSpec extends SparkSpec {
     assert(got.toSeq == Seq("abcd", "efgh", "ij"))
   }
 
+  test("chunker scanner crosses newlines (DOTALL split)") {
+    val d = tmpDir("chunknl")
+    write(new java.io.File(d, "a.txt"), "ab\ncd\nef\ngh")
+    val got = Sources.chunker(spark, d.getPath, 4).orderBy("chunk_idx")
+      .select("content").as[String].collect()
+    assert(got.toSeq == Seq("ab\nc", "d\nef", "\ngh"))
+  }
+
   test("skip_bom scanner strips a BOM") {
     val df = Seq("﻿hello", "plain").toDF("content")
     val got = Sources.skipBom(df).as[String].collect().sorted

@@ -64,6 +64,39 @@ class CryptoArchiveSpec extends SparkSpec {
     assert(!Argon2.check("s3cret", phc.dropRight(4) + "AAAA"))
   }
 
+  test("argon2: blake2b non-64 digest lengths and H' tags not divisible by 32") {
+    import graft.functions.Argon2
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    // Published BLAKE2b-256/384("abc") vectors — digest length is part of
+    // the IV, so these catch truncation-vs-parameterization confusion.
+    assert(hex(Argon2.blake2b(32, "abc".getBytes("US-ASCII"))) ===
+      "bddd813c634239723171ef3fee98579b94964e3bb1cb3e427262c8c068d52319")
+    assert(hex(Argon2.blake2b(48, "abc".getBytes("US-ASCII"))) ===
+      "6f56a82c8e7ef526dfe182eb5212f7db9df1317e57815dbda46083fc30f54ee6" +
+      "c66ba83be64b302d7cba6ce15bb556f4")
+    // H' (RFC 9106 §3.3) replayed with an independent implementation
+    // (python hashlib.blake2b): the final block for T>64, T%32!=0 is a
+    // Blake2b with digest length T-32r, NOT a truncated Blake2b-64.
+    val a = Array.tabulate[Byte](7)(_.toByte)
+    assert(hex(Argon2.hPrime(100, a)) ===
+      "e3f58f7f14840e7db25f5061c87ddd7d3a63e2027d23a45d493493d5be73267b" +
+      "c2cbd3b302683db3e285e87705005edd62d2650566da2c6c77f2171bfefc8ddd" +
+      "22dcd23e6c1e3d10605e9d450007048ecea0f47f166b197cacd9a7e39115ff9a" +
+      "79f5d40e")
+    assert(hex(Argon2.hPrime(72, a)) ===
+      "bc6ffb096b3194e111a575730e3be4acdde22c7da49c9b91d294c61ab654718f" +
+      "e141bac4825672c6a5c7c40ea556142088988effe844a4e988cf447292d70ae0" +
+      "2b4c9b51aedc01ec")
+    assert(hex(Argon2.hPrime(64, a)) ===
+      "931405e64800f9d0665e00165486b43954dc62252d93c9f7b7e18510f8723da3" +
+      "5ad63adf0d2311dd144153f56148a762e87d5320314b0d40a3882fb09791c3f2")
+    // PHC round-trip at a 100-byte tag (the previously-broken length class)
+    val phc100 = Argon2.hash("s3cret", Argon2.saltFromSeed(2L), variant = 2,
+      t = 1, mKiB = 16, p = 1, tagLen = 100)
+    assert(Argon2.check("s3cret", phc100))
+    assert(!Argon2.check("wrong", phc100))
+  }
+
   test("jwt: tampered token and wrong secret are rejected") {
     val tok = Crypto.signJwtHs("HS256")("""{"sub":"u1","n":7}""", "k")
     assert(Crypto.parseJwtHs("HS256")(tok, "k") == """{"sub":"u1","n":7}""")
