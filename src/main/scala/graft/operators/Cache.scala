@@ -42,10 +42,17 @@ object Caches {
     }
 
     /** `cache_get` in expression position: broadcast map lookup. Only for
-      * bounded caches (the map lives on every executor). */
-    def getExpr(spark: SparkSession): Column => Column = {
-      val m = kv.select(col(keyCol).cast(StringType), col(valueCol).cast(StringType))
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      * bounded caches (the map lives on every executor) — enforced: more
+      * than `maxRows` entries fails loudly instead of OOMing the driver.
+      * For unbounded key spaces use [[enrich]] (a broadcast/shuffle join
+      * Catalyst can plan) instead. */
+    def getExpr(spark: SparkSession, maxRows: Int = 1000000): Column => Column = {
+      val rows = kv.select(col(keyCol).cast(StringType), col(valueCol).cast(StringType))
+        .limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"cache has more than $maxRows entries; getExpr is for bounded caches — " +
+          "use enrich (broadcast join) for fact-sized key spaces")
+      val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
       val bc = spark.sparkContext.broadcast(m)
       val look = udf((k: String) => if (k == null) null else bc.value.getOrElse(k, null))
       (key: Column) => look(key.cast(StringType))

@@ -569,12 +569,15 @@ class BloblangGoldenSpec extends AnyFunSuite {
     (passed, failed, skipped, failures.result(), skips.result())
   }
 
-  test("reference bloblang golden corpus: >= 20 cases pass verbatim, none fail") {
+  test("reference bloblang golden corpus: >= 55 cases pass verbatim, none fail, none skip") {
     val (passed, failed, skipped, failures, skips) = runCorpus()
     info(s"golden corpus: passed=$passed failed=$failed skipped=$skipped")
     skips.foreach(n => info(s"SKIP $n"))
     failures.foreach(f => info(s"FAIL $f"))
     assert(failed == 0, s"failures:\n${failures.mkString("\n")}")
-    assert(passed >= 20, s"only $passed golden cases passed")
+    // Pinned: a parser regression must not silently reroute cases to the
+    // skip path and stay green.
+    assert(skipped == 0, s"skipped golden cases:\n${skips.mkString("\n")}")
+    assert(passed >= 55, s"only $passed golden cases passed")
   }
 }

@@ -23,6 +23,13 @@ class CacheCodecSpec extends SparkSpec {
     assert(got2.toSeq == Seq("1", null, "2"))
   }
 
+  test("getExpr rejects caches above the bounded-size guard") {
+    val big = spark.range(0, 50).select(
+      col("id").cast("string").as("k"), col("id").cast("string").as("v"))
+    intercept[IllegalArgumentException](
+      Caches.KvCache(big, "k", "v").getExpr(spark, maxRows = 10))
+  }
+
   test("buildLastWins / buildFirstWins pick deterministic winners") {
     val df = Seq(("k", "v1", 1L), ("k", "v2", 2L), ("j", "x", 5L)).toDF("key", "value", "ord")
     val last = Caches.buildLastWins(df, col("key"), col("value"), col("ord"))

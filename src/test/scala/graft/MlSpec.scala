@@ -203,6 +203,31 @@ class MlSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall")
   }
 
+  test("LSH ANN on clustered embeddings reaches recall >= 0.9 vs exact top-k") {
+    // Planted neighborhoods: the geometry LSH is designed for. 10 gaussian
+    // cluster centers, 40 members each with small noise; queries are fresh
+    // points near the centers. Exact top-k neighbors of a query are its
+    // cluster-mates — hyperplane LSH must recover >= 90% of them.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(10, dim)(rnd.nextGaussian().toFloat)
+    def near(c: Array[Float]): Seq[Float] =
+      c.map(x => x + 0.08f * rnd.nextGaussian().toFloat).toSeq
+    val corpus = (0 until 400).map(i => (i.toLong, near(centers(i % 10))))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 30).map(i => ((1000 + i).toLong, near(centers(i % 10))))
+      .toDF("vec_id", "embedding")
+    val k = 10
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, "vec_id", "embedding", dim,
+        queries, "vec_id", "embedding", k, planesPerTable = 8, tables = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered LSH recall $recall")
+  }
+
   test("LSH ANN retrieves the source of perturbed near-duplicate queries") {
     // Structured near-dup case (the workload LSH exists for): each query is
     // a lightly-perturbed corpus vector; the source must appear in top-k.
