@@ -38,6 +38,19 @@ object Sources {
       .select(posexplode(split(col("whole"), s"(?s)(?<=\\G.{$size})")).as(Seq("chunk_idx", "content")))
       .filter(length(col("content")) > 0)
 
+  /** Byte-exact `chunker` (scanner_chunker.go slices raw bytes, not decoded
+    * characters): binaryFile frame + a columnar byte-slice explode. Route
+    * binary / non-ASCII workloads here; the text variant above stays for
+    * ASCII logs where downstream ops want strings. */
+  def chunkerBytes(spark: SparkSession, path: String, size: Int): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .select(col("path"),
+        posexplode(expr(
+          s"transform(sequence(0, int(ceil(length(content) / $size.0)) - 1), " +
+          s"i -> substring(content, i * $size + 1, $size))")).as(Seq("chunk_idx", "content")))
+      .filter(length(col("content")) > 0)
+
   /** `skip_bom` scanner (scanner_skip_bom.go). */
   def skipBom(df: DataFrame, col_ : String = "content"): DataFrame =
     df.withColumn(col_, regexp_replace(col(col_), "^\\uFEFF", ""))

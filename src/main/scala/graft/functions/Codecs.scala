@@ -78,15 +78,21 @@ object Codecs {
       inf.setInput(if (raw) in :+ 0.toByte else in)
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        // Truncated input: inflate returns 0 asking for more bytes we don't
-        // have — fail loudly instead of spinning on the executor.
-        if (n == 0 && inf.needsInput() && !inf.finished())
-          throw new java.util.zip.ZipException("decompress: truncated deflate stream")
-        out.write(buf, 0, n)
-      }
-      inf.end(); out.toByteArray
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          // A zlib stream with FDICT set makes inflate return 0 with
+          // needsDictionary() true — we never supply preset dictionaries.
+          if (n == 0 && inf.needsDictionary())
+            throw new java.util.zip.ZipException("decompress: preset dictionary not supported")
+          // Truncated input: inflate returns 0 asking for more bytes we don't
+          // have — fail loudly instead of spinning on the executor.
+          if (n == 0 && inf.needsInput() && !inf.finished())
+            throw new java.util.zip.ZipException("decompress: truncated deflate stream")
+          out.write(buf, 0, n)
+        }
+      } finally inf.end()
+      out.toByteArray
     }
   val flateCompress: Array[Byte] => Array[Byte] = deflateWith(raw = true)
   val flateDecompress: Array[Byte] => Array[Byte] = inflateWith(raw = true)

@@ -197,6 +197,19 @@ class CacheCodecSpec extends SparkSpec {
     intercept[java.util.zip.ZipException](Codecs.flateDecompress(raw.dropRight(4)))
   }
 
+  test("zlib stream demanding a preset dictionary fails loudly (FDICT)") {
+    // Hand-build a zlib header with FDICT set (RFC 1950): CMF=0x78,
+    // FLG chosen so FDICT bit 5 is set and (CMF*256+FLG) % 31 == 0,
+    // followed by a 4-byte DICTID. inflate() then returns 0 with
+    // needsDictionary() true — previously an infinite loop.
+    val cmf = 0x78
+    val flgBase = 0x20 // FDICT
+    val flg = flgBase + (31 - (cmf * 256 + flgBase) % 31) % 31
+    val evil = Array[Byte](cmf.toByte, flg.toByte, 1, 2, 3, 4, 0, 0, 0, 0)
+    val ex = intercept[java.util.zip.ZipException](Codecs.zlibDecompress(evil))
+    assert(ex.getMessage.contains("preset dictionary"))
+  }
+
   test("msgpack round-trips nested JSON values") {
     val cases = Seq(
       """{"a":1,"b":"two","c":[1,2.5,null,true],"d":{"e":"f"}}""",

@@ -56,6 +56,18 @@ class ConnectorsSpec extends SparkSpec {
     assert(got.toSeq == Seq("ab\nc", "d\nef", "\ngh"))
   }
 
+  test("byte-exact chunker slices raw bytes of multi-byte content") {
+    val d = tmpDir("chunkb")
+    // "é" is 2 bytes in UTF-8 — the text chunker would slice at character 4,
+    // the byte chunker must slice at byte 4, splitting mid-codepoint.
+    val bytes = "aébécd".getBytes("UTF-8") // 8 bytes: 61 C3A9 62 C3A9 63 64
+    java.nio.file.Files.write(new java.io.File(d, "a.bin").toPath, bytes)
+    val got = Sources.chunkerBytes(spark, d.getPath, 4).orderBy("chunk_idx")
+      .select("content").as[Array[Byte]].collect()
+    assert(got.map(_.toSeq).toSeq == bytes.grouped(4).map(_.toSeq).toSeq)
+    assert(got.forall(_.length <= 4) && got.map(_.length).sum == bytes.length)
+  }
+
   test("skip_bom scanner strips a BOM") {
     val df = Seq("﻿hello", "plain").toDF("content")
     val got = Sources.skipBom(df).as[String].collect().sorted
