@@ -237,6 +237,42 @@ object QueriesCore {
         unix_timestamp(col("win.start")).as("window_start"),
         col("event_type"), col("n"), col("total"))),
 
+    // The SAME system_window aggregation as win_tumbling, but executed as
+    // a Structured Streaming query: file readStream → window agg →
+    // Trigger.AvailableNow → memory sink, hash-checked against the same
+    // DuckDB oracle. This is the reference's core identity (it is a STREAM
+    // processor: internal/stream/type.go:21-33) crossing the batch gate.
+    // Complete output mode mirrors the reference's close-time flush of
+    // pending windows (buffer_system_window.go:233-265): a bounded backfill
+    // must emit its tail windows, which append-mode watermarking would hold
+    // back forever. At scale the same plan runs append+watermark on an
+    // unbounded source (StreamingSpec covers late-drop semantics).
+    "stream_win_tumbling" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source wants a DIRECTORY: stream the sf dir with a
+      // glob filter selecting the events file(s)
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = Windows.windowedAgg(
+          stream, "ts", "1 hour", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("total")))
+        .select(
+          unix_timestamp(col("win.start")).as("window_start"),
+          col("event_type"), col("n"), col("total"))
+      val ckpt = java.nio.file.Files.createTempDirectory("swt_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = agg.writeStream.format("memory").queryName("stream_win_tumbling_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_win_tumbling_sink")
+    }),
+
     // session windows (SURVEY §2.8 parity-plus)
     "win_session" -> ((s, dir) => Windows.sessionAgg(
         t(s, dir, "events"), "ts", "5 minutes", Seq(col("user_id")),
@@ -349,6 +385,11 @@ object QueriesCore {
            c_acctbal * c_acctbal AS sq_bal
          FROM customer""",
     "win_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+    // identical semantics executed as a Structured Streaming query
+    "stream_win_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",

@@ -53,5 +53,8 @@ object SparkEntry {
     "batch_count", "nlp_classify", "codec_protobuf", "config_pipeline",
     // round-2 late additions: broadcast decontamination, two-pass unigram
     // LM, sharded sequence packing
-    "llm_decontaminate", "llm_unigram_logprob", "llm_pack_sequences")
+    "llm_decontaminate", "llm_unigram_logprob", "llm_pack_sequences",
+    // round 4: the streaming identity query (readStream → window agg →
+    // AvailableNow) — times the full micro-batch lifecycle
+    "stream_win_tumbling")
 }

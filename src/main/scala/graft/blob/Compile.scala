@@ -1,0 +1,526 @@
+package graft.blob
+
+import Bloblang._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bloblang AST → Catalyst Column compiler (SURVEY §3.2: "frontend compiles
+  * to Catalyst Column expressions; escape hatch = UDF").
+  *
+  * The text frontend parses a mapping once on the driver; this pass then
+  * tries to express the WHOLE mapping as native Column operations over the
+  * structured (pre-envelope) DataFrame, so config-driven pipelines get
+  * predicate pushdown, column pruning and whole-stage codegen — the plan
+  * the reference's stream engine can never produce (it interprets per
+  * message: internal/bloblang/mapping/executor.go:42-117). A mapping
+  * outside the translatable subset returns None and the caller falls back
+  * to the per-row interpreter UDF ([[BloblangUdf]]), which is always
+  * correct. Granularity is per config processor: one untranslatable
+  * mapping in a pipeline does not stop its neighbors from compiling.
+  *
+  * Semantics contract (differentially tested in BloblangCompileSpec):
+  * the compiled plan produces byte-identical message content to
+  * [[Interp]] for the supported subset, with two documented, deliberate
+  * deviations where the static SQL type system replaces the interpreter's
+  * dynamic one:
+  *  - rows where the interpreter would raise a runtime TYPE error (e.g.
+  *    arithmetic on a null field) follow SQL three-valued logic instead
+  *    of landing in the error facet — impossible-by-schema in compiled
+  *    mode since operand types are static;
+  *  - untranslatable constructs never reach the compiled path at all
+  *    (we bail at compile time), so there is no silent behavior change.
+  *
+  * Float/double OUTPUT fields are rejected (Go prints whole floats
+  * without a decimal point — `Interp.fmtDouble` — while Jackson prints
+  * `1.0`); doubles still compile freely inside predicates/arithmetic.
+  */
+object Compile {
+
+  /** How the structured result must be serialized at the envelope
+    * boundary so content matches what the interpreter chain would emit. */
+  sealed trait Ser extends Serializable
+  /** Raw input frame, no root assignment ran: standard envelope. */
+  case object EnvelopeDefault extends Ser
+  /** `root = this` re-marshal: keys sorted, null fields absent (they were
+    * never present in the parsed map — the input envelope dropped them). */
+  case object SortedDropNull extends Ser
+  /** Object built from scratch by field assignments: keys sorted, null
+    * fields EXPLICIT (the interpreter stores the null and marshals it). */
+  case object ExplicitNullSorted extends Ser
+  /** `root = <scalar>`: content is the raw string (Go IToBytes — strings
+    * emit unquoted). Column is named [[ScalarCol]]. */
+  case object Scalar extends Ser
+
+  val ScalarCol = "_content_scalar"
+
+  final case class Compiled(transform: DataFrame => DataFrame, ser: Ser)
+
+  /** Serialize a structured frame into the Msg envelope per its Ser mode. */
+  def envelope(df: DataFrame, ser: Ser): DataFrame = ser match {
+    case EnvelopeDefault => graft.core.Msg.envelope(df)
+    case SortedDropNull => graft.core.Msg.envelope(df, df.columns.sorted.toSeq)
+    case ExplicitNullSorted =>
+      df.select(
+        to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*),
+          Map("ignoreNullFields" -> "false")).as(graft.core.Msg.ContentCol),
+        map().cast(MapType(StringType, StringType)).as(graft.core.Msg.MetaCol),
+        lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
+        monotonically_increasing_id().as(graft.core.Msg.SeqCol))
+    case Scalar =>
+      df.select(
+        col(ScalarCol).cast(StringType).as(graft.core.Msg.ContentCol),
+        map().cast(MapType(StringType, StringType)).as(graft.core.Msg.MetaCol),
+        lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
+        monotonically_increasing_id().as(graft.core.Msg.SeqCol))
+  }
+
+  // ===== statement-level compilation =========================================
+
+  private sealed trait RootState
+  private case object RPassthrough extends RootState
+  private case object RWholeThis extends RootState
+  private final case class RFields(fields: Vector[(String, (Column, DataType))]) extends RootState
+  private final case class RScalar(c: Column) extends RootState
+
+  /** Compile a full mapping against a static input schema, or None if any
+    * statement falls outside the translatable subset. */
+  def tryCompile(m: Mapping, schema: StructType,
+                 env: Map[String, String] = Map.empty): Option[Compiled] = {
+    if (m.maps.nonEmpty) return None // named map defs → interpreter
+    var lets = Map.empty[String, (Column, DataType)]
+    var filters = Vector.empty[Column]
+    var root: RootState = RPassthrough
+
+    def ce(e: Expr): Option[(Column, DataType)] = compileExpr(e, schema, lets, env)
+
+    def setField(fs: Vector[(String, (Column, DataType))], name: String,
+                 v: (Column, DataType)): Vector[(String, (Column, DataType))] =
+      if (fs.exists(_._1 == name)) fs.map { case (n, old) => if (n == name) (n, v) else (n, old) }
+      else fs :+ (name -> v)
+
+    for (s <- m.stmts) s match {
+      case AssignVar(n, e) => ce(e) match {
+        case Some(cv) => lets += n -> cv
+        case None => return None
+      }
+      case AssignMeta(_, _) => return None // metadata writes → interpreter
+      case ExprStmt(_) => return None // side-effecting calls → interpreter
+      case AssignRoot(path, e) if path.isEmpty => e match {
+        case This => root = RWholeThis
+        case If(c, FnCall("deleted", Vector()), None) => ce(c) match {
+          case Some((cc, BooleanType)) => filters :+= cc
+          case _ => return None
+        }
+        case FnCall("deleted", Vector()) => filters :+= lit(true)
+        case ObjLit(fieldExprs) =>
+          // whole-root object literal: same shape as field assignments
+          var fs = Vector.empty[(String, (Column, DataType))]
+          for ((k, ve) <- fieldExprs) k match {
+            case Lit(name: String) => ce(ve) match {
+              case Some(cv) if serializableField(cv._2) => fs = setField(fs, name, cv)
+              case _ => return None
+            }
+            case _ => return None
+          }
+          root = RFields(fs)
+        case other => ce(other) match {
+          case Some((c, t)) if t == StringType || t == LongType || t == BooleanType =>
+            root = RScalar(if (t == StringType) c else c.cast(StringType))
+          case _ => return None
+        }
+      }
+      case AssignRoot(path, e) if path.length == 1 =>
+        val name = path.head
+        root match {
+          case RScalar(_) | RWholeThis => return None // field-on-scalar errors; whole+override mixes null regimes
+          case _ =>
+            val fs = root match { case RFields(f) => f; case _ => Vector.empty }
+            e match {
+              case FnCall("deleted", Vector()) =>
+                root = RFields(fs.filterNot(_._1 == name))
+              case If(_, _, None) => return None // dynamic field absence
+              case _ => ce(e) match {
+                case Some(cv) if serializableField(cv._2) =>
+                  root = RFields(setField(fs, name, cv))
+                case _ => return None
+              }
+            }
+        }
+      case AssignRoot(_, _) => return None // nested paths → interpreter
+    }
+
+    if (root == RWholeThis && !wholeThisSafe(schema)) return None
+
+    val conds = filters // deletion predicates, in order
+    val (ser, project): (Ser, DataFrame => DataFrame) = root match {
+      case RPassthrough => (EnvelopeDefault, identity[DataFrame] _)
+      case RWholeThis => (SortedDropNull, identity[DataFrame] _)
+      case RFields(fs) =>
+        val cols = fs.sortBy(_._1).map { case (n, (c, _)) => c.as(n) }
+        (ExplicitNullSorted, (df: DataFrame) => df.select(cols: _*))
+      case RScalar(c) => (Scalar, (df: DataFrame) => df.select(c.as(ScalarCol)))
+    }
+    Some(Compiled(df => {
+      // delete when cond is TRUE; a null cond keeps the row (SQL 3VL —
+      // the interpreter would error the row and keep it too). The
+      // `!c || isNull(c)` form (rather than `!coalesce(c, false)`) keeps
+      // the predicate a plain boolean tree that DataSourceStrategy can
+      // translate and push into the parquet scan.
+      val filtered = conds.foldLeft(df)((d, c) => d.filter(!c || c.isNull))
+      project(filtered)
+    }, ser))
+  }
+
+  /** Types that may appear as output fields with exact content parity. */
+  private def serializableField(t: DataType): Boolean = t match {
+    case StringType | LongType | BooleanType => true
+    case ArrayType(e, _) => serializableField(e)
+    case _ => false // double/float/decimal: Go vs Jackson float formatting
+  }
+
+  /** `root = this` re-marshals the parsed document, so every column must
+    * round-trip to_json → parse → marshal byte-identically: no float kinds
+    * (Go whole-float formatting), no maps (unordered keys vs sorted
+    * marshal), nested structs only when their field names are already
+    * sorted (marshal sorts nested keys; to_json keeps struct order). */
+  private def wholeThisSafe(t: DataType): Boolean = t match {
+    // top-level key order is handled by the sorted select in `envelope`;
+    // only the FIELD types need to round-trip exactly
+    case st: StructType => st.fields.forall(f => wholeThisSafeInner(f.dataType))
+    case _ => wholeThisSafeInner(t)
+  }
+  private def wholeThisSafeInner(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | _: DecimalType => false
+    case _: MapType => false
+    case st: StructType =>
+      st.fieldNames.toSeq == st.fieldNames.toSeq.sorted &&
+        st.fields.forall(f => wholeThisSafeInner(f.dataType))
+    case ArrayType(e, _) => wholeThisSafeInner(e)
+    case _ => true // long/int/string/bool/timestamp/date: same renderer both sides
+  }
+
+  // ===== expression-level compilation ========================================
+
+  private def isIntKind(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isFloatKind(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  private def isNumeric(t: DataType): Boolean = isIntKind(t) || isFloatKind(t)
+
+  /** Go-style string rendering of a value (Interp.toStr) as a Column.
+    * None when the type's rendering diverges (doubles) or is unsupported. */
+  private def toStrCol(c: Column, t: DataType): Option[Column] = t match {
+    case StringType => Some(c)
+    case LongType | BooleanType => Some(c.cast(StringType))
+    case _ => None
+  }
+
+  private[blob] def compileExpr(e: Expr, schema: StructType,
+                                lets: Map[String, (Column, DataType)],
+                                env: Map[String, String]): Option[(Column, DataType)] = {
+    def ce(x: Expr): Option[(Column, DataType)] = compileExpr(x, schema, lets, env)
+
+    /** Resolve a dot path rooted at `this` against the static schema,
+      * normalizing integer kinds to Long and float kinds to Double (the
+      * interpreter sees JSON longs/doubles after the envelope round-trip). */
+    def resolvePath(segs: Seq[String]): Option[(Column, DataType)] = {
+      if (segs.isEmpty) return None
+      var t: DataType = schema
+      var c: Column = null
+      for (seg <- segs) t match {
+        case st: StructType => st.find(_.name == seg) match {
+          case Some(f) =>
+            c = if (c == null) col(seg) else c.getField(seg)
+            t = f.dataType
+          case None => return None // unknown field: fall back (typo or dynamic)
+        }
+        case _ => return None
+      }
+      if (isIntKind(t) && t != LongType) Some((c.cast(LongType), LongType))
+      else if (isFloatKind(t) && t != DoubleType) Some((c.cast(DoubleType), DoubleType))
+      else t match {
+        case StringType | LongType | DoubleType | BooleanType => Some((c, t))
+        case ArrayType(el, n) if el == StringType || el == LongType || el == BooleanType =>
+          Some((c, ArrayType(el, n)))
+        case _ => None // timestamps/binary/maps/nested structs: interpreter
+      }
+    }
+
+    def pathOf(x: Expr, acc: List[String]): Option[List[String]] = x match {
+      case This => Some(acc)
+      case Field(t2, n) => pathOf(t2, n :: acc)
+      case _ => None
+    }
+
+    def numBin(op: String, l: (Column, DataType), r: (Column, DataType)): Option[(Column, DataType)] = {
+      val (lc, lt) = l; val (rc, rt) = r
+      if (!isNumeric(lt) || !isNumeric(rt)) None
+      else if (lt == LongType && rt == LongType && op != "/")
+        Some((op match {
+          case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+          case "%" => lc % rc
+        }, LongType))
+      else {
+        val (ld, rd) = (lc.cast(DoubleType), rc.cast(DoubleType))
+        Some((op match {
+          case "+" => ld + rd; case "-" => ld - rd; case "*" => ld * rd
+          case "/" => ld / rd; case "%" => ld % rd
+        }, DoubleType))
+      }
+    }
+
+    def unify(l: (Column, DataType), r: (Column, DataType)): Option[(Column, Column, DataType)] =
+      if (l._2 == r._2) Some((l._1, r._1, l._2))
+      else if (isNumeric(l._2) && isNumeric(r._2))
+        Some((l._1.cast(DoubleType), r._1.cast(DoubleType), DoubleType))
+      else None
+
+    e match {
+      case Lit(s: String) => Some((lit(s), StringType))
+      case Lit(l: Long) => Some((lit(l), LongType))
+      case Lit(d: Double) => Some((lit(d), DoubleType))
+      case Lit(b: Boolean) => Some((lit(b), BooleanType))
+      case Lit(_) => None // null literal: only supported via ==/!= special case
+      case This => None // whole-document value position → interpreter
+      case RootRef => None
+      case VarRef(n) => lets.get(n)
+      case MetaRef(_) => None
+      case f @ Field(_, _) => pathOf(f, Nil).flatMap(resolvePath)
+      case FnCall("json", Vector(Lit(p: String))) => resolvePath(p.split('.').toSeq)
+      case FnCall("env", Vector(Lit(n: String))) =>
+        env.get(n).map(v => (lit(v), StringType)) // absent env → interpreter (null-vs-"null" concat parity)
+      case Not(x) => ce(x).collect { case (c, BooleanType) => (!c, BooleanType) }
+      case Neg(x) => ce(x).collect {
+        case (c, LongType) => (-c, LongType)
+        case (c, DoubleType) => (-c, DoubleType)
+      }
+      case If(c, t, Some(els)) =>
+        ce(c).flatMap {
+          case (cc, BooleanType) =>
+            for {
+              tv <- ce(t); ev <- ce(els)
+              u <- unify(tv, ev)
+            } yield (when(cc, u._1).otherwise(u._2), u._3)
+          case _ => None
+        }
+      case If(_, _, None) => None // VNothing in value position
+      case Match(Some(tgt), cases) if cases.nonEmpty =>
+        ce(tgt).flatMap { case (tc, tt) =>
+          // literal patterns + a trailing default; results unify
+          val hasDefault = cases.last._1.isEmpty
+          if (!hasDefault || cases.init.exists(_._1.isEmpty)) None
+          else {
+            val litCases = cases.init.map {
+              case (Some(Lit(v)), res) => Some((v, res))
+              case _ => None
+            }
+            if (litCases.exists(_.isEmpty)) None
+            else {
+              val compiled = litCases.flatten.map { case (v, res) =>
+                val cond = v match {
+                  case s: String if tt == StringType => Some(tc <=> lit(s))
+                  case l: Long if isNumeric(tt) => Some(tc.cast(DoubleType) <=> lit(l.toDouble))
+                  case d: Double if isNumeric(tt) => Some(tc.cast(DoubleType) <=> lit(d))
+                  case b: Boolean if tt == BooleanType => Some(tc <=> lit(b))
+                  case _ => None
+                }
+                cond.flatMap(cnd => ce(res).map(r => (cnd, r)))
+              }
+              if (compiled.exists(_.isEmpty)) None
+              else ce(cases.last._2).flatMap { dflt =>
+                val steps = compiled.flatten
+                // unify all result types
+                val unified = steps.foldLeft(Option(dflt)) { (accOpt, s) =>
+                  accOpt.flatMap(acc => unify(s._2, acc).map { case (_, _, ut) => acc.copy(_2 = ut) })
+                }
+                unified.flatMap { case (_, ut) =>
+                  def castTo(v: (Column, DataType)): Column =
+                    if (v._2 == ut) v._1 else v._1.cast(ut)
+                  Some((steps.foldRight(castTo(dflt)) { case ((cnd, r), acc) =>
+                    when(cnd, castTo(r)).otherwise(acc)
+                  }, ut))
+                }
+              }
+            }
+          }
+        }
+      case Match(_, _) => None
+      case Bin("==", l, Lit(null)) => ce(l).map { case (c, _) => (c.isNull, BooleanType) }
+      case Bin("==", Lit(null), r) => ce(r).map { case (c, _) => (c.isNull, BooleanType) }
+      case Bin("!=", l, Lit(null)) => ce(l).map { case (c, _) => (c.isNotNull, BooleanType) }
+      case Bin("!=", Lit(null), r) => ce(r).map { case (c, _) => (c.isNotNull, BooleanType) }
+      case Bin(op, le, re) =>
+        // int-vs-int comparisons against a literal |v| <= 2^53 compare as
+        // LONGS: exactly equivalent to the interpreter's double compare
+        // (doubles are exact there, and rounding of a huge column value
+        // cannot cross a far-away bounded literal) — and, unlike a
+        // double-cast, a bare attribute comparison pushes down to parquet.
+        val litSafe = Seq(le, re).exists {
+          case Lit(l: Long) => math.abs(l) <= (1L << 53)
+          case _ => false
+        }
+        for {
+          l <- ce(le); r <- ce(re)
+          out <- compileBin(op, l, r, litSafe, numBin, unify)
+        } yield out
+      case MethodCall(t, name, args) => compileMethod(t, name, args, ce, schema, lets, env)
+      case _ => None
+    }
+  }
+
+  private def compileBin(op: String, l: (Column, DataType), r: (Column, DataType),
+                         intLitSafe: Boolean,
+                         numBin: (String, (Column, DataType), (Column, DataType)) => Option[(Column, DataType)],
+                         unify: ((Column, DataType), (Column, DataType)) => Option[(Column, Column, DataType)])
+      : Option[(Column, DataType)] = op match {
+    case "|" => unify(l, r).map { case (lc, rc, t) => (coalesce(lc, rc), t) }
+    case "&&" if l._2 == BooleanType && r._2 == BooleanType => Some((l._1 && r._1, BooleanType))
+    case "||" if l._2 == BooleanType && r._2 == BooleanType => Some((l._1 || r._1, BooleanType))
+    case "==" | "!=" =>
+      val eq: Option[Column] =
+        if (l._2 == StringType && r._2 == StringType) Some(l._1 <=> r._1)
+        else if (l._2 == BooleanType && r._2 == BooleanType) Some(l._1 <=> r._1)
+        else if (l._2 == LongType && r._2 == LongType && intLitSafe) Some(l._1 <=> r._1)
+        else if (isNumeric(l._2) && isNumeric(r._2))
+          Some(l._1.cast(DoubleType) <=> r._1.cast(DoubleType))
+        else if ((l._2 == StringType && isNumeric(r._2)) || (isNumeric(l._2) && r._2 == StringType))
+          Some(lit(false)) // valueEq: string vs number is false, not an error
+        else None
+      eq.map(c => (if (op == "==") c else !c, BooleanType))
+    case "<" | ">" | "<=" | ">=" =>
+      val cmp: Option[(Column, Column)] =
+        if (l._2 == StringType && r._2 == StringType) Some((l._1, r._1))
+        else if (l._2 == LongType && r._2 == LongType && intLitSafe) Some((l._1, r._1))
+        else if (isNumeric(l._2) && isNumeric(r._2))
+          Some((l._1.cast(DoubleType), r._1.cast(DoubleType)))
+        else None
+      cmp.map { case (lc, rc) =>
+        (op match {
+          case "<" => lc < rc; case ">" => lc > rc
+          case "<=" => lc <= rc; case _ => lc >= rc
+        }, BooleanType)
+      }
+    case "+" =>
+      if (l._2 == StringType)
+        toStrCol(r._1, r._2).map(rs => (concat(l._1, rs), StringType))
+      else if (r._2 == StringType)
+        toStrCol(l._1, l._2).map(ls => (concat(ls, r._1), StringType))
+      else if (l._2.isInstanceOf[ArrayType] && l._2 == r._2)
+        Some((concat(l._1, r._1), l._2))
+      else numBin("+", l, r)
+    case "-" | "*" | "/" | "%" => numBin(op, l, r)
+    case _ => None
+  }
+
+  /** Method dispatch: only methods whose interpreter twin ([[Methods]]) is
+    * EXACTLY expressible as a Column op are compiled; everything else
+    * bails to the interpreter. */
+  private def compileMethod(t: Expr, name: String, args: Vector[Expr],
+                            ce: Expr => Option[(Column, DataType)],
+                            schema: StructType, lets: Map[String, (Column, DataType)],
+                            env: Map[String, String]): Option[(Column, DataType)] = {
+    lazy val target = ce(t)
+    def strTarget: Option[Column] = target.flatMap { case (c, tt) => toStrCol(c, tt) }
+    def litStr(i: Int): Option[String] = args.lift(i).collect { case Lit(s: String) => s }
+    def q(s: String): String = java.util.regex.Pattern.quote(s)
+
+    name match {
+      case "uppercase" => strTarget.map(c => (upper(c), StringType))
+      case "lowercase" => strTarget.map(c => (lower(c), StringType))
+      case "trim" if args.isEmpty =>
+        // Java String.trim: strips chars <= U+0020 from both ends (Spark's
+        // `trim` only strips ' ')
+        strTarget.map(c => (regexp_replace(
+          regexp_replace(c, "^[\\x00-\\x20]+", ""), "[\\x00-\\x20]+$", ""), StringType))
+      case "trim_prefix" => for { c <- strTarget; p <- litStr(0) } yield
+        (when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c), StringType)
+      case "trim_suffix" => for { c <- strTarget; p <- litStr(0) } yield
+        (when(c.endsWith(p), c.substr(lit(1), length(c) - p.length)).otherwise(c), StringType)
+      case "has_prefix" => strTarget.flatMap(c => args.headOption.flatMap(ce).collect {
+        case (a, StringType) => (c.startsWith(a), BooleanType)
+      })
+      case "has_suffix" => strTarget.flatMap(c => args.headOption.flatMap(ce).collect {
+        case (a, StringType) => (c.endsWith(a), BooleanType)
+      })
+      case "contains" => target.flatMap {
+        case (c, StringType) => args.headOption.flatMap(ce).collect {
+          case (a, StringType) => (c.contains(a), BooleanType)
+        }
+        case _ => None // array/object contains uses valueEq → interpreter
+      }
+      case "index_of" => for { c <- strTarget; s <- litStr(0) } yield
+        ((instr(c, s) - 1).cast(LongType), LongType)
+      case "replace_all" => for { c <- strTarget; a <- litStr(0); b <- litStr(1) } yield
+        (regexp_replace(c, q(a), java.util.regex.Matcher.quoteReplacement(b)), StringType)
+      case "re_match" => for { c <- strTarget; p <- litStr(0) } yield (c.rlike(p), BooleanType)
+      case "re_replace_all" => for { c <- strTarget; p <- litStr(0); r <- litStr(1) } yield
+        (regexp_replace(c, p, r), StringType)
+      case "split" => for { c <- strTarget; sep <- litStr(0) } yield
+        (split(c, q(sep), -1), ArrayType(StringType))
+      case "length" => target.flatMap {
+        case (c, StringType) => Some((length(c).cast(LongType), LongType))
+        case (c, ArrayType(_, _)) => Some((size(c).cast(LongType), LongType))
+        case _ => None
+      }
+      case "string" => strTarget.map(c => (c, StringType))
+      case "int64" => target.collect {
+        case (c, LongType) => (c, LongType)
+        case (c, DoubleType) => (c.cast(LongType), LongType) // trunc toward zero, both sides
+        case (c, StringType) => (c.cast(LongType), LongType) // junk → null (SQL), err (interp): accepted
+      }
+      case "float64" => target.collect {
+        case (c, tt) if isNumeric(tt) => (c.cast(DoubleType), DoubleType)
+        case (c, StringType) => (c.cast(DoubleType), DoubleType)
+      }
+      case "bool" => target.collect {
+        case (c, BooleanType) => (c, BooleanType)
+        case (c, LongType) => (c =!= 0L, BooleanType)
+        case (c, DoubleType) => (c =!= 0.0, BooleanType)
+      }
+      case "abs" => target.collect {
+        case (c, LongType) => (abs(c), LongType)
+        case (c, DoubleType) => (abs(c), DoubleType)
+      }
+      case "round" if args.isEmpty => target.collect {
+        case (c, LongType) => (c, LongType)
+        // math.round(double) == floor(x + 0.5) as Long; Spark floor returns Long
+        case (c, DoubleType) => (floor(c + lit(0.5)), LongType)
+      }
+      case "sqrt" => numUnary(target, sqrt)
+      case "log" => numUnary(target, org.apache.spark.sql.functions.log(_))
+      case "log10" => numUnary(target, log10)
+      case "sin" => numUnary(target, sin)
+      case "cos" => numUnary(target, cos)
+      case "tan" => numUnary(target, tan)
+      case "pow" => target.flatMap {
+        case (c, tt) if isNumeric(tt) =>
+          args.headOption.flatMap(ce).collect {
+            case (a, at) if isNumeric(at) =>
+              (pow(c.cast(DoubleType), a.cast(DoubleType)), DoubleType)
+          }
+        case _ => None
+      }
+      // `.catch(v)` replaces only ERRORS, never nulls — and the compiled
+      // subset cannot raise runtime errors (static types), so it is the
+      // identity here. `.or(v)` replaces null (and error): coalesce.
+      case "catch" => target.map { case (c, tt) => (c, tt) }
+      case "or" => for {
+        l <- target; r <- args.headOption.flatMap(ce)
+        u <- (if (l._2 == r._2) Some((l._1, r._1, l._2))
+              else if (isNumeric(l._2) && isNumeric(r._2))
+                Some((l._1.cast(DoubleType), r._1.cast(DoubleType), DoubleType))
+              else None)
+      } yield (coalesce(u._1, u._2), u._3)
+      case _ => None
+    }
+  }
+
+  private def numUnary(target: Option[(Column, DataType)],
+                       f: Column => Column): Option[(Column, DataType)] =
+    target.collect { case (c, tt) if isNumeric(tt) => (f(c.cast(DoubleType)), DoubleType) }
+}

@@ -5,6 +5,7 @@ import graft.core.{Msg, Processor}
 import graft.operators.{Jq, Processors, Subprocess}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import scala.jdk.CollectionConverters._
 
 /** YAML pipeline-config frontend — the reference's primary entry point
@@ -25,18 +26,63 @@ import scala.jdk.CollectionConverters._
   */
 object PipelineConfig {
 
-  final case class Loaded(input: SparkSession => DataFrame,
-                          processors: Seq[Processor],
+  import graft.blob.Compile
+
+  /** One pipeline step: the envelope-level Processor (always correct) plus
+    * an optional structured-mode compile hook (mapping/bloblang steps). A
+    * step that compiles keeps the frame STRUCTURED — typed columns straight
+    * off the scan — so filters/projections reach the parquet reader; the
+    * first step that can't compile seals the envelope and the interpreter
+    * path takes over from there (per-processor fallback granularity). */
+  final case class Stage(env: Processor,
+                         compile: Option[StructType => Option[Compile.Compiled]] = None)
+
+  final case class Loaded(input: SparkSession => Either[(DataFrame, Compile.Ser), DataFrame],
+                          stages: Seq[Stage],
                           output: Option[DataFrame => Unit]) {
     /** Build the full plan (input → processors) without running output. */
-    def frame(spark: SparkSession): DataFrame =
-      processors.foldLeft(input(spark))((df, p) => p(df))
+    def frame(spark: SparkSession): DataFrame = {
+      var structured: Option[(DataFrame, Compile.Ser)] = None
+      var env: DataFrame = null
+      input(spark) match {
+        case Left(s) => structured = Some(s)
+        case Right(e) => env = e
+      }
+      def seal(): Unit = structured.foreach { case (df, ser) =>
+        env = Compile.envelope(df, ser); structured = None
+      }
+      for (st <- stages) {
+        (structured, st.compile) match {
+          case (Some((df, ser)), Some(tryC)) if ser != Compile.Scalar =>
+            tryC(df.schema) match {
+              case Some(c) => structured = Some((c.transform(df), combineSer(ser, c.ser)))
+              case None => seal(); env = st.env(env)
+            }
+          case _ => seal(); env = st.env(env)
+        }
+      }
+      seal()
+      env
+    }
     /** Run end-to-end: returns the final frame after any output write. */
     def run(spark: SparkSession): DataFrame = {
       val df = frame(spark)
       output.foreach(_(df))
       df
     }
+  }
+
+  /** Serialization-mode transition when a compiled mapping runs over an
+    * already-structured frame (see Compile.Ser for the modes). */
+  private def combineSer(prev: Compile.Ser, mode: Compile.Ser): Compile.Ser = mode match {
+    case Compile.EnvelopeDefault => prev // passthrough mapping (filters only)
+    case Compile.SortedDropNull => prev match {
+      // `root = this` re-marshals what the interpreter would have parsed:
+      // over marshal-shaped content the re-marshal is byte-identical
+      case Compile.EnvelopeDefault => Compile.SortedDropNull
+      case other => other
+    }
+    case other => other // FieldsRoot / Scalar replace the content wholesale
   }
 
   def load(yaml: String): Loaded = {
@@ -46,9 +92,21 @@ object PipelineConfig {
     val procs = Option(doc.get("pipeline")).map(section).toSeq
       .flatMap(p => Option(p.get("processors")).toSeq)
       .flatMap(_.asInstanceOf[java.util.List[_]].asScala)
-      .map(p => parseProcessor(section(p)))
+      .map(p => parseStage(section(p)))
     val output = Option(doc.get("output")).map(o => parseOutput(section(o)))
     Loaded(input, procs, output)
+  }
+
+  /** Wrap a processor spec into a Stage, attaching the structured-mode
+    * compile hook for mapping/bloblang steps. */
+  private def parseStage(m: java.util.Map[String, Any]): Stage = {
+    val (kind, _) = one(m)
+    kind match {
+      case "mapping" | "bloblang" =>
+        val prog = graft.blob.Bloblang.parse(m.get(kind).asInstanceOf[String])
+        Stage(parseProcessor(m), Some(schema => Compile.tryCompile(prog, schema)))
+      case _ => Stage(parseProcessor(m))
+    }
   }
 
   private def section(v: Any): java.util.Map[String, Any] =
@@ -66,7 +124,10 @@ object PipelineConfig {
   private def str(m: java.util.Map[String, Any], k: String): String =
     String.valueOf(m.get(k))
 
-  private def parseInput(m: java.util.Map[String, Any]): SparkSession => DataFrame = {
+  /** Left = structured frame (typed columns, envelope deferred so compiled
+    * mappings get pushdown on the scan); Right = already-enveloped. */
+  private def parseInput(m: java.util.Map[String, Any])
+      : SparkSession => Either[(DataFrame, Compile.Ser), DataFrame] = {
     val (kind, conf) = one(m)
     kind match {
       case "file" =>
@@ -76,26 +137,27 @@ object PipelineConfig {
         }
         val scanner = Option(conf.get("scanner")).map(s => one(section(s))._1).getOrElse("lines")
         spark => scanner match {
-          case "lines" => rawEnvelope(Sources.lines(spark, path))
+          case "lines" => Right(rawEnvelope(Sources.lines(spark, path)))
           case "json_documents" =>
-            Msg.envelope(Sources.jsonDocuments(spark, path))
-          case "csv" => Msg.envelope(Sources.csv(spark, path))
+            Left((Sources.jsonDocuments(spark, path), Compile.EnvelopeDefault))
+          case "csv" => Left((Sources.csv(spark, path), Compile.EnvelopeDefault))
           case other => throw new IllegalArgumentException(s"config: scanner $other")
         }
       case "parquet" =>
         val path = str(conf, "path")
-        spark => Msg.envelope(spark.read.parquet(path))
+        spark => Left((spark.read.parquet(path), Compile.EnvelopeDefault))
       case "generate" =>
         val count = str(conf, "count").toLong
         val mapping = str(conf, "mapping")
         spark => {
           val base = Msg.envelope(spark.range(count).toDF("seq_id"))
-          BloblangUdf.mappingProcessor(mapping)(base)
+          Right(BloblangUdf.mappingProcessor(mapping)(base))
         }
       case "broker" =>
         val inputs = conf.get("inputs").asInstanceOf[java.util.List[_]].asScala
           .map(i => parseInput(section(i))).toSeq
-        spark => inputs.map(_(spark)).reduce(_ unionByName _)
+        spark => Right(inputs.map(_(spark).fold(
+          { case (df, ser) => Compile.envelope(df, ser) }, identity)).reduce(_ unionByName _))
       case other => throw new IllegalArgumentException(s"config: input $other")
     }
   }
