@@ -223,8 +223,8 @@ pipeline:
     }),
 
     // nlp_classify_text (impl/huggingface/processor_text_classification.
-    // go:13-79): batched per-partition inference; stub scorer is
-    // deterministic lexical math so the oracle can replay it
+    // go:13-79): batched per-partition REAL inference — trained LR model,
+    // checked-in weights (NlpModel/NlpTrain); oracle generated from them
     "nlp_classify" -> ((s, dir) => {
       import s.implicits._
       graft.ml.Nlp.classifyText(t(s, dir, "documents")).toDF()
@@ -308,6 +308,34 @@ pipeline:
       graft.operators.Geo.enrichJoin(ev, graft.operators.Geo.ipToLong(col("ip")),
           ranges, "lo", "hi")
         .select("event_id", "ip", "geo")
+    }),
+
+    // geoip_city/geoip_country/geoip_asn against a REAL .mmdb lookup —
+    // from-scratch MaxMind-format reader (public spec), synthetic database
+    // (bloblang_geoip.go:55-83; the licensed data never ships). The whole
+    // path runs through the Bloblang interpreter method dispatch; the
+    // oracle replays the CIDR ranges as CASE arithmetic.
+    "proc_geoip_city" -> ((s, dir) => {
+      val db = graft.functions.Mmdb.cityFixturePath
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"),
+        format_string("10.%d.%d.1",
+          expr("c_custkey % 256"), expr("c_custkey * 7 % 256")).as("ip"))
+      val mapped = graft.blob.BloblangUdf.mappingUdf(s"""
+        root.c_custkey = this.c_custkey
+        root.city = this.ip.geoip_city("$db").city.names.en
+        root.iso = this.ip.geoip_country("$db").country.iso_code
+        root.asn = this.ip.geoip_asn("$db").autonomous_system_number
+        root.lat = this.ip.geoip_city("$db").location.latitude
+      """)
+      graft.core.Msg.envelope(cust)
+        .select(mapped(col(graft.core.Msg.ContentCol)).as("j"))
+        .select(
+          get_json_object(col("j"), "$.c_custkey").cast(LongType).as("c_custkey"),
+          get_json_object(col("j"), "$.city").as("city"),
+          get_json_object(col("j"), "$.iso").as("iso"),
+          get_json_object(col("j"), "$.asn").cast(LongType).as("asn"),
+          get_json_object(col("j"), "$.lat").cast(DoubleType).as("lat"))
     }),
 
     // ascii85/z85 encode→decode round-trips (bloblang encode schemes,
@@ -451,20 +479,10 @@ pipeline:
          FROM events""",
     "proc_subprocess" ->
       """SELECT event_id, event_type FROM events""",
+    // generated FROM the checked-in LR weights: the oracle replays the
+    // exact forward pass (same accumulation order ⇒ identical doubles)
     "nlp_classify" ->
-      """WITH tk AS (
-           SELECT doc_id, list_filter(
-             string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-             t -> length(t) > 0) AS toks
-           FROM documents)
-         SELECT doc_id,
-           CASE WHEN len(toks) > 0
-                 AND (len(list_filter(toks, t -> length(t) > 4))::DOUBLE / len(toks)) * 3.0 > 1.0
-                THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label,
-           CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE floor((len(list_filter(toks, t -> length(t) > 4))::DOUBLE / len(toks)) * 1e6 + 0.5) / 1e6
-           END AS score
-         FROM tk""",
+      graft.ml.NlpModel.default.oracleSql("documents", "doc_id", "text"),
     "nlp_tokens" ->
       """WITH d AS (
            SELECT c_custkey AS doc_id,
@@ -514,6 +532,20 @@ pipeline:
          FROM events e LEFT JOIN r
            ON (167772160 + (e.user_id // 256 % 256) * 256 + e.user_id % 256)
               BETWEEN r.lo AND r.hi""",
+    // the mmdb fixture's CIDR ranges replayed as arithmetic: second octet
+    // (c_custkey % 256) selects 10.42/16 → Gamma, 10.0/9 → Alpha,
+    // 10.128/9 → Beta
+    "proc_geoip_city" ->
+      """SELECT c_custkey,
+           CASE WHEN c_custkey % 256 = 42 THEN 'Gamma'
+                WHEN c_custkey % 256 < 128 THEN 'Alpha' ELSE 'Beta' END AS city,
+           CASE WHEN c_custkey % 256 = 42 THEN 'GG'
+                WHEN c_custkey % 256 < 128 THEN 'AA' ELSE 'BB' END AS iso,
+           CASE WHEN c_custkey % 256 = 42 THEN 64502
+                WHEN c_custkey % 256 < 128 THEN 64500 ELSE 64501 END::BIGINT AS asn,
+           CASE WHEN c_custkey % 256 = 42 THEN -3.5
+                WHEN c_custkey % 256 < 128 THEN 1.25 ELSE 2.5 END::DOUBLE AS lat
+         FROM customer""",
     "blob_encode3" ->
       """SELECT p_partkey, p_name AS a85_rt, rpad(p_name, 16, '_') AS z85_rt FROM part""",
     "proc_metric" ->

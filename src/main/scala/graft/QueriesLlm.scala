@@ -213,6 +213,24 @@ object QueriesLlm {
         round(col("feature").getItem(2), 6).as("mean_b"),
         round(col("feature").getItem(3), 6).as("mean_g"),
         round(col("feature").getItem(4), 6).as("mean_r"))
+    }),
+
+    // REAL PNG decode via the JDK-bundled ImageIO reader (headless, no
+    // native libs): lossless round-trip of the same pixel formula as
+    // mm_decode_bmp, so the oracle arithmetic is identical
+    "mm_decode_png" -> ((s, dir) => {
+      val mk = udf((k: Long) => Multimodal.syntheticPng(k))
+      val media = t(s, dir, "customer").select(
+        col("c_custkey").cast(LongType).as("media_id"),
+        lit("image").as("modality"),
+        mk(col("c_custkey").cast(LongType)).as("data"))
+      Multimodal.extractFeatures(media).toDF().select(
+        col("media_id"),
+        col("feature").getItem(0).cast(LongType).as("w"),
+        col("feature").getItem(1).cast(LongType).as("h"),
+        round(col("feature").getItem(2), 6).as("mean_b"),
+        round(col("feature").getItem(3), 6).as("mean_g"),
+        round(col("feature").getItem(4), 6).as("mean_r"))
     })
   )
 
@@ -357,6 +375,17 @@ object QueriesLlm {
          GROUP BY tr.doc_id"""
     },
     "mm_decode_bmp" ->
+      """SELECT c_custkey AS media_id, 2::BIGINT AS w, 2::BIGINT AS h,
+           round((((c_custkey*37 + 0) % 256)/255.0 + ((c_custkey*37 + 4) % 256)/255.0
+                 + ((c_custkey*37 + 16) % 256)/255.0 + ((c_custkey*37 + 20) % 256)/255.0) / 4.0, 6) AS mean_b,
+           round((((c_custkey*37 + 1) % 256)/255.0 + ((c_custkey*37 + 5) % 256)/255.0
+                 + ((c_custkey*37 + 17) % 256)/255.0 + ((c_custkey*37 + 21) % 256)/255.0) / 4.0, 6) AS mean_g,
+           round((((c_custkey*37 + 2) % 256)/255.0 + ((c_custkey*37 + 6) % 256)/255.0
+                 + ((c_custkey*37 + 18) % 256)/255.0 + ((c_custkey*37 + 22) % 256)/255.0) / 4.0, 6) AS mean_r
+         FROM customer""",
+    // PNG is lossless and the pixel formula matches syntheticBmp → the
+    // oracle is the same channel arithmetic
+    "mm_decode_png" ->
       """SELECT c_custkey AS media_id, 2::BIGINT AS w, 2::BIGINT AS h,
            round((((c_custkey*37 + 0) % 256)/255.0 + ((c_custkey*37 + 4) % 256)/255.0
                  + ((c_custkey*37 + 16) % 256)/255.0 + ((c_custkey*37 + 20) % 256)/255.0) / 4.0, 6) AS mean_b,

@@ -17,6 +17,75 @@ object QueriesProc {
 
   val queries: Map[String, Q] = Map(
 
+    // awk processor (processor_awk.go; subset interpreter Awk.scala): the
+    // program runs per message over (content, meta); oracle replays the
+    // guard + arithmetic as SQL
+    "proc_awk" -> ((s, dir) => {
+      val env = graft.core.Msg.envelope(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select("event_id", "value"))
+      val out = graft.operators.Awk.processor(
+        """json_get("value") > 100 { json_set("bucket", "big") }
+          |{ json_set_float("scaled", json_get("value") * 2 + 1);
+          |  json_set_int("eid3", json_get("event_id") * 3) }""".stripMargin)(env)
+      out.select(
+        get_json_object(col(graft.core.Msg.ContentCol), "$.event_id").cast(LongType).as("event_id"),
+        get_json_object(col(graft.core.Msg.ContentCol), "$.bucket").as("bucket"),
+        round(get_json_object(col(graft.core.Msg.ContentCol), "$.scaled").cast(DoubleType), 6).as("scaled"),
+        get_json_object(col(graft.core.Msg.ContentCol), "$.eid3").cast(LongType).as("eid3"))
+    }),
+
+    // parse_log syslog flavor (processor_parse_log.go:32): lines built
+    // deterministically from events, fields re-extracted by the grok-style
+    // pattern; oracle rebuilds each field arithmetically
+    "proc_parse_log" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val line = format_string("Feb %d 08:%02d:%02d h%d app[%d]: type=%s",
+        pmod(col("event_id"), lit(28)) + 1, pmod(col("event_id"), lit(60)),
+        pmod(col("user_id"), lit(60)), col("user_id"), col("event_id"), col("event_type"))
+      val fields = Grok.parseSyslog(line)
+      ev.select(col("event_id") +: fields.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // sequence.sharded_join "array" collision strategy
+    // (input_sequence.go:193-239): overlapping ids collect ALL non-null
+    // values in input order — scalar projections keep the oracle hashable
+    "join_sharded_array" -> ((s, dir) => {
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      val b = t(s, dir, "orders").groupBy(col("o_custkey").as("id"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("bal"))
+      graft.conn.Sources.sequenceShardedJoin(Seq(a, b), "id", "array")
+        .select(col("id"),
+          size(col("bal")).cast(LongType).as("n_bal"),
+          round(element_at(col("bal"), 1), 6).as("bal_first"),
+          round(element_at(col("bal"), -1), 6).as("bal_last"))
+    }),
+
+    // file_tail input (tail -f shape): a file-stream text source with
+    // maxFilesPerTrigger pacing, drained by AvailableNow into the gate
+    "src_file_tail" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("ftail").toFile
+      tmp.deleteOnExit()
+      t(s, dir, "events").select(to_json(struct(col("event_id"), col("event_type"))))
+        .coalesce(4).write.mode("overwrite").text(tmp.getPath)
+      val ckpt = java.nio.file.Files.createTempDirectory("ftail_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = graft.conn.Sources.fileTail(s, tmp.getPath)
+        .select(
+          get_json_object(col("content"), "$.event_id").cast(LongType).as("event_id"),
+          get_json_object(col("content"), "$.event_type").as("event_type"))
+        .writeStream.format("memory").queryName("src_file_tail_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("src_file_tail_sink")
+    }),
+
     // workflow DAG (processor_workflow.go:33): stages declared out of
     // order; topo-sort must run A before B before C
     "proc_workflow" -> ((s, dir) => Flow(t(s, dir, "orders"))
@@ -194,6 +263,34 @@ object QueriesProc {
   )
 
   val oracle: Map[String, String] = Map(
+    "proc_awk" ->
+      """SELECT event_id,
+           CASE WHEN value > 100 THEN 'big' ELSE NULL END AS bucket,
+           round(value * 2 + 1, 6) AS scaled,
+           event_id * 3 AS eid3
+         FROM events WHERE value IS NOT NULL""",
+    "proc_parse_log" ->
+      """SELECT event_id,
+           'Feb ' || (event_id % 28 + 1) || ' 08:'
+             || lpad((event_id % 60)::VARCHAR, 2, '0') || ':'
+             || lpad((user_id % 60)::VARCHAR, 2, '0') AS log_ts,
+           'h' || user_id AS log_host,
+           'app' AS log_prog,
+           event_id::VARCHAR AS log_pid,
+           'type=' || event_type AS log_msg
+         FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL""",
+    "join_sharded_array" ->
+      """WITH a AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer),
+            b AS (SELECT o_custkey AS id,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bal
+                  FROM orders GROUP BY 1)
+         SELECT COALESCE(a.id, b.id)::VARCHAR AS id,
+           ((a.bal IS NOT NULL)::INT + (b.bal IS NOT NULL)::INT)::BIGINT AS n_bal,
+           round(COALESCE(a.bal, b.bal), 6) AS bal_first,
+           round(COALESCE(b.bal, a.bal), 6) AS bal_last
+         FROM a FULL OUTER JOIN b ON a.id = b.id""",
+    "src_file_tail" ->
+      """SELECT event_id, event_type FROM events""",
     "proc_workflow" ->
       """SELECT o_orderkey, (o_totalprice * 0.9 + 10.0) * 2.0 AS final FROM orders""",
     "proc_while" ->

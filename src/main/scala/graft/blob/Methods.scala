@@ -839,6 +839,20 @@ object Methods {
         val scale = argLong(0).toInt
         new java.math.BigDecimal(new java.math.BigInteger(bytes), scale).toPlainString
 
+      // ===== geoip (impl/maxmind/bloblang_geoip.go:55-83) ====================
+      // All eight methods look the target IP up in the .mmdb at args(0) and
+      // return the decoded record (the reference decodes into per-type Go
+      // structs whose JSON marshal mirrors the record layout — the raw
+      // record IS that shape). The licensed MaxMind DATA never ships;
+      // synthetic databases from Mmdb.Writer back the tests and gate.
+      case "geoip_city" | "geoip_country" | "geoip_asn" | "geoip_enterprise" |
+           "geoip_anonymous_ip" | "geoip_connection_type" | "geoip_domain" |
+           "geoip_isp" =>
+        t match {
+          case ip: String => graft.functions.Mmdb.lookup(argStr(0), ip)
+          case other => err(s"$name on ${typeName(other)}")
+        }
+
       case other => err(s"unknown method $other on ${typeName(t)}")
     }
   }

@@ -51,6 +51,13 @@ object Sources {
           s"i -> substring(content, i * $size + 1, $size))")).as(Seq("chunk_idx", "content")))
       .filter(length(col("content")) > 0)
 
+  /** `file_tail` input (tail -f shape): a text file-stream source that
+    * picks up files appearing under `path`, paced by maxFilesPerTrigger
+    * (the streaming analogue of following a growing log directory). */
+  def fileTail(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(path).withColumnRenamed("value", "content")
+
   /** `skip_bom` scanner (scanner_skip_bom.go). */
   def skipBom(df: DataFrame, col_ : String = "content"): DataFrame =
     df.withColumn(col_, regexp_replace(col(col_), "^\\uFEFF", ""))

@@ -42,7 +42,42 @@ object Multimodal {
     else if (data.length > 2 && data(0) == 'B' && data(1) == 'M') decodeBmp24(data)
     else if (data.length > 12 && new String(data, 0, 4, "US-ASCII") == "RIFF"
       && new String(data, 8, 4, "US-ASCII") == "WAVE") decodeWavPcm16(data)
+    else if (isPng(data) || isJpeg(data) || isGif(data)) decodeImageIO(modality, data)
     else decodeStub(modality, data)
+  }
+
+  private def isPng(d: Array[Byte]): Boolean =
+    d.length > 8 && (d(0) & 0xFF) == 0x89 && d(1) == 'P' && d(2) == 'N' && d(3) == 'G'
+  private def isJpeg(d: Array[Byte]): Boolean =
+    d.length > 3 && (d(0) & 0xFF) == 0xFF && (d(1) & 0xFF) == 0xD8 && (d(2) & 0xFF) == 0xFF
+  private def isGif(d: Array[Byte]): Boolean =
+    d.length > 6 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' && d(3) == '8'
+
+  /** PNG/JPEG/GIF via the JDK-bundled ImageIO readers (headless-safe, no
+    * native libraries): same feature vector as the BMP path —
+    * [width, height, meanB, meanG, meanR, stdLuma, 0, 0]. Falls back to
+    * the stub if the reader rejects the payload. */
+  private def decodeImageIO(modality: String, data: Array[Byte]): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    if (img == null) return decodeStub(modality, data)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sb, sg, sr, sl, sl2) = (0.0, 0.0, 0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = (((rgb >> 16) & 0xFF) / 255.0, ((rgb >> 8) & 0xFF) / 255.0, (rgb & 0xFF) / 255.0)
+        sb += b; sg += g; sr += r
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sl += luma; sl2 += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1, w * h).toDouble
+    val stdLuma = math.sqrt(math.max(0, sl2 / n - (sl / n) * (sl / n)))
+    Array(w.toDouble, h.toDouble, sb / n, sg / n, sr / n, stdLuma, 0.0, 0.0)
   }
 
   private def u16le(d: Array[Byte], i: Int): Int = (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8)
@@ -112,9 +147,10 @@ object Multimodal {
       crossings / math.max(1.0, nn - 1), sumAbs / nn, 0.0, 0.0, 0.0)
   }
 
-  /** STUB decoder for formats without a pure-JDK parser (JPEG/PNG/MP4…):
+  /** STUB decoder for formats without a pure-JDK parser (video codecs —
+    * MP4/H.264-class; PNG/JPEG/GIF/BMP/WAV all decode for real above):
     * deterministic byte-histogram moments so tests are stable. This is
-    * the seam where a native codec would plug in. */
+    * the seam where an ffmpeg-class codec would plug in. */
   private def decodeStub(modality: String, data: Array[Byte]): Array[Double] = {
     // ??? <- native codec goes here; deterministic fake below
     val out = new Array[Double](8)
@@ -161,6 +197,21 @@ object Multimodal {
     "BM".getBytes ++ le32(54 + rows.length) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
       Array.fill(24)(0.toByte) ++ rows
+  }
+
+  /** Deterministic 2×2 RGB PNG with the SAME pixel formula as
+    * [[syntheticBmp]] (channel c of pixel (x, y) = (key*37 + y*16 + x*4
+    * + c) mod 256, c: 0=B 1=G 2=R) — PNG is lossless, so the decoder must
+    * recover the exact channel values and the BMP oracle arithmetic
+    * carries over unchanged. */
+  def syntheticPng(key: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def ch(x: Int, y: Int, c: Int): Int = ((key * 37 + y * 16 + x * 4 + c) % 256).toInt
+    for (y <- 0 until 2; x <- 0 until 2)
+      img.setRGB(x, y, (ch(x, y, 2) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 0))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Deterministic synthetic media table for tests (derived from the

@@ -355,16 +355,40 @@ class MlSpec extends SparkSpec {
     assert(f(3L).length == 8 && f(3L).exists(_ != 0.0))
   }
 
+  test("multimodal: ImageIO decodes PNG losslessly (formula parity with the BMP oracle)") {
+    import spark.implicits._
+    import graft.ml.Multimodal
+    val key = 7L
+    val df = Seq((key, "image", Multimodal.syntheticPng(key))).toDF("media_id", "modality", "data")
+    val f = Multimodal.extractFeatures(df).collect().head.feature
+    def ch(c: Int): Double =
+      (0 until 2).flatMap(y => (0 until 2).map(x => ((key * 37 + y * 16 + x * 4 + c) % 256) / 255.0))
+        .sum / 4.0
+    assert(f(0) == 2.0 && f(1) == 2.0)
+    assert(math.abs(f(2) - ch(0)) < 1e-12, "mean blue")   // PNG is lossless
+    assert(math.abs(f(3) - ch(1)) < 1e-12, "mean green")
+    assert(math.abs(f(4) - ch(2)) < 1e-12, "mean red")
+    // JPEG also decodes via the JDK reader — lossy, so assert shape + range
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jf = Multimodal.extractFeatures(
+      Seq((2L, "image", out.toByteArray)).toDF("media_id", "modality", "data")).collect().head.feature
+    assert(jf(0) == 4.0 && jf(1) == 4.0)
+    assert(math.abs(jf(4) - 0x80 / 255.0) < 0.02) // gray within JPEG tolerance
+  }
+
   test("nlp: classify/ner/embed keep one row per unit, embeddings unit-norm, zero-shot argmax") {
     import spark.implicits._
     import graft.ml.Nlp
     val docs = Seq(
-      (1L, "so and tiny up"),                         // 0 long tokens -> NEGATIVE
-      (2L, "magnificent wonderful excellent things"), // 4/4 long -> POSITIVE
+      (1L, "the broken awful defective device"),      // learned negative weights
+      (2L, "magnificent wonderful excellent things"), // learned positive weights
       (3L, "Alice saw 42 balloons")).toDF("doc_id", "text")
     val cls = Nlp.classifyText(docs, batchSize = 2).collect().map(r => r.doc_id -> r).toMap
-    assert(cls(1L).label == "NEGATIVE" && cls(1L).score == 0.0)
-    assert(cls(2L).label == "POSITIVE" && cls(2L).score == 1.0)
+    assert(cls(1L).label == "NEGATIVE" && cls(1L).score < 0.0)
+    assert(cls(2L).label == "POSITIVE" && cls(2L).score > 0.0)
     val ner = Nlp.classifyTokens(docs.filter($"doc_id" === 3L)).collect()
       .sortBy(_.idx).map(t => (t.token, t.label)).toSeq
     assert(ner == Seq(("Alice", "ENT"), ("saw", "O"), ("42", "NUM"), ("balloons", "O")))
