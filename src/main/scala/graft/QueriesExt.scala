@@ -275,6 +275,34 @@ pipeline:
           length(col("avro")).cast(LongType).as("avro_len"))
     }),
 
+    // parquet_encode -> parse_parquet round-trip (impl/parquet/
+    // processor_encode.go:15, bloblang.go:25): each l_returnflag group of
+    // lineitem becomes ONE in-memory parquet file (zstd), decoded back and
+    // exploded to rows — identity oracle proves value fidelity end-to-end
+    "codec_parquet" -> ((s, dir) => {
+      val spec = """[{"name":"l_orderkey","type":"INT64"},
+        {"name":"l_linenumber","type":"INT32"},
+        {"name":"l_quantity","type":"DOUBLE"},
+        {"name":"l_linestatus","type":"UTF8","optional":true}]"""
+      val enc = udf((rows: Seq[String]) =>
+        graft.functions.ParquetCodec.encodeJsonRows(rows, spec, "zstd"))
+      val dec = udf((b: Array[Byte]) => graft.functions.ParquetCodec.decodeToJson(b))
+      val rowSchema = ArrayType(new StructType()
+        .add("l_orderkey", LongType).add("l_linenumber", LongType)
+        .add("l_quantity", DoubleType).add("l_linestatus", StringType))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_list(to_json(struct(
+          col("l_orderkey"), col("l_linenumber").cast(IntegerType).as("l_linenumber"),
+          col("l_quantity"), col("l_linestatus"))))).as("rows"))
+        .withColumn("pq", enc(col("rows")))
+        .select(explode(from_json(dec(col("pq")), rowSchema)).as("r"))
+        .select(col("r.l_orderkey").as("l_orderkey"),
+          col("r.l_linenumber").as("l_linenumber"),
+          col("r.l_quantity").as("l_quantity"),
+          col("r.l_linestatus").as("l_linestatus"))
+    }),
+
     // protobuf wire-format round-trip (impl/protobuf/processor_protobuf.
     // go:49-68): varint + length-delimited + fixed64; proto_len checked
     // against the oracle's independent wire-size computation
@@ -513,6 +541,10 @@ pipeline:
            (CASE WHEN n_nationkey < 64 THEN 1 WHEN n_nationkey < 8192 THEN 2 ELSE 3 END
             + 1 + length(n_name))::BIGINT AS avro_len
          FROM nation""",
+    "codec_parquet" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+           l_quantity::DOUBLE AS l_quantity, l_linestatus
+         FROM lineitem""",
     "codec_protobuf" ->
       """SELECT event_id, event_type, value,
            ((1 + CASE WHEN event_id < 128 THEN 1 WHEN event_id < 16384 THEN 2

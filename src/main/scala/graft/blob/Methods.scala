@@ -366,6 +366,9 @@ object Methods {
         case s => err(s"unknown compression $s")
       }
       case "parse_yaml" => parseJsonTyped(graft.functions.Codecs.yamlToJson(toStr(t)))
+      // whole parquet file as bytes -> array of row objects
+      // (impl/parquet/bloblang.go:25-57)
+      case "parse_parquet" => graft.functions.ParquetCodec.decodeValues(rawBytes(t))
       case "parse_msgpack" => parseJsonTyped(graft.functions.Codecs.msgpackToJson(rawBytes(t)))
       case "format_msgpack" => VBytes(graft.functions.Codecs.jsonToMsgpack(marshalJson(t)))
       case "hash" =>

@@ -1,0 +1,327 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import scala.collection.immutable.VectorMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.{ColumnIOFactory, DelegatingSeekableInputStream, InputFile, OutputFile, PositionOutputStream, SeekableInputStream}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.Type.Repetition
+
+import graft.blob.Bloblang.VBytes
+import graft.blob.Interp
+
+/** Parquet file <-> structured rows, fully in memory.
+  *
+  * Reference: `parse_parquet` decodes a whole parquet file held as message
+  * bytes into an array of row objects (impl/parquet/bloblang.go:25-57), and
+  * the `parquet_encode` / `parquet_decode` processors turn a batch of
+  * structured messages into a single parquet file and back
+  * (impl/parquet/processor_encode.go:15-64, processor_decode.go). The
+  * reference rides parquet-go; we ride parquet-hadoop (already on the Spark
+  * classpath) with byte-array backed `InputFile`/`OutputFile` so no
+  * filesystem is involved — the blob is a column value like any other.
+  *
+  * Schema spec mirrors the reference's `schema:` config (a JSON array of
+  * `{name, type, optional?, fields?}`): types BOOLEAN INT32 INT64 FLOAT
+  * DOUBLE BYTE_ARRAY UTF8 LIST MAP STRUCT, nested via `fields` (LIST wants
+  * one field named `element`; MAP wants `key` and `value`).
+  */
+object ParquetCodec {
+
+  // ===== in-memory parquet IO ===============================================
+
+  private final class BytesInputFile(bytes: Array[Byte]) extends InputFile {
+    override def getLength: Long = bytes.length.toLong
+    override def newStream(): SeekableInputStream = {
+      val bais = new ByteArrayInputStream(bytes)
+      new DelegatingSeekableInputStream(bais) {
+        override def getPos: Long = (bytes.length - bais.available()).toLong
+        override def seek(newPos: Long): Unit = {
+          bais.reset() // mark is position 0
+          var togo = newPos
+          while (togo > 0) togo -= bais.skip(togo)
+        }
+      }
+    }
+  }
+
+  private final class BytesOutputFile(out: ByteArrayOutputStream) extends OutputFile {
+    override def create(blockSizeHint: Long): PositionOutputStream = new PositionOutputStream {
+      private var pos = 0L
+      override def getPos: Long = pos
+      override def write(b: Int): Unit = { out.write(b); pos += 1 }
+      override def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = { out.write(b, off, len); pos += len }
+    }
+    override def createOrOverwrite(blockSizeHint: Long): PositionOutputStream = create(blockSizeHint)
+    override def supportsBlockSize(): Boolean = false
+    override def defaultBlockSize(): Long = 0L
+  }
+
+  // ===== schema spec -> MessageType =========================================
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def fieldType(spec: Map[String, Any]): Type = {
+    val name = spec.getOrElse("name", fail("schema field missing name")).toString
+    val rep =
+      if (spec.get("repeated").contains(true)) Repetition.REPEATED
+      else if (spec.get("optional").contains(true)) Repetition.OPTIONAL
+      else Repetition.REQUIRED
+    def prim(p: PrimitiveTypeName, ann: LogicalTypeAnnotation = null): Type = {
+      val b = Types.primitive(p, rep)
+      (if (ann != null) b.as(ann) else b).named(name)
+    }
+    def subFields: Vector[Map[String, Any]] = spec.get("fields") match {
+      case Some(fs: Vector[_]) => fs.map(_.asInstanceOf[Map[String, Any]])
+      case _ => fail(s"schema field $name needs fields")
+    }
+    spec.getOrElse("type", fail(s"schema field $name missing type")).toString match {
+      case "BOOLEAN" => prim(PrimitiveTypeName.BOOLEAN)
+      case "INT32" => prim(PrimitiveTypeName.INT32)
+      case "INT64" => prim(PrimitiveTypeName.INT64)
+      case "FLOAT" => prim(PrimitiveTypeName.FLOAT)
+      case "DOUBLE" => prim(PrimitiveTypeName.DOUBLE)
+      case "BYTE_ARRAY" => prim(PrimitiveTypeName.BINARY)
+      case "UTF8" => prim(PrimitiveTypeName.BINARY, LogicalTypeAnnotation.stringType())
+      case "STRUCT" =>
+        new GroupType(rep, name, subFields.map(fieldType).asJava)
+      case "LIST" =>
+        // canonical 3-level list: group (LIST) { repeated group list { element } }
+        val elem = subFields.find(_.get("name").contains("element"))
+          .getOrElse(fail(s"LIST field $name needs a field named element"))
+        val inner = new GroupType(Repetition.REPEATED, "list", fieldType(elem))
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType()).addField(inner).named(name)
+      case "MAP" =>
+        val key = subFields.find(_.get("name").contains("key"))
+          .getOrElse(fail(s"MAP field $name needs a field named key"))
+        val value = subFields.find(_.get("name").contains("value"))
+          .getOrElse(fail(s"MAP field $name needs a field named value"))
+        val kv = new GroupType(Repetition.REPEATED, "key_value", fieldType(key), fieldType(value))
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType()).addField(kv).named(name)
+      case t => fail(s"unsupported parquet schema type $t")
+    }
+  }
+
+  /** Compile a JSON schema spec (array of field objects) to a MessageType.
+    * Cached per spec string — one parse per executor JVM, never per row. */
+  def messageType(specJson: String): MessageType = schemaCache.computeIfAbsent(specJson, { _ =>
+    Interp.parseJsonTyped(specJson) match {
+      case fs: Vector[_] =>
+        new MessageType("root", fs.map(f => fieldType(f.asInstanceOf[Map[String, Any]])).asJava)
+      case _ => fail("parquet schema spec must be a JSON array of fields")
+    }
+  })
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
+
+  // ===== encode: value-model rows -> parquet bytes ==========================
+
+  private def addPrimitive(g: Group, field: PrimitiveType, v: Any): Unit = {
+    val name = field.getName
+    def num(x: Any): Double = x match {
+      case l: Long => l.toDouble; case d: Double => d; case i: Int => i.toDouble
+      case s: String => s.toDouble
+      case o => fail(s"cannot write $o as number into $name")
+    }
+    def lng(x: Any): Long = x match {
+      case l: Long => l; case i: Int => i.toLong
+      case d: Double if d == d.toLong.toDouble => d.toLong
+      case s: String => s.toLong
+      case o => fail(s"cannot write $o as integer into $name")
+    }
+    field.getPrimitiveTypeName match {
+      case PrimitiveTypeName.BOOLEAN => g.add(name, v match {
+        case b: Boolean => b; case o => fail(s"cannot write $o as boolean into $name")
+      })
+      case PrimitiveTypeName.INT32 =>
+        val l = lng(v)
+        if (l < Int.MinValue || l > Int.MaxValue) fail(s"cannot represent $l as int32 in $name")
+        g.add(name, l.toInt)
+      case PrimitiveTypeName.INT64 => g.add(name, lng(v))
+      case PrimitiveTypeName.FLOAT => g.add(name, num(v).toFloat)
+      case PrimitiveTypeName.DOUBLE => g.add(name, num(v))
+      case PrimitiveTypeName.BINARY =>
+        val isString = field.getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.stringType()
+        v match {
+          case b: VBytes => g.add(name, Binary.fromConstantByteArray(b.bytes))
+          case s: String if isString => g.add(name, s)
+          case s: String => g.add(name, Binary.fromConstantByteArray(s.getBytes("UTF-8")))
+          case o if isString => g.add(name, Interp.toStr(o))
+          case o => fail(s"cannot write $o as bytes into $name")
+        }
+      case p => fail(s"unsupported primitive $p")
+    }
+  }
+
+  private def addField(g: Group, field: Type, v: Any): Unit = {
+    if (v == null) {
+      if (field.getRepetition == Repetition.REQUIRED)
+        fail(s"null value for required field ${field.getName}")
+      return // optional null: simply absent
+    }
+    field match {
+      case p: PrimitiveType => addPrimitive(g, p, v)
+      case gt: GroupType if gt.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType() =>
+        val items = v match {
+          case xs: Vector[_] => xs
+          case o => fail(s"cannot write $o as LIST into ${field.getName}")
+        }
+        val listGroup = g.addGroup(field.getName)
+        val inner = gt.getType(0).asGroupType() // repeated group "list"
+        val elemType = inner.getType(0)
+        items.foreach(item => addField(listGroup.addGroup("list"), elemType, item))
+      case gt: GroupType if gt.getLogicalTypeAnnotation == LogicalTypeAnnotation.mapType() =>
+        val entries = v match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case o => fail(s"cannot write $o as MAP into ${field.getName}")
+        }
+        val mapGroup = g.addGroup(field.getName)
+        val kv = gt.getType(0).asGroupType() // repeated group "key_value"
+        val (kt, vt) = (kv.getType(0), kv.getType(1))
+        // deterministic file bytes: sorted key order
+        entries.toSeq.sortBy(_._1).foreach { case (k, value) =>
+          val e = mapGroup.addGroup("key_value")
+          addField(e, kt, k)
+          addField(e, vt, value)
+        }
+      case gt: GroupType =>
+        val m = v match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case o => fail(s"cannot write $o as STRUCT into ${field.getName}")
+        }
+        val sub = g.addGroup(field.getName)
+        gt.getFields.asScala.foreach(f => addField(sub, f, m.getOrElse(f.getName, null)))
+    }
+  }
+
+  private def codec(name: String): CompressionCodecName = name match {
+    case "uncompressed" | null | "" => CompressionCodecName.UNCOMPRESSED
+    case "snappy" => CompressionCodecName.SNAPPY
+    case "gzip" => CompressionCodecName.GZIP
+    case "zstd" => CompressionCodecName.ZSTD
+    case c => fail(s"unsupported parquet compression $c")
+  }
+
+  /** Encode value-model rows (Map[String,Any] each) into one parquet file. */
+  def encodeValues(rows: Seq[Any], specJson: String,
+                   compression: String = "uncompressed"): Array[Byte] = {
+    val schema = messageType(specJson)
+    val factory = new SimpleGroupFactory(schema)
+    val out = new ByteArrayOutputStream()
+    val writer: ParquetWriter[Group] = ExampleParquetWriter.builder(new BytesOutputFile(out))
+      .withType(schema)
+      .withCompressionCodec(codec(compression))
+      .withConf(new Configuration(false))
+      .build()
+    try rows.foreach { r =>
+      val m = r match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case o => fail(s"parquet_encode wants object rows, got $o")
+      }
+      val g = factory.newGroup()
+      schema.getFields.asScala.foreach(f => addField(g, f, m.getOrElse(f.getName, null)))
+      writer.write(g)
+    } finally writer.close()
+    out.toByteArray
+  }
+
+  /** JSON-rows convenience for Column UDFs: each element is one row object. */
+  def encodeJsonRows(rowsJson: Seq[String], specJson: String,
+                     compression: String = "uncompressed"): Array[Byte] =
+    encodeValues(rowsJson.map(Interp.parseJsonTyped), specJson, compression)
+
+  // ===== decode: parquet bytes -> value-model rows ==========================
+
+  private def readPrimitive(g: Group, i: Int, idx: Int, p: PrimitiveType): Any =
+    p.getPrimitiveTypeName match {
+      case PrimitiveTypeName.BOOLEAN => g.getBoolean(i, idx)
+      case PrimitiveTypeName.INT32 => g.getInteger(i, idx).toLong
+      case PrimitiveTypeName.INT64 => g.getLong(i, idx)
+      case PrimitiveTypeName.FLOAT => g.getFloat(i, idx).toDouble
+      case PrimitiveTypeName.DOUBLE => g.getDouble(i, idx)
+      case PrimitiveTypeName.INT96 => VBytes(g.getInt96(i, idx).getBytes)
+      case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY => VBytes(g.getBinary(i, idx).getBytes)
+      case PrimitiveTypeName.BINARY =>
+        if (p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType())
+          g.getString(i, idx)
+        else VBytes(g.getBinary(i, idx).getBytes)
+    }
+
+  private def readField(g: Group, i: Int, idx: Int, t: Type): Any = t match {
+    case p: PrimitiveType => readPrimitive(g, i, idx, p)
+    case gt: GroupType if gt.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType() =>
+      val lg = g.getGroup(i, idx)
+      val n = lg.getFieldRepetitionCount(0)
+      val inner = gt.getType(0).asGroupType()
+      val elemType = inner.getType(0)
+      (0 until n).map { j =>
+        val eg = lg.getGroup(0, j)
+        if (eg.getFieldRepetitionCount(0) == 0) null else readField(eg, 0, 0, elemType)
+      }.toVector
+    case gt: GroupType if gt.getLogicalTypeAnnotation == LogicalTypeAnnotation.mapType() =>
+      val mg = g.getGroup(i, idx)
+      val n = mg.getFieldRepetitionCount(0)
+      val kv = gt.getType(0).asGroupType()
+      var b = VectorMap.empty[String, Any]
+      (0 until n).foreach { j =>
+        val eg = mg.getGroup(0, j)
+        val k = Interp.toStr(readField(eg, 0, 0, kv.getType(0)))
+        val v = if (eg.getFieldRepetitionCount(1) == 0) null else readField(eg, 1, 0, kv.getType(1))
+        b = b.updated(k, v)
+      }
+      b
+    case gt: GroupType =>
+      readGroup(g.getGroup(i, idx), gt)
+  }
+
+  private def readGroup(g: Group, gt: GroupType): VectorMap[String, Any] = {
+    var b = VectorMap.empty[String, Any]
+    gt.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+      val reps = g.getFieldRepetitionCount(i)
+      if (f.getRepetition == Repetition.REPEATED)
+        b = b.updated(f.getName, (0 until reps).map(readField(g, i, _, f)).toVector)
+      else if (reps == 0) b = b.updated(f.getName, null)
+      else b = b.updated(f.getName, readField(g, i, 0, f))
+    }
+    b
+  }
+
+  /** Decode a whole parquet file (as bytes) into value-model rows —
+    * `content().parse_parquet()` (impl/parquet/bloblang.go:25). */
+  def decodeValues(bytes: Array[Byte]): Vector[Any] = {
+    val reader = ParquetFileReader.open(new BytesInputFile(bytes))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val columnIO = new ColumnIOFactory().getColumnIO(schema)
+      val rows = Vector.newBuilder[Any]
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
+        var i = 0L
+        val n = pages.getRowCount
+        while (i < n) {
+          rows += readGroup(recordReader.read(), schema)
+          i += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+      rows.result()
+    } finally reader.close()
+  }
+
+  /** JSON convenience for Column UDFs: file bytes -> JSON array of rows. */
+  def decodeToJson(bytes: Array[Byte]): String =
+    Interp.marshalJson(decodeValues(bytes))
+}
