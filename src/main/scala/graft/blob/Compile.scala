@@ -54,23 +54,52 @@ object Compile {
 
   val ScalarCol = "_content_scalar"
 
+  /** Compiled `meta k = v` writes ride the structured frame as prefixed
+    * string columns until the envelope boundary, so they survive chained
+    * compiled stages (a later stage's projection preserves them, a later
+    * `meta k = ...` overwrites the same column — last writer wins, exactly
+    * the interpreter's sequencing). */
+  val MetaPrefix = "__meta_"
+
+  private def metaCols(df: DataFrame): Seq[String] =
+    df.columns.filter(_.startsWith(MetaPrefix)).sorted.toSeq
+
+  private def contentCols(df: DataFrame): Seq[String] =
+    df.columns.filterNot(_.startsWith(MetaPrefix)).toSeq
+
+  private def metaMapCol(df: DataFrame): Column = {
+    val ks = metaCols(df)
+    if (ks.isEmpty) map().cast(MapType(StringType, StringType))
+    else map(ks.flatMap(k =>
+      Seq(lit(k.stripPrefix(MetaPrefix)), col(k))).toIndexedSeq: _*)
+  }
+
   final case class Compiled(transform: DataFrame => DataFrame, ser: Ser)
 
-  /** Serialize a structured frame into the Msg envelope per its Ser mode. */
+  /** Serialize a structured frame into the Msg envelope per its Ser mode.
+    * `__meta_*` columns become the metadata facet, never content. */
   def envelope(df: DataFrame, ser: Ser): DataFrame = ser match {
-    case EnvelopeDefault => graft.core.Msg.envelope(df)
-    case SortedDropNull => graft.core.Msg.envelope(df, df.columns.sorted.toSeq)
+    case EnvelopeDefault | SortedDropNull =>
+      val cols = ser match {
+        case EnvelopeDefault => contentCols(df)
+        case _ => contentCols(df).sorted
+      }
+      df.select(
+        to_json(struct(cols.map(col): _*)).as(graft.core.Msg.ContentCol),
+        metaMapCol(df).as(graft.core.Msg.MetaCol),
+        lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
+        monotonically_increasing_id().as(graft.core.Msg.SeqCol))
     case ExplicitNullSorted =>
       df.select(
-        to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*),
+        to_json(struct(contentCols(df).sorted.map(col).toIndexedSeq: _*),
           Map("ignoreNullFields" -> "false")).as(graft.core.Msg.ContentCol),
-        map().cast(MapType(StringType, StringType)).as(graft.core.Msg.MetaCol),
+        metaMapCol(df).as(graft.core.Msg.MetaCol),
         lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
         monotonically_increasing_id().as(graft.core.Msg.SeqCol))
     case Scalar =>
       df.select(
         col(ScalarCol).cast(StringType).as(graft.core.Msg.ContentCol),
-        map().cast(MapType(StringType, StringType)).as(graft.core.Msg.MetaCol),
+        metaMapCol(df).as(graft.core.Msg.MetaCol),
         lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
         monotonically_increasing_id().as(graft.core.Msg.SeqCol))
   }
@@ -79,7 +108,12 @@ object Compile {
 
   private sealed trait RootState
   private case object RPassthrough extends RootState
-  private case object RWholeThis extends RootState
+  /** `root = this` plus optional field overrides/deletes — the `mutation`
+    * shape. Overrides are restricted to non-null CONSTANTS (folded
+    * driver-side), so the whole-document drop-null serialization regime
+    * and the explicit-value override regime cannot collide on a null. */
+  private final case class RWholeThis(
+      overrides: Vector[(String, Option[(Column, DataType)])]) extends RootState
   private final case class RFields(fields: Vector[(String, (Column, DataType))]) extends RootState
   private final case class RScalar(c: Column) extends RootState
 
@@ -90,9 +124,53 @@ object Compile {
     if (m.maps.nonEmpty) return None // named map defs → interpreter
     var lets = Map.empty[String, (Column, DataType)]
     var filters = Vector.empty[Column]
+    var metaOps = Vector.empty[(String, Option[Column])] // Some = set, None = delete
     var root: RootState = RPassthrough
 
     def ce(e: Expr): Option[(Column, DataType)] = compileExpr(e, schema, lets, env)
+
+    /** Expression in a whole-field/meta VALUE position: an absent env var
+      * may compile to a null literal there (the interpreter stores null →
+      * explicit-null field / "null" meta string). Inside larger
+      * expressions it stays uncompiled — SQL null would swallow a concat
+      * where the interpreter renders the string "null". */
+    def ceField(e: Expr): Option[(Column, DataType)] = e match {
+      case FnCall("env", Vector(Lit(n: String))) if !env.contains(n) =>
+        Some((lit(null).cast(StringType), StringType))
+      case _ => ce(e)
+    }
+
+    /** Fold a document-independent expression to a literal Column by
+      * running the INTERPRETER over it driver-side — exact semantics for
+      * free. Only deterministic shapes qualify; null/double/collection
+      * results bail (null-regime / Go-float-format divergences). */
+    def constFold(e: Expr): Option[(Column, DataType)] = {
+      def isConst(x: Expr): Boolean = x match {
+        case Lit(_) => true
+        case FnCall("env", Vector(Lit(_: String))) => true
+        case FnCall(_, _) => false // uuid/now/random/counter/file/...
+        case Not(a) => isConst(a)
+        case Neg(a) => isConst(a)
+        case Bin(_, a, b) => isConst(a) && isConst(b)
+        case If(c, t, els) => isConst(c) && isConst(t) && els.forall(isConst)
+        case Match(t, cs) =>
+          t.forall(isConst) && cs.forall { case (p, r) => p.forall(isConst) && isConst(r) }
+        case MethodCall(t, name, args) =>
+          !Set("shuffle", "sample")(name) && isConst(t) && args.forall(isConst)
+        case _ => false // This/Root/Var/Meta/lambdas/object+array literals
+      }
+      if (!isConst(e)) None
+      else try {
+        val ctx = Interp.Ctx(() => throw new BlobError("document-free eval"),
+          "", scala.collection.mutable.Map.empty, Map.empty, env, Map.empty, VNothing)
+        Interp.eval(e, ctx) match {
+          case s: String => Some((lit(s), StringType))
+          case l: Long => Some((lit(l), LongType))
+          case b: Boolean => Some((lit(b), BooleanType))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
 
     def setField(fs: Vector[(String, (Column, DataType))], name: String,
                  v: (Column, DataType)): Vector[(String, (Column, DataType))] =
@@ -104,10 +182,24 @@ object Compile {
         case Some(cv) => lets += n -> cv
         case None => return None
       }
-      case AssignMeta(_, _) => return None // metadata writes → interpreter
+      case AssignMeta(Some(k), e) if !k.contains('.') && !k.contains('`') =>
+        e match {
+          case FnCall("deleted", Vector()) => metaOps :+= k -> None
+          case _ => ceField(e) match {
+            // interpreter stringifies meta values via toStr, null → "null"
+            // (Interp.runWithMeta); same renderer, so Long/Boolean/String
+            // compile and doubles bail (Go float formatting)
+            case Some((c, t)) => toStrCol(c, t) match {
+              case Some(sc) => metaOps :+= k -> Some(coalesce(sc, lit("null")))
+              case None => return None
+            }
+            case None => return None
+          }
+        }
+      case AssignMeta(_, _) => return None // whole-meta / exotic keys → interpreter
       case ExprStmt(_) => return None // side-effecting calls → interpreter
       case AssignRoot(path, e) if path.isEmpty => e match {
-        case This => root = RWholeThis
+        case This => root = RWholeThis(Vector.empty)
         case If(c, FnCall("deleted", Vector()), None) => ce(c) match {
           case Some((cc, BooleanType)) => filters :+= cc
           case _ => return None
@@ -117,7 +209,7 @@ object Compile {
           // whole-root object literal: same shape as field assignments
           var fs = Vector.empty[(String, (Column, DataType))]
           for ((k, ve) <- fieldExprs) k match {
-            case Lit(name: String) => ce(ve) match {
+            case Lit(name: String) => ceField(ve) match {
               case Some(cv) if serializableField(cv._2) => fs = setField(fs, name, cv)
               case _ => return None
             }
@@ -132,15 +224,26 @@ object Compile {
       }
       case AssignRoot(path, e) if path.length == 1 =>
         val name = path.head
+        if (name.startsWith(MetaPrefix)) return None
         root match {
-          case RScalar(_) | RWholeThis => return None // field-on-scalar errors; whole+override mixes null regimes
+          case RScalar(_) => return None // field-on-scalar errors
+          case RWholeThis(ovr) => e match {
+            // mutation shape: constant overrides/deletes on top of `this`
+            case FnCall("deleted", Vector()) =>
+              root = RWholeThis(ovr.filterNot(_._1 == name) :+ (name -> None))
+            case _ => constFold(e) match {
+              case Some(cv) =>
+                root = RWholeThis(ovr.filterNot(_._1 == name) :+ (name -> Some(cv)))
+              case None => return None // document-dependent override → interpreter
+            }
+          }
           case _ =>
             val fs = root match { case RFields(f) => f; case _ => Vector.empty }
             e match {
               case FnCall("deleted", Vector()) =>
                 root = RFields(fs.filterNot(_._1 == name))
               case If(_, _, None) => return None // dynamic field absence
-              case _ => ce(e) match {
+              case _ => ceField(e) match {
                 case Some(cv) if serializableField(cv._2) =>
                   root = RFields(setField(fs, name, cv))
                 case _ => return None
@@ -150,24 +253,52 @@ object Compile {
       case AssignRoot(_, _) => return None // nested paths → interpreter
     }
 
-    if (root == RWholeThis && !wholeThisSafe(schema)) return None
+    root match {
+      case RWholeThis(_) if !wholeThisSafe(schema) => return None
+      // a content field colliding with the meta transport → bail
+      case RFields(fs) if fs.exists(_._1.startsWith(MetaPrefix)) => return None
+      case _ => ()
+    }
+
+    // last op per meta key wins (interpreter sequencing); a delete must
+    // also drop a column inherited from an earlier compiled stage
+    val metaFinal: Vector[(String, Option[Column])] =
+      metaOps.map(_._1).distinct.map(k => k -> metaOps.filter(_._1 == k).last._2)
 
     val conds = filters // deletion predicates, in order
     val (ser, project): (Ser, DataFrame => DataFrame) = root match {
       case RPassthrough => (EnvelopeDefault, identity[DataFrame] _)
-      case RWholeThis => (SortedDropNull, identity[DataFrame] _)
+      case RWholeThis(Vector()) => (SortedDropNull, identity[DataFrame] _)
+      case RWholeThis(ovr) =>
+        val deleted = ovr.collect { case (n, None) => n }.toSet
+        val setMap = ovr.collect { case (n, Some((c, _))) => n -> c }.toMap
+        (SortedDropNull, (df: DataFrame) => {
+          val inputNames = contentCols(df).filterNot(deleted)
+          val names = (inputNames ++ setMap.keys.filterNot(inputNames.contains)).distinct
+          df.select(names.map(n => setMap.getOrElse(n, col(n)).as(n))
+            ++ metaCols(df).map(col): _*)
+        })
       case RFields(fs) =>
         val cols = fs.sortBy(_._1).map { case (n, (c, _)) => c.as(n) }
-        (ExplicitNullSorted, (df: DataFrame) => df.select(cols: _*))
-      case RScalar(c) => (Scalar, (df: DataFrame) => df.select(c.as(ScalarCol)))
+        (ExplicitNullSorted,
+          (df: DataFrame) => df.select(cols ++ metaCols(df).map(col): _*))
+      case RScalar(c) =>
+        (Scalar, (df: DataFrame) => df.select(
+          (c.as(ScalarCol) +: metaCols(df).map(col)): _*))
     }
     Some(Compiled(df => {
+      // meta writes evaluate against the INPUT frame (Bloblang `this` is
+      // always the source document), so they run before filters/projection
+      val dropped = metaFinal.collect { case (k, None) => MetaPrefix + k }
+        .foldLeft(df)((d, c) => if (d.columns.contains(c)) d.drop(c) else d)
+      val sets = metaFinal.collect { case (k, Some(c)) => (MetaPrefix + k) -> c }
+      val withMeta = if (sets.isEmpty) dropped else dropped.withColumns(sets.toMap)
       // delete when cond is TRUE; a null cond keeps the row (SQL 3VL —
       // the interpreter would error the row and keep it too). The
       // `!c || isNull(c)` form (rather than `!coalesce(c, false)`) keeps
       // the predicate a plain boolean tree that DataSourceStrategy can
       // translate and push into the parquet scan.
-      val filtered = conds.foldLeft(df)((d, c) => d.filter(!c || c.isNull))
+      val filtered = conds.foldLeft(withMeta)((d, c) => d.filter(!c || c.isNull))
       project(filtered)
     }, ser))
   }
@@ -505,6 +636,62 @@ object Compile {
           }
         case _ => None
       }
+      case "join" => target.flatMap {
+        // interpreter: string elements only, else row error (compiled
+        // subset: static element type, so non-string never reaches here)
+        case (c, ArrayType(StringType, _)) =>
+          val sep = if (args.isEmpty) Some("") else litStr(0)
+          sep.map(sp => (array_join(c, sp), StringType))
+        case _ => None
+      }
+      case "index" => target.flatMap {
+        case (c, ArrayType(et, _)) => args.headOption.flatMap(ce).collect {
+          case (i, LongType) =>
+            // Bloblang index is 0-based with negative-from-end; Spark
+            // element_at is 1-based with the same negative convention.
+            // try_ variant: out-of-bounds → null (interpreter errors the
+            // row — impossible-error deviation, documented above)
+            (try_element_at(c, when(i >= 0, i + 1).otherwise(i)
+              .cast(IntegerType)), et)
+        }
+        case _ => None
+      }
+      case "slice" =>
+        // interpreter sliceSeq: python-style clamp — from/until normalized
+        // by `if (i<0) max(0,n+i) else min(i,n)`; works on arrays + strings
+        def norm(i: Column, n: Column): Column =
+          when(i < 0, greatest(lit(0L), n.cast(LongType) + i))
+            .otherwise(least(i, n.cast(LongType)))
+        target.flatMap {
+          case (c, at @ ArrayType(_, _)) =>
+            for {
+              f <- args.headOption.flatMap(ce).collect { case (i, LongType) => i }
+              uOpt <- args.lift(1) match {
+                case None => Some(None)
+                case Some(a) => ce(a).collect { case (i, LongType) => Some(i) }
+              }
+            } yield {
+              val n = size(c).cast(LongType)
+              val from = norm(f, n)
+              val until = uOpt.map(norm(_, n)).getOrElse(n)
+              (filter(c, (_, i) => i >= from && i < until), at)
+            }
+          case (c, tt) => toStrCol(c, tt).flatMap { sc =>
+            for {
+              f <- args.headOption.flatMap(ce).collect { case (i, LongType) => i }
+              uOpt <- args.lift(1) match {
+                case None => Some(None)
+                case Some(a) => ce(a).collect { case (i, LongType) => Some(i) }
+              }
+            } yield {
+              val n = length(sc).cast(LongType)
+              val from = norm(f, n)
+              val until = uOpt.map(norm(_, n)).getOrElse(n)
+              (sc.substr((from + 1).cast(IntegerType),
+                greatest(lit(0L), until - from).cast(IntegerType)), StringType)
+            }
+          }
+        }
       // `.catch(v)` replaces only ERRORS, never nulls — and the compiled
       // subset cannot raise runtime errors (static types), so it is the
       // identity here. `.or(v)` replaces null (and error): coalesce.
@@ -523,4 +710,85 @@ object Compile {
   private def numUnary(target: Option[(Column, DataType)],
                        f: Column => Column): Option[(Column, DataType)] =
     target.collect { case (c, tt) if isNumeric(tt) => (f(c.cast(DoubleType)), DoubleType) }
+
+  // ===== interpolation templates =============================================
+
+  /** Compile an interpolated field string (`prefix ${!expr} suffix`,
+    * [[Interpolate]]) into ONE native Column over the structured frame —
+    * no UDF, no JSON re-parse per row. Each dynamic segment renders via
+    * the interpreter's rule (Interpolate.render): null/VNothing → "null",
+    * scalars via Interp.toStr. None when any segment falls outside the
+    * compiled expression subset (caller falls back to the render UDF). */
+  def tryCompileTemplate(template: String, schema: StructType,
+                         env: Map[String, String] = Map.empty): Option[Column] = {
+    val segs = Interpolate.compile(template)
+    val parts = segs.map {
+      case Interpolate.Static(s) => Some(lit(s))
+      case Interpolate.Dyn(_, e) =>
+        compileExpr(e, schema, Map.empty, env).flatMap { case (c, t) =>
+          toStrCol(c, t).map(sc => coalesce(sc, lit("null")))
+        }
+    }
+    if (parts.exists(_.isEmpty)) None
+    else Some(if (parts.isEmpty) lit("") else concat(parts.flatten: _*))
+  }
+
+  // ===== value-model schema inference ========================================
+
+  /** Infer a static StructType from parsed JSON documents (the Bloblang
+    * value model: Long/Double/Boolean/String/Vector/VectorMap/null), or
+    * None when the documents are not uniformly-typed objects. Lets callers
+    * with schemaless JSON (golden tests, ad-hoc configs) reach the
+    * compiled path instead of defaulting to the interpreter. */
+  def inferSchema(docs: Seq[Any]): Option[StructType] = {
+    def tpe(v: Any): Option[DataType] = v match {
+      case null | Bloblang.VNothing => Some(NullType)
+      case _: String => Some(StringType)
+      case _: Long => Some(LongType)
+      case _: Double => Some(DoubleType)
+      case _: Boolean => Some(BooleanType)
+      case a: Vector[Any @unchecked] =>
+        a.foldLeft(Option(NullType: DataType)) { (acc, e) =>
+          for { t1 <- acc; t2 <- tpe(e); u <- unifyT(t1, t2) } yield u
+        }.map(ArrayType(_, containsNull = true))
+      case m: scala.collection.immutable.VectorMap[String @unchecked, Any @unchecked] =>
+        val fields = m.toSeq.map { case (k, fv) => tpe(fv).map(StructField(k, _, nullable = true)) }
+        if (fields.exists(_.isEmpty)) None else Some(StructType(fields.flatten))
+      case _ => None
+    }
+    def unifyT(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (NullType, x) => Some(x)
+      case (x, NullType) => Some(x)
+      case (LongType, DoubleType) | (DoubleType, LongType) => Some(DoubleType)
+      case (ArrayType(x, _), ArrayType(y, _)) => unifyT(x, y).map(ArrayType(_, true))
+      case (x: StructType, y: StructType) =>
+        val keys = (x.fieldNames ++ y.fieldNames).distinct
+        val fs = keys.map { k =>
+          (x.find(_.name == k), y.find(_.name == k)) match {
+            case (Some(f1), Some(f2)) => unifyT(f1.dataType, f2.dataType).map(StructField(k, _, true))
+            case (Some(f1), None) => Some(StructField(k, f1.dataType, true))
+            case (None, Some(f2)) => Some(StructField(k, f2.dataType, true))
+            case _ => None
+          }
+        }
+        if (fs.exists(_.isEmpty)) None else Some(StructType(fs.flatten.toSeq))
+      case _ => None
+    }
+    val merged = docs.foldLeft(Option(new StructType(): DataType)) { (acc, d) =>
+      for {
+        t1 <- acc
+        t2 <- tpe(d)
+        st2 <- t2 match { case s: StructType => Some(s); case _ => None }
+        u <- unifyT(t1, st2)
+      } yield u
+    }
+    merged.collect { case s: StructType =>
+      // a NullType field never resolved: give it the string fallback the
+      // JSON reader would (value is always null there anyway); an EMPTY
+      // object document is fine — mappings over `{}` build output purely
+      // from literals/env()
+      StructType(s.fields.map(f => if (f.dataType == NullType) f.copy(dataType = StringType) else f))
+    }
+  }
 }

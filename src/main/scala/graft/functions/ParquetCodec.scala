@@ -48,9 +48,21 @@ object ParquetCodec {
       new DelegatingSeekableInputStream(bais) {
         override def getPos: Long = (bytes.length - bais.available()).toLong
         override def seek(newPos: Long): Unit = {
+          // A crafted/corrupt footer can carry offsets beyond the buffer;
+          // ByteArrayInputStream.skip returns 0 at EOF, so an unguarded loop
+          // would spin forever. Error loudly instead.
+          if (newPos < 0 || newPos > bytes.length)
+            throw new java.io.EOFException(
+              s"parquet seek to $newPos outside ${bytes.length}-byte buffer")
           bais.reset() // mark is position 0
           var togo = newPos
-          while (togo > 0) togo -= bais.skip(togo)
+          while (togo > 0) {
+            val skipped = bais.skip(togo)
+            if (skipped <= 0)
+              throw new java.io.EOFException(
+                s"parquet seek stalled at ${newPos - togo}/$newPos")
+            togo -= skipped
+          }
         }
       }
     }
@@ -169,8 +181,23 @@ object ParquetCodec {
     if (v == null) {
       if (field.getRepetition == Repetition.REQUIRED)
         fail(s"null value for required field ${field.getName}")
-      return // optional null: simply absent
+      return // optional/repeated null: simply absent
     }
+    if (field.getRepetition == Repetition.REPEATED) {
+      // `"repeated": true` fields take an array value; write one occurrence
+      // per element (decode's readGroup already collects them back).
+      val items = v match {
+        case xs: Vector[_] => xs
+        case o => fail(s"repeated field ${field.getName} wants an array, got $o")
+      }
+      items.foreach { item =>
+        if (item == null) fail(s"null element in repeated field ${field.getName}")
+        addOccurrence(g, field, item)
+      }
+    } else addOccurrence(g, field, v)
+  }
+
+  private def addOccurrence(g: Group, field: Type, v: Any): Unit = {
     field match {
       case p: PrimitiveType => addPrimitive(g, p, v)
       case gt: GroupType if gt.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType() =>
@@ -264,12 +291,28 @@ object ParquetCodec {
     case gt: GroupType if gt.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType() =>
       val lg = g.getGroup(i, idx)
       val n = lg.getFieldRepetitionCount(0)
-      val inner = gt.getType(0).asGroupType()
-      val elemType = inner.getType(0)
-      (0 until n).map { j =>
-        val eg = lg.getGroup(0, j)
-        if (eg.getFieldRepetitionCount(0) == 0) null else readField(eg, 0, 0, elemType)
-      }.toVector
+      gt.getType(0) match {
+        // Legacy 2-level list from other writers: a repeated primitive
+        // directly under the LIST group (parquet-format list spec's
+        // backward-compat rules; the reference's parquet-go reads these too).
+        case p: PrimitiveType =>
+          (0 until n).map(j => readPrimitive(lg, 0, j, p)).toVector
+        // Canonical 3-level: repeated single-field wrapper group. Per the
+        // parquet-format compat rules a repeated group named "array" or
+        // "<name>_tuple" is itself the element, so those fall through below.
+        case inner: GroupType if inner.getFieldCount == 1 &&
+            inner.getName != "array" && !inner.getName.endsWith("_tuple") &&
+            (inner.getName == "list" || inner.getName == "bag" ||
+              inner.getType(0).getName == "element") =>
+          val elemType = inner.getType(0)
+          (0 until n).map { j =>
+            val eg = lg.getGroup(0, j)
+            if (eg.getFieldRepetitionCount(0) == 0) null else readField(eg, 0, 0, elemType)
+          }.toVector
+        // Legacy 2-level with a repeated group element: the group IS the item.
+        case inner: GroupType =>
+          (0 until n).map(j => readGroup(lg.getGroup(0, j), inner)).toVector
+      }
     case gt: GroupType if gt.getLogicalTypeAnnotation == LogicalTypeAnnotation.mapType() =>
       val mg = g.getGroup(i, idx)
       val n = mg.getFieldRepetitionCount(0)

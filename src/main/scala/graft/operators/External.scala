@@ -60,15 +60,17 @@ object External {
     * on the cluster classpath. */
   def jdbcSelect(spark: org.apache.spark.sql.SparkSession, url: String, table: String,
                  columns: Seq[String] = Nil, where: Option[String] = None,
-                 partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+                 partitionColumn: Option[(String, Long, Long, Int)] = None,
+                 driver: Option[String] = None): DataFrame = {
     val dbtable = {
       val cols = if (columns.isEmpty) "*" else columns.mkString(", ")
       val w = where.map(" WHERE " + _).getOrElse("")
       s"(SELECT $cols FROM $table$w) AS t"
     }
-    val r = spark.read.format("jdbc")
+    val r0 = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", dbtable)
+    val r = driver.fold(r0)(d => r0.option("driver", d))
     partitionColumn.fold(r) { case (c, lo, hi, n) =>
       r.option("partitionColumn", c).option("lowerBound", lo)
         .option("upperBound", hi).option("numPartitions", n)

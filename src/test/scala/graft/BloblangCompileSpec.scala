@@ -26,17 +26,24 @@ class BloblangCompileSpec extends SparkSpec {
     (5L, 0L, 0.0, "", true, Seq("q"), Option(""))
   ).toDF("k", "n", "d", "s", "b", "arr", "mn").coalesce(1)
 
-  /** Run one mapping through BOTH paths and compare surviving contents as
-    * sorted multisets — a delete-filter dropping different rows fails the
-    * comparison too. */
+  /** Run one mapping through BOTH paths and compare surviving (content,
+    * metadata) pairs as sorted multisets — a delete-filter dropping
+    * different rows, or a diverging `meta` write, fails the comparison. */
   private def differential(src: String, df: DataFrame = fixture): Unit = {
     val prog = Bloblang.parse(src)
     val compiled = Compile.tryCompile(prog, df.schema)
     assert(compiled.isDefined, s"mapping did not compile:\n$src")
+    def metaKey(m: Map[String, String]): String =
+      m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
     val got = Compile.envelope(compiled.get.transform(df), compiled.get.ser)
-      .select(Msg.ContentCol).as[String].collect().toSeq.sorted
+      .select(col(Msg.ContentCol), col(Msg.MetaCol))
+      .as[(String, Map[String, String])].collect().toSeq
+      .map { case (c, m) => (c, metaKey(Option(m).getOrElse(Map.empty))) }.sorted
     val want = Msg.envelope(df).select(Msg.ContentCol).as[String].collect().toSeq
-      .flatMap(c => Interp.run(prog, c)).sorted
+      .flatMap { c =>
+        val (out, meta) = Interp.runWithMeta(prog, c, Map.empty, Map.empty)
+        out.map(o => (o, metaKey(meta)))
+      }.sorted
     assert(got == want,
       s"compiled vs interpreted divergence for:\n$src\ncompiled=${got.take(3)}\ninterp=${want.take(3)}")
   }
@@ -122,11 +129,105 @@ class BloblangCompileSpec extends SparkSpec {
     differential("root.keep = this.k\nroot.keep = this.s") // overwrite keeps last
   }
 
+  test("differential: mutation shape — root = this plus constant overrides") {
+    val noDouble = fixture.drop("d")
+    // add a new constant field; override an existing one; delete one
+    differential("root = this\nroot.cfg = \"v2\"", noDouble)
+    differential("root = this\nroot.s = \"fixed\"", noDouble)
+    differential("root = this\nroot.n = deleted()", noDouble)
+    // env fallback chain const-folds through the interpreter driver-side
+    differential("root = this\nroot.src = env(\"GRAFT_NOPE\").or(\"dflt\")", noDouble)
+    differential("root = this\nroot.tag = \"a\" + \"b\"\nroot.tag = \"c\"", noDouble)
+    // document-dependent override must NOT compile (null-regime collision)
+    assert(Compile.tryCompile(
+      Bloblang.parse("root = this\nroot.x = this.k"), noDouble.schema).isEmpty)
+  }
+
+  test("differential: metadata assignment — set, overwrite, delete, null render") {
+    differential("""
+      meta tag = this.s
+      meta n2 = this.k + 1
+      root.v = this.n
+    """)
+    // last write wins; whole-root `this` keeps meta orthogonal to content
+    differential("meta a = \"x\"\nmeta a = this.k\nroot = this", fixture.drop("d"))
+    // delete removes a key set earlier in the same mapping
+    differential("meta a = \"x\"\nmeta a = deleted()\nroot.v = this.k")
+    // a null value renders as the string "null" (Interp.toStr), never drops
+    differential("meta nil = this.mn\nroot.v = this.k")
+    // meta writes survive a delete-filter (rows keep or lose meta with the row)
+    differential("""
+      meta flag = this.b
+      root.v = this.k
+      root = if this.n > 100 { deleted() }
+    """)
+  }
+
+  test("differential: join, index, slice on arrays and strings") {
+    differential("""
+      root.j = this.arr.join(",")
+      root.j2 = this.arr.join()
+      root.sl = this.arr.slice(1)
+      root.sl2 = this.arr.slice(0, 2)
+      root.sl3 = this.arr.slice(-2)
+      root.ss = this.s.slice(2)
+      root.ss2 = this.s.slice(1, -1)
+      root.ss3 = this.s.slice(-4, 99)
+    """)
+    // index errors on out-of-bounds in the interpreter: exercise only rows
+    // where the access is in range (the compiled twin's null-vs-error
+    // deviation is the documented impossible-error rule)
+    differential("""
+      root.first = this.arr.index(0)
+      root.last = this.arr.index(-1)
+    """, fixture.filter(size(col("arr")) > 0))
+  }
+
+  test("interpolation templates compile to a single native Column") {
+    val tpl = """user ${! this.k } -> ${! this.s.uppercase() } (${! this.mn | "none" })"""
+    val compiled = Compile.tryCompileTemplate(tpl, fixture.schema)
+    assert(compiled.isDefined, "template did not compile")
+    val got = fixture.select(compiled.get.as("r")).as[String].collect().toSeq.sorted
+    val segs = graft.blob.Interpolate.compile(tpl)
+    val want = Msg.envelope(fixture).select(Msg.ContentCol).as[String].collect()
+      .toSeq.map(c => graft.blob.Interpolate.render(segs, c)).sorted
+    assert(got == want, s"template divergence:\ncompiled=$got\ninterp=$want")
+    // static-only template compiles to a literal
+    assert(Compile.tryCompileTemplate("no dynamics here", fixture.schema).isDefined)
+    // outside the subset → None (caller falls back to the render UDF)
+    assert(Compile.tryCompileTemplate("x ${! uuid_v4() }", fixture.schema).isEmpty)
+    // and no UDF in the compiled plan
+    val plan = fixture.select(compiled.get.as("r")).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"template plan has a UDF:\n$plan")
+  }
+
+  test("schema inference lifts schemaless JSON into the compiled path") {
+    import graft.blob.Interp
+    val docs = Seq(
+      """{"a": 1, "b": "x", "c": [1, 2], "d": true}""",
+      """{"a": 2, "b": null, "c": [], "e": 1.5}""").map(Interp.parseJsonTyped)
+    val schema = Compile.inferSchema(docs)
+    assert(schema.isDefined)
+    val bySuffix = schema.get.fields.map(f => f.name -> f.dataType).toMap
+    assert(bySuffix("a") == org.apache.spark.sql.types.LongType)
+    assert(bySuffix("b") == org.apache.spark.sql.types.StringType)
+    assert(bySuffix("c") == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, true))
+    assert(bySuffix("e") == org.apache.spark.sql.types.DoubleType)
+    // non-object documents refuse
+    assert(Compile.inferSchema(Seq(Interp.parseJsonTyped("[1,2]"))).isEmpty)
+    // conflicting field kinds refuse
+    assert(Compile.inferSchema(Seq(
+      Interp.parseJsonTyped("""{"a": 1}"""),
+      Interp.parseJsonTyped("""{"a": "s"}"""))).isEmpty)
+  }
+
   test("untranslatable constructs bail to the interpreter (None)") {
     val bails = Seq(
       "root.u = uuid_v4()", // non-deterministic function
       "root.c = this.s.capitalize()", // word-split semantics
-      "meta x = this.s", // metadata write
+      "meta = {\"a\": \"b\"}", // whole-meta assignment
+      "meta d2 = this.d", // double meta value (Go float formatting)
       "root.d = this.d", // double output field (Go float formatting)
       "root.a.b = this.k", // nested path
       "root.x = if this.b { this.k }", // dynamic field absence

@@ -403,8 +403,15 @@ class BloblangGoldenSpec extends AnyFunSuite {
       })
   }
 
+  /** Mapping cases seen by the last runCorpus() pass — (name, program
+    * post-mutation-wrap, input contents, env) — feeds the compiled-subset
+    * coverage gate below. */
+  private val collectedCases =
+    scala.collection.mutable.Buffer.empty[(String, Bloblang.Mapping, Seq[String], Map[String, String])]
+
   /** Run every supported case in the corpus; returns (passed, failed, skipped). */
   private def runCorpus(): (Int, Int, Int, Seq[String], Seq[String]) = {
+    collectedCases.clear()
     var (passed, failed, skipped) = (0, 0, 0)
     val failures = Seq.newBuilder[String]
     val skips = Seq.newBuilder[String]
@@ -469,6 +476,7 @@ class BloblangGoldenSpec extends AnyFunSuite {
                           f.getParentFile, in.get("file_content").toString).toPath).stripLineEnd
                       else String.valueOf(in.get("content"))
                     }.toSeq
+                    collectedCases += ((name, prog, contents, env))
                     val metas = inputs.map(in => Option(in.get("metadata"))
                       .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
                         .map { case (k, v) => k -> String.valueOf(v) }.toMap)
@@ -580,4 +588,32 @@ class BloblangGoldenSpec extends AnyFunSuite {
     assert(skipped == 0, s"skipped golden cases:\n${skips.mkString("\n")}")
     assert(passed >= 55, s"only $passed golden cases passed")
   }
+
+  test("compiled-subset coverage: golden mappings that compile fully to Columns") {
+    runCorpus() // (re)populate collectedCases — independent of test order
+    val cases = collectedCases.toVector
+    assert(cases.nonEmpty, "no mapping cases collected from the corpus")
+    var full = 0
+    val fallback = Vector.newBuilder[String]
+    for ((name, prog, contents, env) <- cases) {
+      val docs = try contents.map(Interp.parseJsonTyped)
+        catch { case _: Exception => Nil }
+      val compiles = docs.nonEmpty &&
+        graft.blob.Compile.inferSchema(docs).exists(sc =>
+          graft.blob.Compile.tryCompile(prog, sc, env).isDefined)
+      if (compiles) full += 1 else fallback += name
+    }
+    info(s"compile coverage: $full/${cases.size} golden mappings compile fully; " +
+      s"${cases.size - full} use the interpreter fallback")
+    fallback.result().foreach(n => info(s"FALLBACK $n"))
+    // Measured baseline at round 5 — a compiler regression (a construct
+    // silently dropping out of the subset) must fail loudly here.
+    assert(full >= CompiledBaseline,
+      s"only $full golden mappings compile; baseline is $CompiledBaseline")
+  }
+  // Measured round 5: 9/33 golden mappings compile fully (field mappings,
+  // filters with env(), and the constant-override mutation shape); the
+  // other 24 need lambdas/recursion/batch functions/raw-string content —
+  // deliberate interpreter territory.
+  private val CompiledBaseline = 9
 }
