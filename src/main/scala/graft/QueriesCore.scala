@@ -273,6 +273,56 @@ object QueriesCore {
       s.table("stream_win_tumbling_sink")
     }),
 
+    // The append-mode + watermark twin of stream_win_tumbling — the
+    // UNBOUNDED-source shape (round-4 verdict #3). Two time-ordered input
+    // files + maxFilesPerTrigger=1 force multiple micro-batches, so the
+    // event-time watermark actually advances mid-query (batch 1 sets it,
+    // batch 2 emits windows it closed, the terminal no-data batch flushes
+    // everything below max(ts) - delay). The oracle checks exactly the
+    // closed-window subset; the trailing open window is correctly ABSENT.
+    // Late-data drop semantics for this plan are covered in StreamingSpec;
+    // reference late handling: buffer_system_window.go:333.
+    "stream_win_append" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+      val Row(tmin: java.sql.Timestamp, tmax: java.sql.Timestamp) =
+        ev.agg(min("ts"), max("ts")).head()
+      val splitMs = (tmin.getTime + tmax.getTime) / 2
+      val inDir = java.nio.file.Files.createTempDirectory("swa_in")
+      def writeOne(part: DataFrame, name: String, modTime: Long): Unit = {
+        val staging = java.nio.file.Files.createTempDirectory("swa_stage")
+        part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val f = new java.io.File(staging.toString).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no parquet part written"))
+        val dest = inDir.resolve(name).toFile
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(modTime) // file source orders by modTime
+      }
+      val splitTs = new java.sql.Timestamp(splitMs)
+      writeOne(ev.filter(col("ts") < lit(splitTs)), "0_events.parquet", 1000000000L)
+      writeOne(ev.filter(col("ts") >= lit(splitTs)), "1_events.parquet", 2000000000L)
+      val schema = s.read.parquet(inDir.resolve("0_events.parquet").toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .withWatermark("ts", "30 minutes")
+      val agg = Windows.windowedAgg(
+          stream, "ts", "1 hour", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("total")))
+        .select(
+          unix_timestamp(col("win.start")).as("window_start"),
+          col("event_type"), col("n"), col("total"))
+      val ckpt = java.nio.file.Files.createTempDirectory("swa_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = agg.writeStream.format("memory").queryName("stream_win_append_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_win_append_sink")
+    }),
+
     // session windows (SURVEY §2.8 parity-plus)
     "win_session" -> ((s, dir) => Windows.sessionAgg(
         t(s, dir, "events"), "ts", "5 minutes", Seq(col("user_id")),
@@ -393,6 +443,14 @@ object QueriesCore {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
+    // append + watermark: only windows CLOSED under the final watermark
+    // (max event time - 30 min) are emitted; the open tail is absent
+    "stream_win_append" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2
+         HAVING window_start + 3600 <=
+           (SELECT epoch(max(ts) - INTERVAL 30 MINUTE) FROM events)""",
     // NB: SUM(BIGINT) in DuckDB yields HUGEINT (int128), which pandas maps to
     // float64 — hashed differently from Spark's int64 by the driver gate. Every
     // integer aggregate in an oracle must therefore be cast back to BIGINT.

@@ -230,14 +230,30 @@ pipeline:
       graft.ml.Nlp.classifyText(t(s, dir, "documents")).toDF()
     }),
 
-    // nlp_classify_tokens (processor_token_classification.go): NER-shaped
-    // explode — one labelled row per token
+    // nlp_classify_tokens (processor_token_classification.go:18): REAL
+    // trained token classifier — softmax-LR over shape/gazetteer/context
+    // features (ml/NerModel.scala, trainer NerTrain.scala, weights in
+    // resources); the oracle below is GENERATED from the weights. Input
+    // text embeds key-indexed entities so every class exercises.
     "nlp_tokens" -> ((s, dir) => {
-      import s.implicits._
+      def pick(xs: Vector[String], k: org.apache.spark.sql.Column) =
+        element_at(array(xs.map(lit): _*),
+          (pmod(k, lit(xs.size)) + 1).cast(IntegerType))
+      val N = graft.ml.NerModel
+      def cap(v: Vector[String]) = v.map(w => w.head.toUpper + w.tail)
       val docs = t(s, dir, "customer").select(
         col("c_custkey").as("doc_id"),
-        concat_ws(" ", col("c_name"), col("c_custkey").cast(StringType),
-          col("c_mktsegment"), lower(col("c_mktsegment"))).as("text"))
+        concat_ws(" ",
+          pick(cap(N.Honorifics), col("c_custkey")),
+          pick(cap(N.PerGaz), col("c_custkey") * 3),
+          lit("traveled"),
+          pick(N.LocPreps, col("c_custkey") * 5),
+          pick(cap(N.LocGaz), col("c_custkey") * 7),
+          lit("to meet"),
+          pick(cap(N.OrgGaz), col("c_custkey") * 11),
+          pick(cap(N.OrgSuffix), col("c_custkey") * 13),
+          col("c_custkey").cast(StringType),
+          lower(col("c_mktsegment"))).as("text"))
       graft.ml.Nlp.classifyTokens(docs).toDF()
     }),
 
@@ -446,6 +462,43 @@ pipeline:
       Blob.tsStrftime(Blob.tsAddIso8601(col("o_orderdate"), "PT36H"), "%Y-%m-%d %H").as("plus36h"),
       Blob.tsStrftime(Blob.tsSubIso8601(col("o_orderdate"), "PT90M"), "%Y-%m-%d %H:%M").as("minus90m"))),
 
+    // `http` processor (impl/io/processor_http.go:16): per-message request
+    // → response becomes the new payload, through the REAL per-partition
+    // client lifecycle (External.perPartitionLookup — ONE HttpClient per
+    // partition, rows stream through it). The endpoint is a local in-JVM
+    // JDK HttpServer (no sandbox egress); at scale only the URL changes —
+    // connection count stays = partitions, never rows.
+    "proc_http" -> ((s, dir) => {
+      import s.implicits._
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/enrich", new com.sun.net.httpserver.HttpHandler {
+        override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+          val k = x.getRequestURI.getQuery.stripPrefix("k=").toLong
+          val b = s"""{"k":$k,"twice":${k * 2},"tag":"u${k % 7}"}""".getBytes("UTF-8")
+          x.getResponseHeaders.add("Content-Type", "application/json")
+          x.sendResponseHeaders(200, b.length)
+          x.getResponseBody.write(b)
+          x.close()
+        }
+      })
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+      server.start() // lives for the JVM; lazy evaluation happens later
+      val port = server.getAddress.getPort
+      val ev = t(s, dir, "events").select(col("event_id"))
+      graft.operators.External.perPartitionLookup[java.net.http.HttpClient, (Long, String)](
+          ev)(() => java.net.http.HttpClient.newHttpClient()) { (client, row) =>
+          val id = row.getLong(0)
+          val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/enrich?k=$id")).GET().build()
+          (id, client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+        }(_ => ())
+        .toDF("event_id", "resp")
+        .select(col("event_id"),
+          get_json_object(col("resp"), "$.twice").cast(LongType).as("twice"),
+          get_json_object(col("resp"), "$.tag").as("tag"))
+    }),
+
     // sql_insert -> sql_select round-trip over a REAL embedded JDBC
     // database (Apache Derby, already on the Spark classpath — no new
     // deps). sql_insert (impl/sql/processor_sql_insert.go:25) appends the
@@ -484,6 +537,10 @@ pipeline:
     "sql_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey, s_acctbal
          FROM supplier WHERE s_nationkey < 20""",
+    "proc_http" ->
+      """SELECT event_id, event_id * 2 AS twice,
+           'u' || (event_id % 7)::VARCHAR AS tag
+         FROM events""",
     "proc_archive_tar" ->
       """SELECT user_id, event_id::VARCHAR AS entry_name, props AS content FROM events""",
     "proc_archive_zip" ->
@@ -560,21 +617,28 @@ pipeline:
     // exact forward pass (same accumulation order ⇒ identical doubles)
     "nlp_classify" ->
       graft.ml.NlpModel.default.oracleSql("documents", "doc_id", "text"),
-    "nlp_tokens" ->
-      """WITH d AS (
-           SELECT c_custkey AS doc_id,
-             concat_ws(' ', c_name, c_custkey::VARCHAR, c_mktsegment, lower(c_mktsegment)) AS text
-           FROM customer),
-         tk AS (
-           SELECT doc_id, list_transform(
-             list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
-             (t, i) -> struct_pack(idx := i - 1, tok := t)) AS toks
-           FROM d)
-         SELECT doc_id, u.idx::INTEGER AS idx, u.tok AS token,
-           CASE WHEN regexp_matches(u.tok, '^[A-Z]') THEN 'ENT'
-                WHEN regexp_matches(u.tok, '^[0-9]+([.,][0-9]+)?$') THEN 'NUM'
-                ELSE 'O' END AS label
-         FROM tk, unnest(toks) AS t(u)""",
+    "nlp_tokens" -> {
+      def arr(xs: Vector[String], cap: Boolean, mult: Int) = {
+        val vs = if (cap) xs.map(w => w.head.toUpper + w.tail) else xs
+        s"[${vs.map(v => s"'$v'").mkString(", ")}]" +
+          s"[((c_custkey * $mult) % ${xs.size} + 1)::INT]"
+      }
+      val N = graft.ml.NerModel
+      N.default.oracleSql(
+        s"""SELECT c_custkey AS doc_id,
+             concat_ws(' ',
+               ${arr(N.Honorifics, cap = true, 1)},
+               ${arr(N.PerGaz, cap = true, 3)},
+               'traveled',
+               ${arr(N.LocPreps, cap = false, 5)},
+               ${arr(N.LocGaz, cap = true, 7)},
+               'to meet',
+               ${arr(N.OrgGaz, cap = true, 11)},
+               ${arr(N.OrgSuffix, cap = true, 13)},
+               c_custkey::VARCHAR,
+               lower(c_mktsegment)) AS text
+           FROM customer""")
+    },
     "batch_count" ->
       """SELECT event_id, user_id,
            ((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 7)::BIGINT AS batch_id

@@ -231,6 +231,24 @@ object QueriesLlm {
         round(col("feature").getItem(2), 6).as("mean_b"),
         round(col("feature").getItem(3), 6).as("mean_g"),
         round(col("feature").getItem(4), 6).as("mean_r"))
+    }),
+
+    // REAL multi-frame extraction from animated GIFs (ImageIO reads every
+    // stored frame; no native libs): synthesize a (2 + doc_id%3)-frame GIF
+    // per document, decode, and hash per-frame channel means against the
+    // pixel-formula oracle. The video stub now covers ONLY true video
+    // containers (MP4/H.264-class).
+    "mm_frames_gif" -> ((s, dir) => {
+      val mk = udf((k: Long) => Multimodal.syntheticGif(k, (2 + k % 3).toInt))
+      val media = t(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        mk(col("doc_id").cast(LongType)).as("data"))
+      Multimodal.gifFrameStats(media).toDF().select(
+        col("media_id"), col("frame_idx"),
+        col("w").cast(LongType).as("w"), col("h").cast(LongType).as("h"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_r"), 6).as("mean_r"))
     })
   )
 
@@ -393,6 +411,22 @@ object QueriesLlm {
                  + ((c_custkey*37 + 17) % 256)/255.0 + ((c_custkey*37 + 21) % 256)/255.0) / 4.0, 6) AS mean_g,
            round((((c_custkey*37 + 2) % 256)/255.0 + ((c_custkey*37 + 6) % 256)/255.0
                  + ((c_custkey*37 + 18) % 256)/255.0 + ((c_custkey*37 + 22) % 256)/255.0) / 4.0, 6) AS mean_r
-         FROM customer"""
+         FROM customer""",
+    // same pixel formula as the Spark-side GIF synthesizer, plus the
+    // per-frame term f*53; frames per doc = 2 + doc_id % 3
+    "mm_frames_gif" -> {
+      def chan(c: Int) = (for (y <- 0 to 1; x <- 0 to 1)
+        yield s"((doc_id*37 + frame_idx*53 + ${y * 16 + x * 4 + c}) % 256)/255.0")
+        .mkString("(", " + ", ")")
+      s"""WITH f AS (
+           SELECT doc_id, unnest(generate_series(0, (1 + doc_id % 3)::INT)) AS frame_idx
+           FROM documents)
+         SELECT doc_id AS media_id, frame_idx::INTEGER AS frame_idx,
+           2::BIGINT AS w, 2::BIGINT AS h,
+           round(${chan(0)} / 4.0, 6) AS mean_b,
+           round(${chan(1)} / 4.0, 6) AS mean_g,
+           round(${chan(2)} / 4.0, 6) AS mean_r
+         FROM f"""
+    }
   )
 }

@@ -56,5 +56,8 @@ object SparkEntry {
     "llm_decontaminate", "llm_unigram_logprob", "llm_pack_sequences",
     // round 4: the streaming identity query (readStream → window agg →
     // AvailableNow) — times the full micro-batch lifecycle
-    "stream_win_tumbling")
+    "stream_win_tumbling",
+    // round 5: append+watermark streaming, and the re-shaped bounded-batch
+    // parquet codec (the round-4 scale-killer — keep it honest in the bench)
+    "stream_win_append", "codec_parquet")
 }

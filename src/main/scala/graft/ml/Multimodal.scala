@@ -184,6 +184,78 @@ object Multimodal {
         floor(col("frame_idx").cast(DoubleType) / n * coalesce(col("duration_ms"), lit(0L))).cast(LongType))
       .select("media_id", "frame_idx", "offset_ms")
 
+  final case class FrameStats(media_id: Long, frame_idx: Int, w: Int, h: Int,
+                              mean_b: Double, mean_g: Double, mean_r: Double)
+
+  /** REAL multi-frame decode for animated GIF: one row of channel stats
+    * per stored frame, via the from-scratch GIF89a decoder
+    * (functions/Gif.scala — the JDK's ImageIO GIF reader mis-decodes some
+    * small multi-frame images, verified byte-level). This shrinks the
+    * decoder stub to true video codecs (MP4/H.264-class) only. Same
+    * partition-local contract as [[extractFeatures]]: frames never leave
+    * the partition, only the small per-frame stats flow on. */
+  def gifFrameStats(media: DataFrame): Dataset[FrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "data").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          if (data == null || !graft.functions.Gif.isGif(data)) Iterator.empty
+          else graft.functions.Gif.decodeFrames(data).iterator.zipWithIndex.map {
+            case (fr, i) =>
+              var (sb, sg, sr) = (0.0, 0.0, 0.0)
+              var k = 0
+              while (k < fr.pixels.length) {
+                val rgb = fr.pixels(k)
+                sb += (rgb & 0xFF) / 255.0
+                sg += ((rgb >> 8) & 0xFF) / 255.0
+                sr += ((rgb >> 16) & 0xFF) / 255.0
+                k += 1
+              }
+              val np = math.max(1, fr.pixels.length).toDouble
+              FrameStats(id, i, fr.w, fr.h, sb / np, sg / np, sr / np)
+          }
+        }
+      }
+  }
+
+  /** Deterministic animated 2×2 GIF: channel c of pixel (x, y) in frame f
+    * = (key*37 + f*53 + y*16 + x*4 + c) mod 256 (c: 0=B 1=G 2=R — the
+    * [[syntheticBmp]] formula extended with a frame term). ≤4 colors per
+    * frame, so the GIF palette is exact and decode is lossless. */
+  def syntheticGif(key: Long, nFrames: Int): Array[Byte] = {
+    def ch(x: Int, y: Int, c: Int, f: Int): Int =
+      (((key * 37 + f * 53 + y * 16 + x * 4 + c) % 256) + 256).toInt % 256
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nFrames) {
+        // hand the writer an ALREADY-INDEXED image with the exact 4-color
+        // palette — a TYPE_INT_RGB input would get quantized to the GIF
+        // writer's default web palette and break losslessness
+        val px = for (y <- 0 until 2; x <- 0 until 2)
+          yield (ch(x, y, 2, f), ch(x, y, 1, f), ch(x, y, 0, f)) // (r, g, b)
+        // 8-bit 256-entry palette (entries 4+ padded): the ubiquitous GIF
+        // color-table shape — sub-byte tables trip some reader paths
+        val (rA, gA, bA) = (new Array[Byte](256), new Array[Byte](256), new Array[Byte](256))
+        px.zipWithIndex.foreach { case ((r, g, b), i) =>
+          rA(i) = r.toByte; gA(i) = g.toByte; bA(i) = b.toByte
+        }
+        val icm = new java.awt.image.IndexColorModel(8, 256, rA, gA, bA)
+        val img = new java.awt.image.BufferedImage(2, 2,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until 2; x <- 0 until 2)
+          img.getRaster.setSample(x, y, 0, y * 2 + x) // palette index per pixel
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** Deterministic 2×2 24-bit BMP whose pixel bytes derive from `key`:
     * channel c of pixel (x, y) = (key*37 + y*16 + x*4 + c) mod 256.
     * Lets an oracle recompute decoder outputs independently. */

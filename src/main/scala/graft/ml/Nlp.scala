@@ -33,21 +33,17 @@ object Nlp {
   final case class TokenLabel(doc_id: Long, idx: Int, token: String, label: String)
   final case class TextFeatures(doc_id: Long, feature: Array[Float])
 
-  /** Per-partition model session. Classification runs the trained LR
-    * model (weights cached JVM-wide — one classpath load per executor);
-    * NER/embedding are the declared heuristic scorers. */
+  /** Per-partition model session. Classification runs the trained
+    * sentiment LR and NER runs the trained token softmax-LR (both weight
+    * sets cached JVM-wide — one classpath load per executor); embedding
+    * is the declared heuristic scorer. */
   private final class Session {
     private val model = NlpModel.default
+    private val ner = NerModel.default
     def classifyBatch(texts: Array[String]): Array[(String, Double)] =
       texts.map(model.classify)
     def nerBatch(texts: Array[String]): Array[Array[(String, String)]] =
-      texts.map(rawTokenize(_).map { tok =>
-        val label =
-          if (tok.matches("^[A-Z].*")) "ENT"
-          else if (tok.matches("^[0-9]+([.,][0-9]+)?$")) "NUM"
-          else "O"
-        (tok, label)
-      })
+      texts.map(ner.labelTokens)
     def embedBatch(texts: Array[String], dim: Int): Array[Array[Float]] =
       texts.map { t =>
         val v = new Array[Float](dim)

@@ -391,7 +391,8 @@ class MlSpec extends SparkSpec {
     assert(cls(2L).label == "POSITIVE" && cls(2L).score > 0.0)
     val ner = Nlp.classifyTokens(docs.filter($"doc_id" === 3L)).collect()
       .sortBy(_.idx).map(t => (t.token, t.label)).toSeq
-    assert(ner == Seq(("Alice", "ENT"), ("saw", "O"), ("42", "NUM"), ("balloons", "O")))
+    // trained NerModel labels (gazetteer + shape + context features)
+    assert(ner == Seq(("Alice", "PER"), ("saw", "O"), ("42", "NUM"), ("balloons", "O")))
     val feats = Nlp.extractFeatures(docs, dim = 16).collect()
     assert(feats.length == 3)
     feats.filter(_.feature.exists(_ != 0f)).foreach { f =>
