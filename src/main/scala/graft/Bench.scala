@@ -48,6 +48,13 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val runs = (1 to runsPer).map { _ =>
+        // Reclaim lazily-cleaned state between runs: localCheckpoint RDDs
+        // and broadcasts are released by the ContextCleaner only when GC
+        // collects their weak refs — without this, back-to-back runs
+        // accumulate block-manager state and later runs measure memory
+        // pressure, not the plan (observed: cosine_topk 0.9 s → 3.6 s).
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try forceEval(name, sfDir)
         catch { case e: Throwable =>
