@@ -86,6 +86,49 @@ object QueriesProc {
       s.table("src_file_tail_sink")
     }),
 
+    // socket input (impl/io/input_socket.go — TCP line stream): a REAL
+    // Structured Streaming socket source reading from an in-JVM
+    // ServerSocket. The serving thread writes the nation table as
+    // newline-delimited records over one TCP connection; the query polls
+    // the memory sink until all rows land, then stops. At scale the
+    // socket source is a debug/ingest-edge tool (not replayable — the
+    // durable path is file/kafka); the gate proves the line-framing and
+    // schema-parse envelope.
+    "src_socket" -> ((s, dir) => {
+      import s.implicits._
+      val lines = t(s, dir, "nation")
+        .select(concat_ws("|", col("n_nationkey"), col("n_name")))
+        .as[String].collect().sorted
+      val server = new java.net.ServerSocket(0, 8,
+        java.net.InetAddress.getLoopbackAddress)
+      val t0 = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val w = new java.io.PrintWriter(sock.getOutputStream)
+          lines.foreach(w.println)
+          w.flush()
+          Thread.sleep(120000) // keep the connection open until query stop
+        } catch { case _: Throwable => () }
+      })
+      t0.setDaemon(true)
+      t0.start()
+      val stream = s.readStream.format("socket")
+        .option("host", server.getInetAddress.getHostAddress)
+        .option("port", server.getLocalPort).load()
+      val q = stream.writeStream.format("memory").queryName("src_socket_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      val deadline = System.currentTimeMillis + 60000
+      while (s.table("src_socket_sink").count() < lines.length &&
+        System.currentTimeMillis < deadline) Thread.sleep(200)
+      q.stop()
+      server.close()
+      s.table("src_socket_sink").select(
+        split(col("value"), "\\|").getItem(0).cast(LongType).as("n_nationkey"),
+        split(col("value"), "\\|").getItem(1).as("n_name"))
+    }),
+
     // workflow DAG (processor_workflow.go:33): stages declared out of
     // order; topo-sort must run A before B before C
     "proc_workflow" -> ((s, dir) => Flow(t(s, dir, "orders"))
@@ -291,6 +334,8 @@ object QueriesProc {
          FROM a FULL OUTER JOIN b ON a.id = b.id""",
     "src_file_tail" ->
       """SELECT event_id, event_type FROM events""",
+    "src_socket" ->
+      """SELECT n_nationkey, n_name FROM nation""",
     "proc_workflow" ->
       """SELECT o_orderkey, (o_totalprice * 0.9 + 10.0) * 2.0 AS final FROM orders""",
     "proc_while" ->

@@ -378,6 +378,12 @@ object Compile {
         case StringType | LongType | DoubleType | BooleanType => Some((c, t))
         case ArrayType(el, n) if el == StringType || el == LongType || el == BooleanType =>
           Some((c, ArrayType(el, n)))
+        // arrays of flat records: lambda methods (filter/map_each) and
+        // generic field access consume these
+        case at @ ArrayType(el: StructType, _) if el.fields.forall(f => f.dataType match {
+          case StringType | BooleanType => true
+          case dt => isNumeric(dt)
+        }) => Some((c, at))
         case _ => None // timestamps/binary/maps/nested structs: interpreter
       }
     }
@@ -421,7 +427,28 @@ object Compile {
       case RootRef => None
       case VarRef(n) => lets.get(n)
       case MetaRef(_) => None
-      case f @ Field(_, _) => pathOf(f, Nil).flatMap(resolvePath)
+      case f @ Field(inner, name) =>
+        // `this`-rooted paths resolve against the static schema; otherwise
+        // (lambda variables, let-bound structs) access the compiled struct
+        pathOf(f, Nil).flatMap(resolvePath).orElse {
+          ce(inner).flatMap { case (c, t) => t match {
+            case st: StructType => st.find(_.name == name).flatMap { fld =>
+              val fc = c.getField(name)
+              if (isIntKind(fld.dataType) && fld.dataType != LongType)
+                Some((fc.cast(LongType), LongType))
+              else if (isFloatKind(fld.dataType) && fld.dataType != DoubleType)
+                Some((fc.cast(DoubleType), DoubleType))
+              else fld.dataType match {
+                case StringType | LongType | DoubleType | BooleanType => Some((fc, fld.dataType))
+                case at @ ArrayType(el, _) if el == StringType || el == LongType || el == BooleanType =>
+                  Some((fc, at))
+                case st2: StructType => Some((fc, st2)) // chained access
+                case _ => None
+              }
+            }
+            case _ => None
+          }}
+        }
       case FnCall("json", Vector(Lit(p: String))) => resolvePath(p.split('.').toSeq)
       case FnCall("env", Vector(Lit(n: String))) =>
         env.get(n).map(v => (lit(v), StringType)) // absent env → interpreter (null-vs-"null" concat parity)
@@ -634,6 +661,38 @@ object Compile {
             case (a, at) if isNumeric(at) =>
               (pow(c.cast(DoubleType), a.cast(DoubleType)), DoubleType)
           }
+        case _ => None
+      }
+      case "filter" | "map_each" => target.flatMap {
+        case (c, at @ ArrayType(et, _)) => args.headOption.flatMap {
+          case lam: Lambda =>
+            // element binding normalizes int/float kinds like resolvePath
+            def bindElem(x: Column): (Column, DataType) =
+              if (isIntKind(et) && et != LongType) (x.cast(LongType), LongType)
+              else if (isFloatKind(et) && et != DoubleType) (x.cast(DoubleType), DoubleType)
+              else (x, et)
+            def bodyWith(x: Column) = compileExpr(lam.body, schema,
+              lets + (lam.param -> bindElem(x)), env)
+            // probe once for compilability + result type, then build the
+            // HOF with the real lambda variable (deterministic recompile)
+            bodyWith(lit(null).cast(et)).flatMap { case (_, bt) =>
+              name match {
+                case "filter" if bt == BooleanType =>
+                  Some((filter(c, (x: Column) => bodyWith(x).get._1), at))
+                case "map_each" =>
+                  Some((transform(c, (x: Column) => bodyWith(x).get._1), ArrayType(bt)))
+                case _ => None
+              }
+            }
+          case _ => None // `.filter(non-lambda)` → interpreter
+        }
+        case _ => None // object filter/map_each → interpreter
+      }
+      case "sort" if args.isEmpty => target.flatMap {
+        case (c, at @ ArrayType(et, _)) if et == StringType || et == LongType || et == DoubleType =>
+          // interpreter sort() is ascending cmpVals over uniform scalars —
+          // array_sort is the exact twin for these element types
+          Some((array_sort(c), at))
         case _ => None
       }
       case "join" => target.flatMap {

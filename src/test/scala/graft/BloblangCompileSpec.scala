@@ -183,6 +183,29 @@ class BloblangCompileSpec extends SparkSpec {
     """, fixture.filter(size(col("arr")) > 0))
   }
 
+  test("differential: lambda methods — filter, map_each, sort over arrays") {
+    differential("""
+      root.ups = this.arr.map_each(t -> t.uppercase())
+      root.nonempty = this.arr.filter(t -> t.length() > 0)
+      root.sorted = this.arr.sort()
+      root.chain = this.arr.filter(t -> t != "y").map_each(t -> t + "!").sort().join("|")
+    """)
+    // arrays of records: lambda field access compiles to struct getField
+    val locs = Seq(
+      (1L, Seq(("Seattle", "WA", 700L), ("Portland", "OR", 650L), ("Spokane", "WA", 220L))),
+      (2L, Seq(("Boise", "ID", 230L))),
+      (3L, Seq.empty[(String, String, Long)])
+    ).toDF("k", "raw")
+      .select(col("k"), expr(
+        "transform(raw, r -> named_struct('name', r._1, 'state', r._2, 'pop', r._3))")
+        .as("locations"))
+    // the reference's cities.blobl shape — filter/map_each/sort/join chain
+    differential("""
+      root.cities = this.locations.filter(loc -> loc.state == "WA").map_each(loc -> loc.name).sort().join(", ")
+      root.big = this.locations.filter(loc -> loc.pop > 300).map_each(loc -> loc.name)
+    """, locs)
+  }
+
   test("interpolation templates compile to a single native Column") {
     val tpl = """user ${! this.k } -> ${! this.s.uppercase() } (${! this.mn | "none" })"""
     val compiled = Compile.tryCompileTemplate(tpl, fixture.schema)
