@@ -499,6 +499,25 @@ pipeline:
           get_json_object(col("resp"), "$.tag").as("tag"))
     }),
 
+    // durable FIFO buffer on embedded JDBC (buffer_sqlite.go:25 — the
+    // sqlite buffer's append/drain/ack lifecycle on Derby): messages
+    // survive as rows until acked; the gate round-trips the events table
+    // through append -> ordered drain. Ack/replay semantics in BufferSpec.
+    "buffer_jdbc" -> ((s, dir) => {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft_buf")
+      System.setProperty("derby.stream.error.file",
+        dbDir.resolve("derby.log").toString)
+      val url = s"jdbc:derby:${dbDir.resolve("db")};create=true"
+      graft.operators.Buffers.create(url)
+      val ev = t(s, dir, "events").select(to_json(struct(
+        col("event_id"), col("event_type"), col("value"))).as("content"))
+      graft.operators.Buffers.append(ev, "content", url)
+      graft.operators.Buffers.drain(s, url).select(
+        get_json_object(col("content"), "$.event_id").cast(LongType).as("event_id"),
+        get_json_object(col("content"), "$.event_type").as("event_type"),
+        get_json_object(col("content"), "$.value").cast(DoubleType).as("value"))
+    }),
+
     // sql_insert -> sql_select round-trip over a REAL embedded JDBC
     // database (Apache Derby, already on the Spark classpath — no new
     // deps). sql_insert (impl/sql/processor_sql_insert.go:25) appends the
@@ -541,6 +560,8 @@ pipeline:
       """SELECT event_id, event_id * 2 AS twice,
            'u' || (event_id % 7)::VARCHAR AS tag
          FROM events""",
+    "buffer_jdbc" ->
+      """SELECT event_id, event_type, value FROM events""",
     "proc_archive_tar" ->
       """SELECT user_id, event_id::VARCHAR AS entry_name, props AS content FROM events""",
     "proc_archive_zip" ->
