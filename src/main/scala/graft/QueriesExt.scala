@@ -482,16 +482,53 @@ pipeline:
           x.close()
         }
       })
-      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
-      server.start() // lives for the JVM; lazy evaluation happens later
+      // DAEMON pool: a plain fixed pool's non-daemon threads would keep
+      // the whole JVM alive after main() returns — Verify/Bench would
+      // never exit (observed: a Verify process wedged for 45+ minutes)
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32,
+        (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th }))
+      // start() spawns the JDK-internal "HTTP-Dispatcher" accept thread,
+      // which inherits daemon status from the CREATING thread — started
+      // inline it is non-daemon and wedges the JVM exactly like the worker
+      // pool did (observed: DestroyJavaVM parked behind HTTP-Dispatcher).
+      // Start from a short-lived daemon thread so it inherits daemon=true.
+      val starter = new Thread(() => server.start())
+      starter.setDaemon(true)
+      starter.start()
+      starter.join() // server lives for the JVM; lazy evaluation happens later
       val port = server.getAddress.getPort
-      val ev = t(s, dir, "events").select(col("event_id"))
-      graft.operators.External.perPartitionLookup[java.net.http.HttpClient, (Long, String)](
-          ev)(() => java.net.http.HttpClient.newHttpClient()) { (client, row) =>
+      // the parallelism knob that matters for per-message external calls:
+      // the scan of a small parquet yields 1-2 partitions, and sequential
+      // keep-alive round-trips run ~200 req/s — repartition so request
+      // latency is paid across 32 concurrent per-partition clients
+      // (exactly how the reference scales: parallel pipeline threads)
+      val ev = t(s, dir, "events").select(col("event_id")).repartition(32)
+      // mutable holder so a failed request can RECREATE the client: a
+      // response lost to a keep-alive race leaves the pooled connection
+      // desynchronized, and every retry on the same client reuses it —
+      // observed at sf0.1 (~100k requests): the task parked forever while
+      // a fresh connection to the same server answered instantly. Timeout
+      // + bounded retry + client recycle is the reference http processor's
+      // retry contract done properly (processor_http.go backoff config).
+      final class HttpHolder { var c: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient() }
+      graft.operators.External.perPartitionLookup[HttpHolder, (Long, String)](
+          ev)(() => new HttpHolder) { (h, row) =>
           val id = row.getLong(0)
           val req = java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(s"http://127.0.0.1:$port/enrich?k=$id")).GET().build()
-          (id, client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+              java.net.URI.create(s"http://127.0.0.1:$port/enrich?k=$id"))
+            .timeout(java.time.Duration.ofSeconds(5)).GET().build()
+          var body: String = null
+          var attempt = 0
+          while (body == null) {
+            attempt += 1
+            try body = h.c.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+            catch {
+              case _: java.io.IOException if attempt < 5 =>
+                h.c = java.net.http.HttpClient.newHttpClient() // drop poisoned pool
+            }
+          }
+          (id, body)
         }(_ => ())
         .toDF("event_id", "resp")
         .select(col("event_id"),

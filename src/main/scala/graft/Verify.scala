@@ -22,7 +22,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the final
+      // stage to one task, serializing every per-partition computation
+      // (mapPartitions lookups, codec UDFs) upstream of it; the shuffle
+      // boundary keeps the query's own parallelism and only funnels
+      // result rows into the single output file
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -691,8 +691,25 @@ object Compile {
       case "sort" if args.isEmpty => target.flatMap {
         case (c, at @ ArrayType(et, _)) if et == StringType || et == LongType || et == DoubleType =>
           // interpreter sort() is ascending cmpVals over uniform scalars —
-          // array_sort is the exact twin for these element types
+          // array_sort is the exact twin for these element types.
+          // sort_by stays interpreter-only: the interpreter's sortWith is
+          // STABLE on key ties, array_sort's comparator form is not.
           Some((array_sort(c), at))
+        case _ => None
+      }
+      case "unique" if args.isEmpty => target.collect {
+        // interpreter dedups by marshalJson keeping first occurrence;
+        // array_distinct is the exact twin for these element types
+        // (double stays out: "1.0" vs 1 marshal formatting)
+        case (c, at @ ArrayType(et, _)) if et == StringType || et == LongType || et == BooleanType =>
+          (array_distinct(c), at)
+      }
+      case "append" => target.flatMap {
+        case (c, at @ ArrayType(et, _)) if args.nonEmpty =>
+          // strict same-type appends only (valueEq coercions → interpreter)
+          val vs = args.map(a => ce(a).filter(_._2 == et))
+          if (vs.exists(_.isEmpty)) None
+          else Some((concat(c, array(vs.flatten.map(_._1): _*)), at))
         case _ => None
       }
       case "join" => target.flatMap {

@@ -204,6 +204,11 @@ class BloblangCompileSpec extends SparkSpec {
       root.cities = this.locations.filter(loc -> loc.state == "WA").map_each(loc -> loc.name).sort().join(", ")
       root.big = this.locations.filter(loc -> loc.pop > 300).map_each(loc -> loc.name)
     """, locs)
+    differential("""
+      root.uniq = this.arr.append("x", "q", "x").unique()
+      root.app = this.arr.append("zz", "aa")
+      root.both = this.arr.append("x").unique().sort()
+    """)
   }
 
   test("interpolation templates compile to a single native Column") {
