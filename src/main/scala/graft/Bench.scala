@@ -35,7 +35,9 @@ object Bench {
 
     // JVM+codegen warmup on the smallest SF so timings measure the plan,
     // not first-query classloading.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try forceEval(n, "/root/testdata/sf0.001")
       catch { case e: Throwable => System.err.println(s"[bench/warmup] $n: ${e.getMessage}") }
@@ -53,6 +55,12 @@ object Bench {
         // collects their weak refs — without this, back-to-back runs
         // accumulate block-manager state and later runs measure memory
         // pressure, not the plan (observed: cosine_topk 0.9 s → 3.6 s).
+        // getPersistentRDDs + blocking unpersist removes checkpoint blocks
+        // SYNCHRONOUSLY — the async cleaner path still left gigabytes of
+        // earlier queries' blocks in flight when the next timing started
+        // (observed: cosine_topk 1.1 s isolated vs 3.4 s after minhash).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()

@@ -129,6 +129,50 @@ object QueriesProc {
         split(col("value"), "\\|").getItem(1).as("n_name"))
     }),
 
+    // http_server input + sync_response processor
+    // (input_http_server.go:178, processor_sync_response.go:37): external
+    // producers POST JSON; the pipeline evaluates each micro-batch as ONE
+    // distributed Catalyst plan and the processed payload goes back as the
+    // synchronous HTTP response. Request path + verb travel as metadata
+    // (input_http_server.go:216). Clients here are the gate's producers —
+    // 512 async in-flight posts against a 512-thread serving edge, so
+    // micro-batches stay hundreds of rows wide, never 1.
+    "src_http_server" -> ((s, dir) => {
+      val input = new graft.operators.HttpServerInput(timeoutSec = 120)
+      val port = input.start()
+      // fixture: the events subset the producers will post
+      val ev = t(s, dir, "events").filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("value")).collect()
+      val exec = java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th })
+      val client = java.net.http.HttpClient.newBuilder().executor(exec).build()
+      val sem = new java.util.concurrent.Semaphore(512)
+      val poster = new Thread(() => ev.foreach { r =>
+        sem.acquire()
+        val id = r.getLong(0)
+        // Double.toString is the shortest round-trip repr — parses back exact
+        val body = s"""{"event_id":$id,"value":${r.getDouble(1)}}"""
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/post/t${id % 3}"))
+          .timeout(java.time.Duration.ofSeconds(60))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+        client.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .whenComplete((_, _) => sem.release())
+      })
+      poster.setDaemon(true)
+      poster.start()
+      val out = input.serve(s, batch => batch.select(
+          col("msg_id"),
+          get_json_object(col("content"), "$.event_id").cast(LongType).as("event_id"),
+          round(get_json_object(col("content"), "$.value").cast(DoubleType) * 2, 6).as("twice"),
+          concat(lit("u"), get_json_object(col("content"), "$.event_id").cast(LongType) % 7).as("tag"),
+          col("http_server_request_path").as("req_path"))
+        .withColumn("response", to_json(struct(col("event_id"), col("twice"), col("tag")))),
+        expected = ev.length)
+      input.stop()
+      out.select("event_id", "twice", "tag", "req_path")
+    }),
+
     // workflow DAG (processor_workflow.go:33): stages declared out of
     // order; topo-sort must run A before B before C
     "proc_workflow" -> ((s, dir) => Flow(t(s, dir, "orders"))
@@ -336,6 +380,11 @@ object QueriesProc {
       """SELECT event_id, event_type FROM events""",
     "src_socket" ->
       """SELECT n_nationkey, n_name FROM nation""",
+    "src_http_server" ->
+      """SELECT event_id, round(value * 2, 6) AS twice,
+           'u' || (event_id % 7) AS tag,
+           '/post/t' || (event_id % 3) AS req_path
+         FROM events WHERE event_id % 10 = 0""",
     "proc_workflow" ->
       """SELECT o_orderkey, (o_totalprice * 0.9 + 10.0) * 2.0 AS final FROM orders""",
     "proc_while" ->

@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.net.InetSocketAddress
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, Executors, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** `http_server` input + `sync_response` processor
+  * (impl/io/input_http_server.go:178, impl/pure/processor_sync_response.go:37).
+  *
+  * Receive messages POSTed over HTTP, run the pipeline over them, and hand
+  * the processed payload back as the synchronous HTTP response. The
+  * reference holds one in-flight transaction per request and writes the
+  * response when the pipeline calls `sync_response`; the Spark mapping
+  * micro-batches instead: pending requests drain into a DataFrame, ONE
+  * Catalyst plan evaluates the whole batch distributed, and the driver —
+  * which owns the client sockets, exactly like the reference's
+  * single-process server — completes each request's future from the
+  * result. Per-request latency is bounded by the micro-batch cadence;
+  * throughput scales with the cluster because the per-batch plan does.
+  *
+  * Request metadata mirrors the reference: the registered `path` is a
+  * prefix route, the full request path and verb travel with the message
+  * (`http_server_request_path`, `http_server_verb` —
+  * input_http_server.go:216-221).
+  *
+  * At scale the response fan-back stays on the ingest edge by
+  * construction (sockets live where requests land); the result
+  * accumulation below is gate/test plumbing — a production flow writes
+  * the processed batches to a sink instead of keeping them.
+  */
+object HttpServerInput {
+  /** One pending request: body + routing metadata + its response future. */
+  private final case class Pending(id: Long, body: String, reqPath: String,
+                                   verb: String, fut: CompletableFuture[String])
+}
+
+final class HttpServerInput(path: String = "/post", timeoutSec: Long = 60) {
+  import HttpServerInput.Pending
+
+  private val queue = new LinkedBlockingQueue[Pending]()
+  private val ids = new AtomicLong(0L)
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext(path, new com.sun.net.httpserver.HttpHandler {
+    override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+      val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      val p = Pending(ids.getAndIncrement(), body,
+        x.getRequestURI.getPath, x.getRequestMethod, new CompletableFuture[String])
+      queue.put(p)
+      val (code, resp) =
+        try (200, p.fut.get(timeoutSec, TimeUnit.SECONDS).getBytes("UTF-8"))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          (504, "sync response timed out".getBytes("UTF-8")) }
+      x.getResponseHeaders.add("Content-Type", "application/json")
+      x.sendResponseHeaders(code, resp.length)
+      x.getResponseBody.write(resp)
+      x.close()
+    }
+  })
+  // Each handler thread BLOCKS on its request's future until the
+  // micro-batch that contains it completes — the pool size caps the
+  // number of in-flight sync responses and therefore the micro-batch
+  // width. 512 keeps batches hundreds wide under a saturating producer.
+  server.setExecutor(Executors.newFixedThreadPool(512,
+    (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th }))
+
+  /** Start listening; returns the bound port. The JDK-internal
+    * HTTP-Dispatcher accept thread inherits daemon status from the
+    * creating thread — start from a daemon thread or the JVM never
+    * exits (same hazard as the worker pool). */
+  def start(): Int = {
+    val starter = new Thread(() => server.start())
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    server.getAddress.getPort
+  }
+
+  /** Graceful stop: the 1s delay lets handler threads finish writing
+    * responses whose futures were just completed — stop(0) tears the
+    * exchanges down mid-write and clients see truncated responses. */
+  def stop(): Unit = server.stop(1)
+
+  /** Schema of the micro-batch DataFrame handed to the pipeline. */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("msg_id", LongType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("http_server_request_path", StringType, nullable = false),
+    StructField("http_server_verb", StringType, nullable = false)))
+
+  /** Drain `expected` messages through `transform` in micro-batches of up
+    * to `maxBatch`, completing each request's sync response from the
+    * result's `response` column (matched back by `msg_id` — the pipeline
+    * may project/compute freely but must keep both columns). Messages the
+    * pipeline drops get an empty 200, the reference's no-response
+    * behavior. Returns every processed batch's rows as one DataFrame.
+    */
+  def serve(spark: SparkSession, transform: DataFrame => DataFrame,
+            expected: Long, maxBatch: Int = 4096): DataFrame = {
+    var seen = 0L
+    val acc = ArrayBuffer.empty[Row]
+    var outSchema: StructType = null
+    while (seen < expected) {
+      val first = queue.poll(timeoutSec, TimeUnit.SECONDS)
+      if (first == null)
+        throw new java.util.concurrent.TimeoutException(
+          s"http_server: no request within ${timeoutSec}s ($seen/$expected seen)")
+      val batch = new java.util.ArrayList[Pending]()
+      batch.add(first)
+      queue.drainTo(batch, maxBatch - 1)
+      val pending = batch.asScala
+      val futs = new ConcurrentHashMap[Long, CompletableFuture[String]]()
+      pending.foreach(p => futs.put(p.id, p.fut))
+      val in = spark.createDataFrame(
+        pending.map(p => Row(p.id, p.body, p.reqPath, p.verb)).asJava, inputSchema)
+      val out = transform(in)
+      val idIx = out.schema.fieldIndex("msg_id")
+      val respIx = out.schema.fieldIndex("response")
+      val rows = out.collect()
+      rows.foreach { r =>
+        val f = futs.remove(r.getLong(idIx))
+        if (f != null) f.complete(r.getString(respIx))
+      }
+      // pipeline-dropped messages: empty 200, never a hung client
+      futs.values().asScala.foreach(_.complete(""))
+      if (outSchema == null) outSchema = out.schema
+      acc ++= rows
+      seen += pending.size
+    }
+    spark.createDataFrame(acc.asJava, outSchema)
+  }
+}
