@@ -129,6 +129,26 @@ object QueriesProc {
         split(col("value"), "\\|").getItem(1).as("n_name"))
     }),
 
+    // websocket input (input_websocket.go:37): the JDK RFC 6455 client
+    // connects to a ws server, sends its open_messages, and continuously
+    // receives text messages. The server end is the from-scratch RFC 6455
+    // fixture (conn/Ws.scala — public-spec handshake + framing); at scale
+    // only the URL changes and the received frames drain into a durable
+    // spool (ws is non-replayable ingest, like the reference's).
+    "src_websocket" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "supplier")
+        .select(concat_ws("|", col("s_suppkey"), col("s_name"), col("s_nationkey")))
+        .as[String].collect().sorted
+      val server = new graft.conn.Ws.Server(rows, expectOpen = Seq("start")).start()
+      val got = try graft.conn.Ws.receive(server.url, Seq("start"), rows.length)
+        finally server.stop()
+      s.createDataset(got).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("s_suppkey"),
+        split(col("line"), "\\|").getItem(1).as("s_name"),
+        split(col("line"), "\\|").getItem(2).cast(LongType).as("s_nationkey"))
+    }),
+
     // http_server input + sync_response processor
     // (input_http_server.go:178, processor_sync_response.go:37): external
     // producers POST JSON; the pipeline evaluates each micro-batch as ONE
@@ -380,6 +400,8 @@ object QueriesProc {
       """SELECT event_id, event_type FROM events""",
     "src_socket" ->
       """SELECT n_nationkey, n_name FROM nation""",
+    "src_websocket" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier""",
     "src_http_server" ->
       """SELECT event_id, round(value * 2, 6) AS twice,
            'u' || (event_id % 7) AS tag,
