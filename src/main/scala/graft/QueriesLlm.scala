@@ -120,6 +120,17 @@ object QueriesLlm {
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // IVF-bucketed ANN (the second scale path next to LSH: k-means
+    // inverted lists + nProbe-cell candidate pruning; recall gated >= 0.9
+    // on clustered fixtures in MlSpec like lshTopK)
+    "llm_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 64, q, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // multimodal plumbing: binary payload + typed metadata → features
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)

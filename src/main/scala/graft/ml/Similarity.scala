@@ -61,6 +61,112 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Spherical k-means centroids for an IVF index, trained distributed
+    * with a fixed iteration count and a fully deterministic start (the
+    * `nCells` corpus rows with the smallest xxhash64(id) — no RNG, no
+    * fork-order dependence). Each iteration is one Spark job: broadcast
+    * centroids, argmax-dot assignment in a fused per-row loop, then
+    * `dim` avg aggregates per cell. Centroid state is nCells × dim
+    * doubles — driver-resident by design (kilobytes), the corpus never
+    * leaves its partitions. `trainMod > 1` trains on the deterministic
+    * 1/trainMod hash-sample of the corpus — at 100 TB centroid quality
+    * needs a sample, not a full pass. */
+  def ivfCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   dim: Int, nCells: Int, iters: Int = 4,
+                   trainMod: Int = 1): Array[Array[Double]] = {
+    val base0 = corpus.select(col(corpusId).as("_id"),
+      normalized(col(corpusVec)).as("_nv"))
+    val base = (if (trainMod > 1)
+      base0.filter(pmod(xxhash64(col("_id")), lit(trainMod)) === 0) else base0)
+      .localCheckpoint() // scanned once; reused every iteration
+    var cents = base.orderBy(xxhash64(col("_id")), col("_id")).limit(nCells)
+      .select("_nv").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assign = assignCell(cents)
+      val means = base.groupBy(assign(col("_nv")).as("_cell"))
+        .agg(array((0 until dim).map(i => avg(col("_nv").getItem(i))): _*).as("_m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map { c =>
+        means.get(c).map(unitNorm).getOrElse(cents(c)) // empty cell keeps its centroid
+      }.toArray
+    }
+    cents
+  }
+
+  private def unitNorm(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def normalized(vec: Column): Column = {
+    val f = udf { (v: Seq[Float]) => unitNorm(v.map(_.toDouble).toArray) }
+    f(vec.cast(ArrayType(FloatType)))
+  }
+
+  /** argmax-dot cell assignment against unit-norm centroids (one fused
+    * loop — see hyperplaneSignature for why not an expression tree). */
+  private def assignCell(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        var dot = 0.0
+        var i = 0
+        val row = cents(c)
+        val n = math.min(row.length, v.length)
+        while (i < n) { dot += row(i) * v(i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** `nProbe` nearest cells for a query vector (driver-built centroid
+    * matrix, executor-fused loop): the IVF probe list. */
+  private def probeCells(cents: Array[Array[Double]], nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      cents.indices.map { c =>
+        var dot = 0.0
+        var i = 0
+        val row = cents(c)
+        val n = math.min(row.length, v.length)
+        while (i < n) { dot += row(i) * v(i); i += 1 }
+        (-dot, c)
+      }.sorted.take(nProbe).map(_._2)
+    }
+
+  /** IVF ANN: k-means-partition the corpus into `nCells` inverted lists,
+    * probe the `nProbe` nearest lists per query, brute-force only inside
+    * them. The 100 TB shape: the corpus is scanned once to tag cells (and
+    * in a real deployment written out partitioned BY cell so probes prune
+    * at the scan — partition pruning does the candidate selection), the
+    * candidate join is corpus-side-narrow (nProbe/nCells of the data), and
+    * the centroid state stays kilobytes. Recall is tunable via nProbe;
+    * gated >= 0.9 on clustered fixtures in MlSpec alongside LSH. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String, dim: Int,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 4,
+              trainMod: Int = 1): DataFrame = {
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters, trainMod)
+    val assign = assignCell(cents)
+    val probe = probeCells(cents, nProbe)
+    val c = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("_cv"),
+      assign(normalized(col(corpusVec))).as("_cell"))
+    val q = broadcast(queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
+        explode(probe(normalized(col(queryVec)))).as("_cell")))
+    val scored = c.join(q, Seq("_cell"))
+      .withColumn("cosine", Blob.cosineSimilarity(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN: score only pairs sharing a bucket in >=1 of `tables`
     * hyperplane tables. Recall < 1.0 but corpus-side work drops from
     * O(|corpus| * |queries|) to O(bucket collisions). */

@@ -228,6 +228,53 @@ class MlSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered LSH recall $recall")
   }
 
+  test("IVF ANN on clustered embeddings reaches recall >= 0.9 vs exact top-k") {
+    // Same planted-neighborhood fixture as the LSH gate: 10 gaussian
+    // centers, 40 members each, queries near the centers. With 10 true
+    // clusters and 12 cells / 4 probes the right inverted lists must be
+    // probed for >= 90% of each query's cluster-mates.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(10, dim)(rnd.nextGaussian().toFloat)
+    def near(c: Array[Float]): Seq[Float] =
+      c.map(x => x + 0.08f * rnd.nextGaussian().toFloat).toSeq
+    val corpus = (0 until 400).map(i => (i.toLong, near(centers(i % 10))))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 30).map(i => ((1000 + i).toLong, near(centers(i % 10))))
+      .toDF("vec_id", "embedding")
+    val k = 10
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, "vec_id", "embedding", dim,
+        queries, "vec_id", "embedding", k, nCells = 12, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered IVF recall $recall")
+  }
+
+  test("IVF ANN retrieves the source of perturbed near-duplicate queries") {
+    val perturbed = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i % 7 === 0, x * 1.02f + lit(0.005f)).otherwise(x)).as("embedding"))
+    val res = Similarity.ivfTopK(emb, "vec_id", "embedding", 64,
+      perturbed, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+    val hits = res.filter(col("vec_id") === col("query_id") - 100000L)
+      .select("query_id").distinct().count()
+    // the perturbed twin lands in (or right next to) the source's cell;
+    // 4/16 probes must recover the source for >= 47/50 queries
+    assert(hits >= 47, s"IVF source-retrieval recall $hits/50")
+  }
+
+  test("IVF centroids are deterministic and unit-norm") {
+    val a = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64, nCells = 8, iters = 3)
+    val b = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64, nCells = 8, iters = 3)
+    assert(a.length == 8)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    assert(a.forall(c => math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+  }
+
   test("LSH ANN retrieves the source of perturbed near-duplicate queries") {
     // Structured near-dup case (the workload LSH exists for): each query is
     // a lightly-perturbed corpus vector; the source must appear in top-k.
