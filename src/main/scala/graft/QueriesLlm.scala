@@ -260,6 +260,23 @@ object QueriesLlm {
         round(col("mean_b"), 6).as("mean_b"),
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_r"), 6).as("mean_r"))
+    }),
+
+    // REAL video-container frame extraction: RIFF/AVI walked from scratch,
+    // uncompressed-DIB frames decoded from the spec (functions/Avi.scala;
+    // MJPEG rides ImageIO, spec-gated in AviSpec). Same per-frame pixel
+    // formula as mm_frames_gif, so the oracle arithmetic is shared.
+    "mm_frames_avi" -> ((s, dir) => {
+      val mk = udf((k: Long) => Multimodal.syntheticAvi(k, (2 + k % 3).toInt))
+      val media = t(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        mk(col("doc_id").cast(LongType)).as("data"))
+      Multimodal.aviFrameStats(media).toDF().select(
+        col("media_id"), col("frame_idx"),
+        col("w").cast(LongType).as("w"), col("h").cast(LongType).as("h"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_r"), 6).as("mean_r"))
     })
   )
 
@@ -426,6 +443,22 @@ object QueriesLlm {
     // same pixel formula as the Spark-side GIF synthesizer, plus the
     // per-frame term f*53; frames per doc = 2 + doc_id % 3
     "mm_frames_gif" -> {
+      def chan(c: Int) = (for (y <- 0 to 1; x <- 0 to 1)
+        yield s"((doc_id*37 + frame_idx*53 + ${y * 16 + x * 4 + c}) % 256)/255.0")
+        .mkString("(", " + ", ")")
+      s"""WITH f AS (
+           SELECT doc_id, unnest(generate_series(0, (1 + doc_id % 3)::INT)) AS frame_idx
+           FROM documents)
+         SELECT doc_id AS media_id, frame_idx::INTEGER AS frame_idx,
+           2::BIGINT AS w, 2::BIGINT AS h,
+           round(${chan(0)} / 4.0, 6) AS mean_b,
+           round(${chan(1)} / 4.0, 6) AS mean_g,
+           round(${chan(2)} / 4.0, 6) AS mean_r
+         FROM f"""
+    },
+    // identical pixel/frame arithmetic — raw-DIB AVI frames are lossless
+    // like GIF palettes, so the two container paths share one oracle
+    "mm_frames_avi" -> {
       def chan(c: Int) = (for (y <- 0 to 1; x <- 0 to 1)
         yield s"((doc_id*37 + frame_idx*53 + ${y * 16 + x * 4 + c}) % 256)/255.0")
         .mkString("(", " + ", ")")

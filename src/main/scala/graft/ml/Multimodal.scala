@@ -147,10 +147,12 @@ object Multimodal {
       crossings / math.max(1.0, nn - 1), sumAbs / nn, 0.0, 0.0, 0.0)
   }
 
-  /** STUB decoder for formats without a pure-JDK parser (video codecs —
-    * MP4/H.264-class; PNG/JPEG/GIF/BMP/WAV all decode for real above):
-    * deterministic byte-histogram moments so tests are stable. This is
-    * the seam where an ffmpeg-class codec would plug in. */
+  /** STUB decoder for formats without a pure-JDK parser (inter-frame
+    * video codecs — MP4/H.264-class; PNG/JPEG/GIF/BMP/WAV decode for real
+    * above, and AVI containers with DIB/MJPEG frames via
+    * [[aviFrameStats]]): deterministic byte-histogram moments so tests
+    * are stable. This is the seam where an ffmpeg-class codec would
+    * plug in. */
   private def decodeStub(modality: String, data: Array[Byte]): Array[Double] = {
     // ??? <- native codec goes here; deterministic fake below
     val out = new Array[Double](8)
@@ -217,6 +219,52 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** REAL multi-frame decode for AVI video: one row of channel stats per
+    * frame via the from-scratch RIFF/AVI container parser
+    * (functions/Avi.scala — uncompressed-DIB frames decoded from spec,
+    * MJPEG frames via ImageIO). With GIF and AVI/MJPEG real, the decoder
+    * stub covers ONLY inter-frame codecs (H.264-class, which need a
+    * native decoder). Same partition-local contract as
+    * [[gifFrameStats]]. */
+  def aviFrameStats(media: DataFrame): Dataset[FrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "data").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          if (data == null || !graft.functions.Avi.isAvi(data)) Iterator.empty
+          else graft.functions.Avi.decodeFrames(data).iterator.zipWithIndex.map {
+            case (fr, i) =>
+              var (sb, sg, sr) = (0.0, 0.0, 0.0)
+              var k = 0
+              while (k < fr.pixels.length) {
+                val rgb = fr.pixels(k)
+                sb += (rgb & 0xFF) / 255.0
+                sg += ((rgb >> 8) & 0xFF) / 255.0
+                sr += ((rgb >> 16) & 0xFF) / 255.0
+                k += 1
+              }
+              val np = math.max(1, fr.pixels.length).toDouble
+              FrameStats(id, i, fr.w, fr.h, sb / np, sg / np, sr / np)
+          }
+        }
+      }
+  }
+
+  /** Deterministic 2×2 uncompressed AVI with the SAME per-frame pixel
+    * formula as [[syntheticGif]] (channel c of pixel (x, y) in frame f =
+    * (key*37 + f*53 + y*16 + x*4 + c) mod 256) — raw DIB frames are
+    * lossless, so the GIF oracle arithmetic carries over unchanged. */
+  def syntheticAvi(key: Long, nFrames: Int): Array[Byte] = {
+    def ch(x: Int, y: Int, c: Int, f: Int): Int =
+      (((key * 37 + f * 53 + y * 16 + x * 4 + c) % 256) + 256).toInt % 256
+    val frames = (0 until nFrames).map { f =>
+      (for (y <- 0 until 2; x <- 0 until 2)
+        yield (ch(x, y, 2, f) << 16) | (ch(x, y, 1, f) << 8) | ch(x, y, 0, f)).toArray
+    }
+    graft.functions.Avi.write(2, 2, rawFrames = frames)
   }
 
   /** Deterministic animated 2×2 GIF: channel c of pixel (x, y) in frame f
