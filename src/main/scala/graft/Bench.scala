@@ -61,6 +61,12 @@ object Bench {
         // (observed: cosine_topk 1.1 s isolated vs 3.4 s after minhash).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // streaming runs leave their state-store providers (and their
+        // in-memory version maps) loaded after query.stop(); across
+        // repeated runs that heap pressure bleeds into whatever query
+        // times next (observed: codec_parquet 2.4 s isolated vs 4.4 s
+        // after the stream_win_* triples)
+        org.apache.spark.sql.graftshim.StateStoreReset.unloadAll()
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
