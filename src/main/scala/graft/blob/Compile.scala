@@ -54,6 +54,12 @@ object Compile {
 
   val ScalarCol = "_content_scalar"
 
+  /** Schema of a raw (non-JSON) content frame: one string column holding
+    * the message bytes. `content()` compiles against it; anything needing
+    * a parsed document bails to the interpreter. */
+  val ScalarSchema: StructType =
+    StructType(Seq(StructField(ScalarCol, StringType, nullable = true)))
+
   /** Compiled `meta k = v` writes ride the structured frame as prefixed
     * string columns until the envelope boundary, so they survive chained
     * compiled stages (a later stage's projection preserves them, a later
@@ -140,37 +146,44 @@ object Compile {
       case _ => ce(e)
     }
 
-    /** Fold a document-independent expression to a literal Column by
-      * running the INTERPRETER over it driver-side — exact semantics for
-      * free. Only deterministic shapes qualify; null/double/collection
-      * results bail (null-regime / Go-float-format divergences). */
-    def constFold(e: Expr): Option[(Column, DataType)] = {
-      def isConst(x: Expr): Boolean = x match {
-        case Lit(_) => true
-        case FnCall("env", Vector(Lit(_: String))) => true
-        case FnCall(_, _) => false // uuid/now/random/counter/file/...
-        case Not(a) => isConst(a)
-        case Neg(a) => isConst(a)
-        case Bin(_, a, b) => isConst(a) && isConst(b)
-        case If(c, t, els) => isConst(c) && isConst(t) && els.forall(isConst)
-        case Match(t, cs) =>
-          t.forall(isConst) && cs.forall { case (p, r) => p.forall(isConst) && isConst(r) }
-        case MethodCall(t, name, args) =>
-          !Set("shuffle", "sample")(name) && isConst(t) && args.forall(isConst)
-        case _ => false // This/Root/Var/Meta/lambdas/object+array literals
-      }
-      if (!isConst(e)) None
-      else try {
-        val ctx = Interp.Ctx(() => throw new BlobError("document-free eval"),
-          "", scala.collection.mutable.Map.empty, Map.empty, env, Map.empty, VNothing)
-        Interp.eval(e, ctx) match {
-          case s: String => Some((lit(s), StringType))
-          case l: Long => Some((lit(l), LongType))
-          case b: Boolean => Some((lit(b), BooleanType))
-          case _ => None
-        }
-      } catch { case _: Exception => None }
+    /** Document-independence check for driver-side interpreter folding. */
+    def isConstExpr(x: Expr): Boolean = x match {
+      case Lit(_) => true
+      case FnCall("env", Vector(Lit(_: String))) => true
+      case FnCall(_, _) => false // uuid/now/random/counter/file/...
+      case Not(a) => isConstExpr(a)
+      case Neg(a) => isConstExpr(a)
+      case Bin(_, a, b) => isConstExpr(a) && isConstExpr(b)
+      case If(c, t, els) => isConstExpr(c) && isConstExpr(t) && els.forall(isConstExpr)
+      case Match(t, cs) =>
+        t.forall(isConstExpr) && cs.forall { case (p, r) => p.forall(isConstExpr) && isConstExpr(r) }
+      case MethodCall(t, name, args) =>
+        !Set("shuffle", "sample")(name) && isConstExpr(t) && args.forall(isConstExpr)
+      case ObjLit(fs) => fs.forall { case (k, v) => isConstExpr(k) && isConstExpr(v) }
+      case ArrLit(items) => items.forall(isConstExpr)
+      case _ => false // This/Root/Var/Meta/lambdas
     }
+
+    /** Evaluate a document-independent expression driver-side with the
+      * INTERPRETER — exact semantics for free. None = not constant or
+      * errored (the interpreter's row-error path must handle it). */
+    def constEval(e: Expr): Option[Any] =
+      if (!isConstExpr(e)) None
+      else try Some(Interp.eval(e,
+        Interp.Ctx(() => throw new BlobError("document-free eval"),
+          "", scala.collection.mutable.Map.empty, Map.empty, env, Map.empty, VNothing)))
+      catch { case _: Exception => None }
+
+    /** Fold a document-independent expression to a literal Column. Only
+      * deterministic scalar shapes qualify; null/double/collection results
+      * bail (null-regime / Go-float-format divergences in VALUE position). */
+    def constFold(e: Expr): Option[(Column, DataType)] =
+      constEval(e).flatMap {
+        case s: String => Some((lit(s), StringType))
+        case l: Long => Some((lit(l), LongType))
+        case b: Boolean => Some((lit(b), BooleanType))
+        case _ => None
+      }
 
     def setField(fs: Vector[(String, (Column, DataType))], name: String,
                  v: (Column, DataType)): Vector[(String, (Column, DataType))] =
@@ -185,6 +198,17 @@ object Compile {
       case AssignMeta(Some(k), e) if !k.contains('.') && !k.contains('`') =>
         e match {
           case FnCall("deleted", Vector()) => metaOps :+= k -> None
+          // constant values (incl. object/array literals) fold through the
+          // interpreter driver-side and render EXACTLY as its meta writes
+          // do: collections → marshalJson, scalars → toStr
+          // (Interp.runWithMeta) — so structured metadata compiles
+          case _ if constEval(e).isDefined => constEval(e).get match {
+            case VNothing => () // no write
+            case VDelete => metaOps :+= k -> None
+            case v @ (_: scala.collection.immutable.VectorMap[_, _] | _: Vector[_]) =>
+              metaOps :+= k -> Some(lit(Interp.marshalJson(v)))
+            case v => metaOps :+= k -> Some(lit(Interp.toStr(v)))
+          }
           case _ => ceField(e) match {
             // interpreter stringifies meta values via toStr, null → "null"
             // (Interp.runWithMeta); same renderer, so Long/Boolean/String
@@ -254,6 +278,9 @@ object Compile {
     }
 
     root match {
+      // `root = this` on raw (scalar) content means "parse the document" —
+      // runtime parse errors belong to the interpreter's error channel
+      case RWholeThis(_) if schema.fieldNames.contains(ScalarCol) => return None
       case RWholeThis(_) if !wholeThisSafe(schema) => return None
       // a content field colliding with the meta transport → bail
       case RFields(fs) if fs.exists(_._1.startsWith(MetaPrefix)) => return None
@@ -267,6 +294,10 @@ object Compile {
 
     val conds = filters // deletion predicates, in order
     val (ser, project): (Ser, DataFrame => DataFrame) = root match {
+      // a scalar-shaped input (raw line input / compiled scalar stage)
+      // passes through AS the raw string, never re-marshaled as JSON
+      case RPassthrough if schema.fieldNames.contains(ScalarCol) =>
+        (Scalar, identity[DataFrame] _)
       case RPassthrough => (EnvelopeDefault, identity[DataFrame] _)
       case RWholeThis(Vector()) => (SortedDropNull, identity[DataFrame] _)
       case RWholeThis(ovr) =>
@@ -450,6 +481,14 @@ object Compile {
           }}
         }
       case FnCall("json", Vector(Lit(p: String))) => resolvePath(p.split('.').toSeq)
+      case FnCall("content", Vector()) =>
+        // content() compiles only on a SCALAR-shaped frame (raw line input
+        // or the output of a compiled scalar mapping), where the content
+        // column IS the raw string. On structured frames the interpreter
+        // returns the original bytes, which a re-marshal can't promise.
+        schema.find(_.name == ScalarCol).collect {
+          case f if f.dataType == StringType => (col(ScalarCol), StringType)
+        }
       case FnCall("env", Vector(Lit(n: String))) =>
         env.get(n).map(v => (lit(v), StringType)) // absent env → interpreter (null-vs-"null" concat parity)
       case Not(x) => ce(x).collect { case (c, BooleanType) => (!c, BooleanType) }
@@ -626,6 +665,34 @@ object Compile {
         case _ => None
       }
       case "string" => strTarget.map(c => (c, StringType))
+      case "format" => target.flatMap {
+        // constant Go format string, %v/%s verbs only: the interpreter
+        // maps %v -> %s and String.format-renders Long/Boolean/String args
+        // exactly like a cast-to-string concat (Methods.scala:299-308)
+        case (_, StringType) => t match {
+          case Lit(fmt: String) =>
+            val masked = fmt.replace("%%", "\u0000")
+            if (masked.exists(ch => ch == '%') &&
+                !"%[^vs]".r.findFirstIn(masked).isDefined) {
+              val pieces = masked.split("%[vs]", -1)
+                .map(_.replace("\u0000", "%")).toSeq
+              if (pieces.length - 1 != args.length) None // arity error → interpreter
+              else {
+                val argCols = args.map(a => ce(a).flatMap {
+                  case (c, at) => toStrCol(c, at) })
+                if (argCols.exists(_.isEmpty)) None
+                else {
+                  val parts = pieces.map(p => lit(p): Column)
+                  val interleaved = parts.head +: argCols.flatten.zip(parts.tail)
+                    .flatMap { case (a, p) => Seq(a, p) }
+                  Some((concat(interleaved: _*), StringType))
+                }
+              }
+            } else None
+          case _ => None // dynamic format string → interpreter
+        }
+        case _ => None
+      }
       case "int64" => target.collect {
         case (c, LongType) => (c, LongType)
         case (c, DoubleType) => (c.cast(LongType), LongType) // trunc toward zero, both sides

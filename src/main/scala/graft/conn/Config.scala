@@ -53,7 +53,9 @@ object PipelineConfig {
       }
       for (st <- stages) {
         (structured, st.compile) match {
-          case (Some((df, ser)), Some(tryC)) if ser != Compile.Scalar =>
+          // scalar frames included: content() mappings compile against
+          // them (tryCompile bails on anything needing a parsed document)
+          case (Some((df, ser)), Some(tryC)) =>
             tryC(df.schema) match {
               case Some(c) => structured = Some((c.transform(df), combineSer(ser, c.ser)))
               case None => seal(); env = st.env(env)
@@ -137,7 +139,12 @@ object PipelineConfig {
         }
         val scanner = Option(conf.get("scanner")).map(s => one(section(s))._1).getOrElse("lines")
         spark => scanner match {
-          case "lines" => Right(rawEnvelope(Sources.lines(spark, path)))
+          // scalar-shaped structured frame: the raw line IS the content
+          // column, so content()-based mappings compile against the text
+          // scan instead of sealing straight to the interpreter. Sealing
+          // uncompiled yields exactly the old raw envelope.
+          case "lines" => Left((Sources.lines(spark, path)
+            .select(col("content").as(Compile.ScalarCol)), Compile.Scalar))
           case "json_documents" =>
             Left((Sources.jsonDocuments(spark, path), Compile.EnvelopeDefault))
           case "csv" => Left((Sources.csv(spark, path), Compile.EnvelopeDefault))

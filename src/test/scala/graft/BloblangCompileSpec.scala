@@ -48,6 +48,60 @@ class BloblangCompileSpec extends SparkSpec {
       s"compiled vs interpreted divergence for:\n$src\ncompiled=${got.take(3)}\ninterp=${want.take(3)}")
   }
 
+  /** Raw-content differential: the compiled path over a scalar frame
+    * (content() on non-JSON messages) vs the interpreter over the same
+    * raw strings. */
+  private def rawDifferential(src: String, contents: Seq[String]): Unit = {
+    val prog = Bloblang.parse(src)
+    val compiled = Compile.tryCompile(prog, Compile.ScalarSchema)
+    assert(compiled.isDefined, s"raw mapping did not compile:\n$src")
+    def metaKey(m: Map[String, String]): String =
+      m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    val df = contents.toDF(Compile.ScalarCol).coalesce(1)
+    val got = Compile.envelope(compiled.get.transform(df), compiled.get.ser)
+      .select(col(Msg.ContentCol), col(Msg.MetaCol))
+      .as[(String, Map[String, String])].collect().toSeq
+      .map { case (c, m) => (c, metaKey(Option(m).getOrElse(Map.empty))) }.sorted
+    val want = contents.flatMap { c =>
+      val (out, meta) = Interp.runWithMeta(prog, c, Map.empty, Map.empty)
+      out.map(o => (o, metaKey(meta)))
+    }.sorted
+    assert(got == want,
+      s"raw compiled vs interpreted divergence for:\n$src\ncompiled=${got.take(3)}\ninterp=${want.take(3)}")
+  }
+
+  test("raw differential: content() filters, scalar rewrites, format, const meta") {
+    val lines = Seq("hello world delete me please", "hello world 2",
+      "  padded text  ", "", "MIXED case Line")
+    rawDifferential("""root = if content().contains("delete me") { deleted() }""", lines)
+    rawDifferential("""root = content().uppercase()""", lines)
+    rawDifferential("""root = "%vend".format(content().uppercase().string())""", lines)
+    rawDifferential("""
+      root.up = content().uppercase()
+      root.n = content().length()
+    """, lines)
+    rawDifferential("""
+      meta foo = { "a": "hello" }
+      meta bar = { "b": { "c": "hello" } }
+      meta baz = [ { "a": "hello" }, { "b": { "c": "hello" } } ]
+    """, lines)
+    rawDifferential("""
+      root = content().trim()
+      root = if content().length() == 0 { deleted() }
+    """, lines)
+  }
+
+  test("format twin: %% escapes, arity mismatch and non-vs verbs stay interpreted") {
+    rawDifferential("""root = "100%% of %v".format(content().trim())""", Seq("a", "b"))
+    // %d verb and arity errors must NOT compile (interpreter owns them)
+    assert(Compile.tryCompile(Bloblang.parse(
+      """root = "%d".format(content())"""), Compile.ScalarSchema).isEmpty)
+    assert(Compile.tryCompile(Bloblang.parse(
+      """root = "%v %v".format(content())"""), Compile.ScalarSchema).isEmpty)
+    // root = this over raw content = document parse → interpreter
+    assert(Compile.tryCompile(Bloblang.parse("root = this"), Compile.ScalarSchema).isEmpty)
+  }
+
   test("differential: field assignments, string methods, filter-deletes") {
     differential("""
       root.okey = this.k

@@ -598,9 +598,15 @@ class BloblangGoldenSpec extends AnyFunSuite {
     for ((name, prog, contents, env) <- cases) {
       val docs = try contents.map(Interp.parseJsonTyped)
         catch { case _: Exception => Nil }
-      val compiles = docs.nonEmpty &&
-        graft.blob.Compile.inferSchema(docs).exists(sc =>
-          graft.blob.Compile.tryCompile(prog, sc, env).isDefined)
+      // JSON contents compile against the inferred document schema; raw
+      // string contents against the scalar schema (the same dispatch the
+      // config frontend uses: json_documents vs lines inputs)
+      val compiles =
+        if (docs.nonEmpty)
+          graft.blob.Compile.inferSchema(docs).exists(sc =>
+            graft.blob.Compile.tryCompile(prog, sc, env).isDefined)
+        else
+          graft.blob.Compile.tryCompile(prog, graft.blob.Compile.ScalarSchema, env).isDefined
       if (compiles) full += 1 else fallback += name
     }
     info(s"compile coverage: $full/${cases.size} golden mappings compile fully; " +
@@ -611,10 +617,12 @@ class BloblangGoldenSpec extends AnyFunSuite {
     assert(full >= CompiledBaseline,
       s"only $full golden mappings compile; baseline is $CompiledBaseline")
   }
-  // Measured round 5: 10/33 golden mappings compile fully (field mappings,
-  // filters with env(), the constant-override mutation shape, and
-  // filter/map_each/sort lambda chains incl. cities.blobl); the other 23
-  // need recursion/batch functions/raw-string content/parse_csv —
+  // Measured round 5: 17/33 golden mappings compile fully (field mappings,
+  // filters with env(), the constant-override mutation shape,
+  // filter/map_each/sort lambda chains incl. cities.blobl, raw-string
+  // content() filters/rewrites, the %v/%s format twin, and
+  // constant-object structured metadata); the other 16 need
+  // recursion/batch functions/meta-read predicates/parse_csv —
   // deliberate interpreter territory.
-  private val CompiledBaseline = 10
+  private val CompiledBaseline = 17
 }
