@@ -257,6 +257,29 @@ pipeline:
       graft.ml.Nlp.classifyTokens(docs).toDF()
     }),
 
+    // nlp feature extraction (processor_feature_extraction.go:18): REAL
+    // trained sentence embeddings — PPMI+SVD word vectors (EmbedModel/
+    // EmbedTrain, weights in resources, 2^-20-quantized so sums are exact
+    // and order-free); the oracle below is GENERATED from the weights and
+    // replays tokenize -> vocab join -> exact sum -> mean -> normalize.
+    "nlp_embed" -> ((s, dir) => {
+      def pick(xs: Vector[String], mult: Int) =
+        element_at(array(xs.map(lit): _*),
+          (pmod(col("c_custkey") * mult, lit(xs.size)) + 1).cast(IntegerType))
+      val T = graft.ml.EmbedTrain.Topics
+      val docs = t(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        concat_ws(" ",
+          pick(T("weather"), 1), pick(T("finance"), 3),
+          pick(T("food"), 5), pick(T("travel"), 7),
+          lit("zzqx"), // OOV: n_hits counts only vocabulary tokens
+          when(col("c_custkey") % 2 === 0, lit("rain")).otherwise(lit("xxoov")),
+          col("c_custkey").cast(StringType)).as("text"))
+      val out = graft.ml.EmbedModel.extract(docs).toDF()
+      out.select(col("doc_id") +: col("n_hits") +:
+        (0 until 8).map(i => round(col(s"e$i"), 6).as(s"e$i")): _*)
+    }),
+
     // batch policy `count` trigger (batch/policy/policy.go:110-114):
     // per-user ordered stream chopped into batches of exactly 7
     "batch_count" -> ((s, dir) =>
@@ -695,6 +718,23 @@ pipeline:
                ${arr(N.OrgSuffix, cap = true, 13)},
                c_custkey::VARCHAR,
                lower(c_mktsegment)) AS text
+           FROM customer""")
+    },
+    "nlp_embed" -> {
+      def arr(xs: Vector[String], mult: Int) =
+        s"[${xs.map(v => s"'$v'").mkString(", ")}]" +
+          s"[((c_custkey * $mult) % ${xs.size} + 1)::INT]"
+      val T = graft.ml.EmbedTrain.Topics
+      graft.ml.EmbedModel.oracleSql(
+        s"""SELECT c_custkey AS doc_id,
+             concat_ws(' ',
+               ${arr(T("weather"), 1)},
+               ${arr(T("finance"), 3)},
+               ${arr(T("food"), 5)},
+               ${arr(T("travel"), 7)},
+               'zzqx',
+               CASE WHEN c_custkey % 2 = 0 THEN 'rain' ELSE 'xxoov' END,
+               c_custkey::VARCHAR) AS text
            FROM customer""")
     },
     "batch_count" ->

@@ -102,7 +102,11 @@ object Nlp {
       }
   }
 
-  /** `nlp_extract_features`: dense embedding per document (unit-norm). */
+  /** `nlp_extract_features`: dense embedding per document (unit-norm).
+    * This is the arbitrary-dim HASH embedder (deterministic, untrained);
+    * the REAL trained path is [[EmbedModel.extract]] — PPMI+SVD word
+    * vectors with checked-in weights and a weight-generated oracle
+    * (query: nlp_embed). */
   def extractFeatures(docs: DataFrame, dim: Int = 64,
                       idCol: String = "doc_id", textCol: String = "text",
                       batchSize: Int = DefaultBatchSize): Dataset[TextFeatures] = {
