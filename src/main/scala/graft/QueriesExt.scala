@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
 object QueriesExt {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Zero-shot label anchors: topic name → first three seed words, in
+    * sorted label order (the argmax tie-break order on BOTH sides). */
+  val zeroShotLabels: Seq[(String, Seq[String])] =
+    graft.ml.EmbedTrain.Topics.toSeq.sortBy(_._1)
+      .map { case (n, ws) => (n, ws.take(3)) }
+
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
   val queries: Map[String, Q] = Map(
@@ -278,6 +284,34 @@ pipeline:
       val out = graft.ml.EmbedModel.extract(docs).toDF()
       out.select(col("doc_id") +: col("n_hits") +:
         (0 until 8).map(i => round(col(s"e$i"), 6).as(s"e$i")): _*)
+    }),
+
+    // nlp zero-shot classification via the trained embedding space
+    // (processor_zero_shot_classification.go:18): cosine of the document
+    // embedding against per-label anchor vectors, first-wins argmax —
+    // REAL inference (was a token-overlap heuristic), oracle generated
+    // from the checked-in weights.
+    "nlp_zero_shot" -> ((s, dir) => {
+      def pick(xs: Vector[String], mult: Int) =
+        element_at(array(xs.map(lit): _*),
+          (pmod(col("c_custkey") * mult, lit(xs.size)) + 1).cast(IntegerType))
+      val T = graft.ml.EmbedTrain.Topics
+      // two words from ONE key-selected topic + one word of another +
+      // noise: the dominant topic must win
+      val topicIdx = pmod(col("c_custkey"), lit(4)).cast(IntegerType)
+      val names = T.keys.toVector.sorted
+      def fromTopic(off: Int, mult: Int) = {
+        val choices = names.map(n => pick(T(n), mult))
+        element_at(array(choices: _*), (pmod(topicIdx + off, lit(4)) + 1))
+      }
+      val docs = t(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        concat_ws(" ",
+          fromTopic(0, 3), fromTopic(0, 5), fromTopic(0, 7),
+          fromTopic(1, 11),
+          lit("zzqx"), col("c_custkey").cast(StringType)).as("text"))
+      graft.ml.EmbedModel.zeroShot(docs, QueriesExt.zeroShotLabels).toDF()
+        .select(col("doc_id"), col("label"), round(col("score"), 6).as("score"))
     }),
 
     // batch policy `count` trigger (batch/policy/policy.go:110-114):
@@ -736,6 +770,27 @@ pipeline:
                CASE WHEN c_custkey % 2 = 0 THEN 'rain' ELSE 'xxoov' END,
                c_custkey::VARCHAR) AS text
            FROM customer""")
+    },
+    "nlp_zero_shot" -> {
+      def pickSql(xs: Vector[String], mult: Int) =
+        s"[${xs.map(v => s"'$v'").mkString(", ")}]" +
+          s"[((c_custkey * $mult) % ${xs.size} + 1)::INT]"
+      val T = graft.ml.EmbedTrain.Topics
+      val names = T.keys.toVector.sorted
+      def fromTopicSql(off: Int, mult: Int) =
+        s"CASE ((c_custkey + $off) % 4) " + names.zipWithIndex.map {
+          case (n, i) => s"WHEN $i THEN ${pickSql(T(n), mult)}"
+        }.mkString(" ") + " END"
+      graft.ml.EmbedModel.zeroShotOracleSql(
+        s"""SELECT c_custkey AS doc_id,
+             concat_ws(' ',
+               ${fromTopicSql(0, 3)},
+               ${fromTopicSql(0, 5)},
+               ${fromTopicSql(0, 7)},
+               ${fromTopicSql(1, 11)},
+               'zzqx',
+               c_custkey::VARCHAR) AS text
+           FROM customer""", zeroShotLabels)
     },
     "batch_count" ->
       """SELECT event_id, user_id,

@@ -63,6 +63,32 @@ class EmbedModelSpec extends SparkSpec {
     }
   }
 
+  test("zero-shot: dominant-topic texts classify 100% via embedding cosine") {
+    val spark0 = spark
+    import spark0.implicits._
+    val labels = EmbedTrain.Topics.toSeq.sortBy(_._1).map { case (n, ws) => (n, ws.take(3)) }
+    // 2:1 dominant mixes across every (dominant, minority) topic pair
+    val topics = EmbedTrain.Topics.toSeq.sortBy(_._1)
+    val docs = for {
+      ((dn, dws), i) <- topics.zipWithIndex
+      (mn, mws) <- topics if mn != dn
+    } yield ((i * 10 + topics.indexWhere(_._1 == mn)).toLong,
+      s"${dws(3)} ${dws(4)} ${dws(5)} ${mws(6)}", dn)
+    val df = docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
+    val got = EmbedModel.zeroShot(df, labels).collect().map(r => r.doc_id -> r.label).toMap
+    val wrong = docs.filter(d => got(d._1) != d._3)
+    assert(wrong.isEmpty, s"misclassified: ${wrong.take(3)}")
+  }
+
+  test("zero-shot: zero-hit documents take the first label with score 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val labels = EmbedTrain.Topics.toSeq.sortBy(_._1).map { case (n, ws) => (n, ws.take(3)) }
+    val out = EmbedModel.zeroShot(Seq((9L, "zzqx 123")).toDF("doc_id", "text"), labels)
+      .collect().head
+    assert(out.label == labels.head._1 && out.score == 0.0)
+  }
+
   test("extract: distributed inference matches driver-side embed") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
