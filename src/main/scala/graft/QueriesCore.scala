@@ -25,10 +25,37 @@ object QueriesCore {
   private def dsum(c: Column, p: Int = 4): Column =
     sum(c.cast(DecimalType(18, p))).cast(DoubleType)
 
-  /** stream_win_append's prepared (time-split) input dirs, one per source
-    * dir per JVM — see the query for why. */
-  private val streamAppendInputs =
+  /** Prepared (time-split) streaming input dirs, one per source dir per
+    * JVM: two time-ordered files + maxFilesPerTrigger=1 force multiple
+    * micro-batches, so watermarks/streaming state actually advance
+    * mid-query. Cached so bench re-runs time the STREAMING query, not
+    * repeated parquet rewrites. */
+  private val streamSplitInputs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def timeSplitEventsDir(s: SparkSession, dir: String): java.nio.file.Path =
+    streamSplitInputs.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.sql.Row
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+      val Row(tmin: java.sql.Timestamp, tmax: java.sql.Timestamp) =
+        ev.agg(min("ts"), max("ts")).head()
+      val splitMs = (tmin.getTime + tmax.getTime) / 2
+      val d = java.nio.file.Files.createTempDirectory("swa_in")
+      def writeOne(part: DataFrame, name: String, modTime: Long): Unit = {
+        val staging = java.nio.file.Files.createTempDirectory("swa_stage")
+        part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val f = new java.io.File(staging.toString).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no parquet part written"))
+        val dest = d.resolve(name).toFile
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(modTime) // file source orders by modTime
+      }
+      val splitTs = new java.sql.Timestamp(splitMs)
+      writeOne(ev.filter(col("ts") < lit(splitTs)), "0_events.parquet", 1000000000L)
+      writeOne(ev.filter(col("ts") >= lit(splitTs)), "1_events.parquet", 2000000000L)
+      d
+    })
 
   val queries: Map[String, Q] = Map(
 
@@ -288,30 +315,7 @@ object QueriesCore {
     // Late-data drop semantics for this plan are covered in StreamingSpec;
     // reference late handling: buffer_system_window.go:333.
     "stream_win_append" -> ((s, dir) => {
-      import org.apache.spark.sql.Row
-      // fixture prep (time-split input files) cached per source dir: bench
-      // re-runs time the STREAMING query, not repeated parquet rewrites
-      val inDir = streamAppendInputs.computeIfAbsent(dir, { _ =>
-        val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
-        val Row(tmin: java.sql.Timestamp, tmax: java.sql.Timestamp) =
-          ev.agg(min("ts"), max("ts")).head()
-        val splitMs = (tmin.getTime + tmax.getTime) / 2
-        val d = java.nio.file.Files.createTempDirectory("swa_in")
-        def writeOne(part: DataFrame, name: String, modTime: Long): Unit = {
-          val staging = java.nio.file.Files.createTempDirectory("swa_stage")
-          part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-          val f = new java.io.File(staging.toString).listFiles()
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(sys.error("no parquet part written"))
-          val dest = d.resolve(name).toFile
-          java.nio.file.Files.move(f.toPath, dest.toPath)
-          dest.setLastModified(modTime) // file source orders by modTime
-        }
-        val splitTs = new java.sql.Timestamp(splitMs)
-        writeOne(ev.filter(col("ts") < lit(splitTs)), "0_events.parquet", 1000000000L)
-        writeOne(ev.filter(col("ts") >= lit(splitTs)), "1_events.parquet", 2000000000L)
-        d
-      })
+      val inDir = timeSplitEventsDir(s, dir)
       val schema = s.read.parquet(inDir.resolve("0_events.parquet").toString).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
@@ -331,6 +335,33 @@ object QueriesCore {
         .start()
       q.awaitTermination()
       s.table("stream_win_append_sink")
+    }),
+
+    // STREAMING dedupe (the reference's dedupe processor with a cache
+    // backend is exactly cross-batch keyed state: processor_dedupe.go +
+    // cache TTL): dropDuplicates over the micro-batched event stream —
+    // state persists across triggers, so a key seen in batch 1 suppresses
+    // its batch-2 duplicates. Output = the key itself (deterministic
+    // regardless of which physical row survives); oracle = DISTINCT. The
+    // unbounded-stream variant bounds state with
+    // dropDuplicatesWithinWatermark; AvailableNow drain here.
+    "stream_dedupe" -> ((s, dir) => {
+      val inDir = timeSplitEventsDir(s, dir)
+      val schema = s.read.parquet(inDir.resolve("0_events.parquet").toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .select(col("event_type"),
+          pmod(floor(col("value")).cast(LongType), lit(20)).as("vb"))
+        .dropDuplicates("event_type", "vb")
+      val ckpt = java.nio.file.Files.createTempDirectory("sdd_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = stream.writeStream.format("memory").queryName("stream_dedupe_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_dedupe_sink")
     }),
 
     // session windows (SURVEY §2.8 parity-plus)
@@ -461,6 +492,10 @@ object QueriesCore {
          FROM events GROUP BY 1, 2
          HAVING window_start + 3600 <=
            (SELECT epoch(max(ts) - INTERVAL 30 MINUTE) FROM events)""",
+    "stream_dedupe" ->
+      """SELECT DISTINCT event_type,
+           ((floor(value)::BIGINT % 20) + 20) % 20 AS vb
+         FROM events""",
     // NB: SUM(BIGINT) in DuckDB yields HUGEINT (int128), which pandas maps to
     // float64 — hashed differently from Spark's int64 by the driver gate. Every
     // integer aggregate in an oracle must therefore be cast back to BIGINT.

@@ -59,5 +59,9 @@ object SparkEntry {
     "stream_win_tumbling",
     // round 5: append+watermark streaming, and the re-shaped bounded-batch
     // parquet codec (the round-4 scale-killer — keep it honest in the bench)
-    "stream_win_append", "codec_parquet")
+    "stream_win_append", "codec_parquet",
+    // round 5 late: IVF ANN (centroid train + probe), AVI frame decode
+    // (container walk in mapPartitions), trained-embedding inference, and
+    // cross-batch streaming dedupe state
+    "llm_ann_ivf", "mm_frames_avi", "nlp_embed", "stream_dedupe")
 }
