@@ -167,17 +167,29 @@ object QueriesProc {
         (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th })
       val client = java.net.http.HttpClient.newBuilder().executor(exec).build()
       val sem = new java.util.concurrent.Semaphore(512)
+      // a send lost under load must be RETRIED, not leaked: the serve
+      // loop counts to `expected` and a dropped request parks the gate
+      // (observed: 979/1000 in the 126-query run). Over HTTP/1.1
+      // keep-alive a lost REQUEST and a lost RESPONSE look identical
+      // client-side, so the retry is unconditional and the SERVER
+      // dedupes bodies (serve(dedupeBodies = true)) — at-least-once
+      // delivery converging on exactly-once results, which is precisely
+      // the reference's http_server + dedupe-processor contract.
+      def post(id: Long, body: String, attempt: Int): Unit = {
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/post/t${id % 3}"))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+        client.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .whenComplete((_, err) =>
+            if (err != null && attempt < 8) post(id, body, attempt + 1)
+            else sem.release())
+      }
       val poster = new Thread(() => ev.foreach { r =>
         sem.acquire()
         val id = r.getLong(0)
         // Double.toString is the shortest round-trip repr — parses back exact
-        val body = s"""{"event_id":$id,"value":${r.getDouble(1)}}"""
-        val req = java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(s"http://127.0.0.1:$port/post/t${id % 3}"))
-          .timeout(java.time.Duration.ofSeconds(60))
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
-        client.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-          .whenComplete((_, _) => sem.release())
+        post(id, s"""{"event_id":$id,"value":${r.getDouble(1)}}""", 1)
       })
       poster.setDaemon(true)
       poster.start()
@@ -188,7 +200,7 @@ object QueriesProc {
           concat(lit("u"), get_json_object(col("content"), "$.event_id").cast(LongType) % 7).as("tag"),
           col("http_server_request_path").as("req_path"))
         .withColumn("response", to_json(struct(col("event_id"), col("twice"), col("tag")))),
-        expected = ev.length)
+        expected = ev.length, dedupeBodies = true)
       input.stop()
       out.select("event_id", "twice", "tag", "req_path")
     }),

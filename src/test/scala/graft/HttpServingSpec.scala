@@ -42,6 +42,31 @@ class HttpServingSpec extends SparkSpec {
     assert(bodies.map(_.body()).toSet == (0 until n).map(i => s"got:${i * 10}").toSet)
   }
 
+  test("dedupeBodies: redelivered bodies answer from cache, count once") {
+    val in = new HttpServerInput(timeoutSec = 30)
+    val port = in.start()
+    val client = daemonClient()
+    // 10 unique bodies, each delivered 3x (producer retry storm)
+    val futs = for (i <- 0 until 10; _ <- 0 until 3) yield {
+      val req = HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/post"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"""{"k":$i}""")).build()
+      client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
+    }
+    val out = in.serve(spark, b => b.select(
+        col("msg_id"),
+        get_json_object(col("content"), "$.k").cast("long").as("k"))
+      .withColumn("response", concat(lit("r:"), col("k"))),
+      expected = 10, dedupeBodies = true) // UNIQUE bodies, not arrivals
+    val bodies = futs.map(_.join())
+    in.stop()
+    assert(out.count() == 10, "each unique body processed exactly once")
+    assert(bodies.forall(_.statusCode == 200))
+    // every copy of body k gets the SAME response (idempotent retries)
+    assert(bodies.map(_.body()).sorted ==
+      (0 until 10).flatMap(i => Seq.fill(3)(s"r:$i")).sorted)
+  }
+
   test("pipeline-dropped messages get an empty 200, never a hung client") {
     val in = new HttpServerInput(timeoutSec = 30)
     val port = in.start()
