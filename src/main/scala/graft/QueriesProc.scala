@@ -17,6 +17,32 @@ object QueriesProc {
 
   val queries: Map[String, Q] = Map(
 
+    // `java` user-code processor (the JVM-native twin of the reference's
+    // javascript processor — impl/javascript/processor.go:44): a Java code
+    // block compiled once per executor by janino mutates each message via
+    // the v0_msg_* mirror surface; oracle replays the arithmetic as SQL
+    "proc_java" -> ((s, dir) => {
+      val env = Msg.envelope(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select("event_id", "value"))
+      val out = graft.operators.Script.processor(
+        """java.util.Map root = (java.util.Map) msg.asStructured();
+          |long id = ((Number) root.get("event_id")).longValue();
+          |double v = ((Number) root.get("value")).doubleValue();
+          |java.util.Map r = new java.util.LinkedHashMap();
+          |r.put("event_id", Long.valueOf(id));
+          |r.put("score", Double.valueOf(v * 2.0 + (double) (id % 7)));
+          |r.put("grade", v > 100.0 ? "hi" : "lo");
+          |msg.setStructured(r);
+          |msg.setMeta("src", "script");
+          |""".stripMargin)(env)
+      out.filter(Msg.ok).select(
+        get_json_object(col(Msg.ContentCol), "$.event_id").cast(LongType).as("event_id"),
+        round(get_json_object(col(Msg.ContentCol), "$.score").cast(DoubleType), 6).as("score"),
+        get_json_object(col(Msg.ContentCol), "$.grade").as("grade"),
+        col(Msg.MetaCol)("src").as("src"))
+    }),
+
     // awk processor (processor_awk.go; subset interpreter Awk.scala): the
     // program runs per message over (content, meta); oracle replays the
     // guard + arithmetic as SQL
@@ -382,6 +408,12 @@ object QueriesProc {
   )
 
   val oracle: Map[String, String] = Map(
+    "proc_java" ->
+      """SELECT event_id,
+           round(value * 2 + event_id % 7, 6) AS score,
+           CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS grade,
+           'script' AS src
+         FROM events WHERE value IS NOT NULL""",
     "proc_awk" ->
       """SELECT event_id,
            CASE WHEN value > 100 THEN 'big' ELSE NULL END AS bucket,

@@ -63,5 +63,8 @@ object SparkEntry {
     // round 5 late: IVF ANN (centroid train + probe), AVI frame decode
     // (container walk in mapPartitions), trained-embedding inference, and
     // cross-batch streaming dedupe state
-    "llm_ann_ivf", "mm_frames_avi", "nlp_embed", "stream_dedupe")
+    "llm_ann_ivf", "mm_frames_avi", "nlp_embed", "stream_dedupe",
+    // round 5 late: janino-compiled user-code processor (per-row bytecode,
+    // the javascript-processor analog)
+    "proc_java")
 }
