@@ -3,7 +3,7 @@ package graft
 import graft.core.{Flow, Tables}
 import graft.functions.Blob
 import graft.operators.Archives
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -363,23 +363,34 @@ pipeline:
         {"name":"l_quantity","type":"DOUBLE"},
         {"name":"l_linestatus","type":"UTF8","optional":true}]"""
       val batchRows = 2000
-      val enc = udf((rows: Seq[String]) =>
-        graft.functions.ParquetCodec.encodeJsonRows(rows, spec, "zstd"))
-      val dec = udf((b: Array[Byte]) => graft.functions.ParquetCodec.decodeToJson(b))
-      val rowSchema = ArrayType(new StructType()
+      // typed UDFs (java-UDF form so Rows pass straight through): the JSON
+      // round-trip (to_json → parse per row → marshal → from_json) tripled
+      // the allocation rate and showed up as multi-second GC stalls at 32
+      // concurrent encode tasks; structs go directly to parquet groups
+      val elemSchema = new StructType()
         .add("l_orderkey", LongType).add("l_linenumber", LongType)
-        .add("l_quantity", DoubleType).add("l_linestatus", StringType))
+        .add("l_quantity", DoubleType).add("l_linestatus", StringType)
+      val enc = udf(
+        new org.apache.spark.sql.api.java.UDF1[scala.collection.Seq[Row], Array[Byte]] {
+          override def call(rows: scala.collection.Seq[Row]): Array[Byte] =
+            graft.functions.ParquetCodec.encodeSparkRows(rows.toSeq, spec, "zstd")
+        }, BinaryType)
+      val dec = udf(
+        new org.apache.spark.sql.api.java.UDF1[Array[Byte], Seq[Row]] {
+          override def call(b: Array[Byte]): Seq[Row] =
+            graft.functions.ParquetCodec.decodeSparkRows(b, elemSchema)
+        }, ArrayType(elemSchema))
       val base = t(s, dir, "lineitem")
         .withColumn("shard", pmod(hash(col("l_orderkey")), lit(32)))
       graft.operators.BatchPolicy.byCount(base,
           struct(col("l_returnflag"), col("shard")),
           struct(col("l_orderkey"), col("l_linenumber")), batchRows)
         .groupBy(col("l_returnflag"), col("shard"), col("batch_id"))
-        .agg(sort_array(collect_list(to_json(struct(
+        .agg(collect_list(struct(
           col("l_orderkey"), col("l_linenumber").cast(IntegerType).as("l_linenumber"),
-          col("l_quantity"), col("l_linestatus"))))).as("rows"))
+          col("l_quantity"), col("l_linestatus"))).as("rows"))
         .withColumn("pq", enc(col("rows")))
-        .select(explode(from_json(dec(col("pq")), rowSchema)).as("r"))
+        .select(explode(dec(col("pq"))).as("r"))
         .select(col("r.l_orderkey").as("l_orderkey"),
           col("r.l_linenumber").as("l_linenumber"),
           col("r.l_quantity").as("l_quantity"),

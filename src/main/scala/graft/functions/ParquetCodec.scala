@@ -269,6 +269,66 @@ object ParquetCodec {
                      compression: String = "uncompressed"): Array[Byte] =
     encodeValues(rowsJson.map(Interp.parseJsonTyped), specJson, compression)
 
+  /** Typed fast path for Column UDFs over `collect_list(struct(...))`: Spark
+    * Rows go straight into parquet groups with no JSON round-trip. The JSON
+    * path (to_json → collect_list strings → parse per row) allocates a full
+    * object tree per row; at 32 concurrent tasks that allocation rate turns
+    * into GC storms (observed: the same encode 2ms/call quiet, 190ms/call
+    * under pressure). Rows align to the spec BY NAME via Row.schema. */
+  def encodeSparkRows(rows: Seq[org.apache.spark.sql.Row], specJson: String,
+                      compression: String = "uncompressed"): Array[Byte] =
+    encodeValues(rows.map(sparkValue), specJson, compression)
+
+  private def sparkValue(v: Any): Any = v match {
+    case null => null
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => f.toDouble
+    case d: java.math.BigDecimal => d.doubleValue()
+    case b: Array[Byte] => VBytes(b)
+    case r: org.apache.spark.sql.Row =>
+      val names = r.schema.fieldNames
+      var m = VectorMap.empty[String, Any]
+      var i = 0
+      while (i < names.length) { m = m.updated(names(i), sparkValue(r.get(i))); i += 1 }
+      m
+    case xs: scala.collection.Seq[_] => xs.iterator.map(sparkValue).toVector
+    case m: scala.collection.Map[_, _] =>
+      VectorMap.from(m.iterator.map { case (k, mv) => (String.valueOf(k), sparkValue(mv)) })
+    case other => other // Long, Double, String, Boolean
+  }
+
+  /** Typed decode twin: parquet bytes → Spark Rows shaped by `schema`
+    * (fields matched by name), for a java-UDF with an explicit ArrayType
+    * return — skips the marshal-to-JSON + from_json re-parse per batch. */
+  def decodeSparkRows(bytes: Array[Byte],
+                      schema: org.apache.spark.sql.types.StructType): Seq[org.apache.spark.sql.Row] =
+    decodeValues(bytes).map {
+      case m: VectorMap[String @unchecked, Any @unchecked] => mapToRow(m, schema)
+      case other => fail(s"parquet row decoded to non-object $other")
+    }
+
+  private def mapToRow(m: VectorMap[String, Any],
+                       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.types._
+    def conv(v: Any, t: DataType): Any = (v, t) match {
+      case (null, _) => null
+      case (l: Long, LongType) => l
+      case (l: Long, IntegerType) => l.toInt
+      case (l: Long, DoubleType) => l.toDouble
+      case (d: Double, DoubleType) => d
+      case (s: String, StringType) => s
+      case (b: Boolean, BooleanType) => b
+      case (b: VBytes, BinaryType) => b.bytes
+      case (xs: Vector[_], ArrayType(et, _)) => xs.map(conv(_, et))
+      case (mm: VectorMap[String @unchecked, Any @unchecked], st: StructType) => mapToRow(mm, st)
+      case (o, tt) => fail(s"cannot shape decoded $o as $tt")
+    }
+    org.apache.spark.sql.Row.fromSeq(
+      schema.fields.toSeq.map(f => conv(m.getOrElse(f.name, null), f.dataType)))
+  }
+
   // ===== decode: parquet bytes -> value-model rows ==========================
 
   private def readPrimitive(g: Group, i: Int, idx: Int, p: PrimitiveType): Any =
