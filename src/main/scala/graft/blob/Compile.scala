@@ -31,9 +31,11 @@ import org.apache.spark.sql.types._
   *  - untranslatable constructs never reach the compiled path at all
   *    (we bail at compile time), so there is no silent behavior change.
   *
-  * Float/double OUTPUT fields are rejected (Go prints whole floats
-  * without a decimal point — `Interp.fmtDouble` — while Jackson prints
-  * `1.0`); doubles still compile freely inside predicates/arithmetic.
+  * Output serialization runs in two regimes: to_json envelopes where every
+  * field round-trips byte-identically, and [[jsonFrag]] fragment envelopes
+  * where marshal parity needs native rendering — Go whole-float formatting
+  * (`Interp.fmtDouble`), statically-sorted nested object keys, per-row key
+  * presence (`if` without else), mixed-type array literals.
   */
 object Compile {
 
@@ -48,6 +50,17 @@ object Compile {
   /** Object built from scratch by field assignments: keys sorted, null
     * fields EXPLICIT (the interpreter stores the null and marshals it). */
   case object ExplicitNullSorted extends Ser
+  /** `root = this` whose output needs [[jsonFrag]] rendering — doubles
+    * (Go whole-float formatting), nested structs with unsorted keys, or
+    * DYNAMIC overrides (whose per-row null must render as an explicit
+    * `"k":null`: the interpreter stored that null, unlike a passthrough
+    * field whose null means "was never present"). `explicitCols` lists
+    * the assigned fields — they render explicit-null; everything else
+    * keeps the sorted-keys drop-null regime. */
+  final case class FragSortedDropNull(explicitCols: Set[String] = Set.empty) extends Ser
+  /** Field-assignment root whose output needs [[jsonFrag]] rendering:
+    * same sorted-keys explicit-null regime as [[ExplicitNullSorted]]. */
+  case object FragExplicitNullSorted extends Ser
   /** `root = <scalar>`: content is the raw string (Go IToBytes — strings
     * emit unquoted). Column is named [[ScalarCol]]. */
   case object Scalar extends Ser
@@ -59,6 +72,11 @@ object Compile {
     * a parsed document bails to the interpreter. */
   val ScalarSchema: StructType =
     StructType(Seq(StructField(ScalarCol, StringType, nullable = true)))
+
+  /** An ARRAY-ROOTED document (`[...]` at the top level, e.g. the github
+    * releases payload) parses into one column of this name; `this` then
+    * compiles to that array and mappings rebuild root from it. */
+  val ArrayRootCol = "_content_array"
 
   /** Compiled `meta k = v` writes ride the structured frame as prefixed
     * string columns until the envelope boundary, so they survive chained
@@ -102,12 +120,81 @@ object Compile {
         metaMapCol(df).as(graft.core.Msg.MetaCol),
         lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
         monotonically_increasing_id().as(graft.core.Msg.SeqCol))
+    case FragSortedDropNull(explicitCols) =>
+      val pieces = contentCols(df).sorted.map { n =>
+        val dt = df.schema(n).dataType
+        val vf = jsonFrag(col(n), dt).getOrElse(
+          sys.error(s"FragSortedDropNull over unfraggable column $n: $dt"))
+        val key = lit(Interp.marshalJson(n) + ":")
+        if (explicitCols(n)) concat(key, coalesce(vf, lit("null")))
+        else when(col(n).isNull, lit(null).cast(StringType))
+          .otherwise(concat(key, vf))
+      }
+      df.select(
+        concat(lit("{"), concat_ws(",", pieces: _*), lit("}"))
+          .as(graft.core.Msg.ContentCol),
+        metaMapCol(df).as(graft.core.Msg.MetaCol),
+        lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
+        monotonically_increasing_id().as(graft.core.Msg.SeqCol))
+    case FragExplicitNullSorted =>
+      val pieces = contentCols(df).sorted.map { n =>
+        val dt = df.schema(n).dataType
+        val vf = jsonFrag(col(n), dt).getOrElse(
+          sys.error(s"FragExplicitNullSorted over unfraggable column $n: $dt"))
+        concat(lit(Interp.marshalJson(n) + ":"), coalesce(vf, lit("null")))
+      }
+      df.select(
+        concat(lit("{"), concat_ws(",", pieces: _*), lit("}"))
+          .as(graft.core.Msg.ContentCol),
+        metaMapCol(df).as(graft.core.Msg.MetaCol),
+        lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
+        monotonically_increasing_id().as(graft.core.Msg.SeqCol))
     case Scalar =>
       df.select(
         col(ScalarCol).cast(StringType).as(graft.core.Msg.ContentCol),
         metaMapCol(df).as(graft.core.Msg.MetaCol),
         lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
         monotonically_increasing_id().as(graft.core.Msg.SeqCol))
+  }
+
+  /** [[Interp.marshalJson]] as a native Column: the JSON text of a compiled
+    * value — nested object keys sorted (statically, from the struct type),
+    * doubles via the interpreter's Go-parity `fmtDouble` rule, strings
+    * escaped by the same Jackson escaper the existing to_json envelopes
+    * use, null values rendered `null`. Struct FIELDS that are null render
+    * as ABSENT (input-envelope convention: explicit JSON nulls were
+    * dropped when the document was parsed into columns, so a null field
+    * is "key never present"). None for types with no exact native
+    * rendering (maps: dynamic key order; binary; timestamps). */
+  private[blob] def jsonFrag(c: Column, t: DataType): Option[Column] = t match {
+    case StringType =>
+      // to_json of a 1-element array escapes the string; strip the brackets
+      val arr = to_json(array(c))
+      Some(arr.substr(lit(2), length(arr) - 2))
+    case LongType | BooleanType => Some(coalesce(c.cast(StringType), lit("null")))
+    case t2 if isIntKind(t2) =>
+      Some(coalesce(c.cast(LongType).cast(StringType), lit("null")))
+    case t2 if isFloatKind(t2) =>
+      Some(coalesce(fmtDoubleCol(c.cast(DoubleType)), lit("null")))
+    case ArrayType(et, _) =>
+      jsonFrag(lit(null).cast(et), et).map { _ => // probe element type
+        // null ELEMENTS render "null" (coalesce — array_join would skip
+        // bare SQL nulls); a null ARRAY renders "null" via the outer when
+        when(c.isNull, lit(null).cast(StringType)).otherwise(concat(
+          lit("["),
+          array_join(transform(c, x => coalesce(jsonFrag(x, et).get, lit("null"))), ","),
+          lit("]")))
+      }
+    case st: StructType =>
+      val pieces = st.fields.sortBy(_.name).toSeq.map { f =>
+        jsonFrag(c.getField(f.name), f.dataType).map(vf =>
+          when(c.getField(f.name).isNull, lit(null).cast(StringType))
+            .otherwise(concat(lit(Interp.marshalJson(f.name) + ":"), vf)))
+      }
+      if (pieces.exists(_.isEmpty)) None
+      else Some(when(c.isNull, lit(null).cast(StringType)).otherwise(
+        concat(lit("{"), concat_ws(",", pieces.flatten: _*), lit("}"))))
+    case _ => None
   }
 
   // ===== statement-level compilation =========================================
@@ -132,6 +219,9 @@ object Compile {
     var filters = Vector.empty[Column]
     var metaOps = Vector.empty[(String, Option[Column])] // Some = set, None = delete
     var root: RootState = RPassthrough
+    // mutation overrides whose value is document-dependent: a per-row null
+    // there is an interpreter-stored null (explicit), not an absent key
+    var dynOvr = Set.empty[String]
 
     def ce(e: Expr): Option[(Column, DataType)] = compileExpr(e, schema, lets, env)
 
@@ -142,6 +232,9 @@ object Compile {
       * where the interpreter renders the string "null". */
     def ceField(e: Expr): Option[(Column, DataType)] = e match {
       case FnCall("env", Vector(Lit(n: String))) if !env.contains(n) =>
+        Some((lit(null).cast(StringType), StringType))
+      case FnCall("meta" | "metadata", Vector(Lit(k: String)))
+          if !schema.fieldNames.contains(MetaPrefix + k) =>
         Some((lit(null).cast(StringType), StringType))
       case _ => ce(e)
     }
@@ -190,6 +283,65 @@ object Compile {
       if (fs.exists(_._1 == name)) fs.map { case (n, old) => if (n == name) (n, v) else (n, old) }
       else fs :+ (name -> v)
 
+    /** JSON text of a VALUE expression (fragment channel): a Column whose
+      * SQL-null means "absent" (deleted()/nothing()/if-without-else), and
+      * whose text otherwise IS the interpreter's marshalJson rendering.
+      * Lets object/array literals compile with per-row key presence and
+      * mixed element types — the text unifies what the static type system
+      * cannot. Constant subtrees fold through the interpreter itself. */
+    def fragValue(e: Expr): Option[Column] = e match {
+      case FnCall("deleted", Vector()) | FnCall("nothing", Vector()) =>
+        Some(lit(null).cast(StringType))
+      case _ if constEval(e).isDefined => constEval(e).get match {
+        case VNothing | VDelete => Some(lit(null).cast(StringType))
+        case v => try Some(lit(Interp.marshalJson(v)))
+                  catch { case _: Exception => None }
+      }
+      case If(c, t, els) => for {
+        cc <- ce(c).collect { case (x, BooleanType) => x }
+        tf <- fragValue(t)
+        ef <- els.map(fragValue).getOrElse(Some(lit(null).cast(StringType)))
+      } yield when(cc, tf).otherwise(ef)
+      case ArrLit(items) =>
+        val fs = items.map(fragValue)
+        if (fs.exists(_.isEmpty)) None
+        // absent elements (null frags) drop out via concat_ws — the
+        // interpreter skips Nothing/Delete array elements the same way
+        else Some(concat(lit("["), concat_ws(",", fs.flatten: _*), lit("]")))
+      case ObjLit(fields) =>
+        val keys = fields.map {
+          case (Lit(k: String), _) => Some(k)
+          case _ => None
+        }
+        if (keys.exists(_.isEmpty) || keys.flatten.distinct.length != keys.length) None
+        else {
+          val fs = keys.flatten.zip(fields.map(_._2)).map { case (k, v) => fragField(k, v) }
+          if (fs.exists(_.isEmpty)) None
+          else {
+            // marshal sorts object keys; presence is per-row (null = absent)
+            val sorted = keys.flatten.zip(fs.flatten).sortBy(_._1).map(_._2)
+            Some(concat(lit("{"), concat_ws(",", sorted: _*), lit("}")))
+          }
+        }
+      // a null VALUE here renders explicit "null" — object-literal values
+      // hold nulls (the interpreter stores and marshals them); absence is
+      // only ever produced by the deleted/nothing/if branches above
+      case other => ceField(other).flatMap { case (c, t) =>
+        jsonFrag(c, t).map(f => coalesce(f, lit("null"))) }
+    }
+
+    /** One `"key":value` piece of a fragment OBJECT, or SQL-null = absent. */
+    def fragField(k: String, v: Expr): Option[Column] =
+      fragValue(v).map { f =>
+        when(f.isNotNull, concat(lit(Interp.marshalJson(k) + ":"), f))
+          .otherwise(lit(null).cast(StringType))
+      }
+
+    /** Output-field admissibility: exact under to_json, or exact under the
+      * fragment envelope. */
+    def fieldOk(t: DataType): Boolean =
+      serializableField(t) || jsonFrag(lit(null).cast(t), t).isDefined
+
     for (s <- m.stmts) s match {
       case AssignVar(n, e) => ce(e) match {
         case Some(cv) => lets += n -> cv
@@ -228,21 +380,60 @@ object Compile {
           case Some((cc, BooleanType)) => filters :+= cc
           case _ => return None
         }
+        // match-as-filter (the cookbook filtering shape): every case arm
+        // yields deleted(), no default — first true predicate drops the
+        // row, no match leaves the document untouched (Nothing)
+        case Match(None, cases) if cases.nonEmpty &&
+            cases.forall { case (p, r) => p.isDefined && r == FnCall("deleted", Vector()) } =>
+          val conds = cases.map(c => ce(c._1.get).collect { case (x, BooleanType) => x })
+          if (conds.exists(_.isEmpty)) return None
+          filters :+= conds.flatten.reduce(_ || _)
         case FnCall("deleted", Vector()) => filters :+= lit(true)
         case ObjLit(fieldExprs) =>
-          // whole-root object literal: same shape as field assignments
-          var fs = Vector.empty[(String, (Column, DataType))]
-          for ((k, ve) <- fieldExprs) k match {
-            case Lit(name: String) => ceField(ve) match {
-              case Some(cv) if serializableField(cv._2) => fs = setField(fs, name, cv)
-              case _ => return None
+          // whole-root object literal. Typed path first (chainable: the
+          // next compiled stage sees real columns); the FRAGMENT path
+          // catches what static typing can't — conditional key presence
+          // (`if` without else, deleted()), mixed-type arrays — rendering
+          // the object to its marshal text directly (sealed as Scalar).
+          val typed: Option[Vector[(String, (Column, DataType))]] =
+            fieldExprs.foldLeft(Option(Vector.empty[(String, (Column, DataType))])) {
+              case (accOpt, (Lit(name: String), ve)) => accOpt.flatMap { acc =>
+                ve match {
+                  case If(_, _, None) => None // dynamic key presence → fragment
+                  case _ => ceField(ve) match {
+                    case Some(cv) if fieldOk(cv._2) => Some(setField(acc, name, cv))
+                    case _ => None
+                  }
+                }
+              }
+              case _ => None
             }
-            case _ => return None
+          typed match {
+            case Some(fs) => root = RFields(fs)
+            case None => fragValue(e) match {
+              case Some(frag) => root = RScalar(coalesce(frag, lit("null")))
+              case None => return None
+            }
           }
-          root = RFields(fs)
+        case arr @ ArrLit(_) => fragValue(arr) match {
+          // whole-root array literal: marshal text (mixed types welcome)
+          case Some(frag) => root = RScalar(coalesce(frag, lit("null")))
+          case None => return None
+        }
         case other => ce(other) match {
           case Some((c, t)) if t == StringType || t == LongType || t == BooleanType =>
             root = RScalar(if (t == StringType) c else c.cast(StringType))
+          // root = <structured value> (map_each chains, merges): content
+          // is the marshal text — exactly IToBytes on a structured root
+          case Some((c, t @ (_: ArrayType | _: StructType))) => jsonFrag(c, t) match {
+            case Some(frag) => root = RScalar(coalesce(frag, lit("null")))
+            case None => return None
+          }
+          case Some((c, t)) if isFloatKind(t) => jsonFrag(c, t) match {
+            // scalar double root: Go float formatting, unquoted
+            case Some(frag) => root = RScalar(coalesce(frag, lit("null")))
+            case None => return None
+          }
           case _ => return None
         }
       }
@@ -252,13 +443,21 @@ object Compile {
         root match {
           case RScalar(_) => return None // field-on-scalar errors
           case RWholeThis(ovr) => e match {
-            // mutation shape: constant overrides/deletes on top of `this`
+            // mutation shape: overrides/deletes on top of `this`
             case FnCall("deleted", Vector()) =>
               root = RWholeThis(ovr.filterNot(_._1 == name) :+ (name -> None))
             case _ => constFold(e) match {
               case Some(cv) =>
                 root = RWholeThis(ovr.filterNot(_._1 == name) :+ (name -> Some(cv)))
-              case None => return None // document-dependent override → interpreter
+              case None => ceField(e) match {
+                // document-dependent override: forces the fragment
+                // envelope (decided below) so a per-row null renders as
+                // the explicit `"k":null` the interpreter stored
+                case Some(cv) =>
+                  dynOvr += name
+                  root = RWholeThis(ovr.filterNot(_._1 == name) :+ (name -> Some(cv)))
+                case None => return None
+              }
             }
           }
           case _ =>
@@ -268,7 +467,7 @@ object Compile {
                 root = RFields(fs.filterNot(_._1 == name))
               case If(_, _, None) => return None // dynamic field absence
               case _ => ceField(e) match {
-                case Some(cv) if serializableField(cv._2) =>
+                case Some(cv) if fieldOk(cv._2) =>
                   root = RFields(setField(fs, name, cv))
                 case _ => return None
               }
@@ -277,11 +476,41 @@ object Compile {
       case AssignRoot(_, _) => return None // nested paths → interpreter
     }
 
+    /** Post-override output fields of a `root = this` mapping: schema
+      * content fields minus deletes, override types applied, new override
+      * fields appended — what the envelope will actually serialize. */
+    def wholeThisEffective(ovr: Vector[(String, Option[(Column, DataType)])]): Seq[DataType] = {
+      val deleted = ovr.collect { case (n, None) => n }.toSet
+      val setTypes = ovr.collect { case (n, Some((_, t))) => n -> t }.toMap
+      val inputFields = schema.fields.toSeq
+        .filterNot(f => f.name.startsWith(MetaPrefix) || deleted(f.name))
+      inputFields.map(f => setTypes.getOrElse(f.name, f.dataType)) ++
+        setTypes.filterNot { case (n, _) => schema.fieldNames.contains(n) }.values
+    }
+
+    /** Ser regime for a `root = this` mapping: the proven to_json envelope
+      * when every output type round-trips byte-identically AND no override
+      * can be null per-row (constants only), the fragment envelope when
+      * doubles / unsorted nested structs / dynamic overrides need
+      * marshal-parity rendering, bail when neither promises exact content. */
+    def wholeThisSer(ovr: Vector[(String, Option[(Column, DataType)])]): Option[Ser] = {
+      val eff = wholeThisEffective(ovr)
+      if (dynOvr.isEmpty && eff.forall(wholeThisSafeInner)) Some(SortedDropNull)
+      else if (eff.forall(t => jsonFrag(lit(null).cast(t), t).isDefined))
+        Some(FragSortedDropNull(ovr.collect { case (n, Some(_)) => n }.toSet))
+      else None
+    }
+
     root match {
       // `root = this` on raw (scalar) content means "parse the document" —
       // runtime parse errors belong to the interpreter's error channel
       case RWholeThis(_) if schema.fieldNames.contains(ScalarCol) => return None
-      case RWholeThis(_) if !wholeThisSafe(schema) => return None
+      // an array-rooted frame passes through / re-marshals only via an
+      // explicit `root = <expr>` rebuild (RScalar); the object envelopes
+      // would wrap the array column in a bogus object
+      case (RPassthrough | RWholeThis(_)) if schema.fieldNames.contains(ArrayRootCol) =>
+        return None
+      case RWholeThis(ovr) if wholeThisSer(ovr).isEmpty => return None
       // a content field colliding with the meta transport → bail
       case RFields(fs) if fs.exists(_._1.startsWith(MetaPrefix)) => return None
       case _ => ()
@@ -299,11 +528,11 @@ object Compile {
       case RPassthrough if schema.fieldNames.contains(ScalarCol) =>
         (Scalar, identity[DataFrame] _)
       case RPassthrough => (EnvelopeDefault, identity[DataFrame] _)
-      case RWholeThis(Vector()) => (SortedDropNull, identity[DataFrame] _)
+      case RWholeThis(Vector()) => (wholeThisSer(Vector.empty).get, identity[DataFrame] _)
       case RWholeThis(ovr) =>
         val deleted = ovr.collect { case (n, None) => n }.toSet
         val setMap = ovr.collect { case (n, Some((c, _))) => n -> c }.toMap
-        (SortedDropNull, (df: DataFrame) => {
+        (wholeThisSer(ovr).get, (df: DataFrame) => {
           val inputNames = contentCols(df).filterNot(deleted)
           val names = (inputNames ++ setMap.keys.filterNot(inputNames.contains)).distinct
           df.select(names.map(n => setMap.getOrElse(n, col(n)).as(n))
@@ -311,7 +540,11 @@ object Compile {
         })
       case RFields(fs) =>
         val cols = fs.sortBy(_._1).map { case (n, (c, _)) => c.as(n) }
-        (ExplicitNullSorted,
+        // the to_json envelope when every field round-trips exactly; the
+        // fragment envelope when doubles/nested need marshal rendering
+        val fser = if (fs.forall { case (_, (_, t)) => serializableField(t) })
+          ExplicitNullSorted else FragExplicitNullSorted
+        (fser,
           (df: DataFrame) => df.select(cols ++ metaCols(df).map(col): _*))
       case RScalar(c) =>
         (Scalar, (df: DataFrame) => df.select(
@@ -341,17 +574,13 @@ object Compile {
     case _ => false // double/float/decimal: Go vs Jackson float formatting
   }
 
-  /** `root = this` re-marshals the parsed document, so every column must
-    * round-trip to_json → parse → marshal byte-identically: no float kinds
-    * (Go whole-float formatting), no maps (unordered keys vs sorted
-    * marshal), nested structs only when their field names are already
-    * sorted (marshal sorts nested keys; to_json keeps struct order). */
-  private def wholeThisSafe(t: DataType): Boolean = t match {
-    // top-level key order is handled by the sorted select in `envelope`;
-    // only the FIELD types need to round-trip exactly
-    case st: StructType => st.fields.forall(f => wholeThisSafeInner(f.dataType))
-    case _ => wholeThisSafeInner(t)
-  }
+  /** `root = this` under the to_json envelope re-marshals the parsed
+    * document, so a column type qualifies only when it round-trips
+    * to_json → parse → marshal byte-identically: no float kinds (Go
+    * whole-float formatting), no maps (unordered keys vs sorted marshal),
+    * nested structs only when their field names are already sorted
+    * (marshal sorts nested keys; to_json keeps struct order). Types that
+    * fail this but render via [[jsonFrag]] use FragSortedDropNull. */
   private def wholeThisSafeInner(t: DataType): Boolean = t match {
     case FloatType | DoubleType | _: DecimalType => false
     case _: MapType => false
@@ -374,18 +603,36 @@ object Compile {
   }
   private def isNumeric(t: DataType): Boolean = isIntKind(t) || isFloatKind(t)
 
+  /** Interp.fmtDouble as a Column: whole && |d| < 1e15 renders as a Long,
+    * else Java Double.toString — which is Spark's double→string cast. */
+  private def fmtDoubleCol(d: Column): Column =
+    when(d === floor(d) && abs(d) < 1e15, d.cast(LongType).cast(StringType))
+      .otherwise(d.cast(StringType))
+
   /** Go-style string rendering of a value (Interp.toStr) as a Column.
-    * None when the type's rendering diverges (doubles) or is unsupported. */
+    * Doubles follow the interpreter's fmtDouble rule — every toStrCol
+    * consumer (string concat, format, meta writes, templates) stringifies
+    * through Interp.toStr on the interpreter side, so the rendering pair
+    * stays exact. None for types toStr would marshal (arrays/objects). */
   private def toStrCol(c: Column, t: DataType): Option[Column] = t match {
     case StringType => Some(c)
     case LongType | BooleanType => Some(c.cast(StringType))
+    case t2 if isIntKind(t2) => Some(c.cast(LongType).cast(StringType))
+    case t2 if isFloatKind(t2) => Some(fmtDoubleCol(c.cast(DoubleType)))
     case _ => None
   }
 
+  /** @param thisCol rebinding of `this` inside a higher-order method
+    *   argument (both `x -> ...` lambdas and bare queries rebind the
+    *   context to the element — Methods.applyFn, reference
+    *   query/methods_structured.go:913). Empty at statement scope, where
+    *   `this` is the whole document (compiled as a struct of the content
+    *   columns when every method consuming it is itself compilable). */
   private[blob] def compileExpr(e: Expr, schema: StructType,
                                 lets: Map[String, (Column, DataType)],
-                                env: Map[String, String]): Option[(Column, DataType)] = {
-    def ce(x: Expr): Option[(Column, DataType)] = compileExpr(x, schema, lets, env)
+                                env: Map[String, String],
+                                thisCol: Option[(Column, DataType)] = None): Option[(Column, DataType)] = {
+    def ce(x: Expr): Option[(Column, DataType)] = compileExpr(x, schema, lets, env, thisCol)
 
     /** Resolve a dot path rooted at `this` against the static schema,
       * normalizing integer kinds to Long and float kinds to Double (the
@@ -454,14 +701,46 @@ object Compile {
       case Lit(d: Double) => Some((lit(d), DoubleType))
       case Lit(b: Boolean) => Some((lit(b), BooleanType))
       case Lit(_) => None // null literal: only supported via ==/!= special case
-      case This => None // whole-document value position → interpreter
+      case ObjLit(fields) =>
+        // object literal in VALUE position (e.g. built per-element inside
+        // map_each): a struct with declaration-order fields — consumers
+        // access fields statically, serialization sorts keys statically
+        val keys = fields.map { case (Lit(k: String), _) => Some(k); case _ => None }
+        if (keys.exists(_.isEmpty) || keys.flatten.distinct.length != keys.length) None
+        else {
+          val vals = fields.map(f => ce(f._2))
+          if (vals.exists(_.isEmpty)) None
+          else {
+            val named = keys.flatten.zip(vals.flatten)
+            Some((struct(named.toIndexedSeq.map { case (k, (c, _)) => c.as(k) }: _*),
+              StructType(named.map { case (k, (_, t)) => StructField(k, t, nullable = true) })))
+          }
+        }
+      case This => thisCol.orElse {
+        // whole document as a struct of the content columns (raw scalar
+        // frames excluded: `this` there means "parse the document", whose
+        // runtime errors belong to the interpreter); an array-rooted
+        // frame's `this` IS its array column. Only useful when a consuming
+        // method (without/merge/map_each target) compiles; a bare
+        // `root.x = this` still bails at serializableField.
+        schema.find(_.name == ArrayRootCol) match {
+          case Some(f) => Some((col(ArrayRootCol), f.dataType))
+          case None =>
+            val fs = schema.fields.filterNot(_.name.startsWith(MetaPrefix))
+            if (fs.isEmpty || schema.fieldNames.contains(ScalarCol)) None
+            else Some((struct(fs.toIndexedSeq.map(f => col(f.name).as(f.name)): _*),
+              StructType(fs)))
+        }
+      }
       case RootRef => None
       case VarRef(n) => lets.get(n)
       case MetaRef(_) => None
       case f @ Field(inner, name) =>
-        // `this`-rooted paths resolve against the static schema; otherwise
-        // (lambda variables, let-bound structs) access the compiled struct
-        pathOf(f, Nil).flatMap(resolvePath).orElse {
+        // `this`-rooted paths resolve against the static schema — unless
+        // `this` is rebound to an element (thisCol), where they must walk
+        // the element struct instead; lambda variables and let-bound
+        // structs always access the compiled struct
+        (if (thisCol.isEmpty) pathOf(f, Nil).flatMap(resolvePath) else None).orElse {
           ce(inner).flatMap { case (c, t) => t match {
             case st: StructType => st.find(_.name == name).flatMap { fld =>
               val fc = c.getField(name)
@@ -473,6 +752,12 @@ object Compile {
                 case StringType | LongType | DoubleType | BooleanType => Some((fc, fld.dataType))
                 case at @ ArrayType(el, _) if el == StringType || el == LongType || el == BooleanType =>
                   Some((fc, at))
+                // arrays of flat records chain into lambda methods (the
+                // release.assets shape) — same gate as resolvePath
+                case at @ ArrayType(el: StructType, _) if el.fields.forall(f2 => f2.dataType match {
+                  case StringType | BooleanType => true
+                  case dt => isNumeric(dt)
+                }) => Some((fc, at))
                 case st2: StructType => Some((fc, st2)) // chained access
                 case _ => None
               }
@@ -491,6 +776,14 @@ object Compile {
         }
       case FnCall("env", Vector(Lit(n: String))) =>
         env.get(n).map(v => (lit(v), StringType)) // absent env → interpreter (null-vs-"null" concat parity)
+      case FnCall("meta" | "metadata", Vector(Lit(k: String))) =>
+        // metadata reads resolve against the compiled meta transport; a
+        // key with no column is genuinely unset on structured frames (the
+        // transport carries every compiled `meta` write, and inputs with
+        // ambient metadata enter through the envelope path instead) — but
+        // like env(), an absent key only compiles where a null is safe
+        // (.or fallback below / whole-field positions via ceField)
+        schema.fieldNames.find(_ == MetaPrefix + k).map(n => (col(n), StringType))
       case Not(x) => ce(x).collect { case (c, BooleanType) => (!c, BooleanType) }
       case Neg(x) => ce(x).collect {
         case (c, LongType) => (-c, LongType)
@@ -565,7 +858,7 @@ object Compile {
           l <- ce(le); r <- ce(re)
           out <- compileBin(op, l, r, litSafe, numBin, unify)
         } yield out
-      case MethodCall(t, name, args) => compileMethod(t, name, args, ce, schema, lets, env)
+      case MethodCall(t, name, args) => compileMethod(t, name, args, ce, schema, lets, env, thisCol)
       case _ => None
     }
   }
@@ -620,7 +913,8 @@ object Compile {
   private def compileMethod(t: Expr, name: String, args: Vector[Expr],
                             ce: Expr => Option[(Column, DataType)],
                             schema: StructType, lets: Map[String, (Column, DataType)],
-                            env: Map[String, String]): Option[(Column, DataType)] = {
+                            env: Map[String, String],
+                            thisCol: Option[(Column, DataType)] = None): Option[(Column, DataType)] = {
     lazy val target = ce(t)
     def strTarget: Option[Column] = target.flatMap { case (c, tt) => toStrCol(c, tt) }
     def litStr(i: Int): Option[String] = args.lift(i).collect { case Lit(s: String) => s }
@@ -634,6 +928,10 @@ object Compile {
         // `trim` only strips ' ')
         strTarget.map(c => (regexp_replace(
           regexp_replace(c, "^[\\x00-\\x20]+", ""), "[\\x00-\\x20]+$", ""), StringType))
+      case "trim" => for { c <- strTarget; cut <- litStr(0) } yield
+        // trim(cutset): strip any char in the set from both ends
+        // (strings.Trim — Spark's trim(trimString) is the exact twin)
+        (trim(c, cut), StringType)
       case "trim_prefix" => for { c <- strTarget; p <- litStr(0) } yield
         (when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c), StringType)
       case "trim_suffix" => for { c <- strTarget; p <- litStr(0) } yield
@@ -648,7 +946,14 @@ object Compile {
         case (c, StringType) => args.headOption.flatMap(ce).collect {
           case (a, StringType) => (c.contains(a), BooleanType)
         }
-        case _ => None // array/object contains uses valueEq → interpreter
+        // array membership: valueEq on same-typed scalars is plain
+        // equality, which array_contains implements exactly (null array →
+        // null → 3VL, the interpreter errors the row: accepted deviation)
+        case (c, ArrayType(et, _)) if et == StringType || et == LongType || et == BooleanType =>
+          args.headOption.flatMap(ce).collect {
+            case (a, at) if at == et => (array_contains(c, a), BooleanType)
+          }
+        case _ => None // object contains uses valueEq → interpreter
       }
       case "index_of" => for { c <- strTarget; s <- litStr(0) } yield
         ((instr(c, s) - 1).cast(LongType), LongType)
@@ -731,29 +1036,73 @@ object Compile {
         case _ => None
       }
       case "filter" | "map_each" => target.flatMap {
-        case (c, at @ ArrayType(et, _)) => args.headOption.flatMap {
-          case lam: Lambda =>
-            // element binding normalizes int/float kinds like resolvePath
-            def bindElem(x: Column): (Column, DataType) =
-              if (isIntKind(et) && et != LongType) (x.cast(LongType), LongType)
-              else if (isFloatKind(et) && et != DoubleType) (x.cast(DoubleType), DoubleType)
-              else (x, et)
-            def bodyWith(x: Column) = compileExpr(lam.body, schema,
-              lets + (lam.param -> bindElem(x)), env)
-            // probe once for compilability + result type, then build the
-            // HOF with the real lambda variable (deterministic recompile)
-            bodyWith(lit(null).cast(et)).flatMap { case (_, bt) =>
-              name match {
-                case "filter" if bt == BooleanType =>
-                  Some((filter(c, (x: Column) => bodyWith(x).get._1), at))
-                case "map_each" =>
-                  Some((transform(c, (x: Column) => bodyWith(x).get._1), ArrayType(bt)))
-                case _ => None
-              }
+        case (c, at @ ArrayType(et, _)) => args.headOption.flatMap { arg =>
+          // element binding normalizes int/float kinds like resolvePath
+          def bindElem(x: Column): (Column, DataType) =
+            if (isIntKind(et) && et != LongType) (x.cast(LongType), LongType)
+            else if (isFloatKind(et) && et != DoubleType) (x.cast(DoubleType), DoubleType)
+            else (x, et)
+          // BOTH forms rebind `this` to the element (Methods.applyFn /
+          // reference query method context); a named lambda additionally
+          // binds its parameter. A bare query IS the body.
+          def bodyWith(x: Column): Option[(Column, DataType)] = arg match {
+            case lam: Lambda => compileExpr(lam.body, schema,
+              lets + (lam.param -> bindElem(x)), env, Some(bindElem(x)))
+            case body => compileExpr(body, schema, lets, env, Some(bindElem(x)))
+          }
+          // probe once for compilability + result type, then build the
+          // HOF with the real lambda variable (deterministic recompile)
+          bodyWith(lit(null).cast(et)).flatMap { case (_, bt) =>
+            name match {
+              case "filter" if bt == BooleanType =>
+                Some((filter(c, (x: Column) => bodyWith(x).get._1), at))
+              case "map_each" =>
+                Some((transform(c, (x: Column) => bodyWith(x).get._1), ArrayType(bt)))
+              case _ => None
             }
-          case _ => None // `.filter(non-lambda)` → interpreter
+          }
         }
         case _ => None // object filter/map_each → interpreter
+      }
+      case "without" if args.nonEmpty => target.flatMap {
+        // drop top-level keys from an object (methods_structured.go
+        // `without`): static struct minus named fields. Dotted paths
+        // (nested removal) stay interpreter.
+        case (c, st: StructType) =>
+          val names = args.map {
+            case Lit(s: String) if !s.contains('.') => Some(s)
+            case _ => None
+          }
+          if (names.exists(_.isEmpty)) None
+          else {
+            val drop = names.flatten.toSet
+            val rem = st.fields.filterNot(f => drop(f.name))
+            if (rem.isEmpty) None // empty-object result → interpreter
+            else Some((struct(rem.toIndexedSeq.map(f => c.getField(f.name).as(f.name)): _*),
+              StructType(rem)))
+          }
+        case _ => None
+      }
+      case "merge" => target.flatMap {
+        // object merge with statically DISJOINT key sets: plain field
+        // union, source appended after destination. Colliding keys turn
+        // into arrays in the reference (methods_structured.go `merge`) —
+        // that shape stays interpreter.
+        case (c, st: StructType) => args.headOption.flatMap(ce).flatMap {
+          case (c2, st2: StructType) if st.fieldNames.toSet.intersect(st2.fieldNames.toSet).isEmpty =>
+            val cols = st.fields.toIndexedSeq.map(f => c.getField(f.name).as(f.name)) ++
+              st2.fields.toIndexedSeq.map(f => c2.getField(f.name).as(f.name))
+            Some((struct(cols: _*), StructType(st.fields ++ st2.fields)))
+          case _ => None
+        }
+        case _ => None
+      }
+      case "flatten" if args.isEmpty => target.collect {
+        // array-of-arrays → one level flattened (methods_structured.go
+        // `flatten`); non-array elements stay interpreter (the reference
+        // keeps them verbatim, Spark's flatten would reject the type)
+        case (c, ArrayType(at @ ArrayType(_, _), _)) =>
+          (org.apache.spark.sql.functions.flatten(c), at)
       }
       case "sort" if args.isEmpty => target.flatMap {
         case (c, at @ ArrayType(et, _)) if et == StringType || et == LongType || et == DoubleType =>
@@ -839,13 +1188,20 @@ object Compile {
       // subset cannot raise runtime errors (static types), so it is the
       // identity here. `.or(v)` replaces null (and error): coalesce.
       case "catch" => target.map { case (c, tt) => (c, tt) }
-      case "or" => for {
-        l <- target; r <- args.headOption.flatMap(ce)
-        u <- (if (l._2 == r._2) Some((l._1, r._1, l._2))
-              else if (isNumeric(l._2) && isNumeric(r._2))
-                Some((l._1.cast(DoubleType), r._1.cast(DoubleType), DoubleType))
-              else None)
-      } yield (coalesce(u._1, u._2), u._3)
+      case "or" => t match {
+        // `.or(v)` on a metadata key with no transport column: the key is
+        // statically unset, the whole expression IS the fallback
+        case FnCall("meta" | "metadata", Vector(Lit(k: String)))
+            if !schema.fieldNames.contains(MetaPrefix + k) =>
+          args.headOption.flatMap(ce)
+        case _ => for {
+          l <- target; r <- args.headOption.flatMap(ce)
+          u <- (if (l._2 == r._2) Some((l._1, r._1, l._2))
+                else if (isNumeric(l._2) && isNumeric(r._2))
+                  Some((l._1.cast(DoubleType), r._1.cast(DoubleType), DoubleType))
+                else None)
+        } yield (coalesce(u._1, u._2), u._3)
+      }
       case _ => None
     }
   }
@@ -926,12 +1282,27 @@ object Compile {
         u <- unifyT(t1, st2)
       } yield u
     }
-    merged.collect { case s: StructType =>
+    def scrubNull(s: StructType): StructType =
       // a NullType field never resolved: give it the string fallback the
       // JSON reader would (value is always null there anyway); an EMPTY
       // object document is fine — mappings over `{}` build output purely
       // from literals/env()
       StructType(s.fields.map(f => if (f.dataType == NullType) f.copy(dataType = StringType) else f))
+    merged.collect { case s: StructType => scrubNull(s) }.orElse {
+      // ARRAY-rooted documents ([...] at the top): one ArrayRootCol column
+      // holding the array; `this` compiles to it (github-releases shape)
+      docs.foldLeft(Option(NullType: DataType)) { (acc, d) =>
+        for {
+          t1 <- acc
+          t2 <- tpe(d)
+          at2 <- t2 match { case a: ArrayType => Some(a); case _ => None }
+          u <- unifyT(t1, at2)
+        } yield u
+      }.collect { case at: ArrayType =>
+        val el = at.elementType match { case s: StructType => scrubNull(s); case o => o }
+        StructType(Seq(StructField(ArrayRootCol, ArrayType(el, containsNull = true),
+          nullable = true)))
+      }
     }
   }
 }

@@ -183,6 +183,24 @@ class BloblangCompileSpec extends SparkSpec {
     differential("root.keep = this.k\nroot.keep = this.s") // overwrite keeps last
   }
 
+  test("differential: match-filter, absent-meta .or, array contains") {
+    // the cookbook filtering shape: match with all-deleted arms = filter;
+    // meta on a frame with no transport column is statically unset, so
+    // .or("") folds to the fallback — same result the interpreter reaches
+    // through null
+    differential("""root = match {
+      meta("topic").or("") == "foo" ||
+      this.s.contains("alpha") => deleted()
+    }""")
+    differential("""root = if this.arr.contains("x") { deleted() }""")
+    differential("""root.has = this.arr.contains("x")
+                    root.k = this.k""")
+    // bare meta() outside a whole-field/or position must NOT compile
+    // (null-vs-"null" concat parity, same rule as env)
+    assert(Compile.tryCompile(Bloblang.parse(
+      """root.t = "m:" + meta("topic")"""), fixture.schema).isEmpty)
+  }
+
   test("differential: mutation shape — root = this plus constant overrides") {
     val noDouble = fixture.drop("d")
     // add a new constant field; override an existing one; delete one
@@ -192,9 +210,79 @@ class BloblangCompileSpec extends SparkSpec {
     // env fallback chain const-folds through the interpreter driver-side
     differential("root = this\nroot.src = env(\"GRAFT_NOPE\").or(\"dflt\")", noDouble)
     differential("root = this\nroot.tag = \"a\" + \"b\"\nroot.tag = \"c\"", noDouble)
-    // document-dependent override must NOT compile (null-regime collision)
-    assert(Compile.tryCompile(
-      Bloblang.parse("root = this\nroot.x = this.k"), noDouble.schema).isEmpty)
+    // document-dependent overrides ride the fragment envelope; a per-row
+    // null (this.mn is None on row 2) renders as the explicit "x":null
+    // the interpreter stored, while passthrough nulls stay absent
+    differential("root = this\nroot.x = this.k", noDouble)
+    differential("root = this\nroot.x = this.mn", noDouble)
+    differential("root = this\nroot.filt = this.arr.filter(v -> v != \"x\")", noDouble)
+  }
+
+  test("differential: fragment envelopes — doubles, literals, structured roots") {
+    // double passthrough and double output fields (Go whole-float rule:
+    // 2.0 renders as 2, 1.5 as 1.5) — the round-4 rejection, now compiled
+    differential("root = this")
+    differential("root.d2 = this.d\nroot.k = this.k")
+    differential("root.sum = this.d + 0.5")
+    differential("meta dd = this.d\nroot.k = this.k")
+    // object literal with conditional key presence + mixed-type array
+    // (the literals.yaml shape)
+    differential("""root = {
+      "1": "1",
+      "2": if this.b { "on" },
+      "3": if this.k > 2 { this.k } else { deleted() },
+      "4": ["c", if this.b { "on" }, if this.k > 2 { this.k } else { deleted() }, "e"]
+    }""")
+    // whole-root array literal, mixed types
+    differential("""root = ["a", this.k, this.b, if this.k > 3 { "big" }]""")
+    // structured root: map_each over an array with `this` rebound to the
+    // element (message_expansion shape: let + without + merge)
+    differential("root = this.arr.map_each(v -> v.uppercase())")
+    val nested = Seq(
+      ("""doc1""", Seq(("n1", 0.57), ("n2", 0.21))),
+      ("""doc2""", Seq(("n3", 0.89))),
+      ("""doc3""", Seq.empty[(String, Double)])
+    ).toDF("id", "fans").withColumn("fans",
+      transform(col("fans"), x => struct(x.getField("_1").as("name"), x.getField("_2").as("obsession"))))
+    // the fans.yaml shape: mutation with a lambda-filtered array-of-struct
+    // override (doubles inside) — FragSortedDropNull end to end
+    differential("root = this\nroot.fans = this.fans.filter(f -> f.obsession > 0.5)", nested)
+    // let-bound struct + merge with element context (message_expansion)
+    val exp = Seq(("foobar", Seq("foo", "bar"))).toDF("id", "items")
+      .withColumn("items", transform(col("items"), x => struct(x.as("content"))))
+    differential("let doc_root = this.without(\"items\")\n" +
+      "root = this.items.map_each($doc_root.merge(this))", exp)
+  }
+
+  test("differential: array-rooted documents — the github_releases shape") {
+    // each message content is a top-level JSON ARRAY; `this` compiles to
+    // the ArrayRootCol column and root is rebuilt from it
+    val contents = Seq(
+      """[{"tag_name":"v1.2.0","assets":[
+           {"name":"bento_1.2.0_linux_amd64.tar.gz","download_count":10},
+           {"name":"bento-lambda_1.2.0_linux_amd64.zip","download_count":3},
+           {"name":"bento_1.2.0_checksums.txt","download_count":1}]},
+         {"tag_name":"v1.3.0","assets":[
+           {"name":"bento_1.3.0_darwin_arm64.tar.gz","download_count":7}]}]""",
+      """[]""")
+    val src = """root = this.map_each(release -> release.assets.map_each(asset -> {
+        "source":         "github",
+        "dist":           asset.name.re_replace_all("^bento-?((lambda_)|_)[0-9\\.]+(-rc[0-9]+)?_([^\\.]+).*", "$2$4"),
+        "download_count": asset.download_count,
+        "version":        release.tag_name.trim("v"),
+      }).filter(asset -> asset.dist != "checksums")).flatten()"""
+    val prog = Bloblang.parse(src)
+    val docs = contents.map(Interp.parseJsonTyped)
+    val schema = Compile.inferSchema(docs)
+    assert(schema.isDefined, "array-root schema did not infer")
+    val compiled = Compile.tryCompile(prog, schema.get)
+    assert(compiled.isDefined, "github_releases shape did not compile")
+    val df = contents.toDF("raw").select(
+      from_json(col("raw"), schema.get(Compile.ArrayRootCol).dataType).as(Compile.ArrayRootCol))
+    val got = Compile.envelope(compiled.get.transform(df), compiled.get.ser)
+      .select(col(Msg.ContentCol)).as[String].collect().toSeq.sorted
+    val want = contents.flatMap(c => Interp.runWithMeta(prog, c, Map.empty, Map.empty)._1).sorted
+    assert(got == want, s"array-root divergence:\ncompiled=$got\ninterp=$want")
   }
 
   test("differential: metadata assignment — set, overwrite, delete, null render") {
@@ -296,8 +384,11 @@ class BloblangCompileSpec extends SparkSpec {
     assert(bySuffix("c") == org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, true))
     assert(bySuffix("e") == org.apache.spark.sql.types.DoubleType)
-    // non-object documents refuse
-    assert(Compile.inferSchema(Seq(Interp.parseJsonTyped("[1,2]"))).isEmpty)
+    // array-rooted documents infer the ArrayRootCol wrapper
+    assert(Compile.inferSchema(Seq(Interp.parseJsonTyped("[1,2]")))
+      .exists(_.fieldNames.sameElements(Array(Compile.ArrayRootCol))))
+    // scalar-rooted documents refuse
+    assert(Compile.inferSchema(Seq(Interp.parseJsonTyped("42"))).isEmpty)
     // conflicting field kinds refuse
     assert(Compile.inferSchema(Seq(
       Interp.parseJsonTyped("""{"a": 1}"""),
@@ -309,18 +400,22 @@ class BloblangCompileSpec extends SparkSpec {
       "root.u = uuid_v4()", // non-deterministic function
       "root.c = this.s.capitalize()", // word-split semantics
       "meta = {\"a\": \"b\"}", // whole-meta assignment
-      "meta d2 = this.d", // double meta value (Go float formatting)
-      "root.d = this.d", // double output field (Go float formatting)
       "root.a.b = this.k", // nested path
-      "root.x = if this.b { this.k }", // dynamic field absence
+      "root.x = if this.b { this.k }", // dynamic SINGLE-field absence
+      "root.j = this.s.parse_json()", // dynamic type → interpreter
       "map f { root = this }\nroot = this.apply(\"f\")") // named maps
     for (src <- bails) {
       val prog = Bloblang.parse(src)
       assert(Compile.tryCompile(prog, fixture.schema).isEmpty, s"should NOT compile: $src")
     }
-    // `root = this` must refuse schemas whose re-marshal isn't exact
+    // `root = this` over a MAP-typed column must refuse: key order is
+    // dynamic, no envelope renders it with marshal parity
+    val mapSchema = Seq((Map("b" -> 1L, "a" -> 2L), "x")).toDF("m", "s").schema
+    assert(Compile.tryCompile(Bloblang.parse("root = this"), mapSchema).isEmpty)
+    // doubles now ride the fragment envelope instead of bailing
     val dblSchema = Seq((1.0, "x")).toDF("d", "s").schema
-    assert(Compile.tryCompile(Bloblang.parse("root = this"), dblSchema).isEmpty)
+    assert(Compile.tryCompile(Bloblang.parse("root = this"), dblSchema)
+      .exists(_.ser.isInstanceOf[Compile.FragSortedDropNull]))
   }
 
   test("config pipeline over parquet: filter pushes to the scan, no UDF in plan") {

@@ -404,10 +404,10 @@ class BloblangGoldenSpec extends AnyFunSuite {
   }
 
   /** Mapping cases seen by the last runCorpus() pass — (name, program
-    * post-mutation-wrap, input contents, env) — feeds the compiled-subset
-    * coverage gate below. */
-  private val collectedCases =
-    scala.collection.mutable.Buffer.empty[(String, Bloblang.Mapping, Seq[String], Map[String, String])]
+    * post-mutation-wrap, input contents, env, per-input metadata) — feeds
+    * the compiled-subset coverage gate below. */
+  private val collectedCases = scala.collection.mutable.Buffer
+    .empty[(String, Bloblang.Mapping, Seq[String], Map[String, String], Seq[Map[String, String]])]
 
   /** Run every supported case in the corpus; returns (passed, failed, skipped). */
   private def runCorpus(): (Int, Int, Int, Seq[String], Seq[String]) = {
@@ -476,11 +476,11 @@ class BloblangGoldenSpec extends AnyFunSuite {
                           f.getParentFile, in.get("file_content").toString).toPath).stripLineEnd
                       else String.valueOf(in.get("content"))
                     }.toSeq
-                    collectedCases += ((name, prog, contents, env))
                     val metas = inputs.map(in => Option(in.get("metadata"))
                       .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
                         .map { case (k, v) => k -> String.valueOf(v) }.toMap)
                       .getOrElse(Map.empty[String, String])).toSeq
+                    collectedCases += ((name, prog, contents, env, metas))
                     // metadata is per-message: run individually when any
                     // input carries it or an assertion inspects it
                     // (batch functions don't appear in those cases)
@@ -595,16 +595,23 @@ class BloblangGoldenSpec extends AnyFunSuite {
     assert(cases.nonEmpty, "no mapping cases collected from the corpus")
     var full = 0
     val fallback = Vector.newBuilder[String]
-    for ((name, prog, contents, env) <- cases) {
+    for ((name, prog, contents, env, metas) <- cases) {
       val docs = try contents.map(Interp.parseJsonTyped)
         catch { case _: Exception => Nil }
       // JSON contents compile against the inferred document schema; raw
       // string contents against the scalar schema (the same dispatch the
-      // config frontend uses: json_documents vs lines inputs)
+      // config frontend uses: json_documents vs lines inputs). Input
+      // metadata rides the compiled meta transport, so the schema the
+      // mapping compiles against carries one __meta_ column per key the
+      // case declares — meta() reads resolve truthfully.
+      val metaFields = metas.flatMap(_.keys).distinct.sorted.map(k =>
+        org.apache.spark.sql.types.StructField(
+          graft.blob.Compile.MetaPrefix + k, org.apache.spark.sql.types.StringType))
       val compiles =
         if (docs.nonEmpty)
           graft.blob.Compile.inferSchema(docs).exists(sc =>
-            graft.blob.Compile.tryCompile(prog, sc, env).isDefined)
+            graft.blob.Compile.tryCompile(prog,
+              org.apache.spark.sql.types.StructType(sc.fields ++ metaFields), env).isDefined)
         else
           graft.blob.Compile.tryCompile(prog, graft.blob.Compile.ScalarSchema, env).isDefined
       if (compiles) full += 1 else fallback += name
@@ -617,12 +624,19 @@ class BloblangGoldenSpec extends AnyFunSuite {
     assert(full >= CompiledBaseline,
       s"only $full golden mappings compile; baseline is $CompiledBaseline")
   }
-  // Measured round 5: 17/33 golden mappings compile fully (field mappings,
-  // filters with env(), the constant-override mutation shape,
-  // filter/map_each/sort lambda chains incl. cities.blobl, raw-string
-  // content() filters/rewrites, the %v/%s format twin, and
-  // constant-object structured metadata); the other 16 need
-  // recursion/batch functions/meta-read predicates/parse_csv —
-  // deliberate interpreter territory.
-  private val CompiledBaseline = 17
+  // Measured round 5 (late): 22/33 golden mappings compile fully — the
+  // round-4 subset (field mappings, env() filters, lambda chains incl.
+  // cities.blobl, content() rewrites, the format twin, structured
+  // metadata) plus the fragment-envelope additions: literals.yaml
+  // (conditional key presence, mixed-type arrays), fans.yaml (dynamic
+  // mutation override with doubles), message_expansion.yaml (this-as-
+  // struct + without/merge + element-context map_each), and the
+  // cookbook filtering shape (match-as-filter, meta().or() over the
+  // meta transport, array contains), and github_releases.blobl
+  // (array-rooted documents, object literals in value position,
+  // trim(cutset), nested lambda chains). The remaining 10: parse_csv /
+  // `this.0` + error-message parity (csv family), recursion
+  // (walk_json), batch functions (windowed) — deliberate interpreter
+  // territory.
+  private val CompiledBaseline = 23
 }
