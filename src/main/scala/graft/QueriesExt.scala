@@ -623,6 +623,88 @@ pipeline:
         get_json_object(col("content"), "$.value").cast(DoubleType).as("value"))
     }),
 
+    // file()/file_rel()/file_rel_json() functions (io/bloblang.go:189):
+    // mapping logic loaded from real files on disk — a deterministic
+    // config fixture written first, then read through the interpreter's
+    // plan-time file functions; hostname() gates dispatch (any host has a
+    // nonempty name). Oracle replays the loaded config as constants.
+    "blob_file_cfg" -> ((s, dir) => {
+      val cfgDir = java.nio.file.Files.createTempDirectory("graft_filefn")
+      val sfx = cfgDir.resolve("suffix.txt")
+      java.nio.file.Files.write(sfx, "-tier".getBytes("UTF-8"))
+      val cfg = cfgDir.resolve("cfg.json")
+      java.nio.file.Files.write(cfg,
+        """{"threshold": 1000, "labels": {"hi": "premium", "lo": "standard"}}"""
+          .getBytes("UTF-8"))
+      val mapped = graft.blob.BloblangUdf.mappingUdf(s"""
+        let cfg = file_rel_json("$cfg")
+        root.c_custkey = this.c_custkey
+        root.seg = this.c_mktsegment + file("$sfx")
+        root.band = if this.c_acctbal > $$cfg.threshold { $$cfg.labels.hi } else { $$cfg.labels.lo }
+        root.has_host = hostname().length() > 0
+      """)
+      graft.core.Msg.envelope(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+        .select(mapped(col(graft.core.Msg.ContentCol)).as("j"))
+        .select(
+          get_json_object(col("j"), "$.c_custkey").cast(LongType).as("c_custkey"),
+          get_json_object(col("j"), "$.seg").as("seg"),
+          get_json_object(col("j"), "$.band").as("band"),
+          get_json_object(col("j"), "$.has_host").cast(BooleanType).as("has_host"))
+    }),
+
+    // encrypt_aes/decrypt_aes (methods to match bloblang_crypto.go): CTR
+    // round-trip restores the plaintext byte-for-byte and preserves length;
+    // GCM appends a 16-byte tag. Real JCE ciphers with a fixed key/iv; the
+    // oracle replays the identities (round-trip = plaintext, ctr length =
+    // input length, gcm length = input + 16).
+    "blob_aes" -> ((s, dir) => {
+      val mapped = graft.blob.BloblangUdf.mappingUdf("""
+        let key = "0123456789abcdef"
+        let iv = "fedcba9876543210"
+        let ct = this.p_name.encrypt_aes("ctr", $key, $iv)
+        root.p_partkey = this.p_partkey
+        root.rt = $ct.decrypt_aes("ctr", $key, $iv).string()
+        root.ctr_len = $ct.length()
+        root.gcm_len = this.p_name.encrypt_aes("gcm", $key, $iv).length()
+      """)
+      graft.core.Msg.envelope(t(s, dir, "part").select("p_partkey", "p_name"))
+        .select(mapped(col(graft.core.Msg.ContentCol)).as("j"))
+        .select(
+          get_json_object(col("j"), "$.p_partkey").cast(LongType).as("p_partkey"),
+          get_json_object(col("j"), "$.rt").as("rt"),
+          get_json_object(col("j"), "$.ctr_len").cast(LongType).as("ctr_len"),
+          get_json_object(col("j"), "$.gcm_len").cast(LongType).as("gcm_len"))
+    }),
+
+    // rate_limit processor (processor_rate_limit.go:24): the token bucket
+    // rides per-partition inside the client lifecycle (the scale-correct
+    // placement — state divides across partitions, no coordination). The
+    // budget here is high enough to never block long, but every row passes
+    // through acquire(); identity oracle proves pass-through fidelity.
+    "proc_rate_limit" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.External.rateLimitedLookup(
+          t(s, dir, "nation").select("n_nationkey", "n_name"), 5000.0)(() => ()) {
+        (_, r) => (r.getAs[Number](0).longValue(), r.getString(1).toLowerCase)
+      }(_ => ()).toDF("n_nationkey", "lname")
+    }),
+
+    // output broker fan_out (output_broker.go fan_out pattern): one batch
+    // lands in EVERY sink — two real parquet sinks here, read back and
+    // tagged; the oracle is the same projection twice. fan_out persists
+    // the batch once, so sinks don't recompute the upstream plan.
+    "out_broker_fanout" -> ((s, dir) => {
+      val outDir = java.nio.file.Files.createTempDirectory("graft_fanout")
+      val (p1, p2) = (outDir.resolve("s1").toString, outDir.resolve("s2").toString)
+      val batch = t(s, dir, "region").select("r_regionkey", "r_name")
+      graft.conn.Outputs.fanOut(Seq(
+        df => df.write.mode("overwrite").parquet(p1),
+        df => df.write.mode("overwrite").parquet(p2)))(batch, 0L)
+      s.read.parquet(p1).withColumn("sink", lit("s1"))
+        .unionByName(s.read.parquet(p2).withColumn("sink", lit("s2")))
+    }),
+
     // sql_insert -> sql_select round-trip over a REAL embedded JDBC
     // database (Apache Derby, already on the Spark classpath — no new
     // deps). sql_insert (impl/sql/processor_sql_insert.go:25) appends the
@@ -658,6 +740,22 @@ pipeline:
   )
 
   val oracle: Map[String, String] = Map(
+    "blob_file_cfg" ->
+      """SELECT c_custkey, c_mktsegment || '-tier' AS seg,
+           CASE WHEN c_acctbal > 1000 THEN 'premium' ELSE 'standard' END AS band,
+           TRUE AS has_host
+         FROM customer""",
+    "blob_aes" ->
+      """SELECT p_partkey, p_name AS rt,
+           length(p_name)::BIGINT AS ctr_len,
+           length(p_name)::BIGINT + 16 AS gcm_len
+         FROM part""",
+    "proc_rate_limit" ->
+      """SELECT n_nationkey, lower(n_name) AS lname FROM nation""",
+    "out_broker_fanout" ->
+      """SELECT r_regionkey, r_name, 's1' AS sink FROM region
+         UNION ALL
+         SELECT r_regionkey, r_name, 's2' AS sink FROM region""",
     "sql_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey, s_acctbal
          FROM supplier WHERE s_nationkey < 20""",
