@@ -415,6 +415,87 @@ pipeline:
           length(col("pb")).cast(LongType).as("proto_len"))
     }),
 
+    // .proto-FILE-driven protobuf codec (ProtoSchema: from-scratch proto3
+    // parser + dynamic wire codec + protojson mapping; reference
+    // processor_protobuf.go:49-68 compiles messages from import_paths via
+    // reflection). Exercises the full type surface: nested message, packed
+    // repeated, map field, int64-as-string JSON, emit_unpopulated defaults.
+    // The schema TEXT ships in the task closure (cluster-safe: executors
+    // need no driver-side files); per-executor registry cache.
+    "codec_proto_file" -> ((s, dir) => {
+      val schema = """
+        syntax = "proto3";
+        package gate;
+        message Meta { int64 user = 1; string bucket = 2; }
+        message Event {
+          int64 event_id = 1;
+          string event_type = 2;
+          double value = 3;
+          Meta meta = 4;
+          repeated int64 codes = 5;
+          map<string, string> attrs = 6;
+        }"""
+      val enc = udf((j: String) =>
+        graft.functions.ProtoSchema.encodeText(schema, "gate.Event", j, false))
+      val dec = udf((b: Array[Byte]) =>
+        graft.functions.ProtoSchema.decodeText(schema, "gate.Event", b, false, true))
+      t(s, dir, "events")
+        .withColumn("js", to_json(struct(
+          col("event_id"), col("event_type"), col("value"),
+          struct(col("user_id").as("user"),
+            substring(col("event_type"), 1, 1).as("bucket")).as("meta"),
+          array(pmod(col("user_id"), lit(7)), pmod(col("user_id"), lit(11))).as("codes"),
+          map(lit("t"), col("event_type")).as("attrs"))))
+        .withColumn("back", dec(enc(col("js"))))
+        .select(
+          get_json_object(col("back"), "$.eventId").cast(LongType).as("event_id"),
+          get_json_object(col("back"), "$.eventType").as("event_type"),
+          get_json_object(col("back"), "$.value").cast(DoubleType).as("value"),
+          get_json_object(col("back"), "$.meta.user").cast(LongType).as("meta_user"),
+          get_json_object(col("back"), "$.meta.bucket").as("meta_bucket"),
+          get_json_object(col("back"), "$.codes[0]").cast(LongType).as("c0"),
+          get_json_object(col("back"), "$.codes[1]").cast(LongType).as("c1"),
+          get_json_object(col("back"), "$.attrs.t").as("attr_t"))
+    }),
+
+    // protobuf as a config-pipeline PROCESSOR (operator from_json → to_json
+    // with import_paths, the reference's YAML surface): schema files written
+    // to a temp dir, loaded through ProtoSchema.registryFor's dir walk
+    "proc_protobuf" -> ((s, dir) => {
+      val pdir = java.nio.file.Files.createTempDirectory("graft-protos")
+      pdir.toFile.deleteOnExit()
+      java.nio.file.Files.write(pdir.resolve("slim.proto"),
+        """syntax = "proto3";
+          |package gate;
+          |message Slim {
+          |  int64 event_id = 1;
+          |  string event_type = 2;
+          |}""".stripMargin.getBytes("UTF-8"))
+      val cfg = s"""
+input:
+  parquet:
+    path: $dir/events.parquet
+pipeline:
+  processors:
+    - mapping: |
+        root.event_id = this.event_id
+        root.event_type = this.event_type
+    - protobuf:
+        operator: from_json
+        message: gate.Slim
+        import_paths: [ $pdir ]
+    - protobuf:
+        operator: to_json
+        message: gate.Slim
+        emit_unpopulated: true
+        import_paths: [ $pdir ]
+"""
+      graft.conn.PipelineConfig.load(cfg).frame(s).select(
+        get_json_object(col(graft.core.Msg.ContentCol), "$.eventId")
+          .cast(LongType).as("event_id"),
+        get_json_object(col(graft.core.Msg.ContentCol), "$.eventType").as("event_type"))
+    }),
+
     // geoip-shaped range enrichment (bloblang_geoip.go:55): broadcast
     // range table + non-equi join (the licensed mmdb is the data, not the
     // operator — synthetic ranges exercise the machinery)
@@ -920,6 +1001,15 @@ pipeline:
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
            l_quantity::DOUBLE AS l_quantity, l_linestatus
          FROM lineitem""",
+    "codec_proto_file" ->
+      """SELECT event_id, event_type, value,
+           user_id AS meta_user,
+           substr(event_type, 1, 1) AS meta_bucket,
+           user_id % 7 AS c0, user_id % 11 AS c1,
+           event_type AS attr_t
+         FROM events""",
+    "proc_protobuf" ->
+      "SELECT event_id, event_type FROM events",
     "codec_protobuf" ->
       """SELECT event_id, event_type, value,
            ((1 + CASE WHEN event_id < 128 THEN 1 WHEN event_id < 16384 THEN 2

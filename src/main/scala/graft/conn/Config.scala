@@ -231,6 +231,30 @@ object PipelineConfig {
       case "decompress" =>
         val f = call_udf(s"blob_decompress_${str(conf, "algorithm")}", unbase64(col(Msg.ContentCol)))
         Processor("decompress")(_.withColumn(Msg.ContentCol, f.cast("string")))
+      case "protobuf" =>
+        // reference protobuf processor (processor_protobuf.go:49-68):
+        // operator to_json/from_json over a message resolved from import_paths.
+        // Wire bytes travel base64 in the content column (same convention as
+        // compress); errors surface loudly (schema/link failures are config
+        // bugs, not data errors).
+        val op = str(conf, "operator")
+        val message = str(conf, "message")
+        val paths = Option(conf.get("import_paths")).map(_.asInstanceOf[java.util.List[_]]
+          .asScala.map(String.valueOf).mkString(",")).getOrElse(".")
+        val discard = Option(conf.get("discard_unknown")).exists(v => String.valueOf(v).toBoolean)
+        val protoNames = Option(conf.get("use_proto_names")).exists(v => String.valueOf(v).toBoolean)
+        val emitUnpop = Option(conf.get("emit_unpopulated")).exists(v => String.valueOf(v).toBoolean)
+        op match {
+          case "from_json" =>
+            val enc = org.apache.spark.sql.functions.udf((j: String) =>
+              graft.functions.ProtoSchema.encodeFile(paths, message, j, discard))
+            Processor("protobuf")(_.withColumn(Msg.ContentCol, base64(enc(col(Msg.ContentCol)))))
+          case "to_json" =>
+            val dec = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+              graft.functions.ProtoSchema.decodeFile(paths, message, b, protoNames, emitUnpop))
+            Processor("protobuf")(_.withColumn(Msg.ContentCol, dec(unbase64(col(Msg.ContentCol)))))
+          case other => throw new IllegalArgumentException(s"protobuf operator: $other")
+        }
       case "subprocess" =>
         val name = str(conf, "name")
         val args = Option(conf.get("args")).map(_.asInstanceOf[java.util.List[_]]

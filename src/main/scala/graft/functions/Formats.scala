@@ -204,5 +204,10 @@ object Formats {
       udf((j: String, spec: String) => protoFromJson(j, protoDescriptor(spec))))
     spark.udf.register("blob_proto_decode",
       udf((b: Array[Byte], spec: String) => protoToJson(b, protoDescriptor(spec))))
+    // .proto-file-driven codec (ProtoSchema): reference processor_protobuf.go
+    spark.udf.register("proto_file_encode",
+      udf((paths: String, msg: String, j: String) => ProtoSchema.encodeFile(paths, msg, j, false)))
+    spark.udf.register("proto_file_decode",
+      udf((paths: String, msg: String, b: Array[Byte]) => ProtoSchema.decodeFile(paths, msg, b, false, false)))
   }
 }
