@@ -66,5 +66,8 @@ object SparkEntry {
     "llm_ann_ivf", "mm_frames_avi", "nlp_embed", "stream_dedupe",
     // round 5 late: janino-compiled user-code processor (per-row bytecode,
     // the javascript-processor analog)
-    "proc_java")
+    "proc_java",
+    // round 5 late: .proto-file-driven codec (full proto3 parse + dynamic
+    // wire codec + protojson, nested/repeated/map surface)
+    "codec_proto_file")
 }
