@@ -458,6 +458,32 @@ pipeline:
           get_json_object(col("back"), "$.attrs.t").as("attr_t"))
     }),
 
+    // schema_registry encode/decode with PROTOBUF framing (impl/confluent/
+    // serde_protobuf.go:171-293): magic + BE schema id + zigzag message-index
+    // path + wire bytes. The target message is deliberately the SECOND
+    // top-level message so the index path is real (not the [0] shortcut);
+    // the oracle recomputes the full frame length independently.
+    "codec_sr_proto" -> ((s, dir) => {
+      val schema = """
+        syntax = "proto3";
+        package sr;
+        message Ignored { int32 x = 1; }
+        message Ev { int64 event_id = 1; string event_type = 2; }"""
+      val enc = udf((j: String) =>
+        graft.functions.Formats.schemaRegistryEncodeProto(j, 7, schema, "sr.Ev"))
+      val dec = udf((b: Array[Byte]) =>
+        graft.functions.Formats.schemaRegistryDecodeProto(b, Map(7 -> schema)))
+      t(s, dir, "events")
+        .withColumn("fr", enc(to_json(struct(col("event_id"), col("event_type")))))
+        .withColumn("back", dec(col("fr")))
+        .select(
+          // protojson omits proto3 defaults; the consumer applies them
+          coalesce(get_json_object(col("back"), "$.eventId").cast(LongType), lit(0L))
+            .as("event_id"),
+          coalesce(get_json_object(col("back"), "$.eventType"), lit("")).as("event_type"),
+          length(col("fr")).cast(LongType).as("frame_len"))
+    }),
+
     // protobuf as a config-pipeline PROCESSOR (operator from_json → to_json
     // with import_paths, the reference's YAML surface): schema files written
     // to a temp dir, loaded through ProtoSchema.registryFor's dir walk
@@ -1010,6 +1036,16 @@ pipeline:
          FROM events""",
     "proc_protobuf" ->
       "SELECT event_id, event_type FROM events",
+    "codec_sr_proto" ->
+      """SELECT event_id, event_type,
+           (5 + 2
+            + (CASE WHEN event_id = 0 THEN 0 ELSE
+                 1 + CASE WHEN event_id < 128 THEN 1 WHEN event_id < 16384 THEN 2
+                          WHEN event_id < 2097152 THEN 3 WHEN event_id < 268435456 THEN 4
+                          ELSE 5 END END)
+            + (CASE WHEN event_type = '' OR event_type IS NULL THEN 0
+                    ELSE 2 + length(event_type) END))::BIGINT AS frame_len
+         FROM events""",
     "codec_protobuf" ->
       """SELECT event_id, event_type, value,
            ((1 + CASE WHEN event_id < 128 THEN 1 WHEN event_id < 16384 THEN 2

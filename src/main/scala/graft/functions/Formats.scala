@@ -194,6 +194,39 @@ object Formats {
     }
   }
 
+  /** `schema_registry_encode` for PROTOBUF (impl/confluent/serde_protobuf.
+    * go:171-293): magic + schema id + zigzag-varint message-index path +
+    * proto wire bytes. The index path addresses the target message within
+    * the schema file ([0] shortcut for the first top-level message). */
+  def schemaRegistryEncodeProto(jsonDoc: String, schemaId: Int,
+                                schemaText: String, message: String): Array[Byte] = {
+    if (jsonDoc == null) null else {
+      val reg = ProtoSchema.registryForText(schemaText)
+      val idx = ProtoSchema.messageIndexBytes(reg, message)
+      val wire = ProtoSchema.fromJson(reg, message, jsonDoc, discardUnknown = false)
+      val framed = schemaRegistryFrame(new Array[Byte](idx.length + wire.length), schemaId)
+      System.arraycopy(idx, 0, framed, 5, idx.length)
+      System.arraycopy(wire, 0, framed, 5 + idx.length, wire.length)
+      framed
+    }
+  }
+
+  /** `schema_registry_decode` for PROTOBUF: resolves the embedded id against
+    * the provided id→schema map, walks the message-index path to the target
+    * message, then decodes via protojson. */
+  def schemaRegistryDecodeProto(bytes: Array[Byte], schemas: Map[Int, String]): String = {
+    if (bytes == null) null else {
+      val (id, payload) = schemaRegistryUnframe(bytes)
+      val schema = schemas.getOrElse(id,
+        throw new IllegalArgumentException(s"schema_registry: unknown schema id $id"))
+      val reg = ProtoSchema.registryForText(schema)
+      val (n, idxs) = ProtoSchema.readMessageIndexes(payload, 0)
+      val fqn = ProtoSchema.messageByIndexes(reg, idxs)
+      ProtoSchema.toJson(reg, fqn,
+        java.util.Arrays.copyOfRange(payload, n, payload.length))
+    }
+  }
+
   /** Register codec UDFs for spark.sql / call_udf use. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("blob_avro_encode",

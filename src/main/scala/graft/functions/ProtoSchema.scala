@@ -47,9 +47,18 @@ object ProtoSchema {
     lazy val byNum: Map[Int, String] = entries.map(_.swap).toMap
   }
 
-  final class Registry(val messages: Map[String, PMessage], val enums: Map[String, PEnum]) {
+  final class Registry(val messages: Map[String, PMessage], val enums: Map[String, PEnum],
+                       val declOrder: Vector[String] = Vector.empty) {
     def message(fqn: String): PMessage =
       messages.getOrElse(fqn, throw new IllegalArgumentException(s"unknown message: $fqn"))
+    /** Top-level messages in declaration order (Confluent message-index space). */
+    lazy val topLevel: Vector[String] = declOrder.filter { fqn =>
+      val parent = fqn.substring(0, math.max(fqn.lastIndexOf('.'), 0))
+      !messages.contains(parent)
+    }
+    /** Direct child messages of `fqn` in declaration order. */
+    def childrenOf(fqn: String): Vector[String] =
+      declOrder.filter(c => c.startsWith(fqn + ".") && c.lastIndexOf('.') == fqn.length)
   }
 
   private val ScalarKinds = Set(
@@ -158,7 +167,8 @@ object ProtoSchema {
   /** Parse one .proto file's text into raw (unlinked) declarations. */
   private def parseFile(text: String,
                         msgs: mutable.Buffer[RawMessage],
-                        enums: mutable.Buffer[PEnum]): Unit = {
+                        enums: mutable.Buffer[PEnum],
+                        order: mutable.Buffer[String]): Unit = {
     val lx = new Lexer(text)
     var pkg = ""
 
@@ -216,6 +226,7 @@ object ProtoSchema {
     def parseMessage(scope: String): Unit = {
       val name = lx.next()
       val fqn = if (scope.isEmpty) name else s"$scope.$name"
+      order += fqn // pre-order = file declaration order (message-index space)
       expect("{")
       val fields = Vector.newBuilder[RawField]
       var t = lx.next()
@@ -266,7 +277,8 @@ object ProtoSchema {
   def parse(files: Seq[String]): Registry = {
     val rawMsgs = mutable.Buffer.empty[RawMessage]
     val enums = mutable.Buffer.empty[PEnum]
-    files.foreach(parseFile(_, rawMsgs, enums))
+    val order = mutable.Buffer.empty[String]
+    files.foreach(parseFile(_, rawMsgs, enums, order))
     val enumMap = builtinEnumsPlus(enums.toSeq)
     val msgNames = rawMsgs.map(_.fqn).toSet ++ builtinMessages.keySet
     // synthetic map-entry messages
@@ -298,7 +310,7 @@ object ProtoSchema {
     val linked = rawMsgs.map(rm => PMessage(rm.fqn, rm.fields.map(linkField(rm.fqn, _)), mapEntry = false))
     new Registry(
       builtinMessages ++ (linked ++ extra).map(m => m.fqn -> m).toMap,
-      enumMap)
+      enumMap, order.toVector)
   }
 
   private def builtinEnumsPlus(parsed: Seq[PEnum]): Map[String, PEnum] =
@@ -825,6 +837,64 @@ object ProtoSchema {
                  useProtoNames: Boolean, emitUnpopulated: Boolean): String =
     toJson(registryFor(importPaths.split(',').toSeq.map(_.trim).filter(_.nonEmpty)),
       message, bytes, useProtoNames, emitUnpopulated)
+
+  // ===== Confluent message-index framing =====================================
+  // (impl/confluent/serde_protobuf.go:255-293, public Confluent wire format):
+  // after the magic+schema-id header, a ZIGZAG-varint array — count then the
+  // path of nested-message indexes from the file level — addresses the target
+  // message within the schema; a single 0 byte is the shortcut for the first
+  // top-level message.
+
+  /** Path of declaration indexes from file level to `fqn` (e.g. the second
+    * top-level message's first nested message → Vector(1, 0)). */
+  def messageIndexes(reg: Registry, fqn: String): Vector[Int] = {
+    val parts = fqn.split('.')
+    // walk from the deepest prefix that is a message up to fqn
+    val chain = (1 to parts.length).map(i => parts.take(i).mkString("."))
+      .filter(reg.messages.contains)
+    require(chain.nonEmpty && chain.last == fqn, s"message indexes: unknown message $fqn")
+    chain.zipWithIndex.map { case (m, i) =>
+      val siblings = if (i == 0) reg.topLevel else reg.childrenOf(chain(i - 1))
+      val idx = siblings.indexOf(m)
+      require(idx >= 0, s"message indexes: $m not found among its siblings")
+      idx
+    }.toVector
+  }
+
+  private def writeZigzagVarint(out: java.io.ByteArrayOutputStream, n: Long): Unit =
+    writeVarint(out, zigzag64(n))
+
+  def messageIndexBytes(reg: Registry, fqn: String): Array[Byte] = {
+    val idxs = messageIndexes(reg, fqn)
+    if (idxs == Vector(0)) Array[Byte](0) // first-message shortcut
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      writeZigzagVarint(out, idxs.length.toLong)
+      idxs.foreach(i => writeZigzagVarint(out, i.toLong))
+      out.toByteArray
+    }
+  }
+
+  /** Read the index array at `off`; returns (bytesRead, indexes). */
+  def readMessageIndexes(bytes: Array[Byte], off: Int): (Int, Vector[Int]) = {
+    val r = new Reader(bytes, off, bytes.length)
+    def zz(): Long = { val raw = r.varint(); (raw >>> 1) ^ -(raw & 1) }
+    val n = zz()
+    if (n == 0L) (r.pos - off, Vector(0))
+    else {
+      val idxs = Vector.fill(n.toInt)(zz().toInt)
+      (r.pos - off, idxs)
+    }
+  }
+
+  /** Resolve an index path back to a message fqn. */
+  def messageByIndexes(reg: Registry, idxs: Seq[Int]): String =
+    idxs.foldLeft("") { (scope, i) =>
+      val siblings = if (scope.isEmpty) reg.topLevel else reg.childrenOf(scope)
+      require(i >= 0 && i < siblings.length,
+        s"message index ($i) is greater than available message definitions (${siblings.length})")
+      siblings(i)
+    }
 
   /** Text-keyed registry: the schema ships inside the task closure, so this
     * variant is safe on a real cluster where the driver's .proto files are not

@@ -624,7 +624,7 @@ class BloblangGoldenSpec extends AnyFunSuite {
     assert(full >= CompiledBaseline,
       s"only $full golden mappings compile; baseline is $CompiledBaseline")
   }
-  // Measured round 5 (late): 22/33 golden mappings compile fully — the
+  // Measured round 5 (late): 23/33 golden mappings compile fully — the
   // round-4 subset (field mappings, env() filters, lambda chains incl.
   // cities.blobl, content() rewrites, the format twin, structured
   // metadata) plus the fragment-envelope additions: literals.yaml

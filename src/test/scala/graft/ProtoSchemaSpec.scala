@@ -262,6 +262,36 @@ class ProtoSchemaSpec extends AnyFunSuite {
       ProtoSchema.toJson(kreg, "lab.Kitchen", bytes(0x13))) // group wire type
   }
 
+  test("confluent message-index framing (serde_protobuf.go zigzag path)") {
+    val schema =
+      """syntax = "proto3";
+        |package sr;
+        |message A { int32 x = 1; }
+        |message B {
+        |  message Inner { string s = 1; }
+        |  int64 id = 1;
+        |}""".stripMargin
+    val reg = ProtoSchema.parse(Seq(schema))
+    // first top-level message: single-0 shortcut
+    assert(ProtoSchema.messageIndexBytes(reg, "sr.A") === Array[Byte](0))
+    // second top-level: count=1 (zigzag 2), index=1 (zigzag 2)
+    assert(ProtoSchema.messageIndexBytes(reg, "sr.B") === bytes(0x02, 0x02))
+    // nested path [1, 0]: count=2 → 4, then 2, 0
+    assert(ProtoSchema.messageIndexBytes(reg, "sr.B.Inner") === bytes(0x04, 0x02, 0x00))
+    // read side resolves the path back
+    assert(ProtoSchema.readMessageIndexes(bytes(0x00, 0x77), 0) === ((1, Vector(0))))
+    assert(ProtoSchema.messageByIndexes(reg, Vector(0)) === "sr.A")
+    assert(ProtoSchema.messageByIndexes(reg, Vector(1, 0)) === "sr.B.Inner")
+    // full frame round-trip through the schema-registry codec
+    val framed = graft.functions.Formats.schemaRegistryEncodeProto(
+      """{"id":"747"}""", 7, schema, "sr.B")
+    assert(framed(0) === 0.toByte) // magic
+    assert(graft.functions.Formats.schemaRegistryDecodeProto(framed, Map(7 -> schema)) ===
+      """{"id":"747"}""")
+    // frame layout: magic+id (5) + indexes (2) + wire (tag 0x08 + varint 747 = 3)
+    assert(framed.length === 5 + 2 + 3)
+  }
+
   test("registryFor loads .proto files from an import_paths directory") {
     val dir = java.nio.file.Files.createTempDirectory("protos").toFile
     dir.deleteOnExit()
