@@ -23,8 +23,9 @@ import scala.collection.mutable
   * of scalar proto3: packages, imports, nested messages, enums, oneof, map
   * fields, repeated (packed), optional presence, all 15 scalar kinds.
   *
-  * Unsupported (declared): proto2 groups/extensions, services,
-  * google.protobuf.Struct/Value/FieldMask JSON forms.
+  * Well-known types with special JSON forms: Timestamp, Duration, Any,
+  * wrappers, Empty, Struct/Value/ListValue (arbitrary JSON), FieldMask.
+  * Unsupported (declared): proto2 groups/extensions, services.
   */
 object ProtoSchema {
 
@@ -95,9 +96,16 @@ object ProtoSchema {
     "google.protobuf.BoolValue" -> "bool", "google.protobuf.StringValue" -> "string",
     "google.protobuf.BytesValue" -> "bytes")
 
+  val WktStruct = "google.protobuf.Struct"
+  val WktValue = "google.protobuf.Value"
+  val WktListValue = "google.protobuf.ListValue"
+  val WktFieldMask = "google.protobuf.FieldMask"
+
   /** Types whose JSON form is not the generic object rendering. */
   private def isSpecialJson(fqn: String): Boolean =
-    fqn == WktTimestamp || fqn == WktDuration || fqn == WktAny || WrapperKind.contains(fqn)
+    fqn == WktTimestamp || fqn == WktDuration || fqn == WktAny ||
+      fqn == WktStruct || fqn == WktValue || fqn == WktListValue ||
+      fqn == WktFieldMask || WrapperKind.contains(fqn)
 
   private val builtinMessages: Map[String, PMessage] = {
     def m(fqn: String, fs: (String, Int, String)*) =
@@ -107,9 +115,37 @@ object ProtoSchema {
       m(WktTimestamp, ("seconds", 1, "int64"), ("nanos", 2, "int32")),
       m(WktDuration, ("seconds", 1, "int64"), ("nanos", 2, "int32")),
       m(WktAny, ("type_url", 1, "string"), ("value", 2, "bytes")),
-      m(WktEmpty)) ++
+      m(WktEmpty),
+      // struct.proto: Struct carries a map<string, Value>; Value is a oneof
+      // over null/number/string/bool/Struct/ListValue (all explicit-presence)
+      WktStruct -> PMessage(WktStruct, Vector(
+        PField("fields", "fields", 1, s"$WktStruct.FieldsEntry", repeated = true, optional = false)),
+        mapEntry = false),
+      s"$WktStruct.FieldsEntry" -> PMessage(s"$WktStruct.FieldsEntry", Vector(
+        PField("key", "key", 1, "string", repeated = false, optional = false),
+        PField("value", "value", 2, WktValue, repeated = false, optional = false)),
+        mapEntry = true),
+      WktValue -> PMessage(WktValue, Vector(
+        PField("null_value", "nullValue", 1, "google.protobuf.NullValue", repeated = false, optional = true),
+        PField("number_value", "numberValue", 2, "double", repeated = false, optional = true),
+        PField("string_value", "stringValue", 3, "string", repeated = false, optional = true),
+        PField("bool_value", "boolValue", 4, "bool", repeated = false, optional = true),
+        PField("struct_value", "structValue", 5, WktStruct, repeated = false, optional = true),
+        PField("list_value", "listValue", 6, WktListValue, repeated = false, optional = true)),
+        mapEntry = false),
+      WktListValue -> PMessage(WktListValue, Vector(
+        PField("values", "values", 1, WktValue, repeated = true, optional = false)),
+        mapEntry = false),
+      // field_mask.proto: JSON form is one comma-joined camelCase string
+      WktFieldMask -> PMessage(WktFieldMask, Vector(
+        PField("paths", "paths", 1, "string", repeated = true, optional = false)),
+        mapEntry = false)) ++
       WrapperKind.map { case (fqn, kind) => m(fqn, ("value", 1, kind)) }
   }
+
+  /** FieldMask path mapping: proto snake_case ↔ JSON lowerCamel. */
+  private def camelToSnake(s: String): String =
+    s.flatMap(c => if (c.isUpper) "_" + c.toLower else c.toString)
 
   // ===== .proto parser =======================================================
 
@@ -435,11 +471,11 @@ object ProtoSchema {
     * discard_unknown field). */
   def fromJson(reg: Registry, messageFqn: String, json: String, discardUnknown: Boolean): Array[Byte] = {
     if (json == null) return null
-    graft.blob.Interp.parseJsonTyped(json) match {
+    val parsed = graft.blob.Interp.parseJsonTyped(json)
+    if (isSpecialJson(messageFqn)) encodeSpecial(reg, messageFqn, parsed, discardUnknown)
+    else parsed match {
       case m: VectorMap[String @unchecked, Any @unchecked] =>
         encodeMessage(reg, reg.message(messageFqn), m, discardUnknown)
-      case v if isSpecialJson(messageFqn) =>
-        encodeSpecial(reg, messageFqn, v, discardUnknown)
       case other =>
         throw new IllegalArgumentException(s"proto from_json: expected object, got ${other.getClass.getSimpleName}")
     }
@@ -463,6 +499,38 @@ object ProtoSchema {
       case w if WrapperKind.contains(w) =>
         val kind = WrapperKind(w)
         if (v != null) encodeScalar(out, 1, kind, v) // wrappers always carry presence
+      case WktValue => v match { // struct.proto Value: JSON-anything as a oneof
+        case null => writeTag(out, 1, 0); writeVarint(out, 0L)
+        case b: Boolean => writeTag(out, 4, 0); writeVarint(out, if (b) 1L else 0L)
+        case s: String => writeTag(out, 3, 2); writeLen(out, s.getBytes(UTF_8))
+        case m: VectorMap[_, _] =>
+          writeTag(out, 5, 2); writeLen(out, encodeSpecial(reg, WktStruct, m, discardUnknown))
+        case xs: Vector[_] =>
+          writeTag(out, 6, 2); writeLen(out, encodeSpecial(reg, WktListValue, xs, discardUnknown))
+        case n => writeTag(out, 2, 1)
+          writeFixed64(out, java.lang.Double.doubleToLongBits(jsonToDouble(n)))
+      }
+      case WktStruct => v match {
+        case m: VectorMap[String @unchecked, Any @unchecked] =>
+          m.foreach { case (k, mv) =>
+            val eo = new java.io.ByteArrayOutputStream()
+            if (k.nonEmpty) { writeTag(eo, 1, 2); writeLen(eo, k.getBytes(UTF_8)) }
+            writeTag(eo, 2, 2); writeLen(eo, encodeSpecial(reg, WktValue, mv, discardUnknown))
+            writeTag(out, 1, 2); writeLen(out, eo.toByteArray)
+          }
+        case other => throw new IllegalArgumentException(s"Struct value must be an object, got $other")
+      }
+      case WktListValue => v match {
+        case xs: Vector[Any @unchecked] =>
+          xs.foreach { x =>
+            writeTag(out, 1, 2); writeLen(out, encodeSpecial(reg, WktValue, x, discardUnknown))
+          }
+        case other => throw new IllegalArgumentException(s"ListValue must be an array, got $other")
+      }
+      case WktFieldMask =>
+        graft.blob.Interp.toStr(v).split(',').toSeq.map(_.trim).filter(_.nonEmpty).foreach { p =>
+          writeTag(out, 1, 2); writeLen(out, camelToSnake(p).getBytes(UTF_8))
+        }
       case WktAny => v match {
         case m: VectorMap[String @unchecked, Any @unchecked] =>
           val url = m.getOrElse("@type",
@@ -751,6 +819,42 @@ object ProtoSchema {
     }
     WrapperKind.get(msg.fqn).foreach { kind =>
       return scalarJson(kind, raw.getOrElse(1, scalarDefault(kind)))
+    }
+    if (msg.fqn == WktValue) {
+      // oneof kind → the bare JSON value (last-set wins, Go semantics)
+      return raw.toSeq.lastOption match {
+        case Some((1, _)) | None => null
+        case Some((2, d)) => d
+        case Some((3, s)) => s
+        case Some((4, b)) => b
+        case Some((5, sv)) => jsonize(reg, reg.message(WktStruct),
+          sv.asInstanceOf[mutable.LinkedHashMap[Int, Any]], useProtoNames, emitUnpopulated)
+        case Some((6, lv)) => jsonize(reg, reg.message(WktListValue),
+          lv.asInstanceOf[mutable.LinkedHashMap[Int, Any]], useProtoNames, emitUnpopulated)
+        case Some((n, _)) => throw new IllegalArgumentException(s"Value: unknown oneof field $n")
+      }
+    }
+    if (msg.fqn == WktStruct) {
+      var m = VectorMap.empty[String, Any]
+      raw.get(1).foreach(_.asInstanceOf[Vector[Any]].foreach { ev =>
+        val er = ev.asInstanceOf[mutable.LinkedHashMap[Int, Any]]
+        val k = er.getOrElse(1, "").toString
+        val value = er.get(2).map(x => jsonize(reg, reg.message(WktValue),
+          x.asInstanceOf[mutable.LinkedHashMap[Int, Any]], useProtoNames, emitUnpopulated))
+          .getOrElse(null)
+        m += k -> value
+      })
+      return m
+    }
+    if (msg.fqn == WktListValue) {
+      return raw.get(1).map(_.asInstanceOf[Vector[Any]].map(x =>
+        jsonize(reg, reg.message(WktValue),
+          x.asInstanceOf[mutable.LinkedHashMap[Int, Any]], useProtoNames, emitUnpopulated)))
+        .getOrElse(Vector.empty[Any])
+    }
+    if (msg.fqn == WktFieldMask) {
+      return raw.get(1).map(_.asInstanceOf[Vector[Any]]
+        .map(p => lowerCamel(p.toString)).mkString(",")).getOrElse("")
     }
     if (msg.fqn == WktAny) {
       val url = raw.get(1).map(_.asInstanceOf[String]).getOrElse("")

@@ -262,6 +262,45 @@ class ProtoSchemaSpec extends AnyFunSuite {
       ProtoSchema.toJson(kreg, "lab.Kitchen", bytes(0x13))) // group wire type
   }
 
+  test("google.protobuf.Struct/Value/ListValue carry arbitrary JSON") {
+    val schema =
+      """syntax = "proto3";
+        |package lab;
+        |import "google/protobuf/struct.proto";
+        |message Doc {
+        |  string id = 1;
+        |  google.protobuf.Struct payload = 2;
+        |  google.protobuf.Value anything = 3;
+        |}""".stripMargin
+    val reg = ProtoSchema.parse(Seq(schema))
+    val in = """{"id":"d1","payload":{"a":1.5,"b":"x","c":[true,null],"d":{"e":"deep"}},"anything":[1.5,"two"]}"""
+    val b = ProtoSchema.fromJson(reg, "lab.Doc", in, discardUnknown = false)
+    assert(ProtoSchema.toJson(reg, "lab.Doc", b) === in)
+    // bare Value round-trips every JSON shape, including top-level scalars
+    for (v <- Seq("null", "true", "3.5", "\"s\"", "[1.5,[2.5]]", """{"k":{"n":null}}""")) {
+      val vb = ProtoSchema.fromJson(reg, "google.protobuf.Value", v, discardUnknown = false)
+      assert(ProtoSchema.toJson(reg, "google.protobuf.Value", vb) === v, s"value $v")
+    }
+    // known wire shape: Value(number 1.5) = field 2 fixed64
+    assert(ProtoSchema.fromJson(reg, "google.protobuf.Value", "1.5", discardUnknown = false) ===
+      bytes(0x11, 0, 0, 0, 0, 0, 0, 0xf8, 0x3f))
+  }
+
+  test("google.protobuf.FieldMask maps comma-joined camelCase paths") {
+    val schema =
+      """syntax = "proto3";
+        |package lab;
+        |import "google/protobuf/field_mask.proto";
+        |message Patch { google.protobuf.FieldMask mask = 1; }""".stripMargin
+    val reg = ProtoSchema.parse(Seq(schema))
+    val b = ProtoSchema.fromJson(reg, "lab.Patch",
+      """{"mask":"userId,displayName"}""", discardUnknown = false)
+    // paths stored snake_case on the wire
+    assert(b === bytes(0x0a, 0x17) ++ bytes(0x0a, 0x07) ++ "user_id".getBytes("UTF-8") ++
+      bytes(0x0a, 0x0c) ++ "display_name".getBytes("UTF-8"))
+    assert(ProtoSchema.toJson(reg, "lab.Patch", b) === """{"mask":"userId,displayName"}""")
+  }
+
   test("confluent message-index framing (serde_protobuf.go zigzag path)") {
     val schema =
       """syntax = "proto3";
