@@ -447,15 +447,22 @@ pipeline:
           array(pmod(col("user_id"), lit(7)), pmod(col("user_id"), lit(11))).as("codes"),
           map(lit("t"), col("event_type")).as("attrs"))))
         .withColumn("back", dec(enc(col("js"))))
+        // ONE from_json parse instead of 8 get_json_object re-parses per row
+        // (int64 fields arrive as protojson strings, hence string→long casts)
+        .withColumn("p", from_json(col("back"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "eventId string, eventType string, value double, " +
+              "meta struct<user:string,bucket:string>, codes array<string>, " +
+              "attrs map<string,string>")))
         .select(
-          get_json_object(col("back"), "$.eventId").cast(LongType).as("event_id"),
-          get_json_object(col("back"), "$.eventType").as("event_type"),
-          get_json_object(col("back"), "$.value").cast(DoubleType).as("value"),
-          get_json_object(col("back"), "$.meta.user").cast(LongType).as("meta_user"),
-          get_json_object(col("back"), "$.meta.bucket").as("meta_bucket"),
-          get_json_object(col("back"), "$.codes[0]").cast(LongType).as("c0"),
-          get_json_object(col("back"), "$.codes[1]").cast(LongType).as("c1"),
-          get_json_object(col("back"), "$.attrs.t").as("attr_t"))
+          col("p.eventId").cast(LongType).as("event_id"),
+          col("p.eventType").as("event_type"),
+          col("p.value").as("value"),
+          col("p.meta.user").cast(LongType).as("meta_user"),
+          col("p.meta.bucket").as("meta_bucket"),
+          element_at(col("p.codes"), 1).cast(LongType).as("c0"),
+          element_at(col("p.codes"), 2).cast(LongType).as("c1"),
+          element_at(col("p.attrs"), "t").as("attr_t"))
     }),
 
     // schema_registry encode/decode with PROTOBUF framing (impl/confluent/

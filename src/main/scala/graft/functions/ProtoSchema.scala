@@ -45,7 +45,9 @@ object ProtoSchema {
 
   final case class PEnum(fqn: String, entries: Vector[(String, Int)]) {
     lazy val byName: Map[String, Int] = entries.toMap
-    lazy val byNum: Map[Int, String] = entries.map(_.swap).toMap
+    /** First name wins for aliased numbers (allow_alias), protojson rule. */
+    lazy val byNum: Map[Int, String] =
+      entries.reverseIterator.map(_.swap).toMap
   }
 
   final class Registry(val messages: Map[String, PMessage], val enums: Map[String, PEnum],
@@ -197,7 +199,8 @@ object ProtoSchema {
 
   private final case class RawField(name: String, num: Int, rawType: String, scope: String,
                                     repeated: Boolean, optional: Boolean,
-                                    mapKV: Option[(String, String)])
+                                    mapKV: Option[(String, String)],
+                                    jsonName: Option[String] = None)
   private final case class RawMessage(fqn: String, fields: Vector[RawField])
 
   /** Parse one .proto file's text into raw (unlinked) declarations. */
@@ -253,10 +256,21 @@ object ProtoSchema {
       val name = lx.next()
       expect("=")
       val num = lx.next().toInt
+      var jsonName: Option[String] = None
       var t = lx.next()
-      if (t == "[") { while (t != "]") t = lx.next(); t = lx.next() }
+      if (t == "[") { // field options: honor json_name (protojson override)
+        var prev = t
+        while (t != "]") {
+          prev = t; t = lx.next()
+          if (prev == "json_name" && t == "=") {
+            val v = lx.next()
+            if (v != null && v.startsWith("\"")) jsonName = Some(v.drop(1))
+          }
+        }
+        t = lx.next()
+      }
       require(t == ";", s"proto parse: field '$name' must end with ';', got '$t'")
-      RawField(name, num, rawType, scope, repeated, optional, mapKV)
+      RawField(name, num, rawType, scope, repeated, optional, mapKV, jsonName)
     }
 
     def parseMessage(scope: String): Unit = {
@@ -337,10 +351,12 @@ object ProtoSchema {
         extra += PMessage(entryFqn, Vector(
           PField("key", "key", 1, k, repeated = false, optional = false),
           PField("value", "value", 2, vTpe, repeated = false, optional = false)), mapEntry = true)
-        PField(rf.name, lowerCamel(rf.name), rf.num, entryFqn, repeated = true, optional = false)
+        PField(rf.name, rf.jsonName.getOrElse(lowerCamel(rf.name)), rf.num, entryFqn,
+          repeated = true, optional = false)
       case None =>
         val tpe = if (ScalarKinds.contains(rf.rawType)) rf.rawType else resolve(rf.scope, rf.rawType)
-        PField(rf.name, lowerCamel(rf.name), rf.num, tpe, rf.repeated, rf.optional)
+        PField(rf.name, rf.jsonName.getOrElse(lowerCamel(rf.name)), rf.num, tpe,
+          rf.repeated, rf.optional)
     }
 
     val linked = rawMsgs.map(rm => PMessage(rm.fqn, rm.fields.map(linkField(rm.fqn, _)), mapEntry = false))
@@ -360,7 +376,7 @@ object ProtoSchema {
   /** Walk the reference's `import_paths` semantics: each entry is a directory
     * (all .proto files under it, recursively, sorted) or a single file. */
   def registryFor(importPaths: Seq[String]): Registry = {
-    val key = importPaths.sorted.mkString(" ")
+    val key = importPaths.sorted.mkString("\u0000")
     regCache.computeIfAbsent(key, _ => {
       val files = importPaths.flatMap { p =>
         val f = new java.io.File(p)
@@ -583,6 +599,9 @@ object ProtoSchema {
     val out = new java.io.ByteArrayOutputStream()
     msg.fields.foreach { f =>
       doc.get(f.jsonName).orElse(doc.get(f.name)) match {
+        // JSON null IS a value for google.protobuf.Value fields (NullValue)
+        case Some(null) if f.tpe == WktValue && !f.repeated =>
+          encodeValue(reg, out, f, null, discardUnknown)
         case None | Some(null) => () // absent / JSON null = unset
         case Some(v) if f.repeated =>
           val entryMsg = reg.messages.get(f.tpe).filter(_.mapEntry)

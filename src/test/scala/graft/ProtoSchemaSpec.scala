@@ -286,6 +286,37 @@ class ProtoSchemaSpec extends AnyFunSuite {
       bytes(0x11, 0, 0, 0, 0, 0, 0, 0xf8, 0x3f))
   }
 
+  test("json_name overrides, enum aliases, and explicit null Values") {
+    val schema =
+      """syntax = "proto3";
+        |package lab;
+        |import "google/protobuf/struct.proto";
+        |message Named {
+        |  string internal_id = 1 [json_name = "ref"];
+        |  Status st = 2;
+        |  google.protobuf.Value v = 3;
+        |}
+        |enum Status {
+        |  option allow_alias = true;
+        |  OK = 0;
+        |  STARTED = 1;
+        |  RUNNING = 1;
+        |}""".stripMargin
+    val reg = ProtoSchema.parse(Seq(schema))
+    // json_name wins over the lowerCamel derivation, both directions
+    val b = ProtoSchema.fromJson(reg, "lab.Named", """{"ref":"abc"}""", discardUnknown = false)
+    assert(b === bytes(0x0a, 0x03, 'a', 'b', 'c'))
+    assert(ProtoSchema.toJson(reg, "lab.Named", b) === """{"ref":"abc"}""")
+    // aliased enum number renders its FIRST name; both names encode
+    assert(ProtoSchema.toJson(reg, "lab.Named", bytes(0x10, 0x01)) === """{"st":"STARTED"}""")
+    assert(ProtoSchema.fromJson(reg, "lab.Named", """{"st":"RUNNING"}""", discardUnknown = false) ===
+      bytes(0x10, 0x01))
+    // JSON null IS a value for google.protobuf.Value fields
+    val vb = ProtoSchema.fromJson(reg, "lab.Named", """{"v":null}""", discardUnknown = false)
+    assert(vb === bytes(0x1a, 0x02, 0x08, 0x00)) // len-delim Value{null_value: 0}
+    assert(ProtoSchema.toJson(reg, "lab.Named", vb) === """{"v":null}""")
+  }
+
   test("google.protobuf.FieldMask maps comma-joined camelCase paths") {
     val schema =
       """syntax = "proto3";
