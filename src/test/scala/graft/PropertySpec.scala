@@ -30,6 +30,55 @@ class PropertySpec extends AnyFunSuite {
       assert(d(c(bs)).toSeq == bs.toSeq, s"$name failed on ${bs.length} bytes")
   }
 
+  test("proto codec law: toJson(fromJson(doc)) is identity over random typed docs") {
+    import graft.functions.ProtoSchema
+    val schema =
+      """syntax = "proto3";
+        |package prop;
+        |message Inner { string s = 1; repeated int64 xs = 2; }
+        |message Doc {
+        |  int64 a = 1;
+        |  string b = 2;
+        |  double c = 3;
+        |  bool d = 4;
+        |  sint32 e = 5;
+        |  repeated string tags = 6;
+        |  Inner inner = 7;
+        |  map<string, string> m = 8;
+        |}""".stripMargin
+    val reg = ProtoSchema.parse(Seq(schema))
+    // Generators avoid proto3 implicit-presence ambiguity: non-optional
+    // scalars that equal their default are omitted from the wire, so the
+    // identity law holds for non-default values (the gate queries cover the
+    // default-handling side via emit_unpopulated / coalesce).
+    val strGen = Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty)
+    val docGen: Gen[String] = for {
+      a <- Gen.choose(1L, Long.MaxValue)
+      b <- strGen
+      // fractional-only: whole doubles render in integer form (protojson),
+      // which is the same VALUE but a different parsed TYPE on compare
+      c <- Gen.choose(-1e6, 1e6).suchThat(x => x != math.rint(x))
+      e <- Gen.oneOf(Gen.choose(Int.MinValue, -1), Gen.choose(1, Int.MaxValue))
+      tags <- Gen.listOfN(3, strGen)
+      xs <- Gen.listOfN(4, Gen.choose(Long.MinValue, Long.MaxValue))
+      s <- strGen
+      mk <- strGen
+      mv <- strGen
+    } yield {
+      val tagsJs = tags.map(t => s""""$t"""").mkString("[", ",", "]")
+      val xsJs = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+      s"""{"a":"$a","b":"$b","c":$c,"d":true,"e":$e,"tags":$tagsJs,""" +
+        s""""inner":{"s":"$s","xs":$xsJs},"m":{"$mk":"$mv"}}"""
+    }
+    for (doc <- samples(docGen, 40)) {
+      val wire = ProtoSchema.fromJson(reg, "prop.Doc", doc, discardUnknown = false)
+      val back = ProtoSchema.toJson(reg, "prop.Doc", wire)
+      // structural equality (key order is canonical on the way back)
+      assert(graft.blob.Interp.parseJsonTyped(back) == graft.blob.Interp.parseJsonTyped(doc),
+        s"round-trip drifted:\n  in:  $doc\n  out: $back")
+    }
+  }
+
   test("bcrypt/argon2 laws: verify(hash(pw)) holds, wrong password rejected, 72-byte truncation") {
     import graft.functions.{Argon2, Bcrypt}
     val pwGen = Gen.oneOf(
