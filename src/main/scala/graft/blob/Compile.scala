@@ -25,9 +25,11 @@ import org.apache.spark.sql.types._
   * deviations where the static SQL type system replaces the interpreter's
   * dynamic one:
   *  - rows where the interpreter would raise a runtime TYPE error (e.g.
-  *    arithmetic on a null field) follow SQL three-valued logic instead
-  *    of landing in the error facet — impossible-by-schema in compiled
-  *    mode since operand types are static;
+  *    arithmetic on a null field, or an `if` whose condition evaluates to
+  *    null because the field is absent — the interpreter errors the row
+  *    and keeps the original content; the compiled `when` treats null as
+  *    false and takes the else branch) follow SQL three-valued logic
+  *    instead of landing in the error facet;
   *  - untranslatable constructs never reach the compiled path at all
   *    (we bail at compile time), so there is no silent behavior change.
   *
@@ -977,7 +979,9 @@ object Compile {
         case (_, StringType) => t match {
           case Lit(fmt: String) =>
             val masked = fmt.replace("%%", "\u0000")
-            if (masked.exists(ch => ch == '%') &&
+            // a dangling trailing '%' is a format ERROR in the interpreter
+            // (String.format throws, row errors): never compile it
+            if (masked.exists(ch => ch == '%') && !masked.endsWith("%") &&
                 !"%[^vs]".r.findFirstIn(masked).isDefined) {
               val pieces = masked.split("%[vs]", -1)
                 .map(_.replace("\u0000", "%")).toSeq

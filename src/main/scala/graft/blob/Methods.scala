@@ -300,9 +300,12 @@ object Methods {
         // Go fmt verbs: %v = default-format any value → Java %s
         val jfmt = toStr(t).replace("%%", "\u0000")
           .replace("%v", "%s").replace("\u0000", "%%")
+        // Doubles render Go-style (fmt.Sprintf("%v", 2.0) is "2", not
+        // "2.0"), keeping this path byte-identical to the compiled twin
+        // (Compile.scala "format", which concats via toStrCol).
         String.format(jfmt, args.map(a => Interp.eval(a, ctx) match {
           case l: Long => java.lang.Long.valueOf(l)
-          case d: Double => java.lang.Double.valueOf(d)
+          case d: Double => Interp.fmtDouble(d)
           case b: Boolean => java.lang.Boolean.valueOf(b)
           case s => toStr(s)
         }): _*)

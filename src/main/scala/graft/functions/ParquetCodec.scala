@@ -357,13 +357,13 @@ object ParquetCodec {
         // backward-compat rules; the reference's parquet-go reads these too).
         case p: PrimitiveType =>
           (0 until n).map(j => readPrimitive(lg, 0, j, p)).toVector
-        // Canonical 3-level: repeated single-field wrapper group. Per the
-        // parquet-format compat rules a repeated group named "array" or
-        // "<name>_tuple" is itself the element, so those fall through below.
+        // Canonical 3-level: repeated single-field wrapper group. The
+        // parquet-format compat rules resolve the ambiguity by NAME only:
+        // a repeated group named "array" or "<name>_tuple" is itself the
+        // element; ANY OTHER single-field repeated group is the wrapper
+        // (LogicalTypes.md list backward-compat rules).
         case inner: GroupType if inner.getFieldCount == 1 &&
-            inner.getName != "array" && !inner.getName.endsWith("_tuple") &&
-            (inner.getName == "list" || inner.getName == "bag" ||
-              inner.getType(0).getName == "element") =>
+            inner.getName != "array" && !inner.getName.endsWith("_tuple") =>
           val elemType = inner.getType(0)
           (0 until n).map { j =>
             val eg = lg.getGroup(0, j)

@@ -417,7 +417,8 @@ object ProtoSchema {
     case d: Double =>
       require(d == math.rint(d) && !d.isInfinite, s"non-integral value for $kind: $d")
       d.toLong
-    case s: String => if (kind == "uint64") java.lang.Long.parseUnsignedLong(s) else s.toLong
+    case s: String =>
+      if (kind == "uint64" || kind == "fixed64") java.lang.Long.parseUnsignedLong(s) else s.toLong
     case b: Boolean if kind == "bool" => if (b) 1L else 0L
     case other => throw new IllegalArgumentException(s"cannot coerce ${other.getClass.getSimpleName} to $kind")
   }
@@ -621,11 +622,21 @@ object ProtoSchema {
                 writeTag(out, f.num, 2); writeLen(out, eo.toByteArray)
               }
             case (_, xs: Vector[Any @unchecked]) =>
-              if (ScalarKinds.contains(f.tpe) && !(f.tpe == "string" || f.tpe == "bytes")) {
-                // proto3 packed-by-default numeric scalars
+              val packedEnum = reg.enums.get(f.tpe)
+              if (packedEnum.isDefined ||
+                  (ScalarKinds.contains(f.tpe) && !(f.tpe == "string" || f.tpe == "bytes"))) {
+                // proto3 packed-by-default numeric scalars AND enums
                 if (xs.nonEmpty) {
                   val body = new java.io.ByteArrayOutputStream()
                   xs.foreach {
+                    case x if packedEnum.isDefined =>
+                      val en = packedEnum.get
+                      val num = x match {
+                        case s: String => en.byName.getOrElse(s,
+                          throw new IllegalArgumentException(s"unknown enum value '$s' for ${en.fqn}")).toLong
+                        case other => jsonToLong("int32", other)
+                      }
+                      writeVarint(body, num)
                     case x if isVarintKind(f.tpe) => writeVarint(body, varintOf(f.tpe, x))
                     case x if f.tpe == "double" =>
                       writeFixed64(body, java.lang.Double.doubleToLongBits(jsonToDouble(x)))
@@ -801,8 +812,8 @@ object ProtoSchema {
   private def jsonize(reg: Registry, msg: PMessage, raw: mutable.LinkedHashMap[Int, Any],
                       useProtoNames: Boolean, emitUnpopulated: Boolean): Any = {
     def scalarJson(kind: String, v: Any): Any = kind match {
-      case "int64" | "sint64" | "sfixed64" | "fixed64" => v.asInstanceOf[Long].toString
-      case "uint64" => java.lang.Long.toUnsignedString(v.asInstanceOf[Long])
+      case "int64" | "sint64" | "sfixed64" => v.asInstanceOf[Long].toString
+      case "uint64" | "fixed64" => java.lang.Long.toUnsignedString(v.asInstanceOf[Long])
       case _ => v
     }
     def valueJson(tpe: String, v: Any): Any =

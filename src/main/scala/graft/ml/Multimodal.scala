@@ -196,26 +196,34 @@ object Multimodal {
     * decoder stub to true video codecs (MP4/H.264-class) only. Same
     * partition-local contract as [[extractFeatures]]: frames never leave
     * the partition, only the small per-frame stats flow on. */
-  def gifFrameStats(media: DataFrame): Dataset[FrameStats] = {
+  def gifFrameStats(media: DataFrame): Dataset[FrameStats] =
+    frameStatsOver(media, data =>
+      if (data == null || !graft.functions.Gif.isGif(data)) Iterator.empty
+      else graft.functions.Gif.decodeFrames(data).iterator.map(fr => (fr.w, fr.h, fr.pixels)))
+
+  /** Shared per-frame channel-mean kernel: decoders hand over
+    * (width, height, packed-RGB pixels) per frame; only the slim stats rows
+    * leave the partition. A single implementation keeps the GIF and AVI
+    * gates arithmetically identical by construction. */
+  private def frameStatsOver(media: DataFrame,
+      decode: Array[Byte] => Iterator[(Int, Int, Array[Int])]): Dataset[FrameStats] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "data").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, data) =>
-          if (data == null || !graft.functions.Gif.isGif(data)) Iterator.empty
-          else graft.functions.Gif.decodeFrames(data).iterator.zipWithIndex.map {
-            case (fr, i) =>
-              var (sb, sg, sr) = (0.0, 0.0, 0.0)
-              var k = 0
-              while (k < fr.pixels.length) {
-                val rgb = fr.pixels(k)
-                sb += (rgb & 0xFF) / 255.0
-                sg += ((rgb >> 8) & 0xFF) / 255.0
-                sr += ((rgb >> 16) & 0xFF) / 255.0
-                k += 1
-              }
-              val np = math.max(1, fr.pixels.length).toDouble
-              FrameStats(id, i, fr.w, fr.h, sb / np, sg / np, sr / np)
+          decode(data).zipWithIndex.map { case ((w, h, pixels), i) =>
+            var (sb, sg, sr) = (0.0, 0.0, 0.0)
+            var k = 0
+            while (k < pixels.length) {
+              val rgb = pixels(k)
+              sb += (rgb & 0xFF) / 255.0
+              sg += ((rgb >> 8) & 0xFF) / 255.0
+              sr += ((rgb >> 16) & 0xFF) / 255.0
+              k += 1
+            }
+            val np = math.max(1, pixels.length).toDouble
+            FrameStats(id, i, w, h, sb / np, sg / np, sr / np)
           }
         }
       }
@@ -228,30 +236,10 @@ object Multimodal {
     * stub covers ONLY inter-frame codecs (H.264-class, which need a
     * native decoder). Same partition-local contract as
     * [[gifFrameStats]]. */
-  def aviFrameStats(media: DataFrame): Dataset[FrameStats] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "data").as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.flatMap { case (id, data) =>
-          if (data == null || !graft.functions.Avi.isAvi(data)) Iterator.empty
-          else graft.functions.Avi.decodeFrames(data).iterator.zipWithIndex.map {
-            case (fr, i) =>
-              var (sb, sg, sr) = (0.0, 0.0, 0.0)
-              var k = 0
-              while (k < fr.pixels.length) {
-                val rgb = fr.pixels(k)
-                sb += (rgb & 0xFF) / 255.0
-                sg += ((rgb >> 8) & 0xFF) / 255.0
-                sr += ((rgb >> 16) & 0xFF) / 255.0
-                k += 1
-              }
-              val np = math.max(1, fr.pixels.length).toDouble
-              FrameStats(id, i, fr.w, fr.h, sb / np, sg / np, sr / np)
-          }
-        }
-      }
-  }
+  def aviFrameStats(media: DataFrame): Dataset[FrameStats] =
+    frameStatsOver(media, data =>
+      if (data == null || !graft.functions.Avi.isAvi(data)) Iterator.empty
+      else graft.functions.Avi.decodeFrames(data).iterator.map(fr => (fr.w, fr.h, fr.pixels)))
 
   /** Deterministic 2×2 uncompressed AVI with the SAME per-frame pixel
     * formula as [[syntheticGif]] (channel c of pixel (x, y) in frame f =

@@ -100,6 +100,12 @@ class BloblangCompileSpec extends SparkSpec {
       """root = "%v %v".format(content())"""), Compile.ScalarSchema).isEmpty)
     // root = this over raw content = document parse → interpreter
     assert(Compile.tryCompile(Bloblang.parse("root = this"), Compile.ScalarSchema).isEmpty)
+    // a dangling trailing % is a format ERROR: interpreter territory
+    assert(Compile.tryCompile(Bloblang.parse(
+      """root = "abc%".format()"""), Compile.ScalarSchema).isEmpty)
+    // float args render Go-style ("%v" of 2.0 is "2") on BOTH paths —
+    // whole and fractional doubles covered by the fixture's d column
+    differential("""root.s = "val %v".format(this.d)""")
   }
 
   test("differential: field assignments, string methods, filter-deletes") {

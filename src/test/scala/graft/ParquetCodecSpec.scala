@@ -105,6 +105,56 @@ class ParquetCodecSpec extends AnyFunSuite {
     assert(out == Some("""[{"id":1,"s":"a"},{"id":2,"s":"b"}]"""))
   }
 
+  test("foreign-writer list layouts decode per the parquet-format compat rules") {
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    // Non-standard single-field wrapper group ("item", not list/bag/element):
+    // parquet-mr's isElementType rule says ONLY the names "array" and
+    // "<parent>_tuple" mark the repeated group as the element itself — any
+    // other single-field repeated group is the 3-level wrapper.
+    def writeListFile(schemaText: String, build: SimpleGroup => Unit): Array[Byte] = {
+      val schema = MessageTypeParser.parseMessageType(schemaText)
+      val conf = new Configuration()
+      GroupWriteSupport.setSchema(schema, conf)
+      val f = java.io.File.createTempFile("flist", ".parquet")
+      f.delete()
+      val w = ExampleParquetWriter.builder(new Path(f.getAbsolutePath)).withConf(conf).build()
+      val g = new SimpleGroup(schema)
+      build(g)
+      w.write(g); w.close()
+      val bs = java.nio.file.Files.readAllBytes(f.toPath)
+      f.delete()
+      bs
+    }
+    val wrapped = writeListFile(
+      """message m {
+        |  optional group xs (LIST) {
+        |    repeated group item { required int64 x; }
+        |  }
+        |}""".stripMargin, g => {
+        val xs = g.addGroup("xs")
+        Seq(1L, 2L, 3L).foreach(v => xs.addGroup("item").add("x", v))
+      })
+    val r1 = ParquetCodec.decodeValues(wrapped).head.asInstanceOf[Map[String, Any]]
+    assert(r1("xs") == Vector(1L, 2L, 3L))
+    // and the "array" name means the repeated group IS the element
+    val legacy = writeListFile(
+      """message m {
+        |  optional group ys (LIST) {
+        |    repeated group array { required int64 x; }
+        |  }
+        |}""".stripMargin, g => {
+        val ys = g.addGroup("ys")
+        Seq(7L, 8L).foreach(v => ys.addGroup("array").add("x", v))
+      })
+    val r2 = ParquetCodec.decodeValues(legacy).head.asInstanceOf[Map[String, Any]]
+    assert(r2("ys").asInstanceOf[Vector[Any]].map(_.asInstanceOf[Map[String, Any]]("x")) ==
+      Vector(7L, 8L))
+  }
+
   test("truncated or garbage bytes error loudly, not hang") {
     intercept[Exception](ParquetCodec.decodeValues(Array[Byte](1, 2, 3)))
     val good = ParquetCodec.encodeValues(

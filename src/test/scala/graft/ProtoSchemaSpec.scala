@@ -286,6 +286,26 @@ class ProtoSchemaSpec extends AnyFunSuite {
       bytes(0x11, 0, 0, 0, 0, 0, 0, 0xf8, 0x3f))
   }
 
+  test("fixed64 is unsigned in protojson; repeated enums pack") {
+    val schema =
+      """syntax = "proto3";
+        |package lab2;
+        |message M { fixed64 f = 1; repeated Color colors = 2; }
+        |enum Color { C0 = 0; RED = 1; BLUE = 2; }""".stripMargin
+    val reg = ProtoSchema.parse(Seq(schema))
+    // max uint64 as fixed64: parses from the canonical string, renders back
+    val b = ProtoSchema.fromJson(reg, "lab2.M",
+      """{"f":"18446744073709551615"}""", discardUnknown = false)
+    assert(b === bytes(0x09, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff))
+    assert(ProtoSchema.toJson(reg, "lab2.M", b) === """{"f":"18446744073709551615"}""")
+    // repeated enum: ONE length-delimited packed field (proto3 default)
+    assert(ProtoSchema.fromJson(reg, "lab2.M",
+      """{"colors":["RED","BLUE"]}""", discardUnknown = false) ===
+      bytes(0x12, 0x02, 0x01, 0x02))
+    assert(ProtoSchema.toJson(reg, "lab2.M", bytes(0x12, 0x02, 0x01, 0x02)) ===
+      """{"colors":["RED","BLUE"]}""")
+  }
+
   test("json_name overrides, enum aliases, and explicit null Values") {
     val schema =
       """syntax = "proto3";
