@@ -404,7 +404,132 @@ object QueriesProc {
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
-        grouping_id().as("gid")))
+        grouping_id().as("gid"))),
+
+    // ------------------------------------------------------------------
+    // redis family (internal/impl/redis/) over the from-scratch RESP
+    // protocol (conn/Resp.scala — public-spec wire format both ends; the
+    // MiniRedis fixture stands in for the server, at scale only the URL
+    // changes). Write paths run executor-side with one client per
+    // partition; queue/scan reads are single-cursor by protocol, exactly
+    // like the reference's one connection.
+
+    // redis_list output (RPUSH per partition) → redis_list input (BLPOP
+    // drain until dry): the queue round-trip (output_list.go:99,
+    // input_list.go:93-97)
+    "src_redis_list" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val rows = t(s, dir, "supplier")
+        .select(concat_ws("|", col("s_suppkey"), col("s_acctbal")).as("v"))
+        .as[String].repartition(8)
+      graft.conn.Redis.listOutput(rows, url, "work_queue")
+      graft.conn.Redis.listInput(s, url, "work_queue").toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("s_suppkey"),
+        split(col("line"), "\\|").getItem(1).cast(DoubleType).as("s_acctbal"))
+    }),
+
+    // `redis` processor (processor.go:17): per-message command built from
+    // an args mapping, reply replaces content. Phase 1 SADDs every
+    // (segment, custkey) pair; phase 2 SCARDs each distinct segment —
+    // the reference's "Querying Cardinality" documented example, with the
+    // branch composition expressed as two actions
+    "proc_redis" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val cust = t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"))
+      graft.conn.Redis.procCommand[Long](cust, url, "SADD")(
+        r => Seq("seg:" + r.getString(0), r.getLong(1)))((_, rep) => rep.toLong)
+        .count() // force the seeding phase before any SCARD runs
+      val segs = cust.select(col("c_mktsegment")).distinct()
+      graft.conn.Redis.procCommand[(String, Long)](segs, url, "SCARD")(
+        r => Seq("seg:" + r.getString(0)))((r, rep) => (r.getString(0), rep.toLong))
+        .toDF("c_mktsegment", "distinct_customers")
+    }),
+
+    // `redis` cache resource (cache.go:113-283) behind the cache
+    // processor: set nation names per partition, then per-row cache_get
+    // enrichment of suppliers. The per-row GET is the reference's exact
+    // per-message semantics; the Spark-native fast path for bounded
+    // caches stays the broadcast join (operators/Cache.scala) — this
+    // gates the external-backend wiring
+    "cache_redis" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_name"))
+      graft.operators.External.perPartitionLookup[graft.conn.Redis.Cache, Long](nations)(
+        () => new graft.conn.Redis.Cache(url, prefix = "nation_")) { (cache, row) =>
+        cache.set(row.getLong(0).toString, row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast(LongType), col("s_nationkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Redis.Cache, (Long, String)](sup)(
+        () => new graft.conn.Redis.Cache(url, prefix = "nation_")) { (cache, row) =>
+        (row.getLong(0), cache.get(row.getLong(1).toString)
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("s_suppkey", "nation_name")
+    }),
+
+    // redis_scan input (input_scan.go:84-96): SCAN + GET over the
+    // keyspace; keys seeded by the cache path
+    "src_redis_scan" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType), col("r_name"))
+      graft.operators.External.perPartitionLookup[graft.conn.Redis.Cache, Long](regions)(
+        () => new graft.conn.Redis.Cache(url)) { (cache, row) =>
+        cache.set("region:" + row.getLong(0), row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count()
+      graft.conn.Redis.scanInput(s, url, "region:*").toDF("k", "r_name").select(
+        regexp_extract(col("k"), "region:(\\d+)", 1).cast(LongType).as("r_regionkey"),
+        col("r_name"))
+    }),
+
+    // redis_streams output (XADD body per partition) → input (XRANGE full
+    // read): the stream round-trip (output_streams.go, input_streams.go)
+    "src_redis_streams" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .filter(col("event_id") % 20 === 0)
+        .select(concat_ws("|", col("event_id"), col("event_type")).as("v"))
+        .as[String].repartition(8)
+      graft.conn.Redis.streamsOutput(ev, url, "evstream")
+      graft.conn.Redis.streamsInput(s, url, "evstream").toDF("id", "body").select(
+        split(col("body"), "\\|").getItem(0).cast(LongType).as("event_id"),
+        split(col("body"), "\\|").getItem(1).as("event_type"))
+    }),
+
+    // redis_pubsub output (PUBLISH) → input (SUBSCRIBE push mode): the
+    // at-most-once channel — subscriber attaches first, then the publish
+    // burst, so the loopback fixture delivers every payload
+    "src_redis_pubsub" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val rows = t(s, dir, "nation")
+        .select(concat_ws("|", col("n_nationkey"), col("n_name")).as("v"))
+        .as[String].collect().toSeq
+      val ready = new java.util.concurrent.CountDownLatch(1)
+      val fut = new java.util.concurrent.FutureTask(() =>
+        graft.conn.Redis.subscribeCollect(url, "nations", rows.length, ready))
+      val th = new Thread(fut); th.setDaemon(true); th.start()
+      ready.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      graft.conn.Redis.publish(url, "nations", rows)
+      val got = fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      s.createDataset(got).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("n_nationkey"),
+        split(col("line"), "\\|").getItem(1).as("n_name"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -512,6 +637,21 @@ object QueriesProc {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid
-         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "src_redis_list" ->
+      "SELECT s_suppkey, s_acctbal FROM supplier",
+    "proc_redis" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_custkey)::BIGINT AS distinct_customers
+         FROM customer GROUP BY c_mktsegment""",
+    "cache_redis" ->
+      """SELECT s_suppkey, n_name AS nation_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+    "src_redis_scan" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "src_redis_streams" ->
+      """SELECT event_id, event_type FROM events
+         WHERE value IS NOT NULL AND event_id % 20 = 0""",
+    "src_redis_pubsub" ->
+      "SELECT n_nationkey, n_name FROM nation"
   )
 }

@@ -69,5 +69,8 @@ object SparkEntry {
     "proc_java",
     // round 5 late: .proto-file-driven codec (full proto3 parse + dynamic
     // wire codec + protojson, nested/repeated/map surface)
-    "codec_proto_file")
+    "codec_proto_file",
+    // round 5 late: redis family over the from-scratch RESP protocol —
+    // times the per-partition client lifecycle (SADD fan-in + SCARD)
+    "proc_redis")
 }
