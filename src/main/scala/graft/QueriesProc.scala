@@ -509,6 +509,132 @@ object QueriesProc {
         split(col("body"), "\\|").getItem(1).as("event_type"))
     }),
 
+    // NATS core input/output (impl/nats/input.go:18, output.go) over the
+    // from-scratch protocol (conn/Nats.scala — public client-protocol
+    // spec, both ends). Executors publish per partition; the driver-side
+    // subscriber holds a `data.sup.*` WILDCARD subscription and recovers
+    // the nationkey from the subject — the nats_subject metadata path
+    "src_nats" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Nats.MiniNats().start()
+      val url = srv.url
+      val sub = new graft.conn.Nats.Client(url)
+      sub.subscribe("data.sup.*")
+      val rows = t(s, dir, "supplier")
+        .select(col("s_nationkey").cast(LongType).as("nk"),
+          concat_ws("|", col("s_suppkey"), col("s_name")).as("v"))
+      val expected = rows.count()
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      val collector = new Thread(() => {
+        try {
+          var n = 0L
+          while (n < expected) {
+            val m = sub.nextMsg()
+            got.add((m.subject, new String(m.payload, "UTF-8")))
+            n += 1
+          }
+        } catch { case _: Throwable => () }
+      })
+      collector.setDaemon(true); collector.start()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Nats.Client(url)
+          try it.foreach(r =>
+            c.publish(s"data.sup.${r.getLong(0)}", r.getString(1).getBytes("UTF-8")))
+          finally c.close()
+        }
+      }
+      collector.join(60000)
+      sub.close()
+      require(got.size == expected, s"nats delivered ${got.size}/$expected")
+      import scala.jdk.CollectionConverters._
+      s.createDataset(got.asScala.toSeq).toDF("subject", "payload").select(
+        split(col("payload"), "\\|").getItem(0).cast(LongType).as("s_suppkey"),
+        split(col("payload"), "\\|").getItem(1).as("s_name"),
+        regexp_extract(col("subject"), "data\\.sup\\.(\\d+)", 1)
+          .cast(LongType).as("s_nationkey"))
+    }),
+
+    // NATS request/reply processor (processor_request_reply.go): each row
+    // sends a request and the REPLY becomes the enrichment — served by a
+    // queue group of responder services (one member per message, the
+    // spec's distribution queue), with per-partition requester clients
+    "proc_nats_rr" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Nats.MiniNats().start()
+      val url = srv.url
+      val ready = new java.util.concurrent.CountDownLatch(3)
+      (1 to 3).foreach { _ =>
+        val th = new Thread(() => {
+          val c = new graft.conn.Nats.Client(url)
+          try {
+            c.subscribe("svc.score", queue = "scorers")
+            ready.countDown()
+            while (true) {
+              val m = c.nextMsg()
+              val id = new String(m.payload, "UTF-8").toLong
+              c.publish(m.reply, (id * 7 + 3).toString.getBytes("UTF-8"))
+            }
+          } catch { case _: Throwable => () } finally c.close()
+        })
+        th.setDaemon(true); th.start()
+      }
+      ready.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      val ev = t(s, dir, "events").filter(col("event_id") % 10 === 0)
+        .select(col("event_id")).repartition(16)
+      graft.operators.External.perPartitionLookup[graft.conn.Nats.Client, (Long, Long)](ev)(
+        () => new graft.conn.Nats.Client(url)) { (c, row) =>
+        val id = row.getLong(0)
+        (id, new String(c.request("svc.score", id.toString.getBytes("UTF-8")), "UTF-8").toLong)
+      }(_.close()).toDF("event_id", "score")
+    }),
+
+    // MQTT input/output (impl/mqtt/input.go:23, output.go) over the
+    // from-scratch 3.1.1 broker+client (conn/Mqtt.scala): executors
+    // publish QoS-1 per partition, the driver-side subscriber holds a
+    // `parts/+` wildcard filter and recovers the topic segment — the
+    // mqtt_topic metadata path
+    "src_mqtt" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Mqtt.MiniMqtt().start()
+      val url = srv.url
+      val sub = new graft.conn.Mqtt.Client(url, "graft-sub")
+      sub.subscribe(Seq(("parts/+", 1)))
+      val rows = t(s, dir, "part")
+        .select(pmod(col("p_partkey"), lit(7)).cast(LongType).as("bucket"),
+          concat_ws("|", col("p_partkey"), col("p_size")).as("v"))
+      val expected = rows.count()
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      val collector = new Thread(() => {
+        try {
+          var n = 0L
+          while (n < expected) {
+            val m = sub.nextPublish()
+            got.add((m.topic, new String(m.payload, "UTF-8")))
+            n += 1
+          }
+        } catch { case _: Throwable => () }
+      })
+      collector.setDaemon(true); collector.start()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Mqtt.Client(url,
+            s"graft-pub-${java.util.UUID.randomUUID()}")
+          try it.foreach(r =>
+            c.publish(s"parts/m${r.getLong(0)}", r.getString(1).getBytes("UTF-8"), qos = 1))
+          finally c.disconnect()
+        }
+      }
+      collector.join(60000)
+      sub.close()
+      require(got.size == expected, s"mqtt delivered ${got.size}/$expected")
+      import scala.jdk.CollectionConverters._
+      s.createDataset(got.asScala.toSeq).toDF("topic", "payload").select(
+        split(col("payload"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
+        split(col("payload"), "\\|").getItem(1).cast(LongType).as("p_size"),
+        regexp_extract(col("topic"), "parts/m(\\d+)", 1).cast(LongType).as("bucket"))
+    }),
+
     // redis_pubsub output (PUBLISH) → input (SUBSCRIBE push mode): the
     // at-most-once channel — subscriber attaches first, then the publish
     // burst, so the loopback fixture delivers every payload
@@ -652,6 +778,14 @@ object QueriesProc {
       """SELECT event_id, event_type FROM events
          WHERE value IS NOT NULL AND event_id % 20 = 0""",
     "src_redis_pubsub" ->
-      "SELECT n_nationkey, n_name FROM nation"
+      "SELECT n_nationkey, n_name FROM nation",
+    "src_nats" ->
+      "SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey FROM supplier",
+    "proc_nats_rr" ->
+      """SELECT event_id, event_id * 7 + 3 AS score FROM events
+         WHERE event_id % 10 = 0""",
+    "src_mqtt" ->
+      """SELECT p_partkey, p_size::BIGINT AS p_size,
+           (p_partkey % 7)::BIGINT AS bucket FROM part"""
   )
 }

@@ -72,5 +72,8 @@ object SparkEntry {
     "codec_proto_file",
     // round 5 late: redis family over the from-scratch RESP protocol —
     // times the per-partition client lifecycle (SADD fan-in + SCARD)
-    "proc_redis")
+    "proc_redis",
+    // round 5 late: NATS request/reply — per-row RPC through queue-group
+    // responders, the costliest external-call shape worth watching
+    "proc_nats_rr")
 }
