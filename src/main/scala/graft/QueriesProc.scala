@@ -509,6 +509,36 @@ object QueriesProc {
         split(col("body"), "\\|").getItem(1).as("event_type"))
     }),
 
+    // `file` cache backend (impl/io/cache_file.go) fronted by an lru
+    // level (cache_multilevel.go + cache_lru.go): regions seeded into
+    // the file cache per partition, nations enriched per row through the
+    // multilevel stack — repeated regionkeys hit the lru, disk is truth.
+    // Node-local by contract (local[32] shares the FS; on a cluster the
+    // dir is per-executor or a shared mount, as in the reference's
+    // one-process semantics)
+    "cache_file" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fcache").toString
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType), col("r_name"))
+      graft.operators.External.perPartitionLookup[
+          graft.operators.CacheBackends.FileCache, Long](regions)(
+        () => new graft.operators.CacheBackends.FileCache(tmp)) { (c, row) =>
+        c.set("region_" + row.getLong(0), row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[
+          graft.operators.CacheBackends.MultilevelCache, (Long, String)](nat)(
+        () => new graft.operators.CacheBackends.MultilevelCache(Seq(
+          new graft.operators.CacheBackends.LruCache(16),
+          new graft.operators.CacheBackends.FileCache(tmp)))) { (c, row) =>
+        (row.getLong(0),
+          graft.operators.CacheBackends.getString(c, "region_" + row.getLong(1)).orNull)
+      }(_.close()).toDF("n_nationkey", "region_name")
+    }),
+
     // NATS core input/output (impl/nats/input.go:18, output.go) over the
     // from-scratch protocol (conn/Nats.scala — public client-protocol
     // spec, both ends). Executors publish per partition; the driver-side
@@ -779,6 +809,9 @@ object QueriesProc {
          WHERE value IS NOT NULL AND event_id % 20 = 0""",
     "src_redis_pubsub" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "cache_file" ->
+      """SELECT n_nationkey::BIGINT AS n_nationkey, r_name AS region_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
     "src_nats" ->
       "SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey FROM supplier",
     "proc_nats_rr" ->

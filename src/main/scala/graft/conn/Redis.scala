@@ -39,32 +39,37 @@ object Redis {
   // ------------------------------------------------------------ cache
 
   /** `redis` cache resource (cache.go): the four cache-processor verbs
-    * over one client connection. TTLs in milliseconds; `add` is SET NX
-    * (ErrKeyAlreadyExists → false), matching the reference's semantics. */
+    * over one client connection, implementing the same [[graft.operators.
+    * CacheBackends.KvBackend]] trait as the pure backends (so multilevel
+    * can stack an lru in front of it). TTLs in milliseconds; `add` is
+    * SET NX (ErrKeyAlreadyExists → false), matching the reference. */
   final class Cache(url: String, prefix: String = "", defaultTtlMs: Long = 0)
-      extends AutoCloseable {
+      extends graft.operators.CacheBackends.KvBackend {
     private val (h, p) = hostPort(url)
     private val c = new Resp.Client(h, p)
     private def pk(key: String): String = prefix + key
+    private def ttlOf(ttlMs: Long): Long = if (ttlMs > 0) ttlMs else defaultTtlMs
 
     def get(key: String): Option[Array[Byte]] =
       Option(c.cmd("GET", pk(key)) match {
         case Resp.Bulk(d) => d
         case other => throw new IllegalStateException(s"GET: $other")
       })
-    def set(key: String, value: Array[Byte], ttlMs: Long = defaultTtlMs): Unit = {
-      if (ttlMs > 0) c.cmd("SET", pk(key), value, "PX", ttlMs)
+    def set(key: String, value: Array[Byte], ttlMs: Long = 0): Unit = {
+      val t = ttlOf(ttlMs)
+      if (t > 0) c.cmd("SET", pk(key), value, "PX", t)
       else c.cmd("SET", pk(key), value)
       ()
     }
     /** SET NX: false if the key already existed. */
-    def add(key: String, value: Array[Byte], ttlMs: Long = defaultTtlMs): Boolean = {
-      val r = if (ttlMs > 0) c.cmd("SET", pk(key), value, "PX", ttlMs, "NX")
+    def add(key: String, value: Array[Byte], ttlMs: Long = 0): Boolean = {
+      val t = ttlOf(ttlMs)
+      val r = if (t > 0) c.cmd("SET", pk(key), value, "PX", t, "NX")
         else c.cmd("SET", pk(key), value, "NX")
       r != Resp.NullBulk
     }
     def delete(key: String): Unit = { c.cmd("DEL", pk(key)); () }
-    def exists(key: String): Boolean = c.long("EXISTS", pk(key)) == 1
+    override def exists(key: String): Boolean = c.long("EXISTS", pk(key)) == 1
     override def close(): Unit = c.close()
   }
 
