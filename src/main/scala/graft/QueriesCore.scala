@@ -296,11 +296,19 @@ object QueriesCore {
           col("event_type"), col("n"), col("total"))
       val ckpt = java.nio.file.Files.createTempDirectory("swt_ckpt").toFile
       ckpt.deleteOnExit()
-      val q = agg.writeStream.format("memory").queryName("stream_win_tumbling_sink")
+      // State-exchange width is a per-query knob: this agg's state is tiny
+      // (event_type x windows), so 32 state partitions pay 32 task+commit
+      // overheads per micro-batch for grams of state. Size the stateful
+      // shuffle to the STATE volume (and at real scale, size it UP the
+      // same way); restore the session default after query start.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try agg.writeStream.format("memory").queryName("stream_win_tumbling_sink")
         .outputMode("complete")
         .option("checkpointLocation", ckpt.getPath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table("stream_win_tumbling_sink")
     }),
@@ -328,11 +336,15 @@ object QueriesCore {
           col("event_type"), col("n"), col("total"))
       val ckpt = java.nio.file.Files.createTempDirectory("swa_ckpt").toFile
       ckpt.deleteOnExit()
-      val q = agg.writeStream.format("memory").queryName("stream_win_append_sink")
+      // state exchange sized to state volume (see stream_win_tumbling)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try agg.writeStream.format("memory").queryName("stream_win_append_sink")
         .outputMode("append")
         .option("checkpointLocation", ckpt.getPath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table("stream_win_append_sink")
     }),
@@ -355,11 +367,15 @@ object QueriesCore {
         .dropDuplicates("event_type", "vb")
       val ckpt = java.nio.file.Files.createTempDirectory("sdd_ckpt").toFile
       ckpt.deleteOnExit()
-      val q = stream.writeStream.format("memory").queryName("stream_dedupe_sink")
+      // state exchange sized to state volume (see stream_win_tumbling)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try stream.writeStream.format("memory").queryName("stream_dedupe_sink")
         .outputMode("append")
         .option("checkpointLocation", ckpt.getPath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table("stream_dedupe_sink")
     }),
