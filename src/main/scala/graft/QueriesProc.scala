@@ -539,6 +539,31 @@ object QueriesProc {
       }(_.close()).toDF("n_nationkey", "region_name")
     }),
 
+    // `memcached` cache backend (impl/memcached/cache.go:24) over the
+    // from-scratch text protocol (conn/Memcached.scala): customers seeded
+    // per partition, orders enriched per row — the same external-backend
+    // wiring gate as cache_redis, on the second wire protocol the
+    // reference's cache resources speak
+    "cache_memcached" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Memcached.MiniMemcached().start()
+      val addr = srv.address
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast(LongType), col("c_mktsegment"))
+      graft.operators.External.perPartitionLookup[graft.conn.Memcached.Cache, Long](cust)(
+        () => new graft.conn.Memcached.Cache(addr, prefix = "cust_")) { (c, row) =>
+        c.set(row.getLong(0).toString, row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").cast(LongType), col("o_custkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Memcached.Cache, (Long, String)](ord)(
+        () => new graft.conn.Memcached.Cache(addr, prefix = "cust_")) { (c, row) =>
+        (row.getLong(0), c.get(row.getLong(1).toString)
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("o_orderkey", "segment")
+    }),
+
     // NATS core input/output (impl/nats/input.go:18, output.go) over the
     // from-scratch protocol (conn/Nats.scala — public client-protocol
     // spec, both ends). Executors publish per partition; the driver-side
@@ -809,6 +834,9 @@ object QueriesProc {
          WHERE value IS NOT NULL AND event_id % 20 = 0""",
     "src_redis_pubsub" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "cache_memcached" ->
+      """SELECT o_orderkey, c_mktsegment AS segment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
     "cache_file" ->
       """SELECT n_nationkey::BIGINT AS n_nationkey, r_name AS region_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
