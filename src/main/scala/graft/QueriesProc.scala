@@ -539,6 +539,51 @@ object QueriesProc {
       }(_.close()).toDF("n_nationkey", "region_name")
     }),
 
+    // AMQP 0-9-1 input/output (impl/amqp09/input.go:24, output.go:23)
+    // over the from-scratch protocol (conn/Amqp.scala — public spec both
+    // ends): executors publish to the default exchange per partition, the
+    // driver-side consumer drains the declared queue with explicit
+    // Basic.Acks — the reference input's at-least-once contract
+    "src_amqp" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Amqp.MiniAmqp().start()
+      val url = srv.url
+      val setup = new graft.conn.Amqp.Client(url)
+      setup.declareQueue("orders_q")
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(concat_ws("|", col("o_orderkey"), col("o_orderpriority")).as("v"))
+      val expected = rows.count()
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val consumer = new Thread(() => {
+        val c = new graft.conn.Amqp.Client(url)
+        try {
+          c.consume("orders_q")
+          var n = 0L
+          while (n < expected) {
+            val d = c.nextDelivery()
+            got.add(new String(d.body, "UTF-8"))
+            c.ack(d.deliveryTag)
+            n += 1
+          }
+        } catch { case _: Throwable => () } finally c.close()
+      })
+      consumer.setDaemon(true); consumer.start()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Amqp.Client(url)
+          try it.foreach(r => c.publish("orders_q", r.getString(0).getBytes("UTF-8")))
+          finally c.close()
+        }
+      }
+      consumer.join(60000)
+      setup.close()
+      require(got.size == expected, s"amqp delivered ${got.size}/$expected")
+      import scala.jdk.CollectionConverters._
+      s.createDataset(got.asScala.toSeq).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
+        split(col("line"), "\\|").getItem(1).as("o_orderpriority"))
+    }),
+
     // `memcached` cache backend (impl/memcached/cache.go:24) over the
     // from-scratch text protocol (conn/Memcached.scala): customers seeded
     // per partition, orders enriched per row — the same external-backend
@@ -834,6 +879,9 @@ object QueriesProc {
          WHERE value IS NOT NULL AND event_id % 20 = 0""",
     "src_redis_pubsub" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "src_amqp" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderkey % 5 = 0""",
     "cache_memcached" ->
       """SELECT o_orderkey, c_mktsegment AS segment
          FROM orders JOIN customer ON o_custkey = c_custkey""",

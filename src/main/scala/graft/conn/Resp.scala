@@ -223,7 +223,10 @@ object Resp {
     def stop(): Unit = {
       running.set(false)
       try server.close() catch { case _: Throwable => () }
-      store.synchronized { subs.foreach { case (s, _) => try s.close() catch { case _: Throwable => () } } }
+      // snapshot under the SUBS lock (the one connection-close mutates
+      // under) — iterating under store raced filterInPlace (observed CME)
+      val live = subs.synchronized(subs.toVector)
+      live.foreach { case (s, _) => try s.close() catch { case _: Throwable => () } }
     }
 
     private def k(b: Array[Byte]): String = new String(b, ISO_8859_1)

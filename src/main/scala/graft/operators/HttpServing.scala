@@ -168,6 +168,17 @@ final class HttpServerInput(path: String = "/post", timeoutSec: Long = 60) {
       }
       followers.foreach(p => p.fut.complete(responded.getOrDefault(p.body, "")))
     }
+    if (dedupeBodies) {
+      // Grace drain: a redelivery that arrives AFTER the final unique body
+      // was processed would otherwise sit unanswered until its exchange
+      // times out non-200 (observed under full-suite load). Answer
+      // stragglers from the response cache until the queue stays quiet.
+      var p = queue.poll(200, TimeUnit.MILLISECONDS)
+      while (p != null) {
+        p.fut.complete(responded.getOrDefault(p.body, ""))
+        p = queue.poll(200, TimeUnit.MILLISECONDS)
+      }
+    }
     spark.createDataFrame(acc.asJava, outSchema)
   }
 }
