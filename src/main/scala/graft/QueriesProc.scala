@@ -539,6 +539,33 @@ object QueriesProc {
       }(_.close()).toDF("n_nationkey", "region_name")
     }),
 
+    // kafka input/output (impl/kafka/ — the reference's flagship
+    // connector family) over the from-scratch v0 wire protocol
+    // (conn/Kafka.scala: Metadata/Produce/Fetch, CRC'd MessageSets).
+    // Producers run one client per Spark partition routing rows to kafka
+    // partitions by key; the input runs one FETCH CURSOR PER KAFKA
+    // PARTITION executor-side — the same task shape as Spark's own kafka
+    // source. The kafka partition id crosses the gate and the oracle
+    // replays the partitioner arithmetic
+    "src_kafka" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Kafka.MiniKafka(numPartitions = 4).start()
+      val bootstrap = srv.bootstrap
+      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").cast(LongType),
+          concat_ws("|", col("l_quantity"), col("l_returnflag")).as("v"))
+      graft.conn.Kafka.output(rows, bootstrap, "lineitem",
+        partitionOf = r => (r.getLong(0) % 4).toInt,
+        keyOf = r => r.getLong(0).toString.getBytes("UTF-8"),
+        valueOf = r => r.getString(1).getBytes("UTF-8"))
+      graft.conn.Kafka.input(s, bootstrap, "lineitem")
+        .toDF("kafka_partition", "kafka_offset", "key", "value").select(
+          col("kafka_partition").cast(LongType).as("kafka_partition"),
+          col("key").cast(LongType).as("l_orderkey"),
+          split(col("value"), "\\|").getItem(0).cast(DoubleType).as("l_quantity"),
+          split(col("value"), "\\|").getItem(1).as("l_returnflag"))
+    }),
+
     // AMQP 0-9-1 input/output (impl/amqp09/input.go:24, output.go:23)
     // over the from-scratch protocol (conn/Amqp.scala — public spec both
     // ends): executors publish to the default exchange per partition, the
@@ -879,6 +906,10 @@ object QueriesProc {
          WHERE value IS NOT NULL AND event_id % 20 = 0""",
     "src_redis_pubsub" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "src_kafka" ->
+      """SELECT (l_orderkey % 4)::BIGINT AS kafka_partition, l_orderkey,
+           l_quantity, l_returnflag
+         FROM lineitem WHERE l_linenumber = 1""",
     "src_amqp" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
          WHERE o_orderkey % 5 = 0""",

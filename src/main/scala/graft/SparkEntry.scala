@@ -75,5 +75,8 @@ object SparkEntry {
     "proc_redis",
     // round 5 late: NATS request/reply — per-row RPC through queue-group
     // responders, the costliest external-call shape worth watching
-    "proc_nats_rr")
+    "proc_nats_rr",
+    // round 5 late: kafka round-trip over the from-scratch v0 protocol —
+    // chunked partition-routed produce + per-partition fetch cursors
+    "src_kafka")
 }
