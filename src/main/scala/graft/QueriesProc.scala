@@ -539,6 +539,51 @@ object QueriesProc {
       }(_.close()).toDF("n_nationkey", "region_name")
     }),
 
+    // NSQ input/output (impl/nsq/input.go:33, output.go) over the
+    // from-scratch V2 protocol (conn/Nsq.scala): per-partition publisher
+    // clients PUB, the driver-side consumer SUBs a topic+channel with
+    // RDY flow control and FINs every delivery — the reference input's
+    // at-least-once contract
+    "src_nsq" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Nsq.MiniNsq().start()
+      val addr = srv.address
+      val rows = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(concat_ws("|", col("c_custkey"), col("c_mktsegment")).as("v"))
+      val expected = rows.count()
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val ready = new java.util.concurrent.CountDownLatch(1)
+      val consumer = new Thread(() => {
+        val c = new graft.conn.Nsq.Client(addr)
+        try {
+          c.subscribe("custs", "gate", maxInFlight = 256)
+          ready.countDown()
+          var n = 0L
+          while (n < expected) {
+            val d = c.nextDelivery()
+            got.add(new String(d.body, "UTF-8"))
+            c.fin(d.id)
+            n += 1
+          }
+        } catch { case _: Throwable => () } finally c.close()
+      })
+      consumer.setDaemon(true); consumer.start()
+      ready.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Nsq.Client(addr)
+          try it.foreach(r => c.publish("custs", r.getString(0).getBytes("UTF-8")))
+          finally c.close()
+        }
+      }
+      consumer.join(60000)
+      require(got.size == expected, s"nsq delivered ${got.size}/$expected")
+      import scala.jdk.CollectionConverters._
+      s.createDataset(got.asScala.toSeq).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("c_custkey"),
+        split(col("line"), "\\|").getItem(1).as("c_mktsegment"))
+    }),
+
     // kafka input/output (impl/kafka/ — the reference's flagship
     // connector family) over the from-scratch v0 wire protocol
     // (conn/Kafka.scala: Metadata/Produce/Fetch, CRC'd MessageSets).
@@ -906,6 +951,9 @@ object QueriesProc {
          WHERE value IS NOT NULL AND event_id % 20 = 0""",
     "src_redis_pubsub" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "src_nsq" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey % 3 = 0""",
     "src_kafka" ->
       """SELECT (l_orderkey % 4)::BIGINT AS kafka_partition, l_orderkey,
            l_quantity, l_returnflag
