@@ -285,9 +285,9 @@ object QueriesCore {
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       // the file stream source wants a DIRECTORY: stream the sf dir with a
       // glob filter selecting the events file(s)
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = graft.core.Tables.normalizeEventsTs(
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
       val agg = Windows.windowedAgg(
           stream, "ts", "1 hour", Seq(col("event_type")),
           Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("total")))

@@ -15,19 +15,33 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader.
-      // Read nanos as Long and truncate to microseconds (integer div — the
-      // ns epoch exceeds double's 2^53 mantissa, so no float detour).
-      // Documented precision delta vs the reference's ns timestamps
-      // (SURVEY §1.4); DuckDB-oracle parity holds for all derived values.
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (illegal for
+      // Spark's reader — read nanos as Long, truncate to µs; integer div
+      // because the ns epoch exceeds double's 2^53 mantissa) and plain
+      // TIMESTAMP(MICROS) (directly readable). Branch on the actual file
+      // schema so either generation of the driver's testdata loads.
       // The nanosAsLong conf belongs in the SparkSession builder (Verify,
       // Bench, test harnesses all set it); the guard below only covers
       // ad-hoc sessions and never overwrites an existing setting.
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize events.ts to session-zone TimestampType whichever way the
+    * driver's generator shipped it (also used by the readStream twin). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        // TIMESTAMP_NTZ from the micros-generation testdata: cast to the
+        // session-zone type every query was written against — an identity
+        // on the wall clock because all entrypoints pin UTC.
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
 
   /** Register every table as a temp view so `spark.sql` text works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
