@@ -819,6 +819,47 @@ pipeline:
         .unionByName(s.read.parquet(p2).withColumn("sink", lit("s2")))
     }),
 
+    // sql_raw processor (impl/sql/processor_sql_raw.go:251-318): arbitrary
+    // parameterized SQL per message, content REPLACED by the result rows
+    // as a JSON array of objects. One connection + one PREPARED statement
+    // per partition; ? placeholders bound per row. The gate runs a raw
+    // join-back lookup (region key -> nations) against embedded Derby and
+    // explodes the returned array; oracle is the equivalent SQL join.
+    "proc_sql_raw" -> ((s, dir) => {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft_sqlraw")
+      System.setProperty("derby.stream.error.file",
+        dbDir.resolve("derby.log").toString)
+      val url = s"jdbc:derby:${dbDir.resolve("db")};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE nation (n_nationkey BIGINT, " +
+          "n_name VARCHAR(64), n_regionkey BIGINT)")
+        st.close()
+      } finally conn.close()
+      t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("jdbc").option("url", url).option("dbtable", "nation")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("append").save()
+      import s.implicits._
+      val regions = t(s, dir, "region").select(col("r_regionkey"))
+      val rawOut = graft.operators.External.sqlRaw(regions, url,
+        "SELECT n_regionkey, n_nationkey, n_name FROM nation " +
+          "WHERE n_regionkey = ? ORDER BY n_nationkey",
+        row => Seq(java.lang.Long.valueOf(row.getAs[Number](0).longValue())))
+      val elem = ArrayType(new StructType()
+        .add("n_regionkey", LongType).add("n_nationkey", LongType)
+        .add("n_name", StringType))
+      // a wrong/ignored bind would duplicate or drop nations — the hash
+      // compare against the plain nation projection catches both
+      rawOut.toDF("j")
+        .withColumn("rows", from_json(col("j"), elem))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.n_regionkey").as("n_regionkey"),
+          col("r.n_nationkey").as("n_nationkey"),
+          col("r.n_name").as("n_name"))
+    }),
+
     // sql_insert -> sql_select round-trip over a REAL embedded JDBC
     // database (Apache Derby, already on the Spark classpath — no new
     // deps). sql_insert (impl/sql/processor_sql_insert.go:25) appends the
@@ -873,6 +914,9 @@ pipeline:
     "sql_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey, s_acctbal
          FROM supplier WHERE s_nationkey < 20""",
+    "proc_sql_raw" ->
+      """SELECT n_regionkey::BIGINT AS n_regionkey,
+           n_nationkey::BIGINT AS n_nationkey, n_name FROM nation""",
     "proc_http" ->
       """SELECT event_id, event_id * 2 AS twice,
            'u' || (event_id % 7)::VARCHAR AS tag

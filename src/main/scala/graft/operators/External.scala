@@ -77,6 +77,56 @@ object External {
     }.load()
   }
 
+  /** `sql_raw` processor (impl/sql/processor_sql_raw.go:251-318): run an
+    * arbitrary parameterized statement per message. `exec_only = true`
+    * executes and passes the message through unchanged; otherwise the
+    * message content is REPLACED by the result rows as a JSON array of
+    * objects (sqlRowsToArray). Args bind `?` placeholders in row order.
+    *
+    * Spark shape: one JDBC connection + ONE prepared statement per
+    * partition (prepare once, bind per row) via perPartitionLookup — the
+    * same connections-scale-with-partitions contract as `http`/`redis`.
+    */
+  def sqlRaw(df: DataFrame, url: String, query: String,
+             args: Row => Seq[Any], execOnly: Boolean = false)(
+             implicit enc: Encoder[String]): org.apache.spark.sql.Dataset[String] =
+    perPartitionLookup(df) { () =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      (conn, conn.prepareStatement(query))
+    } { case ((_, ps), row) =>
+      val as = args(row)
+      as.iterator.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+      if (execOnly) { ps.executeUpdate(); row.mkString(",") }
+      else {
+        val rs = ps.executeQuery()
+        try {
+          val md = rs.getMetaData
+          val names = (1 to md.getColumnCount)
+            .map(i => md.getColumnLabel(i).toLowerCase)
+          val out = Vector.newBuilder[Any]
+          while (rs.next()) {
+            var m = scala.collection.immutable.VectorMap.empty[String, Any]
+            names.zipWithIndex.foreach { case (n, i) =>
+              m = m.updated(n, rs.getObject(i + 1) match {
+                case null => null
+                case x: java.math.BigDecimal => x.doubleValue()
+                case x: Number if x.isInstanceOf[java.lang.Integer] ||
+                  x.isInstanceOf[java.lang.Short] || x.isInstanceOf[java.lang.Byte] ||
+                  x.isInstanceOf[java.lang.Long] => x.longValue()
+                case x: java.lang.Number if x.isInstanceOf[java.lang.Float] ||
+                  x.isInstanceOf[java.lang.Double] => x.doubleValue()
+                case x: String => x
+                case x: java.sql.Clob => x.getSubString(1, x.length().toInt)
+                case x => x.toString
+              })
+            }
+            out += m
+          }
+          graft.blob.Interp.marshalJson(out.result())
+        } finally rs.close()
+      }
+    } { case (conn, ps) => ps.close(); conn.close() }
+
   /** `sql_insert` output: idempotent-append JDBC write per micro-batch. */
   def jdbcInsertSink(url: String, table: String): Outputs.Sink =
     df => df.write.format("jdbc").option("url", url).option("dbtable", table)
