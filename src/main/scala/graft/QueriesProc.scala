@@ -544,6 +544,43 @@ object QueriesProc {
     // clients PUB, the driver-side consumer SUBs a topic+channel with
     // RDY flow control and FINs every delivery — the reference input's
     // at-least-once contract
+    // beanstalkd input/output (impl/beanstalkd/: output.go:89 Put,
+    // input.go:82-102 reserve→Delete ack) over the from-scratch text
+    // protocol (conn/Beanstalkd.scala + MiniBeanstalkd fixture). One
+    // producer client per Spark partition `put`s into a tube; the
+    // driver-side consumer drains pull-style — reserve-with-timeout
+    // until TIMED_OUT, explicit delete per job (the reference's ack).
+    // Priority/TTR/death-requeue semantics are spec-gated.
+    "src_beanstalkd" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Beanstalkd.MiniBeanstalkd().start()
+      val addr = srv.address
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 4 === 0)
+        .select(concat_ws("|", col("p_partkey"), col("p_brand")).as("v"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Beanstalkd.Client(addr)
+          try {
+            c.use("parts")
+            it.foreach(r => c.put(r.getString(0).getBytes("UTF-8"), ttrSec = 60))
+          } finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[String]
+      val c = new graft.conn.Beanstalkd.Client(addr)
+      try {
+        c.watch("parts"); c.ignore("default")
+        var done = false
+        while (!done) c.reserve(1) match {
+          case Some(j) => got += new String(j.body, "UTF-8"); c.delete(j.id)
+          case None => done = true
+        }
+      } finally { c.close(); srv.stop() }
+      s.createDataset(got.result()).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
+        split(col("line"), "\\|").getItem(1).as("p_brand"))
+    }),
+
     "src_nsq" -> ((s, dir) => {
       import s.implicits._
       val srv = new graft.conn.Nsq.MiniNsq().start()
@@ -954,6 +991,9 @@ object QueriesProc {
     "src_nsq" ->
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE c_custkey % 3 = 0""",
+    "src_beanstalkd" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE p_partkey % 4 = 0""",
     "src_kafka" ->
       """SELECT (l_orderkey % 4)::BIGINT AS kafka_partition, l_orderkey,
            l_quantity, l_returnflag
