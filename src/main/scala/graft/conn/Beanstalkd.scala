@@ -256,7 +256,9 @@ object Beanstalkd {
               val ok = lock.synchronized {
                 reserved.get(id) match {
                   case Some((j, _, s)) if s eq sock =>
-                    reserved(id) = (j, System.currentTimeMillis() + 2000, s); true
+                    // touch grants a full TTR from now (beanstalkd protocol: "allow a worker
+                    // to request more time to work on a job"), not a fixed window.
+                    reserved(id) = (j, System.currentTimeMillis() + j.ttrMillis, s); true
                   case _ => false
                 }
               }
@@ -343,7 +345,10 @@ object Beanstalkd {
     def delete(id: Long): Boolean = synchronized {
       send(s"delete $id"); replyLine()(0) == "DELETED"
     }
-    /** Nack → back of the ready queue at pri 2 (input.go:100). */
+    /** Nack → back of the ready queue at pri 2 (input.go:100). The reference releases with a
+      * 200ms backoff delay; the beanstalkd wire protocol's delay field is whole seconds, so the
+      * closest representable values are 0s (immediate, our default) or 1s — we keep 0 and note
+      * the deviation here rather than inflate the backoff 5×. */
     def release(id: Long, pri: Long = 2, delaySec: Long = 0): Boolean = synchronized {
       send(s"release $id $pri $delaySec"); replyLine()(0) == "RELEASED"
     }

@@ -96,7 +96,17 @@ object External {
     } { case ((_, ps), row) =>
       val as = args(row)
       as.iterator.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
-      if (execOnly) { ps.executeUpdate(); row.mkString(",") }
+      if (execOnly) {
+        // exec-and-pass-through (processor_sql_raw.go exec path): the statement
+        // runs for its side effect and the message continues UNCHANGED — emit the
+        // row as the same JSON-object shape the query path uses, not a lossy join.
+        ps.executeUpdate()
+        var m = scala.collection.immutable.VectorMap.empty[String, Any]
+        row.schema.fieldNames.zipWithIndex.foreach { case (n, i) =>
+          m = m.updated(n, row.get(i))
+        }
+        graft.blob.Interp.marshalJson(m)
+      }
       else {
         val rs = ps.executeQuery()
         try {
