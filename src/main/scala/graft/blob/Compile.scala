@@ -216,7 +216,13 @@ object Compile {
     * statement falls outside the translatable subset. */
   def tryCompile(m: Mapping, schema: StructType,
                  env: Map[String, String] = Map.empty): Option[Compiled] = {
-    if (m.maps.nonEmpty) return None // named map defs → interpreter
+    // named `map` defs whose body is a single `root = <expr>` statement
+    // inline at their apply() sites (typed, recursion bounded by the
+    // schema's depth — the walk_json shape); any apply() of a map outside
+    // this set fails to compile there and the mapping falls back whole.
+    val inlineMaps: Map[String, Expr] = m.maps.collect {
+      case (name, Vector(AssignRoot(path, e))) if path.isEmpty => name -> e
+    }
     var lets = Map.empty[String, (Column, DataType)]
     var filters = Vector.empty[Column]
     var metaOps = Vector.empty[(String, Option[Column])] // Some = set, None = delete
@@ -225,7 +231,8 @@ object Compile {
     // there is an interpreter-stored null (explicit), not an absent key
     var dynOvr = Set.empty[String]
 
-    def ce(e: Expr): Option[(Column, DataType)] = compileExpr(e, schema, lets, env)
+    def ce(e: Expr): Option[(Column, DataType)] =
+      compileExpr(e, schema, lets, env, None, inlineMaps)
 
     /** Expression in a whole-field/meta VALUE position: an absent env var
       * may compile to a null literal there (the interpreter stores null →
@@ -605,6 +612,48 @@ object Compile {
   }
   private def isNumeric(t: DataType): Boolean = isIntKind(t) || isFloatKind(t)
 
+  /** [[Interp.typeName]] of any NON-NULL value of this static SQL type
+    * (null values report "null" at runtime — see the type-test pruning in
+    * [[compileMatch]]). None for types outside the compiled value model. */
+  private def staticTypeName(t: DataType): Option[String] = t match {
+    case StringType => Some("string")
+    case BooleanType => Some("bool")
+    case t2 if isNumeric(t2) => Some("number")
+    case _: ArrayType => Some("array")
+    case _: StructType => Some("object")
+    case _ => None
+  }
+
+  /** ANSI-safe string→number parse guards: under ANSI mode (the session
+    * default) a bare cast THROWS on junk instead of returning null, so
+    * every string cast sits behind a shape regex and junk takes the
+    * null/fallback path, preserving the "junk → null (SQL)" contract. */
+  private val IntRe = "^\\s*[+-]?\\d+\\s*$"
+  private val FloatRe = "^\\s*[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?\\s*$"
+
+  private def unifyVals(l: (Column, DataType), r: (Column, DataType)): Option[(Column, Column, DataType)] =
+    if (l._2 == r._2) Some((l._1, r._1, l._2))
+    else if (isNumeric(l._2) && isNumeric(r._2))
+      Some((l._1.cast(DoubleType), r._1.cast(DoubleType), DoubleType))
+    else None
+
+  private def numBinVals(op: String, l: (Column, DataType), r: (Column, DataType)): Option[(Column, DataType)] = {
+    val (lc, lt) = l; val (rc, rt) = r
+    if (!isNumeric(lt) || !isNumeric(rt)) None
+    else if (lt == LongType && rt == LongType && op != "/")
+      Some((op match {
+        case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+        case "%" => lc % rc
+      }, LongType))
+    else {
+      val (ld, rd) = (lc.cast(DoubleType), rc.cast(DoubleType))
+      Some((op match {
+        case "+" => ld + rd; case "-" => ld - rd; case "*" => ld * rd
+        case "/" => ld / rd; case "%" => ld % rd
+      }, DoubleType))
+    }
+  }
+
   /** Interp.fmtDouble as a Column: whole && |d| < 1e15 renders as a Long,
     * else Java Double.toString — which is Spark's double→string cast. */
   private def fmtDoubleCol(d: Column): Column =
@@ -633,8 +682,11 @@ object Compile {
   private[blob] def compileExpr(e: Expr, schema: StructType,
                                 lets: Map[String, (Column, DataType)],
                                 env: Map[String, String],
-                                thisCol: Option[(Column, DataType)] = None): Option[(Column, DataType)] = {
-    def ce(x: Expr): Option[(Column, DataType)] = compileExpr(x, schema, lets, env, thisCol)
+                                thisCol: Option[(Column, DataType)] = None,
+                                maps: Map[String, Expr] = Map.empty,
+                                depth: Int = 0): Option[(Column, DataType)] = {
+    def ce(x: Expr): Option[(Column, DataType)] =
+      compileExpr(x, schema, lets, env, thisCol, maps, depth)
 
     /** Resolve a dot path rooted at `this` against the static schema,
       * normalizing integer kinds to Long and float kinds to Double (the
@@ -674,28 +726,11 @@ object Compile {
       case _ => None
     }
 
-    def numBin(op: String, l: (Column, DataType), r: (Column, DataType)): Option[(Column, DataType)] = {
-      val (lc, lt) = l; val (rc, rt) = r
-      if (!isNumeric(lt) || !isNumeric(rt)) None
-      else if (lt == LongType && rt == LongType && op != "/")
-        Some((op match {
-          case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
-          case "%" => lc % rc
-        }, LongType))
-      else {
-        val (ld, rd) = (lc.cast(DoubleType), rc.cast(DoubleType))
-        Some((op match {
-          case "+" => ld + rd; case "-" => ld - rd; case "*" => ld * rd
-          case "/" => ld / rd; case "%" => ld % rd
-        }, DoubleType))
-      }
-    }
+    def numBin(op: String, l: (Column, DataType), r: (Column, DataType)): Option[(Column, DataType)] =
+      numBinVals(op, l, r)
 
     def unify(l: (Column, DataType), r: (Column, DataType)): Option[(Column, Column, DataType)] =
-      if (l._2 == r._2) Some((l._1, r._1, l._2))
-      else if (isNumeric(l._2) && isNumeric(r._2))
-        Some((l._1.cast(DoubleType), r._1.cast(DoubleType), DoubleType))
-      else None
+      unifyVals(l, r)
 
     e match {
       case Lit(s: String) => Some((lit(s), StringType))
@@ -764,6 +799,18 @@ object Compile {
                 case _ => None
               }
             }
+            // numeric path segment on an array = element access (`this.0`,
+            // the csv_formatter shape); try_element_at's null on
+            // out-of-bounds is the impossible-error deviation
+            case ArrayType(et, _) if name.nonEmpty && name.forall(_.isDigit) =>
+              val fc = try_element_at(c, lit(name.toInt + 1))
+              if (isIntKind(et) && et != LongType) Some((fc.cast(LongType), LongType))
+              else if (isFloatKind(et) && et != DoubleType) Some((fc.cast(DoubleType), DoubleType))
+              else et match {
+                case StringType | LongType | DoubleType | BooleanType |
+                     _: StructType | _: ArrayType => Some((fc, et))
+                case _ => None
+              }
             case _ => None
           }}
         }
@@ -801,45 +848,12 @@ object Compile {
           case _ => None
         }
       case If(_, _, None) => None // VNothing in value position
-      case Match(Some(tgt), cases) if cases.nonEmpty =>
-        ce(tgt).flatMap { case (tc, tt) =>
-          // literal patterns + a trailing default; results unify
-          val hasDefault = cases.last._1.isEmpty
-          if (!hasDefault || cases.init.exists(_._1.isEmpty)) None
-          else {
-            val litCases = cases.init.map {
-              case (Some(Lit(v)), res) => Some((v, res))
-              case _ => None
-            }
-            if (litCases.exists(_.isEmpty)) None
-            else {
-              val compiled = litCases.flatten.map { case (v, res) =>
-                val cond = v match {
-                  case s: String if tt == StringType => Some(tc <=> lit(s))
-                  case l: Long if isNumeric(tt) => Some(tc.cast(DoubleType) <=> lit(l.toDouble))
-                  case d: Double if isNumeric(tt) => Some(tc.cast(DoubleType) <=> lit(d))
-                  case b: Boolean if tt == BooleanType => Some(tc <=> lit(b))
-                  case _ => None
-                }
-                cond.flatMap(cnd => ce(res).map(r => (cnd, r)))
-              }
-              if (compiled.exists(_.isEmpty)) None
-              else ce(cases.last._2).flatMap { dflt =>
-                val steps = compiled.flatten
-                // unify all result types
-                val unified = steps.foldLeft(Option(dflt)) { (accOpt, s) =>
-                  accOpt.flatMap(acc => unify(s._2, acc).map { case (_, _, ut) => acc.copy(_2 = ut) })
-                }
-                unified.flatMap { case (_, ut) =>
-                  def castTo(v: (Column, DataType)): Column =
-                    if (v._2 == ut) v._1 else v._1.cast(ut)
-                  Some((steps.foldRight(castTo(dflt)) { case ((cnd, r), acc) =>
-                    when(cnd, castTo(r)).otherwise(acc)
-                  }, ut))
-                }
-              }
-            }
-          }
+      case Match(tgtOpt, cases) if cases.nonEmpty =>
+        // value position: only matches that ALWAYS produce a value compile
+        // here (a deleted()/nothing()/no-match path means VDelete/VNothing,
+        // which only an element context can express — compileDeletable)
+        compileMatch(tgtOpt, cases, schema, lets, env, thisCol, maps, depth).collect {
+          case (v, t, None) => (v, t)
         }
       case Match(_, _) => None
       case Bin("==", l, Lit(null)) => ce(l).map { case (c, _) => (c.isNull, BooleanType) }
@@ -860,7 +874,8 @@ object Compile {
           l <- ce(le); r <- ce(re)
           out <- compileBin(op, l, r, litSafe, numBin, unify)
         } yield out
-      case MethodCall(t, name, args) => compileMethod(t, name, args, ce, schema, lets, env, thisCol)
+      case MethodCall(t, name, args) =>
+        compileMethod(t, name, args, ce, schema, lets, env, thisCol, maps, depth)
       case _ => None
     }
   }
@@ -909,6 +924,140 @@ object Compile {
     case _ => None
   }
 
+  /** Element/value-context compilation where the expression may yield NO
+    * value: deleted(), nothing(), an `if` without else whose condition is
+    * false, or a `match` with no matching arm — all VDelete/VNothing in the
+    * interpreter, which map_each drops (Methods.scala map_each filter).
+    * Returns (value, type, deleteCond): deleteCond None = never deletes;
+    * Some(d) = elements where d is true carry no value (the value column
+    * is unspecified there and must not be read). */
+  private def compileDeletable(e: Expr, schema: StructType,
+      lets: Map[String, (Column, DataType)], env: Map[String, String],
+      thisCol: Option[(Column, DataType)],
+      maps: Map[String, Expr] = Map.empty,
+      depth: Int = 0): Option[(Column, DataType, Option[Column])] = e match {
+    case If(c, t, None) =>
+      compileExpr(c, schema, lets, env, thisCol, maps, depth).collect {
+        case (cc, BooleanType) => cc
+      }.flatMap { cc =>
+        compileDeletable(t, schema, lets, env, thisCol, maps, depth).map { case (tv, tt, td) =>
+          // condition false (or null — the interpreter would error the row;
+          // 3VL deviation, documented in the header) → VNothing → deleted
+          (tv, tt, Some(!coalesce(cc, lit(false)) ||
+            coalesce(td.getOrElse(lit(false)), lit(false))))
+        }
+      }
+    case Match(tgtOpt, cases) if cases.nonEmpty =>
+      compileMatch(tgtOpt, cases, schema, lets, env, thisCol, maps, depth)
+    case _ => compileExpr(e, schema, lets, env, thisCol, maps, depth)
+      .map { case (c, t) => (c, t, None) }
+  }
+
+  /** Generalized `match` compile (interpreter twin: Interp.scala Match eval):
+    * the target (explicit, or the current `this`) rebinds `this` for both
+    * patterns and results; a pattern evaluating to a Boolean is a predicate,
+    * anything else is a valueEq test against the target; `_` (or any arm
+    * after it — dead code) is the default. Arms testing `x.type() == "lit"`
+    * resolve STATICALLY against x's SQL type: a mismatched arm is pruned
+    * before its result compiles, which is what lets arms of heterogeneous
+    * result types coexist (the walk_json recursion shape). Returns the
+    * deletable triple: deleted()/nothing() arms and a missing default
+    * surface as the deletion condition. */
+  private def compileMatch(tgtOpt: Option[Expr], cases: Vector[(Option[Expr], Expr)],
+      schema: StructType, lets: Map[String, (Column, DataType)], env: Map[String, String],
+      thisCol: Option[(Column, DataType)],
+      maps: Map[String, Expr] = Map.empty,
+      depth: Int = 0): Option[(Column, DataType, Option[Column])] = {
+    val tgt = compileExpr(tgtOpt.getOrElse(This), schema, lets, env, thisCol, maps, depth)
+      .getOrElse(return None)
+    val sub = Some(tgt)
+    // arms after the first default never run (the default matches first)
+    val live = {
+      val i = cases.indexWhere(_._1.isEmpty)
+      if (i >= 0) cases.take(i + 1) else cases
+    }
+    val hasDefault = live.last._1.isEmpty
+
+    /** `x.type() == "name"` static resolution: None = not a type test;
+      * Some(None) = statically false (prune arm); Some(Some(cond)). */
+    def typeTest(pat: Expr): Option[Option[Column]] = {
+      def test(x: Expr, s: String): Option[Option[Column]] =
+        compileExpr(x, schema, lets, env, sub, maps, depth).flatMap { case (xc, xt) =>
+          staticTypeName(xt).map { n =>
+            if (s == "null") Some(xc.isNull)
+            else if (s == n) Some(xc.isNotNull)
+            else None // this arm can never match a value of x's static type
+          }
+        }
+      pat match {
+        case Bin("==", MethodCall(x, "type", Vector()), Lit(s: String)) => test(x, s)
+        case Bin("==", Lit(s: String), MethodCall(x, "type", Vector())) => test(x, s)
+        case _ => None
+      }
+    }
+
+    // (cond, result): result None = pure deleted()/nothing() arm
+    val arms = Vector.newBuilder[(Column, Option[(Column, DataType, Option[Column])])]
+    for ((patOpt, resE) <- live) {
+      val condOpt: Option[Column] = patOpt match {
+        case None => Some(lit(true))
+        case Some(pat) => typeTest(pat) match {
+          case Some(None) => None // statically false: prune (skip arm entirely)
+          case Some(Some(c)) => Some(c)
+          case None => compileExpr(pat, schema, lets, env, sub, maps, depth) match {
+            case Some((pc, BooleanType)) => Some(pc) // predicate arm
+            case Some(pv) => // literal/value pattern: valueEq against target
+              val litSafe = pat match {
+                case Lit(l: Long) => math.abs(l) <= (1L << 53)
+                case _ => false
+              }
+              compileBin("==", pv, tgt, litSafe, numBinVals, unifyVals)
+                .map(_._1) match {
+                case Some(c) => Some(c)
+                case None => return None
+              }
+            case None => return None
+          }
+        }
+      }
+      condOpt.foreach { cond =>
+        resE match {
+          case FnCall("deleted", Vector()) | FnCall("nothing", Vector()) =>
+            arms += ((cond, None))
+          case _ => compileDeletable(resE, schema, lets, env, sub, maps, depth) match {
+            case Some(r) => arms += ((cond, Some(r)))
+            case None => return None
+          }
+        }
+      }
+    }
+    val armsV = arms.result()
+    val valued = armsV.flatMap(_._2).map(_._2)
+    if (valued.isEmpty) return None // every live arm deletes: filter shape, no value
+    // unify result types across value arms
+    var ut: DataType = valued.head
+    for (t <- valued.tail) {
+      if (t != ut) {
+        if (isNumeric(t) && isNumeric(ut)) ut = DoubleType else return None
+      }
+    }
+    def castTo(c: Column, t: DataType): Column = if (t == ut) c else c.cast(ut)
+    val value = armsV.foldRight(lit(null).cast(ut): Column) {
+      case ((cond, Some((v, t, _))), acc) => when(cond, castTo(v, t)).otherwise(acc)
+      case ((cond, None), acc) => when(cond, lit(null).cast(ut)).otherwise(acc)
+    }
+    val mayDelete = !hasDefault ||
+      armsV.exists { case (_, r) => r.isEmpty || r.exists(_._3.isDefined) }
+    val del: Option[Column] =
+      if (!mayDelete) None
+      else Some(armsV.foldRight(lit(true): Column) { // no arm matched → VNothing
+        case ((cond, Some((_, _, d))), acc) =>
+          when(cond, d.getOrElse(lit(false))).otherwise(acc)
+        case ((cond, None), acc) => when(cond, lit(true)).otherwise(acc)
+      })
+    Some((value, ut, del))
+  }
+
   /** Method dispatch: only methods whose interpreter twin ([[Methods]]) is
     * EXACTLY expressible as a Column op are compiled; everything else
     * bails to the interpreter. */
@@ -916,11 +1065,64 @@ object Compile {
                             ce: Expr => Option[(Column, DataType)],
                             schema: StructType, lets: Map[String, (Column, DataType)],
                             env: Map[String, String],
-                            thisCol: Option[(Column, DataType)] = None): Option[(Column, DataType)] = {
+                            thisCol: Option[(Column, DataType)] = None,
+                            maps: Map[String, Expr] = Map.empty,
+                            depth: Int = 0): Option[(Column, DataType)] = {
     lazy val target = ce(t)
     def strTarget: Option[Column] = target.flatMap { case (c, tt) => toStrCol(c, tt) }
     def litStr(i: Int): Option[String] = args.lift(i).collect { case Lit(s: String) => s }
     def q(s: String): String = java.util.regex.Pattern.quote(s)
+
+    /** Int/float normalization applied to every field read (same rule as
+      * resolvePath: the interpreter sees JSON longs/doubles). */
+    def normField(c: Column, dt: DataType): (Column, DataType) =
+      if (isIntKind(dt) && dt != LongType) (c.cast(LongType), LongType)
+      else if (isFloatKind(dt) && dt != DoubleType) (c.cast(DoubleType), DoubleType)
+      else (c, dt)
+
+    /** Compile-time sequence channel: chains rooted at `key_values()` over
+      * a STATIC struct stay a driver-side Vector of per-element Columns, so
+      * heterogeneous entry-value types (string/long/bool fields — the
+      * csv_formatter shape) survive where no single SQL array type could
+      * hold them. Elements are {key, value} entry structs; `sort_by` on the
+      * static key sorts driver-side (keys are distinct, so the
+      * interpreter's stable sortWith agrees); `map_each` compiles its body
+      * once per element against that element's own type; `join` consumes
+      * the sequence below. */
+    def staticSeq(e0: Expr): Option[Vector[(Option[String], Column, DataType)]] = e0 match {
+      case MethodCall(x, "key_values", Vector()) => ce(x).flatMap {
+        case (c, st: StructType) => Some(st.fields.toVector.map { f =>
+          val (vc, vt) = normField(c.getField(f.name), f.dataType)
+          (Option(f.name),
+            struct(lit(f.name).as("key"), vc.as("value")),
+            StructType(Seq(StructField("key", StringType, nullable = false),
+              StructField("value", vt))): DataType)
+        })
+        case _ => None
+      }
+      case MethodCall(x, "sort_by", Vector(arg)) => staticSeq(x).flatMap { els =>
+        val keyAccess = arg match {
+          case Lambda(p, Field(VarRef(p2), "key")) => p2 == p
+          case Field(This, "key") => true
+          case _ => false
+        }
+        if (keyAccess && els.forall(_._1.isDefined))
+          Some(els.sortBy(_._1.get)) // cmpVals on strings = String.compareTo
+        else None
+      }
+      case MethodCall(x, "map_each", Vector(arg)) => staticSeq(x).flatMap { els =>
+        val mapped = els.map { case (_, c, dt) =>
+          val bodyC = arg match {
+            case lam: Lambda => compileExpr(lam.body, schema,
+              lets + (lam.param -> ((c, dt))), env, Some((c, dt)), maps, depth)
+            case body => compileExpr(body, schema, lets, env, Some((c, dt)), maps, depth)
+          }
+          bodyC.map { case (vc, vt) => (None: Option[String], vc, vt) }
+        }
+        if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
+      }
+      case _ => None
+    }
 
     name match {
       case "uppercase" => strTarget.map(c => (upper(c), StringType))
@@ -1005,11 +1207,13 @@ object Compile {
       case "int64" => target.collect {
         case (c, LongType) => (c, LongType)
         case (c, DoubleType) => (c.cast(LongType), LongType) // trunc toward zero, both sides
-        case (c, StringType) => (c.cast(LongType), LongType) // junk → null (SQL), err (interp): accepted
+        // junk → null (err in interp): accepted deviation. The rlike guard
+        // keeps the ANSI-mode cast from THROWING on junk strings.
+        case (c, StringType) => (when(c.rlike(IntRe), c.cast(LongType)), LongType)
       }
       case "float64" => target.collect {
         case (c, tt) if isNumeric(tt) => (c.cast(DoubleType), DoubleType)
-        case (c, StringType) => (c.cast(DoubleType), DoubleType)
+        case (c, StringType) => (when(c.rlike(FloatRe), c.cast(DoubleType)), DoubleType)
       }
       case "bool" => target.collect {
         case (c, BooleanType) => (c, BooleanType)
@@ -1051,22 +1255,91 @@ object Compile {
           // binds its parameter. A bare query IS the body.
           def bodyWith(x: Column): Option[(Column, DataType)] = arg match {
             case lam: Lambda => compileExpr(lam.body, schema,
-              lets + (lam.param -> bindElem(x)), env, Some(bindElem(x)))
-            case body => compileExpr(body, schema, lets, env, Some(bindElem(x)))
+              lets + (lam.param -> bindElem(x)), env, Some(bindElem(x)), maps, depth)
+            case body => compileExpr(body, schema, lets, env, Some(bindElem(x)), maps, depth)
+          }
+          // element bodies may DELETE (deleted()/nothing()/no-match arms):
+          // map_each routes through the deletable channel
+          def bodyDel(x: Column): Option[(Column, DataType, Option[Column])] = arg match {
+            case lam: Lambda => compileDeletable(lam.body, schema,
+              lets + (lam.param -> bindElem(x)), env, Some(bindElem(x)), maps, depth)
+            case body => compileDeletable(body, schema, lets, env, Some(bindElem(x)), maps, depth)
           }
           // probe once for compilability + result type, then build the
           // HOF with the real lambda variable (deterministic recompile)
-          bodyWith(lit(null).cast(et)).flatMap { case (_, bt) =>
-            name match {
-              case "filter" if bt == BooleanType =>
+          name match {
+            case "filter" => bodyWith(lit(null).cast(et)).flatMap { case (_, bt) =>
+              if (bt == BooleanType)
                 Some((filter(c, (x: Column) => bodyWith(x).get._1), at))
-              case "map_each" =>
-                Some((transform(c, (x: Column) => bodyWith(x).get._1), ArrayType(bt)))
-              case _ => None
+              else None
             }
+            case "map_each" => bodyDel(lit(null).cast(et)).map { case (_, bt, delProbe) =>
+              delProbe match {
+                case None =>
+                  (transform(c, (x: Column) => bodyDel(x).get._1), ArrayType(bt))
+                case Some(_) =>
+                  // elements the interpreter drops (VDelete/VNothing) ride a
+                  // per-element keep flag, filtered out before unwrapping
+                  val wrapped = transform(c, (x: Column) => {
+                    val (v, _, d) = bodyDel(x).get
+                    struct(coalesce(d.get, lit(false)).as("_del"), v.as("_val"))
+                  })
+                  (transform(filter(wrapped, s => !s.getField("_del")),
+                    s => s.getField("_val")), ArrayType(bt))
+              }
+            }
+            case _ => None
           }
         }
-        case _ => None // object filter/map_each → interpreter
+        case (c, st: StructType) if name == "map_each" => args.headOption.flatMap { arg =>
+          // object map_each: static per-field rebuild with the {key, value}
+          // entry context (Methods.scala map_each over VectorMap). The field
+          // set is fixed at compile time, so bodies that can DELETE entries
+          // (dynamic key absence) stay interpreter.
+          val fields = st.fields.toVector.map { f =>
+            val (vc, vt) =
+              if (isIntKind(f.dataType) && f.dataType != LongType)
+                (c.getField(f.name).cast(LongType), LongType: DataType)
+              else if (isFloatKind(f.dataType) && f.dataType != DoubleType)
+                (c.getField(f.name).cast(DoubleType), DoubleType: DataType)
+              else (c.getField(f.name), f.dataType)
+            val entry: (Column, DataType) =
+              (struct(lit(f.name).as("key"), vc.as("value")),
+                StructType(Seq(StructField("key", StringType, nullable = false),
+                  StructField("value", vt))))
+            val bodyC = arg match {
+              case lam: Lambda => compileDeletable(lam.body, schema,
+                lets + (lam.param -> entry), env, Some(entry), maps, depth)
+              case body => compileDeletable(body, schema, lets, env, Some(entry), maps, depth)
+            }
+            bodyC.collect { case (v, t2, None) => (f.name, v, t2) }
+          }
+          if (fields.exists(_.isEmpty) || fields.isEmpty) None
+          else {
+            val fs = fields.flatten
+            Some((struct(fs.map { case (n, v, _) => v.as(n) }: _*),
+              StructType(fs.map { case (n, _, t2) => StructField(n, t2, nullable = true) })))
+          }
+        }
+        case _ => None // object filter → interpreter
+      }
+      case "apply" if args.size == 1 =>
+        // named-map application: inline the map's `root = <expr>` body with
+        // `this` rebound to the target (Methods.scala `apply`: sub-context
+        // with self = target, fresh root). Typed recursion descends the
+        // schema (walk_json), so it terminates; the depth cap catches
+        // same-type self-recursion, which only terminates dynamically.
+        for {
+          mapName <- litStr(0)
+          body <- maps.get(mapName)
+          tv <- target
+          r <- if (depth >= 32) None
+               else compileExpr(body, schema, lets, env, Some(tv), maps, depth + 1)
+        } yield r
+      case "unescape_html" if args.isEmpty => target.collect {
+        // native Catalyst expression (functions.Exprs) — exact twin of the
+        // interpreter's entity decoder, stays inside whole-stage codegen
+        case (c, StringType) => (graft.functions.Exprs.unescapeHtml(c), StringType)
       }
       case "without" if args.nonEmpty => target.flatMap {
         // drop top-level keys from an object (methods_structured.go
@@ -1108,6 +1381,49 @@ object Compile {
         case (c, ArrayType(at @ ArrayType(_, _), _)) =>
           (org.apache.spark.sql.functions.flatten(c), at)
       }
+      case "enumerated" if args.isEmpty => target.collect {
+        // {index, value} entry per element (methods_structured.go
+        // `enumerated`; index is a Long in the interpreter's value model)
+        case (c, ArrayType(et, _)) =>
+          (transform(c, (x: Column, i: Column) =>
+            struct(i.cast(LongType).as("index"), x.as("value"))),
+            ArrayType(StructType(Seq(StructField("index", LongType, nullable = false),
+              StructField("value", et)))))
+      }
+      case "sum" if args.isEmpty => target.flatMap {
+        // interpreter: all-Long arrays sum as Long, anything else via
+        // toNum as Double — the static element type picks the same lane
+        case (c, ArrayType(et, _)) if isIntKind(et) =>
+          Some((aggregate(c, lit(0L), (acc, x) => acc + x.cast(LongType)), LongType))
+        case (c, ArrayType(et, _)) if isFloatKind(et) =>
+          Some((aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType)), DoubleType))
+        case _ => None
+      }
+      case "keys" if args.isEmpty => target.collect {
+        // static struct: the key set is compile-time (the interpreter walks
+        // the VectorMap in insertion order = struct field order). A null
+        // object errors the row there — impossible-error deviation.
+        case (_, st: StructType) =>
+          (array(st.fieldNames.toIndexedSeq.map(lit): _*), ArrayType(StringType))
+      }
+      case "number" if args.size == 1 => target.flatMap { case (c, tt) =>
+        // `.number(default)`: parse to the double lane (the interpreter
+        // may keep a Long, but every compiled consumer — arithmetic,
+        // rendering via fmtDouble, comparisons — agrees on the value).
+        // Junk/null take the fallback, exactly the interpreter's default
+        // path. No-default number() errors the row on junk: interpreter.
+        val parsed: Option[Column] = tt match {
+          case t2 if isNumeric(t2) => Some(c.cast(DoubleType))
+          case BooleanType => Some(when(c, lit(1.0)).otherwise(lit(0.0)))
+          case StringType => Some(when(c.rlike(FloatRe), c.cast(DoubleType)))
+          case _ => None
+        }
+        for {
+          p <- parsed
+          fb <- args.headOption.flatMap(ce)
+          if isNumeric(fb._2)
+        } yield (coalesce(p, fb._1.cast(DoubleType)), DoubleType)
+      }
       case "sort" if args.isEmpty => target.flatMap {
         case (c, at @ ArrayType(et, _)) if et == StringType || et == LongType || et == DoubleType =>
           // interpreter sort() is ascending cmpVals over uniform scalars —
@@ -1139,6 +1455,19 @@ object Compile {
           val sep = if (args.isEmpty) Some("") else litStr(0)
           sep.map(sp => (array_join(c, sp), StringType))
         case _ => None
+      }.orElse {
+        // static-sequence targets (key_values chains): interleaved concat;
+        // a null element nulls the result (the interpreter errors the row —
+        // documented impossible-error deviation for non-null static fields)
+        staticSeq(t).flatMap { els =>
+          val sep = if (args.isEmpty) Some("") else litStr(0)
+          sep.flatMap { sp =>
+            if (!els.forall(_._3 == StringType)) None
+            else if (els.isEmpty) Some((lit(""), StringType))
+            else Some((concat(els.map(_._2)
+              .flatMap(c => Seq(lit(sp): Column, c)).drop(1): _*), StringType))
+          }
+        }
       }
       case "index" => target.flatMap {
         case (c, ArrayType(et, _)) => args.headOption.flatMap(ce).collect {
@@ -1198,6 +1527,14 @@ object Compile {
         case FnCall("meta" | "metadata", Vector(Lit(k: String)))
             if !schema.fieldNames.contains(MetaPrefix + k) =>
           args.headOption.flatMap(ce)
+        // `this.or(v)` over a structured document frame: the whole-document
+        // struct is BUILT per row (struct() of the content columns) and is
+        // never SQL-null, so the fallback is unreachable — the walk_json
+        // `this.or(content())` entry shape. Scalar/array-rooted frames keep
+        // the general path (there `this` can genuinely be null/unparsable).
+        case This if thisCol.isEmpty && !schema.fieldNames.contains(ScalarCol) &&
+            !schema.fieldNames.contains(ArrayRootCol) =>
+          target
         case _ => for {
           l <- target; r <- args.headOption.flatMap(ce)
           u <- (if (l._2 == r._2) Some((l._1, r._1, l._2))

@@ -973,7 +973,9 @@ object Methods {
   private val namedEntities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     "nbsp" -> " ", "#34" -> "\"", "#39" -> "'")
-  private def unescapeHtml(s: String): String =
+  /** Shared with the compiled twin (functions.UnescapeHtmlExpr): both paths
+    * must decode the exact same entity set. */
+  private[graft] def unescapeHtml(s: String): String =
     "&(#?\\w+);".r.replaceAllIn(s, m => {
       val e = m.group(1)
       val rep =

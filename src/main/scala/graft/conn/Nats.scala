@@ -136,6 +136,14 @@ object Nats {
       sock.setTcpNoDelay(true)
       val in = new BufferedInputStream(sock.getInputStream)
       val out = sock.getOutputStream
+      // +OK acks are verbose-mode ONLY (nats protocol: the server confirms
+      // operations only when the client CONNECTs with "verbose":true). Our
+      // clients connect verbose:false and never read acks — an unsolicited
+      // +OK would sit unread in the client's receive buffer, and a socket
+      // close() with unread data sends TCP RST instead of FIN, DISCARDING
+      // any still-queued PUB bytes server-side (observed as variable tail
+      // loss on publisher partitions under load).
+      var verbose = false
       try {
         out.synchronized {
           out.write(("INFO {\"server_id\":\"mini\",\"version\":\"0.0.1\"," +
@@ -148,7 +156,9 @@ object Nats {
           val op = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
           op match {
             case "CONNECT" =>
-              out.synchronized { out.write("+OK\r\n".getBytes(UTF_8)); out.flush() }
+              verbose = line.replace(" ", "").contains("\"verbose\":true")
+              if (verbose)
+                out.synchronized { out.write("+OK\r\n".getBytes(UTF_8)); out.flush() }
             case "PING" =>
               out.synchronized { out.write("PONG\r\n".getBytes(UTF_8)); out.flush() }
             case "PONG" => ()
@@ -157,7 +167,8 @@ object Nats {
               val (filter, queue, sid) =
                 if (a.length == 3) (a(0), a(1), a(2)) else (a(0), "", a(1))
               subsLock.synchronized { subs.append(Sub(sock, sid, filter, queue)) }
-              out.synchronized { out.write("+OK\r\n".getBytes(UTF_8)); out.flush() }
+              if (verbose)
+                out.synchronized { out.write("+OK\r\n".getBytes(UTF_8)); out.flush() }
             case "UNSUB" =>
               val sid = line.substring(6).trim.split("\\s+")(0)
               subsLock.synchronized {

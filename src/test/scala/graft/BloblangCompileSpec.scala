@@ -359,6 +359,125 @@ class BloblangCompileSpec extends SparkSpec {
     """)
   }
 
+  test("differential: generalized match — predicate arms, target rebinding, literal mix") {
+    // predicate arms with `this` rebound to the match target
+    differential("""root.cls = match this.n {
+      this < 50 => "low",
+      this < 100 => "mid",
+      _ => "high"
+    }""")
+    // target rebinding through a method chain + literal equality arm
+    differential("""root.m = match this.s.trim().lowercase() {
+      "alpha one" => "A",
+      this.length() == 0 => "empty",
+      this.contains("beta") => "B",
+      _ => "other"
+    }""")
+    // match without a target evaluates patterns against the document
+    differential("""root.tag = match {
+      this.n > 100 => "big",
+      this.b => "flagged",
+      _ => "plain"
+    }""")
+    // numeric arm results unify to the double lane; `this` in arm results
+    // is the TARGET (so `this + 0.5` reads the matched k)
+    differential("""root.v = match this.k {
+      1 => 10,
+      2 => 2.5,
+      _ => this + 0.5
+    }""")
+  }
+
+  test("differential: deletable elements — deleted()/no-match arms inside map_each") {
+    // the csv.yaml shape: enumerated + nested match with deleted() arms +
+    // number(default) + sum, end to end over raw CSV text
+    val csvs = Seq(
+      "cat1,cat2,cat3\n1,2,3\n7,11,23\n89,23,2\n",
+      "cat1, cat2,cat3\n\n1, 2,3\n7,11 ,23\n\n89 , 23 ,2\n",
+      "h\n", "h\n1\n2\n")
+    rawDifferential("""root = content().string().split("\n").enumerated().map_each(match {
+        index == 0 => deleted()
+        _ => match value.trim() {
+          this.length() == 0 => deleted()
+          _ => this.split(",")
+        }
+      }).map_each(
+        this.map_each(this.trim().number(0)).sum()
+      )""", csvs)
+    // if-without-else inside map_each drops unmatched elements (VNothing)
+    differential("""root.kept = this.arr.map_each(v -> if v != "y" { v })""")
+    // match with no default inside map_each: unmatched elements drop
+    differential("""root.only_x = this.arr.map_each(match { this == "x" => "X!" })""")
+  }
+
+  test("differential: key_values static-sequence chain — the csv_formatter shape") {
+    val contents = Seq(
+      """[{"foo":"hello world","baz":110,"bar":"bar value","buz":false},
+          {"foo":"hello world 2","bar":"bar value 2","baz":220,"buz":true}]""")
+    val src = """let header_row = this.0.keys().sort().join(",")
+      root = $header_row + "\n" + this.map_each(element -> element.key_values().
+        sort_by(item -> item.key).
+        map_each(item -> item.value.string()).
+        join(",")
+      ).join("\n")"""
+    val prog = Bloblang.parse(src)
+    val docs = contents.map(Interp.parseJsonTyped)
+    val schema = Compile.inferSchema(docs)
+    assert(schema.isDefined, "csv_formatter schema did not infer")
+    val compiled = Compile.tryCompile(prog, schema.get)
+    assert(compiled.isDefined, "csv_formatter shape did not compile")
+    val df = contents.toDF("raw").select(
+      from_json(col("raw"), schema.get(Compile.ArrayRootCol).dataType).as(Compile.ArrayRootCol))
+    val got = Compile.envelope(compiled.get.transform(df), compiled.get.ser)
+      .select(col(Msg.ContentCol)).as[String].collect().toSeq.sorted
+    val want = contents.flatMap(c => Interp.runWithMeta(prog, c, Map.empty, Map.empty)._1).sorted
+    assert(got == want, s"csv_formatter divergence:\ncompiled=$got\ninterp=$want")
+  }
+
+  test("differential: named-map inlining + walk_json recursion + unescape_html") {
+    val noDouble = fixture.drop("d")
+    // single-statement named map inlines at its apply() site
+    differential("map f { root = this }\nroot = this.apply(\"f\")", noDouble)
+    differential("map up { root = this.uppercase() }\nroot.u = this.s.apply(\"up\")")
+    // the walk_json shape: recursive named map over object documents, with
+    // type()-pruned arms and object map_each in entry context
+    val walkSrc = """map unescape_values {
+        root = match {
+          this.type() == "object" => this.map_each(this.value.apply("unescape_values")),
+          this.type() == "array" => this.map_each(this.apply("unescape_values")),
+          this.type() == "string" => this.unescape_html(),
+          this.type() == "bytes" => this.unescape_html(),
+          _ => this,
+        }
+      }
+      root = this.or(content()).apply("unescape_values")"""
+    for (contents <- Seq(
+        Seq("""{"first":"foo &amp; bar","second":10,"third":"1 &lt; 2"}"""),
+        Seq("""{"first":{"nested":"foo &amp; bar"},"second":10,"third":"1 &lt; 2"}"""),
+        // numeric + hex entity refs and unknown entities kept verbatim
+        Seq("""{"a":"x &#34;q&#34; &#x27;h&#x27; &unknown; &gt;"}"""))) {
+      val prog = Bloblang.parse(walkSrc)
+      val docs = contents.map(Interp.parseJsonTyped)
+      val schema = Compile.inferSchema(docs)
+      assert(schema.isDefined, s"walk_json schema did not infer for $contents")
+      val compiled = Compile.tryCompile(prog, schema.get)
+      assert(compiled.isDefined, s"walk_json shape did not compile for $contents")
+      val df = contents.toDF("raw")
+        .select(from_json(col("raw"),
+          org.apache.spark.sql.types.StructType(
+            schema.get.fields.filterNot(_.name.startsWith(Compile.MetaPrefix)))).as("j"))
+        .select(col("j.*"))
+      val got = Compile.envelope(compiled.get.transform(df), compiled.get.ser)
+        .select(col(Msg.ContentCol)).as[String].collect().toSeq.sorted
+      val want = contents.flatMap(c => Interp.runWithMeta(prog, c, Map.empty, Map.empty)._1).sorted
+      assert(got == want, s"walk_json divergence:\ncompiled=$got\ninterp=$want")
+    }
+    // self-recursion on the SAME type bails at the depth cap → interpreter
+    assert(Compile.tryCompile(Bloblang.parse(
+      "map loop { root = this.apply(\"loop\") }\nroot.x = this.k.apply(\"loop\")"),
+      fixture.schema).isEmpty)
+  }
+
   test("interpolation templates compile to a single native Column") {
     val tpl = """user ${! this.k } -> ${! this.s.uppercase() } (${! this.mn | "none" })"""
     val compiled = Compile.tryCompileTemplate(tpl, fixture.schema)
@@ -409,7 +528,8 @@ class BloblangCompileSpec extends SparkSpec {
       "root.a.b = this.k", // nested path
       "root.x = if this.b { this.k }", // dynamic SINGLE-field absence
       "root.j = this.s.parse_json()", // dynamic type → interpreter
-      "map f { root = this }\nroot = this.apply(\"f\")") // named maps
+      // named map whose body is NOT a single `root = expr` → interpreter
+      "map f { root.a = this.k\nroot.b = this.s }\nroot = this.apply(\"f\")")
     for (src <- bails) {
       val prog = Bloblang.parse(src)
       assert(Compile.tryCompile(prog, fixture.schema).isEmpty, s"should NOT compile: $src")
@@ -458,6 +578,44 @@ pipeline:
     val got = frame.select(get_json_object(col(Msg.ContentCol), "$.okey").cast("long"))
       .as[Long].collect().toSet
     assert(got == Set(2L)) // only n=120 survives n<100 delete
+  }
+
+  test("generalized-match pipeline: predicate arms keep pushdown, no UDF") {
+    // a classify-then-filter config built on `match` with predicate arms —
+    // the shape that fell back to the interpreter UDF before round 6
+    val dir = java.nio.file.Files.createTempDirectory("blcomp3").toFile
+    dir.deleteOnExit()
+    fixture.write.mode("overwrite").parquet(dir.getPath + "/t.parquet")
+    val cfg = s"""
+input:
+  parquet:
+    path: ${dir.getPath}/t.parquet
+pipeline:
+  processors:
+    - mapping: |
+        root.bucket = match this.n {
+          this < 50 => "low",
+          this < 200 => "mid",
+          _ => "high"
+        }
+        root.k = this.k
+        root = match {
+          this.n < 10 => deleted()
+        }
+"""
+    val frame = graft.conn.PipelineConfig.load(cfg).frame(spark)
+    val plan = frame.queryExecution.executedPlan.toString
+    val compact = plan.replaceAll("\\s", "")
+    assert(compact.contains("GreaterThanOrEqual(n,10)"),
+      s"match-filter predicate not pushed:\n$plan")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").map(_.takeWhile(_ != ':')).toSet == Set("k", "n"),
+      s"scan reads pruned columns: $readSchema")
+    assert(!plan.contains("UDF"), s"opaque UDF survived match compilation:\n$plan")
+    val got = frame.select(get_json_object(col(Msg.ContentCol), "$.bucket"))
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("low", "mid", "mid", "mid")) // k=5 (n=0) deleted
   }
 
   test("per-processor fallback: uncompilable step seals the envelope, result stays correct") {
