@@ -171,9 +171,14 @@ pipeline:
         root.flag = this.o_orderstatus.lowercase()
         root = if this.o_totalprice < 100000 { deleted() }
 """
-      graft.conn.PipelineConfig.load(cfg).frame(s).select(
-        get_json_object(col(graft.core.Msg.ContentCol), "$.okey").cast(LongType).as("okey"),
-        get_json_object(col(graft.core.Msg.ContentCol), "$.flag").as("flag"))
+      // json_tuple parses the envelope ONCE for both fields —
+      // get_json_object xN re-parses the content string per field
+      // (round-6 fix for the r5 config_pipeline bench regression; same
+      // single-parse re-plan as codec_protobuf in round 5)
+      graft.conn.PipelineConfig.load(cfg).frame(s)
+        .select(json_tuple(col(graft.core.Msg.ContentCol), "okey", "flag")
+          .as(Seq("okey0", "flag")))
+        .select(col("okey0").cast(LongType).as("okey"), col("flag"))
     }),
 
     // group_by with first-match routing + per-group sub-pipelines
