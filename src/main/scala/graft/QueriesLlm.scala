@@ -122,12 +122,19 @@ object QueriesLlm {
 
     // IVF-bucketed ANN (the second scale path next to LSH: k-means
     // inverted lists + nProbe-cell candidate pruning; recall gated >= 0.9
-    // on clustered fixtures in MlSpec like lshTopK)
+    // on clustered fixtures in MlSpec like lshTopK). The gate exercises
+    // the FULL 100 TB shape: hash-SAMPLED training (trainMod=2 — centroid
+    // quality from a sample, never a full pass) and the materialized
+    // cell-partitioned index, probed via partition-pruned scan (the
+    // `_cell=` directories outside the probe list are never read —
+    // PartitionFilters in PLANS.md).
     "llm_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", 64, q, "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 4)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", 64, idx,
+        nCells = 16, iters = 4, trainMod = 2)
+      Similarity.ivfTopKIndexed(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 

@@ -167,6 +167,57 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Materialize an IVF index: the corpus tagged and written `partitionBy`
+    * its inverted-list cell, plus a centroid sidecar. THE 100 TB layout —
+    * probes then prune at the SCAN (Spark partition pruning reads only the
+    * nProbe matching directories) instead of filtering post-read. Training
+    * uses the deterministic hash-sample (`trainMod`): at corpus scale,
+    * centroid quality needs a sample, not a full pass. Returns the
+    * centroids (kilobytes — nCells × dim doubles). */
+  def ivfWriteIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    dim: Int, path: String, nCells: Int = 16, iters: Int = 4,
+                    trainMod: Int = 1): Array[Array[Double]] = {
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters, trainMod)
+    val assign = assignCell(cents)
+    corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("embedding"),
+        assign(normalized(col(corpusVec))).as("_cell"))
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$path/vectors")
+    // centroid sidecar: one line per centroid, comma-joined — no JSON dep,
+    // exact round-trip via Double.toString/parseDouble
+    val text = cents.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "centroids.txt"),
+      text.getBytes("UTF-8"))
+    cents
+  }
+
+  /** Probe a materialized IVF index: the query set (small by contract —
+    * it broadcasts) resolves its probe cells DRIVER-side, and the scan
+    * reads only those `_cell=` partitions (static partition pruning,
+    * visible as PartitionFilters in the plan). Candidate scoring and
+    * ranking match [[ivfTopK]] exactly for the same centroids. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "centroids.txt")), "UTF-8")
+      .split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
+    val probe = probeCells(cents, nProbe)
+    val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
+      explode(probe(normalized(col(queryVec)))).as("_cell"))
+    val probedCells = q0.select("_cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val q = broadcast(q0)
+    val c = spark.read.parquet(s"$path/vectors")
+      .where(col("_cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = c.join(q, Seq("_cell"))
+      .withColumn("cosine", Blob.cosineSimilarity(col("embedding"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN: score only pairs sharing a bucket in >=1 of `tables`
     * hyperplane tables. Recall < 1.0 but corpus-side work drops from
     * O(|corpus| * |queries|) to O(bucket collisions). */

@@ -251,6 +251,39 @@ class MlSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"clustered IVF recall $recall")
+    // hash-SAMPLED training (the 100 TB path: centroids from a 1/2 sample,
+    // never a full corpus pass) must hold the same recall bar
+    val sampled = Similarity.ivfTopK(corpus, "vec_id", "embedding", dim,
+        queries, "vec_id", "embedding", k, nCells = 12, nProbe = 4, trainMod = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sampledRecall = (exact & sampled).size.toDouble / exact.size
+    assert(sampledRecall >= 0.9, s"sampled-training IVF recall $sampledRecall")
+  }
+
+  test("materialized IVF index: partition-pruned probe matches the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("mlspec_ivf").toString
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", 64, dir,
+      nCells = 16, iters = 4, trainMod = 2)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    // identical candidates + ranking to the in-memory form on the SAME
+    // centroids (ivfCentroids is deterministic, so parameters pin them)
+    val inMem = Similarity.ivfTopK(emb, "vec_id", "embedding", 64,
+      queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, trainMod = 2)
+    val a = indexed.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = inMem.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b, s"indexed vs in-memory IVF divergence: ${(a diff b).take(5)} / ${(b diff a).take(5)}")
+    // the probe must prune at the SCAN: only the probed _cell= partitions
+    // are read (PartitionFilters on the partition column, not a post-scan
+    // filter over all 16 directories)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
+      s"no partition pruning on _cell in:\n$plan")
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("_cell"), s"PartitionFilters does not constrain _cell: $pf")
   }
 
   test("IVF ANN retrieves the source of perturbed near-duplicate queries") {
