@@ -32,8 +32,17 @@ import scala.collection.mutable
   * parallelism shape as Spark's own kafka source (1 task per topic
   * partition). Declared out: consumer groups/rebalancing (Spark owns
   * offsets via checkpoints — the same reason its kafka source commits
-  * nothing), record-batch v2 (zstd/varint batches), idempotent/
-  * transactional produce, SASL/TLS.
+  * nothing), idempotent/transactional produce, SASL/TLS, compression
+  * codecs inside batches.
+  *
+  * Round 6 adds the modern **record-batch v2** codec (magic 2 — what
+  * every broker since 0.11 actually speaks, the reference's franz-go
+  * default): zigzag-varint records with headers and timestamp deltas,
+  * CRC32C over attributes..end, carried by Produce v3 / Fetch v4 frames.
+  * The client NEGOTIATES via ApiVersions (18): against a modern broker it
+  * produces/fetches v2 batches, against a legacy one it falls back to the
+  * v0 MessageSet — both codecs pinned by hand-computed vectors in
+  * KafkaSpec.
   */
 object Kafka {
 
@@ -67,6 +76,14 @@ object Kafka {
       this
     }
     def raw(b: Array[Byte]): W = { d.write(b); this }
+    /** Zigzag varint/varlong (Kafka record-batch v2 field encoding — the
+      * protobuf wire format: sign folded into bit 0, 7 bits per byte). */
+    def varint(v: Long): W = {
+      var z = (v << 1) ^ (v >> 63)
+      while ((z & ~0x7fL) != 0) { d.writeByte(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+      d.writeByte(z.toInt)
+      this
+    }
     def result: Array[Byte] = { d.flush(); bo.toByteArray }
   }
 
@@ -85,13 +102,27 @@ object Kafka {
       if (n < 0) null else readExact(d, n)
     }
     def raw(n: Int): Array[Byte] = readExact(d, n)
+    def varint(): Long = {
+      var z = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = d.readByte() & 0xff
+        z |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      (z >>> 1) ^ -(z & 1) // un-zigzag
+    }
     def remaining: Int = d.available()
   }
 
   // --------------------------------------------------- message set codec
 
-  /** One message in a partition log. */
-  final case class Msg(offset: Long, key: Array[Byte], value: Array[Byte])
+  /** One message in a partition log. v2 batches carry a timestamp and
+    * headers per record; v0 messages have neither (-1 / empty). */
+  final case class Msg(offset: Long, key: Array[Byte], value: Array[Byte],
+                       timestamp: Long = -1L,
+                       headers: Seq[(String, Array[Byte])] = Nil)
 
   /** Serialize messages as a v0 MessageSet starting at `baseOffset`.
     * CRC32 covers magic..value (spec: message = crc + crc'd payload). */
@@ -130,12 +161,127 @@ object Kafka {
     out.result()
   }
 
+  // ------------------------------------------- record batch v2 (magic 2)
+
+  /** Serialize one record batch (magic 2) per the public spec:
+    * baseOffset(8) batchLength(4) partitionLeaderEpoch(4) magic(1)
+    * crc32c(4) attributes(2) lastOffsetDelta(4) baseTimestamp(8)
+    * maxTimestamp(8) producerId(8) producerEpoch(2) baseSequence(4)
+    * count(4) records — CRC32C (Castagnoli) covers attributes..end.
+    * Records are zigzag-varint framed: length attrs(1) timestampDelta
+    * offsetDelta keyLen key valueLen value headerCount [hdrKeyLen key
+    * hdrValLen val]. No compression (attributes 0). */
+  def recordBatchBytes(baseOffset: Long, msgs: Seq[Msg]): Array[Byte] = {
+    val baseTs = msgs.map(_.timestamp).filter(_ >= 0).minOption.getOrElse(-1L)
+    val maxTs = msgs.map(_.timestamp).maxOption.getOrElse(-1L)
+    val records = new W()
+    msgs.zipWithIndex.foreach { case (m, i) =>
+      val body = new W()
+      body.i8(0) // record attributes (unused by the spec)
+      body.varint(if (m.timestamp >= 0 && baseTs >= 0) m.timestamp - baseTs else 0L)
+      body.varint(i.toLong)
+      if (m.key == null) body.varint(-1L)
+      else { body.varint(m.key.length.toLong); body.raw(m.key) }
+      if (m.value == null) body.varint(-1L)
+      else { body.varint(m.value.length.toLong); body.raw(m.value) }
+      body.varint(m.headers.length.toLong)
+      m.headers.foreach { case (hk, hv) =>
+        val kb = hk.getBytes(UTF_8)
+        body.varint(kb.length.toLong); body.raw(kb)
+        if (hv == null) body.varint(-1L)
+        else { body.varint(hv.length.toLong); body.raw(hv) }
+      }
+      val bodyBytes = body.result
+      records.varint(bodyBytes.length.toLong).raw(bodyBytes)
+    }
+    val crcd = new W()
+      .i16(0)                       // batch attributes: no compression, create-time
+      .i32(msgs.length - 1)         // lastOffsetDelta
+      .i64(baseTs).i64(maxTs)
+      .i64(-1L).i16(-1).i32(-1)     // producerId/Epoch/baseSequence: non-txn
+      .i32(msgs.length)
+      .raw(records.result).result
+    val crc = new java.util.zip.CRC32C()
+    crc.update(crcd)
+    val afterLength = new W()
+      .i32(-1)                      // partitionLeaderEpoch
+      .i8(2)                        // magic
+      .i32(crc.getValue.toInt)
+      .raw(crcd).result
+    new W().i64(baseOffset).i32(afterLength.length).raw(afterLength).result
+  }
+
+  /** Parse ONE record batch, verifying magic and CRC32C. */
+  def readRecordBatch(buf: Array[Byte]): Vector[Msg] = {
+    val r = new R(buf)
+    val baseOffset = r.i64()
+    val batchLength = r.i32()
+    val rest = r.raw(batchLength)
+    val rr = new R(rest)
+    rr.i32() // partitionLeaderEpoch
+    val magic = rr.i8()
+    if (magic != 2)
+      throw new java.io.IOException(s"expected record batch magic 2, got $magic")
+    val crcStored = rr.i32()
+    val crcd = rr.raw(rest.length - 9)
+    val check = new java.util.zip.CRC32C()
+    check.update(crcd)
+    if (check.getValue.toInt != crcStored)
+      throw new java.io.IOException(s"record batch CRC32C mismatch at offset $baseOffset")
+    val cr = new R(crcd)
+    cr.i16() // attributes (no compression supported/produced)
+    cr.i32() // lastOffsetDelta
+    val baseTs = cr.i64()
+    cr.i64(); cr.i64(); cr.i16(); cr.i32() // maxTs, producerId, epoch, baseSeq
+    val count = cr.i32()
+    (0 until count).map { _ =>
+      val len = cr.varint().toInt
+      val rec = new R(cr.raw(len))
+      rec.i8() // record attributes
+      val tsDelta = rec.varint()
+      val offDelta = rec.varint()
+      val kLen = rec.varint().toInt
+      val key = if (kLen < 0) null else rec.raw(kLen)
+      val vLen = rec.varint().toInt
+      val value = if (vLen < 0) null else rec.raw(vLen)
+      val nHdr = rec.varint().toInt
+      val headers = (0 until nHdr).map { _ =>
+        val hkLen = rec.varint().toInt
+        val hk = new String(rec.raw(hkLen), UTF_8)
+        val hvLen = rec.varint().toInt
+        val hv = if (hvLen < 0) null else rec.raw(hvLen)
+        (hk, hv)
+      }.toVector
+      Msg(baseOffset + offDelta, key, value,
+        if (baseTs < 0) -1L else baseTs + tsDelta, headers)
+    }.toVector
+  }
+
+  /** Parse a records field that may hold SEVERAL concatenated batches
+    * (a fetch can return the log's batches back to back). */
+  def readRecordBatches(buf: Array[Byte]): Vector[Msg] = {
+    val out = Vector.newBuilder[Msg]
+    var pos = 0
+    while (buf.length - pos >= 12) {
+      val len = ((buf(pos + 8) & 0xff) << 24) | ((buf(pos + 9) & 0xff) << 16) |
+        ((buf(pos + 10) & 0xff) << 8) | (buf(pos + 11) & 0xff)
+      val total = 12 + len
+      if (buf.length - pos < total) return out.result() // truncated tail
+      out ++= readRecordBatch(java.util.Arrays.copyOfRange(buf, pos, pos + total))
+      pos += total
+    }
+    out.result()
+  }
+
   // -------------------------------------------------------------- broker
 
   /** Minimal Kafka broker: auto-created topics with a fixed partition
-    * count, append-only in-memory logs, Metadata/Produce/Fetch at v0.
-    * Thread-per-connection, all daemon. */
-  final class MiniKafka(numPartitions: Int = 4) {
+    * count, append-only in-memory logs. Speaks ApiVersions(18) v0,
+    * Metadata(3) v0, Produce(0) v0 + v3 (record batches), Fetch(1)
+    * v0 + v4 (record batches). `modern = false` advertises only the v0
+    * forms — the legacy-broker fixture the client's negotiation
+    * downgrades against. Thread-per-connection, all daemon. */
+  final class MiniKafka(numPartitions: Int = 4, modern: Boolean = true) {
     private val lock = new Object
     private val logs = mutable.LinkedHashMap[(String, Int), mutable.ArrayBuffer[Msg]]()
     private val topics = mutable.LinkedHashSet[String]()
@@ -170,6 +316,14 @@ object Kafka {
     }
 
     private def handle(apiKey: Int, apiVersion: Int, body: R): Array[Byte] = apiKey match {
+      case 18 => // ApiVersions v0: error + [api_key min max]
+        val apis: Seq[(Int, Int, Int)] =
+          if (modern) Seq((0, 0, 3), (1, 0, 4), (3, 0, 0), (18, 0, 0))
+          else Seq((0, 0, 0), (1, 0, 0), (3, 0, 0), (18, 0, 0))
+        val w = new W().i16(0).i32(apis.length)
+        apis.foreach { case (k, lo, hi) => w.i16(k).i16(lo).i16(hi) }
+        w.result
+
       case 3 => // Metadata v0: [topics] → brokers + topic/partition layout
         val nReq = body.i32()
         val req = (0 until nReq).map(_ => body.str())
@@ -191,8 +345,9 @@ object Kafka {
         }
         w.result
 
-      case 0 => // Produce v0: acks, timeout, [topic [partition msgset]]
-        body.i16(); body.i32()
+      case 0 => // Produce v0 (MessageSet) / v3 (record batches + txn id)
+        if (apiVersion >= 3) body.str() // transactional_id (nullable)
+        body.i16(); body.i32() // acks, timeout
         val w = new W()
         val nTopics = body.i32()
         w.i32(nTopics)
@@ -203,23 +358,30 @@ object Kafka {
           (0 until nParts).foreach { _ =>
             val partition = body.i32()
             val setSize = body.i32()
-            val msgs = readMessageSet(body.raw(setSize))
+            val raw = body.raw(setSize)
+            val msgs = if (apiVersion >= 3) readRecordBatches(raw)
+                       else readMessageSet(raw)
             val baseOffset = lock.synchronized {
               val log = logOf(topic, partition)
               val base = log.length.toLong
               msgs.zipWithIndex.foreach { case (m, i) =>
-                log.append(Msg(base + i, m.key, m.value))
+                log.append(Msg(base + i, m.key, m.value, m.timestamp, m.headers))
               }
               base
             }
             w.i32(partition).i16(0).i64(baseOffset)
+            if (apiVersion >= 2) w.i64(-1L) // log_append_time (create-time batches)
           }
         }
+        if (apiVersion >= 1) w.i32(0) // throttle_time_ms
         w.result
 
-      case 1 => // Fetch v0: replica, max_wait, min_bytes, [topic [part offset maxBytes]]
-        body.i32(); body.i32(); body.i32()
+      case 1 => // Fetch v0 (MessageSet) / v4 (record batches + isolation)
+        body.i32(); body.i32(); body.i32() // replica, max_wait, min_bytes
+        if (apiVersion >= 3) body.i32()    // request-level max_bytes
+        if (apiVersion >= 4) body.i8()     // isolation_level
         val w = new W()
+        if (apiVersion >= 1) w.i32(0)      // throttle_time_ms
         val nTopics = body.i32()
         w.i32(nTopics)
         (0 until nTopics).foreach { _ =>
@@ -232,19 +394,34 @@ object Kafka {
             val maxBytes = body.i32()
             val (set, hw) = lock.synchronized {
               val log = logOf(topic, partition)
-              val slice = log.iterator.dropWhile(_.offset < offset)
-                .map(m => (m.key, m.value)).toVector
-              // respect maxBytes by trimming whole messages
-              var budget = maxBytes
-              val kept = Vector.newBuilder[(Array[Byte], Array[Byte])]
-              slice.foreach { kv =>
-                val sz = 26 + (if (kv._1 == null) 0 else kv._1.length) +
-                  (if (kv._2 == null) 0 else kv._2.length)
-                if (budget - sz >= 0) { kept += kv; budget -= sz }
+              val slice = log.iterator.dropWhile(_.offset < offset).toVector
+              // respect maxBytes by trimming whole messages. v2: one 61-byte
+              // batch header then ~varint-framed records; v0: 26 bytes per
+              // message envelope.
+              var budget = if (apiVersion >= 4) maxBytes - 61 else maxBytes
+              val kept = Vector.newBuilder[Msg]
+              slice.foreach { m =>
+                val payload = (if (m.key == null) 0 else m.key.length) +
+                  (if (m.value == null) 0 else m.value.length) +
+                  m.headers.map { case (k, v) =>
+                    k.length + (if (v == null) 0 else v.length) + 4 }.sum
+                val sz = (if (apiVersion >= 4) 12 else 26) + payload
+                if (budget - sz >= 0) { kept += m; budget -= sz }
               }
-              (messageSetBytes(offset, kept.result()), log.length.toLong)
+              val msgs = kept.result()
+              val bytes =
+                if (apiVersion >= 4)
+                  if (msgs.isEmpty) Array.emptyByteArray
+                  else recordBatchBytes(offset, msgs)
+                else messageSetBytes(offset, msgs.map(m => (m.key, m.value)))
+              (bytes, log.length.toLong)
             }
-            w.i32(partition).i16(0).i64(hw).i32(set.length).raw(set)
+            w.i32(partition).i16(0).i64(hw)
+            if (apiVersion >= 4) {
+              w.i64(hw)  // last_stable_offset (no transactions)
+              w.i32(0)   // aborted_transactions: empty
+            }
+            w.i32(set.length).raw(set)
           }
         }
         w.result
@@ -293,9 +470,9 @@ object Kafka {
     private val out = new BufferedOutputStream(sock.getOutputStream)
     private var corr = 0
 
-    private def call(apiKey: Int, body: Array[Byte]): R = synchronized {
+    private def call(apiKey: Int, body: Array[Byte], apiVersion: Int = 0): R = synchronized {
       corr += 1
-      val req = new W().i16(apiKey).i16(0).i32(corr).str(clientId).raw(body).result
+      val req = new W().i16(apiKey).i16(apiVersion).i32(corr).str(clientId).raw(body).result
       new DataOutputStream(out).writeInt(req.length)
       out.write(req)
       out.flush()
@@ -305,6 +482,19 @@ object Kafka {
       require(got == corr, s"correlation id $got != $corr")
       r
     }
+
+    /** ApiVersions(18) negotiation at connect: the broker's supported
+      * range per api key. Produce >= 3 / Fetch >= 4 select the v2
+      * record-batch codec; a legacy broker downgrades us to v0. */
+    private lazy val apiMax: Map[Int, Int] = {
+      val r = call(18, Array.emptyByteArray)
+      val err = r.i16()
+      require(err == 0, s"api_versions error $err")
+      val n = r.i32()
+      (0 until n).map { _ => val k = r.i16(); r.i16(); k -> r.i16() }.toMap
+    }
+    private def produceVersion: Int = if (apiMax.getOrElse(0, 0) >= 3) 3 else 0
+    private def fetchVersion: Int = if (apiMax.getOrElse(1, 0) >= 4) 4 else 0
 
     def metadata(topic: String): TopicMeta = {
       val r = call(3, new W().i32(1).str(topic).result)
@@ -325,30 +515,56 @@ object Kafka {
       TopicMeta(name, parts)
     }
 
-    /** Produce with acks=1; returns the base offset assigned. */
+    /** Produce with acks=1; returns the base offset assigned. Negotiated:
+      * v3 record batch (headers/timestamps ride) or v0 MessageSet. */
     def produce(topic: String, partition: Int,
-                msgs: Seq[(Array[Byte], Array[Byte])]): Long = {
-      val set = messageSetBytes(0L, msgs) // broker assigns real offsets
-      val body = new W().i16(1).i32(10000).i32(1).str(topic).i32(1)
+                msgs: Seq[(Array[Byte], Array[Byte])]): Long =
+      produceMsgs(topic, partition,
+        msgs.map { case (k, v) => Msg(0L, k, v) })
+
+    /** Produce full records (headers + timestamps when the broker takes
+      * v2 batches; silently key/value-only on a v0 downgrade). */
+    def produceMsgs(topic: String, partition: Int, msgs: Seq[Msg]): Long = {
+      val ver = produceVersion
+      val set =
+        if (ver >= 3) recordBatchBytes(0L, msgs) // broker assigns real offsets
+        else messageSetBytes(0L, msgs.map(m => (m.key, m.value)))
+      val w = new W()
+      if (ver >= 3) w.str(null) // transactional_id
+      val body = w.i16(1).i32(10000).i32(1).str(topic).i32(1)
         .i32(partition).i32(set.length).raw(set).result
-      val r = call(0, body)
+      val r = call(0, body, ver)
       r.i32(); r.str(); r.i32(); // 1 topic, name, 1 partition
       val part = r.i32(); val err = r.i16(); val base = r.i64()
       require(err == 0, s"produce error $err on partition $part")
+      if (ver >= 2) r.i64() // log_append_time
+      if (ver >= 1) r.i32() // throttle_time_ms
       base
     }
 
-    /** Fetch from (topic, partition, offset); returns (messages, highWatermark). */
+    /** Fetch from (topic, partition, offset); returns (messages, highWatermark).
+      * Negotiated: v4 record batches or v0 MessageSet. */
     def fetch(topic: String, partition: Int, offset: Long,
               maxBytes: Int = 1 << 20): (Vector[Msg], Long) = {
-      val body = new W().i32(-1).i32(100).i32(1).i32(1).str(topic).i32(1)
+      val ver = fetchVersion
+      val w = new W().i32(-1).i32(100).i32(1)
+      if (ver >= 3) w.i32(maxBytes) // request-level max_bytes
+      if (ver >= 4) w.i8(0)         // isolation_level: read_uncommitted
+      val body = w.i32(1).str(topic).i32(1)
         .i32(partition).i64(offset).i32(maxBytes).result
-      val r = call(1, body)
+      val r = call(1, body, ver)
+      if (ver >= 1) r.i32() // throttle_time_ms
       r.i32(); r.str(); r.i32() // 1 topic, name, 1 partition
       val part = r.i32(); val err = r.i16(); val hw = r.i64()
       require(err == 0, s"fetch error $err on partition $part")
+      if (ver >= 4) {
+        r.i64() // last_stable_offset
+        val nAborted = r.i32()
+        (0 until nAborted).foreach { _ => r.i64(); r.i64() }
+      }
       val setSize = r.i32()
-      (readMessageSet(r.raw(setSize)), hw)
+      val raw = r.raw(setSize)
+      (if (ver >= 4) readRecordBatches(raw) else readMessageSet(raw), hw)
     }
 
     override def close(): Unit = { try sock.close() catch { case _: Throwable => () } }
