@@ -335,6 +335,16 @@ pipeline:
           col("user_id"), col("event_id"), col("event_type") === "error")
         .select("event_id", "user_id", "batch_id")),
 
+    // batch policy `period` trigger (policy.go:24-100 `period`): the flush
+    // timer as processing-time tumbling windows over the ingest timestamp
+    // — pure Column, no shuffle, epoch-aligned (first-message-aligned form
+    // in BatchPolicy.assign's periodMicros trigger, spec-gated)
+    "batch_period" -> ((s, dir) =>
+      graft.operators.BatchPolicy.byPeriod(
+          t(s, dir, "events").select("event_id", "user_id", "ts"),
+          col("ts"), 3600L)
+        .select("event_id", "user_id", "batch_id")),
+
     // avro to_json/from_json round-trip (impl/avro/processor.go:26-154);
     // avro_len lets the oracle independently verify the zigzag-varint
     // binary encoding length, not just the decoded values
@@ -1073,6 +1083,10 @@ pipeline:
            COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS batch_id
+         FROM events""",
+    "batch_period" ->
+      """SELECT event_id, user_id,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS batch_id
          FROM events""",
     "codec_avro" ->
       """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,

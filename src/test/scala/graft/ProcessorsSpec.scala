@@ -236,6 +236,35 @@ class ProcessorsSpec extends SparkSpec {
     assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
   }
 
+  test("batch policy period: timer flushes BETWEEN messages; tumbling form epoch-aligns") {
+    import graft.operators.BatchPolicy
+    // ts in seconds from epoch; period = 60s
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(30)), (1L, 3L, ts(59)),
+      (1L, 4L, ts(61)),  // 61-0 >= 60: flushes {1,2,3}, starts batch 1
+      (1L, 5L, ts(100)), // 100-61 < 60: same batch
+      (1L, 6L, ts(130))) // 130-61 >= 60: flushes {4,5}, starts batch 2
+      .toDF("k", "o", "ts")
+    val greedy = BatchPolicy.assign(df, "k", "o",
+        periodMicros = 60L * 1000000L, ingestTs = col("ts"))
+      .select("o", "batch_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // the late arrival is NEVER in the batch it flushed (timer fires between)
+    assert(greedy == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 2L)))
+    // the pure-Column tumbling form aligns at the epoch: floor(ts/period)
+    val tumbling = BatchPolicy.byPeriod(df, col("ts"), 60L)
+      .select("o", "batch_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tumbling == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 2L)))
+    // period composes with count, and the timer re-arms on ANY flush (the
+    // reference resets its timer when a batch closes): after {1,2} flush
+    // on count, batch 1 is born at o=3 (ts 59), so o=4 (ts 61) is only 2s
+    // into it — no period flush, count closes {3,4}; batch 2 born at o=5
+    val combo = BatchPolicy.assign(df, "k", "o", count = 2,
+        periodMicros = 60L * 1000000L, ingestTs = col("ts"))
+      .select("o", "batch_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(combo == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L), (6L, 2L)))
+  }
+
   test("envelope wraps arbitrary rows and meta set/get works") {
     val df = Seq((1, "x")).toDF("id", "name")
     val env = Msg.envelope(df)
