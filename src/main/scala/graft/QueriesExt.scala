@@ -592,6 +592,30 @@ pipeline:
           get_json_object(col("j"), "$.lat").cast(DoubleType).as("lat"))
     }),
 
+    // compiled geoip twin (round-6): the same enrichment as
+    // proc_geoip_city but as a BUCKETIZED BROADCAST RANGE JOIN — the mmdb
+    // trie enumerated driver-side into disjoint ranges, exploded per
+    // bucket, hash-joined on the bucket with a between residual. No
+    // per-row UDF: the whole plan is codegen + one broadcast, so the fact
+    // scan keeps pushdown/pruning (PLANS.md round-6 entry).
+    "proc_geoip_city2" -> ((s, dir) => {
+      val db = graft.functions.Mmdb.cityFixturePath
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"),
+        format_string("10.%d.%d.1",
+          expr("c_custkey % 256"), expr("c_custkey * 7 % 256")).as("ip"))
+      graft.functions.Mmdb.geoipRangeJoin(
+          cust, graft.functions.Mmdb.ipv4ToLong(col("ip")), s, db)
+        .select(
+          col("c_custkey"),
+          get_json_object(col("data"), "$.city.names.en").as("city"),
+          get_json_object(col("data"), "$.country.iso_code").as("iso"),
+          get_json_object(col("data"), "$.autonomous_system_number")
+            .cast(LongType).as("asn"),
+          get_json_object(col("data"), "$.location.latitude")
+            .cast(DoubleType).as("lat"))
+    }),
+
     // ascii85/z85 encode→decode round-trips (bloblang encode schemes,
     // methods_strings.go:90; z85 needs length % 4 == 0 — padded input)
     "blob_encode3" -> ((s, dir) => t(s, dir, "part")
@@ -1139,6 +1163,17 @@ pipeline:
     // (c_custkey % 256) selects 10.42/16 → Gamma, 10.0/9 → Alpha,
     // 10.128/9 → Beta
     "proc_geoip_city" ->
+      """SELECT c_custkey,
+           CASE WHEN c_custkey % 256 = 42 THEN 'Gamma'
+                WHEN c_custkey % 256 < 128 THEN 'Alpha' ELSE 'Beta' END AS city,
+           CASE WHEN c_custkey % 256 = 42 THEN 'GG'
+                WHEN c_custkey % 256 < 128 THEN 'AA' ELSE 'BB' END AS iso,
+           CASE WHEN c_custkey % 256 = 42 THEN 64502
+                WHEN c_custkey % 256 < 128 THEN 64500 ELSE 64501 END::BIGINT AS asn,
+           CASE WHEN c_custkey % 256 = 42 THEN -3.5
+                WHEN c_custkey % 256 < 128 THEN 1.25 ELSE 2.5 END::DOUBLE AS lat
+         FROM customer""",
+    "proc_geoip_city2" ->
       """SELECT c_custkey,
            CASE WHEN c_custkey % 256 = 42 THEN 'Gamma'
                 WHEN c_custkey % 256 < 128 THEN 'Alpha' ELSE 'Beta' END AS city,

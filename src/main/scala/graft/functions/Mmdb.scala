@@ -156,6 +156,34 @@ object Mmdb {
       for (j <- 0 until n) v = (v << 8) | u8(i + j)
       v
     }
+
+    /** Enumerate the IPv4 search tree as sorted DISJOINT [start, end]
+      * ranges with their decoded records — the trie's leaves, so nested
+      * networks (a /16 carved out of a /9) arrive already split by
+      * longest-prefix. Driver-side extraction for the broadcast
+      * range-join geoip twin; each distinct data offset decodes once. */
+    def ranges(): Vector[(Long, Long, Any)] = {
+      require(ipVersion == 4, "mmdb ranges(): IPv4 trees only")
+      val out = Vector.newBuilder[(Long, Long, Any)]
+      val cache = scala.collection.mutable.Map.empty[Int, Any]
+      def walk(node: Int, depth: Int, prefix: Long): Unit = {
+        if (depth >= 32) return
+        for (right <- Seq(false, true)) {
+          val p = (prefix << 1) | (if (right) 1L else 0L)
+          val rec = record(node, right)
+          if (rec < nodeCount) walk(rec, depth + 1, p)
+          else if (rec > nodeCount) {
+            val off = dataStart + (rec - nodeCount - 16)
+            val data = cache.getOrElseUpdate(off, decodeAt(off, dataStart)._1)
+            val width = 32 - depth - 1
+            val lo = p << width
+            out += ((lo, lo + ((1L << width) - 1), data))
+          } // rec == nodeCount: miss subtree, no range
+        }
+      }
+      walk(0, 0, 0L)
+      out.result()
+    }
   }
 
   // Reader cache: one parse per path per JVM (executors reuse across rows).
@@ -337,4 +365,53 @@ object Mmdb {
     w.writeTo(f)
     f.toString
   }
+
+  // ===== compiled twin: broadcast range join =================================
+
+  /** The database's IPv4 ranges as a DataFrame `(net_start, net_end,
+    * data)` with the record marshaled to JSON — the driver-side extraction
+    * for [[geoipRangeJoin]]. GeoIP databases are dimension-sized (GeoLite2
+    * city ≈ 3M ranges ≈ broadcastable MBs); the fact table never moves. */
+  def rangesDf(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    reader(path).ranges()
+      .map { case (lo, hi, data) => (lo, hi, graft.blob.Interp.marshalJson(data)) }
+      .toDF("net_start", "net_end", "data")
+  }
+
+  /** Compiled geoip enrichment: a BUCKETIZED broadcast range join, the
+    * Column twin of the interpreter's per-row `geoip_*` tree walk. Each
+    * range explodes into the /bucketBits buckets it spans and the join is
+    * a plain broadcast HASH join on the bucket plus a residual
+    * between-filter — whole-stage codegen, no per-row UDF, no
+    * nested-loop scan of the range table. `ipInt` must be the numeric
+    * IPv4 (see [[ipv4ToLong]]). Adds `data` (the matched record as JSON;
+    * null when the address is not in the database — the interpreter's
+    * error channel maps to SQL null here). */
+  def geoipRangeJoin(df: org.apache.spark.sql.DataFrame, ipInt: org.apache.spark.sql.Column,
+                     spark: org.apache.spark.sql.SparkSession, path: String,
+                     bucketBits: Int = 12): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shift = 32 - bucketBits
+    val dim = rangesDf(spark, path)
+      .withColumn("_rbucket", explode(sequence(
+        shiftright(col("net_start"), shift), shiftright(col("net_end"), shift))))
+    val fact = df.withColumn("_ip", ipInt)
+      .withColumn("_fbucket", shiftright(col("_ip"), shift))
+    // bucket equality is the hash-join key; the between is the residual
+    // join condition. Ranges are disjoint (trie leaves), so at most one
+    // dim row matches — no fact duplication; misses keep their row with
+    // null data (left join), the interpreter's error channel as SQL null.
+    fact.join(broadcast(dim),
+        fact("_fbucket") === dim("_rbucket") &&
+          fact("_ip").between(dim("net_start"), dim("net_end")), "left")
+      .drop("_fbucket", "_rbucket", "_ip", "net_start", "net_end")
+  }
+
+  /** Dotted-quad IPv4 string → Long, as native Columns. */
+  def ipv4ToLong(ip: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.split(ip, "\\."),
+      org.apache.spark.sql.functions.lit(0L),
+      (acc, x) => acc * 256L + x.cast("long"))
 }

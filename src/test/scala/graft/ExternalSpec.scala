@@ -145,4 +145,26 @@ class ExternalSpec extends SparkSpec {
     assert(out.toSeq == Seq(2, 4, 6, 8, 10, 12, 14, 16))
     assert(inits.value == 2) // one client+bucket per partition, not per row
   }
+
+  test("geoip range join: broadcast hash join twin, no UDF, misses keep rows") {
+    import graft.functions.Mmdb
+    val db = Mmdb.cityFixturePath
+    val facts = Seq(
+      (1L, "10.1.0.1"),     // Alpha (/9)
+      (2L, "10.42.7.7"),    // Gamma (nested /16 wins)
+      (3L, "10.200.0.1"),   // Beta
+      (4L, "203.0.113.9"))  // miss: kept with null data
+      .toDF("id", "ip")
+    val out = Mmdb.geoipRangeJoin(facts, Mmdb.ipv4ToLong(col("ip")), spark, db)
+      .select(col("id"), get_json_object(col("data"), "$.city.names.en").as("city"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "Alpha", 2L -> "Gamma", 3L -> "Beta", 4L -> null))
+    // the plan is a broadcast HASH join (bucket key + range residual) with
+    // zero UDFs — the compiled twin of the interpreter's per-row tree walk
+    val plan = Mmdb.geoipRangeJoin(facts, Mmdb.ipv4ToLong(col("ip")), spark, db)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not a broadcast hash join:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nested-loop range scan crept in:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in the compiled twin:\n$plan")
+  }
 }

@@ -75,6 +75,31 @@ class MmdbSpec extends AnyFunSuite {
     assert(r.ipVersion == 4 && r.nodeCount > 0)
   }
 
+  test("ranges() enumerates the trie as sorted disjoint leaves matching lookup()") {
+    val r = Mmdb.reader(Mmdb.cityFixturePath)
+    val rs = r.ranges()
+    // sorted, disjoint
+    assert(rs == rs.sortBy(_._1))
+    rs.sliding(2).foreach {
+      case Vector((_, hiA, _), (loB, _, _)) => assert(hiA < loB, s"overlap at $hiA/$loB")
+      case _ => ()
+    }
+    // the nested /16 split the /9: strictly more ranges than inserts
+    assert(rs.length > 3, s"nested network did not split: ${rs.length} ranges")
+    def ipLong(s: String): Long =
+      s.split('.').foldLeft(0L)((a, o) => a * 256 + o.toLong)
+    // every boundary and interior point agrees with the longest-prefix walk
+    for (probe <- Seq("10.0.0.0", "10.41.255.255", "10.42.0.0", "10.42.255.255",
+        "10.43.0.0", "10.127.255.255", "10.128.0.0", "10.255.255.255")) {
+      val viaTree = r.lookup(probe)
+      val viaRanges = rs.find { case (lo, hi, _) => ipLong(probe) >= lo && ipLong(probe) <= hi }
+      assert(viaRanges.map(_._3) == Option(viaTree), s"range/tree disagree at $probe")
+    }
+    // an address outside every network is in neither
+    assert(r.lookup("203.0.113.9") == null)
+    assert(!rs.exists { case (lo, hi, _) => ipLong("203.0.113.9") >= lo && ipLong("203.0.113.9") <= hi })
+  }
+
   test("geoip_* methods dispatch through the interpreter with catchable misses") {
     import graft.blob.{Bloblang, Interp}
     val db = Mmdb.cityFixturePath
