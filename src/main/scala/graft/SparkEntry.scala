@@ -76,7 +76,11 @@ object SparkEntry {
     // round 5 late: NATS request/reply — per-row RPC through queue-group
     // responders, the costliest external-call shape worth watching
     "proc_nats_rr",
-    // round 5 late: kafka round-trip over the from-scratch v0 protocol —
+    // round 5 late: kafka round-trip over the from-scratch wire protocol —
     // chunked partition-routed produce + per-partition fetch cursors
-    "src_kafka")
+    // (negotiates record-batch v2 since round 6)
+    "src_kafka",
+    // round 6: the compiled geoip twin (broadcast bucketized range join)
+    // and the period batch policy (pure-Column tumbling assignment)
+    "proc_geoip_city2", "batch_period")
 }
