@@ -843,6 +843,33 @@ pipeline:
       }(_ => ()).toDF("n_nationkey", "lname")
     }),
 
+    // sleep processor (processor_sleep.go:25): per-message pause, content
+    // untouched — identity oracle proves the pass-through; the PACING is
+    // gated in ExternalSpec (elapsed >= rows × duration per partition)
+    "proc_sleep" -> ((s, dir) =>
+      graft.operators.External.sleepRows(
+        t(s, dir, "region").select("r_regionkey", "r_name"), 20L)),
+
+    // fake() generator (impl/lang/bloblang.go:79 — gofakeit there, a
+    // deterministic-per-call subset here): values are random per call, so
+    // the gate checks the SHAPE contract — every generated value matches
+    // its type's format, which IS hash-checkable (all-true columns)
+    "blob_fake" -> ((s, dir) => {
+      val mapped = graft.blob.BloblangUdf.mappingUdf("""
+        root.doc_id = this.doc_id
+        root.name_ok = fake("name").re_match("^[A-Za-z]+ [A-Za-z]+$")
+        root.email_ok = fake("email").re_match("^[a-z]+[0-9]{1,3}@example\\.com$")
+        root.uuid_ok = fake("uuid").re_match("^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+      """)
+      graft.core.Msg.envelope(t(s, dir, "documents").select("doc_id"))
+        .select(mapped(col(graft.core.Msg.ContentCol)).as("j"))
+        .select(
+          get_json_object(col("j"), "$.doc_id").cast(LongType).as("doc_id"),
+          get_json_object(col("j"), "$.name_ok").cast(BooleanType).as("name_ok"),
+          get_json_object(col("j"), "$.email_ok").cast(BooleanType).as("email_ok"),
+          get_json_object(col("j"), "$.uuid_ok").cast(BooleanType).as("uuid_ok"))
+    }),
+
     // output broker fan_out (output_broker.go fan_out pattern): one batch
     // lands in EVERY sink — two real parquet sinks here, read back and
     // tagged; the oracle is the same projection twice. fan_out persists
@@ -946,6 +973,11 @@ pipeline:
          FROM part""",
     "proc_rate_limit" ->
       """SELECT n_nationkey, lower(n_name) AS lname FROM nation""",
+    "proc_sleep" ->
+      """SELECT r_regionkey, r_name FROM region""",
+    "blob_fake" ->
+      """SELECT doc_id, true AS name_ok, true AS email_ok, true AS uuid_ok
+         FROM documents""",
     "out_broker_fanout" ->
       """SELECT r_regionkey, r_name, 's1' AS sink FROM region
          UNION ALL

@@ -1206,7 +1206,12 @@ object Compile {
       }
       case "int64" => target.collect {
         case (c, LongType) => (c, LongType)
-        case (c, DoubleType) => (c.cast(LongType), LongType) // trunc toward zero, both sides
+        // trunc toward zero, both sides; the guard keeps ANSI cast from
+        // THROWING on NaN/overflow (interp saturates there — those rows
+        // become null, the documented impossible-error deviation)
+        case (c, DoubleType) =>
+          (when(!isnan(c) && c >= Long.MinValue.toDouble && c < Long.MaxValue.toDouble,
+            c.cast(LongType)), LongType)
         // junk → null (err in interp): accepted deviation. The rlike guard
         // keeps the ANSI-mode cast from THROWING on junk strings.
         case (c, StringType) => (when(c.rlike(IntRe), c.cast(LongType)), LongType)

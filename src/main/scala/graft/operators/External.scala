@@ -172,6 +172,23 @@ object External {
     }
   }
 
+  /** `sleep` processor (processor_sleep.go:25): pause per message, content
+    * untouched. Pure pacing — the per-partition RateLimiter at
+    * 1000/durationMs permits/sec, so the pause composes with partition
+    * parallelism exactly like the reference's pipeline threads (N threads
+    * sleep independently). For pipeline-level throttling prefer source
+    * triggers (mapping 1 above); this exists for parity with configs that
+    * pace mid-pipeline. */
+  def sleepRows(df: DataFrame, durationMs: Long): DataFrame = {
+    require(durationMs > 0, "sleep: duration must be positive")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(df.schema)
+    val perSec = 1000.0 / durationMs
+    df.mapPartitions { rows =>
+      val limiter = new RateLimiter(perSec)
+      rows.map { r => limiter.acquire(); r }
+    }(enc)
+  }
+
   /** External lookup with a per-partition rate cap: the token bucket rides
     * inside the client lifecycle, so throttling composes with connection
     * pooling (one client AND one bucket per partition, not per row). */

@@ -146,6 +146,18 @@ class ExternalSpec extends SparkSpec {
     assert(inits.value == 2) // one client+bucket per partition, not per row
   }
 
+  test("sleep processor paces per partition and passes rows through untouched") {
+    import graft.operators.External
+    val df = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2)
+    val t0 = System.nanoTime()
+    val out = External.sleepRows(df, 30L).as[(Long, String)].collect().sorted.toSeq
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out == (1 to 6).map(i => (i.toLong, s"v$i")))
+    // 6 rows over 2 partitions at 30ms each: >= (3-1)*30 per partition
+    // (first permit free), parallel partitions don't stack
+    assert(elapsedMs >= 55.0, s"sleep did not pace: ${elapsedMs}ms")
+  }
+
   test("geoip range join: broadcast hash join twin, no UDF, misses keep rows") {
     import graft.functions.Mmdb
     val db = Mmdb.cityFixturePath
