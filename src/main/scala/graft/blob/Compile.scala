@@ -643,7 +643,9 @@ object Compile {
     else if (lt == LongType && rt == LongType && op != "/")
       Some((op match {
         case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
-        case "%" => lc % rc
+        // ANSI long % 0 throws the QUERY; the interpreter errors the ROW.
+        // Null is the documented impossible-error deviation for that row.
+        case "%" => when(rc =!= 0L, lc % rc)
       }, LongType))
     else {
       val (ld, rd) = (lc.cast(DoubleType), rc.cast(DoubleType))

@@ -290,14 +290,14 @@ object Blob {
   def counter: Column = monotonically_increasing_id()
 
   /** `cosine_similarity(a, b)` — impl/pure/bloblang_numbers_v2.go:36.
-    * Pure Column math over arrays (codegen'd, no UDF): dot / (|a|*|b|).
-    */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * Fused native expression (functions/Exprs.CosineSimilarityExpr): one
+    * codegen'd pass computing dot and both norms, zero intermediate
+    * arrays. Replaces the zip_with+aggregate ×3 HOF form with identical
+    * semantics and bit-identical results (same left-to-right fold order,
+    * same null algebra) — the HOF allocated three zipped arrays per row,
+    * the allocation hot path of every ANN scan. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    graft.functions.Exprs.cosineSimilarity(a, b)
 
   /** Dot product as a reusable primitive for the similarity operators. */
   def dotProduct(a: Column, b: Column): Column =

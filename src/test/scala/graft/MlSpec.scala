@@ -327,6 +327,41 @@ class MlSpec extends SparkSpec {
     assert(drifted.isEmpty, s"result sets drifted:\n${drifted.mkString("\n")}")
   }
 
+  test("fused cosine expression is bit-identical to the HOF form incl. null algebra") {
+    import org.apache.spark.sql.types.DoubleType
+    // the HOF form the fused expression replaced — kept here as the oracle
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat()), Seq.fill(64)(rnd.nextFloat()))
+    }.toDF("id", "a", "b")
+      // null-algebra cases: unequal length, null element, null array
+      .unionByName(Seq(
+        (100L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
+        (101L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b"))
+      .withColumn("b", when(col("id") === 101L,
+        array(lit(1.0f), lit(null).cast("float"))).otherwise(col("b")))
+    val both = vecs.select(col("id"),
+      graft.functions.Blob.cosineSimilarity(col("a"), col("b")).as("fused"),
+      hofCosine(col("a"), col("b")).as("hof"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      val f = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      val h = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+      assert(f == h, s"id=${r.getLong(0)}: fused=$f hof=$h") // BIT-identical, no epsilon
+    }
+    assert(rows.filter(r => r.getLong(0) >= 100).forall(_.isNullAt(1)),
+      "unequal-length / null-element must null the result")
+    // and it stays native: no UDF in the plan
+    val plan = both.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"fused cosine fell out of codegen:\n$plan")
+  }
+
   test("IVF centroids are deterministic and unit-norm") {
     val a = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64, nCells = 8, iters = 3)
     val b = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64, nCells = 8, iters = 3)
