@@ -864,6 +864,54 @@ object QueriesProc {
       s.createDataset(got).toDF("line").select(
         split(col("line"), "\\|").getItem(0).cast(LongType).as("n_nationkey"),
         split(col("line"), "\\|").getItem(1).as("n_name"))
+    }),
+
+    // sftp output → input roundtrip (impl/sftp/: output.go:149-195
+    // interpolated-path write with MkdirAll + truncate-create,
+    // input.go:51,326 sequential glob-path consume with a lines scanner
+    // and sftp_path metadata) over the from-scratch SSH2 transport +
+    // SFTP v3 protocol (conn/Ssh.scala; the reference wraps
+    // golang.org/x/crypto/ssh + github.com/pkg/sftp). One authenticated
+    // client PER SPARK PARTITION uploads its rows as a part file — 32
+    // concurrent curve25519/ed25519 handshakes against the fixture —
+    // then the driver-side reader consumes the glob sequentially, the
+    // reference input's path-provider order
+    "src_sftp" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-sftp")
+      val srv = new graft.conn.Ssh.MiniSshd(root, "graft", "gate-pw").start()
+      val addr = srv.address
+      val hostPub = srv.hostPubRaw
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 6 === 0)
+        .select(concat_ws("|", col("o_orderkey"), col("o_orderpriority")).as("v"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val c = graft.conn.Ssh.connect(addr,
+            graft.conn.Ssh.Creds("graft", password = Some("gate-pw")),
+            pinnedHostPub = Some(hostPub))
+          try c.writeAll(f"/in/part-$pid%05d.txt",
+            (it.map(_.getString(0)).mkString("\n") + "\n").getBytes("UTF-8"))
+          finally c.close()
+        }
+      }
+      val lines = Vector.newBuilder[(String, String)]
+      val c = graft.conn.Ssh.connect(addr,
+        graft.conn.Ssh.Creds("graft", password = Some("gate-pw")),
+        pinnedHostPub = Some(hostPub))
+      try c.glob("/in/part-*.txt").foreach { p =>
+        new String(c.readAll(p), "UTF-8").split("\n").withFilter(_.nonEmpty)
+          .foreach(l => lines += ((l, p)))
+      } finally {
+        c.close(); srv.stop()
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      }
+      s.createDataset(lines.result()).toDF("line", "sftp_path").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
+        split(col("line"), "\\|").getItem(1).as("o_orderpriority"))
     })
   )
 
@@ -1014,6 +1062,9 @@ object QueriesProc {
          WHERE event_id % 10 = 0""",
     "src_mqtt" ->
       """SELECT p_partkey, p_size::BIGINT AS p_size,
-           (p_partkey % 7)::BIGINT AS bucket FROM part"""
+           (p_partkey % 7)::BIGINT AS bucket FROM part""",
+    "src_sftp" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderkey % 6 = 0"""
   )
 }
