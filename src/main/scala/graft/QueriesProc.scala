@@ -449,6 +449,41 @@ object QueriesProc {
         .toDF("c_mktsegment", "distinct_customers")
     }),
 
+    // `redis_script` processor (script_processor.go): a Lua script per
+    // message via EVALSHA/EVAL (go-redis Script.Run), executed atomically
+    // by the fixture's from-scratch Lua interpreter (conn/Lua.scala).
+    // Phase 1 runs the documented read-modify-write pattern (GET +
+    // conditional SET) accumulating per-type sums — commutative, so the
+    // partition-parallel order doesn't matter; phase 2 reads each final
+    // sum back through a second script. Keys from keys_mapping, args
+    // from args_mapping, reply replaces content — the reference's shape
+    "proc_redis_script" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val accumulate =
+        """local delta = tonumber(ARGV[1])
+          |local cur = redis.call('GET', KEYS[1])
+          |if cur then
+          |  redis.call('SET', KEYS[1], tonumber(cur) + delta)
+          |else
+          |  redis.call('SET', KEYS[1], delta)
+          |end
+          |return redis.call('GET', KEYS[1])
+          |""".stripMargin
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"))
+      graft.conn.Redis.scriptProc[Long](ev, url, accumulate)(
+        r => Seq("sum:" + r.getString(0)),
+        r => Seq(r.getLong(1) % 1000))((_, rep) => rep.toLong)
+        .count() // force the accumulation phase before any readback
+      val types = ev.select(col("event_type")).distinct()
+      graft.conn.Redis.scriptProc[(String, Long)](types, url,
+        "return redis.call('GET', KEYS[1]) or 0")(
+        r => Seq("sum:" + r.getString(0)), _ => Nil)((r, rep) => (r.getString(0), rep.toLong))
+        .toDF("event_type", "total")
+    }),
+
     // `redis` cache resource (cache.go:113-283) behind the cache
     // processor: set nation names per partition, then per-row cache_get
     // enrichment of suppliers. The per-row GET is the reference's exact
@@ -1065,6 +1100,9 @@ object QueriesProc {
            (p_partkey % 7)::BIGINT AS bucket FROM part""",
     "src_sftp" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
-         WHERE o_orderkey % 6 = 0"""
+         WHERE o_orderkey % 6 = 0""",
+    "proc_redis_script" ->
+      """SELECT event_type, SUM(event_id % 1000)::BIGINT AS total
+         FROM events WHERE value IS NOT NULL GROUP BY event_type"""
   )
 }

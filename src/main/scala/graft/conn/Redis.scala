@@ -102,6 +102,34 @@ object Redis {
     case Resp.Err(m) => throw new Resp.RedisErrorException(m)
   }
 
+  /** `redis_script` processor (script_processor.go:118-170): run a Lua
+    * script per message — keys from `keysOf` (the keys_mapping), args from
+    * `argsOf` (the args_mapping) — via EVALSHA with EVAL fallback on
+    * NOSCRIPT, the go-redis Script.Run path the reference calls. The
+    * reply REPLACES the message content (script_processor.go:168
+    * SetStructuredMut), marshaled like the `redis` processor's replies.
+    * One client per partition; scripts execute atomically server-side
+    * (the fixture interprets them with [[Lua]]). */
+  def scriptProc[T: Encoder](df: DataFrame, url: String, script: String)(
+      keysOf: Row => Seq[String], argsOf: Row => Seq[Any])(pack: (Row, String) => T): Dataset[T] = {
+    val (h, p) = hostPort(url)
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(script.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    graft.operators.External.perPartitionLookup[Resp.Client, T](df)(
+      () => new Resp.Client(h, p)) { (c, row) =>
+      val keys = keysOf(row)
+      val args = argsOf(row)
+      val tail: Seq[Any] = (keys.length.toLong +: keys) ++ args
+      val reply =
+        try c.cmd(("EVALSHA" +: sha +: tail): _*)
+        catch {
+          case e: Resp.RedisErrorException if e.getMessage.startsWith("NOSCRIPT") =>
+            c.cmd(("EVAL" +: script +: tail): _*)
+        }
+      pack(row, renderReply(reply))
+    }(_.close())
+  }
+
   // ------------------------------------------------------- list queue
 
   /** `redis_list` output (output_list.go:99): RPUSH each row's payload,

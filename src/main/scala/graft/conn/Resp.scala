@@ -199,6 +199,8 @@ object Resp {
     private var lastStreamSeq = 0L
     private val running = new AtomicBoolean(true)
     private var server: ServerSocket = _
+    /** EVAL script cache: sha1-hex → compiled chunk (SCRIPT LOAD / EVALSHA). */
+    private val scripts = mutable.HashMap[String, Lua.Chunk]()
 
     def start(): MiniRedis = {
       server = new ServerSocket(0, 128, InetAddress.getLoopbackAddress)
@@ -498,9 +500,140 @@ object Resp {
             }
             Int64(delivered.toLong)
 
+          case "EVAL" | "EVALSHA" =>
+            val chunk = cmd match {
+              case "EVAL" =>
+                val src = k(a(0))
+                scripts.getOrElseUpdate(sha1Hex(a(0)),
+                  try Lua.compile(src)
+                  catch { case e: Lua.LuaError =>
+                    return Err(s"ERR Error compiling script: ${e.getMessage}") })
+              case _ =>
+                scripts.getOrElse(k(a(0)).toLowerCase, return Err(
+                  "NOSCRIPT No matching script. Please use EVAL."))
+            }
+            val numKeys = k(a(1)).toInt
+            if (numKeys < 0 || 2 + numKeys > a.length)
+              return Err("ERR Number of keys can't be negative")
+            evalScript(chunk, a.slice(2, 2 + numKeys), a.drop(2 + numKeys), sock, out)
+          case "SCRIPT" =>
+            k(a(0)).toUpperCase match {
+              case "LOAD" =>
+                val sha = sha1Hex(a(1))
+                try { scripts(sha) = Lua.compile(k(a(1))); Bulk(kb(sha)) }
+                catch { case e: Lua.LuaError => Err(s"ERR Error compiling script: ${e.getMessage}") }
+              case "EXISTS" =>
+                Arr(a.drop(1).map(s => Int64(if (scripts.contains(k(s).toLowerCase)) 1 else 0)))
+              case "FLUSH" => scripts.clear(); Simple("OK")
+              case other => Err(s"ERR Unknown SCRIPT subcommand '$other'")
+            }
+
           case other => Err(s"ERR unknown command '$other'")
         }
       }
+
+    private def sha1Hex(src: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-1").digest(src)
+        .map("%02x".format(_)).mkString
+
+    /** Run a cached Lua chunk with the redis EVAL environment. Strings
+      * cross the Lua boundary through the ISO-8859-1 byte↔char bijection
+      * (redis Lua strings are byte strings). Conversion rules are the
+      * PUBLIC EVAL contract (redis.io/docs/manual/programmability):
+      * RESP→Lua: integer→number, bulk→string, null bulk→false,
+      * status→{ok=..}, error→raise (call) / {err=..} (pcall),
+      * array→1-based table, null array→false. Lua→RESP: number→integer
+      * (truncated), string→bulk, false→null bulk, true→:1, table with
+      * err/ok→error/status, table→array up to the first nil. */
+    private def evalScript(chunk: Lua.Chunk, keys: Vector[Array[Byte]],
+                           argv: Vector[Array[Byte]], sock: Socket, out: OutputStream): Value = {
+      import Lua._
+      def lstr(b: Array[Byte]): V = LStr(new String(b, ISO_8859_1))
+      def respToLua(v: Value): V = v match {
+        case Int64(n) => LNum(n.toDouble)
+        case Bulk(null) => False
+        case Bulk(d) => lstr(d)
+        case Simple(s) => { val t = new LTable; t.set(LStr("ok"), LStr(s)); t }
+        case Err(m) => { val t = new LTable; t.set(LStr("err"), LStr(m)); t }
+        case Arr(null) => False
+        case Arr(xs) =>
+          val t = new LTable
+          xs.zipWithIndex.foreach { case (x, i) => t.set(LNum(i + 1), respToLua(x)) }
+          t
+      }
+      def luaToResp(v: V): Value = v match {
+        case LNum(d) => Int64(d.toLong)
+        case LStr(s) => Bulk(s.getBytes(ISO_8859_1))
+        case LBool(false) | LNil => NullBulk
+        case LBool(true) => Int64(1)
+        case t: LTable =>
+          t.get(LStr("err")) match {
+            case LStr(m) => Err(m)
+            case _ => t.get(LStr("ok")) match {
+              case LStr(m) => Simple(m)
+              case _ => Arr(t.arrayPart.takeWhile(_ != LNil).map(luaToResp))
+            }
+          }
+        case other => Err(s"ERR script returned unsupported type ${typeName(other)}")
+      }
+      def mkArr(items: Vector[Array[Byte]]): V = {
+        val t = new LTable
+        items.zipWithIndex.foreach { case (x, i) => t.set(LNum(i + 1), lstr(x)) }
+        t
+      }
+      def doCall(args: Vector[V]): Value = {
+        if (args.isEmpty) throw new LuaError(LStr("redis.call requires at least one argument"))
+        val cargs = args.map {
+          case LStr(s) => s.getBytes(ISO_8859_1)
+          case LNum(d) => numToString(d).getBytes(ISO_8859_1)
+          case other => throw new LuaError(LStr(
+            s"Lua redis() command arguments must be strings or integers, got ${typeName(other)}"))
+        }
+        handle(new String(cargs.head, ISO_8859_1).toUpperCase, cargs.drop(1), sock, out)
+      }
+      val redisT = new LTable
+      redisT.set(LStr("call"), LBuiltin("redis.call", { args =>
+        doCall(args) match {
+          case Err(m) =>
+            val t = new LTable; t.set(LStr("err"), LStr(m))
+            throw new LuaError(t) // aborts the script; surfaces as the error reply
+          case v => Vector(respToLua(v))
+        }
+      }))
+      redisT.set(LStr("pcall"), LBuiltin("redis.pcall", { args =>
+        Vector(respToLua(doCall(args)))
+      }))
+      redisT.set(LStr("error_reply"), LBuiltin("redis.error_reply", { args =>
+        val t = new LTable
+        t.set(LStr("err"), LStr(args.headOption.map(tostring).getOrElse("error")))
+        Vector(t)
+      }))
+      redisT.set(LStr("status_reply"), LBuiltin("redis.status_reply", { args =>
+        val t = new LTable
+        t.set(LStr("ok"), LStr(args.headOption.map(tostring).getOrElse("OK")))
+        Vector(t)
+      }))
+      redisT.set(LStr("sha1hex"), LBuiltin("redis.sha1hex", { args =>
+        Vector(LStr(sha1Hex(args.headOption.map(tostring).getOrElse("").getBytes(ISO_8859_1))))
+      }))
+      redisT.set(LStr("log"), LBuiltin("redis.log", _ => Vector.empty))
+      redisT.set(LStr("LOG_DEBUG"), LNum(0)); redisT.set(LStr("LOG_VERBOSE"), LNum(1))
+      redisT.set(LStr("LOG_NOTICE"), LNum(2)); redisT.set(LStr("LOG_WARNING"), LNum(3))
+      try {
+        val rets = Lua.run(chunk, Map(
+          "KEYS" -> mkArr(keys), "ARGV" -> mkArr(argv), "redis" -> redisT))
+        luaToResp(rets.headOption.getOrElse(LNil))
+      } catch {
+        case e: LuaError => e.value match {
+          case t: LTable => t.get(LStr("err")) match {
+            case LStr(m) => Err(m)
+            case _ => Err(s"ERR ${e.getMessage}")
+          }
+          case LStr(m) => Err(if (m.split(" ").headOption.exists(w => w.nonEmpty && w.forall(_.isUpper))) m else s"ERR $m")
+          case other => Err(s"ERR ${tostring(other)}")
+        }
+      }
+    }
 
     private def serve(sock: Socket): Unit = {
       sock.setTcpNoDelay(true)
