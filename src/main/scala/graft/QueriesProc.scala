@@ -449,6 +449,28 @@ object QueriesProc {
         .toDF("c_mktsegment", "distinct_customers")
     }),
 
+    // `wasm` processor (impl/wasm/processor_wazero.go:21): a function
+    // exported by a WebAssembly module runs per message over the v0
+    // bento_wasm ABI (v0_msg_as_bytes/set_bytes/set_meta), executed by
+    // the from-scratch MVP interpreter (operators/Wasm.scala). The
+    // module is the reference's own `uppercase` example, hand-assembled
+    // (no wasm toolchain in-sandbox); the oracle replays it as upper().
+    // Decode once per JVM, one instance per task thread — no shuffle
+    "proc_wasm" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "part").select(
+        concat_ws("|", col("p_partkey"), col("p_name")).as(graft.core.Msg.ContentCol),
+        map().cast(MapType(StringType, StringType)).as(graft.core.Msg.MetaCol),
+        lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
+        monotonically_increasing_id().as(graft.core.Msg.SeqCol))
+      val out = graft.operators.Wasm.processor(
+        graft.operators.Wasm.Asm.uppercaseModule())(raw)
+      out.filter(Msg.ok).select(
+        split(col(Msg.ContentCol), "\\|").getItem(0).cast(LongType).as("p_partkey"),
+        split(col(Msg.ContentCol), "\\|").getItem(1).as("up_name"),
+        col(Msg.MetaCol)("processor").as("processor"))
+    }),
+
     // `redis_script` processor (script_processor.go): a Lua script per
     // message via EVALSHA/EVAL (go-redis Script.Run), executed atomically
     // by the fixture's from-scratch Lua interpreter (conn/Lua.scala).
@@ -1103,6 +1125,9 @@ object QueriesProc {
          WHERE o_orderkey % 6 = 0""",
     "proc_redis_script" ->
       """SELECT event_type, SUM(event_id % 1000)::BIGINT AS total
-         FROM events WHERE value IS NOT NULL GROUP BY event_type"""
+         FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+    "proc_wasm" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, 'wasm' AS processor
+         FROM part"""
   )
 }
