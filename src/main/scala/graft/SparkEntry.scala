@@ -82,5 +82,10 @@ object SparkEntry {
     "src_kafka",
     // round 6: the compiled geoip twin (broadcast bucketized range join)
     // and the period batch policy (pure-Column tumbling assignment)
-    "proc_geoip_city2", "batch_period")
+    "proc_geoip_city2", "batch_period",
+    // round 6 late: per-row WebAssembly interpretation (the guest-runtime
+    // escape hatch beside proc_java) and the SSH2/SFTP connector
+    // round-trip (32 concurrent curve25519 handshakes + windowed
+    // transfers — times the per-partition secure-channel lifecycle)
+    "proc_wasm", "src_sftp")
 }
