@@ -969,10 +969,116 @@ object QueriesProc {
       s.createDataset(lines.result()).toDF("line", "sftp_path").select(
         split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
         split(col("line"), "\\|").getItem(1).as("o_orderpriority"))
+    }),
+
+    // aws_s3 output → input roundtrip (impl/aws/output_s3.go:434 one
+    // PutObject per message at an interpolated path; input_s3.go:319-383
+    // static bucket walk + download with s3_key/s3_content_type/
+    // s3_last_modified_unix metadata) over the from-scratch SigV4 + S3
+    // REST protocol (conn/Aws.scala, conn/S3.scala; the reference wraps
+    // aws-sdk-go-v2). Uploads run one SIGNED client per Spark partition;
+    // the input lists ONCE driver-side (Spark's own file-listing shape)
+    // and downloads executor-side — at 100 TB only the endpoint string
+    // changes, bytes never touch the driver
+    "src_aws_s3" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.S3.MiniS3().start()
+      val endpoint = srv.endpoint
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").cast(LongType),
+          concat_ws("|", col("p_partkey"), col("p_name"), col("p_retailprice")).as("v"))
+      graft.conn.S3.output(rows, endpoint, "data",
+        keyOf = r => f"parts/${r.getLong(0)}%09d.json",
+        bodyOf = r => r.getString(1).getBytes("UTF-8"),
+        contentType = "application/json")
+      graft.conn.S3.input(s, endpoint, "data", prefix = "parts/")
+        .toDF("s3_key", "content", "s3_last_modified_unix", "s3_content_type")
+        .select(
+          split(col("content"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
+          split(col("content"), "\\|").getItem(1).as("p_name"),
+          split(col("content"), "\\|").getItem(2).cast(DoubleType).as("p_retailprice"),
+          col("s3_content_type"))
+    }),
+
+    // `aws_s3` cache backend (impl/aws/cache_s3.go: Get/Set/Add/Delete on
+    // bucket keys): customers seeded per partition through the SIGNED
+    // client, orders enriched per row — the same external-backend wiring
+    // gate as cache_redis/cache_memcached, on the S3 REST surface
+    "cache_s3" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.S3.MiniS3().start()
+      val endpoint = srv.endpoint
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast(LongType), col("c_mktsegment"))
+      graft.operators.External.perPartitionLookup[graft.conn.S3.Cache, Long](cust)(
+        () => new graft.conn.S3.Cache(endpoint, "cachebkt", prefix = "cust_")) { (c, row) =>
+        c.set(row.getLong(0).toString, row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").cast(LongType), col("o_custkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.S3.Cache, (Long, String)](ord)(
+        () => new graft.conn.S3.Cache(endpoint, "cachebkt", prefix = "cust_")) { (c, row) =>
+        (row.getLong(0), c.get(row.getLong(1).toString)
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("o_orderkey", "segment")
+    }),
+
+    // aws_sqs output → input roundtrip (impl/aws/output_sqs.go:273-325
+    // SendMessageBatch ≤10 entries with metadata as message attributes;
+    // input_sqs.go:385-517 ReceiveMessage loop + DeleteMessageBatch after
+    // ack, sqs_message_id / sqs_approximate_receive_count metadata) over
+    // the from-scratch SQS JSON protocol (conn/Sqs.scala, SigV4-signed;
+    // the reference wraps aws-sdk-go-v2/service/sqs). Producers batch 10
+    // per call per Spark partition; the driver-side consumer drains with
+    // receive→deleteBatch — the at-least-once contract — and the
+    // message-attribute metadata path crosses the gate
+    "src_aws_sqs" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Sqs.MiniSqs(defaultVisibilityMs = 30000).start()
+      val endpoint = srv.endpoint
+      val setup = new graft.conn.Sqs.Client(endpoint)
+      val url = setup.createQueue("custs")
+      val rows = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(concat_ws("|", col("c_custkey"), col("c_name")).as("v"),
+          col("c_mktsegment"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val c = new graft.conn.Sqs.Client(endpoint)
+        try it.grouped(10).foreach { chunk =>
+          c.sendBatch(url, chunk.map(r => (r.getString(0), Map("segment" -> r.getString(1)))))
+        } finally c.close()
+      }
+      val got = Vector.newBuilder[(String, String, Long)]
+      var n = 0L
+      while (n < expected) {
+        val batch = setup.receive(url, max = 10, waitTimeSec = 5)
+        require(batch.nonEmpty, s"sqs drained early at $n/$expected")
+        batch.foreach(m => got += ((m.body, m.attributes("segment"), m.receiveCount)))
+        setup.deleteBatch(url, batch.map(_.receiptHandle))
+        n += batch.size
+      }
+      setup.close(); srv.stop()
+      s.createDataset(got.result()).toDF("line", "segment", "receive_count").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("c_custkey"),
+        split(col("line"), "\\|").getItem(1).as("c_name"),
+        col("segment"), col("receive_count"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "src_aws_s3" ->
+      """SELECT p_partkey, p_name, p_retailprice,
+           'application/json' AS s3_content_type
+         FROM part WHERE p_partkey % 3 = 0""",
+    "cache_s3" ->
+      """SELECT o_orderkey, c_mktsegment AS segment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 7 = 0""",
+    "src_aws_sqs" ->
+      """SELECT c_custkey, c_name, c_mktsegment AS segment,
+           1::BIGINT AS receive_count
+         FROM customer WHERE c_custkey % 3 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
