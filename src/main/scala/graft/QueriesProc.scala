@@ -1063,6 +1063,36 @@ object QueriesProc {
         split(col("line"), "\\|").getItem(0).cast(LongType).as("c_custkey"),
         split(col("line"), "\\|").getItem(1).as("c_name"),
         col("segment"), col("receive_count"))
+    }),
+
+    // aws_kinesis output → input roundtrip (impl/aws/output_kinesis.go
+    // ≤500-record PutRecords batches with per-message partition keys;
+    // input_kinesis.go shard-parallel GetRecords — its DynamoDB
+    // checkpointer becomes "the shard list IS the Spark task list", one
+    // cursor per shard executor-side, the kafka-input shape) over the
+    // from-scratch Kinesis JSON protocol (conn/Kinesis.scala,
+    // SigV4-signed; the reference wraps aws-sdk-go-v2). The shard id
+    // crosses the gate and the oracle REPLAYS the public MD5 hash-range
+    // routing contract (shard = top 2 bits of md5(key) for 4 shards)
+    "src_aws_kinesis" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Kinesis.MiniKinesis().start()
+      val endpoint = srv.endpoint
+      val setup = new graft.conn.Kinesis.Client(endpoint)
+      setup.createStream("evt", 4)
+      setup.close()
+      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey").cast(LongType),
+          concat_ws("|", col("l_quantity"), col("l_returnflag")).as("v"))
+      graft.conn.Kinesis.output(rows, endpoint, "evt",
+        keyOf = r => r.getLong(0).toString,
+        dataOf = r => r.getString(1).getBytes("UTF-8"))
+      graft.conn.Kinesis.input(s, endpoint, "evt")
+        .toDF("shard_id", "sequence_number", "partition_key", "data").select(
+          regexp_replace(col("shard_id"), "shardId-", "").cast(LongType).as("shard"),
+          col("partition_key").cast(LongType).as("l_orderkey"),
+          split(col("data"), "\\|").getItem(0).cast(DoubleType).as("l_quantity"),
+          split(col("data"), "\\|").getItem(1).as("l_returnflag"))
     })
   )
 
@@ -1079,6 +1109,11 @@ object QueriesProc {
       """SELECT c_custkey, c_name, c_mktsegment AS segment,
            1::BIGINT AS receive_count
          FROM customer WHERE c_custkey % 3 = 0""",
+    "src_aws_kinesis" ->
+      """SELECT ((strpos('0123456789abcdef',
+             substr(md5(l_orderkey::VARCHAR), 1, 1)) - 1) // 4)::BIGINT AS shard,
+           l_orderkey, l_quantity, l_returnflag
+         FROM lineitem WHERE l_linenumber = 2""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
