@@ -1093,6 +1093,63 @@ object QueriesProc {
           col("partition_key").cast(LongType).as("l_orderkey"),
           split(col("data"), "\\|").getItem(0).cast(DoubleType).as("l_quantity"),
           split(col("data"), "\\|").getItem(1).as("l_returnflag"))
+    }),
+
+    // `aws_dynamodb` cache backend (impl/aws/cache_dynamodb.go: hash_key
+    // string + data_key binary AttributeValues, conditional-put add,
+    // consistent-read get) over the from-scratch DynamoDB JSON protocol
+    // (conn/Dynamo.scala, SigV4-signed): the external-backend wiring gate
+    // on the fourth cache wire protocol (after redis/memcached/s3)
+    "cache_dynamodb" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Dynamo.MiniDynamo().start()
+      val endpoint = srv.endpoint
+      val setup = new graft.conn.Dynamo.Client(endpoint)
+      setup.createTable("cache", "key"); setup.close()
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast(LongType), col("s_name"))
+      graft.operators.External.perPartitionLookup[graft.conn.Dynamo.Cache, Long](sup)(
+        () => new graft.conn.Dynamo.Cache(endpoint, "cache", prefix = "sup_")) { (c, row) =>
+        c.set(row.getLong(0).toString, row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") === 1 && col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").cast(LongType), col("l_suppkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Dynamo.Cache, (Long, String)](li)(
+        () => new graft.conn.Dynamo.Cache(endpoint, "cache", prefix = "sup_")) { (c, row) =>
+        (row.getLong(0), c.get(row.getLong(1).toString)
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("l_orderkey", "supplier_name")
+    }),
+
+    // aws_lambda processor (impl/aws/processor_lambda.go: the message is
+    // the Invoke payload, the result REPLACES the content; one client per
+    // partition, requests stream through it) over the from-scratch
+    // Invoke REST call (conn/Dynamo.scala Lambda object, SigV4-signed).
+    // The fixture function is a driver-defined JSON transform — the same
+    // in-JVM-endpoint pattern as proc_http; the oracle replays the
+    // function arithmetic
+    "proc_lambda" -> ((s, dir) => {
+      import s.implicits._
+      val fn: Array[Byte] => Either[String, Array[Byte]] = { payload =>
+        val m = graft.conn.Aws.Json.asObj(graft.conn.Aws.Json.parse(new String(payload, "UTF-8")))
+        val id = graft.conn.Aws.Json.long(m, "event_id")
+        val v = m("value") match { case d: Double => d; case l: Long => l.toDouble; case x => x.toString.toDouble }
+        Right(graft.conn.Aws.Json.render(graft.conn.Aws.Json.obj(
+          "event_id" -> id, "score" -> (v * 3.0 + (id % 5).toDouble),
+          "flag" -> (if (v > 50.0) "hot" else "cold"))).getBytes("UTF-8"))
+      }
+      val srv = new graft.conn.Lambda.MiniLambda(Map("score" -> fn)).start()
+      val endpoint = srv.endpoint
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(to_json(struct(col("event_id"), col("value"))).as("payload")).repartition(32)
+      graft.operators.External.perPartitionLookup[graft.conn.Lambda.Client, String](ev)(
+        () => new graft.conn.Lambda.Client(endpoint)) { (c, row) =>
+        new String(c.invoke("score", row.getString(0).getBytes("UTF-8")).payload, "UTF-8")
+      }(_.close()).toDF("resp").select(
+        get_json_object(col("resp"), "$.event_id").cast(LongType).as("event_id"),
+        round(get_json_object(col("resp"), "$.score").cast(DoubleType), 6).as("score"),
+        get_json_object(col("resp"), "$.flag").as("flag"))
     })
   )
 
@@ -1114,6 +1171,14 @@ object QueriesProc {
              substr(md5(l_orderkey::VARCHAR), 1, 1)) - 1) // 4)::BIGINT AS shard,
            l_orderkey, l_quantity, l_returnflag
          FROM lineitem WHERE l_linenumber = 2""",
+    "cache_dynamodb" ->
+      """SELECT l_orderkey, s_name AS supplier_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_linenumber = 1 AND l_orderkey % 9 = 0""",
+    "proc_lambda" ->
+      """SELECT event_id, round(value * 3 + event_id % 5, 6) AS score,
+           CASE WHEN value > 50 THEN 'hot' ELSE 'cold' END AS flag
+         FROM events WHERE value IS NOT NULL""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,

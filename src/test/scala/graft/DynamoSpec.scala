@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.conn.{Aws, Dynamo, Lambda}
+import graft.conn.Aws.SigV4
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DynamoDB JSON protocol over MiniDynamo (AttributeValue encoding,
+  * conditional-put add semantics, TTL expiry) and the Lambda Invoke API
+  * over MiniLambda (payload replacement, function-error metadata). */
+class DynamoSpec extends AnyFunSuite {
+  private def b(s: String) = s.getBytes(UTF_8)
+
+  private def withDynamo[T](f: (Dynamo.MiniDynamo, Dynamo.Cache) => T): T = {
+    val srv = new Dynamo.MiniDynamo().start()
+    val setup = new Dynamo.Client(srv.endpoint)
+    setup.createTable("cache", "key"); setup.close()
+    val cache = new Dynamo.Cache(srv.endpoint, "cache")
+    try f(srv, cache) finally { cache.close(); srv.stop() }
+  }
+
+  test("get/set/delete round-trip through AttributeValue B encoding") {
+    withDynamo { (srv, c) =>
+      assert(c.get("k").isEmpty)
+      c.set("k", b("v1"))
+      assert(c.get("k").map(new String(_, UTF_8)).contains("v1"))
+      c.set("k", Array.tabulate[Byte](64)(_.toByte)) // binary survives base64
+      assert(c.get("k").get.toSeq == Array.tabulate[Byte](64)(_.toByte).toSeq)
+      c.delete("k")
+      assert(c.get("k").isEmpty && srv.itemCount("cache") == 0)
+    }
+  }
+
+  test("add is conditional PutItem: ConditionalCheckFailedException maps to false") {
+    withDynamo { (_, c) =>
+      assert(c.add("k", b("v1")))
+      assert(!c.add("k", b("v2")), "attribute_not_exists guard rejects the second add")
+      assert(c.get("k").map(new String(_, UTF_8)).contains("v1"))
+      c.delete("k")
+      assert(c.add("k", b("v3")), "add succeeds again after delete")
+    }
+  }
+
+  test("TTL attribute expires items lazily (cache_dynamodb.go ttl_key contract)") {
+    withDynamo { (_, c) =>
+      c.set("short", b("v"), ttlMs = 1000)
+      assert(c.get("short").isDefined)
+      Thread.sleep(2100) // epoch-second granularity: sleep past the boundary
+      assert(c.get("short").isEmpty, "expired item reads as absent")
+      assert(c.add("short", b("v2")), "add treats the expired item as absent")
+    }
+  }
+
+  test("unknown table errors; wrong secret is rejected") {
+    val srv = new Dynamo.MiniDynamo().start()
+    try {
+      val c = new Dynamo.Cache(srv.endpoint, "nope")
+      val e = intercept[IllegalArgumentException](c.set("k", b("v")))
+      assert(e.getMessage.contains("ResourceNotFoundException"))
+      c.close()
+      val bad = new Dynamo.Cache(srv.endpoint, "cache",
+        creds = SigV4.Credentials(Aws.testCreds.accessKey, "wrong"))
+      val e2 = intercept[IllegalArgumentException](bad.set("k", b("v")))
+      assert(e2.getMessage.contains("SignatureDoesNotMatch"))
+      bad.close()
+    } finally srv.stop()
+  }
+
+  // ------------------------------------------------------------- lambda
+  test("lambda invoke: result payload replaces content; prefix-encoded path signs correctly") {
+    val srv = new Lambda.MiniLambda(Map(
+      "upper" -> (p => Right(new String(p, UTF_8).toUpperCase.getBytes(UTF_8))))).start()
+    val c = new Lambda.Client(srv.endpoint)
+    try {
+      val r = c.invoke("upper", b("hello lambda"))
+      assert(new String(r.payload, UTF_8) == "HELLO LAMBDA")
+      assert(r.functionError.isEmpty)
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("lambda function error: 200 + X-Amz-Function-Error + error JSON payload (processor_lambda.go:29)") {
+    val srv = new Lambda.MiniLambda(Map(
+      "boom" -> (_ => Left("division by zero")))).start()
+    val c = new Lambda.Client(srv.endpoint)
+    try {
+      val r = c.invoke("boom", b("{}"))
+      assert(r.functionError.contains("Unhandled"))
+      assert(new String(r.payload, UTF_8).contains("division by zero"))
+      val e = intercept[IllegalArgumentException](c.invoke("absent", b("{}")))
+      assert(e.getMessage.contains("404"))
+    } finally { c.close(); srv.stop() }
+  }
+}
