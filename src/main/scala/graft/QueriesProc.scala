@@ -1150,6 +1150,77 @@ object QueriesProc {
         get_json_object(col("resp"), "$.event_id").cast(LongType).as("event_id"),
         round(get_json_object(col("resp"), "$.score").cast(DoubleType), 6).as("score"),
         get_json_object(col("resp"), "$.flag").as("flag"))
+    }),
+
+    // gcp_pubsub output → input roundtrip (impl/gcp/output_pubsub.go
+    // publish with attributes; input_pubsub.go pull + ack under the
+    // ack-deadline redelivery contract) over the from-scratch REST
+    // protocol with the REAL service-account OAuth2 flow: every Spark
+    // partition's client mints its own RS256 JWT assertion and exchanges
+    // it for a Bearer token, which the fixture verifies against the
+    // account's public key (conn/Gcp.scala; the reference wraps
+    // cloud.google.com/go/pubsub). An attribute crosses the gate as the
+    // metadata path
+    "src_gcp_pubsub" -> ((s, dir) => {
+      import s.implicits._
+      val (privPem, pubPem) = graft.conn.Gcp.generateKeyPair()
+      val sa = graft.conn.Gcp.ServiceAccount("svc@graft.iam.gserviceaccount.com", privPem)
+      val srv = new graft.conn.Gcp.MiniGcp(sa, pubPem, ackDeadlineMs = 30000).start()
+      val endpoint = srv.endpoint
+      srv.createTopic("orders"); srv.createSubscription("orders-sub", "orders")
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select(concat_ws("|", col("o_orderkey"), col("o_totalprice")).as("v"),
+          col("o_orderpriority"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Gcp.PubSubClient(endpoint, sa)
+          try it.grouped(100).foreach { chunk =>
+            c.publish("orders", chunk.map(r =>
+              (r.getString(0).getBytes("UTF-8"), Map("priority" -> r.getString(1)))))
+          } finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[(String, String)]
+      val consumer = new graft.conn.Gcp.PubSubClient(endpoint, sa)
+      var n = 0L
+      while (n < expected) {
+        val batch = consumer.pull("orders-sub", maxMessages = 100)
+        require(batch.nonEmpty, s"pubsub drained early at $n/$expected")
+        batch.foreach(m => got += ((new String(m.data, "UTF-8"), m.attributes("priority"))))
+        consumer.acknowledge("orders-sub", batch.map(_.ackId))
+        n += batch.size
+      }
+      consumer.close(); srv.stop()
+      s.createDataset(got.result()).toDF("line", "priority").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
+        split(col("line"), "\\|").getItem(1).cast(DoubleType).as("o_totalprice"),
+        col("priority"))
+    }),
+
+    // `gcp_cloud_storage` cache backend (impl/gcp/cache_cloud_storage.go)
+    // over the GCS JSON API + Bearer auth: nations seeded, customers
+    // enriched per row through per-partition authenticated clients
+    "cache_gcs" -> ((s, dir) => {
+      import s.implicits._
+      val (privPem, pubPem) = graft.conn.Gcp.generateKeyPair()
+      val sa = graft.conn.Gcp.ServiceAccount("svc@graft.iam.gserviceaccount.com", privPem)
+      val srv = new graft.conn.Gcp.MiniGcp(sa, pubPem).start()
+      val endpoint = srv.endpoint
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_name"))
+      graft.operators.External.perPartitionLookup[graft.conn.Gcp.GcsCache, Long](nat)(
+        () => new graft.conn.Gcp.GcsCache(endpoint, sa, "cachebkt", prefix = "nat_")) { (c, row) =>
+        c.set(row.getLong(0).toString, row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val cust = t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").cast(LongType), col("c_nationkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Gcp.GcsCache, (Long, String)](cust)(
+        () => new graft.conn.Gcp.GcsCache(endpoint, sa, "cachebkt", prefix = "nat_")) { (c, row) =>
+        (row.getLong(0), c.get(row.getLong(1).toString)
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("c_custkey", "nation_name")
     })
   )
 
@@ -1179,6 +1250,13 @@ object QueriesProc {
       """SELECT event_id, round(value * 3 + event_id % 5, 6) AS score,
            CASE WHEN value > 50 THEN 'hot' ELSE 'cold' END AS flag
          FROM events WHERE value IS NOT NULL""",
+    "src_gcp_pubsub" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+         FROM orders WHERE o_orderkey % 4 = 0""",
+    "cache_gcs" ->
+      """SELECT c_custkey, n_name AS nation_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_custkey % 5 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
