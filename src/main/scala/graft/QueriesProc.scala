@@ -1221,6 +1221,90 @@ object QueriesProc {
         (row.getLong(0), c.get(row.getLong(1).toString)
           .map(new String(_, "UTF-8")).orNull)
       }(_.close()).toDF("c_custkey", "nation_name")
+    }),
+
+    // azure_blob_storage output → input roundtrip (impl/azure/
+    // output_blob_storage.go per-message block-blob writes at
+    // interpolated paths; input_blob_storage.go container walk +
+    // download) over the from-scratch SharedKey-authenticated REST
+    // protocol (conn/Azure.scala; the reference wraps
+    // azure-sdk-for-go). Writers run one signed client per Spark
+    // partition; the input lists driver-side (NextMarker pagination)
+    // and downloads executor-side — the S3/GCS listing shape on the
+    // third cloud auth scheme
+    "src_azure_blob" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Azure.MiniAzure().start()
+      val endpoint = srv.endpoint
+      val setup = new graft.conn.Azure.BlobClient(endpoint)
+      setup.createContainer("data"); setup.close()
+      val rows = t(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").cast(LongType),
+          concat_ws("|", col("s_suppkey"), col("s_name"), col("s_acctbal")).as("v"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Azure.BlobClient(endpoint)
+          try it.foreach(r => c.put("data", f"sup/${r.getLong(0)}%09d.txt",
+            r.getString(1).getBytes("UTF-8"), "text/plain"))
+          finally c.close()
+        }
+      }
+      val keys = {
+        val c = new graft.conn.Azure.BlobClient(endpoint)
+        try c.list("data", "sup/", pageSize = 200).map(_.name) finally c.close()
+      }
+      s.createDataset(keys).repartition(math.min(32, math.max(1, keys.size)))
+        .mapPartitions { ks =>
+          val c = new graft.conn.Azure.BlobClient(endpoint)
+          val out = ks.map(k => new String(c.get("data", k).get, "UTF-8"))
+          new Iterator[String] {
+            def hasNext: Boolean = { val h = out.hasNext; if (!h) c.close(); h }
+            def next(): String = out.next()
+          }
+        }
+        .toDF("line").select(
+          split(col("line"), "\\|").getItem(0).cast(LongType).as("s_suppkey"),
+          split(col("line"), "\\|").getItem(1).as("s_name"),
+          split(col("line"), "\\|").getItem(2).cast(DoubleType).as("s_acctbal"))
+    }),
+
+    // azure_queue_storage output → input roundtrip (impl/azure/
+    // output_queue_storage.go base64 message bodies;
+    // input_queue_storage.go dequeue with visibility leases + delete by
+    // pop receipt): per-partition signed producers, driver-side consumer
+    // drains with dequeue→delete — DequeueCount crosses the gate
+    "src_azure_queue" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Azure.MiniAzure().start()
+      val endpoint = srv.endpoint
+      val setup = new graft.conn.Azure.QueueClient(endpoint)
+      setup.createQueue("parts")
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 5 === 0)
+        .select(concat_ws("|", col("p_partkey"), col("p_brand")).as("v"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Azure.QueueClient(endpoint)
+          try it.foreach(r => c.enqueue("parts", r.getString(0).getBytes("UTF-8")))
+          finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[(String, Long)]
+      var n = 0L
+      while (n < expected) {
+        val batch = setup.dequeue("parts", max = 32, visibilitySec = 30)
+        require(batch.nonEmpty, s"azure queue drained early at $n/$expected")
+        batch.foreach { m =>
+          got += ((new String(setup.decodeBody(m), "UTF-8"), m.dequeueCount))
+          setup.delete("parts", m)
+        }
+        n += batch.size
+      }
+      setup.close(); srv.stop()
+      s.createDataset(got.result()).toDF("line", "dequeue_count").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
+        split(col("line"), "\\|").getItem(1).as("p_brand"),
+        col("dequeue_count"))
     })
   )
 
@@ -1257,6 +1341,12 @@ object QueriesProc {
       """SELECT c_custkey, n_name AS nation_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE c_custkey % 5 = 0""",
+    "src_azure_blob" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_suppkey % 2 = 0""",
+    "src_azure_queue" ->
+      """SELECT p_partkey, p_brand, 1::BIGINT AS dequeue_count
+         FROM part WHERE p_partkey % 5 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
