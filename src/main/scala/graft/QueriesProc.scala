@@ -1305,6 +1305,94 @@ object QueriesProc {
         split(col("line"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
         split(col("line"), "\\|").getItem(1).as("p_brand"),
         col("dequeue_count"))
+    }),
+
+    // aws_sns output with SQS fan-out (impl/aws/output_sns.go Publish
+    // with message attributes) over the from-scratch SNS Query protocol:
+    // per-partition signed publishers; TWO real SQS queues subscribed to
+    // the topic each receive the documented JSON notification envelope,
+    // and the consumer parses Message + attributes out of it — the
+    // composed SNS→SQS path, with the fan-out factor crossing the gate
+    "out_aws_sns" -> ((s, dir) => {
+      import s.implicits._
+      val sns = new graft.conn.Sns.MiniSns().start()
+      val sqs = new graft.conn.Sqs.MiniSqs(defaultVisibilityMs = 30000).start()
+      val snsEndpoint = sns.endpoint
+      val sqsEndpoint = sqs.endpoint
+      val setupSns = new graft.conn.Sns.Client(snsEndpoint)
+      val setupSqs = new graft.conn.Sqs.Client(sqsEndpoint)
+      val arn = setupSns.createTopic("orders")
+      val queues = Seq("q1", "q2")
+      val urls = queues.map(q => q -> setupSqs.createQueue(q)).toMap
+      urls.foreach { case (_, url) =>
+        sns.subscribe(arn, envelope => {
+          val c = new graft.conn.Sqs.Client(sqsEndpoint)
+          try c.send(url, envelope) finally c.close()
+        })
+      }
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").cast(LongType).cast(StringType).as("k"),
+          col("o_orderpriority"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Sns.Client(snsEndpoint)
+          try it.foreach(r => c.publish(arn, r.getString(0), Map("priority" -> r.getString(1))))
+          finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[(Long, String, String)]
+      queues.foreach { q =>
+        var n = 0L
+        while (n < expected) {
+          val batch = setupSqs.receive(urls(q), max = 10, waitTimeSec = 5)
+          require(batch.nonEmpty, s"sns fan-out drained early on $q at $n/$expected")
+          batch.foreach { m =>
+            val env = graft.conn.Aws.Json.asObj(graft.conn.Aws.Json.parse(m.body))
+            val attrs = graft.conn.Aws.Json.asObj(env("MessageAttributes"))
+            got += ((graft.conn.Aws.Json.str(env, "Message").toLong,
+              graft.conn.Aws.Json.str(graft.conn.Aws.Json.asObj(attrs("priority")), "Value"), q))
+          }
+          setupSqs.deleteBatch(urls(q), batch.map(_.receiptHandle))
+          n += batch.size
+        }
+      }
+      setupSns.close(); setupSqs.close(); sns.stop(); sqs.stop()
+      s.createDataset(got.result()).toDF("o_orderkey", "priority", "queue")
+    }),
+
+    // aws_kinesis_firehose output (impl/aws/output_kinesis_firehose.go:
+    // PutRecordBatch ≤500, newline-delimited records) over the
+    // from-scratch Firehose JSON protocol, with the documented
+    // S3-DESTINATION delivery: the fixture buffers and flushes
+    // concatenated objects through the REAL S3 client into a MiniS3,
+    // and the verification path reads them back via the distributed S3
+    // input — the full produce→buffer→deliver→scan pipeline
+    "out_aws_firehose" -> ((s, dir) => {
+      import s.implicits._
+      val s3 = new graft.conn.S3.MiniS3().start()
+      val fh = new graft.conn.Firehose.MiniFirehose(s3.endpoint, "delivery", "fh",
+        bufferCount = 2000).start()
+      fh.createStreamDirect("li")
+      val fhEndpoint = fh.endpoint
+      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 3)
+        .select(concat_ws("|", col("l_orderkey"), col("l_extendedprice")).as("v"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Firehose.Client(fhEndpoint)
+          try it.grouped(500).foreach { chunk =>
+            c.putRecordBatch("li", chunk.map(r => (r.getString(0) + "\n").getBytes("UTF-8")))
+          } finally c.close()
+        }
+      }
+      fh.flushAll()
+      graft.conn.S3.input(s, s3.endpoint, "delivery", prefix = "fh/")
+        .toDF("s3_key", "content", "lm", "ct")
+        .select(explode(split(col("content"), "\n")).as("line"))
+        .filter(col("line") =!= "")
+        .select(
+          split(col("line"), "\\|").getItem(0).cast(LongType).as("l_orderkey"),
+          split(col("line"), "\\|").getItem(1).cast(DoubleType).as("l_extendedprice"))
     })
   )
 
@@ -1347,6 +1435,13 @@ object QueriesProc {
     "src_azure_queue" ->
       """SELECT p_partkey, p_brand, 1::BIGINT AS dequeue_count
          FROM part WHERE p_partkey % 5 = 0""",
+    "out_aws_sns" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, q.queue
+         FROM orders, (SELECT 'q1' AS queue UNION ALL SELECT 'q2') q
+         WHERE o_orderkey % 10 = 0""",
+    "out_aws_firehose" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+         WHERE l_linenumber = 3""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
