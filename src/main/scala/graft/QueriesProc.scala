@@ -1393,6 +1393,88 @@ object QueriesProc {
         .select(
           split(col("line"), "\\|").getItem(0).cast(LongType).as("l_orderkey"),
           split(col("line"), "\\|").getItem(1).cast(DoubleType).as("l_extendedprice"))
+    }),
+
+    // mongodb output → input roundtrip (impl/mongodb/output.go batched
+    // inserts; input.go a find-cursor over the collection) over the
+    // from-scratch BSON + OP_MSG wire protocol (conn/Mongo.scala; the
+    // reference wraps go.mongodb.org/mongo-driver). Executors insert
+    // typed documents per partition; the input issues a FILTERED find
+    // (int64 equality on a computed field) so the BSON type bridge —
+    // long/double/string both directions — crosses the gate
+    "src_mongodb" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Mongo.MiniMongo().start()
+      val addr = srv.address
+      val rows = t(s, dir, "part")
+        .select(col("p_partkey").cast(LongType), col("p_name"),
+          col("p_retailprice").cast(DoubleType))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val c = new graft.conn.Mongo.Client(addr)
+        try it.grouped(100).foreach { chunk =>
+          c.insert("parts", chunk.map(r => scala.collection.immutable.VectorMap[String, Any](
+            "_id" -> r.getLong(0), "name" -> r.getString(1),
+            "price" -> r.getDouble(2), "bucket" -> r.getLong(0) % 4)))
+        } finally c.close()
+      }
+      val found = {
+        val c = new graft.conn.Mongo.Client(addr)
+        try c.find("parts", scala.collection.immutable.VectorMap[String, Any]("bucket" -> 2L))
+        finally { c.close(); srv.stop() }
+      }
+      s.createDataset(found.map(d => (d("_id").asInstanceOf[Long],
+        d("name").asInstanceOf[String], d("price").asInstanceOf[Double])))
+        .toDF("p_partkey", "p_name", "p_retailprice")
+    }),
+
+    // `mongodb` cache backend (impl/mongodb/cache.go: key-field
+    // equality, upsert set, insert-with-duplicate-key add) over OP_MSG:
+    // the external-backend wiring gate on the fifth cache wire protocol
+    "cache_mongodb" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Mongo.MiniMongo().start()
+      val addr = srv.address
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast(LongType), col("c_name"))
+      graft.operators.External.perPartitionLookup[graft.conn.Mongo.Cache, Long](cust)(
+        () => new graft.conn.Mongo.Cache(addr, "kv", prefix = "c_")) { (c, row) =>
+        c.set(row.getLong(0).toString, row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").cast(LongType), col("o_custkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Mongo.Cache, (Long, String)](ord)(
+        () => new graft.conn.Mongo.Cache(addr, "kv", prefix = "c_")) { (c, row) =>
+        (row.getLong(0), c.get(row.getLong(1).toString)
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("o_orderkey", "customer_name")
+    }),
+
+    // mongodb processor find-one operation (impl/mongodb/processor.go:172
+    // — FindOne with a filter map, the decoded document becomes the
+    // message): a seeded collection enriches lineitems per row through
+    // one client per partition, non-_id filter + typed decode
+    "proc_mongodb" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Mongo.MiniMongo().start()
+      val addr = srv.address
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast(LongType), col("s_name"), col("s_acctbal").cast(DoubleType))
+      sup.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val c = new graft.conn.Mongo.Client(addr)
+        try it.grouped(100).foreach { chunk =>
+          c.insert("sups", chunk.map(r => scala.collection.immutable.VectorMap[String, Any](
+            "key" -> r.getLong(0), "name" -> r.getString(1), "bal" -> r.getDouble(2))))
+        } finally c.close()
+      }
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") === 1 && col("l_orderkey") % 6 === 0)
+        .select(col("l_orderkey").cast(LongType), col("l_suppkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Mongo.Client, (Long, String, Double)](li)(
+        () => new graft.conn.Mongo.Client(addr)) { (c, row) =>
+        val doc = c.findOne("sups",
+          scala.collection.immutable.VectorMap[String, Any]("key" -> row.getLong(1))).get
+        (row.getLong(0), doc("name").asInstanceOf[String], doc("bal").asInstanceOf[Double])
+      }(_.close()).toDF("l_orderkey", "supplier_name", "supplier_bal")
     })
   )
 
@@ -1442,6 +1524,17 @@ object QueriesProc {
     "out_aws_firehose" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem
          WHERE l_linenumber = 3""",
+    "src_mongodb" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         WHERE p_partkey % 4 = 2""",
+    "cache_mongodb" ->
+      """SELECT o_orderkey, c_name AS customer_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 13 = 0""",
+    "proc_mongodb" ->
+      """SELECT l_orderkey, s_name AS supplier_name, s_acctbal AS supplier_bal
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_linenumber = 1 AND l_orderkey % 6 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
