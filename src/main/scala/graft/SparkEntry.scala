@@ -87,5 +87,10 @@ object SparkEntry {
     // escape hatch beside proc_java) and the SSH2/SFTP connector
     // round-trip (32 concurrent curve25519 handshakes + windowed
     // transfers — times the per-partition secure-channel lifecycle)
-    "proc_wasm", "src_sftp")
+    "proc_wasm", "src_sftp",
+    // round 6 cloud block: S3 round-trip (SigV4-signed per-partition
+    // uploads + listed-then-distributed downloads), Kinesis round-trip
+    // (hash-range routed produce + per-shard cursors), and the firehose
+    // buffer→S3-delivery→distributed-scan composition
+    "src_aws_s3", "src_aws_kinesis", "out_aws_firehose")
 }
