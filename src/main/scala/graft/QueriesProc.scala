@@ -1475,6 +1475,61 @@ object QueriesProc {
           scala.collection.immutable.VectorMap[String, Any]("key" -> row.getLong(1))).get
         (row.getLong(0), doc("name").asInstanceOf[String], doc("bal").asInstanceOf[Double])
       }(_.close()).toDF("l_orderkey", "supplier_name", "supplier_bal")
+    }),
+
+    // elasticsearch/opensearch output (impl/elasticsearch/output.go,
+    // impl/opensearch/output.go: `_bulk` NDJSON with per-message
+    // action/index/id) over the from-scratch REST protocol
+    // (conn/Elastic.scala). One client per Spark partition streams
+    // index actions; a second pass exercises the update
+    // (doc-merge) and delete actions; the verification search reads the
+    // surviving documents back — all four bulk verbs cross one gate
+    "out_elasticsearch" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Elastic.MiniElastic().start()
+      val endpoint = srv.endpoint
+      val ev = t(s, dir, "events").filter(col("event_type").isNotNull)
+        .select(col("event_id").cast(LongType), col("event_type"))
+      // pass 1: index every event (per-partition bulk batches of 500)
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Elastic.Client(endpoint)
+          try it.grouped(500).foreach { chunk =>
+            val r = c.bulk(chunk.map(row => graft.conn.Elastic.IndexOp("events",
+              row.getLong(0).toString, scala.collection.immutable.VectorMap[String, Any](
+                "event_id" -> row.getLong(0), "event_type" -> row.getString(1)))))
+            require(!r.errors, "bulk index reported item errors")
+          } finally c.close()
+        }
+      }
+      // pass 2: flag every 10th doc via update, drop odd ids via delete
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Elastic.Client(endpoint)
+          try it.grouped(500).foreach { chunk =>
+            val ops = chunk.flatMap { row =>
+              val id = row.getLong(0)
+              val upd = if (id % 10 == 0)
+                Seq(graft.conn.Elastic.UpdateOp("events", id.toString,
+                  scala.collection.immutable.VectorMap[String, Any]("flagged" -> true)))
+              else Nil
+              val del = if (id % 2 == 1)
+                Seq(graft.conn.Elastic.DeleteOp("events", id.toString)) else Nil
+              upd ++ del
+            }
+            if (ops.nonEmpty) c.bulk(ops)
+          } finally c.close()
+        }
+      }
+      val hits = {
+        val c = new graft.conn.Elastic.Client(endpoint)
+        try c.search("events", size = 1000000) finally { c.close(); srv.stop() }
+      }
+      s.createDataset(hits.map(h => (
+        h.source("event_id").asInstanceOf[Long],
+        h.source("event_type").asInstanceOf[String],
+        h.source.get("flagged").exists(_ == true))))
+        .toDF("event_id", "event_type", "flagged")
     })
   )
 
@@ -1535,6 +1590,9 @@ object QueriesProc {
       """SELECT l_orderkey, s_name AS supplier_name, s_acctbal AS supplier_bal
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          WHERE l_linenumber = 1 AND l_orderkey % 6 = 0""",
+    "out_elasticsearch" ->
+      """SELECT event_id, event_type, (event_id % 10 = 0) AS flagged
+         FROM events WHERE event_type IS NOT NULL AND event_id % 2 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
