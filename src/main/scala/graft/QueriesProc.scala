@@ -1530,6 +1530,45 @@ object QueriesProc {
         h.source("event_type").asInstanceOf[String],
         h.source.get("flagged").exists(_ == true))))
         .toDF("event_id", "event_type", "flagged")
+    }),
+
+    // cassandra output → input roundtrip (impl/cassandra/output.go — a
+    // parameterized INSERT executed per message with positional binds;
+    // input.go — a SELECT cursor) over the from-scratch CQL native
+    // protocol v4 (conn/Cassandra.scala: STARTUP handshake,
+    // PREPARE/EXECUTE frames, big-endian typed values, Rows metadata
+    // decode; the reference wraps gocql). One prepared statement per
+    // Spark partition streams typed binds; the read-back SELECT decodes
+    // rows via the response column metadata — bigint/varchar/double all
+    // cross the wire both ways
+    "out_cassandra" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Cassandra.MiniCassandra().start()
+      val addr = srv.address
+      val setup = new graft.conn.Cassandra.Client(addr)
+      setup.execute("CREATE TABLE graft.custs (id bigint, name varchar, bal double, bucket bigint, PRIMARY KEY(id))")
+      setup.close()
+      val rows = t(s, dir, "customer")
+        .select(col("c_custkey").cast(LongType), col("c_name"),
+          col("c_acctbal").cast(DoubleType))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Cassandra.Client(addr)
+          try {
+            val p = c.prepare("INSERT INTO graft.custs (id, name, bal, bucket) VALUES (?, ?, ?, ?)")
+            it.foreach(r => c.executePrepared(p,
+              Seq(r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(0) % 3)))
+          } finally c.close()
+        }
+      }
+      val got = {
+        val c = new graft.conn.Cassandra.Client(addr)
+        try c.query("SELECT id, name, bal FROM graft.custs WHERE bucket = ?", bind = Some(1L))._2
+        finally { c.close(); srv.stop() }
+      }
+      s.createDataset(got.map(r => (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[String], r(2).asInstanceOf[Double])))
+        .toDF("c_custkey", "c_name", "c_acctbal")
     })
   )
 
@@ -1593,6 +1632,9 @@ object QueriesProc {
     "out_elasticsearch" ->
       """SELECT event_id, event_type, (event_id % 10 = 0) AS flagged
          FROM events WHERE event_type IS NOT NULL AND event_id % 2 = 0""",
+    "out_cassandra" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey % 3 = 1""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
