@@ -1569,6 +1569,53 @@ object QueriesProc {
       s.createDataset(got.map(r => (r(0).asInstanceOf[Long],
         r(1).asInstanceOf[String], r(2).asInstanceOf[Double])))
         .toDF("c_custkey", "c_name", "c_acctbal")
+    }),
+
+    // nats_jetstream output → input roundtrip (impl/nats/
+    // output_jetstream.go acked publishes; input_jetstream.go durable
+    // consume + explicit ack) over the from-scratch subject-space API
+    // layered on the core protocol (conn/JetStream.scala — the same
+    // layering the real nats-server uses: $JS.API.* request/reply,
+    // $JS.ACK.* ack subjects, ack_wait redelivery). Executors publish
+    // with PubAck confirmation per row; the driver-side durable pull
+    // consumer fetches batches and ACKS each message — the reference
+    // input's at-least-once contract — with the delivery count crossing
+    "src_nats_jetstream" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Nats.MiniNats().start()
+      val js = new graft.conn.JetStream.MiniJetStream(srv.url).start()
+      val url = srv.url
+      val setup = new graft.conn.JetStream.JsClient(url)
+      setup.addStream("ORDERS", Seq("orders.*"))
+      setup.addDurable("ORDERS", "graft")
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 8 === 0)
+        .select(concat_ws("|", col("o_orderkey"), col("o_totalprice")).as("v"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.JetStream.JsClient(url)
+          try it.foreach { r =>
+            val ack = c.publish("orders.new", r.getString(0).getBytes("UTF-8"))
+            require(ack.stream == "ORDERS", "publish not acked by the stream")
+          } finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[(String, Long)]
+      var n = 0L
+      while (n < expected) {
+        val batch = setup.fetch("ORDERS", "graft", batch = 100, maxWaitMs = 3000)
+        require(batch.nonEmpty, s"jetstream drained early at $n/$expected")
+        batch.foreach { m =>
+          got += ((new String(m.payload, "UTF-8"), m.delivery))
+          setup.ack(m)
+        }
+        n += batch.size
+      }
+      setup.close(); js.stop(); srv.stop()
+      s.createDataset(got.result()).toDF("line", "delivery").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
+        split(col("line"), "\\|").getItem(1).cast(DoubleType).as("o_totalprice"),
+        col("delivery"))
     })
   )
 
@@ -1635,6 +1682,9 @@ object QueriesProc {
     "out_cassandra" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey % 3 = 1""",
+    "src_nats_jetstream" ->
+      """SELECT o_orderkey, o_totalprice, 1::BIGINT AS delivery
+         FROM orders WHERE o_orderkey % 8 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,

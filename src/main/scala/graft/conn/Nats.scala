@@ -272,6 +272,11 @@ object Nats {
       nextMsg().payload
     }
 
+    /** socket read deadline for nextMsg() — a timed-out read throws
+      * SocketTimeoutException at a FRAME BOUNDARY in the pull-consume
+      * idle-wait pattern (the JetStream fetch expiry); 0 = block forever */
+    def setReadTimeout(ms: Int): Unit = sock.setSoTimeout(ms)
+
     override def close(): Unit = { try sock.close() catch { case _: Throwable => () } }
   }
 }
