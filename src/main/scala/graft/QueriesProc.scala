@@ -1616,6 +1616,49 @@ object QueriesProc {
         split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
         split(col("line"), "\\|").getItem(1).cast(DoubleType).as("o_totalprice"),
         col("delivery"))
+    }),
+
+    // pulsar output → input roundtrip (impl/pulsar/output.go acked
+    // produce with partition keys; input.go flow-controlled consume +
+    // ack) over the from-scratch binary protocol (conn/Pulsar.scala:
+    // protobuf BaseCommand frames via the in-repo proto compiler,
+    // CRC32C payload trailers; the reference wraps pulsar-client-go).
+    // One producer per Spark partition blocks on each SEND_RECEIPT; the
+    // driver-side shared-subscription consumer grants FLOW permits in
+    // batches and acks — the partition key rides MessageMetadata and
+    // crosses the gate
+    "src_pulsar" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Pulsar.MiniPulsar().start()
+      val addr = srv.address
+      val rows = t(s, dir, "events").filter(col("event_id") % 7 === 0 && col("event_type").isNotNull)
+        .select(col("event_id").cast(LongType), col("event_type"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val p = new graft.conn.Pulsar.Producer(addr, "events")
+          try it.foreach { r =>
+            val entry = p.send(r.getString(1).getBytes("UTF-8"), key = r.getLong(0).toString)
+            require(entry > 0, "send not acked with an entry id")
+          } finally p.close()
+        }
+      }
+      val cons = new graft.conn.Pulsar.Consumer(addr, "events", "graft-sub")
+      val got = Vector.newBuilder[(Long, String)]
+      var n = 0L
+      while (n < expected) {
+        cons.flow(200)
+        var m = cons.receive(5000)
+        require(m.isDefined, s"pulsar drained early at $n/$expected")
+        while (m.isDefined) {
+          got += ((m.get.partitionKey.toLong, new String(m.get.payload, "UTF-8")))
+          cons.ack(m.get.entryId)
+          n += 1
+          m = if (n < expected) cons.receive(500) else None
+        }
+      }
+      cons.close(); srv.stop()
+      s.createDataset(got.result()).toDF("event_id", "event_type")
     })
   )
 
@@ -1685,6 +1728,9 @@ object QueriesProc {
     "src_nats_jetstream" ->
       """SELECT o_orderkey, o_totalprice, 1::BIGINT AS delivery
          FROM orders WHERE o_orderkey % 8 = 0""",
+    "src_pulsar" ->
+      """SELECT event_id, event_type FROM events
+         WHERE event_id % 7 = 0 AND event_type IS NOT NULL""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
