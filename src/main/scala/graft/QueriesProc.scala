@@ -1659,6 +1659,129 @@ object QueriesProc {
       }
       cons.close(); srv.stop()
       s.createDataset(got.result()).toDF("event_id", "event_type")
+    }),
+
+    // statsd metrics target (impl/statsd/metrics.go — the `metric`
+    // processor's wire backend) over the dogstatsd datagram format
+    // (conn/Observability.scala): each Spark partition pre-aggregates
+    // and flushes newline-batched counters — the client-side flush real
+    // statsd clients do, which also makes loopback UDP loss-proof at
+    // gate volume — and the collector's accumulated counters cross the
+    // gate against a GROUP BY oracle
+    "metric_statsd" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Observability.Statsd.MiniStatsd().start()
+      val port = srv.port
+      val ev = t(s, dir, "events").filter(col("event_type").isNotNull)
+        .select(col("event_type"))
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          // pre-aggregate per partition, then one batched flush
+          val counts = scala.collection.mutable.Map[String, Long]()
+          it.foreach(r => counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + 1)
+          val c = new graft.conn.Observability.Statsd.Client("127.0.0.1", port)
+          try counts.foreach { case (k, n) => c.counter(s"events.$k", n.toDouble) }
+          finally c.close() // close flushes
+        }
+      }
+      val deadline = System.currentTimeMillis() + 5000
+      def total = srv.counters.values.sum.toLong
+      val expected = ev.count()
+      while (total < expected && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val counters = srv.counters.toSeq.map { case (k, v) =>
+        (k.stripPrefix("events."), v.toLong) }
+      srv.stop()
+      s.createDataset(counters).toDF("event_type", "cnt")
+    }),
+
+    // InfluxDB/QuestDB line-protocol output (impl/influxdb/metrics.go,
+    // impl/questdb/output.go): per-partition TCP ILP writers stream
+    // typed points (integer/double/tag escaping per the public spec);
+    // the collector's parsed points cross the gate
+    "out_influx_ilp" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Observability.Ilp.MiniIlp().start()
+      val port = srv.port
+      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 5)
+        .select(col("l_orderkey").cast(LongType), col("l_quantity").cast(DoubleType),
+          col("l_returnflag"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Observability.Ilp.Client("127.0.0.1", port)
+          try it.foreach(r => c.write(graft.conn.Observability.Ilp.Point("li",
+            Map("rf" -> r.getString(2)),
+            Map("okey" -> r.getLong(0), "qty" -> r.getDouble(1)),
+            r.getLong(0) * 1000)))
+          finally c.close()
+        }
+      }
+      val deadline = System.currentTimeMillis() + 5000
+      while (srv.points.size < expected && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val pts = srv.points.map(p => (p.fields("okey").asInstanceOf[Long],
+        p.fields("qty").asInstanceOf[Double], p.tags("rf")))
+      srv.stop()
+      s.createDataset(pts).toDF("l_orderkey", "l_quantity", "l_returnflag")
+    }),
+
+    // splunk HEC output (impl/splunk/output.go): per-partition batched
+    // POSTs with the Splunk token auth scheme; event payload + envelope
+    // metadata cross the gate
+    "out_splunk" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Observability.Splunk.MiniHec("graft-token").start()
+      val endpoint = srv.endpoint
+      val ev = t(s, dir, "events").filter(col("event_id") % 9 === 0 && col("event_type").isNotNull)
+        .select(col("event_id").cast(LongType), col("event_type"))
+      val expected = ev.count()
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Observability.Splunk.Client(endpoint, "graft-token")
+          try it.grouped(200).foreach { chunk =>
+            c.send(chunk.map(r => graft.conn.Aws.Json.obj(
+              "event" -> graft.conn.Aws.Json.obj(
+                "event_id" -> r.getLong(0), "event_type" -> r.getString(1)),
+              "sourcetype" -> "graft:events", "index" -> "main",
+              "time" -> (r.getLong(0).toDouble / 1000.0))))
+          } finally c.close()
+        }
+      }
+      require(srv.events.size == expected, s"HEC landed ${srv.events.size}/$expected")
+      val got = srv.events.map { e =>
+        val m = e.event.asInstanceOf[scala.collection.immutable.VectorMap[String, Any]]
+        (m("event_id").asInstanceOf[Long], m("event_type").asInstanceOf[String], e.sourcetype)
+      }
+      srv.stop()
+      s.createDataset(got).toDF("event_id", "event_type", "sourcetype")
+    }),
+
+    // loki push output (the reference's loki output surface): streams
+    // grouped by label set, [ns-timestamp, line] value pairs; the
+    // label + line content cross the gate
+    "out_loki" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Observability.Loki.MiniLoki().start()
+      val endpoint = srv.endpoint
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 12 === 0)
+        .select(col("o_orderkey").cast(LongType), col("o_totalprice").cast(DoubleType),
+          col("o_orderpriority"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Observability.Loki.Client(endpoint)
+          try it.grouped(500).foreach { chunk =>
+            c.push(chunk.map(r => graft.conn.Observability.Loki.Entry(
+              Map("app" -> "graft", "priority" -> r.getString(2)),
+              r.getLong(0) * 1000000L,
+              s"${r.getLong(0)}|${r.getDouble(1)}")))
+          } finally c.close()
+        }
+      }
+      require(srv.entries.size == expected, s"loki landed ${srv.entries.size}/$expected")
+      val got = srv.entries.map(e => (e.line.split('|')(0).toLong,
+        e.line.split('|')(1).toDouble, e.labels("priority")))
+      srv.stop()
+      s.createDataset(got).toDF("o_orderkey", "o_totalprice", "priority")
     })
   )
 
@@ -1731,6 +1854,18 @@ object QueriesProc {
     "src_pulsar" ->
       """SELECT event_id, event_type FROM events
          WHERE event_id % 7 = 0 AND event_type IS NOT NULL""",
+    "metric_statsd" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt FROM events
+         WHERE event_type IS NOT NULL GROUP BY 1""",
+    "out_influx_ilp" ->
+      """SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+         WHERE l_linenumber = 5""",
+    "out_splunk" ->
+      """SELECT event_id, event_type, 'graft:events' AS sourcetype
+         FROM events WHERE event_id % 9 = 0 AND event_type IS NOT NULL""",
+    "out_loki" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+         FROM orders WHERE o_orderkey % 12 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,

@@ -1,0 +1,104 @@
+package graft
+
+import scala.collection.immutable.VectorMap
+
+import graft.conn.Observability.{Ilp, Loki, Splunk, Statsd}
+import graft.conn.Aws.Json
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Observability sink protocols: statsd datagram format + accumulation
+  * semantics, InfluxDB/QuestDB line-protocol escaping round-trips,
+  * Splunk HEC auth + concatenated-JSON bodies, Loki push streams. */
+class ObservabilitySpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- statsd
+  test("statsd: counters sum, gauges last-write, timers accumulate; tags ride the key") {
+    val srv = new Statsd.MiniStatsd().start()
+    val c = new Statsd.Client("127.0.0.1", srv.port)
+    try {
+      c.counter("req.count"); c.counter("req.count", 4)
+      c.gauge("queue.depth", 10); c.gauge("queue.depth", 3)
+      c.timing("latency", 1.5); c.timing("latency", 2.5)
+      c.counter("tagged", 1, tags = Map("env" -> "t", "az" -> "a"))
+      c.flush()
+      val deadline = System.currentTimeMillis() + 3000
+      while (srv.counters.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(srv.counters("req.count") == 5.0)
+      assert(srv.gauges("queue.depth") == 3.0)
+      assert(srv.timers("latency") == Vector(1.5, 2.5))
+      assert(srv.counters("tagged|#az:a,env:t") == 1.0, "sorted dogstatsd tags")
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("statsd: client batches newline-separated metrics under the MTU") {
+    val srv = new Statsd.MiniStatsd().start()
+    val c = new Statsd.Client("127.0.0.1", srv.port)
+    try {
+      (1 to 500).foreach(i => c.counter(s"k${i % 7}"))
+      c.flush()
+      val deadline = System.currentTimeMillis() + 3000
+      while (srv.counters.values.sum < 500 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(srv.counters.values.sum == 500.0)
+      assert(srv.counters.size == 7)
+    } finally { c.close(); srv.stop() }
+  }
+
+  // ---------------------------------------------------------------- ILP
+  test("line protocol: escaping round-trips measurements, tags, typed fields") {
+    val p = Ilp.Point("cpu load,1", Map("host" -> "h 1", "dc=x" -> "a,b"),
+      Map("usage" -> 0.5, "cores" -> 8L, "label" -> "say \"hi\"", "ok" -> true), 1700000000000000000L)
+    val back = Ilp.parse(Ilp.render(p))
+    assert(back == p)
+  }
+
+  test("ILP TCP collector gathers points from concurrent writers") {
+    val srv = new Ilp.MiniIlp().start()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val c = new Ilp.Client("127.0.0.1", srv.port)
+        try (0 until 25).foreach(i => c.write(Ilp.Point("evt", Map("t" -> t.toString),
+          Map("n" -> (t * 100 + i).toLong), 1000L + i)))
+        finally c.close()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val deadline = System.currentTimeMillis() + 3000
+    while (srv.points.size < 100 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(srv.points.size == 100)
+    assert(srv.points.map(_.fields("n").asInstanceOf[Long]).sorted ==
+      (0 until 4).flatMap(t => (0 until 25).map(i => (t * 100 + i).toLong)).sorted)
+    srv.stop()
+  }
+
+  // ------------------------------------------------------------- splunk
+  test("splunk HEC: token enforced; concatenated event envelopes land with metadata") {
+    val srv = new Splunk.MiniHec("tok-123").start()
+    val good = new Splunk.Client(srv.endpoint, "tok-123")
+    val bad = new Splunk.Client(srv.endpoint, "wrong")
+    try {
+      good.send(Seq(
+        Json.obj("event" -> Json.obj("msg" -> "a"), "sourcetype" -> "graft", "index" -> "main", "time" -> 1.5),
+        Json.obj("event" -> "plain-string", "sourcetype" -> "graft", "index" -> "main", "time" -> 2.5)))
+      assert(srv.events.size == 2)
+      assert(srv.events.map(_.time) == Vector(1.5, 2.5))
+      assert(srv.events(1).event == "plain-string")
+      val e = intercept[IllegalArgumentException](bad.send(Seq(Json.obj("event" -> "x"))))
+      assert(e.getMessage.contains("403"))
+    } finally { good.close(); bad.close(); srv.stop() }
+  }
+
+  // --------------------------------------------------------------- loki
+  test("loki push: streams grouped by labels, ns timestamps and lines kept") {
+    val srv = new Loki.MiniLoki().start()
+    val c = new Loki.Client(srv.endpoint)
+    try {
+      c.push(Seq(
+        Loki.Entry(Map("app" -> "graft", "level" -> "info"), 1000L, "started"),
+        Loki.Entry(Map("app" -> "graft", "level" -> "info"), 2000L, "working"),
+        Loki.Entry(Map("app" -> "graft", "level" -> "error"), 3000L, "boom")))
+      assert(srv.entries.size == 3)
+      assert(srv.entries.filter(_.labels("level") == "info").map(_.line) == Vector("started", "working"))
+      assert(srv.entries.find(_.line == "boom").exists(_.tsNs == 3000L))
+    } finally { c.close(); srv.stop() }
+  }
+}
