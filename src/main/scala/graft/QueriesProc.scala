@@ -1782,6 +1782,71 @@ object QueriesProc {
         e.line.split('|')(1).toDouble, e.labels("priority")))
       srv.stop()
       s.createDataset(got).toDF("o_orderkey", "o_totalprice", "priority")
+    }),
+
+    // prometheus metrics target (impl/prometheus/metrics.go — the PULL
+    // side of the metrics family beside statsd's push): partition-level
+    // counts merge into a labeled counter registry, the /metrics
+    // endpoint serves the text exposition format, and the gate SCRAPES
+    // it over HTTP and parses the families back — registry semantics,
+    // renderer and scraper all crossing one oracle
+    "metric_prometheus" -> ((s, dir) => {
+      import s.implicits._
+      val reg = new graft.conn.Observability.Prometheus.Registry
+      val ep = new graft.conn.Observability.Prometheus.Endpoint(reg).start()
+      // partition-level pre-aggregation -> driver-side registry merge
+      // (the same two-level shape as the statsd gate; a real deployment
+      // scrapes each executor's own endpoint)
+      t(s, dir, "orders").groupBy(col("o_orderpriority")).count()
+        .collect().foreach(r => reg.incCounter("orders_total", r.getLong(1).toDouble,
+          Map("priority" -> r.getString(0))))
+      val samples = graft.conn.Observability.Prometheus.scrape(ep.url)
+        .filter(_.name == "orders_total")
+      ep.stop()
+      s.createDataset(samples.map(sm => (sm.labels("priority"), sm.value.toLong)))
+        .toDF("priority", "cnt")
+    }),
+
+    // hdfs output → input roundtrip (impl/hdfs/output.go per-message
+    // file writes at interpolated paths; input.go directory walk +
+    // download) over the from-scratch WebHDFS REST protocol
+    // (conn/Hdfs.scala — incl. the namenode→datanode two-step 307
+    // redirect on every read and write; the reference wraps the native
+    // RPC client library). Writers run one client per Spark partition;
+    // LISTSTATUS runs once driver-side and OPENs are distributed — the
+    // object-store listing shape on the HDFS surface
+    "src_hdfs" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Hdfs.MiniHdfs().start()
+      val endpoint = srv.endpoint
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType),
+          concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")).as("v"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Hdfs.Client(endpoint)
+          try it.foreach(r => c.create(f"/data/n-${r.getLong(0)}%05d.txt",
+            r.getString(1).getBytes("UTF-8")))
+          finally c.close()
+        }
+      }
+      val names = {
+        val c = new graft.conn.Hdfs.Client(endpoint)
+        try c.listStatus("/data").map(_.pathSuffix) finally c.close()
+      }
+      s.createDataset(names).repartition(math.min(8, math.max(1, names.size)))
+        .mapPartitions { ks =>
+          val c = new graft.conn.Hdfs.Client(endpoint)
+          val out = ks.map(k => new String(c.open(s"/data/$k").get, "UTF-8"))
+          new Iterator[String] {
+            def hasNext: Boolean = { val h = out.hasNext; if (!h) c.close(); h }
+            def next(): String = out.next()
+          }
+        }
+        .toDF("line").select(
+          split(col("line"), "\\|").getItem(0).cast(LongType).as("n_nationkey"),
+          split(col("line"), "\\|").getItem(1).as("n_name"),
+          split(col("line"), "\\|").getItem(2).cast(LongType).as("n_regionkey"))
     })
   )
 
@@ -1866,6 +1931,11 @@ object QueriesProc {
     "out_loki" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
          FROM orders WHERE o_orderkey % 12 = 0""",
+    "metric_prometheus" ->
+      """SELECT o_orderpriority AS priority, count(*)::BIGINT AS cnt
+         FROM orders GROUP BY 1""",
+    "src_hdfs" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,

@@ -307,6 +307,98 @@ object Observability {
     }
   }
 
+  // ========================================================== prometheus
+  /** prometheus metrics target (impl/prometheus/metrics.go): the engine
+    * EXPOSES the text exposition format on /metrics and a scraper pulls
+    * it — the inverse flow of the push sinks. Registry semantics follow
+    * the public client-library contract: counters monotone, gauges
+    * set-or-add, labeled children keyed by sorted label pairs; the
+    * exposition renderer emits `# TYPE` headers and escaped label
+    * values, and the scraper parses them back. */
+  object Prometheus {
+    final case class Sample(name: String, labels: Map[String, String], value: Double)
+
+    final class Registry {
+      private val counterMap = new CTrieMap[(String, Seq[(String, String)]), Double]()
+      private val gaugeMap = new CTrieMap[(String, Seq[(String, String)]), Double]()
+
+      private def key(name: String, labels: Map[String, String]) =
+        (name, labels.toSeq.sortBy(_._1))
+      def incCounter(name: String, by: Double = 1, labels: Map[String, String] = Map.empty): Unit =
+        counterMap.updateWith(key(name, labels)) { case Some(v) => Some(v + by); case None => Some(by) }
+      def setGauge(name: String, v: Double, labels: Map[String, String] = Map.empty): Unit =
+        gaugeMap.put(key(name, labels), v)
+
+      private def escapeLabel(v: String): String =
+        v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      private def fmtValue(v: Double): String =
+        if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+      /** the text exposition format (# TYPE headers, sorted families) */
+      def exposition: String = {
+        val sb = new StringBuilder
+        def render(m: CTrieMap[(String, Seq[(String, String)]), Double], tpe: String): Unit =
+          m.readOnlySnapshot().toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).foreach {
+            case (name, series) =>
+              sb.append(s"# TYPE $name $tpe\n")
+              series.sortBy(_._1._2.toString).foreach { case ((_, labels), v) =>
+                val ls = if (labels.isEmpty) ""
+                  else labels.map { case (k, lv) => s"""$k="${escapeLabel(lv)}"""" }.mkString("{", ",", "}")
+                sb.append(s"$name$ls ${fmtValue(v)}\n")
+              }
+          }
+        render(counterMap, "counter")
+        render(gaugeMap, "gauge")
+        sb.toString
+      }
+    }
+
+    /** serve /metrics for scrapes */
+    final class Endpoint(registry: Registry) {
+      @volatile private var server: com.sun.net.httpserver.HttpServer = _
+      def port: Int = server.getAddress.getPort
+      def url: String = s"http://127.0.0.1:$port/metrics"
+      def start(): this.type = {
+        server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/metrics", (x: com.sun.net.httpserver.HttpExchange) => {
+          val b = registry.exposition.getBytes(UTF_8)
+          x.getResponseHeaders.add("Content-Type", "text/plain; version=0.0.4")
+          x.sendResponseHeaders(200, b.length)
+          x.getResponseBody.write(b); x.close()
+        })
+        server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+          (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th }))
+        val starter = new Thread(() => server.start())
+        starter.setDaemon(true); starter.start(); starter.join()
+        this
+      }
+      def stop(): Unit = if (server != null) server.stop(0)
+    }
+
+    /** scrape + parse the exposition text back into samples */
+    def scrape(url: String): Seq[Sample] = {
+      val http = new Aws.Http
+      try {
+        val r = http.request("GET", url, Nil, Array.emptyByteArray)
+        require(r.status == 200, s"scrape: ${r.status}")
+        r.bodyStr.split('\n').toSeq.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+          val sp = l.lastIndexOf(' ')
+          val (id, v) = (l.substring(0, sp), l.substring(sp + 1).toDouble)
+          val brace = id.indexOf('{')
+          if (brace < 0) Sample(id, Map.empty, v)
+          else {
+            val labelRe = """(\w+)="((?:\\.|[^"\\])*)"""".r
+            val labels = labelRe.findAllMatchIn(id.substring(brace + 1, id.length - 1)).map { m =>
+              m.group(1) -> m.group(2)
+                .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+            }.toMap
+            Sample(id.substring(0, brace), labels, v)
+          }
+        }
+      } finally http.close()
+    }
+  }
+
   // ================================================================ loki
   object Loki {
     final case class Entry(labels: Map[String, String], tsNs: Long, line: String)

@@ -87,6 +87,31 @@ class ObservabilitySpec extends AnyFunSuite {
     } finally { good.close(); bad.close(); srv.stop() }
   }
 
+  // --------------------------------------------------------- prometheus
+  test("prometheus: registry exposes typed families; scrape parses labels and values back") {
+    import graft.conn.Observability.Prometheus
+    val reg = new Prometheus.Registry
+    reg.incCounter("msgs_total", 3, Map("component" -> "input"))
+    reg.incCounter("msgs_total", 2, Map("component" -> "input"))
+    reg.incCounter("msgs_total", 7, Map("component" -> "output"))
+    reg.setGauge("backlog", 12.5)
+    val text = reg.exposition
+    assert(text.contains("# TYPE msgs_total counter"))
+    assert(text.contains("""msgs_total{component="input"} 5"""))
+    assert(text.contains("# TYPE backlog gauge"))
+    val ep = new Prometheus.Endpoint(reg).start()
+    try {
+      val samples = Prometheus.scrape(ep.url)
+      assert(samples.find(s => s.name == "msgs_total" && s.labels.get("component").contains("input"))
+        .exists(_.value == 5.0))
+      assert(samples.find(_.name == "backlog").exists(_.value == 12.5))
+      reg.incCounter("msgs_total", 1, Map("component" -> "output"))
+      assert(Prometheus.scrape(ep.url)
+        .find(s => s.labels.get("component").contains("output")).exists(_.value == 8.0),
+        "scrape sees live registry state")
+    } finally ep.stop()
+  }
+
   // --------------------------------------------------------------- loki
   test("loki push: streams grouped by labels, ns timestamps and lines kept") {
     val srv = new Loki.MiniLoki().start()
