@@ -92,5 +92,8 @@ object SparkEntry {
     // uploads + listed-then-distributed downloads), Kinesis round-trip
     // (hash-range routed produce + per-shard cursors), and the firehose
     // buffer→S3-delivery→distributed-scan composition
-    "src_aws_s3", "src_aws_kinesis", "out_aws_firehose")
+    "src_aws_s3", "src_aws_kinesis", "out_aws_firehose",
+    // round 6 datastore wave: BSON/OP_MSG round-trip, bulk-NDJSON with
+    // all four actions, and the protobuf-framed pulsar produce/consume
+    "src_mongodb", "out_elasticsearch", "src_pulsar")
 }
