@@ -1847,6 +1847,71 @@ object QueriesProc {
           split(col("line"), "\\|").getItem(0).cast(LongType).as("n_nationkey"),
           split(col("line"), "\\|").getItem(1).as("n_name"),
           split(col("line"), "\\|").getItem(2).cast(LongType).as("n_regionkey"))
+    }),
+
+    // zeromq push/pull (impl/zeromq/native_{input,output}_zmq4n.go) over
+    // the from-scratch ZMTP 3.0 protocol (conn/Zmq.scala: 64-byte
+    // greeting, READY metadata handshake with socket-type compatibility,
+    // multipart frames). ZeroMQ is BROKERLESS — the driver BINDS the
+    // PULL socket and every Spark partition PUSH-connects to it, the
+    // exact fan-in topology the reference input binds for; two-part
+    // [key, value] messages cross the gate
+    "src_zmq" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Zmq.PullServer().start()
+      val port = srv.port
+      val rows = t(s, dir, "customer").filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey").cast(LongType), col("c_acctbal").cast(DoubleType))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Zmq.PushClient("127.0.0.1", port)
+          try it.foreach(r => c.send(
+            r.getLong(0).toString.getBytes("UTF-8"),
+            r.getDouble(1).toString.getBytes("UTF-8")))
+          finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[(Long, Double)]
+      var n = 0L
+      while (n < expected) {
+        val m = srv.receive(5000).getOrElse(sys.error(s"zmq drained early at $n/$expected"))
+        got += ((new String(m(0), "UTF-8").toLong, new String(m(1), "UTF-8").toDouble))
+        n += 1
+      }
+      srv.stop()
+      s.createDataset(got.result()).toDF("c_custkey", "c_acctbal")
+    }),
+
+    // nanomsg push/pull (impl/nanomsg/input.go PULL bind, output.go PUSH
+    // connect) over the from-scratch SP TCP mapping (conn/Nanomsg.scala:
+    // validated connection header, 8-byte length-prefixed messages) —
+    // the same brokerless driver-binds/executors-connect fan-in
+    "src_nanomsg" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Nanomsg.PullServer().start()
+      val port = srv.port
+      val rows = t(s, dir, "events").filter(col("event_id") % 11 === 0 && col("value").isNotNull)
+        .select(concat_ws("|", col("event_id"), col("value")).as("v"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Nanomsg.PushClient("127.0.0.1", port)
+          try it.foreach(r => c.send(r.getString(0).getBytes("UTF-8")))
+          finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[String]
+      var n = 0L
+      while (n < expected) {
+        got += new String(srv.receive(5000)
+          .getOrElse(sys.error(s"nanomsg drained early at $n/$expected")), "UTF-8")
+        n += 1
+      }
+      srv.stop()
+      s.createDataset(got.result()).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("event_id"),
+        split(col("line"), "\\|").getItem(1).cast(DoubleType).as("value"))
     })
   )
 
@@ -1936,6 +2001,11 @@ object QueriesProc {
          FROM orders GROUP BY 1""",
     "src_hdfs" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "src_zmq" ->
+      """SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 = 0""",
+    "src_nanomsg" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id % 11 = 0 AND value IS NOT NULL""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
