@@ -1912,6 +1912,32 @@ object QueriesProc {
       s.createDataset(got.result()).toDF("line").select(
         split(col("line"), "\\|").getItem(0).cast(LongType).as("event_id"),
         split(col("line"), "\\|").getItem(1).cast(DoubleType).as("value"))
+    }),
+
+    // `couchbase` cache backend (impl/couchbase/cache.go; the processor's
+    // get/insert/upsert/replace/remove op set is the same client) over
+    // the from-scratch KV binary protocol with SASL PLAIN + bucket
+    // select gating every op (conn/Couchbase.scala; the reference wraps
+    // gocb): the external-backend wiring gate on the sixth cache wire
+    // protocol, through AUTHENTICATED per-partition sessions
+    "cache_couchbase" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Couchbase.MiniCouchbase("graft", "pw-123", "data").start()
+      val addr = srv.address
+      val reg = t(s, dir, "part").filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey").cast(LongType), col("p_name"))
+      graft.operators.External.perPartitionLookup[graft.conn.Couchbase.Cache, Long](reg)(
+        () => new graft.conn.Couchbase.Cache(addr, "graft", "pw-123", "data", prefix = "p_")) { (c, row) =>
+        c.set(row.getLong(0).toString, row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") === 2 && col("l_partkey") % 2 === 1)
+        .select(col("l_orderkey").cast(LongType), col("l_partkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Couchbase.Cache, (Long, String)](li)(
+        () => new graft.conn.Couchbase.Cache(addr, "graft", "pw-123", "data", prefix = "p_")) { (c, row) =>
+        (row.getLong(0), c.get(row.getLong(1).toString)
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("l_orderkey", "part_name")
     })
   )
 
@@ -2006,6 +2032,10 @@ object QueriesProc {
     "src_nanomsg" ->
       """SELECT event_id, value FROM events
          WHERE event_id % 11 = 0 AND value IS NOT NULL""",
+    "cache_couchbase" ->
+      """SELECT l_orderkey, p_name AS part_name
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_linenumber = 2 AND l_partkey % 2 = 1""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
