@@ -1938,6 +1938,59 @@ object QueriesProc {
         (row.getLong(0), c.get(row.getLong(1).toString)
           .map(new String(_, "UTF-8")).orNull)
       }(_.close()).toDF("l_orderkey", "part_name")
+    }),
+
+    // cockroachdb changefeed input (impl/cockroachdb/input_changefeed.go)
+    // over the from-scratch postgres wire protocol v3 (conn/Pgwire.scala:
+    // startup/cleartext-auth, Simple Query, streaming DataRows; the
+    // reference wraps pgx). Executors INSERT through authenticated
+    // pgwire clients; the driver consumes the NEVER-ENDING changefeed,
+    // checkpoints the `updated` hlc mid-stream, DROPS the connection and
+    // RESUMES with CURSOR=' ' — the reference's cursor_cache restart
+    // contract, exercised inside the gate itself
+    "src_crdb_changefeed" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Pgwire.MiniCrdb("graft", "pg-pass").start()
+      val addr = srv.address
+      val setup = new graft.conn.Pgwire.Client(addr, "graft", "pg-pass")
+      setup.exec("SET CLUSTER SETTING kv.rangefeed.enabled = true")
+      setup.close()
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey").cast(LongType), col("o_orderpriority"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Pgwire.Client(addr, "graft", "pg-pass")
+          try it.foreach { r =>
+            val after = s"""{"okey": ${r.getLong(0)}, "priority": "${r.getString(1)}"}"""
+            c.exec(s"INSERT INTO orders VALUES ('[${r.getLong(0)}]', '$after')")
+          } finally c.close()
+        }
+      }
+      val got = Vector.newBuilder[(Long, String)]
+      def harvest(row: graft.conn.Pgwire.FeedRow): Unit = {
+        val m = graft.conn.Aws.Json.asObj(graft.conn.Aws.Json.parse(row.valueJson))
+        val after = graft.conn.Aws.Json.asObj(m("after"))
+        got += ((graft.conn.Aws.Json.long(after, "okey"),
+          graft.conn.Aws.Json.str(after, "priority")))
+      }
+      val firstHalf = expected / 2
+      val c1 = new graft.conn.Pgwire.Client(addr, "graft", "pg-pass")
+      c1.startChangefeed(Seq("orders"))
+      var cursor = ""
+      (1L to firstHalf).foreach { i =>
+        val r = c1.nextRow(5000).getOrElse(sys.error(s"feed drained early at $i"))
+        harvest(r); cursor = r.updated
+      }
+      c1.close() // simulated crash after checkpointing
+      val c2 = new graft.conn.Pgwire.Client(addr, "graft", "pg-pass")
+      c2.startChangefeed(Seq("orders"), cursor = Some(cursor))
+      ((firstHalf + 1) to expected).foreach { i =>
+        harvest(c2.nextRow(5000).getOrElse(sys.error(s"resumed feed drained early at $i")))
+      }
+      require(c2.nextRow(300).isEmpty, "changefeed produced extra rows after resume")
+      c2.close(); srv.stop()
+      s.createDataset(got.result()).toDF("o_orderkey", "priority")
     })
   )
 
@@ -2036,6 +2089,9 @@ object QueriesProc {
       """SELECT l_orderkey, p_name AS part_name
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_linenumber = 2 AND l_partkey % 2 = 1""",
+    "src_crdb_changefeed" ->
+      """SELECT o_orderkey, o_orderpriority AS priority
+         FROM orders WHERE o_orderkey % 14 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
