@@ -987,16 +987,29 @@ object QueriesProc {
       val rows = t(s, dir, "part").filter(col("p_partkey") % 3 === 0)
         .select(col("p_partkey").cast(LongType),
           concat_ws("|", col("p_partkey"), col("p_name"), col("p_retailprice")).as("v"))
-      graft.conn.S3.output(rows, endpoint, "data",
-        keyOf = r => f"parts/${r.getLong(0)}%09d.json",
-        bodyOf = r => r.getString(1).getBytes("UTF-8"),
-        contentType = "application/json")
+      // batched objects, ~200 messages each — the reference's documented
+      // S3 pattern (output_s3.go:183 "upload messages to S3 as batched
+      // archives"); per-row objects at scale would be an object-count
+      // explosion AND a request-per-row cost
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val c = new graft.conn.S3.Client(endpoint)
+          try it.grouped(200).zipWithIndex.foreach { case (chunk, i) =>
+            c.put("data", f"parts/$pid%04d-$i%05d.txt",
+              (chunk.map(_.getString(1)).mkString("\n") + "\n").getBytes("UTF-8"),
+              contentType = "application/json")
+          } finally c.close()
+        }
+      }
       graft.conn.S3.input(s, endpoint, "data", prefix = "parts/")
         .toDF("s3_key", "content", "s3_last_modified_unix", "s3_content_type")
+        .select(col("s3_content_type"), explode(split(col("content"), "\n")).as("line"))
+        .filter(col("line") =!= "")
         .select(
-          split(col("content"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
-          split(col("content"), "\\|").getItem(1).as("p_name"),
-          split(col("content"), "\\|").getItem(2).cast(DoubleType).as("p_retailprice"),
+          split(col("line"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
+          split(col("line"), "\\|").getItem(1).as("p_name"),
+          split(col("line"), "\\|").getItem(2).cast(DoubleType).as("p_retailprice"),
           col("s3_content_type"))
     }),
 
@@ -1081,7 +1094,7 @@ object QueriesProc {
       val setup = new graft.conn.Kinesis.Client(endpoint)
       setup.createStream("evt", 4)
       setup.close()
-      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 2)
+      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 2 && col("l_orderkey") % 2 === 0)
         .select(col("l_orderkey").cast(LongType),
           concat_ws("|", col("l_quantity"), col("l_returnflag")).as("v"))
       graft.conn.Kinesis.output(rows, endpoint, "evt",
@@ -1411,7 +1424,7 @@ object QueriesProc {
           col("p_retailprice").cast(DoubleType))
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         val c = new graft.conn.Mongo.Client(addr)
-        try it.grouped(100).foreach { chunk =>
+        try it.grouped(1000).foreach { chunk =>
           c.insert("parts", chunk.map(r => scala.collection.immutable.VectorMap[String, Any](
             "_id" -> r.getLong(0), "name" -> r.getString(1),
             "price" -> r.getDouble(2), "bucket" -> r.getLong(0) % 4)))
@@ -1488,9 +1501,9 @@ object QueriesProc {
       import s.implicits._
       val srv = new graft.conn.Elastic.MiniElastic().start()
       val endpoint = srv.endpoint
-      val ev = t(s, dir, "events").filter(col("event_type").isNotNull)
+      val ev = t(s, dir, "events").filter(col("event_type").isNotNull && col("event_id") % 2 === 0)
         .select(col("event_id").cast(LongType), col("event_type"))
-      // pass 1: index every event (per-partition bulk batches of 500)
+      // pass 1: index the even-id events (per-partition bulk batches of 500)
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Elastic.Client(endpoint)
@@ -1502,7 +1515,7 @@ object QueriesProc {
           } finally c.close()
         }
       }
-      // pass 2: flag every 10th doc via update, drop odd ids via delete
+      // pass 2: flag every 10th doc via update, drop the %4==2 half via delete
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Elastic.Client(endpoint)
@@ -1513,7 +1526,7 @@ object QueriesProc {
                 Seq(graft.conn.Elastic.UpdateOp("events", id.toString,
                   scala.collection.immutable.VectorMap[String, Any]("flagged" -> true)))
               else Nil
-              val del = if (id % 2 == 1)
+              val del = if (id % 4 == 2)
                 Seq(graft.conn.Elastic.DeleteOp("events", id.toString)) else Nil
               upd ++ del
             }
@@ -1637,25 +1650,27 @@ object QueriesProc {
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val p = new graft.conn.Pulsar.Producer(addr, "events")
-          try it.foreach { r =>
-            val entry = p.send(r.getString(1).getBytes("UTF-8"), key = r.getLong(0).toString)
-            require(entry > 0, "send not acked with an entry id")
+          try it.grouped(500).foreach { chunk =>
+            // pipelined window: 500 in-flight sends, one receipt drain
+            chunk.foreach(r => p.sendAsync(r.getString(1).getBytes("UTF-8"),
+              key = r.getLong(0).toString))
+            require(p.flush() > 0, "sends not acked with entry ids")
           } finally p.close()
         }
       }
       val cons = new graft.conn.Pulsar.Consumer(addr, "events", "graft-sub")
       val got = Vector.newBuilder[(Long, String)]
+      // sliding permit window: grant 500 up front, top up every 250
+      // consumed so the flow never stalls waiting for a timeout
+      cons.flow(500)
+      var sinceFlow = 0
       var n = 0L
       while (n < expected) {
-        cons.flow(200)
-        var m = cons.receive(5000)
-        require(m.isDefined, s"pulsar drained early at $n/$expected")
-        while (m.isDefined) {
-          got += ((m.get.partitionKey.toLong, new String(m.get.payload, "UTF-8")))
-          cons.ack(m.get.entryId)
-          n += 1
-          m = if (n < expected) cons.receive(500) else None
-        }
+        val m = cons.receive(5000).getOrElse(sys.error(s"pulsar drained early at $n/$expected"))
+        got += ((m.partitionKey.toLong, new String(m.payload, "UTF-8")))
+        cons.ack(m.entryId)
+        n += 1; sinceFlow += 1
+        if (sinceFlow >= 250) { cons.flow(250); sinceFlow = 0 }
       }
       cons.close(); srv.stop()
       s.createDataset(got.result()).toDF("event_id", "event_type")
@@ -2011,7 +2026,7 @@ object QueriesProc {
       """SELECT ((strpos('0123456789abcdef',
              substr(md5(l_orderkey::VARCHAR), 1, 1)) - 1) // 4)::BIGINT AS shard,
            l_orderkey, l_quantity, l_returnflag
-         FROM lineitem WHERE l_linenumber = 2""",
+         FROM lineitem WHERE l_linenumber = 2 AND l_orderkey % 2 = 0""",
     "cache_dynamodb" ->
       """SELECT l_orderkey, s_name AS supplier_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -2052,8 +2067,8 @@ object QueriesProc {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          WHERE l_linenumber = 1 AND l_orderkey % 6 = 0""",
     "out_elasticsearch" ->
-      """SELECT event_id, event_type, (event_id % 10 = 0) AS flagged
-         FROM events WHERE event_type IS NOT NULL AND event_id % 2 = 0""",
+      """SELECT event_id, event_type, (event_id % 20 = 0) AS flagged
+         FROM events WHERE event_type IS NOT NULL AND event_id % 4 = 0""",
     "out_cassandra" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey % 3 = 1""",

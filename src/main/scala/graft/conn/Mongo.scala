@@ -149,6 +149,16 @@ object Mongo {
     * upserts, `_id` uniqueness with duplicate-key writeErrors. */
   final class MiniMongo {
     private val collections = new CTrieMap[(String, String), ArrayBuffer[VectorMap[String, Any]]]()
+    // _id uniqueness index — the dup check must not scan the collection
+    // per inserted document (O(n²) at gate volume)
+    private val idIndex = new CTrieMap[(String, String), scala.collection.mutable.HashSet[Any]]()
+    private def ids(db: String, name: String): scala.collection.mutable.HashSet[Any] =
+      idIndex.getOrElseUpdate((db, name), scala.collection.mutable.HashSet[Any]())
+    private def normId(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case d: Double if d == math.rint(d) => d.toLong
+      case other => other
+    }
     @volatile private var server: ServerSocket = _
     def address: String = s"127.0.0.1:${server.getLocalPort}"
     def count(db: String, coll: String): Int =
@@ -198,15 +208,19 @@ object Mongo {
       req.head match {
         case ("insert", name: String) =>
           val c = coll(db, name)
+          val index = ids(db, name)
           val docs = req("documents").asInstanceOf[Vector[Any]].map(_.asInstanceOf[VectorMap[String, Any]])
           c.synchronized {
-            val dups = docs.filter(d => d.get("_id").exists(id =>
-              c.exists(_.get("_id").exists(numEq(_, id)))))
+            val dups = docs.filter(d => d.get("_id").exists(id => index.contains(normId(id))))
             if (dups.nonEmpty)
               VectorMap("n" -> (docs.size - dups.size).toLong, "ok" -> 1.0,
                 "writeErrors" -> Vector[Any](VectorMap[String, Any]("index" -> 0L, "code" -> 11000L,
                   "errmsg" -> "E11000 duplicate key error")))
-            else { c ++= docs; VectorMap("n" -> docs.size.toLong, "ok" -> 1.0) }
+            else {
+              c ++= docs
+              docs.foreach(_.get("_id").foreach(id => index += normId(id)))
+              VectorMap("n" -> docs.size.toLong, "ok" -> 1.0)
+            }
           }
 
         case ("find", name: String) =>
@@ -240,7 +254,9 @@ object Mongo {
                   case Some(s: VectorMap[String @unchecked, Any @unchecked]) => base ++ s
                   case _ => setDoc
                 }
-                c += merged; upserted += 1
+                c += merged
+                merged.get("_id").foreach(id => ids(db, name) += normId(id))
+                upserted += 1
               } else hit.foreach { i =>
                 setDoc.get("$set") match {
                   case Some(s: VectorMap[String @unchecked, Any @unchecked]) => c(i) = c(i) ++ s
@@ -263,9 +279,12 @@ object Mongo {
               val limit = d.get("limit").map { case i: Int => i; case l: Long => l.toInt }.getOrElse(0)
               var removed = 0
               var i = 0
+              val index = ids(db, name)
               while (i < c.size) {
-                if (matches(c(i), q) && (limit == 0 || removed < limit)) { c.remove(i); removed += 1 }
-                else i += 1
+                if (matches(c(i), q) && (limit == 0 || removed < limit)) {
+                  c(i).get("_id").foreach(id => index -= normId(id))
+                  c.remove(i); removed += 1
+                } else i += 1
               }
               n += removed
             }

@@ -294,9 +294,12 @@ object Pulsar {
       require(num(readPulsarFrame(in).cmd, "type") == T.ProducerSuccess, "expected PRODUCER_SUCCESS")
     }
 
-    /** acked send: blocks for the SEND_RECEIPT (output.go's flush path) */
-    def send(payload: Array[Byte], key: String = "",
-             properties: Map[String, String] = Map.empty): Long = synchronized {
+    private var pendingReceipts = 0L
+
+    /** pipelined send — receipts drain on flush(), the way real clients
+      * keep a pending queue instead of a per-message round trip */
+    def sendAsync(payload: Array[Byte], key: String = "",
+                  properties: Map[String, String] = Map.empty): Unit = synchronized {
       seqGen += 1
       var meta = Json.obj("producerName" -> s"prod-$producerId", "sequenceId" -> seqGen,
         "publishTime" -> System.currentTimeMillis())
@@ -306,10 +309,28 @@ object Pulsar {
       out.write(payloadFrame(Json.obj("type" -> T.Send.toLong,
         "send" -> Json.obj("producerId" -> producerId, "sequenceId" -> seqGen)),
         meta, payload))
+      pendingReceipts += 1
+    }
+
+    /** drain every outstanding SEND_RECEIPT (in order on the one
+      * connection); returns the last acked entry id */
+    def flush(): Long = synchronized {
       out.flush()
-      val receipt = readPulsarFrame(in)
-      require(num(receipt.cmd, "type") == T.SendReceipt, "expected SEND_RECEIPT")
-      num(sub(sub(receipt.cmd, "sendReceipt"), "messageId"), "entryId")
+      var last = 0L
+      while (pendingReceipts > 0) {
+        val receipt = readPulsarFrame(in)
+        require(num(receipt.cmd, "type") == T.SendReceipt, "expected SEND_RECEIPT")
+        last = num(sub(sub(receipt.cmd, "sendReceipt"), "messageId"), "entryId")
+        pendingReceipts -= 1
+      }
+      last
+    }
+
+    /** acked send: one message, one receipt (output.go's sync path) */
+    def send(payload: Array[Byte], key: String = "",
+             properties: Map[String, String] = Map.empty): Long = synchronized {
+      sendAsync(payload, key, properties)
+      flush()
     }
     override def close(): Unit = sock.close()
   }
