@@ -2006,6 +2006,75 @@ object QueriesProc {
       require(c2.nextRow(300).isEmpty, "changefeed produced extra rows after resume")
       c2.close(); srv.stop()
       s.createDataset(got.result()).toDF("o_orderkey", "priority")
+    }),
+
+    // etcd v3 watch input (impl/etcd/input.go) over the ENTIRE
+    // from-scratch stack — etcdserverpb protos compiled by the in-repo
+    // proto compiler, gRPC framing, HTTP/2 multiplexing, HPACK header
+    // compression (conn/Etcd.scala, Grpc.scala, Http2.scala,
+    // Hpack.scala; the reference wraps etcd/client/v3 + google.golang.org/
+    // grpc). Executors Put through concurrent gRPC clients; the
+    // driver's prefix watch replays the
+    // MVCC history and the flattened event shape (util.go:10 — key,
+    // value, type, version) crosses the gate
+    "src_etcd_watch" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Etcd.MiniEtcd().start()
+      val port = srv.port
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 9 === 0)
+        .select(col("p_partkey").cast(LongType),
+          concat_ws("|", col("p_name"), col("p_retailprice")).as("v"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Etcd.Client("127.0.0.1", port)
+          try it.foreach { r =>
+            require(c.put(f"part/${r.getLong(0)}%09d", r.getString(1)) > 0,
+              "put did not return a revision")
+          } finally c.close()
+        }
+      }
+      val watcher = new graft.conn.Etcd.Client("127.0.0.1", port)
+      val w = watcher.watch("part/", rangeEnd = "part0")
+      val got = Vector.newBuilder[(Long, String, Double, String, Long)]
+      (1L to expected).foreach { i =>
+        val e = w.next(5000).getOrElse(sys.error(s"watch drained early at $i/$expected"))
+        val parts = e.value.split('|')
+        got += ((e.key.stripPrefix("part/").toLong, parts(0), parts(1).toDouble,
+          e.eventType, e.version))
+      }
+      watcher.close(); srv.stop()
+      s.createDataset(got.result())
+        .toDF("p_partkey", "p_name", "p_retailprice", "event_type", "version")
+    }),
+
+    // generic grpc client processor (impl/grpc/input_grpc_client.go,
+    // output_grpc_client.go — per-message RPCs against a user service):
+    // one gRPC connection per Spark partition MULTIPLEXES per-row unary
+    // calls as h2 streams; the fixture service is a driver-defined
+    // JSON transform and the oracle replays it (the proc_http/
+    // proc_lambda pattern on the gRPC stack)
+    "proc_grpc" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Grpc.GrpcServer(Map(
+        "/graft.Score/Compute" -> graft.conn.Grpc.Unary { req =>
+          val m = graft.conn.Aws.Json.asObj(graft.conn.Aws.Json.parse(new String(req, "UTF-8")))
+          val id = graft.conn.Aws.Json.long(m, "event_id")
+          val v = m("value") match { case d: Double => d; case l: Long => l.toDouble; case x => x.toString.toDouble }
+          graft.conn.Aws.Json.render(graft.conn.Aws.Json.obj(
+            "event_id" -> id, "score" -> (v * 1.5 + (id % 11).toDouble),
+            "band" -> (if (v > 75.0) "high" else "low"))).getBytes("UTF-8")
+        })).start()
+      val port = srv.port
+      val ev = t(s, dir, "events").filter(col("value").isNotNull && col("event_id") % 2 === 1)
+        .select(to_json(struct(col("event_id"), col("value"))).as("payload")).repartition(16)
+      graft.operators.External.perPartitionLookup[graft.conn.Grpc.Client, String](ev)(
+        () => new graft.conn.Grpc.Client("127.0.0.1", port)) { (c, row) =>
+        new String(c.unary("/graft.Score/Compute", row.getString(0).getBytes("UTF-8")), "UTF-8")
+      }(_.close()).toDF("resp").select(
+        get_json_object(col("resp"), "$.event_id").cast(LongType).as("event_id"),
+        round(get_json_object(col("resp"), "$.score").cast(DoubleType), 6).as("score"),
+        get_json_object(col("resp"), "$.band").as("band"))
     })
   )
 
@@ -2107,6 +2176,14 @@ object QueriesProc {
     "src_crdb_changefeed" ->
       """SELECT o_orderkey, o_orderpriority AS priority
          FROM orders WHERE o_orderkey % 14 = 0""",
+    "src_etcd_watch" ->
+      """SELECT p_partkey, p_name, p_retailprice,
+           'PUT' AS event_type, 1::BIGINT AS version
+         FROM part WHERE p_partkey % 9 = 0""",
+    "proc_grpc" ->
+      """SELECT event_id, round(value * 1.5 + event_id % 11, 6) AS score,
+           CASE WHEN value > 75 THEN 'high' ELSE 'low' END AS band
+         FROM events WHERE value IS NOT NULL AND event_id % 2 = 1""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
