@@ -2075,6 +2075,45 @@ object QueriesProc {
         get_json_object(col("resp"), "$.event_id").cast(LongType).as("event_id"),
         round(get_json_object(col("resp"), "$.score").cast(DoubleType), 6).as("score"),
         get_json_object(col("resp"), "$.band").as("band"))
+    }),
+
+    // amqp1 input/output (impl/amqp1/{input,output}.go — the OASIS 1.0
+    // protocol, which shares only a name with 0-9-1) over the
+    // from-scratch typed encoding + performative framing
+    // (conn/Amqp1.scala; the reference wraps Azure/go-amqp). One sender
+    // link per Spark partition transfers data sections; the driver-side
+    // receiver link grants CREDIT in windows and settles every delivery
+    // with an accepted DISPOSITION — the input's at-least-once ack path
+    "src_amqp1" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Amqp1.MiniAmqp1().start()
+      val addr = srv.address
+      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 6 && col("l_orderkey") % 4 === 0)
+        .select(concat_ws("|", col("l_orderkey"), col("l_discount")).as("v"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val snd = new graft.conn.Amqp1.Sender(addr, "li")
+          try it.foreach(r => snd.send(r.getString(0).getBytes("UTF-8")))
+          finally snd.close()
+        }
+      }
+      val rcv = new graft.conn.Amqp1.Receiver(addr, "li")
+      val got = Vector.newBuilder[String]
+      rcv.flow(500)
+      var sinceFlow = 0
+      var n = 0L
+      while (n < expected) {
+        val d = rcv.receive(5000).getOrElse(sys.error(s"amqp1 drained early at $n/$expected"))
+        got += new String(d.body, "UTF-8")
+        rcv.accept(d)
+        n += 1; sinceFlow += 1
+        if (sinceFlow >= 250) { rcv.flow(250); sinceFlow = 0 }
+      }
+      rcv.close(); srv.stop()
+      s.createDataset(got.result()).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("l_orderkey"),
+        split(col("line"), "\\|").getItem(1).cast(DoubleType).as("l_discount"))
     })
   )
 
@@ -2184,6 +2223,9 @@ object QueriesProc {
       """SELECT event_id, round(value * 1.5 + event_id % 11, 6) AS score,
            CASE WHEN value > 75 THEN 'high' ELSE 'low' END AS band
          FROM events WHERE value IS NOT NULL AND event_id % 2 = 1""",
+    "src_amqp1" ->
+      """SELECT l_orderkey, l_discount FROM lineitem
+         WHERE l_linenumber = 6 AND l_orderkey % 4 = 0""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,

@@ -1,0 +1,440 @@
+package graft.conn
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** AMQP 1.0 connector (impl/amqp1/{input,output}.go — the reference
+  * wraps github.com/Azure/go-amqp) over the PUBLIC OASIS AMQP 1.0 core
+  * specification: the typed encoding (described types, the primitive
+  * format codes the connection needs), 8-byte framed performatives
+  * (open / begin / attach / flow / transfer / disposition / detach /
+  * end / close, descriptors 0x10-0x18), link CREDIT flow control
+  * granted by the receiver, and at-least-once settlement — transfers
+  * arrive unsettled and the receiver's accepted-outcome DISPOSITION
+  * settles them (the reference input's ack path; unacked deliveries
+  * redeliver on link re-attach).
+  *
+  * AMQP 1.0 shares nothing with 0-9-1 beyond the name — different
+  * framing, type system and model — which is why it is its own
+  * from-scratch implementation beside conn/Amqp.scala.
+  */
+object Amqp1 {
+
+  // ========================================================= type codec
+  sealed trait Value
+  case object VNull extends Value
+  final case class VBool(b: Boolean) extends Value
+  final case class VULong(v: Long) extends Value
+  final case class VUInt(v: Long) extends Value
+  final case class VLong(v: Long) extends Value
+  final case class VStr(s: String) extends Value
+  final case class VSym(s: String) extends Value
+  final case class VBin(b: Array[Byte]) extends Value
+  final case class VList(items: Vector[Value]) extends Value
+  final case class VMap(items: Vector[(Value, Value)]) extends Value
+  final case class VDescribed(descriptor: Value, value: Value) extends Value
+
+  def encode(v: Value): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    write(out, v)
+    out.toArray
+  }
+
+  private def write(out: ArrayBuffer[Byte], v: Value): Unit = v match {
+    case VNull => out += 0x40.toByte
+    case VBool(true) => out += 0x41.toByte
+    case VBool(false) => out += 0x42.toByte
+    case VULong(0) => out += 0x44.toByte
+    case VULong(x) if x > 0 && x < 256 => out += 0x53.toByte += x.toByte // smallulong
+    case VULong(x) => out += 0x80.toByte; out ++= ByteBuffer.allocate(8).putLong(x).array()
+    case VUInt(0) => out += 0x43.toByte
+    case VUInt(x) if x > 0 && x < 256 => out += 0x52.toByte += x.toByte // smalluint
+    case VUInt(x) => out += 0x70.toByte; out ++= ByteBuffer.allocate(4).putInt(x.toInt).array()
+    case VLong(x) if x >= -128 && x < 128 => out += 0x55.toByte += x.toByte // smalllong
+    case VLong(x) => out += 0x81.toByte; out ++= ByteBuffer.allocate(8).putLong(x).array()
+    case VStr(s) =>
+      val b = s.getBytes(UTF_8)
+      if (b.length < 256) { out += 0xa1.toByte += b.length.toByte; out ++= b }
+      else { out += 0xb1.toByte; out ++= ByteBuffer.allocate(4).putInt(b.length).array(); out ++= b }
+    case VSym(s) =>
+      val b = s.getBytes(UTF_8)
+      if (b.length < 256) { out += 0xa3.toByte += b.length.toByte; out ++= b }
+      else { out += 0xb3.toByte; out ++= ByteBuffer.allocate(4).putInt(b.length).array(); out ++= b }
+    case VBin(b) =>
+      if (b.length < 256) { out += 0xa0.toByte += b.length.toByte; out ++= b }
+      else { out += 0xb0.toByte; out ++= ByteBuffer.allocate(4).putInt(b.length).array(); out ++= b }
+    case VList(items) if items.isEmpty => out += 0x45.toByte // list0
+    case VList(items) =>
+      val body = new ArrayBuffer[Byte]()
+      items.foreach(write(body, _))
+      if (body.length + 1 < 256 && items.size < 256) {
+        out += 0xc0.toByte += (body.length + 1).toByte += items.size.toByte; out ++= body
+      } else {
+        out += 0xd0.toByte
+        out ++= ByteBuffer.allocate(4).putInt(body.length + 4).array()
+        out ++= ByteBuffer.allocate(4).putInt(items.size).array()
+        out ++= body
+      }
+    case VMap(items) =>
+      val body = new ArrayBuffer[Byte]()
+      items.foreach { case (k, mv) => write(body, k); write(body, mv) }
+      val n = items.size * 2
+      if (body.length + 1 < 256 && n < 256) {
+        out += 0xc1.toByte += (body.length + 1).toByte += n.toByte; out ++= body
+      } else {
+        out += 0xd1.toByte
+        out ++= ByteBuffer.allocate(4).putInt(body.length + 4).array()
+        out ++= ByteBuffer.allocate(4).putInt(n).array()
+        out ++= body
+      }
+    case VDescribed(d, inner) =>
+      out += 0x00.toByte; write(out, d); write(out, inner)
+  }
+
+  final class Decoder(buf: Array[Byte]) {
+    var pos = 0
+    def hasNext: Boolean = pos < buf.length
+    private def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+    private def i32(): Int = { val v = ByteBuffer.wrap(buf, pos, 4).getInt; pos += 4; v }
+    private def i64(): Long = { val v = ByteBuffer.wrap(buf, pos, 8).getLong; pos += 8; v }
+    private def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b
+    }
+    def read(): Value = u8() match {
+      case 0x00 => val d = read(); VDescribed(d, read())
+      case 0x40 => VNull
+      case 0x41 => VBool(true)
+      case 0x42 => VBool(false)
+      case 0x56 => VBool(u8() != 0)
+      case 0x44 => VULong(0)
+      case 0x53 => VULong(u8().toLong)
+      case 0x80 => VULong(i64())
+      case 0x43 => VUInt(0)
+      case 0x52 => VUInt(u8().toLong)
+      case 0x70 => VUInt(i32().toLong & 0xffffffffL)
+      case 0x55 => val b = buf(pos).toLong; pos += 1; VLong(b)
+      case 0x81 => VLong(i64())
+      case 0xa1 => val n = u8(); VStr(new String(bytes(n), UTF_8))
+      case 0xb1 => val n = i32(); VStr(new String(bytes(n), UTF_8))
+      case 0xa3 => val n = u8(); VSym(new String(bytes(n), UTF_8))
+      case 0xb3 => val n = i32(); VSym(new String(bytes(n), UTF_8))
+      case 0xa0 => val n = u8(); VBin(bytes(n))
+      case 0xb0 => val n = i32(); VBin(bytes(n))
+      case 0x45 => VList(Vector.empty)
+      case 0xc0 =>
+        u8(); val count = u8()
+        VList(Vector.fill(count)(read()))
+      case 0xd0 =>
+        i32(); val count = i32()
+        VList(Vector.fill(count)(read()))
+      case 0xc1 =>
+        u8(); val n = u8()
+        VMap(Vector.fill(n / 2)((read(), read())))
+      case 0xd1 =>
+        i32(); val n = i32()
+        VMap(Vector.fill(n / 2)((read(), read())))
+      case other => throw new IllegalArgumentException(f"amqp1: format code 0x$other%02x unsupported")
+    }
+  }
+
+  // ======================================================== performatives
+  object Code {
+    val Open = 0x10L; val Begin = 0x11L; val Attach = 0x12L; val Flow = 0x13L
+    val Transfer = 0x14L; val Disposition = 0x15L; val Detach = 0x16L
+    val End = 0x17L; val Close = 0x18L
+    val Accepted = 0x24L
+    val DataSection = 0x75L
+  }
+
+  private val ProtoHeader = Array[Byte]('A', 'M', 'Q', 'P', 0, 1, 0, 0)
+
+  final case class AmqpFrame(channel: Int, performative: VDescribed, payload: Array[Byte])
+
+  def writeFrame(out: java.io.OutputStream, channel: Int, perf: VDescribed,
+                 payload: Array[Byte] = Array.emptyByteArray): Unit = {
+    val body = encode(perf) ++ payload
+    val b = ByteBuffer.allocate(8 + body.length)
+    b.putInt(8 + body.length).put(2.toByte /* doff */).put(0.toByte /* AMQP frame */)
+      .putShort(channel.toShort).put(body)
+    out.write(b.array()); out.flush()
+  }
+
+  def readAmqpFrame(in: DataInputStream): AmqpFrame = {
+    val size = in.readInt()
+    val doff = in.readByte() & 0xff
+    val tpe = in.readByte() & 0xff
+    val channel = in.readShort() & 0xffff
+    require(tpe == 0, s"amqp1: frame type $tpe unsupported")
+    in.skipBytes(doff * 4 - 8)
+    val body = new Array[Byte](size - doff * 4); in.readFully(body)
+    val dec = new Decoder(body)
+    val perf = dec.read() match {
+      case d: VDescribed => d
+      case other => throw new IllegalArgumentException(s"amqp1: expected performative, got $other")
+    }
+    AmqpFrame(channel, perf, java.util.Arrays.copyOfRange(body, dec.pos, body.length))
+  }
+
+  private def descCode(d: VDescribed): Long = d.descriptor match {
+    case VULong(c) => c
+    case other => throw new IllegalArgumentException(s"amqp1: non-ulong descriptor $other")
+  }
+  private def fields(d: VDescribed): Vector[Value] = d.value match {
+    case VList(items) => items
+    case _ => Vector.empty
+  }
+  private def fieldAt(fs: Vector[Value], i: Int): Value =
+    if (i < fs.size) fs(i) else VNull
+
+  /** a message with one data section (the reference's payload shape) */
+  def messagePayload(body: Array[Byte]): Array[Byte] =
+    encode(VDescribed(VULong(Code.DataSection), VBin(body)))
+  def messageBody(payload: Array[Byte]): Array[Byte] =
+    new Decoder(payload).read() match {
+      case VDescribed(VULong(Code.DataSection), VBin(b)) => b
+      case other => throw new IllegalArgumentException(s"amqp1: unexpected section $other")
+    }
+
+  // ------------------------------------------------------------- fixture
+  private final class QMsg(val body: Array[Byte]) {
+    @volatile var acquired = false
+    @volatile var settled = false
+  }
+
+  /** broker: named queues; sender links enqueue unsettled transfers,
+    * receiver links get deliveries as credit allows and settle them
+    * with accepted dispositions; unsettled deliveries return to the
+    * queue when the link detaches (re-attach redelivery). */
+  final class MiniAmqp1 {
+    private val queues = new mutable.HashMap[String, ArrayBuffer[QMsg]]()
+    private val qLock = new Object
+    @volatile private var server: ServerSocket = _
+    def address: String = s"127.0.0.1:${server.getLocalPort}"
+    def depth(q: String): Int = qLock.synchronized(
+      queues.get(q).map(_.count(m => !m.settled)).getOrElse(0))
+
+    private def queue(n: String) = qLock.synchronized(queues.getOrElseUpdate(n, new ArrayBuffer[QMsg]()))
+
+    private def serve(sock: Socket): Unit = {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      // per-link state on this connection
+      val sendTargets = mutable.Map[Long, String]()  // sender-role peer links: handle -> queue
+      val recvSources = mutable.Map[Long, String]()  // receiver-role peer links
+      val outstanding = mutable.Map[Long, QMsg]()    // deliveryId -> unsettled delivery
+      var deliveryId = 0L
+      try {
+        val hdr = new Array[Byte](8); in.readFully(hdr)
+        require(java.util.Arrays.equals(hdr, ProtoHeader), "amqp1: bad protocol header")
+        out.write(ProtoHeader); out.flush()
+        while (true) {
+          val f = readAmqpFrame(in)
+          descCode(f.performative) match {
+            case Code.Open =>
+              writeFrame(out, 0, VDescribed(VULong(Code.Open),
+                VList(Vector(VStr("mini-amqp1"), VStr("localhost")))))
+            case Code.Begin =>
+              // remote-channel, next-outgoing-id, incoming-window, outgoing-window
+              writeFrame(out, f.channel, VDescribed(VULong(Code.Begin),
+                VList(Vector(VUInt(f.channel.toLong), VUInt(0), VUInt(65535), VUInt(65535)))))
+            case Code.Attach =>
+              val fs = fields(f.performative)
+              val name = fs(0).asInstanceOf[VStr].s
+              val handle = fs(1) match { case VUInt(h) => h; case VULong(h) => h; case _ => 0L }
+              val roleReceiverAtPeer = fs(2) == VBool(true) // true = peer is receiver
+              // source(5)/target(6) are described lists whose first field is the address
+              def address(v: Value): String = v match {
+                case VDescribed(_, VList(items)) if items.nonEmpty => items(0) match {
+                  case VStr(s) => s; case _ => ""
+                }
+                case _ => ""
+              }
+              if (roleReceiverAtPeer) recvSources(handle) = address(fieldAt(fs, 5))
+              else sendTargets(handle) = address(fieldAt(fs, 6))
+              writeFrame(out, f.channel, VDescribed(VULong(Code.Attach),
+                VList(Vector(VStr(name), VUInt(handle), VBool(!roleReceiverAtPeer),
+                  VNull, VNull, fieldAt(fs, 5), fieldAt(fs, 6)))))
+              if (!roleReceiverAtPeer) // grant the sender link credit
+                writeFrame(out, f.channel, VDescribed(VULong(Code.Flow),
+                  VList(Vector(VNull, VUInt(65535), VUInt(0), VUInt(65535),
+                    VUInt(handle), VUInt(0), VUInt(1000)))))
+            case Code.Transfer =>
+              val fs = fields(f.performative)
+              val handle = fs(0) match { case VUInt(h) => h; case VULong(h) => h; case _ => 0L }
+              sendTargets.get(handle).foreach { q =>
+                qLock.synchronized { queue(q) += new QMsg(messageBody(f.payload)); qLock.notifyAll() }
+              }
+            case Code.Flow =>
+              // receiver grants credit: deliver up to link-credit messages
+              val fs = fields(f.performative)
+              val handle = fs(4) match { case VUInt(h) => h; case VULong(h) => h; case _ => -1L }
+              val credit = fs(6) match { case VUInt(c) => c; case VULong(c) => c; case _ => 0L }
+              recvSources.get(handle).foreach { qn =>
+                var granted = credit
+                val q = queue(qn)
+                while (granted > 0) {
+                  val next = qLock.synchronized {
+                    q.find(m => !m.settled && !m.acquired) match {
+                      case Some(m) => m.acquired = true; Some(m)
+                      case None => None
+                    }
+                  }
+                  next match {
+                    case Some(m) =>
+                      deliveryId += 1
+                      outstanding(deliveryId) = m
+                      writeFrame(out, f.channel, VDescribed(VULong(Code.Transfer),
+                        VList(Vector(VUInt(handle), VUInt(deliveryId),
+                          VBin(ByteBuffer.allocate(4).putInt(deliveryId.toInt).array()),
+                          VUInt(0), VBool(false) /* unsettled */))),
+                        messagePayload(m.body))
+                      granted -= 1
+                    case None => granted = 0
+                  }
+                }
+              }
+            case Code.Disposition =>
+              // role(0), first(1), last(2), settled(3), state(4)
+              val fs = fields(f.performative)
+              val first = fs(1) match { case VUInt(x) => x; case VULong(x) => x; case _ => 0L }
+              val last = fieldAt(fs, 2) match { case VUInt(x) => x; case VULong(x) => x; case _ => first }
+              val accepted = fieldAt(fs, 4) match {
+                case VDescribed(VULong(Code.Accepted), _) => true
+                case _ => false
+              }
+              (first to last).foreach { id =>
+                outstanding.remove(id).foreach { m =>
+                  if (accepted) m.settled = true else m.acquired = false
+                }
+              }
+            case Code.Detach | Code.End =>
+              // unsettled deliveries return to the queue for redelivery
+              outstanding.values.foreach(_.acquired = false)
+              outstanding.clear()
+              writeFrame(out, f.channel, f.performative)
+            case Code.Close =>
+              writeFrame(out, 0, VDescribed(VULong(Code.Close), VList(Vector.empty)))
+              return
+            case other => throw new IllegalArgumentException(f"amqp1: performative 0x$other%02x")
+          }
+        }
+      } catch { case _: EOFException | _: java.net.SocketException => () }
+      finally {
+        outstanding.values.foreach(_.acquired = false)
+        sock.close()
+      }
+    }
+
+    def start(): this.type = {
+      server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+      val acceptor = new Thread(() => {
+        try while (true) {
+          val sock = server.accept()
+          val th = new Thread(() => serve(sock)); th.setDaemon(true); th.start()
+        } catch { case _: Throwable => () }
+      })
+      acceptor.setDaemon(true); acceptor.start()
+      this
+    }
+    def stop(): Unit = if (server != null) server.close()
+  }
+
+  // -------------------------------------------------------------- client
+  private def openConn(address: String): (Socket, DataInputStream, BufferedOutputStream) = {
+    val Array(host, port) = address.split(':')
+    val sock = new Socket(host, port.toInt)
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    out.write(ProtoHeader); out.flush()
+    val hdr = new Array[Byte](8); in.readFully(hdr)
+    require(java.util.Arrays.equals(hdr, ProtoHeader), "amqp1: bad server header")
+    writeFrame(out, 0, VDescribed(VULong(Code.Open), VList(Vector(VStr("graft"), VStr("localhost")))))
+    require(descCode(readAmqpFrame(in).performative) == Code.Open, "expected open")
+    writeFrame(out, 0, VDescribed(VULong(Code.Begin),
+      VList(Vector(VNull, VUInt(0), VUInt(65535), VUInt(65535)))))
+    require(descCode(readAmqpFrame(in).performative) == Code.Begin, "expected begin")
+    (sock, in, out)
+  }
+
+  /** sender link (output.go): attach to a target queue, transfer under
+    * the broker's credit */
+  final class Sender(address: String, target: String) extends AutoCloseable {
+    private val (sock, in, out) = openConn(address)
+    private var nextDelivery = 0L
+    locally {
+      writeFrame(out, 0, VDescribed(VULong(Code.Attach), VList(Vector(
+        VStr(s"graft-send-$target"), VUInt(0), VBool(false) /* we are sender */,
+        VNull, VNull,
+        VDescribed(VULong(0x28), VList(Vector(VStr("")))), // source
+        VDescribed(VULong(0x29), VList(Vector(VStr(target)))))))) // target
+      require(descCode(readAmqpFrame(in).performative) == Code.Attach, "expected attach")
+      require(descCode(readAmqpFrame(in).performative) == Code.Flow, "expected credit flow")
+    }
+    def send(body: Array[Byte]): Unit = {
+      nextDelivery += 1
+      writeFrame(out, 0, VDescribed(VULong(Code.Transfer), VList(Vector(
+        VUInt(0), VUInt(nextDelivery),
+        VBin(ByteBuffer.allocate(4).putInt(nextDelivery.toInt).array()),
+        VUInt(0), VBool(true) /* settled (fire-and-forget send) */))),
+        messagePayload(body))
+    }
+    override def close(): Unit = {
+      try {
+        writeFrame(out, 0, VDescribed(VULong(Code.Close), VList(Vector.empty)))
+        readAmqpFrame(in)
+      } catch { case _: Throwable => () }
+      sock.close()
+    }
+  }
+
+  final case class Delivery(deliveryId: Long, body: Array[Byte])
+
+  /** receiver link (input.go): attach to a source queue, grant credit,
+    * settle with accepted dispositions */
+  final class Receiver(address: String, source: String) extends AutoCloseable {
+    private val (sock, in, out) = openConn(address)
+    locally {
+      writeFrame(out, 0, VDescribed(VULong(Code.Attach), VList(Vector(
+        VStr(s"graft-recv-$source"), VUInt(0), VBool(true) /* we are receiver */,
+        VNull, VNull,
+        VDescribed(VULong(0x28), VList(Vector(VStr(source)))), // source
+        VDescribed(VULong(0x29), VList(Vector(VStr(""))))))))
+      require(descCode(readAmqpFrame(in).performative) == Code.Attach, "expected attach")
+    }
+    def flow(credit: Int): Unit =
+      writeFrame(out, 0, VDescribed(VULong(Code.Flow), VList(Vector(
+        VNull, VUInt(65535), VUInt(0), VUInt(65535), VUInt(0), VUInt(0),
+        VUInt(credit.toLong)))))
+
+    def receive(timeoutMs: Int = 5000): Option[Delivery] = {
+      sock.setSoTimeout(timeoutMs)
+      try {
+        val f = readAmqpFrame(in)
+        require(descCode(f.performative) == Code.Transfer, "expected transfer")
+        val fs = fields(f.performative)
+        val id = fs(1) match { case VUInt(x) => x; case VULong(x) => x; case _ => 0L }
+        Some(Delivery(id, messageBody(f.payload)))
+      } catch { case _: java.net.SocketTimeoutException => None }
+      finally sock.setSoTimeout(0)
+    }
+
+    /** accepted disposition — the input's ack (input.go) */
+    def accept(d: Delivery): Unit =
+      writeFrame(out, 0, VDescribed(VULong(Code.Disposition), VList(Vector(
+        VBool(true) /* role receiver */, VUInt(d.deliveryId), VUInt(d.deliveryId),
+        VBool(true), VDescribed(VULong(Code.Accepted), VList(Vector.empty))))))
+
+    /** detach without settling — broker requeues outstanding deliveries */
+    def detach(): Unit = {
+      writeFrame(out, 0, VDescribed(VULong(Code.Detach), VList(Vector(VUInt(0), VBool(true)))))
+      readAmqpFrame(in); ()
+    }
+    override def close(): Unit = sock.close()
+  }
+}

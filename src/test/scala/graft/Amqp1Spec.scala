@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.conn.Amqp1
+import graft.conn.Amqp1._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AMQP 1.0: the typed encoding round-trips (described types, the
+  * compact/full format-code pairs), the open/begin/attach handshake,
+  * credit-driven deliveries, accepted-disposition settlement, and
+  * redelivery of unsettled transfers after detach. */
+class Amqp1Spec extends AnyFunSuite {
+  private def b(s: String) = s.getBytes(UTF_8)
+
+  test("type codec round-trips primitives, compact forms, nesting and described types") {
+    val v = VDescribed(VULong(0x75), VList(Vector(
+      VNull, VBool(true), VBool(false),
+      VULong(0), VULong(7), VULong(1L << 40),
+      VUInt(0), VUInt(200), VUInt(70000),
+      VLong(-5), VLong(1L << 50),
+      VStr("héllo"), VStr("x" * 300),
+      VSym("amqp:accepted:list"), VBin(Array[Byte](0, 1, -1)),
+      VList(Vector.empty), VList(Vector(VStr("a"), VUInt(1))),
+      VMap(Vector((VSym("k"), VStr("v")))))))
+    val back = new Decoder(encode(v)).read()
+    // binary arrays break case-class equality; compare rendered shape
+    def norm(x: Value): Any = x match {
+      case VBin(bs) => bs.toSeq
+      case VList(items) => items.map(norm)
+      case VMap(items) => items.map { case (k2, v2) => (norm(k2), norm(v2)) }
+      case VDescribed(d, inner) => (norm(d), norm(inner))
+      case other => other
+    }
+    assert(norm(back) == norm(v))
+    // compact encodings actually used: smallulong, uint0, smalluint
+    assert(encode(VULong(7)).toSeq == Seq(0x53.toByte, 7.toByte))
+    assert(encode(VUInt(0)).toSeq == Seq(0x43.toByte))
+    assert(encode(VList(Vector.empty)).toSeq == Seq(0x45.toByte))
+  }
+
+  private def withBroker[T](f: (MiniAmqp1, String) => T): T = {
+    val srv = new MiniAmqp1().start()
+    try f(srv, srv.address) finally srv.stop()
+  }
+
+  test("send → credit-driven receive → accept settles; depth drains") {
+    withBroker { (srv, addr) =>
+      val snd = new Sender(addr, "jobs")
+      val rcv = new Receiver(addr, "jobs")
+      try {
+        (1 to 5).foreach(i => snd.send(b(s"m$i")))
+        val deadline = System.currentTimeMillis() + 3000
+        while (srv.depth("jobs") < 5 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(srv.depth("jobs") == 5)
+        rcv.flow(3)
+        val three = (1 to 3).map(_ => rcv.receive().get)
+        assert(three.map(d => new String(d.body, UTF_8)) == Seq("m1", "m2", "m3"))
+        assert(rcv.receive(300).isEmpty, "credit exhausted, no more deliveries")
+        three.foreach(rcv.accept)
+        rcv.flow(10)
+        val rest = (1 to 2).map(_ => rcv.receive().get)
+        rest.foreach(rcv.accept)
+        val drainDeadline = System.currentTimeMillis() + 3000
+        while (srv.depth("jobs") > 0 && System.currentTimeMillis() < drainDeadline) Thread.sleep(20)
+        assert(srv.depth("jobs") == 0, "accepted dispositions settle everything")
+      } finally { snd.close(); rcv.close() }
+    }
+  }
+
+  test("unsettled deliveries redeliver after detach (at-least-once re-attach contract)") {
+    withBroker { (_, addr) =>
+      val snd = new Sender(addr, "q2")
+      try {
+        snd.send(b("keep"))
+        val r1 = new Receiver(addr, "q2")
+        r1.flow(1)
+        val d1 = r1.receive().get
+        assert(new String(d1.body, UTF_8) == "keep")
+        r1.detach() // never accepted
+        r1.close()
+        val r2 = new Receiver(addr, "q2")
+        try {
+          r2.flow(1)
+          val d2 = r2.receive().get
+          assert(new String(d2.body, UTF_8) == "keep", "unsettled delivery came back")
+          r2.accept(d2)
+        } finally r2.close()
+      } finally snd.close()
+    }
+  }
+
+  test("two queues on one broker stay isolated; binary bodies survive the data section") {
+    withBroker { (_, addr) =>
+      val sa = new Sender(addr, "qa")
+      val sb = new Sender(addr, "qb")
+      val ra = new Receiver(addr, "qa")
+      try {
+        val bin = Array.tabulate[Byte](300)(_.toByte) // >255 forces bin32/str32 paths
+        sa.send(bin)
+        sb.send(b("other"))
+        ra.flow(5)
+        assert(ra.receive().get.body.toSeq == bin.toSeq)
+        assert(ra.receive(300).isEmpty, "qb traffic never reaches the qa link")
+      } finally { sa.close(); sb.close(); ra.close() }
+    }
+  }
+}
