@@ -2114,6 +2114,48 @@ object QueriesProc {
       s.createDataset(got.result()).toDF("line").select(
         split(col("line"), "\\|").getItem(0).cast(LongType).as("l_orderkey"),
         split(col("line"), "\\|").getItem(1).cast(DoubleType).as("l_discount"))
+    }),
+
+    // otlp tracer (impl/otlp/tracer_otlp.go + the jaeger/cloudtrace
+    // tracer family — bento wraps component processing in OTel spans):
+    // each Spark partition runs a Tracer that opens a ROOT span, child
+    // spans per event-type batch with typed count attributes, and
+    // exports the protobuf TracesData batch to the /v1/traces collector
+    // (conn/Otlp.scala — public opentelemetry-proto schema via the
+    // in-repo proto compiler). The gate re-aggregates the collector's
+    // span attributes and checks parent/child linkage before crossing
+    "trace_otlp" -> ((s, dir) => {
+      import s.implicits._
+      val col2 = new graft.conn.Otlp.MiniCollector().start()
+      val endpoint = col2.endpoint
+      val ev = t(s, dir, "events").filter(col("event_type").isNotNull)
+        .select(col("event_type"))
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val counts = scala.collection.mutable.Map[String, Long]()
+          it.foreach(r => counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + 1)
+          val tracer = new graft.conn.Otlp.Tracer(endpoint, "graft-pipeline")
+          try {
+            val root = tracer.startTrace("partition", // +1: proto3 elides zero ints
+              Map("partition" -> (org.apache.spark.TaskContext.getPartitionId().toLong + 1)))
+            counts.foreach { case (tpe, n) =>
+              val c = root.startChild("type-batch", Map("type" -> tpe, "n" -> n))
+              c.end()
+            }
+            root.end()
+          } finally tracer.close() // close flushes the batch
+        }
+      }
+      val spans = col2.spans.map(_._2)
+      col2.stop()
+      val roots = spans.filter(_.name == "partition").map(_.spanId).toSet
+      val batches = spans.filter(_.name == "type-batch")
+      require(batches.forall(b => roots.contains(b.parentSpanId)),
+        "every batch span links to a partition root")
+      s.createDataset(batches.map(b =>
+        (b.attributes("type").asInstanceOf[String], b.attributes("n").asInstanceOf[Long])))
+        .groupBy(col("_1").as("event_type")).agg(sum(col("_2")).as("cnt"))
+        .select(col("event_type"), col("cnt").cast(LongType))
     })
   )
 
@@ -2226,6 +2268,9 @@ object QueriesProc {
     "src_amqp1" ->
       """SELECT l_orderkey, l_discount FROM lineitem
          WHERE l_linenumber = 6 AND l_orderkey % 4 = 0""",
+    "trace_otlp" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt FROM events
+         WHERE event_type IS NOT NULL GROUP BY 1""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,
