@@ -2156,6 +2156,66 @@ object QueriesProc {
         (b.attributes("type").asInstanceOf[String], b.attributes("n").asInstanceOf[Long])))
         .groupBy(col("_1").as("event_type")).agg(sum(col("_2")).as("cnt"))
         .select(col("event_type"), col("cnt").cast(LongType))
+    }),
+
+    // kafka consumer-group input (impl/kafka/input.go — franz-go
+    // consumer groups are THE reference consumption mode): the full
+    // coordination protocol over the from-scratch wire (JoinGroup with
+    // client-side range assignment by the generation leader, SyncGroup
+    // distribution, OffsetCommit/Fetch). Producers route per partition;
+    // TWO group members consume CONCURRENTLY with disjoint-and-complete
+    // assignments and committed offsets — each message exactly once
+    // across the group, with the owning member crossing the gate
+    "src_kafka_group" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Kafka.MiniKafka(numPartitions = 4).start()
+      val bootstrap = srv.bootstrap
+      // the synthetic lineitem REPEATS (orderkey, linenumber) pairs, so a
+      // synthesized unique row id rides the value purely as the
+      // idempotent-sink key — duplicates of the business columns survive
+      val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 4)
+        .select(col("l_orderkey").cast(LongType),
+          concat_ws("|", monotonically_increasing_id(),
+            col("l_orderkey"), col("l_tax")).as("v"))
+      val expected = rows.count()
+      graft.conn.Kafka.output(rows, bootstrap, "li4",
+        partitionOf = r => (r.getLong(0) % 4).toInt,
+        keyOf = r => r.getLong(0).toString.getBytes("UTF-8"),
+        valueOf = r => r.getString(1).getBytes("UTF-8"))
+      // at-least-once group consumption + an idempotent sink keyed by the
+      // unique message key — the documented pairing; commits bound the
+      // overlap window during rebalances
+      val got = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+      val members = Seq("m1", "m2").map { label =>
+        new Thread(() => {
+          val c = new graft.conn.Kafka.GroupConsumer(bootstrap, "graft-group", "li4")
+          try {
+            c.join()
+            // run until the GROUP collectively drained the topic: an idle
+            // member may be handed fresh partitions by a rebalance at any
+            // time, so individual idleness is not a stop signal
+            val deadline = System.currentTimeMillis() + 30000
+            while (got.size < expected && System.currentTimeMillis() < deadline) {
+              val batch = c.poll()
+              if (batch.isEmpty) {
+                c.heartbeatAndMaybeRejoin()
+                Thread.sleep(25)
+              } else {
+                batch.foreach { case (p2, m) => got.put(new String(m.value, "UTF-8"), p2) }
+                c.commitSync()
+              }
+            }
+          } finally c.close()
+        })
+      }
+      members.foreach(_.start()); members.foreach(_.join(60000))
+      srv.stop()
+      require(got.size == expected, s"group consumed ${got.size}/$expected")
+      import scala.jdk.CollectionConverters._
+      s.createDataset(got.asScala.toSeq).toDF("line", "kafka_partition").select(
+        split(col("line"), "\\|").getItem(1).cast(LongType).as("l_orderkey"),
+        split(col("line"), "\\|").getItem(2).cast(DoubleType).as("l_tax"),
+        col("kafka_partition").cast(LongType))
     })
   )
 
@@ -2271,6 +2331,9 @@ object QueriesProc {
     "trace_otlp" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
          WHERE event_type IS NOT NULL GROUP BY 1""",
+    "src_kafka_group" ->
+      """SELECT l_orderkey, l_tax, (l_orderkey % 4)::BIGINT AS kafka_partition
+         FROM lineitem WHERE l_linenumber = 4""",
     "proc_java" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,

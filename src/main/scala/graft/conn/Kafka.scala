@@ -281,12 +281,34 @@ object Kafka {
     * v0 + v4 (record batches). `modern = false` advertises only the v0
     * forms — the legacy-broker fixture the client's negotiation
     * downgrades against. Thread-per-connection, all daemon. */
-  final class MiniKafka(numPartitions: Int = 4, modern: Boolean = true) {
+  final class MiniKafka(numPartitions: Int = 4, modern: Boolean = true,
+                        rebalanceWindowMs: Long = 400) {
     private val lock = new Object
     private val logs = mutable.LinkedHashMap[(String, Int), mutable.ArrayBuffer[Msg]]()
     private val topics = mutable.LinkedHashSet[String]()
     private val running = new AtomicBoolean(true)
     private var server: ServerSocket = _
+
+    // ---- consumer-group coordination state (the group-membership
+    // protocol real brokers run: JoinGroup collects a generation's
+    // members, the LEADER computes assignments client-side, SyncGroup
+    // distributes them — kafka's documented client-side assignment)
+    private final class Group {
+      var generation = 0
+      var state = "Empty" // Empty | PreparingRebalance | AwaitingSync | Stable
+      val members = mutable.LinkedHashMap[String, Array[Byte]]() // memberId -> protocol metadata
+      var joined = mutable.LinkedHashMap[String, Array[Byte]]()  // this round's joiners
+      var leader = ""
+      var assignments = mutable.Map[String, Array[Byte]]()
+      var rebalanceDeadline = 0L
+      var memberSeq = 0
+    }
+    private val groups = mutable.Map[String, Group]()
+    private val offsets = mutable.Map[(String, String, Int), Long]() // (group, topic, part) -> next offset
+    private val groupLock = new Object
+
+    private def group(name: String): Group =
+      groups.getOrElseUpdate(name, new Group)
 
     def start(): MiniKafka = {
       server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
@@ -317,9 +339,11 @@ object Kafka {
 
     private def handle(apiKey: Int, apiVersion: Int, body: R): Array[Byte] = apiKey match {
       case 18 => // ApiVersions v0: error + [api_key min max]
+        val groupApis: Seq[(Int, Int, Int)] =
+          Seq((8, 0, 0), (9, 0, 0), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0), (14, 0, 0))
         val apis: Seq[(Int, Int, Int)] =
-          if (modern) Seq((0, 0, 3), (1, 0, 4), (3, 0, 0), (18, 0, 0))
-          else Seq((0, 0, 0), (1, 0, 0), (3, 0, 0), (18, 0, 0))
+          (if (modern) Seq((0, 0, 3), (1, 0, 4), (3, 0, 0), (18, 0, 0))
+           else Seq((0, 0, 0), (1, 0, 0), (3, 0, 0), (18, 0, 0))) ++ groupApis
         val w = new W().i16(0).i32(apis.length)
         apis.foreach { case (k, lo, hi) => w.i16(k).i16(lo).i16(hi) }
         w.result
@@ -422,6 +446,130 @@ object Kafka {
               w.i32(0)   // aborted_transactions: empty
             }
             w.i32(set.length).raw(set)
+          }
+        }
+        w.result
+
+      case 10 => // GroupCoordinator v0: this broker coordinates everything
+        body.str()
+        new W().i16(0).i32(0).str("127.0.0.1").i32(port).result
+
+      case 11 => // JoinGroup v0 — barrier on a rebalance window
+        val groupName = body.str()
+        body.i32() // session_timeout
+        val memberIdReq = body.str()
+        body.str() // protocol_type ("consumer")
+        val nProtos = body.i32()
+        val protos = (0 until nProtos).map(_ => (body.str(), body.bytes()))
+        val g = groupLock.synchronized {
+          val g = group(groupName)
+          val memberId =
+            if (memberIdReq.nonEmpty) memberIdReq
+            else { g.memberSeq += 1; s"graft-member-${g.memberSeq}" }
+          if (g.state == "Empty" || g.state == "Stable") {
+            g.state = "PreparingRebalance"
+            g.joined = mutable.LinkedHashMap[String, Array[Byte]]()
+            g.rebalanceDeadline = System.currentTimeMillis() + rebalanceWindowMs
+          }
+          g.joined(memberId) = protos.head._2
+          groupLock.notifyAll()
+          // barrier: wait out the window (or until every known member rejoined)
+          while (g.state == "PreparingRebalance" &&
+                 System.currentTimeMillis() < g.rebalanceDeadline &&
+                 !(g.members.nonEmpty && g.members.keySet.forall(g.joined.contains)))
+            groupLock.wait(50)
+          if (g.state == "PreparingRebalance") { // this thread completes the round
+            g.generation += 1
+            g.members.clear(); g.members ++= g.joined
+            g.leader = g.joined.head._1
+            g.assignments = mutable.Map[String, Array[Byte]]()
+            g.state = "AwaitingSync"
+            groupLock.notifyAll()
+          }
+          (g, memberId)
+        }
+        val (grp, memberId) = g
+        groupLock.synchronized {
+          val w = new W().i16(0).i32(grp.generation).str(protos.head._1)
+            .str(grp.leader).str(memberId)
+          val roster = if (memberId == grp.leader) grp.members.toSeq else Seq.empty
+          w.i32(roster.size)
+          roster.foreach { case (m, meta) => w.str(m).bytes(meta) }
+          w.result
+        }
+
+      case 14 => // SyncGroup v0 — leader distributes assignments
+        val groupName = body.str()
+        body.i32() // generation
+        val memberId = body.str()
+        val nAssign = body.i32()
+        val assigns = (0 until nAssign).map(_ => (body.str(), body.bytes()))
+        groupLock.synchronized {
+          val g = group(groupName)
+          if (assigns.nonEmpty) { // the leader's sync
+            assigns.foreach { case (m, a) => g.assignments(m) = a }
+            g.state = "Stable"
+            groupLock.notifyAll()
+          }
+          val deadline = System.currentTimeMillis() + 5000
+          while (!g.assignments.contains(memberId) && System.currentTimeMillis() < deadline)
+            groupLock.wait(50)
+          new W().i16(if (g.assignments.contains(memberId)) 0 else 27)
+            .bytes(g.assignments.getOrElse(memberId, Array.emptyByteArray)).result
+        }
+
+      case 12 => // Heartbeat v0: 27 = REBALANCE_IN_PROGRESS drives rejoin
+        val groupName = body.str()
+        val generation = body.i32()
+        body.str()
+        groupLock.synchronized {
+          val g = group(groupName)
+          val err = if (g.generation != generation || g.state != "Stable") 27 else 0
+          new W().i16(err).result
+        }
+
+      case 13 => // LeaveGroup v0: departure forces the next generation
+        val groupName = body.str()
+        val memberId = body.str()
+        groupLock.synchronized {
+          val g = group(groupName)
+          g.members.remove(memberId)
+          if (g.state == "Stable") g.state = "Empty" // next join rebalances from scratch
+          groupLock.notifyAll()
+          new W().i16(0).result
+        }
+
+      case 8 => // OffsetCommit v0
+        val groupName = body.str()
+        val nTopics = body.i32()
+        val w = new W().i32(nTopics)
+        (0 until nTopics).foreach { _ =>
+          val topic = body.str()
+          val nParts = body.i32()
+          w.str(topic).i32(nParts)
+          (0 until nParts).foreach { _ =>
+            val partition = body.i32()
+            val offset = body.i64()
+            body.str() // metadata
+            groupLock.synchronized(offsets((groupName, topic, partition)) = offset)
+            w.i32(partition).i16(0)
+          }
+        }
+        w.result
+
+      case 9 => // OffsetFetch v0: -1 = no committed offset
+        val groupName = body.str()
+        val nTopics = body.i32()
+        val w = new W().i32(nTopics)
+        (0 until nTopics).foreach { _ =>
+          val topic = body.str()
+          val nParts = body.i32()
+          w.str(topic).i32(nParts)
+          (0 until nParts).foreach { _ =>
+            val partition = body.i32()
+            val off = groupLock.synchronized(
+              offsets.getOrElse((groupName, topic, partition), -1L))
+            w.i32(partition).i64(off).str("").i16(0)
           }
         }
         w.result
@@ -567,7 +715,177 @@ object Kafka {
       (if (ver >= 4) readRecordBatches(raw) else readMessageSet(raw), hw)
     }
 
+    // ---------------------------------------- consumer-group verbs (v0)
+    final case class JoinResult(generationId: Int, protocol: String, leaderId: String,
+                                memberId: String, members: Seq[(String, Array[Byte])])
+
+    def findCoordinator(groupName: String): (String, Int) = {
+      val r = call(10, new W().str(groupName).result)
+      require(r.i16() == 0, "coordinator error")
+      r.i32(); (r.str(), r.i32())
+    }
+
+    def joinGroup(groupName: String, memberId: String, protocolName: String,
+                  metadata: Array[Byte], sessionTimeoutMs: Int = 10000): JoinResult = {
+      val body = new W().str(groupName).i32(sessionTimeoutMs).str(memberId)
+        .str("consumer").i32(1).str(protocolName).bytes(metadata).result
+      val r = call(11, body)
+      val err = r.i16()
+      require(err == 0, s"join_group error $err")
+      val gen = r.i32(); val proto = r.str(); val leader = r.str(); val me = r.str()
+      val n = r.i32()
+      JoinResult(gen, proto, leader, me,
+        (0 until n).map(_ => (r.str(), r.bytes())))
+    }
+
+    def syncGroup(groupName: String, generation: Int, memberId: String,
+                  assignments: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val w = new W().str(groupName).i32(generation).str(memberId).i32(assignments.size)
+      assignments.foreach { case (m, a) => w.str(m).bytes(a) }
+      val r = call(14, w.result)
+      val err = r.i16()
+      require(err == 0, s"sync_group error $err")
+      r.bytes()
+    }
+
+    /** 0 = ok; 27 = rebalance in progress (the rejoin trigger) */
+    def heartbeat(groupName: String, generation: Int, memberId: String): Int = {
+      val r = call(12, new W().str(groupName).i32(generation).str(memberId).result)
+      r.i16()
+    }
+
+    def leaveGroup(groupName: String, memberId: String): Unit = {
+      val r = call(13, new W().str(groupName).str(memberId).result)
+      require(r.i16() == 0, "leave_group error"); ()
+    }
+
+    def offsetCommit(groupName: String, topic: String, offsetsByPartition: Seq[(Int, Long)]): Unit = {
+      val w = new W().str(groupName).i32(1).str(topic).i32(offsetsByPartition.size)
+      offsetsByPartition.foreach { case (p2, o) => w.i32(p2).i64(o).str("") }
+      val r = call(8, w.result)
+      r.i32(); r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        r.i32(); require(r.i16() == 0, "offset_commit error")
+      }
+    }
+
+    def offsetFetch(groupName: String, topic: String, partitions: Seq[Int]): Map[Int, Long] = {
+      val w = new W().str(groupName).i32(1).str(topic).i32(partitions.size)
+      partitions.foreach(w.i32)
+      val r = call(9, w.result)
+      r.i32(); r.str()
+      val nParts = r.i32()
+      (0 until nParts).map { _ =>
+        val p2 = r.i32(); val off = r.i64(); r.str(); require(r.i16() == 0, "offset_fetch error")
+        p2 -> off
+      }.toMap
+    }
+
     override def close(): Unit = { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  // ---------------------------------------------- consumer-group protocol
+  /** the public ConsumerProtocol wire format (version, topic list /
+    * assignment map, userdata) the broker treats as opaque bytes —
+    * assignment is CLIENT-side, computed by the generation's leader */
+  object ConsumerProtocol {
+    def subscription(topics: Seq[String]): Array[Byte] = {
+      val w = new W().i16(0).i32(topics.size)
+      topics.foreach(w.str)
+      w.bytes(Array.emptyByteArray).result
+    }
+    def parseSubscription(b: Array[Byte]): Seq[String] = {
+      val r = new R(b); r.i16()
+      val n = r.i32(); (0 until n).map(_ => r.str())
+    }
+    def assignment(parts: Map[String, Seq[Int]]): Array[Byte] = {
+      val w = new W().i16(0).i32(parts.size)
+      parts.foreach { case (t, ps) =>
+        w.str(t).i32(ps.size); ps.foreach(w.i32)
+      }
+      w.bytes(Array.emptyByteArray).result
+    }
+    def parseAssignment(b: Array[Byte]): Map[String, Seq[Int]] = {
+      if (b.isEmpty) return Map.empty
+      val r = new R(b); r.i16()
+      val n = r.i32()
+      (0 until n).map { _ =>
+        val t = r.str(); val np = r.i32()
+        t -> (0 until np).map(_ => r.i32())
+      }.toMap
+    }
+    /** range assignment: sorted partitions split into contiguous chunks
+      * across sorted members (the default assignor's documented layout) */
+    def rangeAssign(members: Seq[String], topic: String, numPartitions: Int): Map[String, Map[String, Seq[Int]]] = {
+      val sorted = members.sorted
+      val per = numPartitions / sorted.size
+      val extra = numPartitions % sorted.size
+      var start = 0
+      sorted.zipWithIndex.map { case (m, i) =>
+        val n = per + (if (i < extra) 1 else 0)
+        val ps = (start until start + n).toSeq
+        start += n
+        m -> Map(topic -> ps)
+      }.toMap
+    }
+  }
+
+  /** a group-managed consumer (input.go's franz-go consumer-group shape):
+    * join → leader range-assigns → sync → fetch assigned partitions from
+    * committed offsets → commit; heartbeat 27 triggers a rejoin */
+  final class GroupConsumer(bootstrap: String, groupName: String, topic: String)
+      extends AutoCloseable {
+    private val client = new Client(bootstrap)
+    private var memberId = ""
+    private var generation = 0
+    private var assigned: Seq[Int] = Nil
+    private val positions = mutable.Map[Int, Long]()
+
+    def assignment: Seq[Int] = assigned
+
+    def join(): Seq[Int] = {
+      val meta = client.metadata(topic) // ensures the topic exists
+      val jr = client.joinGroup(groupName, memberId, "range",
+        ConsumerProtocol.subscription(Seq(topic)))
+      memberId = jr.memberId
+      generation = jr.generationId
+      val myAssignment =
+        if (jr.memberId == jr.leaderId) {
+          val plan = ConsumerProtocol.rangeAssign(jr.members.map(_._1), topic,
+            meta.partitions.size)
+          client.syncGroup(groupName, generation, memberId,
+            plan.toSeq.map { case (m, a) => m -> ConsumerProtocol.assignment(a) })
+        } else client.syncGroup(groupName, generation, memberId, Nil)
+      assigned = ConsumerProtocol.parseAssignment(myAssignment).getOrElse(topic, Nil)
+      positions.clear()
+      val committed = client.offsetFetch(groupName, topic, assigned)
+      assigned.foreach(p2 => positions(p2) = math.max(0L, committed.getOrElse(p2, -1L)))
+      assigned
+    }
+
+    /** one fetch pass over the assigned partitions */
+    def poll(): Vector[(Int, Msg)] = {
+      val out = Vector.newBuilder[(Int, Msg)]
+      assigned.foreach { p2 =>
+        val (msgs, _) = client.fetch(topic, p2, positions(p2))
+        msgs.foreach { m => out += ((p2, m)); positions(p2) = m.offset + 1 }
+      }
+      out.result()
+    }
+
+    /** commit consumed positions (the next offsets to read) */
+    def commitSync(): Unit =
+      if (assigned.nonEmpty)
+        client.offsetCommit(groupName, topic, assigned.map(p2 => p2 -> positions(p2)))
+
+    /** heartbeat; on REBALANCE_IN_PROGRESS rejoin and return true */
+    def heartbeatAndMaybeRejoin(): Boolean =
+      if (client.heartbeat(groupName, generation, memberId) == 27) { join(); true }
+      else false
+
+    def leave(): Unit = if (memberId.nonEmpty) client.leaveGroup(groupName, memberId)
+    override def close(): Unit = { try leave() catch { case _: Throwable => () }; client.close() }
   }
 
   // ------------------------------------------------------ operator layer
