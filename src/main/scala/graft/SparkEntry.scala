@@ -95,5 +95,8 @@ object SparkEntry {
     "src_aws_s3", "src_aws_kinesis", "out_aws_firehose",
     // round 6 datastore wave: BSON/OP_MSG round-trip, bulk-NDJSON with
     // all four actions, and the protobuf-framed pulsar produce/consume
-    "src_mongodb", "out_elasticsearch", "src_pulsar")
+    "src_mongodb", "out_elasticsearch", "src_pulsar",
+    // round 6 late: two-member consumer-group drain (join/sync/commit
+    // coordination + concurrent fetch) — the reference's consumption mode
+    "src_kafka_group")
 }
