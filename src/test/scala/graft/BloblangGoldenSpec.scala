@@ -624,7 +624,7 @@ class BloblangGoldenSpec extends AnyFunSuite {
     assert(full >= CompiledBaseline,
       s"only $full golden mappings compile; baseline is $CompiledBaseline")
   }
-  // Measured round 6: 26/33 golden mappings compile fully — the round-5
+  // Measured round 6: 28/33 golden mappings compile fully — the round-5
   // subset (field mappings, env() filters, lambda chains incl.
   // cities.blobl, content() rewrites, the format twin, structured
   // metadata, fragment envelopes: literals/fans/message_expansion/
