@@ -1534,15 +1534,17 @@ object QueriesProc {
           } finally c.close()
         }
       }
-      val hits = {
-        val c = new graft.conn.Elastic.Client(endpoint)
-        try c.search("events", size = 1000000) finally { c.close(); srv.stop() }
-      }
-      s.createDataset(hits.map(h => (
-        h.source("event_id").asInstanceOf[Long],
-        h.source("event_type").asInstanceOf[String],
-        h.source.get("flagged").exists(_ == true))))
-        .toDF("event_id", "event_type", "flagged")
+      // read-back through the DISTRIBUTED sliced input: one Spark task
+      // per slice, bounded search_after pages — no driver-side
+      // index-sized search call (the public sliced-scroll shape)
+      val out = graft.conn.Elastic.input(s, endpoint, "events", slices = 8, pageSize = 500)
+        .select(
+          get_json_object(col("_source"), "$.event_id").cast(LongType).as("event_id"),
+          get_json_object(col("_source"), "$.event_type").as("event_type"),
+          coalesce(get_json_object(col("_source"), "$.flagged").cast("boolean"), lit(false)).as("flagged"))
+        .localCheckpoint() // materialize before the fixture stops
+      srv.stop()
+      out
     }),
 
     // cassandra output → input roundtrip (impl/cassandra/output.go — a
@@ -2034,8 +2036,11 @@ object QueriesProc {
           } finally c.close()
         }
       }
+      // explicit startRevision=1 requests the historical replay; a
+      // zero/absent start_revision means "live events from now" on the
+      // public etcd contract and would see nothing here
       val watcher = new graft.conn.Etcd.Client("127.0.0.1", port)
-      val w = watcher.watch("part/", rangeEnd = "part0")
+      val w = watcher.watch("part/", rangeEnd = "part0", startRevision = 1)
       val got = Vector.newBuilder[(Long, String, Double, String, Long)]
       (1L to expected).foreach { i =>
         val e = w.next(5000).getOrElse(sys.error(s"watch drained early at $i/$expected"))

@@ -97,11 +97,18 @@ object Elastic {
         case x => x == value
       }
 
+    /** the server-side slice routing (the public sliced-scroll contract:
+      * documents are partitioned by a hash of _id modulo `max`) */
+    private[Elastic] def sliceOf(id: String, max: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(id)
+      ((h % max) + max) % max
+    }
+
     private def handleSearch(index: String, body: String): (Int, Array[Byte]) = {
       val docs = indices.get(index).map(_.readOnlySnapshot().toMap).getOrElse(Map.empty)
       val req = if (body.isEmpty) VectorMap.empty[String, Any] else Json.asObj(Json.parse(body))
       val size = Json.long(req, "size", 10).toInt
-      val hits = req.get("query").map(Json.asObj) match {
+      val queried = req.get("query").map(Json.asObj) match {
         case Some(q) if q.contains("term") =>
           val (field, spec) = Json.asObj(q("term")).head
           val value = spec match {
@@ -111,13 +118,30 @@ object Elastic {
           docs.filter { case (_, d) => matchesTerm(d, field, value) }
         case _ => docs // match_all
       }
-      val sorted = hits.toSeq.sortBy(_._1)
+      // slice: {id, max} — the sliced-scroll partition (one per reader)
+      val sliced = req.get("slice").map(Json.asObj) match {
+        case Some(sl) =>
+          val sid = Json.long(sl, "id").toInt
+          val max = Json.long(sl, "max").toInt
+          require(max > 1 && sid >= 0 && sid < max, s"bad slice $sid/$max")
+          queried.filter { case (id, _) => sliceOf(id, max) == sid }
+        case None => queried
+      }
+      // search_after on the _id sort order — keyset pagination
+      val after = req.get("searchAfter").orElse(req.get("search_after"))
+        .map(Json.asArr(_).head.toString)
+      val paged = after match {
+        case Some(a) => sliced.filter { case (id, _) => id > a }
+        case None => sliced
+      }
+      val sorted = paged.toSeq.sortBy(_._1)
       json(200, Json.obj(
         "took" -> 1L,
         "hits" -> Json.obj(
           "total" -> Json.obj("value" -> sorted.size.toLong, "relation" -> "eq"),
           "hits" -> sorted.take(size).toVector.map { case (id, d) =>
-            Json.obj("_index" -> index, "_id" -> id, "_source" -> d): Any
+            Json.obj("_index" -> index, "_id" -> id, "_source" -> d,
+              "sort" -> Vector[Any](id)): Any
           })))
     }
 
@@ -188,11 +212,24 @@ object Elastic {
         })
     }
 
-    def search(index: String, term: Option[(String, Any)] = None, size: Int = 10): Seq[Hit] = {
+    def search(index: String, term: Option[(String, Any)] = None, size: Int = 10): Seq[Hit] =
+      searchPage(index, slice = None, after = None, size = size, term = term)
+
+    /** one bounded page of a (possibly sliced) search — the building
+      * block of the distributed read. `slice = (id, max)` is the public
+      * sliced-scroll partition; `after` is keyset pagination on the _id
+      * sort. No call ever asks the cluster for more than `size` docs. */
+    def searchPage(index: String, slice: Option[(Int, Int)] = None,
+                   after: Option[String] = None, size: Int = 500,
+                   term: Option[(String, Any)] = None): Seq[Hit] = {
       var q = Json.obj("size" -> size.toLong)
       term.foreach { case (f, v) =>
         q = q.updated("query", Json.obj("term" -> Json.obj(f -> v)))
       }
+      slice.foreach { case (sid, max) =>
+        q = q.updated("slice", Json.obj("id" -> sid.toLong, "max" -> max.toLong))
+      }
+      after.foreach(a => q = q.updated("search_after", Vector[Any](a)))
       val r = http.request("POST", s"$endpoint/$index/_search",
         Seq("content-type" -> "application/json"), Json.render(q).getBytes(UTF_8))
       require(r.status == 200, s"_search: ${r.status} ${r.bodyStr}")
@@ -200,6 +237,24 @@ object Elastic {
         val hm = Json.asObj(h)
         Hit(Json.str(hm, "_id"), Json.asObj(hm("_source")))
       }
+    }
+
+    /** drain one slice page by page; each HTTP call is bounded by
+      * `pageSize` — the per-task loop of the distributed input */
+    def drainSlice(index: String, sliceId: Int, maxSlices: Int,
+                   pageSize: Int = 500): Iterator[Hit] = new Iterator[Hit] {
+      private var page: Seq[Hit] = searchPage(index,
+        slice = Some((sliceId, maxSlices)), after = None, size = pageSize)
+      private var i = 0
+      def hasNext: Boolean = {
+        if (i >= page.size && page.size == pageSize) { // page full: maybe more
+          page = searchPage(index, slice = Some((sliceId, maxSlices)),
+            after = Some(page.last.id), size = pageSize)
+          i = 0
+        }
+        i < page.size
+      }
+      def next(): Hit = { val h = page(i); i += 1; h }
     }
 
     def getDoc(index: String, id: String): Option[VectorMap[String, Any]] = {
@@ -211,5 +266,30 @@ object Elastic {
       }
     }
     override def close(): Unit = http.close()
+  }
+
+  // ------------------------------------------------------ input operator
+  /** Distributed index read (the scale path the reference's input gets
+    * from the official client's sliced scroll): one Spark task per
+    * slice, each draining its slice through bounded `search_after`
+    * pages. No single search call ever exceeds `pageSize`, and nothing
+    * index-sized crosses the driver. Columns: `_id`, `_source` (the
+    * document as a JSON string — parse with from_json/get_json_object). */
+  def input(spark: org.apache.spark.sql.SparkSession, endpoint: String, index: String,
+            slices: Int = 8, pageSize: Int = 500): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(slices >= 2, "a sliced read needs >= 2 slices")
+    val rdd = spark.sparkContext.parallelize(0 until slices, slices).mapPartitions { sliceIds =>
+      sliceIds.flatMap { sid =>
+        val c = new Client(endpoint)
+        val hits = c.drainSlice(index, sid, slices, pageSize)
+          .map(h => (h.id, Json.render(h.source)))
+        new Iterator[(String, String)] { // close the client once drained
+          def hasNext: Boolean = { val h = hits.hasNext; if (!h) c.close(); h }
+          def next(): (String, String) = hits.next()
+        }
+      }
+    }
+    rdd.toDF("_id", "_source")
   }
 }

@@ -140,15 +140,24 @@ object Etcd {
           val start = unb64(create.getOrElse("key", ""))
           val rangeEnd = unb64(create.getOrElse("rangeEnd", ""))
           val startRev = num(create, "startRevision")
+          // the public etcd v3 contract: start_revision absent/0 means
+          // "from now" (live events only) — NOT a full-history replay.
+          // Replays need an explicit start_revision (e.g. 1).
+          val (effStart, startIdx) = lock.synchronized {
+            if (startRev == 0) (revision + 1, history.size)
+            else (startRev, history.indexWhere(_.rev >= startRev) match {
+              case -1 => history.size; case i => i
+            })
+          }
           emit(enc("WatchResponse", Json.obj("header" -> lock.synchronized(headerJson()),
             "watchId" -> 1L, "created" -> true)))
-          var idx = 0
+          var idx = startIdx
           while (true) { // streams until the client hangs up
             val ev = lock.synchronized {
               while (idx >= history.size) lock.wait(1000)
               val e = history(idx); idx += 1; e
             }
-            if (inRange(ev.key, start, rangeEnd) && (startRev == 0 || ev.rev >= startRev)) {
+            if (inRange(ev.key, start, rangeEnd) && ev.rev >= effStart) {
               emit(enc("WatchResponse", Json.obj(
                 "header" -> lock.synchronized(headerJson()), "watchId" -> 1L,
                 "events" -> Vector[Any](Json.obj("type" -> ev.tpe.toLong,

@@ -466,7 +466,11 @@ object Kafka {
           val memberId =
             if (memberIdReq.nonEmpty) memberIdReq
             else { g.memberSeq += 1; s"graft-member-${g.memberSeq}" }
-          if (g.state == "Empty" || g.state == "Stable") {
+          // a join in ANY settled-or-settling state (Empty, Stable,
+          // AwaitingSync) opens a new rebalance round — the real
+          // coordinator moves AwaitingSync groups back to
+          // PreparingRebalance, failing in-flight syncs with error 27
+          if (g.state != "PreparingRebalance") {
             g.state = "PreparingRebalance"
             g.joined = mutable.LinkedHashMap[String, Array[Byte]]()
             g.rebalanceDeadline = System.currentTimeMillis() + rebalanceWindowMs
@@ -500,22 +504,31 @@ object Kafka {
 
       case 14 => // SyncGroup v0 — leader distributes assignments
         val groupName = body.str()
-        body.i32() // generation
+        val generation = body.i32()
         val memberId = body.str()
         val nAssign = body.i32()
         val assigns = (0 until nAssign).map(_ => (body.str(), body.bytes()))
         groupLock.synchronized {
           val g = group(groupName)
-          if (assigns.nonEmpty) { // the leader's sync
-            assigns.foreach { case (m, a) => g.assignments(m) = a }
-            g.state = "Stable"
-            groupLock.notifyAll()
+          // a sync for a superseded generation (or while a new round is
+          // already forming) gets 27 and must rejoin — without this
+          // guard a stale leader would clobber the new round's state
+          def stale = g.generation != generation || g.state == "PreparingRebalance"
+          if (stale) new W().i16(27).bytes(Array.emptyByteArray).result
+          else {
+            if (assigns.nonEmpty) { // the leader's sync
+              assigns.foreach { case (m, a) => g.assignments(m) = a }
+              g.state = "Stable"
+              groupLock.notifyAll()
+            }
+            val deadline = System.currentTimeMillis() + 5000
+            while (!stale && !g.assignments.contains(memberId) &&
+                   System.currentTimeMillis() < deadline)
+              groupLock.wait(50)
+            val ok = !stale && g.assignments.contains(memberId)
+            new W().i16(if (ok) 0 else 27)
+              .bytes(if (ok) g.assignments(memberId) else Array.emptyByteArray).result
           }
-          val deadline = System.currentTimeMillis() + 5000
-          while (!g.assignments.contains(memberId) && System.currentTimeMillis() < deadline)
-            groupLock.wait(50)
-          new W().i16(if (g.assignments.contains(memberId)) 0 else 27)
-            .bytes(g.assignments.getOrElse(memberId, Array.emptyByteArray)).result
         }
 
       case 12 => // Heartbeat v0: 27 = REBALANCE_IN_PROGRESS drives rejoin
@@ -738,14 +751,16 @@ object Kafka {
         (0 until n).map(_ => (r.str(), r.bytes())))
     }
 
+    /** returns (error, assignment) — 27 (REBALANCE_IN_PROGRESS) is not
+      * thrown: the real client's contract is to loop back to JoinGroup */
     def syncGroup(groupName: String, generation: Int, memberId: String,
-                  assignments: Seq[(String, Array[Byte])]): Array[Byte] = {
+                  assignments: Seq[(String, Array[Byte])]): (Int, Array[Byte]) = {
       val w = new W().str(groupName).i32(generation).str(memberId).i32(assignments.size)
       assignments.foreach { case (m, a) => w.str(m).bytes(a) }
       val r = call(14, w.result)
       val err = r.i16()
-      require(err == 0, s"sync_group error $err")
-      r.bytes()
+      require(err == 0 || err == 27, s"sync_group error $err")
+      (err, r.bytes())
     }
 
     /** 0 = ok; 27 = rebalance in progress (the rejoin trigger) */
@@ -846,17 +861,23 @@ object Kafka {
 
     def join(): Seq[Int] = {
       val meta = client.metadata(topic) // ensures the topic exists
-      val jr = client.joinGroup(groupName, memberId, "range",
-        ConsumerProtocol.subscription(Seq(topic)))
-      memberId = jr.memberId
-      generation = jr.generationId
-      val myAssignment =
-        if (jr.memberId == jr.leaderId) {
-          val plan = ConsumerProtocol.rangeAssign(jr.members.map(_._1), topic,
-            meta.partitions.size)
-          client.syncGroup(groupName, generation, memberId,
-            plan.toSeq.map { case (m, a) => m -> ConsumerProtocol.assignment(a) })
-        } else client.syncGroup(groupName, generation, memberId, Nil)
+      var myAssignment: Array[Byte] = null
+      while (myAssignment == null) {
+        val jr = client.joinGroup(groupName, memberId, "range",
+          ConsumerProtocol.subscription(Seq(topic)))
+        memberId = jr.memberId
+        generation = jr.generationId
+        val (err, bytes) =
+          if (jr.memberId == jr.leaderId) {
+            val plan = ConsumerProtocol.rangeAssign(jr.members.map(_._1), topic,
+              meta.partitions.size)
+            client.syncGroup(groupName, generation, memberId,
+              plan.toSeq.map { case (m, a) => m -> ConsumerProtocol.assignment(a) })
+          } else client.syncGroup(groupName, generation, memberId, Nil)
+        // 27 = REBALANCE_IN_PROGRESS: the generation moved on while we
+        // were syncing — loop back to JoinGroup (the real client's path)
+        if (err == 0) myAssignment = bytes
+      }
       assigned = ConsumerProtocol.parseAssignment(myAssignment).getOrElse(topic, Nil)
       positions.clear()
       val committed = client.offsetFetch(groupName, topic, assigned)

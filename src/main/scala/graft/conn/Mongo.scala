@@ -149,11 +149,11 @@ object Mongo {
     * upserts, `_id` uniqueness with duplicate-key writeErrors. */
   final class MiniMongo {
     private val collections = new CTrieMap[(String, String), ArrayBuffer[VectorMap[String, Any]]]()
-    // _id uniqueness index — the dup check must not scan the collection
-    // per inserted document (O(n²) at gate volume)
-    private val idIndex = new CTrieMap[(String, String), scala.collection.mutable.HashSet[Any]]()
-    private def ids(db: String, name: String): scala.collection.mutable.HashSet[Any] =
-      idIndex.getOrElseUpdate((db, name), scala.collection.mutable.HashSet[Any]())
+    // _id index (id -> doc) — dup checks AND bare-_id point lookups
+    // must not scan the collection per document (O(n²) at gate volume)
+    private val idIndex = new CTrieMap[(String, String), scala.collection.mutable.HashMap[Any, VectorMap[String, Any]]]()
+    private def ids(db: String, name: String): scala.collection.mutable.HashMap[Any, VectorMap[String, Any]] =
+      idIndex.getOrElseUpdate((db, name), scala.collection.mutable.HashMap[Any, VectorMap[String, Any]]())
     private def normId(v: Any): Any = v match {
       case i: Int => i.toLong
       case d: Double if d == math.rint(d) => d.toLong
@@ -210,24 +210,50 @@ object Mongo {
           val c = coll(db, name)
           val index = ids(db, name)
           val docs = req("documents").asInstanceOf[Vector[Any]].map(_.asInstanceOf[VectorMap[String, Any]])
+          val ordered = !req.get("ordered").contains(false) // mongod default: true
           c.synchronized {
-            val dups = docs.filter(d => d.get("_id").exists(id => index.contains(normId(id))))
-            if (dups.nonEmpty)
-              VectorMap("n" -> (docs.size - dups.size).toLong, "ok" -> 1.0,
-                "writeErrors" -> Vector[Any](VectorMap[String, Any]("index" -> 0L, "code" -> 11000L,
-                  "errmsg" -> "E11000 duplicate key error")))
-            else {
-              c ++= docs
-              docs.foreach(_.get("_id").foreach(id => index += normId(id)))
-              VectorMap("n" -> docs.size.toLong, "ok" -> 1.0)
+            // real mongod persists the non-duplicate documents: ordered
+            // inserts stop at the first error, unordered ones attempt
+            // every document; writeErrors carry the per-entry index
+            var n = 0L
+            val errors = Vector.newBuilder[Any]
+            var halted = false
+            docs.zipWithIndex.foreach { case (d, i) =>
+              if (!halted) {
+                val dup = d.get("_id").exists(id => index.contains(normId(id)))
+                if (dup) {
+                  errors += VectorMap[String, Any]("index" -> i.toLong, "code" -> 11000L,
+                    "errmsg" -> "E11000 duplicate key error")
+                  if (ordered) halted = true
+                } else {
+                  c += d
+                  d.get("_id").foreach(id => index(normId(id)) = d)
+                  n += 1
+                }
+              }
             }
+            val errs = errors.result()
+            if (errs.isEmpty) VectorMap("n" -> n, "ok" -> 1.0)
+            else VectorMap("n" -> n, "ok" -> 1.0, "writeErrors" -> errs)
           }
 
         case ("find", name: String) =>
           val c = coll(db, name)
           val filter = req.get("filter").map(_.asInstanceOf[VectorMap[String, Any]]).getOrElse(VectorMap.empty[String, Any])
           val limit = req.get("limit").map { case i: Int => i; case l: Long => l.toInt }.getOrElse(0)
-          val found = c.synchronized(c.filter(matches(_, filter)).toVector)
+          // bare _id equality rides the index — a point lookup must not
+          // scan the collection (cache_mongodb issues O(rows) of these)
+          val bareId = if (filter.size == 1) filter.get("_id").collect {
+            case v: VectorMap[String @unchecked, Any @unchecked] if v.keySet == Set("$eq") => v("$eq")
+            case v: VectorMap[String @unchecked, Any @unchecked] => null // other operators: scan
+            case v => v
+          }.filter(_ != null) else None
+          val found = c.synchronized {
+            bareId match {
+              case Some(id) => ids(db, name).get(normId(id)).toVector
+              case None => c.filter(matches(_, filter)).toVector
+            }
+          }
           val sliced = if (limit > 0) found.take(limit) else found
           VectorMap("cursor" -> VectorMap[String, Any](
             "firstBatch" -> sliced.map(d => d: Any), "id" -> 0L, "ns" -> s"$db.$name"), "ok" -> 1.0)
@@ -255,7 +281,7 @@ object Mongo {
                   case _ => setDoc
                 }
                 c += merged
-                merged.get("_id").foreach(id => ids(db, name) += normId(id))
+                merged.get("_id").foreach(id => ids(db, name)(normId(id)) = merged)
                 upserted += 1
               } else hit.foreach { i =>
                 setDoc.get("$set") match {
@@ -263,6 +289,7 @@ object Mongo {
                   case _ => // replace-one semantics: full doc replacement, _id kept
                     c(i) = c(i).get("_id").map(id => VectorMap[String, Any]("_id" -> id) ++ setDoc).getOrElse(setDoc)
                 }
+                c(i).get("_id").foreach(id => ids(db, name)(normId(id)) = c(i))
                 n += 1
               }
             }
@@ -350,8 +377,10 @@ object Mongo {
       resp
     }
 
-    def insert(coll: String, docs: Seq[VectorMap[String, Any]]): VectorMap[String, Any] =
-      ok(command(VectorMap("insert" -> coll, "documents" -> docs.toVector.map(d => d: Any))), "insert")
+    def insert(coll: String, docs: Seq[VectorMap[String, Any]],
+               ordered: Boolean = true): VectorMap[String, Any] =
+      ok(command(VectorMap("insert" -> coll, "documents" -> docs.toVector.map(d => d: Any),
+        "ordered" -> ordered)), "insert")
 
     def find(coll: String, filter: VectorMap[String, Any] = VectorMap.empty,
              limit: Int = 0): Vector[VectorMap[String, Any]] = {

@@ -268,21 +268,40 @@ object Pgwire {
       }
     }
 
-    /** next changefeed row, or None after `timeoutMs` idle */
+    private var dead = false
+
+    /** next changefeed row, or None after `timeoutMs` idle. A timeout is
+      * only a clean "no row yet" BEFORE the first byte of a message; one
+      * that fires mid-frame (after the type byte, or inside the body)
+      * leaves the stream desynced — the connection is marked dead and
+      * every later call fails instead of silently misparsing. */
     def nextRow(timeoutMs: Int = 5000): Option[FeedRow] = synchronized {
+      require(!dead, "connection desynced by a mid-frame timeout; reconnect and resume from the cursor")
       sock.setSoTimeout(timeoutMs)
-      try readMsg(in) match {
-        case ('D', body) =>
-          val b = java.nio.ByteBuffer.wrap(body)
-          val n = b.getShort()
-          require(n == 3, s"changefeed row with $n columns")
-          def col(): String = {
-            val l = b.getInt(); val v = new Array[Byte](l); b.get(v); new String(v, UTF_8)
-          }
-          Some(FeedRow(col(), col(), col()))
-        case ('E', b) => throw new IllegalArgumentException(parseError(b))
-        case _ => None
-      } catch { case _: java.net.SocketTimeoutException => None }
+      var midFrame = false
+      try {
+        val tpe = in.readByte().toChar // timeout here = idle, clean None
+        midFrame = true
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4); in.readFully(body)
+        midFrame = false
+        (tpe, body) match {
+          case ('D', bodyBytes) =>
+            val b = java.nio.ByteBuffer.wrap(bodyBytes)
+            val n = b.getShort()
+            require(n == 3, s"changefeed row with $n columns")
+            def col(): String = {
+              val l = b.getInt(); val v = new Array[Byte](l); b.get(v); new String(v, UTF_8)
+            }
+            Some(FeedRow(col(), col(), col()))
+          case ('E', b) => throw new IllegalArgumentException(parseError(b))
+          case _ => None
+        }
+      } catch {
+        case e: java.net.SocketTimeoutException =>
+          if (midFrame) { dead = true; throw new IllegalStateException("timeout mid-frame: connection desynced", e) }
+          None
+      }
       finally sock.setSoTimeout(0)
     }
 

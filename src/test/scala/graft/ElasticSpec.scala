@@ -59,6 +59,43 @@ class ElasticSpec extends AnyFunSuite {
     }
   }
 
+  test("sliced search partitions the index disjointly and completely; pages are bounded") {
+    withEs { (_, c) =>
+      c.bulk((1 to 300).map(i => IndexOp("big", s"doc-$i",
+        VectorMap[String, Any]("n" -> i.toLong))))
+      val slices = 4
+      // per-slice drain via bounded pages (pageSize 50 < 300 docs)
+      val bySlice = (0 until slices).map { sid =>
+        c.drainSlice("big", sid, slices, pageSize = 50).map(_.id).toVector
+      }
+      bySlice.foreach(ids => assert(ids == ids.sorted, "pages arrive in _id order"))
+      val union = bySlice.flatten
+      assert(union.size == 300, "complete: every doc in exactly one slice")
+      assert(union.toSet.size == 300, "disjoint: no doc appears twice")
+      assert(bySlice.count(_.nonEmpty) >= 2, "the hash actually spreads docs")
+      // no single call returns more than the page size
+      val page = c.searchPage("big", slice = Some((0, slices)), size = 50)
+      assert(page.size <= 50)
+    }
+  }
+
+  test("search_after keyset pagination walks the full order without overlap") {
+    withEs { (_, c) =>
+      c.bulk((1 to 25).map(i => IndexOp("pg", f"k$i%03d",
+        VectorMap[String, Any]("n" -> i.toLong))))
+      var after: Option[String] = None
+      val seen = Vector.newBuilder[String]
+      var done = false
+      while (!done) {
+        val page = c.searchPage("pg", after = after, size = 10)
+        seen ++= page.map(_.id)
+        if (page.size < 10) done = true else after = Some(page.last.id)
+      }
+      val ids = seen.result()
+      assert(ids == (1 to 25).map(i => f"k$i%03d").toVector, "ordered, complete, no overlap")
+    }
+  }
+
   test("dynamic index creation on first bulk write") {
     withEs { (srv, c) =>
       assert(srv.docCount("fresh") == 0)

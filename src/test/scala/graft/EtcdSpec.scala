@@ -31,7 +31,7 @@ class EtcdSpec extends AnyFunSuite {
     withEtcd { (srv, c) =>
       c.put("w/k1", "v1")
       c.put("w/k2", "v2")
-      val w = c.watch("w/", rangeEnd = "w0")
+      val w = c.watch("w/", rangeEnd = "w0", startRevision = 1)
       val backfill = Seq(w.next().get, w.next().get)
       assert(backfill.map(_.key) == Seq("w/k1", "w/k2"))
       assert(backfill.forall(_.eventType == "PUT"))
@@ -47,11 +47,23 @@ class EtcdSpec extends AnyFunSuite {
     }
   }
 
+  test("zero/absent start_revision means live-only (the public contract), not history replay") {
+    withEtcd { (_, c) =>
+      c.put("z/k1", "v1")
+      c.put("z/k2", "v2")
+      val w = c.watch("z/", rangeEnd = "z0") // no start_revision: from now
+      assert(w.next(300).isEmpty, "no backfill without an explicit start_revision")
+      c.put("z/k3", "v3")
+      val live = w.next().get
+      assert(live.key == "z/k3" && live.value == "v3")
+    }
+  }
+
   test("start_revision resumes a watch past the checkpoint; range filter scopes events") {
     withEtcd { (_, c) =>
       (1 to 5).foreach(i => c.put(s"r/k$i", s"v$i"))
       c.put("outside", "x")
-      val w1 = c.watch("r/", rangeEnd = "r0")
+      val w1 = c.watch("r/", rangeEnd = "r0", startRevision = 1)
       val firstThree = (1 to 3).map(_ => w1.next().get)
       val checkpoint = firstThree.last.modRevision
       // resume from checkpoint+1 on a fresh client (crash/restart shape)
@@ -75,7 +87,7 @@ class EtcdSpec extends AnyFunSuite {
       threads.foreach(_.start()); threads.foreach(_.join())
       assert(srv.currentRevision == 100L)
       assert(c.range("c/", rangeEnd = "c0").size == 100)
-      val w = c.watch("c/", rangeEnd = "c0")
+      val w = c.watch("c/", rangeEnd = "c0", startRevision = 1)
       val revs = (1 to 100).map(_ => w.next().get.modRevision)
       assert(revs == revs.sorted && revs.distinct.size == 100, "one total revision order")
     }

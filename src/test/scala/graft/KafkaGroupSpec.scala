@@ -55,6 +55,45 @@ class KafkaGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("a join during AwaitingSync opens a new round; the stale sync gets 27 and the client rejoins") {
+    withKafka { (_, bootstrap) =>
+      seed(bootstrap, "t27", 8)
+      val raw = new Kafka.Client(bootstrap)
+      try {
+        // m1 completes a JoinGroup round alone: the group is AwaitingSync
+        val j1 = raw.joinGroup("g27", "", "range",
+          Kafka.ConsumerProtocol.subscription(Seq("t27")))
+        assert(j1.memberId == j1.leaderId)
+        // a second member joins BEFORE m1 syncs — the coordinator must
+        // move the group back to PreparingRebalance (new round), so
+        // m1's gen-1 sync comes back 27 instead of silently succeeding
+        val late = new Kafka.GroupConsumer(bootstrap, "g27", "t27")
+        val lateAssigned = new java.util.concurrent.atomic.AtomicReference[Seq[Int]](Nil)
+        val t = new Thread(() => lateAssigned.set(late.join()))
+        t.start()
+        Thread.sleep(100) // let the late join open the new round
+        val (err, _) = raw.syncGroup("g27", j1.generationId, j1.memberId,
+          Seq(j1.memberId -> Kafka.ConsumerProtocol.assignment(Map("t27" -> Seq(0, 1, 2, 3)))))
+        assert(err == 27, s"stale sync must return REBALANCE_IN_PROGRESS, got $err")
+        // m1 rejoins (the real client's path); both land in one generation
+        val j2 = raw.joinGroup("g27", j1.memberId, "range",
+          Kafka.ConsumerProtocol.subscription(Seq("t27")))
+        val (err2, mine) =
+          if (j2.memberId == j2.leaderId) {
+            val plan = Kafka.ConsumerProtocol.rangeAssign(j2.members.map(_._1), "t27", 4)
+            raw.syncGroup("g27", j2.generationId, j2.memberId,
+              plan.toSeq.map { case (m, a) => m -> Kafka.ConsumerProtocol.assignment(a) })
+          } else raw.syncGroup("g27", j2.generationId, j2.memberId, Nil)
+        t.join(8000)
+        assert(err2 == 0, s"post-rejoin sync failed: $err2")
+        val myParts = Kafka.ConsumerProtocol.parseAssignment(mine).getOrElse("t27", Nil)
+        assert((myParts ++ lateAssigned.get).sorted == Seq(0, 1, 2, 3),
+          "the new generation splits disjointly and completely across both members")
+        late.close()
+      } finally raw.close()
+    }
+  }
+
   test("committed offsets resume a new consumer where the group left off") {
     withKafka { (_, bootstrap) =>
       seed(bootstrap, "t3", 12)

@@ -94,6 +94,28 @@ class MongoSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-batch insert persists the non-duplicates (real mongod contract)") {
+    withMongo { (srv, c) =>
+      c.insert("m", Seq(VectorMap[String, Any]("_id" -> 1L)))
+      // ordered (default): doc 0 lands, doc 1 dups with index=1, doc 2 never attempted
+      val r1 = c.insert("m", Seq(
+        VectorMap[String, Any]("_id" -> 2L), VectorMap[String, Any]("_id" -> 1L),
+        VectorMap[String, Any]("_id" -> 3L)))
+      assert(r1("n") == 1L && srv.count("test", "m") == 2)
+      val we1 = r1("writeErrors").asInstanceOf[Vector[Any]]
+      assert(we1.size == 1 &&
+        we1.head.asInstanceOf[VectorMap[String, Any]]("index") == 1L)
+      // unordered: every document attempted; both dups reported by index
+      val r2 = c.insert("m", Seq(
+        VectorMap[String, Any]("_id" -> 1L), VectorMap[String, Any]("_id" -> 3L),
+        VectorMap[String, Any]("_id" -> 2L)), ordered = false)
+      assert(r2("n") == 1L && srv.count("test", "m") == 3)
+      val we2 = r2("writeErrors").asInstanceOf[Vector[Any]]
+      assert(we2.map(_.asInstanceOf[VectorMap[String, Any]]("index")) == Vector(0L, 2L))
+      assert(c.find("m").map(_("_id")).toSet == Set(1L, 2L, 3L))
+    }
+  }
+
   test("cache backend: get/set/add/delete with upsert set and duplicate-key add") {
     withMongo { (srv, _) =>
       val cache = new Mongo.Cache(srv.address, "kv", prefix = "ns_")
