@@ -691,6 +691,7 @@ pipeline:
     // connection count stays = partitions, never rows.
     "proc_http" -> ((s, dir) => {
       import s.implicits._
+      graft.conn.Aws.serverNoDelay()
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/enrich", new com.sun.net.httpserver.HttpHandler {

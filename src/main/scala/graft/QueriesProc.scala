@@ -1633,6 +1633,84 @@ object QueriesProc {
         col("delivery"))
     }),
 
+    // nats_kv cache backend (impl/nats/cache_kv.go: Get/Put/Create/
+    // Delete on a KV bucket — the reference wraps nats.go KeyValue) over
+    // the from-scratch stack: bucket = stream KV_B on $KV.B.>, revisions
+    // = stream sequences, tombstones = KV-Operation headers riding
+    // HPUB/HMSG (conn/NatsKv.scala). Executors seed per partition, then
+    // per-partition clients resolve lineitem lookups through the bucket
+    "cache_nats_kv" -> ((s, dir) => {
+      import s.implicits._
+      val nats = new graft.conn.Nats.MiniNats().start()
+      val js = new graft.conn.JetStream.MiniJetStream(nats.url).start()
+      val url = nats.url
+      val reg = t(s, dir, "part").filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey").cast(LongType), col("p_name"))
+      graft.operators.External.perPartitionLookup[graft.conn.NatsKv.Cache, Long](reg)(
+        () => new graft.conn.NatsKv.Cache(url, "parts")) { (c, row) =>
+        c.set(s"p_${row.getLong(0)}", row.getString(1).getBytes("UTF-8"))
+        row.getLong(0)
+      }(_.close()).count() // seed before lookups
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") === 3 && col("l_partkey") % 2 === 1)
+        .select(col("l_orderkey").cast(LongType), col("l_partkey").cast(LongType))
+      val out = graft.operators.External.perPartitionLookup[graft.conn.NatsKv.Cache, (Long, String)](li)(
+        () => new graft.conn.NatsKv.Cache(url, "parts")) { (c, row) =>
+        (row.getLong(0), c.get(s"p_${row.getLong(1)}")
+          .map(new String(_, "UTF-8")).orNull)
+      }(_.close()).toDF("l_orderkey", "part_name").localCheckpoint()
+      js.stop(); nats.stop()
+      out
+    }),
+
+    // nats_kv input (impl/nats/input_kv.go: watch a bucket for updates —
+    // latest-per-key snapshot, then the live tail, delete markers as
+    // messages). Executors Put part rows (a deterministic subset written
+    // TWICE so superseded revisions exist, another subset tombstoned);
+    // the driver's watch must see exactly the newest entry per key —
+    // never a superseded value — and the tombstones ride through as DEL
+    "src_nats_kv" -> ((s, dir) => {
+      import s.implicits._
+      val nats = new graft.conn.Nats.MiniNats().start()
+      val js = new graft.conn.JetStream.MiniJetStream(nats.url).start()
+      val url = nats.url
+      new graft.conn.NatsKv.KvClient(url, "parts").createBucket().close()
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").cast(LongType),
+          concat_ws("|", col("p_name"), col("p_retailprice")).as("v"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val kv = new graft.conn.NatsKv.KvClient(url, "parts")
+          try it.foreach { r =>
+            val key = s"part.${r.getLong(0)}"
+            kv.put(key, s"v1|${r.getString(1)}".getBytes("UTF-8"))
+            // a second revision supersedes the first for %3==0 keys —
+            // the watch must deliver only the newest
+            if (r.getLong(0) % 3 == 0)
+              kv.put(key, s"v2|${r.getString(1)}".getBytes("UTF-8"))
+            if (r.getLong(0) % 4 == 2) kv.delete(key)
+          } finally kv.close()
+        }
+      }
+      val watcher = new graft.conn.NatsKv.KvClient(url, "parts")
+      val w = watcher.watch("part.>")
+      val got = Vector.newBuilder[(Long, String, String, Double, String)]
+      var e = w.next(2000)
+      while (e.isDefined) {
+        val entry = e.get
+        if (entry.operation == "PUT") {
+          val parts = new String(entry.value, "UTF-8").split('|')
+          got += ((entry.key.stripPrefix("part.").toLong, parts(0), parts(1),
+            parts(2).toDouble, entry.operation))
+        } else {
+          got += ((entry.key.stripPrefix("part.").toLong, null, null, 0.0, entry.operation))
+        }
+        e = w.next(500)
+      }
+      w.close(); watcher.close(); js.stop(); nats.stop()
+      s.createDataset(got.result())
+        .toDF("p_partkey", "ver", "p_name", "p_retailprice", "operation")
+    }),
+
     // pulsar output → input roundtrip (impl/pulsar/output.go acked
     // produce with partition keys; input.go flow-controlled consume +
     // ack) over the from-scratch binary protocol (conn/Pulsar.scala:
@@ -2319,6 +2397,18 @@ object QueriesProc {
       """SELECT l_orderkey, p_name AS part_name
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_linenumber = 2 AND l_partkey % 2 = 1""",
+    "cache_nats_kv" ->
+      """SELECT l_orderkey, p_name AS part_name
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_linenumber = 3 AND l_partkey % 2 = 1""",
+    "src_nats_kv" ->
+      """SELECT p_partkey,
+           CASE WHEN p_partkey % 4 = 2 THEN NULL
+                WHEN p_partkey % 3 = 0 THEN 'v2' ELSE 'v1' END AS ver,
+           CASE WHEN p_partkey % 4 = 2 THEN NULL ELSE p_name END AS p_name,
+           CASE WHEN p_partkey % 4 = 2 THEN 0.0 ELSE p_retailprice END AS p_retailprice,
+           CASE WHEN p_partkey % 4 = 2 THEN 'DEL' ELSE 'PUT' END AS operation
+         FROM part WHERE p_partkey % 5 = 0""",
     "src_crdb_changefeed" ->
       """SELECT o_orderkey, o_orderpriority AS priority
          FROM orders WHERE o_orderkey % 14 = 0""",

@@ -27,6 +27,15 @@ import scala.collection.immutable.VectorMap
   */
 object Aws {
 
+  /** com.sun.net.httpserver leaves Nagle on; against the JDK client's
+    * write-write-read pattern that costs a ~40 ms delayed-ACK stall per
+    * loopback request (measured 45 ms/call → 0.4–2 ms with nodelay).
+    * ServerConfig reads the property ONCE, when the HttpServer
+    * implementation class initializes — so every fixture calls this
+    * before its first HttpServer.create. */
+  def serverNoDelay(): Unit =
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+
   // ----------------------------------------------------------------- JSON
   /** AWS JSON-protocol bodies (x-amz-json-1.0/1.1, REST-JSON) over the
     * in-repo parser/renderer. Field order is irrelevant to the protocol,
@@ -247,6 +256,7 @@ object Aws {
                          headers: Map[String, String], body: Array[Byte]): (Int, Seq[(String, String)], Array[Byte])
 
     def start(): this.type = {
+      graft.conn.Aws.serverNoDelay()
       server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
         val body = x.getRequestBody.readAllBytes()

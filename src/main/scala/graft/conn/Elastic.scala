@@ -105,36 +105,43 @@ object Elastic {
     }
 
     private def handleSearch(index: String, body: String): (Int, Array[Byte]) = {
-      val docs = indices.get(index).map(_.readOnlySnapshot().toMap).getOrElse(Map.empty)
+      // readOnlySnapshot is an O(1) immutable view — no .toMap: paged
+      // sliced reads hit this endpoint once per page, and copying the
+      // whole index per page call would scale with index × pages
+      val docs: scala.collection.Map[String, VectorMap[String, Any]] =
+        indices.get(index).map(_.readOnlySnapshot()).getOrElse(scala.collection.Map.empty)
       val req = if (body.isEmpty) VectorMap.empty[String, Any] else Json.asObj(Json.parse(body))
       val size = Json.long(req, "size", 10).toInt
-      val queried = req.get("query").map(Json.asObj) match {
-        case Some(q) if q.contains("term") =>
-          val (field, spec) = Json.asObj(q("term")).head
-          val value = spec match {
-            case m: VectorMap[String @unchecked, Any @unchecked] => m("value")
-            case v => v
-          }
-          docs.filter { case (_, d) => matchesTerm(d, field, value) }
-        case _ => docs // match_all
-      }
+      val termPred: ((String, VectorMap[String, Any])) => Boolean =
+        req.get("query").map(Json.asObj) match {
+          case Some(q) if q.contains("term") =>
+            val (field, spec) = Json.asObj(q("term")).head
+            val value = spec match {
+              case m: VectorMap[String @unchecked, Any @unchecked] => m("value")
+              case v => v
+            }
+            kv => matchesTerm(kv._2, field, value)
+          case _ => _ => true // match_all
+        }
       // slice: {id, max} — the sliced-scroll partition (one per reader)
-      val sliced = req.get("slice").map(Json.asObj) match {
+      val slicePred: String => Boolean = req.get("slice").map(Json.asObj) match {
         case Some(sl) =>
           val sid = Json.long(sl, "id").toInt
           val max = Json.long(sl, "max").toInt
           require(max > 1 && sid >= 0 && sid < max, s"bad slice $sid/$max")
-          queried.filter { case (id, _) => sliceOf(id, max) == sid }
-        case None => queried
+          id => sliceOf(id, max) == sid
+        case None => _ => true
       }
       // search_after on the _id sort order — keyset pagination
       val after = req.get("searchAfter").orElse(req.get("search_after"))
         .map(Json.asArr(_).head.toString)
-      val paged = after match {
-        case Some(a) => sliced.filter { case (id, _) => id > a }
-        case None => sliced
+      val afterPred: String => Boolean = after match {
+        case Some(a) => id => id > a
+        case None => _ => true
       }
-      val sorted = paged.toSeq.sortBy(_._1)
+      val sorted = docs.iterator
+        .filter(kv => slicePred(kv._1) && afterPred(kv._1) && termPred(kv))
+        .toSeq.sortBy(_._1)
       json(200, Json.obj(
         "took" -> 1L,
         "hits" -> Json.obj(
@@ -146,6 +153,7 @@ object Elastic {
     }
 
     def start(): this.type = {
+      graft.conn.Aws.serverNoDelay()
       server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
         val body = new String(x.getRequestBody.readAllBytes(), UTF_8)

@@ -225,6 +225,7 @@ object Gcp {
     }
 
     def start(): this.type = {
+      graft.conn.Aws.serverNoDelay()
       server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
         val body = x.getRequestBody.readAllBytes()

@@ -19,10 +19,10 @@ import scala.collection.mutable
   * (`*` = one token, `>` = tail), queue groups (one member per group gets
   * each message), and request/reply via reply-to subjects. Core NATS is
   * at-most-once fire-and-forget — same contract as the reference input
-  * (no acks unless JetStream). Declared out: JetStream streams/consumers
-  * and the KV/ObjectStore built on them (a persistence layer, not a
-  * protocol; the durable path in this engine IS Spark's checkpointed
-  * sources), TLS/auth (no secure endpoints in-sandbox).
+  * (no acks unless JetStream). Headers (HPUB/HMSG, the public 2.2+
+  * extension) are implemented — the [[JetStream]] layer and the KV
+  * bucket semantics ([[NatsKv]]) ride them. Declared out: TLS/auth (no
+  * secure endpoints in-sandbox).
   */
 object Nats {
 
@@ -67,8 +67,27 @@ object Nats {
 
   // ------------------------------------------------------------- server
 
-  /** One delivered message. */
-  final case class Msg(subject: String, reply: String, payload: Array[Byte])
+  /** One delivered message. `headers` ride the HPUB/HMSG forms (the
+    * public headers extension, NATS 2.2+): a `NATS/1.0\r\n` version line
+    * followed by `Key: Value` lines — the substrate the KV layer's
+    * KV-Operation / Nats-Expected-Last-Subject-Sequence controls need. */
+  final case class Msg(subject: String, reply: String, payload: Array[Byte],
+                       headers: Map[String, String] = Map.empty)
+
+  private[conn] def renderHeaders(h: Map[String, String]): Array[Byte] = {
+    val sb = new StringBuilder("NATS/1.0\r\n")
+    h.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("\r\n").toString.getBytes(UTF_8)
+  }
+
+  private[conn] def parseHeaders(b: Array[Byte]): Map[String, String] = {
+    val lines = new String(b, UTF_8).split("\r\n")
+    require(lines.nonEmpty && lines(0).startsWith("NATS/1.0"), "bad header version line")
+    lines.drop(1).filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(':')
+      l.substring(0, i).trim -> l.substring(i + 1).trim
+    }.toMap
+  }
 
   /** Minimal NATS server: CONNECT/PING/SUB/UNSUB/PUB with wildcard and
     * queue-group routing. Thread-per-connection, all daemon. */
@@ -106,7 +125,8 @@ object Nats {
       }
     }
 
-    private def deliver(subject: String, reply: String, payload: Array[Byte]): Unit = {
+    private def deliver(subject: String, reply: String, payload: Array[Byte],
+                        headers: Map[String, String] = Map.empty): Unit = {
       // plain subs all get it; each queue group elects ONE member (spec's
       // distribution queue) — round-robin keeps the fixture deterministic
       val targets = subsLock.synchronized {
@@ -124,8 +144,15 @@ object Nats {
           val o = s.sock.getOutputStream
           o.synchronized {
             val rp = if (reply.isEmpty) "" else s" $reply"
-            o.write(s"MSG $subject ${s.sid}$rp ${payload.length}\r\n".getBytes(UTF_8))
-            o.write(payload); o.write('\r'); o.write('\n')
+            if (headers.isEmpty) {
+              o.write(s"MSG $subject ${s.sid}$rp ${payload.length}\r\n".getBytes(UTF_8))
+              o.write(payload)
+            } else {
+              val hb = renderHeaders(headers)
+              o.write(s"HMSG $subject ${s.sid}$rp ${hb.length} ${hb.length + payload.length}\r\n".getBytes(UTF_8))
+              o.write(hb); o.write(payload)
+            }
+            o.write('\r'); o.write('\n')
             o.flush()
           }
         } catch { case _: Throwable => () }
@@ -147,7 +174,7 @@ object Nats {
       try {
         out.synchronized {
           out.write(("INFO {\"server_id\":\"mini\",\"version\":\"0.0.1\"," +
-            "\"proto\":1,\"max_payload\":1048576}\r\n").getBytes(UTF_8))
+            "\"proto\":1,\"headers\":true,\"max_payload\":1048576}\r\n").getBytes(UTF_8))
           out.flush()
         }
         while (true) {
@@ -182,6 +209,17 @@ object Nats {
               if (in.read() != '\r' || in.read() != '\n')
                 throw new java.io.IOException("PUB payload missing CRLF")
               deliver(subject, reply, payload)
+            case "HPUB" =>
+              // HPUB <subject> [reply] <#hdr-bytes> <#total-bytes>
+              val a = line.substring(5).trim.split("\\s+")
+              val (subject, reply, hn, tn) =
+                if (a.length == 4) (a(0), a(1), a(2).toInt, a(3).toInt)
+                else (a(0), "", a(1).toInt, a(2).toInt)
+              val hdrBytes = readExact(in, hn)
+              val payload = readExact(in, tn - hn)
+              if (in.read() != '\r' || in.read() != '\n')
+                throw new java.io.IOException("HPUB payload missing CRLF")
+              deliver(subject, reply, payload, parseHeaders(hdrBytes))
             case other =>
               out.synchronized {
                 out.write(s"-ERR 'Unknown Protocol Operation: $other'\r\n".getBytes(UTF_8))
@@ -228,6 +266,18 @@ object Nats {
         out.flush()
       }
 
+    /** HPUB — publish with headers (the public headers extension). */
+    def publishH(subject: String, payload: Array[Byte], headers: Map[String, String],
+                 reply: String = ""): Unit =
+      if (headers.isEmpty) publish(subject, payload, reply)
+      else synchronized {
+        val hb = renderHeaders(headers)
+        val rp = if (reply.isEmpty) "" else s" $reply"
+        out.write(s"HPUB $subject$rp ${hb.length} ${hb.length + payload.length}\r\n".getBytes(UTF_8))
+        out.write(hb); out.write(payload); out.write('\r'); out.write('\n')
+        out.flush()
+      }
+
     def subscribe(filter: String, queue: String = ""): String = synchronized {
       val sid = s"s${sidGen.incrementAndGet()}"
       val q = if (queue.isEmpty) "" else s" $queue"
@@ -248,6 +298,17 @@ object Nats {
           if (in.read() != '\r' || in.read() != '\n')
             throw new java.io.IOException("MSG payload missing CRLF")
           return Msg(subject, reply, payload)
+        } else if (line.startsWith("HMSG ")) {
+          // HMSG <subject> <sid> [reply] <#hdr> <#total>
+          val a = line.substring(5).trim.split("\\s+")
+          val (subject, reply, hn, tn) =
+            if (a.length == 5) (a(0), a(2), a(3).toInt, a(4).toInt)
+            else (a(0), "", a(2).toInt, a(3).toInt)
+          val hdrBytes = readExact(in, hn)
+          val payload = readExact(in, tn - hn)
+          if (in.read() != '\r' || in.read() != '\n')
+            throw new java.io.IOException("HMSG payload missing CRLF")
+          return Msg(subject, reply, payload, parseHeaders(hdrBytes))
         } else if (line == "PING") {
           out.write("PONG\r\n".getBytes(UTF_8)); out.flush()
         } else if (line.startsWith("-ERR")) {
@@ -269,6 +330,12 @@ object Nats {
     }
     def request(subject: String, payload: Array[Byte]): Array[Byte] = {
       publish(subject, payload, reply = inbox)
+      nextMsg().payload
+    }
+
+    /** request with headers on the outbound message */
+    def requestH(subject: String, payload: Array[Byte], headers: Map[String, String]): Array[Byte] = {
+      publishH(subject, payload, headers, reply = inbox)
       nextMsg().payload
     }
 

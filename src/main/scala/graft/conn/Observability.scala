@@ -239,6 +239,7 @@ object Observability {
         eventBuf.iterator().asScala.toVector
       }
       def start(): this.type = {
+        graft.conn.Aws.serverNoDelay()
         server = com.sun.net.httpserver.HttpServer.create(
           new InetSocketAddress("127.0.0.1", 0), 0)
         server.createContext("/services/collector/event",
@@ -359,6 +360,7 @@ object Observability {
       def port: Int = server.getAddress.getPort
       def url: String = s"http://127.0.0.1:$port/metrics"
       def start(): this.type = {
+        graft.conn.Aws.serverNoDelay()
         server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
         server.createContext("/metrics", (x: com.sun.net.httpserver.HttpExchange) => {
           val b = registry.exposition.getBytes(UTF_8)
@@ -413,6 +415,7 @@ object Observability {
         entryBuf.iterator().asScala.toVector
       }
       def start(): this.type = {
+        graft.conn.Aws.serverNoDelay()
         server = com.sun.net.httpserver.HttpServer.create(
           new InetSocketAddress("127.0.0.1", 0), 0)
         server.createContext("/loki/api/v1/push",

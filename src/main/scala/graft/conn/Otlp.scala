@@ -147,6 +147,7 @@ object Otlp {
       spanBuf.iterator().asScala.toVector
     }
     def start(): this.type = {
+      graft.conn.Aws.serverNoDelay()
       server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/v1/traces", (x: com.sun.net.httpserver.HttpExchange) => {
         val body = x.getRequestBody.readAllBytes()

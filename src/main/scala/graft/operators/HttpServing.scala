@@ -49,6 +49,7 @@ final class HttpServerInput(path: String = "/post", timeoutSec: Long = 60) {
   // backlog 1024: the default accept queue overflows under a saturating
   // async producer (hundreds of concurrent connects) and drops SYNs —
   // observed as silently lost requests in the full 126-query gate run
+  graft.conn.Aws.serverNoDelay()
   private val server = com.sun.net.httpserver.HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 1024)
   server.createContext(path, new com.sun.net.httpserver.HttpHandler {
