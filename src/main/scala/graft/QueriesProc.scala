@@ -1711,6 +1711,53 @@ object QueriesProc {
         .toDF("p_partkey", "ver", "p_name", "p_retailprice", "operation")
     }),
 
+    // nats object store (impl/nats/{input,output,processor}_os.go:
+    // chunked blobs over the stream substrate — data under
+    // $O.B.C.<nuid> split at chunk_size, a rolled-up info record under
+    // $O.B.M.<name>). Executors write one multi-chunk object per order
+    // priority (4 KB chunks force real chunking); the driver lists the
+    // bucket and reads every object back through filtered consumers,
+    // re-splitting lines into rows
+    "src_nats_os" -> ((s, dir) => {
+      import s.implicits._
+      val nats = new graft.conn.Nats.MiniNats().start()
+      val js = new graft.conn.JetStream.MiniJetStream(nats.url).start()
+      val url = nats.url
+      new graft.conn.NatsObj.ObjClient(url, "ord").createBucket().close()
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderpriority").as("prio"),
+          concat_ws("|", col("o_orderkey"), col("o_totalprice")).as("line"))
+        .repartition(8, col("prio")) // co-locate each priority's lines
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          // one object per (priority, partition) — names stay unique even
+          // if the hash lands two priorities in one partition
+          val byPrio = scala.collection.mutable.Map[String, StringBuilder]()
+          var pid = -1
+          it.foreach { r =>
+            if (pid < 0) pid = org.apache.spark.TaskContext.getPartitionId()
+            byPrio.getOrElseUpdate(r.getString(0), new StringBuilder)
+              .append(r.getString(1)).append('\n')
+          }
+          val os = new graft.conn.NatsObj.ObjClient(url, "ord", chunkSize = 4096)
+          try byPrio.foreach { case (prio, sb) =>
+            os.put(s"prio-$prio-p$pid.txt", sb.toString.getBytes("UTF-8"))
+          } finally os.close()
+        }
+      }
+      val reader = new graft.conn.NatsObj.ObjClient(url, "ord")
+      val names = reader.list()
+      val lines = Vector.newBuilder[String]
+      names.foreach { n =>
+        new String(reader.get(n).get, "UTF-8").split('\n').filter(_.nonEmpty)
+          .foreach(lines += _)
+      }
+      reader.close(); js.stop(); nats.stop()
+      s.createDataset(lines.result()).toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
+        split(col("line"), "\\|").getItem(1).cast(DoubleType).as("o_totalprice"))
+    }),
+
     // pulsar output → input roundtrip (impl/pulsar/output.go acked
     // produce with partition keys; input.go flow-controlled consume +
     // ack) over the from-scratch binary protocol (conn/Pulsar.scala:
@@ -2401,6 +2448,9 @@ object QueriesProc {
       """SELECT l_orderkey, p_name AS part_name
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_linenumber = 3 AND l_partkey % 2 = 1""",
+    "src_nats_os" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 0""",
     "src_nats_kv" ->
       """SELECT p_partkey,
            CASE WHEN p_partkey % 4 = 2 THEN NULL
