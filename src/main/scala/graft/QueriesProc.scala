@@ -532,6 +532,42 @@ object QueriesProc {
       }(_.close()).toDF("s_suppkey", "nation_name")
     }),
 
+    // redis_hash output (impl/redis/output_hash.go: one HMSET/HSET per
+    // message, interpolated key + field map — the walk_json_object mode
+    // maps each column to a hash field). Per-partition clients HSET one
+    // hash per customer; the read-back resolves HGETALL per key through
+    // per-partition clients — both directions distributed
+    "out_redis_hash" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val cust = t(s, dir, "customer").filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").cast(LongType), col("c_name"),
+          col("c_acctbal").cast(DoubleType), col("c_nationkey").cast(LongType))
+      graft.operators.External.perPartitionLookup[graft.conn.Resp.Client, Long](cust)(
+        () => { val u = java.net.URI.create(url); new graft.conn.Resp.Client(u.getHost, u.getPort) }) { (c, row) =>
+        val r = c.cmd("HSET", s"cust:${row.getLong(0)}",
+          "name", row.getString(1), "bal", row.getDouble(2).toString,
+          "nation", row.getLong(3).toString)
+        require(r.isInstanceOf[graft.conn.Resp.Int64], s"HSET failed: $r")
+        row.getLong(0)
+      }(_.close()).count() // write before read-back
+      val keys = cust.select(col("c_custkey"))
+      graft.operators.External.perPartitionLookup[graft.conn.Resp.Client, (Long, String, Double, Long)](keys)(
+        () => { val u = java.net.URI.create(url); new graft.conn.Resp.Client(u.getHost, u.getPort) }) { (c, row) =>
+        val fields = c.cmd("HGETALL", s"cust:${row.getLong(0)}") match {
+          case graft.conn.Resp.Arr(items) =>
+            items.grouped(2).map {
+              case Vector(graft.conn.Resp.Bulk(f), graft.conn.Resp.Bulk(v)) =>
+                new String(f, "UTF-8") -> new String(v, "UTF-8")
+              case other => sys.error(s"bad HGETALL pair: $other")
+            }.toMap
+          case other => sys.error(s"HGETALL: $other")
+        }
+        (row.getLong(0), fields("name"), fields("bal").toDouble, fields("nation").toLong)
+      }(_.close()).toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    }),
+
     // redis_scan input (input_scan.go:84-96): SCAN + GET over the
     // keyspace; keys seeded by the cache path
     "src_redis_scan" -> ((s, dir) => {
@@ -1174,6 +1210,45 @@ object QueriesProc {
     // account's public key (conn/Gcp.scala; the reference wraps
     // cloud.google.com/go/pubsub). An attribute crosses the gate as the
     // metadata path
+    // gcp_bigquery_select input (impl/gcp/input_bigquery_select.go:
+    // table/columns/where-with-?-args config compiled to a SELECT job;
+    // output_bigquery.go's streaming inserts feed it) over the public
+    // REST v2 surface behind the round-6 OAuth2 JWT-bearer flow
+    // (conn/Gcp.scala BigQueryClient; the reference wraps
+    // cloud.google.com/go/bigquery). Executors stream insertAll batches
+    // with insertId dedup keys; the driver runs the parameterized
+    // SELECT and drains bounded getQueryResults pages — the single
+    // query-job cursor the real warehouse hands back
+    "src_gcp_bigquery" -> ((s, dir) => {
+      import s.implicits._
+      val (privPem, pubPem) = graft.conn.Gcp.generateKeyPair()
+      val sa = graft.conn.Gcp.ServiceAccount("svc@graft.iam.gserviceaccount.com", privPem)
+      val srv = new graft.conn.Gcp.MiniGcp(sa, pubPem).start()
+      val endpoint = srv.endpoint
+      srv.createBqTable("graft.ds.orders", Seq(
+        "okey" -> "INT64", "priority" -> "STRING", "total" -> "FLOAT64"))
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").cast(LongType), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Gcp.BigQueryClient(endpoint, sa)
+          try it.grouped(500).foreach { chunk =>
+            c.insertAll("ds.orders", chunk.map(r => scala.collection.immutable.VectorMap[String, Any](
+              "okey" -> r.getLong(0), "priority" -> r.getString(1), "total" -> r.getDouble(2))),
+              insertIdOf = r => Some(s"o-${r("okey")}"))
+          } finally c.close()
+        }
+      }
+      val reader = new graft.conn.Gcp.BigQueryClient(endpoint, sa)
+      val res = reader.query(
+        "SELECT okey, priority, total FROM `graft.ds.orders` WHERE total > ?",
+        Seq(1000.0), pageSize = 1000)
+      val got = res.rows.map(r => (r(0).toLong, r(1), r(2).toDouble)).toVector
+      reader.close(); srv.stop()
+      s.createDataset(got).toDF("o_orderkey", "priority", "o_totalprice")
+    }),
+
     "src_gcp_pubsub" -> ((s, dir) => {
       import s.implicits._
       val (privPem, pubPem) = graft.conn.Gcp.generateKeyPair()
@@ -2375,6 +2450,9 @@ object QueriesProc {
       """SELECT event_id, round(value * 3 + event_id % 5, 6) AS score,
            CASE WHEN value > 50 THEN 'hot' ELSE 'cold' END AS flag
          FROM events WHERE value IS NOT NULL""",
+    "src_gcp_bigquery" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, o_totalprice
+         FROM orders WHERE o_orderkey % 5 = 0 AND o_totalprice > 1000""",
     "src_gcp_pubsub" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
          FROM orders WHERE o_orderkey % 4 = 0""",
@@ -2592,6 +2670,9 @@ object QueriesProc {
     "cache_redis" ->
       """SELECT s_suppkey, n_name AS nation_name
          FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+    "out_redis_hash" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_nationkey
+         FROM customer WHERE c_custkey % 3 = 1""",
     "src_redis_scan" ->
       "SELECT r_regionkey, r_name FROM region",
     "src_redis_streams" ->

@@ -64,6 +64,22 @@ object Gcp {
     private val objects = new CTrieMap[(String, String), (Array[Byte], String, Long)]() // (bucket,name) -> (bytes, contentType, updated)
     private val tokens = new CTrieMap[String, Long]() // token -> expiry
     private val seq = new AtomicLong(0)
+
+    // ---- BigQuery state: tables keyed "project.dataset.table", jobs
+    //      hold a finished result set for getQueryResults paging
+    private final class BqTable(val schema: Vector[(String, String)]) {
+      val rows = new scala.collection.mutable.ArrayBuffer[Vector[Any]]()
+      val insertIds = scala.collection.mutable.Set[String]()
+    }
+    private val bqTables = new CTrieMap[String, BqTable]()
+    private val bqJobs = new CTrieMap[String, (Vector[(String, String)], Vector[Vector[Any]])]()
+
+    /** fixture-side DDL: register an empty table with a typed schema
+      * (types: STRING | INT64 | FLOAT64 | BOOL) */
+    def createBqTable(fqTable: String, schema: Seq[(String, String)]): Unit =
+      bqTables.putIfAbsent(fqTable, new BqTable(schema.toVector))
+    def bqRowCount(fqTable: String): Int =
+      bqTables.get(fqTable).map(t => t.synchronized(t.rows.size)).getOrElse(0)
     @volatile private var server: com.sun.net.httpserver.HttpServer = _
 
     def port: Int = server.getAddress.getPort
@@ -119,9 +135,92 @@ object Gcp {
         if (i < 0) (p, "") else (p.substring(0, i), URLDecoder.decode(p.substring(i + 1), "UTF-8"))
       }.toMap
 
+    // ---- BigQuery: the restricted SQL shape input_bigquery_select.go
+    //      generates (squirrel: SELECT cols FROM `t` WHERE ... ? ...),
+    //      plus ORDER BY / LIMIT suffixes
+    private val bqSelectRe =
+      ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+`([^`]+)`" +
+        "(?:\\s+WHERE\\s+(.+?))?(?:\\s+ORDER\\s+BY\\s+(\\w+)(\\s+DESC|\\s+ASC)?)?" +
+        "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
+    private val bqCondRe = "(?s)^\\s*(\\w+)\\s*(=|!=|<>|<=|>=|<|>)\\s*\\?\\s*$".r
+
+    private def bqNum(v: Any): Option[Double] = v match {
+      case l: Long => Some(l.toDouble)
+      case d: Double => Some(d)
+      case i: Int => Some(i.toDouble)
+      case _ => None
+    }
+    private def bqCompare(a: Any, b: Any): Int = (bqNum(a), bqNum(b)) match {
+      case (Some(x), Some(y)) => x.compareTo(y)
+      case _ => String.valueOf(a).compareTo(String.valueOf(b))
+    }
+
+    private def bqEval(sql: String, params: Vector[Any]): Either[String, (Vector[(String, String)], Vector[Vector[Any]])] =
+      sql match {
+        case bqSelectRe(colsS, table, whereS, orderCol, orderDir, limitS) =>
+          bqTables.get(table) match {
+            case None => Left(s"Not found: Table $table")
+            case Some(t) =>
+              val cols = colsS.split(',').map(_.trim).toVector
+              val schemaIdx = t.schema.map(_._1).zipWithIndex.toMap
+              val missing = cols.filterNot(schemaIdx.contains)
+              if (missing.nonEmpty) return Left(s"Unrecognized name: ${missing.head}")
+              val conds = Option(whereS).map(_.split("(?i)\\s+AND\\s+").toVector).getOrElse(Vector.empty)
+              if (conds.size != params.size)
+                return Left(s"expected ${conds.size} positional parameters, got ${params.size}")
+              val tests: Vector[Vector[Any] => Boolean] = conds.zip(params).map {
+                case (bqCondRe(col, op), arg) =>
+                  val i = schemaIdx.getOrElse(col, return Left(s"Unrecognized name: $col"))
+                  (row: Vector[Any]) => {
+                    val c = bqCompare(row(i), arg)
+                    op match {
+                      case "=" => c == 0
+                      case "!=" | "<>" => c != 0
+                      case "<" => c < 0
+                      case "<=" => c <= 0
+                      case ">" => c > 0
+                      case ">=" => c >= 0
+                    }
+                  }
+                case (other, _) => return Left(s"unsupported condition: $other")
+              }
+              var rows = t.synchronized(t.rows.toVector).filter(r => tests.forall(_(r)))
+              Option(orderCol).foreach { oc =>
+                val i = schemaIdx.getOrElse(oc, return Left(s"Unrecognized name: $oc"))
+                val asc = Option(orderDir).forall(!_.trim.equalsIgnoreCase("DESC"))
+                rows = rows.sortWith((a, b) =>
+                  if (asc) bqCompare(a(i), b(i)) < 0 else bqCompare(a(i), b(i)) > 0)
+              }
+              Option(limitS).foreach(l => rows = rows.take(l.toInt))
+              val proj = cols.map(schemaIdx)
+              Right((cols.map(c => t.schema(schemaIdx(c))), rows.map(r => proj.map(r))))
+          }
+        case _ => Left(s"unsupported query shape: $sql")
+      }
+
+    private def bqPage(jobId: String, schema: Vector[(String, String)],
+                       rows: Vector[Vector[Any]], offset: Int, max: Int): VectorMap[String, Any] = {
+      val page = rows.slice(offset, offset + max)
+      var resp = Json.obj(
+        "kind" -> "bigquery#queryResponse", "jobComplete" -> true,
+        "jobReference" -> Json.obj("jobId" -> jobId),
+        "schema" -> Json.obj("fields" -> schema.map { case (n, tpe) =>
+          Json.obj("name" -> n, "type" -> tpe): Any }),
+        "totalRows" -> rows.size.toString,
+        "rows" -> page.map { r =>
+          Json.obj("f" -> r.map(v => Json.obj("v" -> String.valueOf(v)): Any)): Any
+        })
+      if (offset + max < rows.size)
+        resp = resp.updated("pageToken", (offset + max).toString)
+      resp
+    }
+
     private val publishRe = "/v1/projects/([^/]+)/topics/([^/:]+):publish".r
     private val pullRe = "/v1/projects/([^/]+)/subscriptions/([^/:]+):pull".r
     private val ackRe = "/v1/projects/([^/]+)/subscriptions/([^/:]+):acknowledge".r
+    private val bqInsertAllRe = "/bigquery/v2/projects/([^/]+)/datasets/([^/]+)/tables/([^/]+)/insertAll".r
+    private val bqQueryRe = "/bigquery/v2/projects/([^/]+)/queries".r
+    private val bqQueryPageRe = "/bigquery/v2/projects/([^/]+)/queries/([^/]+)".r
     private val uploadRe = "/upload/storage/v1/b/([^/]+)/o".r
     private val objectRe = "/storage/v1/b/([^/]+)/o/(.+)".r
     private val listRe = "/storage/v1/b/([^/]+)/o".r
@@ -182,6 +281,74 @@ object Gcp {
             json(200, Json.obj())
           case None => err(404, s"subscription $sub not found")
         }
+
+        // ---------------- BigQuery (REST v2)
+        // tabledata.insertAll — the streaming-insert API output_bigquery
+        // rides (bigquery.Inserter); best-effort dedup on insertId
+        case ("POST", bqInsertAllRe(project, dataset, tableName)) =>
+          bqTables.get(s"$project.$dataset.$tableName") match {
+            case None => err(404, s"Not found: Table $project.$dataset.$tableName")
+            case Some(t) =>
+              val rows = Json.asArr(Json.asObj(Json.parse(new String(body, UTF_8)))("rows")).map(Json.asObj)
+              t.synchronized {
+                rows.foreach { r =>
+                  val dup = Json.strOpt(r, "insertId").exists(id => !t.insertIds.add(id))
+                  if (!dup) {
+                    val j = Json.asObj(r("json"))
+                    t.rows += t.schema.map { case (col, tpe) =>
+                      val v = j.getOrElse(col, null)
+                      (tpe, v) match {
+                        case (_, null) => null
+                        case ("INT64", x: Long) => x
+                        case ("INT64", x: Double) => x.toLong
+                        case ("INT64", x: String) => x.toLong
+                        case ("FLOAT64", x: Long) => x.toDouble
+                        case ("FLOAT64", x: Double) => x
+                        case ("FLOAT64", x: String) => x.toDouble
+                        case ("BOOL", x: Boolean) => x
+                        case (_, x) => String.valueOf(x)
+                      }
+                    }
+                  }
+                }
+              }
+              json(200, Json.obj("kind" -> "bigquery#tableDataInsertAllResponse"))
+          }
+
+        // jobs.query — the SELECT surface input_bigquery_select.go
+        // generates (columns/table/where-with-?-params), first page
+        case ("POST", bqQueryRe(_)) =>
+          val req = Json.asObj(Json.parse(new String(body, UTF_8)))
+          val sql = Json.str(req, "query")
+          val maxResults = Json.long(req, "maxResults", 1000).toInt
+          val params = req.get("queryParameters").map(Json.asArr).getOrElse(Vector.empty).map { p =>
+            val pm = Json.asObj(p)
+            val tpe = Json.str(Json.asObj(pm("parameterType")), "type")
+            val v = Json.str(Json.asObj(pm("parameterValue")), "value")
+            tpe match {
+              case "INT64" => v.toLong
+              case "FLOAT64" => v.toDouble
+              case "BOOL" => (v.toBoolean: Any)
+              case _ => v
+            }
+          }
+          bqEval(sql, params.toVector) match {
+            case Left(msg) => err(400, msg)
+            case Right((schema, rows)) =>
+              val jobId = s"job_${seq.incrementAndGet()}"
+              bqJobs.put(jobId, (schema, rows))
+              json(200, bqPage(jobId, schema, rows, 0, maxResults))
+          }
+
+        // jobs.getQueryResults — subsequent pages by pageToken offset
+        case ("GET", bqQueryPageRe(_, jobId)) =>
+          bqJobs.get(jobId) match {
+            case None => err(404, s"Not found: Job $jobId")
+            case Some((schema, rows)) =>
+              val offset = q.getOrElse("pageToken", "0").toInt
+              val max = q.get("maxResults").map(_.toInt).getOrElse(1000)
+              json(200, bqPage(jobId, schema, rows, offset, max))
+          }
 
         // ---------------- Cloud Storage (JSON API)
         case ("POST", uploadRe(bucket)) if q.get("uploadType").contains("media") =>
@@ -374,6 +541,86 @@ object Gcp {
       }
       out.result()
     }
+    override def close(): Unit = http.close()
+  }
+
+  /** BigQuery client (input_bigquery_select.go / processor_bigquery_
+    * select.go build `SELECT cols FROM \`t\` WHERE ...?...` and stream
+    * rows; output_bigquery.go streams inserts) over the public REST v2
+    * surface: jobs.query with positional parameters + getQueryResults
+    * paging, and tabledata.insertAll with insertId dedup. The reference
+    * wraps cloud.google.com/go/bigquery. */
+  final class BigQueryClient(endpoint: String, sa: ServiceAccount,
+                             project: String = "graft") extends AutoCloseable {
+    private val http = new Http
+    private val tokens = new TokenSource(endpoint, sa, "https://www.googleapis.com/auth/bigquery")
+    private def auth = "authorization" -> s"Bearer ${tokens.bearer()}"
+
+    private def call(method: String, path: String, body: Array[Byte]): VectorMap[String, Any] = {
+      val r = http.request(method, s"$endpoint$path",
+        Seq("content-type" -> "application/json", auth), body)
+      require(r.status == 200, s"$path: ${r.status} ${r.bodyStr}")
+      Json.asObj(Json.parse(r.bodyStr))
+    }
+
+    /** streaming insert (tabledata.insertAll); rows are column->value */
+    def insertAll(datasetTable: String, rows: Seq[VectorMap[String, Any]],
+                  insertIdOf: VectorMap[String, Any] => Option[String] = _ => None): Unit = {
+      val Array(dataset, table) = datasetTable.split('.')
+      call("POST", s"/bigquery/v2/projects/$project/datasets/$dataset/tables/$table/insertAll",
+        Json.render(Json.obj("rows" -> rows.toVector.map { r =>
+          var entry = Json.obj("json" -> r)
+          insertIdOf(r).foreach(id => entry = entry.updated("insertId", id))
+          entry: Any
+        })).getBytes(UTF_8)); ()
+    }
+
+    final case class QueryResult(columns: Vector[String], types: Vector[String],
+                                 rows: Iterator[Vector[String]])
+
+    /** jobs.query with positional ?-parameters; rows stream page by
+      * page through getQueryResults — no call exceeds `pageSize` */
+    def query(sql: String, params: Seq[Any] = Nil, pageSize: Int = 500): QueryResult = {
+      val qps = params.toVector.map { p =>
+        val tpe = p match {
+          case _: Long | _: Int => "INT64"
+          case _: Double => "FLOAT64"
+          case _: Boolean => "BOOL"
+          case _ => "STRING"
+        }
+        Json.obj("parameterType" -> Json.obj("type" -> tpe),
+          "parameterValue" -> Json.obj("value" -> String.valueOf(p))): Any
+      }
+      var req = Json.obj("query" -> sql, "useLegacySql" -> false,
+        "maxResults" -> pageSize.toLong)
+      if (qps.nonEmpty) req = req.updated("parameterMode", "POSITIONAL")
+        .updated("queryParameters", qps)
+      val first = call("POST", s"/bigquery/v2/projects/$project/queries",
+        Json.render(req).getBytes(UTF_8))
+      val jobId = Json.str(Json.asObj(first("jobReference")), "jobId")
+      val fields = Json.asArr(Json.asObj(first("schema"))("fields")).map(Json.asObj)
+      def pageRows(resp: VectorMap[String, Any]): Vector[Vector[String]] =
+        resp.get("rows").map(Json.asArr).getOrElse(Vector.empty).map { r =>
+          Json.asArr(Json.asObj(r)("f")).map(f => Json.str(Json.asObj(f), "v"))
+        }
+      val rows = new Iterator[Vector[String]] {
+        private var page = pageRows(first)
+        private var token = Json.strOpt(first, "pageToken")
+        private var i = 0
+        def hasNext: Boolean = {
+          if (i >= page.size && token.isDefined) {
+            val resp = call("GET",
+              s"/bigquery/v2/projects/$project/queries/$jobId?pageToken=${token.get}&maxResults=$pageSize",
+              Array.emptyByteArray)
+            page = pageRows(resp); token = Json.strOpt(resp, "pageToken"); i = 0
+          }
+          i < page.size
+        }
+        def next(): Vector[String] = { val r = page(i); i += 1; r }
+      }
+      QueryResult(fields.map(Json.str(_, "name")), fields.map(Json.str(_, "type")), rows)
+    }
+
     override def close(): Unit = http.close()
   }
 

@@ -183,6 +183,7 @@ object Resp {
   private final case class SList(v: mutable.ArrayDeque[Array[Byte]]) extends Stored
   private final case class SSet(v: mutable.LinkedHashSet[String]) extends Stored
   private final case class SStream(v: mutable.ArrayBuffer[(String, Vector[(String, Array[Byte])])]) extends Stored
+  private final case class SHash(v: mutable.LinkedHashMap[String, Array[Byte]]) extends Stored
 
   /** Minimal single-store redis server: string/list/set/stream families +
     * expiry + SCAN + pub/sub — the subset the reference connectors touch.
@@ -379,6 +380,45 @@ object Resp {
           case "SMEMBERS" => live(k(a(0))) match {
             case None => Arr(Vector.empty)
             case Some(SSet(s)) => Arr(s.toVector.map(m => Bulk(kb(m))))
+            case Some(_) => wrongType()
+          }
+
+          // hashes — the redis_hash output's HMSET surface (HSET is the
+          // modern multi-field form; HMSET is its deprecated alias)
+          case "HSET" | "HMSET" =>
+            val key = k(a(0))
+            val h = live(key) match {
+              case Some(SHash(m)) => m
+              case None =>
+                val m = mutable.LinkedHashMap[String, Array[Byte]]()
+                store(key) = SHash(m); m
+              case Some(_) => return wrongType()
+            }
+            var added = 0L
+            a.drop(1).grouped(2).foreach { fv =>
+              if (!h.contains(k(fv(0)))) added += 1
+              h(k(fv(0))) = fv(1)
+            }
+            if (cmd == "HMSET") Simple("OK") else Int64(added)
+          case "HGET" => live(k(a(0))) match {
+            case None => NullBulk
+            case Some(SHash(m)) => m.get(k(a(1))).map(Bulk(_)).getOrElse(NullBulk)
+            case Some(_) => wrongType()
+          }
+          case "HGETALL" => live(k(a(0))) match {
+            case None => Arr(Vector.empty)
+            case Some(SHash(m)) =>
+              Arr(m.toVector.flatMap { case (f, v) => Vector(Bulk(kb(f)), Bulk(v)) })
+            case Some(_) => wrongType()
+          }
+          case "HDEL" => live(k(a(0))) match {
+            case None => Int64(0)
+            case Some(SHash(m)) => Int64(a.drop(1).count(f => m.remove(k(f)).isDefined).toLong)
+            case Some(_) => wrongType()
+          }
+          case "HLEN" => live(k(a(0))) match {
+            case None => Int64(0)
+            case Some(SHash(m)) => Int64(m.size.toLong)
             case Some(_) => wrongType()
           }
 

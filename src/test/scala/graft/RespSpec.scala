@@ -173,6 +173,24 @@ class RespSpec extends AnyFunSuite {
     }
   }
 
+  test("hash family: HSET multi-field counts new fields, HMSET aliases OK, HGETALL/HDEL") {
+    withServer { (_, c) =>
+      assert(c.long("HSET", "h", "a", "1", "b", "2") == 2, "two new fields")
+      assert(c.long("HSET", "h", "a", "1b", "c", "3") == 1, "overwrite counts 0, new counts 1")
+      assert(c.str("HGET", "h", "a") == "1b")
+      assert(c.cmd("HGET", "h", "zz") == Resp.NullBulk)
+      val all = c.arr("HGETALL", "h").map { case Resp.Bulk(b) => new String(b, "UTF-8") }
+      assert(all.grouped(2).map(p => p(0) -> p(1)).toMap == Map("a" -> "1b", "b" -> "2", "c" -> "3"))
+      assert(c.str("HMSET", "h2", "x", "9") == "OK", "deprecated alias replies OK")
+      assert(c.long("HLEN", "h") == 3)
+      assert(c.long("HDEL", "h", "a", "zz") == 1)
+      assert(c.long("HLEN", "h") == 2)
+      c.str("SET", "plain", "v")
+      val e = intercept[Resp.RedisErrorException](c.cmd("HGET", "plain", "f"))
+      assert(e.getMessage.contains("WRONGTYPE"), "WRONGTYPE on a string key")
+    }
+  }
+
   test("stream family: XADD monotonic ids, XLEN, XRANGE bounds") {
     withServer { (_, c) =>
       val ids = (1 to 5).map(i => c.str("XADD", "st", "*", "body", s"m$i"))
