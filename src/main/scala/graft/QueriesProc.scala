@@ -1098,20 +1098,23 @@ object QueriesProc {
           c.sendBatch(url, chunk.map(r => (r.getString(0), Map("segment" -> r.getString(1)))))
         } finally c.close()
       }
-      val got = Vector.newBuilder[(String, String, Long)]
-      var n = 0L
-      while (n < expected) {
-        val batch = setup.receive(url, max = 10, waitTimeSec = 5)
-        require(batch.nonEmpty, s"sqs drained early at $n/$expected")
-        batch.foreach(m => got += ((m.body, m.attributes("segment"), m.receiveCount)))
-        setup.deleteBatch(url, batch.map(_.receiptHandle))
-        n += batch.size
-      }
+      // spool-then-scan (operators/SpooledSource.scala): the single SQS
+      // cursor drains into durable parquet chunks — messages deleted
+      // only AFTER their chunk is on disk — and the result is the
+      // DISTRIBUTED scan over the spool, not a driver-side collection
+      val spoolDir = java.nio.file.Files.createTempDirectory("graft-sqs-spool").toString
+      val spooled = graft.operators.SpooledSource.run(s, spoolDir, chunkRows = 2000)(
+        () => setup.receive(url, max = 10, waitTimeSec = 2))(
+        m => graft.operators.SpooledSource.SpoolMsg(m.body, m.attributes, m.receiveCount))(
+        batch => { setup.deleteBatch(url, batch.map(_.receiptHandle)); () })
+      val out = spooled.select(
+        split(col("body"), "\\|").getItem(0).cast(LongType).as("c_custkey"),
+        split(col("body"), "\\|").getItem(1).as("c_name"),
+        col("attributes").getItem("segment").as("segment"),
+        col("receive_count"))
+      require(out.count() == expected, "spool row count mismatch")
       setup.close(); srv.stop()
-      s.createDataset(got.result()).toDF("line", "segment", "receive_count").select(
-        split(col("line"), "\\|").getItem(0).cast(LongType).as("c_custkey"),
-        split(col("line"), "\\|").getItem(1).as("c_name"),
-        col("segment"), col("receive_count"))
+      out // scans the on-disk spool; the fixture is no longer involved
     }),
 
     // aws_kinesis output → input roundtrip (impl/aws/output_kinesis.go
