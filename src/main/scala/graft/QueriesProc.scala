@@ -43,6 +43,30 @@ object QueriesProc {
         col(Msg.MetaCol)("src").as("src"))
     }),
 
+    // python processor (impl/python/processor.go — the reference hosts
+    // CPython-in-WASM; operators/Python.scala runs one out-of-process
+    // python3 interpreter per Spark partition, line-framed JSON, the
+    // same this→root / None-deletes / exception→error-facet contract).
+    // The script maps a score, deletes the %11==0 ids, and the oracle
+    // replays both arms in SQL
+    "proc_python" -> ((s, dir) => {
+      val env = Msg.envelope(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select("event_id", "value"))
+      val out = graft.operators.Python.processor(
+        """if this["event_id"] % 11 == 0:
+          |    root = None
+          |else:
+          |    root = {"event_id": this["event_id"],
+          |            "score": this["value"] * 2.0 + this["event_id"] % 7,
+          |            "grade": "hi" if this["value"] > 100.0 else "lo"}
+          |""".stripMargin)(env)
+      out.filter(Msg.ok).select(
+        get_json_object(col(Msg.ContentCol), "$.event_id").cast(LongType).as("event_id"),
+        round(get_json_object(col(Msg.ContentCol), "$.score").cast(DoubleType), 6).as("score"),
+        get_json_object(col(Msg.ContentCol), "$.grade").as("grade"))
+    }),
+
     // awk processor (processor_awk.go; subset interpreter Awk.scala): the
     // program runs per message over (content, meta); oracle replays the
     // guard + arithmetic as SQL
@@ -2566,6 +2590,11 @@ object QueriesProc {
            CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS grade,
            'script' AS src
          FROM events WHERE value IS NOT NULL""",
+    "proc_python" ->
+      """SELECT event_id,
+           round(value * 2 + event_id % 7, 6) AS score,
+           CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS grade
+         FROM events WHERE value IS NOT NULL AND event_id % 11 <> 0""",
     "proc_awk" ->
       """SELECT event_id,
            CASE WHEN value > 100 THEN 'big' ELSE NULL END AS bucket,
