@@ -1735,6 +1735,54 @@ object QueriesProc {
         col("delivery"))
     }),
 
+    // kubernetes_watch input (impl/kubernetes/input_watch.go — the
+    // reference wraps client-go; conn/Kube.scala implements the public
+    // API conventions: Bearer-authed list with a resourceVersion
+    // bookmark, and the CHUNKED watch stream replaying
+    // {"type":…,"object":…} lines after a resourceVersion, then
+    // tailing). Executors drive pod create/update/delete through
+    // per-partition clients; the driver's watch replays the full event
+    // history — ADDED/MODIFIED/DELETED with the object state each
+    // event carried — and the oracle rebuilds all three arms
+    "src_kubernetes_watch" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Kube.MiniKubeApiserver("graft-sa-token").start()
+      val endpoint = srv.endpoint
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").cast(LongType))
+      val n = rows.count()
+      val nUpd = rows.filter(col("p_partkey") % 3 === 0).count()
+      val nDel = rows.filter(col("p_partkey") % 5 === 0).count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Kube.Client(endpoint, "graft-sa-token")
+          try it.foreach { r =>
+            val key = r.getLong(0)
+            val name = s"part-$key"
+            c.create("pods", name, Map("app" -> "graft"),
+              scala.collection.immutable.VectorMap[String, Any]("image" -> "v1", "key" -> key))
+            if (key % 3 == 0)
+              c.update("pods", name, Map("app" -> "graft"),
+                scala.collection.immutable.VectorMap[String, Any]("image" -> "v2", "key" -> key))
+            if (key % 5 == 0) c.delete("pods", name)
+          } finally c.close()
+        }
+      }
+      val expected = n + nUpd + nDel
+      val w = new graft.conn.Kube.Watch(endpoint, "graft-sa-token", "default", "pods",
+        resourceVersion = 0L, labelSelector = Map("app" -> "graft"))
+      val got = Vector.newBuilder[(Long, String, String)]
+      (1L to expected).foreach { i =>
+        val ev = w.next(5000).getOrElse(sys.error(s"watch drained early at $i/$expected"))
+        val spec = graft.conn.Aws.Json.asObj(
+          graft.conn.Aws.Json.asObj(graft.conn.Aws.Json.parse(ev.objectJson))("spec"))
+        got += ((ev.name.stripPrefix("part-").toLong, ev.eventType,
+          graft.conn.Aws.Json.str(spec, "image")))
+      }
+      w.close(); srv.stop()
+      s.createDataset(got.result()).toDF("p_partkey", "event_type", "image")
+    }),
+
     // nats_kv cache backend (impl/nats/cache_kv.go: Get/Put/Create/
     // Delete on a KV bucket — the reference wraps nats.go KeyValue) over
     // the from-scratch stack: bucket = stream KV_B on $KV.B.>, revisions
@@ -2556,6 +2604,16 @@ object QueriesProc {
     "src_nats_os" ->
       """SELECT o_orderkey, o_totalprice
          FROM orders WHERE o_orderkey % 3 = 0""",
+    "src_kubernetes_watch" ->
+      """SELECT p_partkey, 'ADDED' AS event_type, 'v1' AS image
+         FROM part WHERE p_partkey % 7 = 0
+         UNION ALL
+         SELECT p_partkey, 'MODIFIED', 'v2'
+         FROM part WHERE p_partkey % 7 = 0 AND p_partkey % 3 = 0
+         UNION ALL
+         SELECT p_partkey, 'DELETED',
+           CASE WHEN p_partkey % 3 = 0 THEN 'v2' ELSE 'v1' END
+         FROM part WHERE p_partkey % 7 = 0 AND p_partkey % 5 = 0""",
     "src_nats_kv" ->
       """SELECT p_partkey,
            CASE WHEN p_partkey % 4 = 2 THEN NULL
