@@ -65,15 +65,35 @@ object Python {
     }
 
     /** Right(Some(rootJson)) mapped, Right(None) deleted, Left(error) */
-    def process(contentJson: String): Either[String, Option[String]] = {
-      toPy.write(Json.render(Json.obj("content" -> contentJson)))
-      toPy.write("\n"); toPy.flush()
-      val line = fromPy.readLine()
-      require(line != null, "python worker died mid-stream")
-      val resp = Json.asObj(Json.parse(line))
-      if (resp.get("ok").contains(true))
-        Right(resp.get("root").filter(_ != null).map(Json.render))
-      else Left(Json.str(resp, "error"))
+    def process(contentJson: String): Either[String, Option[String]] =
+      processBatch(Seq(contentJson)).head
+
+    /** pipelined: frames stream from a writer thread while responses
+      * are read in order on this one — the per-message flush + context
+      * switch dominates the synchronous form (measured ~110 µs/row),
+      * and the concurrent read side means no batch size can deadlock
+      * on a full stdin/stdout pipe buffer */
+    def processBatch(contents: Seq[String]): Seq[Either[String, Option[String]]] = {
+      if (contents.isEmpty) return Nil
+      val writer = new Thread(() => {
+        try {
+          contents.foreach { c =>
+            toPy.write(Json.render(Json.obj("content" -> c))); toPy.write("\n")
+          }
+          toPy.flush()
+        } catch { case _: java.io.IOException => () } // reader surfaces the death
+      })
+      writer.setDaemon(true); writer.start()
+      val out = contents.map { _ =>
+        val line = fromPy.readLine()
+        require(line != null, "python worker died mid-stream")
+        val resp = Json.asObj(Json.parse(line))
+        if (resp.get("ok").contains(true))
+          Right(resp.get("root").filter(_ != null).map(Json.render))
+        else Left(Json.str(resp, "error"))
+      }
+      writer.join()
+      out
     }
 
     override def close(): Unit = {
@@ -94,12 +114,18 @@ object Python {
         if (it.isEmpty) Iterator.empty
         else {
           val w = new Worker(script, imports)
-          val mapped = it.flatMap { case (content, meta, err) =>
-            if (err != null || content == null) Iterator.single((content, meta, err))
-            else w.process(content) match {
-              case Right(Some(root)) => Iterator.single((root, meta, null: String))
-              case Right(None) => Iterator.empty // root = None: deleted
-              case Left(e) => Iterator.single((content, meta, e))
+          // micro-batched pipelining: 256 rows per batch keeps the
+          // interpreter busy instead of paying a round-trip per row
+          val mapped = it.grouped(256).flatMap { group =>
+            val live = group.collect { case (c, _, e) if e == null && c != null => c }
+            val results = w.processBatch(live).iterator
+            group.iterator.flatMap {
+              case row @ (c, _, e) if e != null || c == null => Iterator.single(row)
+              case (content, meta, _) => results.next() match {
+                case Right(Some(root)) => Iterator.single((root, meta, null: String))
+                case Right(None) => Iterator.empty // root = None: deleted
+                case Left(e) => Iterator.single((content, meta, e))
+              }
             }
           }
           new Iterator[(String, Map[String, String], String)] {
