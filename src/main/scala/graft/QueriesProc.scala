@@ -36,11 +36,15 @@ object QueriesProc {
           |msg.setStructured(r);
           |msg.setMeta("src", "script");
           |""".stripMargin)(env)
-      out.filter(Msg.ok).select(
-        get_json_object(col(Msg.ContentCol), "$.event_id").cast(LongType).as("event_id"),
-        round(get_json_object(col(Msg.ContentCol), "$.score").cast(DoubleType), 6).as("score"),
-        get_json_object(col(Msg.ContentCol), "$.grade").as("grade"),
-        col(Msg.MetaCol)("src").as("src"))
+      // json_tuple: ONE parse of the result envelope for all three
+      // fields (the config_pipeline lesson — get_json_object xN
+      // re-parses the JSON per field)
+      out.filter(Msg.ok)
+        .select(json_tuple(col(Msg.ContentCol), "event_id", "score", "grade"),
+          col(Msg.MetaCol)("src").as("src"))
+        .select(col("c0").cast(LongType).as("event_id"),
+          round(col("c1").cast(DoubleType), 6).as("score"),
+          col("c2").as("grade"), col("src"))
     }),
 
     // python processor (impl/python/processor.go — the reference hosts
@@ -61,10 +65,11 @@ object QueriesProc {
           |            "score": this["value"] * 2.0 + this["event_id"] % 7,
           |            "grade": "hi" if this["value"] > 100.0 else "lo"}
           |""".stripMargin)(env)
-      out.filter(Msg.ok).select(
-        get_json_object(col(Msg.ContentCol), "$.event_id").cast(LongType).as("event_id"),
-        round(get_json_object(col(Msg.ContentCol), "$.score").cast(DoubleType), 6).as("score"),
-        get_json_object(col(Msg.ContentCol), "$.grade").as("grade"))
+      out.filter(Msg.ok)
+        .select(json_tuple(col(Msg.ContentCol), "event_id", "score", "grade"))
+        .select(col("c0").cast(LongType).as("event_id"),
+          round(col("c1").cast(DoubleType), 6).as("score"),
+          col("c2").as("grade"))
     }),
 
     // awk processor (processor_awk.go; subset interpreter Awk.scala): the
