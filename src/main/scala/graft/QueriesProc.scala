@@ -1352,6 +1352,51 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // azure table storage (impl/azure/output_table_storage.go: INSERT /
+    // INSERT_MERGE / DELETE transaction verbs on PartitionKey/RowKey
+    // entities; input_table_storage.go: $filter queries) over the
+    // table-flavored SharedKey signing (conn/Azure.scala TableClient;
+    // the reference wraps the aztables SDK). Executors insert one
+    // entity per customer and drive the merge/delete arms; the
+    // read-back fans one $filter query per PARTITION KEY across Spark
+    // tasks — the partition-key-parallel scan shape the service's own
+    // storage layout rewards — with every page bounded by $top
+    "out_azure_table" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Azure.MiniAzure().start()
+      val endpoint = srv.endpoint
+      val setup = new graft.conn.Azure.TableClient(endpoint, graft.conn.Azure.testAccount)
+      setup.createTable("custs"); setup.close()
+      val rows = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").cast(LongType), col("c_mktsegment"), col("c_name"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Azure.TableClient(endpoint, graft.conn.Azure.testAccount)
+          try it.foreach { r =>
+            val key = r.getLong(0)
+            val rk = f"$key%012d"
+            require(c.insert("custs", r.getString(1), rk,
+              scala.collection.immutable.VectorMap[String, Any](
+                "name" -> r.getString(2), "flagged" -> false)), "duplicate insert")
+            if (key % 3 == 0) c.merge("custs", r.getString(1), rk,
+              scala.collection.immutable.VectorMap[String, Any]("flagged" -> true))
+            if (key % 7 == 0) c.delete("custs", r.getString(1), rk)
+          } finally c.close()
+        }
+      }
+      val segments = rows.select(col("c_mktsegment")).distinct()
+        .as[String].collect().toSeq // 5 partition keys
+      val out = s.sparkContext.parallelize(segments, segments.size).flatMap { seg =>
+        val c = new graft.conn.Azure.TableClient(endpoint, graft.conn.Azure.testAccount)
+        try c.query("custs", filter = Some(s"PartitionKey eq '$seg'"), top = 500).map { e =>
+          (e("RowKey").asInstanceOf[String].toLong, seg,
+            e("name").asInstanceOf[String], e("flagged").asInstanceOf[Boolean])
+        } finally c.close()
+      }.toDF("c_custkey", "c_mktsegment", "c_name", "flagged").localCheckpoint()
+      srv.stop()
+      out
+    }),
+
     "src_azure_blob" -> ((s, dir) => {
       import s.implicits._
       val srv = new graft.conn.Azure.MiniAzure().start()
@@ -2543,6 +2588,10 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "out_azure_table" ->
+      """SELECT c_custkey, c_mktsegment, c_name,
+           (c_custkey % 3 = 0) AS flagged
+         FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 <> 0""",
     "src_azure_queue" ->
       """SELECT p_partkey, p_brand, 1::BIGINT AS dequeue_count
          FROM part WHERE p_partkey % 5 = 0""",

@@ -74,6 +74,17 @@ object Azure {
 
     def authHeader(account: Account, sts: String): String =
       s"SharedKey ${account.name}:${signature(account, sts)}"
+
+    /** the TABLE-service string-to-sign (a different, documented shape
+      * from blob/queue: VERB, Content-MD5, Content-Type, Date, then a
+      * canonicalized resource of /account/path with only the `comp`
+      * query parameter — $filter/$top never sign) */
+    def tableStringToSign(verb: String, path: String, query: Seq[(String, String)],
+                          headers: Map[String, String], account: String): String = {
+      def h(k: String) = headers.getOrElse(k, "")
+      val comp = query.collectFirst { case ("comp", v) => s"?comp=$v" }.getOrElse("")
+      s"$verb\n${h("content-md5")}\n${h("content-type")}\n${h("x-ms-date")}\n/$account$path$comp"
+    }
   }
 
   // -------------------------------------------------------------- client
@@ -96,6 +107,101 @@ object Azure {
     override def close(): Unit = http.close()
   }
 
+  /** Table-service client (output_table_storage.go's INSERT /
+    * INSERT_MERGE / INSERT_REPLACE / DELETE transaction verbs;
+    * input_table_storage.go's $filter queries with continuation) —
+    * signs the table-service SharedKey flavor. */
+  final class TableClient(endpoint: String, account: Account) extends AutoCloseable {
+    import scala.collection.immutable.VectorMap
+    private val http = new Http
+
+    private def request(method: String, path: String, query: Seq[(String, String)] = Nil,
+                        body: Array[Byte] = Array.emptyByteArray,
+                        extraHeaders: Seq[(String, String)] = Nil): Aws.HttpResp = {
+      val base = Seq(
+        "x-ms-date" -> rfc1123.format(Instant.now()),
+        "x-ms-version" -> "2021-08-06",
+        "accept" -> "application/json;odata=nometadata") ++
+        (if (body.nonEmpty) Seq("content-type" -> "application/json") else Nil) ++
+        extraHeaders.map { case (k, v) => (k.toLowerCase, v) }
+      val sts = SharedKey.tableStringToSign(method, path, query, base.toMap, account.name)
+      val qs = if (query.isEmpty) ""
+        else "?" + query.map { case (k, v) =>
+          s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&")
+      http.request(method, s"$endpoint$path$qs",
+        base ++ Seq("authorization" -> SharedKey.authHeader(account, sts)), body)
+    }
+
+    private def entityPath(table: String, pk: String, rk: String) =
+      s"/$table(PartitionKey='$pk',RowKey='$rk')"
+
+    def createTable(name: String): Unit = {
+      val r = request("POST", "/Tables",
+        body = Aws.Json.render(Aws.Json.obj("TableName" -> name)).getBytes(UTF_8))
+      require(r.status == 201, s"createTable: ${r.status} ${r.bodyStr}")
+    }
+
+    /** INSERT — false when the entity already exists (409) */
+    def insert(table: String, pk: String, rk: String, props: VectorMap[String, Any]): Boolean = {
+      val r = request("POST", s"/$table",
+        body = Aws.Json.render(props.updated("PartitionKey", pk).updated("RowKey", rk)).getBytes(UTF_8))
+      if (r.status == 409) false
+      else { require(r.status == 201, s"insert: ${r.status} ${r.bodyStr}"); true }
+    }
+
+    /** INSERT_MERGE / UPDATE_MERGE */
+    def merge(table: String, pk: String, rk: String, props: VectorMap[String, Any]): Unit = {
+      val r = request("MERGE", entityPath(table, pk, rk),
+        body = Aws.Json.render(props).getBytes(UTF_8))
+      require(r.status == 204, s"merge: ${r.status} ${r.bodyStr}")
+    }
+
+    /** INSERT_REPLACE / UPDATE_REPLACE */
+    def replace(table: String, pk: String, rk: String, props: VectorMap[String, Any]): Unit = {
+      val r = request("PUT", entityPath(table, pk, rk),
+        body = Aws.Json.render(props).getBytes(UTF_8))
+      require(r.status == 204, s"replace: ${r.status} ${r.bodyStr}")
+    }
+
+    def delete(table: String, pk: String, rk: String): Boolean = {
+      val r = request("DELETE", entityPath(table, pk, rk),
+        extraHeaders = Seq("if-match" -> "*"))
+      r.status == 204
+    }
+
+    def get(table: String, pk: String, rk: String): Option[VectorMap[String, Any]] = {
+      val r = request("GET", entityPath(table, pk, rk))
+      if (r.status == 404) None
+      else { require(r.status == 200, s"get: ${r.status}"); Some(Aws.Json.asObj(Aws.Json.parse(r.bodyStr))) }
+    }
+
+    /** query with the documented OData filter subset; pages of `top`
+      * follow the x-ms-continuation headers — no call exceeds `top` */
+    def query(table: String, filter: Option[String] = None, top: Int = 1000): Vector[VectorMap[String, Any]] = {
+      val out = Vector.newBuilder[VectorMap[String, Any]]
+      var cont: Option[(String, String)] = None
+      var more = true
+      while (more) {
+        val q = Seq("$top" -> top.toString) ++ filter.map("$filter" -> _)
+        val hdrs = cont.toSeq.flatMap { case (pk, rk) => Seq(
+          "x-ms-continuation-nextpartitionkey" -> pk,
+          "x-ms-continuation-nextrowkey" -> rk) }
+        val r = request("GET", s"/$table", q, extraHeaders = hdrs)
+        require(r.status == 200, s"query: ${r.status} ${r.bodyStr}")
+        Aws.Json.asArr(Aws.Json.asObj(Aws.Json.parse(r.bodyStr))("value"))
+          .foreach(e => out += Aws.Json.asObj(e))
+        cont = for {
+          pk <- r.header("x-ms-continuation-nextpartitionkey")
+          rk <- r.header("x-ms-continuation-nextrowkey")
+        } yield (pk, rk)
+        more = cont.isDefined
+      }
+      out.result()
+    }
+
+    override def close(): Unit = http.close()
+  }
+
   // ------------------------------------------------------------- fixture
   private final class QMsg(val id: String, val text: String, val insertedTs: Long) {
     @volatile var visibleAt: Long = 0L
@@ -110,6 +216,8 @@ object Azure {
     private val blobs = new CTrieMap[(String, String), (Array[Byte], String, Long)]() // (container, name) -> (bytes, contentType, lastModified)
     private val containers = new CTrieMap[String, Unit]()
     private val queues = new CTrieMap[String, java.util.concurrent.ConcurrentLinkedQueue[QMsg]]()
+    private val tables = new CTrieMap[String, Unit]()
+    private val entities = new CTrieMap[(String, String, String), scala.collection.immutable.VectorMap[String, Any]]() // (table, pk, rk) -> props
     private val seq = new AtomicLong(0)
     @volatile private var server: com.sun.net.httpserver.HttpServer = _
 
@@ -124,6 +232,35 @@ object Azure {
         val i = p.indexOf('=')
         if (i < 0) (p, "") else (p.substring(0, i), URLDecoder.decode(p.substring(i + 1), "UTF-8"))
       }
+
+    /** the OData filter subset the reference input documents
+      * (input_table_storage.go:70 — `eq ne gt lt ge le` joined by and):
+      * `PartitionKey eq 'foo' and Value gt 100` */
+    private def parseODataFilter(s: String): scala.collection.immutable.VectorMap[String, Any] => Boolean = {
+      val condRe = "(\\w+)\\s+(eq|ne|gt|lt|ge|le)\\s+('[^']*'|[-0-9.]+)".r
+      def toNum(v: Any): Double = v match {
+        case l: Long => l.toDouble; case d: Double => d; case i: Int => i.toDouble
+        case other => other.toString.toDouble
+      }
+      val conds: Vector[scala.collection.immutable.VectorMap[String, Any] => Boolean] =
+        s.split("(?i)\\s+and\\s+").toVector.map {
+          case condRe(prop, op, raw) =>
+            val strVal = if (raw.startsWith("'")) Some(raw.substring(1, raw.length - 1)) else None
+            (e: scala.collection.immutable.VectorMap[String, Any]) => e.get(prop).exists { x =>
+              val cmp = strVal match {
+                case Some(v) => String.valueOf(x).compareTo(v)
+                case None => toNum(x).compareTo(raw.toDouble)
+              }
+              op match {
+                case "eq" => cmp == 0; case "ne" => cmp != 0
+                case "gt" => cmp > 0; case "lt" => cmp < 0
+                case "ge" => cmp >= 0; case "le" => cmp <= 0
+              }
+            }
+          case other => throw new IllegalArgumentException(s"unsupported filter: $other")
+        }
+      e => conds.forall(_(e))
+    }
 
     private def xml(status: Int, body: String): (Int, Seq[(String, String)], Array[Byte]) =
       (status, Seq("Content-Type" -> "application/xml"), body.getBytes(UTF_8))
@@ -141,11 +278,83 @@ object Azure {
       val expectSts = SharedKey.stringToSign(method, rawPath, query, headers,
         body.length.toLong, account.name)
       val want = SharedKey.authHeader(account, expectSts)
-      if (auth != want) return errXml(403, "AuthenticationFailed")
+      // table requests sign the table-service flavor; both are exact
+      // HMACs under the account key, so accepting either weakens nothing
+      val wantTable = SharedKey.authHeader(account,
+        SharedKey.tableStringToSign(method, rawPath, query, headers, account.name))
+      if (auth != want && auth != wantTable) return errXml(403, "AuthenticationFailed")
       val q = query.toMap
       val path = pctDecode(rawPath).stripPrefix("/")
       val slash = path.indexOf('/')
       val (first, rest) = if (slash < 0) (path, "") else (path.substring(0, slash), path.substring(slash + 1))
+
+      // ---------------- table surface (OData JSON): /Tables,
+      //                  /{table}, /{table}(PartitionKey='p',RowKey='r')
+      val entityRe = "([A-Za-z0-9]+)\\(PartitionKey='([^']*)',RowKey='([^']*)'\\)".r
+      def jsonResp(status: Int, v: Any): (Int, Seq[(String, String)], Array[Byte]) =
+        (status, Seq("Content-Type" -> "application/json"),
+          if (v == null) Array.emptyByteArray
+          else Aws.Json.render(v).getBytes(UTF_8))
+      def odataErr(status: Int, code: String): (Int, Seq[(String, String)], Array[Byte]) =
+        jsonResp(status, Aws.Json.obj("odata.error" -> Aws.Json.obj("code" -> code)))
+      if (path == "Tables" && method == "POST") {
+        val name = Aws.Json.str(Aws.Json.asObj(Aws.Json.parse(new String(body, UTF_8))), "TableName")
+        tables.putIfAbsent(name, ())
+        return jsonResp(201, Aws.Json.obj("TableName" -> name))
+      }
+      path match {
+        case entityRe(table, pk, rk) =>
+          if (!tables.contains(table)) return odataErr(404, "TableNotFound")
+          val key = (table, pk, rk)
+          return (method match {
+            case "MERGE" => // insert-or-merge / update-merge
+              val props = Aws.Json.asObj(Aws.Json.parse(new String(body, UTF_8)))
+              entities.put(key, entities.get(key)
+                .map(_ ++ props).getOrElse(
+                  props.updated("PartitionKey", pk).updated("RowKey", rk)))
+              (204, Nil, Array.emptyByteArray)
+            case "PUT" => // insert-or-replace
+              val props = Aws.Json.asObj(Aws.Json.parse(new String(body, UTF_8)))
+              entities.put(key, props.updated("PartitionKey", pk).updated("RowKey", rk))
+              (204, Nil, Array.emptyByteArray)
+            case "DELETE" =>
+              if (entities.remove(key).isDefined) (204, Nil, Array.emptyByteArray)
+              else odataErr(404, "ResourceNotFound")
+            case "GET" =>
+              entities.get(key).map(e => jsonResp(200, e))
+                .getOrElse(odataErr(404, "ResourceNotFound"))
+            case _ => odataErr(400, "InvalidOperation")
+          })
+        case t if tables.contains(t) && rest.isEmpty =>
+          method match {
+            case "POST" => // insert entity; 409 EntityAlreadyExists
+              val props = Aws.Json.asObj(Aws.Json.parse(new String(body, UTF_8)))
+              val pk = Aws.Json.str(props, "PartitionKey")
+              val rk = Aws.Json.str(props, "RowKey")
+              return (if (entities.putIfAbsent((t, pk, rk), props).isDefined)
+                odataErr(409, "EntityAlreadyExists")
+              else jsonResp(201, props))
+            case "GET" => // query with $filter/$top + continuation headers
+              val filter = q.get("$filter").map(parseODataFilter).getOrElse((_: scala.collection.immutable.VectorMap[String, Any]) => true)
+              val top = q.get("$top").map(_.toInt).getOrElse(1000)
+              val afterPk = headers.getOrElse("x-ms-continuation-nextpartitionkey", q.getOrElse("NextPartitionKey", ""))
+              val afterRk = headers.getOrElse("x-ms-continuation-nextrowkey", q.getOrElse("NextRowKey", ""))
+              val all = entities.toSeq.collect { case ((`t`, pk, rk), e) => ((pk, rk), e) }
+                .filter { case ((pk, rk), e) =>
+                  Ordering[(String, String)].compare((pk, rk), (afterPk, afterRk)) > 0 && filter(e)
+                }.sortBy(_._1)
+              val page = all.take(top)
+              val hdrs = if (all.size > top)
+                Seq("x-ms-continuation-NextPartitionKey" -> page.last._1._1,
+                    "x-ms-continuation-NextRowKey" -> page.last._1._2)
+              else Nil
+              val bodyJson = Aws.Json.render(
+                Aws.Json.obj("value" -> page.toVector.map(_._2: Any))).getBytes(UTF_8)
+              return (200, hdrs ++ Seq("Content-Type" -> "application/json"), bodyJson)
+            case _ => return odataErr(400, "InvalidOperation")
+          }
+        case _ => () // fall through to queue/blob surfaces
+      }
 
       // ---------------- queue surface: /{queue} and /{queue}/messages[/id]
       if (rest == "messages" || rest.startsWith("messages/")) {
