@@ -1352,6 +1352,55 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // azure service_bus_queue input (impl/azure/input_service_bus_queue
+    // .go: peek-lock ReceiveMessages with CompleteMessage /
+    // AbandonMessage and per-message delivery counts — the azservicebus
+    // SDK the reference wraps speaks AMQP 1.0 underneath, which is
+    // exactly the from-scratch layer in conn/Amqp1.scala). Executors
+    // send through per-partition sender links; the driver's receiver
+    // ABANDONS a deterministic subset on first sight (released
+    // disposition → redelivery with the header delivery-count bumped)
+    // and completes everything on the second pass — the at-least-once
+    // surface crosses the gate as a delivery_count column
+    "src_azure_service_bus" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Amqp1.MiniAmqp1().start()
+      val addr = srv.address
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 6 === 3)
+        .select(concat_ws("|", col("o_orderkey"), col("o_totalprice")).as("v"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val snd = new graft.conn.Amqp1.Sender(addr, "sbq")
+          try it.foreach(r => snd.send(r.getString(0).getBytes("UTF-8")))
+          finally snd.close()
+        }
+      }
+      val rcv = new graft.conn.Amqp1.Receiver(addr, "sbq")
+      val got = Vector.newBuilder[(Long, Double, Long)]
+      var completed = 0L
+      while (completed < expected) {
+        rcv.flow(200)
+        var d = rcv.receive(3000)
+        require(d.isDefined || completed == expected, s"service bus drained early at $completed/$expected")
+        while (d.isDefined) {
+          val del = d.get
+          val parts = new String(del.body, "UTF-8").split('|')
+          val okey = parts(0).toLong
+          if (okey % 9 == 0 && del.deliveryCount == 0L) {
+            rcv.release(del) // AbandonMessage: redeliver with count bumped
+          } else {
+            rcv.accept(del) // CompleteMessage
+            got += ((okey, parts(1).toDouble, del.deliveryCount + 1))
+            completed += 1
+          }
+          d = if (completed < expected) rcv.receive(1000) else None
+        }
+      }
+      rcv.close(); srv.stop()
+      s.createDataset(got.result()).toDF("o_orderkey", "o_totalprice", "delivery_count")
+    }),
+
     // azure table storage (impl/azure/output_table_storage.go: INSERT /
     // INSERT_MERGE / DELETE transaction verbs on PartitionKey/RowKey
     // entities; input_table_storage.go: $filter queries) over the
@@ -2588,6 +2637,10 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "src_azure_service_bus" ->
+      """SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 1 END::BIGINT AS delivery_count
+         FROM orders WHERE o_orderkey % 6 = 3""",
     "out_azure_table" ->
       """SELECT c_custkey, c_mktsegment, c_name,
            (c_custkey % 3 = 0) AS flagged

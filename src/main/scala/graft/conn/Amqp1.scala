@@ -148,6 +148,8 @@ object Amqp1 {
     val Transfer = 0x14L; val Disposition = 0x15L; val Detach = 0x16L
     val End = 0x17L; val Close = 0x18L
     val Accepted = 0x24L
+    val Released = 0x26L
+    val HeaderSection = 0x70L
     val DataSection = 0x75L
   }
 
@@ -191,19 +193,38 @@ object Amqp1 {
   private def fieldAt(fs: Vector[Value], i: Int): Value =
     if (i < fs.size) fs(i) else VNull
 
-  /** a message with one data section (the reference's payload shape) */
-  def messagePayload(body: Array[Byte]): Array[Byte] =
-    encode(VDescribed(VULong(Code.DataSection), VBin(body)))
-  def messageBody(payload: Array[Byte]): Array[Byte] =
-    new Decoder(payload).read() match {
-      case VDescribed(VULong(Code.DataSection), VBin(b)) => b
+  /** a message with one data section (the reference's payload shape);
+    * broker deliveries prepend a HEADER section carrying delivery-count
+    * (header list field 4 — the redelivery signal service-bus-style
+    * consumers read) */
+  def messagePayload(body: Array[Byte], deliveryCount: Long = -1L): Array[Byte] = {
+    val data = encode(VDescribed(VULong(Code.DataSection), VBin(body)))
+    if (deliveryCount < 0) data
+    else encode(VDescribed(VULong(Code.HeaderSection),
+      VList(Vector(VBool(true), VNull, VNull, VBool(false), VUInt(deliveryCount))))) ++ data
+  }
+
+  /** (deliveryCount, body) — header section optional, 0 when absent */
+  def messageSections(payload: Array[Byte]): (Long, Array[Byte]) = {
+    val dec = new Decoder(payload)
+    var count = 0L
+    while (dec.hasNext) dec.read() match {
+      case VDescribed(VULong(Code.DataSection), VBin(b)) => return (count, b)
+      case VDescribed(VULong(Code.HeaderSection), VList(items)) =>
+        if (items.size > 4) items(4) match {
+          case VUInt(c) => count = c; case VULong(c) => count = c; case _ => ()
+        }
       case other => throw new IllegalArgumentException(s"amqp1: unexpected section $other")
     }
+    throw new IllegalArgumentException("amqp1: no data section")
+  }
+  def messageBody(payload: Array[Byte]): Array[Byte] = messageSections(payload)._2
 
   // ------------------------------------------------------------- fixture
   private final class QMsg(val body: Array[Byte]) {
     @volatile var acquired = false
     @volatile var settled = false
+    @volatile var deliveries = 0 // bumps per acquisition (abandon -> redelivery count)
   }
 
   /** broker: named queues; sender links enqueue unsettled transfers,
@@ -287,12 +308,13 @@ object Amqp1 {
                   next match {
                     case Some(m) =>
                       deliveryId += 1
+                      m.deliveries += 1
                       outstanding(deliveryId) = m
                       writeFrame(out, f.channel, VDescribed(VULong(Code.Transfer),
                         VList(Vector(VUInt(handle), VUInt(deliveryId),
                           VBin(ByteBuffer.allocate(4).putInt(deliveryId.toInt).array()),
                           VUInt(0), VBool(false) /* unsettled */))),
-                        messagePayload(m.body))
+                        messagePayload(m.body, deliveryCount = (m.deliveries - 1).toLong))
                       granted -= 1
                     case None => granted = 0
                   }
@@ -393,7 +415,7 @@ object Amqp1 {
     }
   }
 
-  final case class Delivery(deliveryId: Long, body: Array[Byte])
+  final case class Delivery(deliveryId: Long, body: Array[Byte], deliveryCount: Long = 0L)
 
   /** receiver link (input.go): attach to a source queue, grant credit,
     * settle with accepted dispositions */
@@ -419,7 +441,8 @@ object Amqp1 {
         require(descCode(f.performative) == Code.Transfer, "expected transfer")
         val fs = fields(f.performative)
         val id = fs(1) match { case VUInt(x) => x; case VULong(x) => x; case _ => 0L }
-        Some(Delivery(id, messageBody(f.payload)))
+        val (count, body) = messageSections(f.payload)
+        Some(Delivery(id, body, count))
       } catch { case _: java.net.SocketTimeoutException => None }
       finally sock.setSoTimeout(0)
     }
@@ -429,6 +452,13 @@ object Amqp1 {
       writeFrame(out, 0, VDescribed(VULong(Code.Disposition), VList(Vector(
         VBool(true) /* role receiver */, VUInt(d.deliveryId), VUInt(d.deliveryId),
         VBool(true), VDescribed(VULong(Code.Accepted), VList(Vector.empty))))))
+
+    /** released disposition — service-bus AbandonMessage: the delivery
+      * returns to the queue and redelivers with delivery-count bumped */
+    def release(d: Delivery): Unit =
+      writeFrame(out, 0, VDescribed(VULong(Code.Disposition), VList(Vector(
+        VBool(true) /* role receiver */, VUInt(d.deliveryId), VUInt(d.deliveryId),
+        VBool(true), VDescribed(VULong(Code.Released), VList(Vector.empty))))))
 
     /** detach without settling — broker requeues outstanding deliveries */
     def detach(): Unit = {

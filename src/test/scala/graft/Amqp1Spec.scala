@@ -90,6 +90,29 @@ class Amqp1Spec extends AnyFunSuite {
     }
   }
 
+  test("released disposition redelivers with delivery-count bumped (service-bus abandon)") {
+    withBroker { (srv, addr) =>
+      val snd = new Sender(addr, "sbq")
+      try (1 to 3).foreach(i => snd.send(b(s"m$i"))) finally snd.close()
+      val rcv = new Receiver(addr, "sbq")
+      try {
+        rcv.flow(10)
+        val first = (1 to 3).map(_ => rcv.receive().get)
+        assert(first.forall(_.deliveryCount == 0L), "first delivery: count 0")
+        // abandon m2; complete the others
+        val m2 = first.find(d => new String(d.body, UTF_8) == "m2").get
+        rcv.release(m2)
+        first.filterNot(_ eq m2).foreach(rcv.accept)
+        rcv.flow(10)
+        val redelivered = rcv.receive().get
+        assert(new String(redelivered.body, UTF_8) == "m2")
+        assert(redelivered.deliveryCount == 1L, "abandon bumps the delivery count")
+        rcv.accept(redelivered)
+        assert(rcv.receive(300).isEmpty && srv.depth("sbq") == 0)
+      } finally rcv.close()
+    }
+  }
+
   test("two queues on one broker stay isolated; binary bodies survive the data section") {
     withBroker { (_, addr) =>
       val sa = new Sender(addr, "qa")
