@@ -1352,6 +1352,40 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // cypher output → input roundtrip (impl/cypher/output_cypher.go: a
+    // parameterized CREATE per message with $-values; input_cypher.go:
+    // a query whose records become messages — the reference wraps
+    // neo4j-go-driver/v5) over the from-scratch Bolt 4.4 + PackStream
+    // stack (conn/Bolt.scala: handshake, HELLO auth, RUN/PULL with
+    // fetch-size paging, chunked framing). One bolt connection per
+    // Spark partition streams CREATEs; the read-back is the input's
+    // MATCH with a property predicate and PULL batching
+    "src_cypher" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Bolt.MiniNeo4j().start()
+      val addr = srv.address
+      val rows = t(s, dir, "customer").filter(col("c_custkey") % 4 === 1)
+        .select(col("c_custkey").cast(LongType), col("c_name"),
+          col("c_acctbal").cast(DoubleType))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Bolt.Client(addr)
+          try it.foreach { r =>
+            c.run("CREATE (c:Customer {key: $key, name: $name, bal: $bal})",
+              Map("key" -> r.getLong(0), "name" -> r.getString(1), "bal" -> r.getDouble(2)))
+          } finally c.close()
+        }
+      }
+      val reader = new graft.conn.Bolt.Client(addr)
+      val (_, recs) = reader.run(
+        "MATCH (c:Customer) WHERE c.bal > $min RETURN c.key AS key, c.name AS name, c.bal AS bal",
+        Map("min" -> 0.0), fetchSize = 500)
+      reader.close(); srv.stop()
+      s.createDataset(recs.map(r => (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[String], r(2).asInstanceOf[Double])))
+        .toDF("c_custkey", "c_name", "c_acctbal")
+    }),
+
     // azure service_bus_queue input (impl/azure/input_service_bus_queue
     // .go: peek-lock ReceiveMessages with CompleteMessage /
     // AbandonMessage and per-message delivery counts — the azservicebus
@@ -2637,6 +2671,9 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "src_cypher" ->
+      """SELECT c_custkey, c_name, c_acctbal
+         FROM customer WHERE c_custkey % 4 = 1 AND c_acctbal > 0""",
     "src_azure_service_bus" ->
       """SELECT o_orderkey, o_totalprice,
            CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 1 END::BIGINT AS delivery_count
