@@ -1352,6 +1352,57 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // fsevent input (impl/io/input_fsevent.go — the reference wraps
+    // fsnotify; operators/Fsevent.scala rides java.nio WatchService,
+    // the same inotify facility). Executors write and delete files in
+    // the watched directory; the driver's watcher reduces the event
+    // stream to each file's final state — CREATE then REMOVE arms both
+    // cross the gate and the oracle replays them
+    "src_fsevent" -> ((s, dir) => {
+      import s.implicits._
+      val watchDir = java.nio.file.Files.createTempDirectory("graft-fsev").toString
+      val w = new graft.operators.Fsevent.Watcher(Seq(watchDir))
+      // the consumer drains CONCURRENTLY with the writers — the
+      // WatchService buffers at most 512 events per key between polls,
+      // so a drain-after-the-fact loses bursts to OVERFLOW; a live
+      // consumer (the input's real shape) never lets the queue build
+      val state = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      @volatile var overflowed = false
+      @volatile var draining = true
+      val drainer = new Thread(() => {
+        while (draining) w.next(300).foreach { ev =>
+          if (ev.op == "OVERFLOW") overflowed = true
+          else {
+            val name = java.nio.file.Paths.get(ev.path).getFileName.toString
+            if (ev.op == "REMOVE") state.put(name, "DELETED")
+            else state.putIfAbsent(name, "CREATED")
+          }
+        }
+      })
+      drainer.setDaemon(true); drainer.start()
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 8 === 0)
+        .select(col("p_partkey").cast(LongType))
+      val n = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          val key = r.getLong(0)
+          val f = java.nio.file.Paths.get(watchDir, s"part-$key.txt")
+          java.nio.file.Files.write(f, s"v-$key".getBytes("UTF-8"))
+          if (key % 5 == 0) java.nio.file.Files.delete(f)
+        }
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (state.size < n && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(500) // let trailing REMOVEs land
+      draining = false; drainer.join(2000); w.close()
+      require(!overflowed, "fsevent watch overflowed")
+      require(state.size == n, s"fsevent saw ${state.size}/$n files")
+      import scala.jdk.CollectionConverters._
+      s.createDataset(state.asScala.toVector.map { case (name, st) =>
+        (name.stripPrefix("part-").stripSuffix(".txt").toLong, st) })
+        .toDF("p_partkey", "state")
+    }),
+
     // cypher output → input roundtrip (impl/cypher/output_cypher.go: a
     // parameterized CREATE per message with $-values; input_cypher.go:
     // a query whose records become messages — the reference wraps
@@ -2671,6 +2722,10 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "src_fsevent" ->
+      """SELECT p_partkey,
+           CASE WHEN p_partkey % 5 = 0 THEN 'DELETED' ELSE 'CREATED' END AS state
+         FROM part WHERE p_partkey % 8 = 0""",
     "src_cypher" ->
       """SELECT c_custkey, c_name, c_acctbal
          FROM customer WHERE c_custkey % 4 = 1 AND c_acctbal > 0""",
