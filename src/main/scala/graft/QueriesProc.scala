@@ -1352,6 +1352,49 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // cosmosdb input/output (impl/azure/{input,output}_cosmosdb.go —
+    // the reference wraps azcosmos) over the public REST surface:
+    // master-key auth per the documented string-to-sign (fixture
+    // recomputes and 401s), document creates with the partition key
+    // header, and parameterized per-partition-key SQL queries with
+    // continuation paging (conn/Cosmos.scala). The input documents that
+    // cross-partition queries are unsupported — so the read-back fans
+    // ONE query per partition key across Spark tasks, the same
+    // partition-parallel scan as out_azure_table
+    "src_cosmosdb" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Cosmos.MiniCosmos().start()
+      srv.createContainer("orders")
+      val endpoint = srv.endpoint
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 2)
+        .select(col("o_orderkey").cast(LongType), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Cosmos.Client(endpoint)
+          try it.foreach { r =>
+            require(c.create("orders", r.getString(1),
+              scala.collection.immutable.VectorMap[String, Any](
+                "id" -> r.getLong(0).toString, "okey" -> r.getLong(0),
+                "total" -> r.getDouble(2))), "cosmos create conflicted")
+          } finally c.close()
+        }
+      }
+      val pks = rows.select(col("o_orderpriority")).distinct().as[String].collect().toSeq
+      val out = s.sparkContext.parallelize(pks, pks.size).flatMap { pk =>
+        val c = new graft.conn.Cosmos.Client(endpoint)
+        try c.query("orders", pk,
+          "SELECT c.okey, c.total FROM orders AS c WHERE c.total > @min",
+          Map("@min" -> 0.0), maxItemCount = 200).map { d =>
+          // whole-number doubles round-trip through JSON as integers
+          val total = d("total") match { case l: Long => l.toDouble; case x => x.asInstanceOf[Double] }
+          (d("okey").asInstanceOf[Long], pk, total)
+        } finally c.close()
+      }.toDF("o_orderkey", "priority", "o_totalprice").localCheckpoint()
+      srv.stop()
+      out
+    }),
+
     // fsevent input (impl/io/input_fsevent.go — the reference wraps
     // fsnotify; operators/Fsevent.scala rides java.nio WatchService,
     // the same inotify facility). Executors write and delete files in
@@ -2722,6 +2765,9 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "src_cosmosdb" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, o_totalprice
+         FROM orders WHERE o_orderkey % 7 = 2 AND o_totalprice > 0""",
     "src_fsevent" ->
       """SELECT p_partkey,
            CASE WHEN p_partkey % 5 = 0 THEN 'DELETED' ELSE 'CREATED' END AS state
