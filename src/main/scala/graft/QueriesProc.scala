@@ -1352,6 +1352,58 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // snowflake_put (impl/snowflake/output_snowflake_put.go: stage
+    // uploads + Snowpipe insertFiles/insertReport — the reference
+    // wraps gosnowflake; conn/Snowpipe.scala implements the PUBLIC
+    // pieces: the key-pair JWT with the fingerprinted issuer, an
+    // external stage that IS the in-repo MiniS3, and the documented
+    // Snowpipe REST). Executors stage one NDJSON file per partition
+    // chunk and submit it to the pipe; the driver polls insertReport
+    // until every file is LOADED with the right row count, then the
+    // verification re-scans the STAGE distributed (the firehose
+    // pattern — bytes never transit the driver)
+    "out_snowflake_put" -> ((s, dir) => {
+      import s.implicits._
+      val s3 = new graft.conn.S3.MiniS3().start()
+      val (privPem, pubPem) = graft.conn.Gcp.generateKeyPair()
+      val sp = new graft.conn.Snowpipe.MiniSnowpipe("GRAFT", "LOADER", pubPem,
+        s3.endpoint, "stage").start()
+      val s3e = s3.endpoint
+      val spe = sp.endpoint
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 8 === 5)
+        .select(concat_ws("|", col("o_orderkey"), col("o_totalprice")).as("line"))
+      val expected = rows.count()
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val s3c = new graft.conn.S3.Client(s3e)
+          val pc = new graft.conn.Snowpipe.Client(spe, "GRAFT", "LOADER", privPem, pubPem)
+          try it.grouped(2000).zipWithIndex.foreach { case (chunk, ci) =>
+            val path = f"load/part-$pid%03d-$ci%03d.ndjson"
+            s3c.put("stage", path, (chunk.map(_.getString(0)).mkString("\n") + "\n").getBytes("UTF-8"))
+            pc.insertFiles("ORDERS_PIPE", Seq(path)) // per-file, like the reference
+          } finally { s3c.close(); pc.close() }
+        }
+      }
+      val reporter = new graft.conn.Snowpipe.Client(spe, "GRAFT", "LOADER", privPem, pubPem)
+      val report = reporter.insertReport("ORDERS_PIPE")
+      reporter.close()
+      require(report.nonEmpty && report.forall(_.status == "LOADED"),
+        s"snowpipe load incomplete: $report")
+      require(report.map(_.rowsInserted).sum == expected,
+        s"snowpipe loaded ${report.map(_.rowsInserted).sum}/$expected rows")
+      val out = graft.conn.S3.input(s, s3e, "stage", prefix = "load/")
+        .toDF("s3_key", "content", "lm", "ct")
+        .select(explode(split(col("content"), "\n")).as("line"))
+        .filter(col("line") =!= "")
+        .select(
+          split(col("line"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
+          split(col("line"), "\\|").getItem(1).cast(DoubleType).as("o_totalprice"))
+        .localCheckpoint()
+      sp.stop(); s3.stop()
+      out
+    }),
+
     // cosmosdb input/output (impl/azure/{input,output}_cosmosdb.go —
     // the reference wraps azcosmos) over the public REST surface:
     // master-key auth per the documented string-to-sign (fixture
@@ -2765,6 +2817,9 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "out_snowflake_put" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders WHERE o_orderkey % 8 = 5""",
     "src_cosmosdb" ->
       """SELECT o_orderkey, o_orderpriority AS priority, o_totalprice
          FROM orders WHERE o_orderkey % 7 = 2 AND o_totalprice > 0""",
