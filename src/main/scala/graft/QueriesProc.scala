@@ -1352,6 +1352,47 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // s2 input/output (impl/s2/{input,output}.go — the reference wraps
+    // s2-sdk-go): Bearer-authed append-only streams with assigned
+    // seq-num windows, cursored bounded reads, and the input's
+    // streams-by-PREFIX mode (conn/S2.scala). Executors append customer
+    // rows to one stream per market segment in batches; the read-back
+    // lists the prefix and fans one cursored drain per stream across
+    // Spark tasks
+    "src_s2" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.S2.MiniS2("graft-s2-token").start()
+      val endpoint = srv.endpoint
+      val rows = t(s, dir, "customer").filter(col("c_custkey") % 4 === 3)
+        .select(col("c_mktsegment"),
+          concat_ws("|", col("c_custkey"), col("c_name")).as("line"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.S2.Client(endpoint, "graft-s2-token")
+          try it.toVector.groupBy(_.getString(0)).foreach { case (seg, rs) =>
+            rs.grouped(100).foreach { chunk =>
+              val ack = c.append(s"seg/$seg", chunk.map(r => (r.getString(1), Vector.empty[(String, String)])))
+              require(ack.endSeqNum - ack.startSeqNum == chunk.size, "append window mismatch")
+            }
+          } finally c.close()
+        }
+      }
+      val lister = new graft.conn.S2.Client(endpoint, "graft-s2-token")
+      val streams = lister.listStreams("seg/")
+      lister.close()
+      val out = s.sparkContext.parallelize(streams, streams.size).flatMap { stream =>
+        val c = new graft.conn.S2.Client(endpoint, "graft-s2-token")
+        try c.readAll(stream, pageSize = 200).map { r =>
+          (r.body, stream.stripPrefix("seg/"))
+        } finally c.close()
+      }.toDF("line", "c_mktsegment").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("c_custkey"),
+        split(col("line"), "\\|").getItem(1).as("c_name"),
+        col("c_mktsegment")).localCheckpoint()
+      srv.stop()
+      out
+    }),
+
     // snowflake_put (impl/snowflake/output_snowflake_put.go: stage
     // uploads + Snowpipe insertFiles/insertReport — the reference
     // wraps gosnowflake; conn/Snowpipe.scala implements the PUBLIC
@@ -2817,6 +2858,9 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "src_s2" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer WHERE c_custkey % 4 = 3""",
     "out_snowflake_put" ->
       """SELECT o_orderkey, o_totalprice
          FROM orders WHERE o_orderkey % 8 = 5""",
