@@ -1352,6 +1352,47 @@ object QueriesProc {
     // partition; the input lists driver-side (NextMarker pagination)
     // and downloads executor-side — the S3/GCS listing shape on the
     // third cloud auth scheme
+    // gcp_spanner_cdc input (impl/gcp/input_spanner_cdc.go — the
+    // reference wraps cloud.google.com/go/spanner and issues the
+    // READ_<stream> TVF per partition token) over the from-scratch
+    // gRPC/HTTP2/HPACK stack with a field-number-preserving
+    // google.spanner.v1 proto subset (conn/Spanner.scala). Executors
+    // insert through wire DML; the driver's NULL-token query names the
+    // partition-tree roots, then ONE SPARK TASK PER TOKEN drains that
+    // partition's change window — the token tree IS the task list, the
+    // kafka-shard discipline applied to CDC
+    "src_spanner_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Spanner.MiniSpanner("OrderStream", "orders", partitions = 6).start()
+      val port = srv.port
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 9 === 4)
+        .select(col("o_orderkey").cast(LongType), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Spanner.Client("127.0.0.1", port)
+          try it.foreach { r =>
+            c.insert("orders", Seq("okey" -> r.getLong(0),
+              "priority" -> r.getString(1), "total" -> r.getDouble(2)))
+          } finally c.close()
+        }
+      }
+      val root = new graft.conn.Spanner.Client("127.0.0.1", port)
+      val tokens = root.initialTokens("OrderStream")
+      root.close()
+      val out = s.sparkContext.parallelize(tokens, tokens.size).flatMap { token =>
+        val c = new graft.conn.Spanner.Client("127.0.0.1", port)
+        try c.readPartition("OrderStream", token).map { ch =>
+          val nv = ch.newValues
+          val total = nv("total") match { case l: Long => l.toDouble; case x => x.asInstanceOf[Double] }
+          (nv("okey") match { case l: Long => l; case x => x.toString.toLong },
+            nv("priority").asInstanceOf[String], total, ch.modType)
+        } finally c.close()
+      }.toDF("o_orderkey", "priority", "o_totalprice", "mod_type").localCheckpoint()
+      srv.stop()
+      out
+    }),
+
     // s2 input/output (impl/s2/{input,output}.go — the reference wraps
     // s2-sdk-go): Bearer-authed append-only streams with assigned
     // seq-num windows, cursored bounded reads, and the input's
@@ -2858,6 +2899,10 @@ object QueriesProc {
     "src_azure_blob" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 2 = 0""",
+    "src_spanner_cdc" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, o_totalprice,
+           'INSERT' AS mod_type
+         FROM orders WHERE o_orderkey % 9 = 4""",
     "src_s2" ->
       """SELECT c_custkey, c_name, c_mktsegment
          FROM customer WHERE c_custkey % 4 = 3""",
