@@ -47,6 +47,36 @@ object QueriesProc {
           col("c2").as("grade"), col("src"))
     }),
 
+    // javascript processor (impl/javascript/processor.go — the
+    // reference embeds goja, an ES5.1 interpreter in Go, and exposes
+    // the bento.v0_msg_* host surface; operators/Js.scala is the
+    // in-repo ES5.1-subset interpreter, the Lua/WASM discipline
+    // applied to JS, and Javascript.scala binds the bento object
+    // 1:1). The script parses once per partition and re-evaluates per
+    // row; thrown values land in the error facet. The oracle replays
+    // the mapping in SQL
+    "proc_javascript" -> ((s, dir) => {
+      val env = Msg.envelope(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select("event_id", "value"))
+      val out = graft.operators.Javascript.processor(
+        """(() => {
+          |  let m = bento.v0_msg_as_structured();
+          |  if (m.event_id % 13 === 0) throw "unlucky";
+          |  m.score = m.value * 2.0 + m.event_id % 7;
+          |  m.grade = m.value > 100.0 ? "hi" : "lo";
+          |  bento.v0_msg_set_structured(m);
+          |  bento.v0_msg_set_meta("src", "js");
+          |})();
+          |""".stripMargin)(env)
+      out.filter(Msg.ok)
+        .select(json_tuple(col(Msg.ContentCol), "event_id", "score", "grade"),
+          col(Msg.MetaCol)("src").as("src"))
+        .select(col("c0").cast(LongType).as("event_id"),
+          round(col("c1").cast(DoubleType), 6).as("score"),
+          col("c2").as("grade"), col("src"))
+    }),
+
     // python processor (impl/python/processor.go — the reference hosts
     // CPython-in-WASM; operators/Python.scala runs one out-of-process
     // python3 interpreter per Spark partition, line-framed JSON, the
@@ -3037,6 +3067,12 @@ object QueriesProc {
            CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS grade,
            'script' AS src
          FROM events WHERE value IS NOT NULL""",
+    "proc_javascript" ->
+      """SELECT event_id,
+           round(value * 2 + event_id % 7, 6) AS score,
+           CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS grade,
+           'js' AS src
+         FROM events WHERE value IS NOT NULL AND event_id % 13 <> 0""",
     "proc_python" ->
       """SELECT event_id,
            round(value * 2 + event_id % 7, 6) AS score,

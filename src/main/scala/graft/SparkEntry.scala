@@ -84,8 +84,9 @@ object SparkEntry {
     // and the period batch policy (pure-Column tumbling assignment)
     "proc_geoip_city2", "batch_period",
     // round 7: the python guest runtime (out-of-process interpreter pool,
-    // one per partition, line-framed JSON) — watch beside proc_java/wasm
-    "proc_python",
+    // one per partition, line-framed JSON) and the in-repo ES5.1-subset
+    // javascript interpreter — watch beside proc_java/wasm
+    "proc_python", "proc_javascript",
     // round 6 late: per-row WebAssembly interpretation (the guest-runtime
     // escape hatch beside proc_java) and the SSH2/SFTP connector
     // round-trip (32 concurrent curve25519 handshakes + windowed
