@@ -38,10 +38,13 @@ object Python {
       |    try:
       |        g["this"] = json.loads(frame["content"])
       |        exec(code, g)
-      |        out = {"ok": True, "root": g.get("root")}
+      |        line = json.dumps({"ok": True, "root": g.get("root")}, allow_nan=False)
       |    except Exception as e:
-      |        out = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-      |    sys.stdout.write(json.dumps(out)); sys.stdout.write("\n"); sys.stdout.flush()
+      |        # dumps stays inside the guard: a non-JSON root (set, bytes,
+      |        # NaN with allow_nan=False, custom object) routes to the error
+      |        # facet instead of killing the worker mid-stream
+      |        line = json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"})
+      |    sys.stdout.write(line); sys.stdout.write("\n"); sys.stdout.flush()
       |""".stripMargin
 
   /** one pooled interpreter: spawn, ship the script, READY handshake,
@@ -114,6 +117,11 @@ object Python {
         if (it.isEmpty) Iterator.empty
         else {
           val w = new Worker(script, imports)
+          // close on EVERY task exit (downstream limit/take, task failure),
+          // not just a fully-drained iterator — else the python3 subprocess
+          // outlives the task for the life of the executor JVM
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => w.close()))
           // micro-batched pipelining: 256 rows per batch keeps the
           // interpreter busy instead of paying a round-trip per row
           val mapped = it.grouped(256).flatMap { group =>

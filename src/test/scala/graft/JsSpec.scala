@@ -52,6 +52,28 @@ class JsSpec extends AnyFunSuite {
     assert(toStringValue(e.value).contains("Cannot read properties of null"))
   }
 
+  test("finally runs on the normal path, after catch, and rethrows when uncaught (ES5.1 §12.14)") {
+    // normal path: finally must run
+    assert(evalJs("let r = ''; try { r += 'a'; } finally { r += 'f'; } r") == VStr("af"))
+    // throwing path with catch: catch then finally
+    assert(evalJs("let r = ''; try { throw 'x'; } catch (e) { r += 'c'; } finally { r += 'f'; } r") ==
+      VStr("cf"))
+    // try/finally with NO catch: finally runs AND the error propagates
+    val e = intercept[JsError](evalJs("let r = ''; try { throw 'boom'; } finally { r = 'ran'; }"))
+    assert(e.value == VStr("boom"))
+    // finally observes side effects and runs even when catch rethrows
+    assert(evalJs(
+      """let log = '';
+        |function f() { try { throw 'e1'; } catch (e) { log += 'c'; throw 'e2'; } finally { log += 'f'; } }
+        |try { f(); } catch (e) { log += ':' + e; }
+        |log""".stripMargin) == VStr("cf:e2"))
+    // finally runs on the return path out of a function
+    assert(evalJs(
+      """let log = '';
+        |function g() { try { return 'r'; } finally { log += 'f'; } }
+        |g() + log""".stripMargin) == VStr("rf"))
+  }
+
   test("the reference's documented Example 1 runs verbatim (string mutation)") {
     val code = """bento.v0_msg_set_string(bento.v0_msg_as_string() + "hello world");"""
     val Right((content, _)) = Javascript.runOnce(Js.parse(code), "prefix-", Map.empty): @unchecked

@@ -26,6 +26,22 @@ class PythonSpec extends SparkSpec {
     } finally w.close()
   }
 
+  test("non-JSON-serializable root is a per-message error, not a worker death") {
+    val w = new Python.Worker(
+      """if this["k"] == "set": root = {"s": set([1, 2])}
+        |elif this["k"] == "nan": root = {"x": float("nan")}
+        |else: root = {"ok": this["k"]}
+        |""".stripMargin, Nil)
+    try {
+      assert(w.process("""{"k": "set"}""").swap.exists(_.startsWith("TypeError")),
+        "a set in root serializes to a TypeError frame")
+      assert(w.process("""{"k": "nan"}""").swap.exists(_.startsWith("ValueError")),
+        "NaN with allow_nan=False is a ValueError frame")
+      assert(w.process("""{"k": "fine"}""") == Right(Some("""{"ok":"fine"}""")),
+        "the interpreter survives both")
+    } finally w.close()
+  }
+
   test("imports bind modules into the script's globals") {
     val w = new Python.Worker("""root = {"c": math.ceil(this["v"])}""", Seq("math"))
     try assert(w.process("""{"v": 3.2}""") == Right(Some("""{"c":4}""")))
