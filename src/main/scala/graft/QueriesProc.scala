@@ -334,6 +334,73 @@ object QueriesProc {
         col("uid").cast(LongType).as("uid"), col("val").cast(DoubleType).as("val")))
       .result),
 
+    // opensnowcat processor (internal/impl/opensnowcat/
+    // processor_opensnowcat.go:31-1080): Snowplow enriched-TSV events
+    // built deterministically from `events`, run through the full
+    // pipeline — set_metadata (iglu path), drop filters (direct column
+    // OR schema property), PII transforms (salted SHA-256 hash, redact,
+    // anonymize_ip), flattened-json output with typed columns and
+    // context shredding. The oracle replays every arm in SQL
+    "proc_opensnowcat" -> ((s, dir) => {
+      import graft.operators.OpenSnowcat
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val uaFamily = when(pmod(col("user_id"), lit(3)) === 0, lit("Chrome"))
+        .when(pmod(col("user_id"), lit(3)) === 1, lit("Firefox"))
+        .otherwise(lit("Safari"))
+      val fields: Map[String, org.apache.spark.sql.Column] = Map(
+        "app_id" -> concat(lit("app"), pmod(col("user_id"), lit(5))),
+        "platform" -> lit("web"),
+        "collector_tstamp" -> lit("2022-03-21 22:12:43.358"),
+        "event" -> col("event_type"),
+        "event_id" -> col("event_id").cast(StringType),
+        "user_id" -> concat(lit("user"), col("user_id")),
+        "user_ipaddress" -> concat(lit("10."), pmod(col("user_id"), lit(200)),
+          lit("."), pmod(col("event_id"), lit(250)),
+          lit("."), pmod(col("event_id") * 7, lit(250))),
+        "domain_sessionidx" -> pmod(col("user_id"), lit(100)).cast(StringType),
+        "network_userid" -> concat(lit("nu"), col("user_id")),
+        "useragent" -> when(pmod(col("event_id"), lit(17)) === 0,
+          lit("curl-bot/1.0")).otherwise(lit("Mozilla/5.0")),
+        "br_features_pdf" -> when(pmod(col("event_id"), lit(2)) === 0,
+          lit("1")).otherwise(lit("0")),
+        "contexts" -> concat(
+          lit("""{"schema":"iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-0","data":[{"schema":"iglu:com.snowplowanalytics.snowplow/web_page/jsonschema/1-0-0","data":{"id":"wp"""),
+          col("event_id"), lit("\"}}]}")),
+        "derived_contexts" -> concat(
+          lit("""{"schema":"iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-1","data":[{"schema":"iglu:com.snowplowanalytics.snowplow/ua_parser_context/jsonschema/1-0-0","data":{"useragentFamily":""""),
+          uaFamily, lit("""","osFamily":"Mac OS X"}}]}""")))
+      val env = ev.select(
+        concat_ws("\t", OpenSnowcat.columns.map(n => fields.getOrElse(n, lit(""))): _*)
+          .as(Msg.ContentCol),
+        map().cast(MapType(StringType, StringType)).as(Msg.MetaCol),
+        lit(null).cast(StringType).as(Msg.ErrorCol),
+        monotonically_increasing_id().as(Msg.SeqCol))
+      val out = OpenSnowcat.processor(OpenSnowcat.Config(
+        outputFormat = "json",
+        drop = Map(
+          "useragent" -> Seq("bot"),
+          "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily" -> Seq("Safari")),
+        transforms = Map(
+          "user_id" -> OpenSnowcat.Transform("hash", salt = "s3cr3t"),
+          "network_userid" -> OpenSnowcat.Transform("redact"),
+          "user_ipaddress" -> OpenSnowcat.Transform("anonymize_ip", anonOctets = 2)),
+        setMetadata = Map(
+          "ua_family" -> "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily")))(env)
+      out.select(
+        get_json_object(col(Msg.ContentCol), "$.event_id").cast(LongType).as("event_id"),
+        get_json_object(col(Msg.ContentCol), "$.app_id").as("app_id"),
+        get_json_object(col(Msg.ContentCol), "$.user_id").as("user_hash"),
+        get_json_object(col(Msg.ContentCol), "$.user_ipaddress").as("ip_anon"),
+        get_json_object(col(Msg.ContentCol), "$.network_userid").as("net_uid"),
+        get_json_object(col(Msg.ContentCol), "$.domain_sessionidx").cast(LongType).as("sessionidx"),
+        get_json_object(col(Msg.ContentCol), "$.br_features_pdf").as("pdf"),
+        get_json_object(col(Msg.ContentCol), "$.collector_tstamp").as("ct"),
+        col(Msg.MetaCol)("ua_family").as("ua_family"),
+        get_json_object(col(Msg.ContentCol),
+          "$.contexts_com_snowplowanalytics_snowplow_web_page_1[0].id").as("wp_id"))
+    }),
+
     // cached processor (processor_cached.go:21): child runs once per
     // DISTINCT key (memoization), results join back to all rows
     "proc_cached" -> ((s, dir) => Flow(t(s, dir, "orders"))
@@ -1990,6 +2057,46 @@ object QueriesProc {
     // index actions; a second pass exercises the update
     // (doc-merge) and delete actions; the verification search reads the
     // surviving documents back — all four bulk verbs cross one gate
+    // gcp_bigtable output (impl/gcp/output_bigtable.go:26-287): each
+    // message → one SetCell mutation per column, entries batched into
+    // bulk MutateRows gRPC calls FROM EXECUTORS (one client per
+    // partition — the ApplyBulk shape that scales with the cluster, no
+    // driver funnel), PingAndWarm on connect, ms-truncated timestamps.
+    // Read-back is the fixture's row-major cell dump; oracle rebuilds
+    // every (row_key, family, qualifier, ts, value) tuple in SQL
+    "out_gcp_bigtable" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Bigtable.MiniBigtable().start()
+      val port = srv.port
+      val table = "projects/proj/instances/inst/tables/orders"
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Bigtable.Client("127.0.0.1", port)
+          try {
+            c.pingAndWarm("proj", "inst")
+            it.grouped(500).foreach { chunk =>
+              val entries = chunk.map { r =>
+                val key = f"order#${r.getLong(0)}%012d"
+                val tsMicros = (1700000000000L + r.getLong(0)) * 1000L
+                graft.conn.Bigtable.Entry(key, Seq(
+                  ("cf1", "priority", tsMicros, r.getString(2).getBytes("UTF-8")),
+                  ("cf1", "status", tsMicros, r.getString(1).getBytes("UTF-8"))))
+              }
+              val failed = c.mutateRows(table, entries.toSeq)
+              require(failed.isEmpty, s"bigtable: ${failed.size} mutations failed")
+            }
+          } finally c.close()
+        }
+      }
+      val out = srv.cells(table).map(cl => (cl.rowKey, cl.family, cl.qualifier,
+        cl.timestampMicros, new String(cl.value, "UTF-8")))
+        .toDF("row_key", "family", "qualifier", "ts_micros", "value")
+      srv.stop()
+      out
+    }),
+
     "out_elasticsearch" -> ((s, dir) => {
       import s.implicits._
       val srv = new graft.conn.Elastic.MiniElastic().start()
@@ -2981,6 +3088,17 @@ object QueriesProc {
     "out_elasticsearch" ->
       """SELECT event_id, event_type, (event_id % 20 = 0) AS flagged
          FROM events WHERE event_type IS NOT NULL AND event_id % 4 = 0""",
+    "out_gcp_bigtable" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT 'order#' || lpad(o_orderkey::VARCHAR, 12, '0') AS row_key,
+           'cf1' AS family, 'priority' AS qualifier,
+           (1700000000000 + o_orderkey) * 1000 AS ts_micros,
+           o_orderpriority AS value
+         FROM base
+         UNION ALL
+         SELECT 'order#' || lpad(o_orderkey::VARCHAR, 12, '0'),
+           'cf1', 'status', (1700000000000 + o_orderkey) * 1000, o_orderstatus
+         FROM base""",
     "out_cassandra" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey % 3 = 1""",
@@ -3130,6 +3248,20 @@ object QueriesProc {
       """SELECT n_nationkey, n_name FROM nation""",
     "proc_grok" ->
       """SELECT event_id, event_type AS etype, user_id AS uid, value AS val FROM events""",
+    "proc_opensnowcat" ->
+      """SELECT event_id,
+           'app' || (user_id % 5) AS app_id,
+           sha256('user' || user_id || 's3cr3t') AS user_hash,
+           '10.' || (user_id % 200) || '.x.x' AS ip_anon,
+           '[REDACTED]' AS net_uid,
+           user_id % 100 AS sessionidx,
+           CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END AS pdf,
+           '2022-03-21T22:12:43.358Z' AS ct,
+           CASE WHEN user_id % 3 = 0 THEN 'Chrome' ELSE 'Firefox' END AS ua_family,
+           'wp' || event_id AS wp_id
+         FROM events
+         WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+           AND event_id % 17 <> 0 AND user_id % 3 <> 2""",
     "proc_cached" ->
       """SELECT o_orderkey, 'B' || CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS label
          FROM orders""",

@@ -295,7 +295,10 @@ object Js {
           catchClause = Some((catchName, parseBlock()))
         }
         var finallyBody: Vector[Stmt] = Vector.empty
-        if (isId("finally")) { advance(); finallyBody = parseBlock() }
+        var hasFinally = false
+        if (isId("finally")) { advance(); finallyBody = parseBlock(); hasFinally = true }
+        if (catchClause.isEmpty && !hasFinally)
+          throw new IllegalArgumentException("SyntaxError: try requires catch or finally")
         STry(body, catchClause, finallyBody)
       case TId("break") => advance(); SBreak
       case TId("continue") => advance(); SContinue

@@ -1,0 +1,486 @@
+package graft.operators
+
+import graft.core.{Msg, Processor}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.VectorMap
+import scala.collection.mutable
+
+/** OpenSnowcat / Snowplow enriched-TSV processor (reference:
+  * internal/impl/opensnowcat/processor_opensnowcat.go:31-1080 +
+  * schema_extractor.go:8-80). Parses the PUBLIC 131-column Snowplow
+  * enriched TSV format, applies drop filters (direct columns and iglu
+  * schema property paths, OR logic), PII transforms (hash with salt,
+  * redact, anonymize_ip for v4/v6), extracts metadata, discovers iglu
+  * schema URIs, and emits tsv / flattened json / nested enriched_json.
+  *
+  * Spark-first split: the TSV is `split` once into an array column and
+  * everything per-plain-column — drop filters, hash (md5/sha1/sha2 are
+  * codegen'd), redact, IP masking (`transform`/`filter`/`slice` higher-
+  * order functions), metadata projection, TSV re-join — stays pure
+  * Column algebra inside whole-stage codegen. Only the two genuinely
+  * schema-less JSON walks (iglu property search; context flattening
+  * with dynamic output keys) drop to Scala UDFs, mirroring the
+  * reference's use of the snowplow analytics SDK there.
+  */
+object OpenSnowcat {
+
+  /** The public Snowplow enriched-TSV canonical columns (131), lowercase.
+    * Reference: processor_opensnowcat.go:33-66 quoting
+    * docs.snowplow.io "understanding-the-enriched-tsv-format". */
+  val columns: Vector[String] = Vector(
+    "app_id", "platform", "etl_tstamp", "collector_tstamp", "dvce_created_tstamp",
+    "event", "event_id", "txn_id", "name_tracker", "v_tracker",
+    "v_collector", "v_etl", "user_id", "user_ipaddress", "user_fingerprint",
+    "domain_userid", "domain_sessionidx", "network_userid", "geo_country", "geo_region",
+    "geo_city", "geo_zipcode", "geo_latitude", "geo_longitude", "geo_region_name",
+    "ip_isp", "ip_organization", "ip_domain", "ip_netspeed", "page_url",
+    "page_title", "page_referrer", "page_urlscheme", "page_urlhost", "page_urlport",
+    "page_urlpath", "page_urlquery", "page_urlfragment", "refr_urlscheme", "refr_urlhost",
+    "refr_urlport", "refr_urlpath", "refr_urlquery", "refr_urlfragment", "refr_medium",
+    "refr_source", "refr_term", "mkt_medium", "mkt_source", "mkt_term",
+    "mkt_content", "mkt_campaign", "contexts", "se_category", "se_action",
+    "se_label", "se_property", "se_value", "unstruct_event", "tr_orderid",
+    "tr_affiliation", "tr_total", "tr_tax", "tr_shipping", "tr_city",
+    "tr_state", "tr_country", "ti_orderid", "ti_sku", "ti_name",
+    "ti_category", "ti_price", "ti_quantity", "pp_xoffset_min", "pp_xoffset_max",
+    "pp_yoffset_min", "pp_yoffset_max", "useragent", "br_name", "br_family",
+    "br_version", "br_type", "br_renderengine", "br_lang", "br_features_pdf",
+    "br_features_flash", "br_features_java", "br_features_director", "br_features_quicktime",
+    "br_features_realplayer", "br_features_windowsmedia", "br_features_gears", "br_features_silverlight",
+    "br_cookies", "br_colordepth", "br_viewwidth", "br_viewheight", "os_name",
+    "os_family", "os_manufacturer", "os_timezone", "dvce_type", "dvce_ismobile",
+    "dvce_screenwidth", "dvce_screenheight", "doc_charset", "doc_width", "doc_height",
+    "tr_currency", "tr_total_base", "tr_tax_base", "tr_shipping_base", "ti_currency",
+    "ti_price_base", "base_currency", "geo_timezone", "mkt_clickid", "mkt_network",
+    "etl_tags", "dvce_sent_tstamp", "refr_domain_userid", "refr_dvce_tstamp", "derived_contexts",
+    "domain_sessionid", "derived_tstamp", "event_vendor", "event_name", "event_format",
+    "event_version", "event_fingerprint", "true_tstamp")
+
+  val colIndex: Map[String, Int] = columns.zipWithIndex.toMap
+
+  // Typed parse table for the flattened `json` format — the public
+  // snowplow analytics SDK column-type mapping.
+  private val intCols = Set(
+    "txn_id", "domain_sessionidx", "page_urlport", "refr_urlport",
+    "pp_xoffset_min", "pp_xoffset_max", "pp_yoffset_min", "pp_yoffset_max",
+    "br_viewwidth", "br_viewheight", "dvce_screenwidth", "dvce_screenheight",
+    "doc_width", "doc_height", "ti_quantity")
+  private val doubleCols = Set(
+    "geo_latitude", "geo_longitude", "se_value", "tr_total", "tr_tax",
+    "tr_shipping", "ti_price", "tr_total_base", "tr_tax_base",
+    "tr_shipping_base", "ti_price_base")
+  private val boolCols: Set[String] =
+    columns.filter(_.startsWith("br_features_")).toSet ++ Set("br_cookies", "dvce_ismobile")
+  private val tstampCols = Set(
+    "etl_tstamp", "collector_tstamp", "dvce_created_tstamp", "dvce_sent_tstamp",
+    "refr_dvce_tstamp", "derived_tstamp", "true_tstamp")
+  private val jsonCols = Set("contexts", "derived_contexts", "unstruct_event")
+
+  final case class Transform(
+      strategy: String,
+      hashAlgo: String = "",
+      salt: String = "",
+      redactValue: String = "[REDACTED]",
+      anonOctets: Int = 2,
+      anonSegments: Int = 4)
+
+  /** Processor config mirroring the reference's ConfigSpec
+    * (processor_opensnowcat.go:68-134): `output_format`, `filters.drop`
+    * (field -> contains list), `filters.transform` and `set_metadata`. */
+  final case class Config(
+      outputFormat: String = "tsv",
+      drop: Map[String, Seq[String]] = Map.empty,
+      transforms: Map[String, Transform] = Map.empty,
+      salt: String = "",
+      hashAlgo: String = "SHA-256",
+      setMetadata: Map[String, String] = Map.empty)
+
+  /** Schema property paths keep case; plain columns normalize lowercase
+    * (reference: processor_opensnowcat.go:371-375). The geo./metrics./
+    * site. prefixes are flattened-JSON dotted keys, not iglu paths. */
+  def isSchemaPath(f: String): Boolean =
+    f.contains(".") && !f.startsWith("geo.") && !f.startsWith("metrics.") && !f.startsWith("site.")
+
+  // ------------------------------------------------------------------ JSON walks
+
+  private type JMap = VectorMap[String, Any]
+
+  private def parseJson(s: String): Option[Any] =
+    try Some(graft.blob.Interp.parseJsonTyped(s)) catch { case _: Exception => None }
+
+  /** Recursive iglu property search (reference searchSchemaProperty,
+    * processor_opensnowcat.go:719-762): match `vendor_name.`-prefixed
+    * paths against any self-describing {schema, data} node. */
+  private def searchProperty(node: Any, path: String): String = node match {
+    case m: VectorMap[String @unchecked, Any @unchecked] =>
+      val direct = m.get("schema") match {
+        case Some(s: String) if s.startsWith("iglu:") =>
+          val parts = s.stripPrefix("iglu:").split("/", 2)
+          if (parts.length >= 2) {
+            val vendor = parts(0)
+            val name = parts(1).split("/")(0)
+            val fullSchema = (vendor + "." + name).replace(".", "_")
+            if (path.startsWith(fullSchema + ".")) {
+              m.get("data") match {
+                case Some(d: VectorMap[String @unchecked, Any @unchecked]) =>
+                  nestedProperty(d, path.substring(fullSchema.length + 1))
+                case _ => ""
+              }
+            } else ""
+          } else ""
+        case _ => ""
+      }
+      if (direct.nonEmpty) direct
+      else m.values.iterator.map(searchProperty(_, path)).find(_.nonEmpty).getOrElse("")
+    case a: Vector[Any @unchecked] =>
+      a.iterator.map(searchProperty(_, path)).find(_.nonEmpty).getOrElse("")
+    case _ => ""
+  }
+
+  private def nestedProperty(data: JMap, path: String): String = {
+    val end: Any = path.split("\\.").foldLeft(data: Any) {
+      case (m: VectorMap[String @unchecked, Any @unchecked], part) => m.getOrElse(part, null)
+      case _ => null
+    }
+    end match {
+      case null => ""
+      case s: String => s
+      case b: Boolean => b.toString
+      case l: Long => l.toString
+      case i: Int => i.toString
+      case d: Double => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      case other => String.valueOf(other)
+    }
+  }
+
+  /** Search contexts, derived_contexts then unstruct_event for an iglu
+    * property path (reference extractSchemaPropertyForMetadata /
+    * matchesSchemaProperty, processor_opensnowcat.go:664-708). */
+  def schemaProperty(ctx: String, derived: String, unstruct: String, path: String): String =
+    Seq(ctx, derived, unstruct).iterator
+      .filter(_ != null).filter(_.nonEmpty)
+      .flatMap(parseJson)
+      .map(searchProperty(_, path))
+      .find(_.nonEmpty).getOrElse("")
+
+  /** iglu URI -> (vendor, name, version) (reference parseSchemaURI,
+    * processor_opensnowcat.go:1041-1059). */
+  private def parseIglu(uri: String): Option[(String, String, String)] = {
+    if (!uri.startsWith("iglu:")) None
+    else {
+      val parts = uri.stripPrefix("iglu:").split("/")
+      if (parts.length < 4) None else Some((parts(0), parts(1), parts(3)))
+    }
+  }
+
+  /** Flattened-json key per the public analytics-SDK convention:
+    * `prefix_vendor_name_model` with dots/dashes -> underscores and
+    * camelCase -> snake_case, lowercased (so org.w3/PerformanceTiming
+    * at 1-0-0 flattens to contexts_org_w3_performance_timing_1). */
+  private def flatKey(prefix: String, uri: String): Option[String] =
+    parseIglu(uri).map { case (vendor, name, version) =>
+      val v = vendor.replace('.', '_').replace('-', '_').toLowerCase
+      val n = name.replaceAll("([^A-Z_])([A-Z])", "$1_$2")
+        .replace('.', '_').replace('-', '_').toLowerCase
+      val model = version.takeWhile(_ != '-')
+      s"${prefix}_${v}_${n}_$model"
+    }
+
+  private def typedValue(name: String, raw: String): Any =
+    if (tstampCols(name)) raw.replace(' ', 'T') + "Z"
+    else if (intCols(name)) try raw.toLong catch { case _: NumberFormatException => raw }
+    else if (doubleCols(name)) try raw.toDouble catch { case _: NumberFormatException => raw }
+    else if (boolCols(name)) raw == "1"
+    else raw
+
+  /** The `json` output format: typed top-level fields; contexts and
+    * derived_contexts both flatten (merged) to `contexts_<key>` arrays
+    * of bare data objects; unstruct_event unwraps its self-describing
+    * envelope to a single `unstruct_event_<key>` object. */
+  def flatJson(fields: Seq[String]): String = {
+    val out = mutable.LinkedHashMap[String, Any]()
+    var i = 0
+    while (i < columns.length && i < fields.length) {
+      val name = columns(i)
+      val v = fields(i)
+      if (v.nonEmpty && !jsonCols(name)) out(name) = typedValue(name, v)
+      i += 1
+    }
+    val ctx = mutable.LinkedHashMap[String, Vector[Any]]()
+    def addContexts(raw: String): Unit =
+      if (raw != null && raw.nonEmpty) parseJson(raw).foreach(walkContexts(_, ctx))
+    addContexts(fieldAt(fields, "contexts"))
+    addContexts(fieldAt(fields, "derived_contexts"))
+    ctx.foreach { case (k, arr) => out(k) = arr }
+    val u = fieldAt(fields, "unstruct_event")
+    if (u.nonEmpty) parseJson(u).foreach {
+      case m: VectorMap[String @unchecked, Any @unchecked] =>
+        // unwrap the iglu unstruct_event envelope to the inner
+        // self-describing payload (analytics-SDK shredding)
+        val inner = m.get("schema") match {
+          case Some(s: String) if s.contains("/unstruct_event/") =>
+            m.get("data") match {
+              case Some(d: VectorMap[String @unchecked, Any @unchecked]) => d
+              case _ => m
+            }
+          case _ => m
+        }
+        for {
+          uri <- inner.get("schema").collect { case s: String => s }
+          key <- flatKey("unstruct_event", uri)
+          data <- inner.get("data")
+        } out(key) = data
+      case _ => ()
+    }
+    graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
+  }
+
+  /** Collect self-describing contexts into flat `contexts_*` keys,
+    * unwrapping the com.snowplowanalytics.snowplow/contexts wrapper
+    * (both wrapper-object and bare-array inputs accepted). */
+  private def walkContexts(node: Any, acc: mutable.LinkedHashMap[String, Vector[Any]]): Unit =
+    node match {
+      case a: Vector[Any @unchecked] => a.foreach(walkContexts(_, acc))
+      case m: VectorMap[String @unchecked, Any @unchecked] =>
+        m.get("schema") match {
+          case Some(uri: String) if uri.contains("/contexts/") =>
+            m.get("data").foreach(walkContexts(_, acc))
+          case Some(uri: String) =>
+            flatKey("contexts", uri).foreach { key =>
+              m.get("data").foreach { d =>
+                acc(key) = acc.getOrElse(key, Vector.empty) :+ d
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+  private def fieldAt(fields: Seq[String], name: String): String = {
+    val i = colIndex(name)
+    if (i < fields.length && fields(i) != null) fields(i) else ""
+  }
+
+  /** The `enriched_json` output format (reference
+    * restructureForEnrichedJSON, processor_opensnowcat.go:902-1039):
+    * nested key-based structure — each schema becomes a
+    * `vendor_name` key (dots -> underscores, case preserved) holding
+    * {version, data: [...]}; contexts and derived_contexts stay
+    * separate; the snowplow contexts wrapper is unwrapped. */
+  def enrichedJson(fields: Seq[String]): String = {
+    val out = mutable.LinkedHashMap[String, Any]()
+    var i = 0
+    while (i < columns.length && i < fields.length) {
+      val name = columns(i)
+      val v = fields(i)
+      if (v.nonEmpty && !jsonCols(name)) out(name) = typedValue(name, v)
+      i += 1
+    }
+    def contextsOf(colName: String): VectorMap[String, Any] = {
+      val acc = mutable.LinkedHashMap[String, (String, Vector[Any])]()
+      val raw = fieldAt(fields, colName)
+      if (raw.nonEmpty) parseJson(raw).foreach(walkEnriched(_, acc))
+      VectorMap(acc.toSeq.map { case (k, (ver, data)) =>
+        k -> VectorMap[String, Any]("version" -> ver, "data" -> data)
+      }: _*)
+    }
+    val ctx = contextsOf("contexts")
+    if (ctx.nonEmpty) out("contexts") = ctx
+    val u = fieldAt(fields, "unstruct_event")
+    if (u.nonEmpty) parseJson(u).foreach {
+      case m: VectorMap[String @unchecked, Any @unchecked] =>
+        for {
+          uri <- m.get("schema").collect { case s: String => s }
+          (vendor, name, version) <- parseIglu(uri)
+        } {
+          val key = (vendor + "." + name).replace(".", "_")
+          val data = m.get("data").map(d => Vector(d)).getOrElse(Vector.empty)
+          out("unstruct_event") = VectorMap[String, Any](
+            key -> VectorMap[String, Any]("version" -> version, "data" -> data))
+        }
+      case _ => ()
+    }
+    val derived = contextsOf("derived_contexts")
+    if (derived.nonEmpty) out("derived_contexts") = derived
+    graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
+  }
+
+  private def walkEnriched(node: Any,
+                           acc: mutable.LinkedHashMap[String, (String, Vector[Any])]): Unit =
+    node match {
+      case a: Vector[Any @unchecked] => a.foreach(walkEnriched(_, acc))
+      case m: VectorMap[String @unchecked, Any @unchecked] =>
+        m.get("schema") match {
+          case Some(uri: String) =>
+            parseIglu(uri).foreach { case (vendor, name, version) =>
+              val dotted = vendor + "." + name
+              if (dotted == "com.snowplowanalytics.snowplow.contexts") {
+                m.get("data").foreach(walkEnriched(_, acc)) // unwrap wrapper
+              } else {
+                val key = dotted.replace(".", "_")
+                m.get("data").foreach { d =>
+                  val (ver, arr) = acc.getOrElse(key, (version, Vector.empty[Any]))
+                  acc(key) = (ver, arr :+ d)
+                }
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+  /** Schema discovery (reference schema_extractor.go:8-80): every iglu
+    * URI reachable from the three JSON columns, deduped. Exposed as a
+    * sorted array column; at pipeline level discovery is an aggregation
+    * (`collect_set` over the exploded URIs), not mutable driver state —
+    * the Spark-native shape of the reference's flush loop. */
+  def discoverSchemas(ctx: String, derived: String, unstruct: String): Seq[String] = {
+    val acc = mutable.LinkedHashSet[String]()
+    def walk(node: Any): Unit = node match {
+      case m: VectorMap[String @unchecked, Any @unchecked] =>
+        m.get("schema").collect { case s: String if s.startsWith("iglu:") => acc += s }
+        m.values.foreach(walk)
+      case a: Vector[Any @unchecked] => a.foreach(walk)
+      case _ => ()
+    }
+    Seq(ctx, derived, unstruct).filter(_ != null).filter(_.nonEmpty)
+      .flatMap(parseJson).foreach(walk)
+    acc.toSeq.sorted
+  }
+
+  // ------------------------------------------------------------------ Column algebra
+
+  private val schemaPropertyUdf =
+    udf((c: String, d: String, u: String, p: String) => schemaProperty(c, d, u, p))
+  private val flatJsonUdf = udf((fields: Seq[String]) => flatJson(fields))
+  private val enrichedJsonUdf = udf((fields: Seq[String]) => enrichedJson(fields))
+  private val discoverUdf =
+    udf((c: String, d: String, u: String) => discoverSchemas(c, d, u))
+
+  private def fieldCol(cols: Column, name: String): Column =
+    element_at(cols, colIndex(name) + 1)
+
+  /** Mask the last n IPv4 octets with "x" (reference anonymizeIPv4,
+    * processor_opensnowcat.go:790-809) — pure higher-order Columns. */
+  private def maskV4(ip: Column, n: Int): Column = {
+    if (n <= 0) ip
+    else {
+      val parts = split(ip, "\\.")
+      when(size(parts) =!= 4, ip).otherwise(
+        array_join(transform(parts, (p, i) => when(i >= lit(4 - n), lit("x")).otherwise(p)), "."))
+    }
+  }
+
+  /** Mask the last n non-empty IPv6 segments (reference anonymizeIPv6,
+    * processor_opensnowcat.go:811-827): a segment is masked when fewer
+    * than n non-empty segments follow it — O(8²) codegen'd, no UDF. */
+  private def maskV6(ip: Column, n: Int): Column = {
+    if (n <= 0) ip
+    else {
+      val parts = split(ip, ":")
+      array_join(
+        transform(parts, (p, i) =>
+          when(p =!= "" &&
+            size(filter(slice(parts, i + lit(2), size(parts)), y => y =!= "")) < lit(n),
+            lit("x")).otherwise(p)),
+        ":")
+    }
+  }
+
+  private def hashCol(v: Column, algo: String, salt: String): Column = {
+    val input = concat(v, lit(salt))
+    algo.toUpperCase match {
+      case "MD5" => md5(input)
+      case "SHA-1" => sha1(input)
+      case "SHA-384" => sha2(input, 384)
+      case "SHA-512" => sha2(input, 512)
+      case _ => sha2(input, 256) // SHA-256 and unknown algos (reference default)
+    }
+  }
+
+  private def transformed(v: Column, t: Transform, cfg: Config): Column = {
+    val applied = t.strategy match {
+      case "hash" =>
+        hashCol(v,
+          if (t.hashAlgo.nonEmpty) t.hashAlgo else cfg.hashAlgo,
+          if (t.salt.nonEmpty) t.salt else cfg.salt)
+      case "redact" => lit(t.redactValue)
+      case "anonymize_ip" =>
+        when(v.contains(":"), maskV6(v, t.anonSegments)).otherwise(maskV4(v, t.anonOctets))
+      case _ => v // unknown strategy: pass through (reference logs a warning)
+    }
+    when(v.isNull || v === "", v).otherwise(applied)
+  }
+
+  /** Build the processor: content = one enriched-TSV line per message.
+    * Dropped events are filtered out of the DataFrame (the reference
+    * returns a nil batch); the `dropped` metric is the row-count delta. */
+  def processor(cfg: Config): Processor = Processor("opensnowcat") { df =>
+    val colsExpr = split(col(Msg.ContentCol), "\t", -1)
+    var out = df.withColumn("_osc", colsExpr)
+    val cols = col("_osc")
+
+    def jsonColumn(name: String): Column = fieldCol(cols, name)
+    def propCol(path: String): Column =
+      schemaPropertyUdf(
+        jsonColumn("contexts"), jsonColumn("derived_contexts"),
+        jsonColumn("unstruct_event"), lit(path))
+
+    // 1. set_metadata before filters/transforms (reference Process order,
+    //    processor_opensnowcat.go:547-556); empty values stay unset
+    cfg.setMetadata.foreach { case (metaKey, field) =>
+      val v =
+        if (isSchemaPath(field)) propCol(field)
+        else colIndex.get(field.toLowerCase).map(i => element_at(cols, i + 1)).getOrElse(lit(""))
+      out = Msg.setMeta(out, metaKey, when(v =!= "", v))
+    }
+    if (cfg.setMetadata.nonEmpty)
+      out = out.withColumn(Msg.MetaCol, map_filter(col(Msg.MetaCol), (_, v) => v.isNotNull))
+
+    // 2. drop filters — OR across fields, case-insensitive substring
+    if (cfg.drop.nonEmpty) {
+      val conds = cfg.drop.toSeq.map { case (field, needles) =>
+        val value =
+          if (isSchemaPath(field)) propCol(field)
+          else colIndex.get(field.toLowerCase).map(i => element_at(col("_osc"), i + 1)).getOrElse(lit(""))
+        needles.map(n => lower(value).contains(lit(n.toLowerCase))).reduce(_ || _)
+      }
+      out = out.filter(!conds.reduce(_ || _))
+    }
+
+    // 3. PII transforms rebuild the array in one codegen'd `transform`
+    if (cfg.transforms.nonEmpty) {
+      val byIdx: Map[Int, Transform] = cfg.transforms.flatMap { case (f, t) =>
+        val key = if (isSchemaPath(f)) f else f.toLowerCase
+        colIndex.get(key).map(_ -> t)
+      }
+      out = out.withColumn("_osc",
+        transform(col("_osc"), (v, i) =>
+          byIdx.foldLeft(v) { case (acc, (idx, t)) =>
+            when(i === lit(idx), transformed(v, t, cfg)).otherwise(acc)
+          }))
+    }
+
+    // 4. output format
+    val content = cfg.outputFormat match {
+      case "json" => flatJsonUdf(col("_osc"))
+      case "enriched_json" => enrichedJsonUdf(col("_osc"))
+      case _ => array_join(col("_osc"), "\t")
+    }
+    out.withColumn(Msg.ContentCol, content).drop("_osc")
+  }
+
+  /** Schema-discovery column for pipeline-level aggregation:
+    * `collect_set(explode(discoveredSchemas(content)))` gives the
+    * reference's flush payload without driver-side mutable state. */
+  def discoveredSchemas(content: Column): Column = {
+    val cols = split(content, "\t", -1)
+    discoverUdf(
+      element_at(cols, colIndex("contexts") + 1),
+      element_at(cols, colIndex("derived_contexts") + 1),
+      element_at(cols, colIndex("unstruct_event") + 1))
+  }
+}

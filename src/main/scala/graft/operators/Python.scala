@@ -38,13 +38,13 @@ object Python {
       |    try:
       |        g["this"] = json.loads(frame["content"])
       |        exec(code, g)
-      |        line = json.dumps({"ok": True, "root": g.get("root")}, allow_nan=False)
+      |        resp = json.dumps({"ok": True, "root": g.get("root")}, allow_nan=False)
       |    except Exception as e:
       |        # dumps stays inside the guard: a non-JSON root (set, bytes,
       |        # NaN with allow_nan=False, custom object) routes to the error
       |        # facet instead of killing the worker mid-stream
-      |        line = json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"})
-      |    sys.stdout.write(line); sys.stdout.write("\n"); sys.stdout.flush()
+      |        resp = json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"})
+      |    sys.stdout.write(resp); sys.stdout.write("\n"); sys.stdout.flush()
       |""".stripMargin
 
   /** one pooled interpreter: spawn, ship the script, READY handshake,

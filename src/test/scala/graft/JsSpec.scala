@@ -74,6 +74,14 @@ class JsSpec extends AnyFunSuite {
         |g() + log""".stripMargin) == VStr("rf"))
   }
 
+  test("try with neither catch nor finally is a SyntaxError (ES5.1 §12.14 grammar)") {
+    val e = intercept[IllegalArgumentException](Js.parse("try { 1 + 1; }"))
+    assert(e.getMessage.contains("SyntaxError"))
+    // with either clause present the statement parses fine
+    evalJs("try { 1; } catch (e) {}")
+    evalJs("try { 1; } finally {}")
+  }
+
   test("the reference's documented Example 1 runs verbatim (string mutation)") {
     val code = """bento.v0_msg_set_string(bento.v0_msg_as_string() + "hello world");"""
     val Right((content, _)) = Javascript.runOnce(Js.parse(code), "prefix-", Map.empty): @unchecked

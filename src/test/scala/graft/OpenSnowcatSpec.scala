@@ -1,0 +1,234 @@
+package graft
+
+import graft.core.Msg
+import graft.operators.OpenSnowcat
+import graft.operators.OpenSnowcat.{Config, Transform}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.VectorMap
+
+/** opensnowcat processor contract, porting the reference's own cases
+  * (internal/impl/opensnowcat/processor_opensnowcat_test.go:22-788 over
+  * testdata/page_view.tsv): TSV→flattened-JSON, TSV→enriched-JSON,
+  * drop filters on direct columns and iglu schema property paths (OR
+  * logic), PII transforms, set_metadata, schema discovery. */
+class OpenSnowcatSpec extends SparkSpec {
+
+  private lazy val pageView: String = {
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/internal/impl/opensnowcat/testdata/page_view.tsv"))
+    raw.stripSuffix("\n")
+  }
+
+  private def envelope(lines: String*): DataFrame = {
+    import spark.implicits._
+    lines.toDF("raw").select(
+      col("raw").as(Msg.ContentCol),
+      map().cast("map<string,string>").as(Msg.MetaCol),
+      lit(null).cast("string").as(Msg.ErrorCol),
+      monotonically_increasing_id().as(Msg.SeqCol))
+  }
+
+  private def run(cfg: Config, lines: String*): Seq[(String, Map[String, String])] =
+    OpenSnowcat.processor(cfg)(envelope(lines: _*))
+      .select(col(Msg.ContentCol), col(Msg.MetaCol))
+      .collect().toSeq
+      .map(r => (r.getString(0), Option(r.getMap[String, String](1)).map {
+        m => scala.collection.mutable.Map(m.toSeq: _*).toMap
+      }.getOrElse(Map.empty)))
+
+  private def parse(s: String): VectorMap[String, Any] =
+    graft.blob.Interp.parseJsonTyped(s).asInstanceOf[VectorMap[String, Any]]
+
+  test("json format flattens the real page_view TSV (reference TestProcessPageViewJSON)") {
+    val Seq((json, _)) = run(Config(outputFormat = "json"), pageView)
+    val m = parse(json)
+    assert(m("app_id") == "snwcat")
+    assert(m("event") == "page_view")
+    assert(m("event_id") == "9fd5fd06-24ad-471b-9f73-f1a054cb0b31")
+    assert(m("user_id") == "joaocorreia")
+
+    val ua = m("contexts_com_snowplowanalytics_snowplow_ua_parser_context_1")
+      .asInstanceOf[Vector[Any]]
+    assert(ua.length == 1)
+    val ua0 = ua.head.asInstanceOf[VectorMap[String, Any]]
+    assert(ua0("useragentFamily") == "Chrome")
+    assert(ua0("osFamily") == "Mac OS X")
+
+    val wp = m("contexts_com_snowplowanalytics_snowplow_web_page_1").asInstanceOf[Vector[Any]]
+    assert(wp.head.asInstanceOf[VectorMap[String, Any]]("id") ==
+      "9689656e-ebab-4c10-9413-59a6dcefadd2")
+
+    val fp = m("contexts_com_fingerprintjs_fingerprint_1").asInstanceOf[Vector[Any]]
+    assert(fp.head.asInstanceOf[VectorMap[String, Any]]("visitorId") == "nmnY3NEe0lGJc4tzh5KM")
+
+    // nested objects preserved: data[0].city.names.en
+    val loc = m("contexts_com_dbip_location_1").asInstanceOf[Vector[Any]]
+    val names = loc.head.asInstanceOf[VectorMap[String, Any]]("city")
+      .asInstanceOf[VectorMap[String, Any]]("names").asInstanceOf[VectorMap[String, Any]]
+    assert(names("en") == "Del Mar")
+
+    // arrays within contexts preserved, multiple items in one schema key
+    val cookies = m("contexts_org_ietf_http_cookie_1").asInstanceOf[Vector[Any]]
+    assert(cookies.length >= 2)
+    assert(cookies(0).asInstanceOf[VectorMap[String, Any]]("name") == "_gaexp")
+    assert(cookies(1).asInstanceOf[VectorMap[String, Any]]("name") == "ajs_user_id")
+
+    val clearbit = m("contexts_com_clearbit_company_1").asInstanceOf[Vector[Any]]
+      .head.asInstanceOf[VectorMap[String, Any]]
+    assert(clearbit("name") == "SnowcatCloud")
+    assert(clearbit("tech").asInstanceOf[Vector[Any]].head == "google_apps")
+
+    // camelCase iglu names flatten to snake_case
+    assert(m.contains("contexts_org_w3_performance_timing_1"))
+    // typed top-level fields: tstamps to ISO, ints, booleans
+    assert(m("collector_tstamp") == "2022-03-21T22:12:43.358Z")
+    assert(m("domain_sessionidx") == 36L)
+  }
+
+  test("tsv format passes through unchanged when nothing matches") {
+    val Seq((out, _)) = run(Config(outputFormat = "tsv"), pageView)
+    assert(out == pageView)
+  }
+
+  test("drop filter on direct column (reference TestProcessPageViewTSV_FilterByIP)") {
+    assert(run(Config(drop = Map("user_ipaddress" -> Seq("75.80.110.186"))), pageView).isEmpty)
+    // non-matching filter keeps the event byte-identical
+    val kept = run(Config(drop = Map("user_ipaddress" -> Seq("192.168.1.1"))), pageView)
+    assert(kept.map(_._1) == Seq(pageView))
+  }
+
+  test("drop filter on iglu schema property path (reference FilterBySchemaProperty)") {
+    val path = "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily"
+    assert(run(Config(drop = Map(path -> Seq("Chrome"))), pageView).isEmpty)
+    assert(run(Config(drop = Map(path -> Seq("Firefox"))), pageView).map(_._1) == Seq(pageView))
+    val osPath = "com_snowplowanalytics_snowplow_ua_parser_context.osFamily"
+    assert(run(Config(drop = Map(osPath -> Seq("Mac OS X"))), pageView).isEmpty)
+  }
+
+  test("multiple drop filters use OR logic (reference FilterMultipleConditions)") {
+    val cfg = Config(drop = Map(
+      "user_ipaddress" -> Seq("192.168.1.1"), // no match
+      "useragent" -> Seq("bot", "crawler"), // no match
+      "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily" ->
+        Seq("Firefox", "Safari"), // no match
+      "com_snowplowanalytics_snowplow_ua_parser_context.osFamily" ->
+        Seq("Mac OS X"), // MATCH -> drop
+      "nl.basjes.yauaa_context.deviceClass" -> Seq("Phone"))) // no match
+    assert(run(cfg, pageView).isEmpty)
+
+    val none = cfg.copy(drop = cfg.drop.updated(
+      "com_snowplowanalytics_snowplow_ua_parser_context.osFamily",
+      Seq("Windows", "Linux")))
+    assert(run(none, pageView).map(_._1) == Seq(pageView))
+  }
+
+  test("PII transforms: hash, redact, anonymize_ip (reference TransformFields)") {
+    val cfg = Config(
+      outputFormat = "tsv",
+      salt = "test-salt-12345", hashAlgo = "SHA-256",
+      transforms = Map(
+        "user_ipaddress" -> Transform("anonymize_ip", anonOctets = 2, anonSegments = 4),
+        "user_id" -> Transform("hash", hashAlgo = "SHA-256", salt = "test-salt-12345"),
+        "network_userid" -> Transform("redact", redactValue = "[REDACTED]")))
+    val Seq((out, _)) = run(cfg, pageView)
+    val cols = out.split("\t", -1)
+    assert(cols(OpenSnowcat.colIndex("user_ipaddress")) == "75.80.x.x")
+    val uid = cols(OpenSnowcat.colIndex("user_id"))
+    assert(uid != "joaocorreia" && uid.length == 64)
+    val expected = graft.conn.Aws.SigV4.sha256Hex(
+      "joaocorreiatest-salt-12345".getBytes("UTF-8"))
+    assert(uid == expected, "hash is sha256(value + salt) hex")
+    assert(cols(OpenSnowcat.colIndex("network_userid")) == "[REDACTED]")
+    assert(cols(OpenSnowcat.colIndex("app_id")) == "snwcat")
+    assert(cols(OpenSnowcat.colIndex("event_id")) == "9fd5fd06-24ad-471b-9f73-f1a054cb0b31")
+  }
+
+  test("anonymize_ip masks IPv6 segments and leaves invalid shapes alone") {
+    val mk = (ip: String) => {
+      val fields = OpenSnowcat.columns.indices.map(i =>
+        if (i == OpenSnowcat.colIndex("user_ipaddress")) ip else "v")
+      fields.mkString("\t")
+    }
+    val cfg = Config(outputFormat = "tsv", transforms = Map(
+      "user_ipaddress" -> Transform("anonymize_ip", anonOctets = 2, anonSegments = 3)))
+    val out = run(cfg, mk("2001:db8:85a3:0:0:8a2e:370:7334"), mk("not-an-ip"), mk(""))
+      .map(_._1.split("\t", -1)(OpenSnowcat.colIndex("user_ipaddress")))
+    assert(out(0) == "2001:db8:85a3:0:0:x:x:x")
+    assert(out(1) == "not-an-ip", "invalid IPv4 shape passes through")
+    assert(out(2) == "", "empty value never transformed")
+  }
+
+  test("enriched_json nests schemas as vendor_name keys (reference TestProcessPageViewEnrichedJSON)") {
+    val Seq((json, _)) = run(Config(outputFormat = "enriched_json"), pageView)
+    val m = parse(json)
+    assert(m("app_id") == "snwcat")
+    assert(m("user_id") == "joaocorreia")
+
+    val contexts = m("contexts").asInstanceOf[VectorMap[String, Any]]
+    val derived = m("derived_contexts").asInstanceOf[VectorMap[String, Any]]
+
+    val ua = derived("com_snowplowanalytics_snowplow_ua_parser_context")
+      .asInstanceOf[VectorMap[String, Any]]
+    assert(ua.keySet == Set("version", "data"), "only version and data")
+    assert(ua("version") == "1-0-0")
+    val uaData = ua("data").asInstanceOf[Vector[Any]]
+    assert(uaData.length == 1)
+    assert(uaData.head.asInstanceOf[VectorMap[String, Any]]("useragentFamily") == "Chrome")
+
+    val wp = contexts("com_snowplowanalytics_snowplow_web_page")
+      .asInstanceOf[VectorMap[String, Any]]
+    assert(wp("data").asInstanceOf[Vector[Any]].head
+      .asInstanceOf[VectorMap[String, Any]]("id") == "9689656e-ebab-4c10-9413-59a6dcefadd2")
+
+    // multiple items in one schema's data array
+    val cookies = derived("org_ietf_http_cookie").asInstanceOf[VectorMap[String, Any]]
+    val cookieData = cookies("data").asInstanceOf[Vector[Any]]
+    assert(cookieData.length >= 2)
+    assert(cookieData(0).asInstanceOf[VectorMap[String, Any]]("name") == "_gaexp")
+
+    // nested path derived_contexts[com_dbip_location].data[0].city.names.en
+    val loc = derived("com_dbip_location").asInstanceOf[VectorMap[String, Any]]
+    val en = loc("data").asInstanceOf[Vector[Any]].head
+      .asInstanceOf[VectorMap[String, Any]]("city").asInstanceOf[VectorMap[String, Any]]("names")
+      .asInstanceOf[VectorMap[String, Any]]("en")
+    assert(en == "Del Mar")
+
+    // the flattened _1-suffixed keys belong to the json format only
+    assert(!m.contains("contexts_com_snowplowanalytics_snowplow_web_page_1"))
+    assert(!m.contains("derived_contexts_com_dbip_location_1"))
+  }
+
+  test("set_metadata from direct columns and iglu paths (reference TestSetMetadata*)") {
+    val cfg = Config(outputFormat = "tsv", setMetadata = Map(
+      "eid" -> "event_id",
+      "app_id" -> "app_id",
+      "user" -> "user_id",
+      "fingerprint" -> "event_fingerprint",
+      "ua_family" -> "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily",
+      "visitor_id" -> "com_fingerprintjs_fingerprint.visitorId",
+      "web_page_id" -> "com_snowplowanalytics_snowplow_web_page.id",
+      "txn" -> "txn_id")) // empty column -> key absent
+    val Seq((out, meta)) = run(cfg, pageView)
+    assert(out == pageView, "TSV payload unchanged")
+    assert(meta("eid") == "9fd5fd06-24ad-471b-9f73-f1a054cb0b31")
+    assert(meta("app_id") == "snwcat")
+    assert(meta("user") == "joaocorreia")
+    assert(meta.get("fingerprint").exists(_.nonEmpty))
+    assert(meta("ua_family") == "Chrome")
+    assert(meta("visitor_id") == "nmnY3NEe0lGJc4tzh5KM")
+    assert(meta("web_page_id") == "9689656e-ebab-4c10-9413-59a6dcefadd2")
+    assert(!meta.contains("txn"), "empty TSV values never set metadata")
+  }
+
+  test("schema discovery collects every iglu URI (reference schema_extractor)") {
+    val df = envelope(pageView)
+      .select(explode(OpenSnowcat.discoveredSchemas(col(Msg.ContentCol))).as("uri"))
+    val uris = df.agg(collect_set(col("uri"))).collect()(0).getSeq[String](0).toSet
+    assert(uris.contains("iglu:com.snowplowanalytics.snowplow/web_page/jsonschema/1-0-0"))
+    assert(uris.contains("iglu:com.fingerprintjs/fingerprint/jsonschema/1-0-0"))
+    assert(uris.contains("iglu:org.w3/PerformanceTiming/jsonschema/1-0-0"))
+    assert(uris.forall(_.startsWith("iglu:")))
+  }
+}
