@@ -2057,6 +2057,46 @@ object QueriesProc {
     // index actions; a second pass exercises the update
     // (doc-merge) and delete actions; the verification search reads the
     // surviving documents back — all four bulk verbs cross one gate
+    // gcp_bigquery_write_api output (impl/gcp/output_bigquery_storage.
+    // go:29-365): Storage Write API over the in-repo gRPC stack —
+    // GetWriteStream(_default, FULL) discovers the table schema, JSON
+    // messages adapt to proto rows against the derived descriptor, and
+    // AppendRows bidi-streams batches FROM EXECUTORS (one managed
+    // stream per partition, writer_schema on each stream's first
+    // request, per-batch AppendResult awaited). DefaultStream commits
+    // immediately; the oracle replays the projection
+    "out_gcp_bq_write" -> ((s, dir) => {
+      import s.implicits._
+      val fields = Seq(
+        graft.conn.BigQueryWrite.Field("event_id", graft.conn.BigQueryWrite.FieldType.Int64),
+        graft.conn.BigQueryWrite.Field("event_type", graft.conn.BigQueryWrite.FieldType.String),
+        graft.conn.BigQueryWrite.Field("value", graft.conn.BigQueryWrite.FieldType.Double),
+        graft.conn.BigQueryWrite.Field("big", graft.conn.BigQueryWrite.FieldType.Bool))
+      val table = "projects/proj/datasets/ds/tables/events"
+      val srv = new graft.conn.BigQueryWrite.MiniBqStorage(Map(table -> fields)).start()
+      val port = srv.port
+      val rows = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull && col("event_id") % 2 === 1)
+        .select(to_json(struct(col("event_id"), col("event_type"), col("value"),
+          (col("value") > 100.0).as("big"))).as("j"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.BigQueryWrite.Client("127.0.0.1", port)
+          try {
+            val schema = c.getWriteStream(table)
+            c.appendJsonRows(table, schema, it.map(_.getString(0)), batchRows = 500)
+            ()
+          } finally c.close()
+        }
+      }
+      val out = srv.rows(table).map(r => (r("event_id").asInstanceOf[Long],
+        r("event_type").asInstanceOf[String], r("value").asInstanceOf[Double],
+        r("big").asInstanceOf[Boolean]))
+        .toDF("event_id", "event_type", "value", "big")
+      srv.stop()
+      out
+    }),
+
     // gcp_bigtable output (impl/gcp/output_bigtable.go:26-287): each
     // message → one SetCell mutation per column, entries batched into
     // bulk MutateRows gRPC calls FROM EXECUTORS (one client per
@@ -3088,6 +3128,10 @@ object QueriesProc {
     "out_elasticsearch" ->
       """SELECT event_id, event_type, (event_id % 20 = 0) AS flagged
          FROM events WHERE event_type IS NOT NULL AND event_id % 4 = 0""",
+    "out_gcp_bq_write" ->
+      """SELECT event_id, event_type, value, (value > 100) AS big
+         FROM events
+         WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_id % 2 = 1""",
     "out_gcp_bigtable" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
          SELECT 'order#' || lpad(o_orderkey::VARCHAR, 12, '0') AS row_key,

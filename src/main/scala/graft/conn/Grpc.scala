@@ -97,7 +97,45 @@ object Grpc {
       val r = call(path, request)
       new ServerStreamCall(r, () => checkTrailers(r))
     }
+
+    /** bidirectional streaming: the caller interleaves send() with
+      * next(); closeSend() half-closes the request side. The response
+      * headers are awaited lazily on the first read so requests can
+      * start flowing immediately (the AppendRows shape). */
+    def bidiStream(path: String): BidiCall = {
+      val (id, st) = h2.openStream(Seq(
+        ":method" -> "POST", ":scheme" -> "http", ":path" -> path,
+        ":authority" -> "localhost",
+        "content-type" -> "application/grpc", "te" -> "trailers"),
+        endStream = false)
+      new BidiCall(h2, id, st)
+    }
     override def close(): Unit = h2.close()
+  }
+
+  final class BidiCall(h2: ClientConn, id: Int, st: StreamIn) {
+    private var headersSeen = false
+    private lazy val reader = new MessageReader(st)
+    def send(msg: Array[Byte]): Unit = h2.sendData(id, frameMessage(msg), endStream = false)
+    def closeSend(): Unit = h2.sendData(id, Array.emptyByteArray, endStream = true)
+    /** next response message; None after the server half-closes (then
+      * grpc-status trailers are verified) */
+    def next(timeoutMs: Long = 10000): Option[Array[Byte]] = {
+      if (!headersSeen) {
+        val headers = st.awaitHeaders()
+        val status = headers.collectFirst { case (":status", v) => v }.getOrElse("?")
+        require(status == "200", s"grpc: http status $status")
+        headersSeen = true
+      }
+      reader.next(timeoutMs) match {
+        case some @ Some(_) => some
+        case None =>
+          val t = reader.trailers.toMap
+          val status = t.getOrElse("grpc-status", "2").toInt
+          if (status != 0) throw GrpcError(status, t.getOrElse("grpc-message", ""))
+          None
+      }
+    }
   }
 
   final class ServerStreamCall(r: MessageReader, check: () => Unit) {
@@ -114,6 +152,9 @@ object Grpc {
   final case class Unary(f: Array[Byte] => Array[Byte]) extends Handler
   /** one request message in, emit-many via the sink, return to finish */
   final case class ServerStreaming(f: (Array[Byte], Array[Byte] => Unit) => Unit) extends Handler
+  /** request messages pulled from the reader, responses emitted via the
+    * sink, interleaved freely; return ends the response side */
+  final case class BidiStreaming(f: (MessageReader, Array[Byte] => Unit) => Unit) extends Handler
 
   final class GrpcServer(services: Map[String, Handler]) {
     private val h2 = new Server((headers, sid, st, conn) => handle(headers, sid, st, conn))
@@ -140,6 +181,20 @@ object Grpc {
           headersSent = false)
         case Some(handler) =>
           val reader = new MessageReader(st)
+          handler match {
+            case BidiStreaming(f) =>
+              conn.sendHeaders(sid, Seq(":status" -> "200", "content-type" -> "application/grpc"),
+                endStream = false)
+              try {
+                f(reader, msg => conn.sendData(sid, frameMessage(msg), endStream = false))
+                conn.sendHeaders(sid, Seq("grpc-status" -> "0"), endStream = true)
+              } catch {
+                case e: Throwable =>
+                  respondError(conn, sid, 13, String.valueOf(e.getMessage), headersSent = true)
+              }
+              return
+            case _ => ()
+          }
           val request = reader.next().getOrElse {
             respondError(conn, sid, 3, "missing request message", headersSent = false); return
           }
@@ -151,6 +206,7 @@ object Grpc {
                 conn.sendData(sid, frameMessage(f(request)), endStream = false)
               case ServerStreaming(f) =>
                 f(request, msg => conn.sendData(sid, frameMessage(msg), endStream = false))
+              case BidiStreaming(_) => () // handled above
             }
             conn.sendHeaders(sid, Seq("grpc-status" -> "0"), endStream = true)
           } catch {
