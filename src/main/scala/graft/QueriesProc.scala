@@ -2057,6 +2057,37 @@ object QueriesProc {
     // index actions; a second pass exercises the update
     // (doc-merge) and delete actions; the verification search reads the
     // surviving documents back — all four bulk verbs cross one gate
+    // aws_s3_stream output (impl/aws/output_s3_stream.go:294-436 +
+    // _writer.go:78-391): `repartition(l_returnflag)` gives each
+    // partition value to exactly one task, which streams that file's
+    // multipart upload FROM THE EXECUTOR — buffered parts flush at the
+    // byte gate on message boundaries, close completes the upload.
+    // Read-back goes through the distributed S3 input (one task per
+    // object); the oracle replays the projection
+    "out_aws_s3_stream" -> ((s, dir) => {
+      val srv = new graft.conn.S3.MiniS3().start()
+      val endpoint = srv.endpoint
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 && col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      graft.conn.S3.streamOutput(li, endpoint, "lake",
+        partitionExpr = col("l_returnflag"),
+        partitionKeyOf = r => r.getString(1),
+        pathOf = r => s"li/flag=${r.getString(1)}.psv",
+        bodyOf = r => s"${r.getLong(0)}|${r.getDouble(2)}\n".getBytes("UTF-8"),
+        maxBufferBytes = 8 * 1024, minPartBytes = 0)
+      val back = graft.conn.S3.input(s, endpoint, "lake", "li/")
+        .toDF("s3_key", "content", "mtime", "ctype")
+      back.select(
+          regexp_extract(col("s3_key"), "flag=(.+)\\.psv", 1).as("l_returnflag"),
+          explode(split(col("content"), "\n")).as("line"))
+        .filter(col("line") =!= "")
+        .select(
+          split(col("line"), "\\|").getItem(0).cast(LongType).as("l_orderkey"),
+          col("l_returnflag"),
+          split(col("line"), "\\|").getItem(1).cast(DoubleType).as("l_quantity"))
+    }),
+
     // gcp_bigquery_write_api output (impl/gcp/output_bigquery_storage.
     // go:29-365): Storage Write API over the in-repo gRPC stack —
     // GetWriteStream(_default, FULL) discovers the table schema, JSON
@@ -3128,6 +3159,9 @@ object QueriesProc {
     "out_elasticsearch" ->
       """SELECT event_id, event_type, (event_id % 20 = 0) AS flagged
          FROM events WHERE event_type IS NOT NULL AND event_id % 4 = 0""",
+    "out_aws_s3_stream" ->
+      """SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+         WHERE l_linenumber = 1 AND l_orderkey % 2 = 0""",
     "out_gcp_bq_write" ->
       """SELECT event_id, event_type, value, (value > 100) AS big
          FROM events

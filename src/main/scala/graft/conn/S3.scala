@@ -70,8 +70,12 @@ object S3 {
     private val objects = new CTrieMap[(String, String), Obj]()
     private val uploads = new CTrieMap[String, (String, String, String, Map[String, String], CTrieMap[Int, Array[Byte]])]()
     private val uploadSeq = new AtomicLong(0)
+    /** part sizes of each COMPLETED multipart object, in part order —
+      * lets specs pin that flush boundaries land on message boundaries */
+    val completedPartSizes = new CTrieMap[(String, String), Seq[Int]]()
 
     def objectCount(bucket: String): Int = objects.keys.count(_._1 == bucket)
+    def pendingUploads: Int = uploads.size
     def putDirect(bucket: String, key: String, bytes: Array[Byte], contentType: String = "application/octet-stream"): Unit =
       objects.put((bucket, key), Obj(bytes, contentType, Map.empty, System.currentTimeMillis()))
 
@@ -130,7 +134,9 @@ object S3 {
         case ("POST", k) if q.contains("uploadId") =>
           uploads.remove(q("uploadId")) match {
             case Some((b, _, ct, meta, parts)) =>
-              val joined = parts.toSeq.sortBy(_._1).map(_._2).foldLeft(Array.emptyByteArray)(_ ++ _)
+              val ordered = parts.toSeq.sortBy(_._1)
+              val joined = ordered.map(_._2).foldLeft(Array.emptyByteArray)(_ ++ _)
+              completedPartSizes.put((b, k), ordered.map(_._2.length))
               objects.put((b, k), Obj(joined, ct, meta, System.currentTimeMillis()))
               val xml = s"""<?xml version="1.0" encoding="UTF-8"?><CompleteMultipartUploadResult><Bucket>${xmlEscape(b)}</Bucket><Key>${xmlEscape(k)}</Key><ETag>${xmlEscape(etag(joined))}</ETag></CompleteMultipartUploadResult>"""
               (200, Seq("Content-Type" -> "application/xml"), xml.getBytes(UTF_8))
@@ -228,22 +234,37 @@ object S3 {
       out.result()
     }
 
+    /** multipart trio, incremental (output_s3_stream_writer.go:127-160):
+      * initiate → per-part PUT → complete. Exposed separately so the
+      * streaming writer can interleave buffering with uploads. */
+    def initiateMultipart(bucket: String, key: String,
+                          contentType: String = "application/octet-stream"): String = {
+      val init = aws.request("POST", keyPath(bucket, key), Seq("uploads" -> ""),
+        Seq("content-type" -> contentType))
+      require(init.status == 200, s"InitiateMultipartUpload: ${init.status} ${init.bodyStr}")
+      (scala.xml.XML.loadString(init.bodyStr) \ "UploadId").text
+    }
+
+    def uploadPart(bucket: String, key: String, uploadId: String,
+                   partNumber: Int, body: Array[Byte]): Unit = {
+      val r = aws.request("PUT", keyPath(bucket, key),
+        Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId), body = body)
+      require(r.status == 200, s"UploadPart $partNumber: ${r.status}")
+    }
+
+    def completeMultipart(bucket: String, key: String, uploadId: String): Unit = {
+      val done = aws.request("POST", keyPath(bucket, key), Seq("uploadId" -> uploadId),
+        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
+      require(done.status == 200, s"CompleteMultipartUpload: ${done.status} ${done.bodyStr}")
+    }
+
     /** multipart upload (output_s3_stream.go: parts ≥5 MiB in prod; the
       * fixture takes any size) */
     def multipartPut(bucket: String, key: String, parts: Seq[Array[Byte]],
                      contentType: String = "application/octet-stream"): Unit = {
-      val init = aws.request("POST", keyPath(bucket, key), Seq("uploads" -> ""),
-        Seq("content-type" -> contentType))
-      require(init.status == 200, s"InitiateMultipartUpload: ${init.status} ${init.bodyStr}")
-      val uploadId = (scala.xml.XML.loadString(init.bodyStr) \ "UploadId").text
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val r = aws.request("PUT", keyPath(bucket, key),
-          Seq("partNumber" -> (i + 1).toString, "uploadId" -> uploadId), body = p)
-        require(r.status == 200, s"UploadPart ${i + 1}: ${r.status}")
-      }
-      val done = aws.request("POST", keyPath(bucket, key), Seq("uploadId" -> uploadId),
-        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
-      require(done.status == 200, s"CompleteMultipartUpload: ${done.status} ${done.bodyStr}")
+      val uploadId = initiateMultipart(bucket, key, contentType)
+      parts.zipWithIndex.foreach { case (p, i) => uploadPart(bucket, key, uploadId, i + 1, p) }
+      completeMultipart(bucket, key, uploadId)
     }
 
     def abortMultipart(bucket: String, key: String, uploadId: String): Unit =
@@ -267,6 +288,112 @@ object S3 {
     def delete(key: String): Unit = c.delete(bucket, prefix + key)
     override def close(): Unit = c.close()
   }
+
+  // ------------------------------------------------ streaming multipart
+  /** One streaming multipart upload (output_s3_stream_writer.go:78-391):
+    * messages buffer until `maxBufferBytes` or `maxBufferCount`, each
+    * flush is one UploadPart (retried with bounded backoff; the 5 MiB
+    * S3 minimum applies to every part but the last — the production
+    * threshold the reference enforces; the fixture takes any size, so
+    * `minPartBytes` is a constructor knob tests shrink), and close()
+    * force-flushes the remainder then CompleteMultipartUpload. A writer
+    * that uploaded nothing aborts instead of completing an empty file.
+    * Messages never split across parts — a part boundary is always a
+    * message boundary (the buffer flushes BETWEEN WriteBytes calls). */
+  final class StreamingWriter(client: Client, bucket: String, key: String,
+                              maxBufferBytes: Long = 10L * 1024 * 1024,
+                              maxBufferCount: Int = 10000,
+                              contentType: String = "application/octet-stream",
+                              maxRetries: Int = 2,
+                              minPartBytes: Long = 5L * 1024 * 1024) {
+    private val uploadId = client.initiateMultipart(bucket, key, contentType)
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var bufCount = 0
+    private var partNumber = 0
+    private var closed = false
+    var partsUploaded: Int = 0
+    var totalMessages: Long = 0L
+    var totalBytes: Long = 0L
+
+    def writeBytes(data: Array[Byte]): Unit = {
+      require(!closed, "writer is closed")
+      buf.write(data)
+      bufCount += 1
+      totalMessages += 1
+      totalBytes += data.length
+      // size gate honors the S3 part minimum (flush() in the reference
+      // defers sub-5MiB buffers); the count gate flushes regardless,
+      // mirroring maxBufferCount precedence
+      if ((buf.size >= maxBufferBytes && buf.size >= minPartBytes) || bufCount >= maxBufferCount)
+        flush()
+    }
+
+    private def flush(): Unit = if (buf.size > 0) {
+      partNumber += 1
+      val body = buf.toByteArray
+      var attempt = 0
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt <= maxRetries) {
+        try { client.uploadPart(bucket, key, uploadId, partNumber, body); done = true }
+        catch { case e: Exception =>
+          lastErr = e; attempt += 1
+          if (attempt <= maxRetries) Thread.sleep(math.min(1000L << (attempt - 1), 5000L))
+        }
+      }
+      if (!done) {
+        client.abortMultipart(bucket, key, uploadId)
+        closed = true
+        throw new java.io.IOException(s"failed to upload part $partNumber after retries", lastErr)
+      }
+      partsUploaded += 1
+      buf.reset(); bufCount = 0
+    }
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      if (buf.size > 0) { closed = false; flush(); closed = true }
+      if (partsUploaded > 0) client.completeMultipart(bucket, key, uploadId)
+      else client.abortMultipart(bucket, key, uploadId) // nothing written
+    }
+  }
+
+  /** aws_s3_stream output (output_s3_stream.go:294-436), Spark-first:
+    * `repartition(partitionExpr)` routes every row of one partition
+    * value to exactly ONE task, which owns that value's multipart
+    * upload and streams parts from the EXECUTOR — the writer map and
+    * path-evaluated-once-per-partition contract of writeToPartition,
+    * with the shuffle doing what the reference's writersMut does. At
+    * 100 TB this is the shape that scales: N files upload concurrently
+    * from N tasks, no driver funnel, memory bounded by maxBufferBytes
+    * per live writer. */
+  def streamOutput(df: org.apache.spark.sql.DataFrame, endpoint: String, bucket: String,
+                   partitionExpr: org.apache.spark.sql.Column,
+                   partitionKeyOf: org.apache.spark.sql.Row => String,
+                   pathOf: org.apache.spark.sql.Row => String,
+                   bodyOf: org.apache.spark.sql.Row => Array[Byte],
+                   maxBufferBytes: Long = 10L * 1024 * 1024,
+                   maxBufferCount: Int = 10000,
+                   contentType: String = "application/octet-stream",
+                   minPartBytes: Long = 5L * 1024 * 1024): Unit =
+    df.repartition(partitionExpr).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.nonEmpty) {
+          val c = new Client(endpoint)
+          val writers = scala.collection.mutable.LinkedHashMap[String, StreamingWriter]()
+          try {
+            it.foreach { r =>
+              // path evaluates once per partition value, on its first
+              // message (the partition_by contract)
+              val w = writers.getOrElseUpdate(partitionKeyOf(r),
+                new StreamingWriter(c, bucket, pathOf(r), maxBufferBytes, maxBufferCount,
+                  contentType, minPartBytes = minPartBytes))
+              w.writeBytes(bodyOf(r))
+            }
+            writers.values.foreach(_.close())
+          } finally c.close()
+        }
+    }
 
   // ----------------------------------------------------- spark operators
   /** output_s3.go: one object per message at a computed path; one client
