@@ -2057,6 +2057,75 @@ object QueriesProc {
     // index actions; a second pass exercises the update
     // (doc-merge) and delete actions; the verification search reads the
     // surviving documents back — all four bulk verbs cross one gate
+    // datadog_logs output (impl/datadog/output_datadog_logs.go:34-415):
+    // the HTTP logs-intake v2 surface — per-partition clients POST
+    // gzip'd JSON batches of HTTPLogItems from EXECUTORS with the
+    // interpolated ddsource/ddtags/hostname/service/status/timestamp
+    // per message; fixture enforces the API's auth + batch limits.
+    // Oracle replays every interpolation arm
+    "out_datadog_logs" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Observability.Datadog.MiniDatadogLogs("t0k3n").start()
+      val endpoint = srv.endpoint
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull && col("event_id") % 3 === 0)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Observability.Datadog.Client(endpoint, "t0k3n")
+          try it.grouped(500).foreach { chunk =>
+            c.submit(chunk.map { r =>
+              graft.conn.Observability.Datadog.LogItem(
+                message = s"""{"event_id":${r.getLong(0)}}""",
+                ddsource = "graft",
+                ddtags = s"env:test,type:${r.getString(1)}",
+                hostname = s"h${r.getLong(2) % 4}",
+                service = "pipeline",
+                status = if (r.getDouble(3) > 100.0) "error" else "info",
+                timestampMs = 1700000000000L + r.getLong(0))
+            }.toSeq)
+          } finally c.close()
+        }
+      }
+      val out = srv.logs.map(l => (l.message, l.ddsource, l.ddtags, l.hostname,
+        l.service, l.status, l.timestampMs))
+        .toDF("message", "ddsource", "ddtags", "hostname", "service", "status", "ts_ms")
+      srv.stop()
+      out.select(
+        get_json_object(col("message"), "$.event_id").cast(LongType).as("event_id"),
+        col("ddsource"), col("ddtags"), col("hostname"),
+        col("service"), col("status"), col("ts_ms"))
+    }),
+
+    // socket_server input (impl/io/input_socket_server.go:28-180): the
+    // LISTEN-mode twin of src_socket — the input accepts many client
+    // connections at once and line-scans each; here the producers are
+    // Spark tasks dialing in concurrently from executors, and the
+    // drained ingress buffer becomes the DataFrame
+    "src_socket_server" -> ((s, dir) => {
+      import s.implicits._
+      val input = new graft.operators.SocketServerInput("tcp").start()
+      val port = input.port
+      val rows = t(s, dir, "part").filter(col("p_partkey") % 5 === 2)
+        .select(col("p_partkey"), col("p_brand"))
+      val expected = rows.count().toInt
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val sock = new java.net.Socket(java.net.InetAddress.getLoopbackAddress, port)
+          val w = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+          try { it.foreach(r => w.println(s"${r.getLong(0)}|${r.getString(1)}")); w.flush() }
+          finally sock.close()
+        }
+      }
+      input.awaitCount(expected)
+      val got = input.received
+      input.stop()
+      got.toDF("line").select(
+        split(col("line"), "\\|").getItem(0).cast(LongType).as("p_partkey"),
+        split(col("line"), "\\|").getItem(1).as("p_brand"))
+    }),
+
     // aws_s3_stream output (impl/aws/output_s3_stream.go:294-436 +
     // _writer.go:78-391): `repartition(l_returnflag)` gives each
     // partition value to exactly one task, which streams that file's
@@ -3162,6 +3231,16 @@ object QueriesProc {
     "out_aws_s3_stream" ->
       """SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
          WHERE l_linenumber = 1 AND l_orderkey % 2 = 0""",
+    "out_datadog_logs" ->
+      """SELECT event_id, 'graft' AS ddsource,
+           'env:test,type:' || event_type AS ddtags,
+           'h' || (user_id % 4) AS hostname, 'pipeline' AS service,
+           CASE WHEN value > 100 THEN 'error' ELSE 'info' END AS status,
+           1700000000000 + event_id AS ts_ms
+         FROM events
+         WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_id % 3 = 0""",
+    "src_socket_server" ->
+      """SELECT p_partkey, p_brand FROM part WHERE p_partkey % 5 = 2""",
     "out_gcp_bq_write" ->
       """SELECT event_id, event_type, value, (value > 100) AS big
          FROM events

@@ -308,6 +308,128 @@ object Observability {
     }
   }
 
+  // ======================================================= datadog logs
+  /** datadog_logs output (impl/datadog/output_datadog_logs.go:34-415 —
+    * the reference wraps the datadog-api-client SubmitLog call): the
+    * PUBLIC HTTP logs-intake v2 surface — POST /api/v2/logs with a
+    * DD-API-KEY header, a JSON array of HTTPLogItem objects ({message,
+    * ddsource, ddtags, hostname, service} plus additional `status` and
+    * epoch-ms `timestamp` properties), Content-Encoding gzip (default)
+    * / deflate / identity, 202 on accept. Batch limits documented by
+    * the API (≤1000 logs, ≤5 MB payload) are enforced by the fixture. */
+  object Datadog {
+    final case class LogItem(message: String, ddsource: String, ddtags: String,
+                             hostname: String, service: String, status: String,
+                             timestampMs: Long)
+
+    private def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close(); bos.toByteArray
+    }
+    private def gunzip(b: Array[Byte]): Array[Byte] =
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b)).readAllBytes()
+    private def inflate(b: Array[Byte]): Array[Byte] =
+      new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(b)).readAllBytes()
+
+    final class MiniDatadogLogs(apiKey: String) {
+      private val logBuf = new java.util.concurrent.ConcurrentLinkedQueue[LogItem]()
+      @volatile private var server: com.sun.net.httpserver.HttpServer = _
+      def port: Int = server.getAddress.getPort
+      def endpoint: String = s"http://127.0.0.1:$port"
+      def logs: Vector[LogItem] = {
+        import scala.jdk.CollectionConverters._
+        logBuf.iterator().asScala.toVector
+      }
+      def start(): this.type = {
+        graft.conn.Aws.serverNoDelay()
+        server = com.sun.net.httpserver.HttpServer.create(
+          new InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/api/v2/logs",
+          (x: com.sun.net.httpserver.HttpExchange) => {
+            val raw = x.getRequestBody.readAllBytes()
+            val key = Option(x.getRequestHeaders.getFirst("DD-API-KEY")).getOrElse("")
+            val enc = Option(x.getRequestHeaders.getFirst("Content-Encoding")).getOrElse("identity")
+            val (status, resp) =
+              if (key != apiKey) (403, """{"errors":[{"status":"403","title":"Forbidden"}]}""")
+              else if (raw.length > 5 * 1024 * 1024)
+                (413, """{"errors":[{"status":"413","title":"Payload Too Large"}]}""")
+              else try {
+                val body = enc match {
+                  case "gzip" => gunzip(raw)
+                  case "deflate" => inflate(raw)
+                  case _ => raw
+                }
+                val arr = Json.asArr(Json.parse(new String(body, UTF_8)))
+                require(arr.size <= 1000, "too many logs in batch")
+                arr.foreach { ix =>
+                  val m = Json.asObj(ix)
+                  logBuf.add(LogItem(
+                    Json.strOpt(m, "message").getOrElse(""),
+                    Json.strOpt(m, "ddsource").getOrElse(""),
+                    Json.strOpt(m, "ddtags").getOrElse(""),
+                    Json.strOpt(m, "hostname").getOrElse(""),
+                    Json.strOpt(m, "service").getOrElse(""),
+                    Json.strOpt(m, "status").getOrElse(""),
+                    m.get("timestamp") match {
+                      case Some(l: Long) => l
+                      case Some(d: Double) => d.toLong
+                      case _ => 0L
+                    }))
+                }
+                (202, "{}")
+              } catch { case e: Throwable =>
+                (400, s"""{"errors":[{"status":"400","title":"${e.getMessage}"}]}""")
+              }
+            val rb = resp.getBytes(UTF_8)
+            x.getResponseHeaders.add("Content-Type", "application/json")
+            x.sendResponseHeaders(status, rb.length)
+            x.getResponseBody.write(rb); x.close()
+          })
+        server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+          (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th }))
+        val starter = new Thread(() => server.start())
+        starter.setDaemon(true); starter.start(); starter.join()
+        this
+      }
+      def stop(): Unit = if (server != null) server.stop(0)
+    }
+
+    final class Client(endpoint: String, apiKey: String,
+                       contentEncoding: String = "gzip") extends AutoCloseable {
+      private val http = new Aws.Http
+      /** one SubmitLog call per batch (WriteBatch ships the whole batch
+        * as a single JSON array) */
+      def submit(items: Seq[LogItem]): Unit = {
+        val arr: Vector[Any] = items.toVector.map { it =>
+          var m = Json.obj("message" -> it.message)
+          if (it.ddsource.nonEmpty) m = m.updated("ddsource", it.ddsource)
+          if (it.ddtags.nonEmpty) m = m.updated("ddtags", it.ddtags)
+          if (it.hostname.nonEmpty) m = m.updated("hostname", it.hostname)
+          if (it.service.nonEmpty) m = m.updated("service", it.service)
+          if (it.status.nonEmpty) m = m.updated("status", it.status)
+          if (it.timestampMs != 0) m = m.updated("timestamp", it.timestampMs)
+          m: Any
+        }
+        val plain = Json.render(arr).getBytes(UTF_8)
+        val (body, encHeaders) = contentEncoding match {
+          case "gzip" => (gzip(plain), Seq("content-encoding" -> "gzip"))
+          case "deflate" =>
+            val d = new java.util.zip.Deflater()
+            val bos = new java.io.ByteArrayOutputStream()
+            val ds = new java.util.zip.DeflaterOutputStream(bos, d)
+            ds.write(plain); ds.close()
+            (bos.toByteArray, Seq("content-encoding" -> "deflate"))
+          case _ => (plain, Nil)
+        }
+        val r = http.request("POST", s"$endpoint/api/v2/logs",
+          Seq("dd-api-key" -> apiKey, "content-type" -> "application/json") ++ encHeaders, body)
+        require(r.status == 202, s"datadog_logs: ${r.status} ${r.bodyStr}")
+      }
+      override def close(): Unit = http.close()
+    }
+  }
+
   // ========================================================== prometheus
   /** prometheus metrics target (impl/prometheus/metrics.go): the engine
     * EXPOSES the text exposition format on /metrics and a scraper pulls
