@@ -1369,13 +1369,35 @@ object QueriesProc {
           } finally c.close()
         }
       }
+      // read-back through the executable spool path (operators/
+      // SpooledSource.scala, the src_aws_sqs discipline): the single
+      // jobs.query cursor — BigQuery pages one job, there is no
+      // multi-cursor read here (that's the Storage READ API) — drains
+      // into durable parquet chunks, and the result is the DISTRIBUTED
+      // scan over the spool, not a driver-held Vector. Query pages have
+      // no ack protocol, so commit is a no-op; the chunk checkpoint
+      // still makes a crash resume from spooled data instead of
+      // re-running the job.
       val reader = new graft.conn.Gcp.BigQueryClient(endpoint, sa)
       val res = reader.query(
         "SELECT okey, priority, total FROM `graft.ds.orders` WHERE total > ?",
         Seq(1000.0), pageSize = 1000)
-      val got = res.rows.map(r => (r(0).toLong, r(1), r(2).toDouble)).toVector
+      val cursor = res.rows
+      val spoolDir = java.nio.file.Files.createTempDirectory("graft-bq-spool").toString
+      val spooled = graft.operators.SpooledSource.run(s, spoolDir, chunkRows = 2000)(
+        () => {
+          val buf = Vector.newBuilder[Vector[String]]
+          var n = 0
+          while (n < 500 && cursor.hasNext) { buf += cursor.next(); n += 1 }
+          buf.result()
+        })(
+        r => graft.operators.SpooledSource.SpoolMsg(r.mkString("|")))(
+        _ => ())
       reader.close(); srv.stop()
-      s.createDataset(got).toDF("o_orderkey", "priority", "o_totalprice")
+      spooled.select(
+        split(col("body"), "\\|").getItem(0).cast(LongType).as("o_orderkey"),
+        split(col("body"), "\\|").getItem(1).as("priority"),
+        split(col("body"), "\\|").getItem(2).cast(DoubleType).as("o_totalprice"))
     }),
 
     "src_gcp_pubsub" -> ((s, dir) => {
