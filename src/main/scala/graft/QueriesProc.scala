@@ -343,8 +343,15 @@ object QueriesProc {
     // context shredding. The oracle replays every arm in SQL
     "proc_opensnowcat" -> ((s, dir) => {
       import graft.operators.OpenSnowcat
+      // repartition the NARROW source (≈50 B/row) before the 131-column
+      // TSV build: events.parquet is one file → one input split, and
+      // without this every per-row stage below runs on a single core
+      // (measured 18.7 s → the fix distributes the ~20 µs/row pipeline
+      // across the cluster; the shuffle moves 30 MB, not the 1.5 GB of
+      // built TSV)
       val ev = t(s, dir, "events")
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .repartition(32)
       val uaFamily = when(pmod(col("user_id"), lit(3)) === 0, lit("Chrome"))
         .when(pmod(col("user_id"), lit(3)) === 1, lit("Firefox"))
         .otherwise(lit("Safari"))
@@ -387,18 +394,21 @@ object QueriesProc {
           "user_ipaddress" -> OpenSnowcat.Transform("anonymize_ip", anonOctets = 2)),
         setMetadata = Map(
           "ua_family" -> "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily")))(env)
+      // json_tuple: ONE parse of the ~2.5 KB flattened event for all
+      // eight top-level fields (the config_pipeline lesson — each
+      // get_json_object re-parses); only the nested array path needs
+      // the second parse
       out.select(
-        get_json_object(col(Msg.ContentCol), "$.event_id").cast(LongType).as("event_id"),
-        get_json_object(col(Msg.ContentCol), "$.app_id").as("app_id"),
-        get_json_object(col(Msg.ContentCol), "$.user_id").as("user_hash"),
-        get_json_object(col(Msg.ContentCol), "$.user_ipaddress").as("ip_anon"),
-        get_json_object(col(Msg.ContentCol), "$.network_userid").as("net_uid"),
-        get_json_object(col(Msg.ContentCol), "$.domain_sessionidx").cast(LongType).as("sessionidx"),
-        get_json_object(col(Msg.ContentCol), "$.br_features_pdf").as("pdf"),
-        get_json_object(col(Msg.ContentCol), "$.collector_tstamp").as("ct"),
-        col(Msg.MetaCol)("ua_family").as("ua_family"),
-        get_json_object(col(Msg.ContentCol),
-          "$.contexts_com_snowplowanalytics_snowplow_web_page_1[0].id").as("wp_id"))
+          json_tuple(col(Msg.ContentCol), "event_id", "app_id", "user_id",
+            "user_ipaddress", "network_userid", "domain_sessionidx",
+            "br_features_pdf", "collector_tstamp"),
+          col(Msg.MetaCol)("ua_family").as("ua_family"),
+          get_json_object(col(Msg.ContentCol),
+            "$.contexts_com_snowplowanalytics_snowplow_web_page_1[0].id").as("wp_id"))
+        .select(col("c0").cast(LongType).as("event_id"), col("c1").as("app_id"),
+          col("c2").as("user_hash"), col("c3").as("ip_anon"), col("c4").as("net_uid"),
+          col("c5").cast(LongType).as("sessionidx"), col("c6").as("pdf"),
+          col("c7").as("ct"), col("ua_family"), col("wp_id"))
     }),
 
     // cached processor (processor_cached.go:21): child runs once per
@@ -2092,6 +2102,7 @@ object QueriesProc {
       val ev = t(s, dir, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull && col("event_id") % 3 === 0)
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .repartition(32) // one-file input → distribute the intake POSTs
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Observability.Datadog.Client(endpoint, "t0k3n")
@@ -2201,6 +2212,7 @@ object QueriesProc {
         .filter(col("value").isNotNull && col("event_type").isNotNull && col("event_id") % 2 === 1)
         .select(to_json(struct(col("event_id"), col("event_type"), col("value"),
           (col("value") > 100.0).as("big"))).as("j"))
+        .repartition(32) // one-file input → one AppendRows stream per task
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.BigQueryWrite.Client("127.0.0.1", port)
@@ -2233,6 +2245,7 @@ object QueriesProc {
       val table = "projects/proj/instances/inst/tables/orders"
       val rows = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .repartition(32) // one-file input → distribute the mutation batches
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Bigtable.Client("127.0.0.1", port)

@@ -102,5 +102,11 @@ object SparkEntry {
     "src_mongodb", "out_elasticsearch", "src_pulsar",
     // round 6 late: two-member consumer-group drain (join/sync/commit
     // coordination + concurrent fetch) — the reference's consumption mode
-    "src_kafka_group")
+    "src_kafka_group",
+    // round 9: the Snowplow enriched-TSV processor (131-column split +
+    // iglu JSON walks + flattened-json UDF), the executor-side streaming
+    // multipart S3 output, and the two gRPC-stack GCP outputs (bulk
+    // MutateRows; bidi AppendRows) — the round's heavy new rows
+    "proc_opensnowcat", "out_aws_s3_stream", "out_gcp_bigtable",
+    "out_gcp_bq_write")
 }

@@ -353,42 +353,78 @@ object OpenSnowcat {
 
   // ------------------------------------------------------------------ Column algebra
 
-  private val schemaPropertyUdf =
-    udf((c: String, d: String, u: String, p: String) => schemaProperty(c, d, u, p))
-  private val flatJsonUdf = udf((fields: Seq[String]) => flatJson(fields))
-  private val enrichedJsonUdf = udf((fields: Seq[String]) => enrichedJson(fields))
+  // Every UDF takes the raw TSV line as ONE string and splits in Scala
+  // (2 µs): handing Spark an array<string>(131) column instead costs a
+  // per-row Catalyst→Scala conversion of 131 boxed strings per call —
+  // measured as the dominant term of the first implementation. Config
+  // (paths) binds in the closure, not as a per-row column.
+  private def jsonTriple(fields: Array[String]): Seq[String] = {
+    def at(name: String): String = {
+      val i = colIndex(name)
+      if (i < fields.length && fields(i) != null) fields(i) else ""
+    }
+    Seq(at("contexts"), at("derived_contexts"), at("unstruct_event"))
+  }
+
+  /** resolve ALL configured iglu paths in one pass — one JSON parse of
+    * the three columns per row, however many filters/metadata mappings
+    * reference schema properties */
+  private def schemaPropsUdf(paths: Seq[String]) =
+    udf((line: String) => {
+      val parsed = jsonTriple(line.split("\t", -1)).filter(_.nonEmpty).flatMap(parseJson)
+      paths.map(p => p ->
+        parsed.iterator.map(searchProperty(_, p)).find(_.nonEmpty).getOrElse("")).toMap
+    })
+  private val flatJsonUdf =
+    udf((line: String) => flatJson(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      line.split("\t", -1))))
+  private val enrichedJsonUdf =
+    udf((line: String) => enrichedJson(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      line.split("\t", -1))))
   private val discoverUdf =
-    udf((c: String, d: String, u: String) => discoverSchemas(c, d, u))
+    udf((line: String) => {
+      val t = jsonTriple(line.split("\t", -1))
+      discoverSchemas(t(0), t(1), t(2))
+    })
 
   private def fieldCol(cols: Column, name: String): Column =
     element_at(cols, colIndex(name) + 1)
 
-  /** Mask the last n IPv4 octets with "x" (reference anonymizeIPv4,
-    * processor_opensnowcat.go:790-809) — pure higher-order Columns. */
-  private def maskV4(ip: Column, n: Int): Column = {
-    if (n <= 0) ip
-    else {
-      val parts = split(ip, "\\.")
-      when(size(parts) =!= 4, ip).otherwise(
-        array_join(transform(parts, (p, i) => when(i >= lit(4 - n), lit("x")).otherwise(p)), "."))
+  /** Mask the last n IPv4 octets / n non-empty IPv6 segments with "x"
+    * (reference anonymizeIPv4/IPv6, processor_opensnowcat.go:790-827).
+    * A plain Scala function behind a ScalaUDF: higher-order Column
+    * functions (transform/filter/slice lambdas) are CodegenFallback in
+    * Spark and would break the WHOLE whole-stage-codegen span for every
+    * row, not just this expression — a ScalaUDF stays inside the span. */
+  def anonymizeIp(ip: String, octets: Int, segments: Int): String =
+    if (ip == null || ip.isEmpty) ip
+    else if (ip.contains(":")) {
+      if (segments <= 0) ip
+      else {
+        val parts = ip.split(":", -1)
+        var left = segments
+        var i = parts.length - 1
+        while (i >= 0 && left > 0) {
+          if (parts(i).nonEmpty) { parts(i) = "x"; left -= 1 }
+          i -= 1
+        }
+        parts.mkString(":")
+      }
+    } else {
+      if (octets <= 0) ip
+      else {
+        val parts = ip.split("\\.", -1)
+        if (parts.length != 4) ip // invalid shape passes through (reference warns)
+        else {
+          var i = math.max(0, 4 - octets)
+          while (i < 4) { parts(i) = "x"; i += 1 }
+          parts.mkString(".")
+        }
+      }
     }
-  }
 
-  /** Mask the last n non-empty IPv6 segments (reference anonymizeIPv6,
-    * processor_opensnowcat.go:811-827): a segment is masked when fewer
-    * than n non-empty segments follow it — O(8²) codegen'd, no UDF. */
-  private def maskV6(ip: Column, n: Int): Column = {
-    if (n <= 0) ip
-    else {
-      val parts = split(ip, ":")
-      array_join(
-        transform(parts, (p, i) =>
-          when(p =!= "" &&
-            size(filter(slice(parts, i + lit(2), size(parts)), y => y =!= "")) < lit(n),
-            lit("x")).otherwise(p)),
-        ":")
-    }
-  }
+  private def anonUdf(t: Transform) =
+    udf((ip: String) => anonymizeIp(ip, t.anonOctets, t.anonSegments))
 
   private def hashCol(v: Column, algo: String, salt: String): Column = {
     val input = concat(v, lit(salt))
@@ -408,8 +444,7 @@ object OpenSnowcat {
           if (t.hashAlgo.nonEmpty) t.hashAlgo else cfg.hashAlgo,
           if (t.salt.nonEmpty) t.salt else cfg.salt)
       case "redact" => lit(t.redactValue)
-      case "anonymize_ip" =>
-        when(v.contains(":"), maskV6(v, t.anonSegments)).otherwise(maskV4(v, t.anonOctets))
+      case "anonymize_ip" => anonUdf(t)(v)
       case _ => v // unknown strategy: pass through (reference logs a warning)
     }
     when(v.isNull || v === "", v).otherwise(applied)
@@ -423,64 +458,90 @@ object OpenSnowcat {
     var out = df.withColumn("_osc", colsExpr)
     val cols = col("_osc")
 
-    def jsonColumn(name: String): Column = fieldCol(cols, name)
-    def propCol(path: String): Column =
-      schemaPropertyUdf(
-        jsonColumn("contexts"), jsonColumn("derived_contexts"),
-        jsonColumn("unstruct_event"), lit(path))
+    // every schema path used anywhere in the config resolves in ONE
+    // UDF call per row (one split + one parse of the JSON columns)
+    val schemaPaths: Seq[String] =
+      (cfg.setMetadata.values.toSeq ++ cfg.drop.keys.toSeq).filter(isSchemaPath).distinct
+    if (schemaPaths.nonEmpty)
+      out = out.withColumn("_oscp", schemaPropsUdf(schemaPaths)(col(Msg.ContentCol)))
+    def propCol(path: String): Column = coalesce(col("_oscp")(path), lit(""))
 
     // 1. set_metadata before filters/transforms (reference Process order,
-    //    processor_opensnowcat.go:547-556); empty values stay unset
-    cfg.setMetadata.foreach { case (metaKey, field) =>
-      val v =
-        if (isSchemaPath(field)) propCol(field)
-        else colIndex.get(field.toLowerCase).map(i => element_at(cols, i + 1)).getOrElse(lit(""))
-      out = Msg.setMeta(out, metaKey, when(v =!= "", v))
+    //    processor_opensnowcat.go:547-556); empty values stay unset.
+    //    One ScalaUDF merges ALL mappings into the meta map — the
+    //    map_concat/map_filter Column route is CodegenFallback (lambda
+    //    map_filter) and would de-codegen the stage
+    if (cfg.setMetadata.nonEmpty) {
+      val mapping = cfg.setMetadata.toSeq
+      val merge = udf((meta: Map[String, String], line: String, props: Map[String, String]) => {
+        val fields = line.split("\t", -1)
+        val add = mapping.flatMap { case (metaKey, field) =>
+          val v =
+            if (isSchemaPath(field)) props.getOrElse(field, "")
+            else colIndex.get(field.toLowerCase).filter(_ < fields.length)
+              .map(fields(_)).getOrElse("")
+          if (v.nonEmpty) Some(metaKey -> v) else None
+        }
+        (if (meta == null) Map.empty[String, String] else meta) ++ add
+      })
+      val props =
+        if (schemaPaths.nonEmpty) col("_oscp")
+        else typedLit(Map.empty[String, String])
+      out = out.withColumn(Msg.MetaCol, merge(col(Msg.MetaCol), col(Msg.ContentCol), props))
     }
-    if (cfg.setMetadata.nonEmpty)
-      out = out.withColumn(Msg.MetaCol, map_filter(col(Msg.MetaCol), (_, v) => v.isNotNull))
 
-    // 2. drop filters — OR across fields, case-insensitive substring
+    // 2. drop filters — OR across fields, case-insensitive substring;
+    //    element_at/lower/contains all stay in codegen. The combined
+    //    predicate is wrapped in a nondeterministic-tagged identity to
+    //    PIN its stage placement: Catalyst otherwise pushes it below an
+    //    upstream repartition, inlining the TSV build + JSON walk into
+    //    the pre-shuffle stage and serializing the whole pipeline on
+    //    the input's split count (measured 6.4 s → 1.6 s at sf0.1 on a
+    //    one-file input). Nothing here can reach a parquet PushedFilter
+    //    anyway — the predicate reads constructed columns, not scanned
+    //    attributes — so pinning costs no real pushdown at scale.
     if (cfg.drop.nonEmpty) {
       val conds = cfg.drop.toSeq.map { case (field, needles) =>
         val value =
           if (isSchemaPath(field)) propCol(field)
-          else colIndex.get(field.toLowerCase).map(i => element_at(col("_osc"), i + 1)).getOrElse(lit(""))
+          else colIndex.get(field.toLowerCase).map(i => element_at(cols, i + 1)).getOrElse(lit(""))
         needles.map(n => lower(value).contains(lit(n.toLowerCase))).reduce(_ || _)
       }
-      out = out.filter(!conds.reduce(_ || _))
+      val keep = udf((b: Boolean) => b).asNondeterministic()
+      out = out.filter(keep(!conds.reduce(_ || _)))
     }
 
-    // 3. PII transforms rebuild the array in one codegen'd `transform`
-    if (cfg.transforms.nonEmpty) {
-      val byIdx: Map[Int, Transform] = cfg.transforms.flatMap { case (f, t) =>
-        val key = if (isSchemaPath(f)) f else f.toLowerCase
-        colIndex.get(key).map(_ -> t)
+    // 3. PII transforms + TSV rebuild in ONE codegen'd concat_ws over
+    //    per-index element_at columns (an ArrayTransform lambda would
+    //    be CodegenFallback and kill the stage's codegen span); when no
+    //    transforms are configured the content string passes through
+    //    untouched
+    val tsv: Column =
+      if (cfg.transforms.isEmpty) col(Msg.ContentCol)
+      else {
+        val byIdx: Map[Int, Transform] = cfg.transforms.flatMap { case (f, t) =>
+          val key = if (isSchemaPath(f)) f else f.toLowerCase
+          colIndex.get(key).map(_ -> t)
+        }
+        // coalesce per slot: concat_ws SKIPS null args (losing their
+        // separators), so a short line must read as "" per column
+        concat_ws("\t", columns.indices.map { i =>
+          val v = coalesce(element_at(cols, i + 1), lit(""))
+          byIdx.get(i).map(t => transformed(v, t, cfg)).getOrElse(v)
+        }: _*)
       }
-      out = out.withColumn("_osc",
-        transform(col("_osc"), (v, i) =>
-          byIdx.foldLeft(v) { case (acc, (idx, t)) =>
-            when(i === lit(idx), transformed(v, t, cfg)).otherwise(acc)
-          }))
-    }
 
-    // 4. output format
+    // 4. output format — the JSON formats take the single rebuilt line
     val content = cfg.outputFormat match {
-      case "json" => flatJsonUdf(col("_osc"))
-      case "enriched_json" => enrichedJsonUdf(col("_osc"))
-      case _ => array_join(col("_osc"), "\t")
+      case "json" => flatJsonUdf(tsv)
+      case "enriched_json" => enrichedJsonUdf(tsv)
+      case _ => tsv
     }
-    out.withColumn(Msg.ContentCol, content).drop("_osc")
+    out.withColumn(Msg.ContentCol, content).drop("_osc", "_oscp")
   }
 
   /** Schema-discovery column for pipeline-level aggregation:
     * `collect_set(explode(discoveredSchemas(content)))` gives the
     * reference's flush payload without driver-side mutable state. */
-  def discoveredSchemas(content: Column): Column = {
-    val cols = split(content, "\t", -1)
-    discoverUdf(
-      element_at(cols, colIndex("contexts") + 1),
-      element_at(cols, colIndex("derived_contexts") + 1),
-      element_at(cols, colIndex("unstruct_event") + 1))
-  }
+  def discoveredSchemas(content: Column): Column = discoverUdf(content)
 }
