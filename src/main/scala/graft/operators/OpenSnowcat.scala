@@ -544,4 +544,29 @@ object OpenSnowcat {
     * `collect_set(explode(discoveredSchemas(content)))` gives the
     * reference's flush payload without driver-side mutable state. */
   def discoveredSchemas(content: Column): Column = discoverUdf(content)
+
+  /** Schema-delivery flush (reference schema_delivery.go:26-121): POST
+    * the discovered iglu URIs as JSON to the configured endpoint, with
+    * `{{SCHEMAS}}` template substitution. The reference flushes from a
+    * ticker goroutine over mutable driver state; the Spark shape is a
+    * periodic `collect_set` aggregation (batch) or `foreachBatch`
+    * (streaming) whose result this delivers — delivery itself is the
+    * same one bounded POST either way. Returns true when delivered (so
+    * callers clear their accumulated set, reference flush():61-69);
+    * an empty set is a no-op exactly like the reference. */
+  def deliverSchemas(schemas: Seq[String], endpoint: String,
+                     template: String = """{"schemas": {{SCHEMAS}}}"""): Boolean = {
+    if (schemas.isEmpty) false
+    else {
+      val json = schemas.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+      val body = template.replace("{{SCHEMAS}}", json)
+      val http = new graft.conn.Aws.Http
+      try {
+        val r = http.request("POST", endpoint,
+          Seq("content-type" -> "application/json"), body.getBytes("UTF-8"))
+        require(r.status < 300, s"schema delivery: ${r.status}")
+        true
+      } finally http.close()
+    }
+  }
 }

@@ -222,6 +222,57 @@ class OpenSnowcatSpec extends SparkSpec {
     assert(!meta.contains("txn"), "empty TSV values never set metadata")
   }
 
+  test("unstruct_event shreds in both formats (SDK unwrap in json; column as-is in enriched)") {
+    val unstruct =
+      """{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0","data":{"schema":"iglu:com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1","data":{"targetUrl":"https://x.test/a","elementId":"btn"}}}"""
+    val fields = OpenSnowcat.columns.map {
+      case "app_id" => "a1"; case "event" => "unstruct"
+      case "unstruct_event" => unstruct; case _ => ""
+    }
+    val line = fields.mkString("\t")
+
+    val Seq((flat, _)) = run(Config(outputFormat = "json"), line)
+    val fm = parse(flat)
+    // flat json unwraps the iglu unstruct_event envelope and keys by the
+    // INNER schema, snake_cased with the model suffix
+    val lc = fm("unstruct_event_com_snowplowanalytics_snowplow_link_click_1")
+      .asInstanceOf[VectorMap[String, Any]]
+    assert(lc("targetUrl") == "https://x.test/a" && lc("elementId") == "btn")
+    assert(!fm.contains("unstruct_event"), "raw column never passes through in json format")
+
+    val Seq((enr, _)) = run(Config(outputFormat = "enriched_json"), line)
+    val em = parse(enr)
+    // enriched_json keys by the COLUMN's own schema (reference
+    // parseUnstructEventFromTSV reads the envelope map directly)
+    val ue = em("unstruct_event").asInstanceOf[VectorMap[String, Any]]
+    val wrap = ue("com_snowplowanalytics_snowplow_unstruct_event").asInstanceOf[VectorMap[String, Any]]
+    assert(wrap("version") == "1-0-0")
+    assert(wrap("data").asInstanceOf[Vector[Any]].length == 1)
+  }
+
+  test("schema delivery POSTs the template-substituted payload (reference schema_delivery)") {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/internal/schema-discovery",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        got.add(new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+        x.sendResponseHeaders(200, 2); x.getResponseBody.write("{}".getBytes); x.close()
+      })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/internal/schema-discovery"
+      assert(!OpenSnowcat.deliverSchemas(Nil, endpoint), "empty set is a no-op")
+      assert(got.isEmpty)
+      val delivered = OpenSnowcat.deliverSchemas(
+        Seq("iglu:com.acme/a/jsonschema/1-0-0", "iglu:com.acme/b/jsonschema/2-0-0"),
+        endpoint, template = """{"schemas": {{SCHEMAS}}, "src": "graft"}""")
+      assert(delivered)
+      assert(got.poll() ==
+        """{"schemas": ["iglu:com.acme/a/jsonschema/1-0-0","iglu:com.acme/b/jsonschema/2-0-0"], "src": "graft"}""")
+    } finally server.stop(0)
+  }
+
   test("schema discovery collects every iglu URI (reference schema_extractor)") {
     val df = envelope(pageView)
       .select(explode(OpenSnowcat.discoveredSchemas(col(Msg.ContentCol))).as("uri"))
