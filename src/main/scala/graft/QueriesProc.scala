@@ -2089,6 +2089,53 @@ object QueriesProc {
     // index actions; a second pass exercises the update
     // (doc-merge) and delete actions; the verification search reads the
     // surviving documents back — all four bulk verbs cross one gate
+    // aws_dynamodb output (impl/aws/output_dynamodb.go:241-607): each
+    // message builds string_columns + json_map_columns into an
+    // AttributeValue item; the delete_condition arm routes matching
+    // messages to DeleteRequests in the SAME BatchWriteItem batch;
+    // ≤25-request batches from EXECUTORS with the UnprocessedItems
+    // re-drive loop. Read-back is a bounded Scan; the oracle replays
+    // both arms
+    "out_aws_dynamodb" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Dynamo.MiniDynamo().start()
+      val endpoint = srv.endpoint
+      val setup = new graft.conn.Dynamo.Client(endpoint)
+      setup.createTable("events_out", "id")
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull && col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(32)
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val c = new graft.conn.Dynamo.Client(endpoint)
+          try it.grouped(25).foreach { chunk =>
+            c.batchWrite("events_out", chunk.map { r =>
+              val key = scala.collection.immutable.VectorMap[String, Any](
+                "id" -> graft.conn.Dynamo.toAttributeValue(s"e${r.getLong(0)}", numbersAsN = true))
+              if (r.getLong(0) % 10 == 0) Left(key) // delete_condition arm
+              else Right(key ++ scala.collection.immutable.VectorMap[String, Any](
+                "etype" -> graft.conn.Dynamo.toAttributeValue(r.getString(1), numbersAsN = true),
+                "payload" -> graft.conn.Dynamo.toAttributeValue(
+                  scala.collection.immutable.VectorMap[String, Any](
+                    "event_id" -> r.getLong(0), "value" -> r.getDouble(2)),
+                  numbersAsN = true)))
+            }.toSeq)
+          } finally c.close()
+        }
+      }
+      val got = setup.scan("events_out").map { item =>
+        val m = item.map { case (k, v) => k -> graft.conn.Dynamo.fromAttributeValue(
+          graft.conn.Aws.Json.asObj(v)) }
+        val payload = m("payload").asInstanceOf[scala.collection.immutable.VectorMap[String, Any]]
+        (m("id").asInstanceOf[String], m("etype").asInstanceOf[String],
+          payload("event_id").asInstanceOf[Long],
+          payload("value") match { case d: Double => d; case l: Long => l.toDouble })
+      }
+      setup.close(); srv.stop()
+      got.toDF("id", "etype", "event_id", "value")
+    }),
+
     // datadog_logs output (impl/datadog/output_datadog_logs.go:34-415):
     // the HTTP logs-intake v2 surface — per-partition clients POST
     // gzip'd JSON batches of HTTPLogItems from EXECUTORS with the
@@ -3266,6 +3313,11 @@ object QueriesProc {
     "out_aws_s3_stream" ->
       """SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
          WHERE l_linenumber = 1 AND l_orderkey % 2 = 0""",
+    "out_aws_dynamodb" ->
+      """SELECT 'e' || event_id AS id, event_type AS etype, event_id, value
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL
+           AND event_id % 2 = 0 AND event_id % 10 <> 0""",
     "out_datadog_logs" ->
       """SELECT event_id, 'graft' AS ddsource,
            'env:test,type:' || event_type AS ddtags,

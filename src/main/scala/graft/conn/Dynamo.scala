@@ -31,6 +31,9 @@ object Dynamo {
     def createTableDirect(name: String, hashKey: String): Unit =
       tables.putIfAbsent(name, (hashKey, new CTrieMap[String, VectorMap[String, Any]]()))
     def itemCount(table: String): Int = tables.get(table).map(_._2.size).getOrElse(0)
+    /** throttle knob: the NEXT BatchWriteItem call holds back up to n
+      * trailing requests as UnprocessedItems (then auto-resets) */
+    @volatile var unprocessedOnce: Int = 0
 
     private def ok(body: VectorMap[String, Any]) =
       (200, Seq("Content-Type" -> "application/x-amz-json-1.0"), Json.render(body).getBytes(UTF_8))
@@ -92,6 +95,48 @@ object Dynamo {
           case None => err("ResourceNotFoundException", Json.str(req, "TableName"))
         }
 
+        // BatchWriteItem (output_dynamodb.go:483): ≤25 put/delete requests
+        // per table, applied in order; the throttle knob returns the tail
+        // of the batch in UnprocessedItems so clients exercise their
+        // re-drive loop exactly as the public contract demands
+        case "BatchWriteItem" =>
+          val reqItems = Json.asObj(req("RequestItems"))
+          var unprocessed = VectorMap.empty[String, Any]
+          reqItems.foreach { case (tableName, reqsAny) =>
+            tables.get(tableName) match {
+              case None => return err("ResourceNotFoundException", tableName)
+              case Some((hashKey, items)) =>
+                val reqs = Json.asArr(reqsAny)
+                if (reqs.size > 25) return err("ValidationException", "Too many items requested")
+                val holdBack =
+                  if (unprocessedOnce > 0) { val n = math.min(unprocessedOnce, reqs.size - 1); unprocessedOnce = 0; n }
+                  else 0
+                val (apply, defer) = reqs.splitAt(reqs.size - holdBack)
+                apply.foreach { wr =>
+                  val w = Json.asObj(wr)
+                  w.get("PutRequest").map(Json.asObj).foreach { pr =>
+                    val item = Json.asObj(pr("Item"))
+                    items.put(sOf(item(hashKey)), item)
+                  }
+                  w.get("DeleteRequest").map(Json.asObj).foreach { dr =>
+                    items.remove(sOf(Json.asObj(dr("Key"))(hashKey))); ()
+                  }
+                }
+                if (defer.nonEmpty) unprocessed = unprocessed.updated(tableName, defer)
+            }
+          }
+          ok(if (unprocessed.isEmpty) Json.obj("UnprocessedItems" -> Json.obj())
+             else Json.obj("UnprocessedItems" -> unprocessed))
+
+        // Scan (bounded read-back for gates; no paging at fixture scale)
+        case "Scan" => table() match {
+          case Some((_, items)) =>
+            val now = System.currentTimeMillis()
+            val live0 = items.values.filter(live(_, now)).toVector
+            ok(Json.obj("Items" -> live0.map(x => x: Any), "Count" -> live0.size.toLong))
+          case None => err("ResourceNotFoundException", Json.str(req, "TableName"))
+        }
+
         case other => err("UnknownOperationException", other)
       }
     }
@@ -119,7 +164,77 @@ object Dynamo {
         "AttributeDefinitions" -> Vector[Any](Json.obj("AttributeName" -> hashKey, "AttributeType" -> "S")),
         "BillingMode" -> "PAY_PER_REQUEST")); ()
     }
+
+    /** aws_dynamodb OUTPUT write path (output_dynamodb.go:395-607):
+      * ≤25 put/delete WriteRequests per BatchWriteItem call, and the
+      * response's UnprocessedItems re-driven with bounded backoff —
+      * the public throttling contract. Each element is Right(item) for
+      * a put, Left(key) for a delete (the delete_condition arm). */
+    def batchWrite(tableName: String,
+                   reqs: Seq[Either[VectorMap[String, Any], VectorMap[String, Any]]],
+                   maxRedrives: Int = 4): Unit = {
+      def toWr(r: Either[VectorMap[String, Any], VectorMap[String, Any]]): Any = r match {
+        case Right(item) => Json.obj("PutRequest" -> Json.obj("Item" -> item))
+        case Left(key) => Json.obj("DeleteRequest" -> Json.obj("Key" -> key))
+      }
+      reqs.grouped(25).foreach { chunk =>
+        var pending: Vector[Any] = chunk.toVector.map(toWr)
+        var attempt = 0
+        while (pending.nonEmpty) {
+          val resp = callOk("BatchWriteItem",
+            Json.obj("RequestItems" -> Json.obj(tableName -> pending)))
+          pending = resp.get("UnprocessedItems").map(Json.asObj)
+            .flatMap(_.get(tableName)).map(Json.asArr).getOrElse(Vector.empty)
+          if (pending.nonEmpty) {
+            attempt += 1
+            require(attempt <= maxRedrives,
+              s"BatchWriteItem: ${pending.size} unprocessed after $maxRedrives re-drives")
+            Thread.sleep(math.min(50L << (attempt - 1), 1000L))
+          }
+        }
+      }
+    }
+
+    /** bounded read-back for gates */
+    def scan(tableName: String): Vector[VectorMap[String, Any]] =
+      callOk("Scan", Json.obj("TableName" -> tableName))
+        .get("Items").map(Json.asArr).getOrElse(Vector.empty).map(Json.asObj)
+
     override def close(): Unit = aws.close()
+  }
+
+  /** JSON tree → DynamoDB AttributeValue tree (output_dynamodb.go
+    * anyToAttributeValue:340-385): string→S, bool→BOOL, null→NULL,
+    * number→N when `numbersAsN` ("json_number_type: number") else S
+    * ("string", the default), object→M, array→L. */
+  def toAttributeValue(v: Any, numbersAsN: Boolean): VectorMap[String, Any] = v match {
+    case null => Json.obj("NULL" -> true)
+    case b: Boolean => Json.obj("BOOL" -> b)
+    case s: String => Json.obj("S" -> s)
+    case m: VectorMap[String @unchecked, Any @unchecked] =>
+      Json.obj("M" -> VectorMap(m.toSeq.map { case (k, x) =>
+        k -> (toAttributeValue(x, numbersAsN): Any) }: _*))
+    case a: Vector[Any @unchecked] =>
+      Json.obj("L" -> a.map(x => toAttributeValue(x, numbersAsN): Any))
+    case n @ (_: Long | _: Int | _: Double) =>
+      val rendered = n match {
+        case d: Double => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+        case other => other.toString
+      }
+      if (numbersAsN) Json.obj("N" -> rendered) else Json.obj("S" -> rendered)
+    case other => Json.obj("S" -> String.valueOf(other))
+  }
+
+  /** AttributeValue tree → plain JSON values (gate read-back). */
+  def fromAttributeValue(av: VectorMap[String, Any]): Any = av.head match {
+    case ("S", s) => s
+    case ("N", s: String) => if (s.contains('.') || s.contains('e') || s.contains('E')) s.toDouble else s.toLong
+    case ("BOOL", b) => b
+    case ("NULL", _) => null
+    case ("M", m) => VectorMap(Json.asObj(m).toSeq.map { case (k, x) =>
+      k -> fromAttributeValue(Json.asObj(x)) }: _*)
+    case ("L", a) => Json.asArr(a).map(x => fromAttributeValue(Json.asObj(x)))
+    case (t, _) => throw new IllegalArgumentException(s"unsupported AttributeValue type $t")
   }
 
   // ------------------------------------------------------- cache backend

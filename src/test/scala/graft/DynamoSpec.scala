@@ -91,4 +91,37 @@ class DynamoSpec extends AnyFunSuite {
       assert(e.getMessage.contains("404"))
     } finally { c.close(); srv.stop() }
   }
+
+  test("output: BatchWriteItem puts+deletes in one batch; UnprocessedItems re-driven") {
+    import scala.collection.immutable.VectorMap
+    val srv = new Dynamo.MiniDynamo().start()
+    val c = new Dynamo.Client(srv.endpoint)
+    try {
+      c.createTable("t", "id")
+      def key(k: String) = VectorMap[String, Any]("id" -> Dynamo.toAttributeValue(k, numbersAsN = true))
+      def item(k: String, n: Long) = key(k) ++ VectorMap[String, Any](
+        "n" -> Dynamo.toAttributeValue(n, numbersAsN = true))
+      // seed, then one mixed batch: put 3 new, delete 1 seeded
+      c.batchWrite("t", Seq(Right(item("a", 1)), Right(item("b", 2))))
+      srv.unprocessedOnce = 2 // next call throttles its 2 trailing requests
+      c.batchWrite("t", Seq(Right(item("c", 3)), Right(item("d", 4)), Left(key("a"))))
+      assert(srv.itemCount("t") == 3, "a deleted; b,c,d live after the re-drive")
+      val ids = c.scan("t").map(i => Dynamo.fromAttributeValue(
+        graft.conn.Aws.Json.asObj(i("id")))).toSet
+      assert(ids == Set("b", "c", "d"))
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("output: AttributeValue tree round-trips nested maps/lists; json_number_type both modes") {
+    import scala.collection.immutable.VectorMap
+    val doc = VectorMap[String, Any]("s" -> "x", "n" -> 7L, "d" -> 2.5, "b" -> true,
+      "z" -> null, "m" -> VectorMap[String, Any]("inner" -> 1L),
+      "l" -> Vector[Any]("a", 9L))
+    val avN = Dynamo.toAttributeValue(doc, numbersAsN = true)
+    assert(Dynamo.fromAttributeValue(avN) == doc)
+    // the default "string" mode renders numbers as S (output_dynamodb.go json_number_type)
+    val avS = graft.conn.Aws.Json.asObj(
+      graft.conn.Aws.Json.asObj(Dynamo.toAttributeValue(doc, numbersAsN = false)("M"))("n"))
+    assert(avS == VectorMap[String, Any]("S" -> "7"))
+  }
 }
