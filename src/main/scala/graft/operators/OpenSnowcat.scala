@@ -16,14 +16,19 @@ import scala.collection.mutable
   * redact, anonymize_ip for v4/v6), extracts metadata, discovers iglu
   * schema URIs, and emits tsv / flattened json / nested enriched_json.
   *
-  * Spark-first split: the TSV is `split` once into an array column and
-  * everything per-plain-column — drop filters, hash (md5/sha1/sha2 are
-  * codegen'd), redact, IP masking (`transform`/`filter`/`slice` higher-
-  * order functions), metadata projection, TSV re-join — stays pure
-  * Column algebra inside whole-stage codegen. Only the two genuinely
-  * schema-less JSON walks (iglu property search; context flattening
-  * with dynamic output keys) drop to Scala UDFs, mirroring the
-  * reference's use of the snowplow analytics SDK there.
+  * Spark-first split: the TSV is `split` once into an array column;
+  * drop filters (element_at/lower/contains) and the hash/redact
+  * transforms (md5/sha1/sha2/concat_ws) stay pure Column algebra
+  * inside whole-stage codegen. Anything lambda-shaped deliberately
+  * avoids higher-order Column functions — transform/filter/map_filter
+  * are CodegenFallback and de-codegen the entire stage — and uses
+  * small ScalaUDFs instead (IP masking, metadata merge, the iglu
+  * property search, context flattening with dynamic output keys),
+  * which stay inside the codegen span; the UDFs take the raw line as
+  * one string (splitting in Scala costs 2 µs; an array<string>(131)
+  * argument costs a 131-element boxed conversion per call). The drop
+  * filter's predicate is stage-pinned so Catalyst cannot hoist it
+  * below an upstream exchange onto the input's split count.
   */
 object OpenSnowcat {
 

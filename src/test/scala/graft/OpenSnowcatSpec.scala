@@ -250,6 +250,56 @@ class OpenSnowcatSpec extends SparkSpec {
     assert(wrap("data").asInstanceOf[Vector[Any]].length == 1)
   }
 
+  test("schema extractor table (reference TestExtractSchemasFromEvent, all 8 cases)") {
+    val sp = "iglu:com.snowplowanalytics.snowplow"
+    def wrap(inner: String*) =
+      s"""{"schema":"$sp/contexts/jsonschema/1-0-0","data":[${inner.mkString(",")}]}"""
+    def ctx(schema: String, data: String) = s"""{"schema":"$schema","data":$data}"""
+    val cases: Seq[(String, String, String, String, Set[String])] = Seq(
+      ("single context schema",
+        wrap(ctx(s"$sp/web_page/jsonschema/1-0-0", """{"id":"test-page-id"}""")), "", "",
+        Set(s"$sp/contexts/jsonschema/1-0-0", s"$sp/web_page/jsonschema/1-0-0")),
+      ("multiple contexts",
+        wrap(ctx(s"$sp/web_page/jsonschema/1-0-0", """{"id":"page-1"}"""),
+          ctx(s"$sp/ua_parser_context/jsonschema/1-0-0", """{"useragentFamily":"Chrome"}""")),
+        "", "",
+        Set(s"$sp/contexts/jsonschema/1-0-0", s"$sp/web_page/jsonschema/1-0-0",
+          s"$sp/ua_parser_context/jsonschema/1-0-0")),
+      ("unstruct event", "", "",
+        ctx(s"$sp/unstruct_event/jsonschema/1-0-0",
+          ctx(s"$sp/page_view/jsonschema/1-0-0", """{"pageUrl":"https://example.com"}""")),
+        Set(s"$sp/unstruct_event/jsonschema/1-0-0", s"$sp/page_view/jsonschema/1-0-0")),
+      ("derived contexts", "",
+        wrap(ctx(s"$sp/client_session/jsonschema/1-0-1", """{"sessionId":"session-123"}""")), "",
+        Set(s"$sp/contexts/jsonschema/1-0-0", s"$sp/client_session/jsonschema/1-0-1")),
+      ("all three fields combined",
+        wrap(ctx(s"$sp/web_page/jsonschema/1-0-0", """{"id":"page-1"}""")),
+        wrap(ctx(s"$sp/ua_parser_context/jsonschema/1-0-0", """{"useragentFamily":"Chrome"}""")),
+        ctx(s"$sp/unstruct_event/jsonschema/1-0-0",
+          ctx(s"$sp/page_view/jsonschema/1-0-0", """{"pageUrl":"https://example.com"}""")),
+        Set(s"$sp/contexts/jsonschema/1-0-0", s"$sp/web_page/jsonschema/1-0-0",
+          s"$sp/ua_parser_context/jsonschema/1-0-0", s"$sp/unstruct_event/jsonschema/1-0-0",
+          s"$sp/page_view/jsonschema/1-0-0")),
+      ("duplicate schemas deduplicated",
+        wrap(ctx(s"$sp/web_page/jsonschema/1-0-0", """{"id":"page-1"}"""),
+          ctx(s"$sp/web_page/jsonschema/1-0-0", """{"id":"page-2"}""")), "", "",
+        Set(s"$sp/contexts/jsonschema/1-0-0", s"$sp/web_page/jsonschema/1-0-0")),
+      ("empty fields", "", "", "", Set.empty),
+      ("invalid JSON does not crash", "not valid json", "", "", Set.empty))
+    for ((name, c, d, u, expected) <- cases) {
+      val fields = OpenSnowcat.columns.map {
+        case "contexts" => c; case "derived_contexts" => d
+        case "unstruct_event" => u; case _ => ""
+      }
+      val line = fields.mkString("\t")
+      import spark.implicits._
+      val got = Seq(line).toDF("content")
+        .select(explode(OpenSnowcat.discoveredSchemas(col("content"))).as("uri"))
+        .collect().map(_.getString(0)).toSet
+      assert(got == expected, s"case: $name")
+    }
+  }
+
   test("schema delivery POSTs the template-substituted payload (reference schema_delivery)") {
     val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val server = com.sun.net.httpserver.HttpServer.create(
