@@ -348,6 +348,51 @@ object PipelineConfig {
         Processors.whileLoop(maxLoops,
           df => df.filter(check).limit(1).count() > 0,
           Processor.chain(procs))
+      case "opensnowcat" =>
+        // processor_opensnowcat.go ConfigSpec:68-134 — output_format,
+        // set_metadata, filters.drop (contains lists), filters.transform
+        // (global salt/hash_algo + per-field strategies)
+        import graft.operators.OpenSnowcat
+        def jmap(v: Any): java.util.Map[String, Any] =
+          v.asInstanceOf[java.util.Map[String, Any]]
+        val outputFormat = Option(conf.get("output_format")).map(String.valueOf).getOrElse("tsv")
+        val setMeta = Option(conf.get("set_metadata")).map(jmap(_).asScala.map {
+          case (k, v) => k -> String.valueOf(v) }.toMap).getOrElse(Map.empty[String, String])
+        var drop = Map.empty[String, Seq[String]]
+        var transforms = Map.empty[String, OpenSnowcat.Transform]
+        var salt = ""
+        var hashAlgo = "SHA-256"
+        Option(conf.get("filters")).map(jmap).foreach { f =>
+          Option(f.get("drop")).map(jmap).foreach { d =>
+            drop = d.asScala.map { case (field, crit) =>
+              field -> Option(jmap(crit).get("contains"))
+                .map(_.asInstanceOf[java.util.List[_]].asScala.map(String.valueOf).toSeq)
+                .getOrElse(Nil)
+            }.toMap
+          }
+          Option(f.get("transform")).map(jmap).foreach { t =>
+            salt = Option(t.get("salt")).map(String.valueOf).getOrElse("")
+            hashAlgo = Option(t.get("hash_algo")).map(String.valueOf).getOrElse("SHA-256")
+            Option(t.get("fields")).map(jmap).foreach { fs =>
+              transforms = fs.asScala.map { case (field, c0) =>
+                val c = jmap(c0)
+                field -> OpenSnowcat.Transform(
+                  strategy = Option(c.get("strategy")).map(String.valueOf).getOrElse(""),
+                  hashAlgo = Option(c.get("hash_algo")).map(String.valueOf).getOrElse(""),
+                  salt = Option(c.get("salt")).map(String.valueOf).getOrElse(""),
+                  redactValue = Option(c.get("redact_value")).map(String.valueOf)
+                    .getOrElse("[REDACTED]"),
+                  anonOctets = Option(c.get("anon_octets")).map(String.valueOf(_).toInt)
+                    .getOrElse(2),
+                  anonSegments = Option(c.get("anon_segments")).map(String.valueOf(_).toInt)
+                    .getOrElse(4))
+              }.toMap
+            }
+          }
+        }
+        OpenSnowcat.processor(OpenSnowcat.Config(
+          outputFormat, drop, transforms, salt, hashAlgo, setMeta))
+
       case "noop" => Processor.noop
       case other => throw new IllegalArgumentException(s"config: processor $other")
     }

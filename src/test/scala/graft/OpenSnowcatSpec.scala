@@ -323,6 +323,44 @@ class OpenSnowcatSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the reference's documented Transform YAML example runs via PipelineConfig") {
+    val tsvFile = java.nio.file.Files.createTempFile("osc", ".tsv")
+    java.nio.file.Files.writeString(tsvFile, pageView + "\n")
+    // processor_opensnowcat.go's "Transform" example, verbatim fields
+    val yaml =
+      s"""input:
+         |  file:
+         |    paths: [$tsvFile]
+         |pipeline:
+         |  processors:
+         |    - opensnowcat:
+         |        output_format: json
+         |        filters:
+         |          transform:
+         |            salt: "your-secret-salt-here"
+         |            hash_algo: SHA-256
+         |            fields:
+         |              user_id:
+         |                strategy: hash
+         |              user_ipaddress:
+         |                strategy: anonymize_ip
+         |                anon_octets: 2
+         |                anon_segments: 3
+         |              network_userid:
+         |                strategy: redact
+         |                redact_value: "[REDACTED]"
+         |""".stripMargin
+    val frame = graft.conn.PipelineConfig.load(yaml).frame(spark)
+    val Seq(json) = frame.select(col(Msg.ContentCol)).collect().toSeq.map(_.getString(0))
+    val m = parse(json)
+    assert(m("user_ipaddress") == "75.80.x.x")
+    assert(m("user_id") == graft.conn.Aws.SigV4.sha256Hex(
+      "joaocorreiayour-secret-salt-here".getBytes("UTF-8")))
+    assert(m("network_userid") == "[REDACTED]")
+    assert(m("app_id") == "snwcat" && m("event") == "page_view")
+    java.nio.file.Files.delete(tsvFile)
+  }
+
   test("schema discovery collects every iglu URI (reference schema_extractor)") {
     val df = envelope(pageView)
       .select(explode(OpenSnowcat.discoveredSchemas(col(Msg.ContentCol))).as("uri"))
