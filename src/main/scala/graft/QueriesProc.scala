@@ -2819,6 +2819,32 @@ object QueriesProc {
         .toDF("priority", "cnt")
     }),
 
+    // json_api metrics exporter (impl/io/metrics_json_api.go:14-72):
+    // the registry served as one flat JSON object on /stats — counters
+    // as numbers (label-suffixed keys), timers as percentile objects.
+    // Same two-level shape as the prometheus gate: partition-level
+    // pre-aggregation, driver-side registry, HTTP read-back
+    "metric_json_api" -> ((s, dir) => {
+      import s.implicits._
+      val reg = new graft.conn.Observability.Prometheus.Registry
+      val ep = new graft.conn.Observability.Prometheus.JsonApi.Endpoint(reg).start()
+      t(s, dir, "events").filter(col("event_type").isNotNull)
+        .groupBy(col("event_type")).count()
+        .collect().foreach(r => reg.incCounter("events_total", r.getLong(1).toDouble,
+          Map("type" -> r.getString(0))))
+      val http = new graft.conn.Aws.Http
+      val body = http.request("GET", ep.url, Nil, Array.emptyByteArray).bodyStr
+      http.close(); ep.stop()
+      val parsed = graft.conn.Aws.Json.asObj(graft.conn.Aws.Json.parse(body))
+      val rows = parsed.toSeq.collect {
+        case (k, v) if k.startsWith("events_total{") =>
+          val tpe = k.stripPrefix("events_total{type=\"").stripSuffix("\"}")
+          val n = v match { case d: Double => d.toLong; case l: Long => l; case _ => 0L }
+          (tpe, n)
+      }
+      s.createDataset(rows.toVector).toDF("event_type", "cnt")
+    }),
+
     // hdfs output → input roundtrip (impl/hdfs/output.go per-message
     // file writes at interpolated paths; input.go directory walk +
     // download) over the from-scratch WebHDFS REST protocol
@@ -3367,6 +3393,9 @@ object QueriesProc {
     "metric_prometheus" ->
       """SELECT o_orderpriority AS priority, count(*)::BIGINT AS cnt
          FROM orders GROUP BY 1""",
+    "metric_json_api" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt FROM events
+         WHERE event_type IS NOT NULL GROUP BY 1""",
     "src_hdfs" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "src_zmq" ->

@@ -474,6 +474,95 @@ object Observability {
         render(gaugeMap, "gauge")
         sb.toString
       }
+
+      // ---- timing metrics (metrics_json_api.go timers; statsd "ms")
+      private val timerMap = new CTrieMap[(String, Seq[(String, String)]), Vector[Double]]()
+      def observeTiming(name: String, seconds: Double,
+                        labels: Map[String, String] = Map.empty): Unit =
+        timerMap.updateWith(key(name, labels)) {
+          case Some(v) => Some(v :+ seconds); case None => Some(Vector(seconds))
+        }
+
+      private def labelSuffix(labels: Seq[(String, String)]): String =
+        if (labels.isEmpty) ""
+        else labels.map { case (k, v) => s"""$k="${escapeLabel(v)}"""" }.mkString("{", ",", "}")
+
+      /** flat snapshot keyed `name{labels}`: counters/gauges → value,
+        * timers → sorted sample vector */
+      def snapshot: (Map[String, Double], Map[String, Vector[Double]]) = {
+        val scalars = (counterMap.readOnlySnapshot() ++ gaugeMap.readOnlySnapshot())
+          .map { case ((n, ls), v) => s"$n${labelSuffix(ls)}" -> v }.toMap
+        val timers = timerMap.readOnlySnapshot()
+          .map { case ((n, ls), v) => s"$n${labelSuffix(ls)}" -> v.sorted }.toMap
+        (scalars, timers)
+      }
+
+      /** `flush_metrics: true` semantics (metrics_logger.go) */
+      def reset(): Unit = { counterMap.clear(); timerMap.clear() }
+    }
+
+    /** json_api metrics exporter (impl/io/metrics_json_api.go:14-72):
+      * serves the registry as ONE flat JSON object on both `/stats` and
+      * `/metrics` — counters and gauges as numbers, timers as
+      * {p50,p90,p99} percentile objects (nearest-rank on the sorted
+      * samples, the go-metrics convention). */
+    object JsonApi {
+      def render(reg: Registry): String = {
+        val (scalars, timers) = reg.snapshot
+        def pct(sorted: Vector[Double], q: Double): Double =
+          if (sorted.isEmpty) 0.0
+          else sorted(math.min(sorted.size - 1, (q * sorted.size).toInt))
+        val entries: Seq[(String, Any)] =
+          scalars.toSeq.map { case (k, v) => k -> (v: Any) } ++
+          timers.toSeq.map { case (k, v) =>
+            k -> (Json.obj("p50" -> pct(v, 0.5), "p90" -> pct(v, 0.9),
+              "p99" -> pct(v, 0.99)): Any)
+          }
+        Json.render(VectorMap(entries.sortBy(_._1): _*))
+      }
+
+      final class Endpoint(registry: Registry) {
+        @volatile private var server: com.sun.net.httpserver.HttpServer = _
+        def port: Int = server.getAddress.getPort
+        def url: String = s"http://127.0.0.1:$port/stats"
+        def start(): this.type = {
+          graft.conn.Aws.serverNoDelay()
+          server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+          val handler = (x: com.sun.net.httpserver.HttpExchange) => {
+            val b = render(registry).getBytes(UTF_8)
+            x.getResponseHeaders.add("Content-Type", "application/json")
+            x.sendResponseHeaders(200, b.length)
+            x.getResponseBody.write(b); x.close()
+          }
+          server.createContext("/stats", handler(_))
+          server.createContext("/metrics", handler(_))
+          server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+            (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th }))
+          val starter = new Thread(() => server.start())
+          starter.setDaemon(true); starter.start(); starter.join()
+          this
+        }
+        def stop(): Unit = if (server != null) server.stop(0)
+      }
+    }
+
+    /** logger metrics exporter (impl/pure/metrics_logger.go:22-60):
+      * each metric becomes one log line, printed on shutdown and
+      * optionally on an interval; `flush_metrics` resets counters and
+      * timers after each print. Here the log sink is injectable (the
+      * engine's logger in production, a buffer in specs). */
+    object LoggerMetrics {
+      def lines(reg: Registry): Seq[String] = {
+        val (scalars, timers) = reg.snapshot
+        val fmt = (v: Double) =>
+          if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+        (scalars.toSeq.map { case (k, v) => s"metric=$k value=${fmt(v)}" } ++
+          timers.toSeq.map { case (k, v) => s"metric=$k samples=${v.size}" }).sorted
+      }
+      def flush(reg: Registry, sink: String => Unit, flushMetrics: Boolean = false): Unit = {
+        lines(reg).foreach(sink)
+        if (flushMetrics) reg.reset()
+      }
     }
 
     /** serve /metrics for scrapes */

@@ -50,7 +50,7 @@ class Amqp1Spec extends AnyFunSuite {
       val rcv = new Receiver(addr, "jobs")
       try {
         (1 to 5).foreach(i => snd.send(b(s"m$i")))
-        val deadline = System.currentTimeMillis() + 3000
+        val deadline = System.currentTimeMillis() + 10000 // generous: the suite runs 32-way parallel
         while (srv.depth("jobs") < 5 && System.currentTimeMillis() < deadline) Thread.sleep(20)
         assert(srv.depth("jobs") == 5)
         rcv.flow(3)
@@ -61,7 +61,7 @@ class Amqp1Spec extends AnyFunSuite {
         rcv.flow(10)
         val rest = (1 to 2).map(_ => rcv.receive().get)
         rest.foreach(rcv.accept)
-        val drainDeadline = System.currentTimeMillis() + 3000
+        val drainDeadline = System.currentTimeMillis() + 10000
         while (srv.depth("jobs") > 0 && System.currentTimeMillis() < drainDeadline) Thread.sleep(20)
         assert(srv.depth("jobs") == 0, "accepted dispositions settle everything")
       } finally { snd.close(); rcv.close() }

@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.VectorMap
 
-import graft.conn.Observability.{Ilp, Loki, Splunk, Statsd}
+import graft.conn.Observability.{Ilp, Loki, Prometheus, Splunk, Statsd}
 import graft.conn.Aws.Json
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -125,5 +125,43 @@ class ObservabilitySpec extends AnyFunSuite {
       assert(srv.entries.filter(_.labels("level") == "info").map(_.line) == Vector("started", "working"))
       assert(srv.entries.find(_.line == "boom").exists(_.tsNs == 3000L))
     } finally { c.close(); srv.stop() }
+  }
+
+  // ----------------------------------------------------------- json_api
+  test("json_api metrics: flat JSON object on /stats and /metrics; timer percentiles") {
+    val reg = new Prometheus.Registry
+    reg.incCounter("input_received", 5)
+    reg.incCounter("output_sent", 3, Map("label" -> "a"))
+    reg.setGauge("buffer_backlog", 7)
+    (1 to 100).foreach(i => reg.observeTiming("proc_latency", i / 1000.0))
+    val ep = new Prometheus.JsonApi.Endpoint(reg).start()
+    try {
+      val http = new graft.conn.Aws.Http
+      val stats = Json.asObj(Json.parse(
+        http.request("GET", ep.url, Nil, Array.emptyByteArray).bodyStr))
+      val metrics = Json.asObj(Json.parse(http.request("GET",
+        ep.url.replace("/stats", "/metrics"), Nil, Array.emptyByteArray).bodyStr))
+      http.close()
+      assert(stats == metrics, "both endpoints serve the same object")
+      assert(stats("input_received") == 5L || stats("input_received") == 5.0)
+      assert(stats.contains("""output_sent{label="a"}"""))
+      assert(stats("buffer_backlog") == 7L || stats("buffer_backlog") == 7.0)
+      val lat = Json.asObj(stats("proc_latency"))
+      assert(math.abs(lat("p50").asInstanceOf[Double] - 0.051) < 0.002)
+      assert(math.abs(lat("p99").asInstanceOf[Double] - 0.1) < 0.002)
+    } finally ep.stop()
+  }
+
+  test("logger metrics: one line per metric; flush_metrics resets counters and timers") {
+    val reg = new Prometheus.Registry
+    reg.incCounter("count_a", 2)
+    reg.observeTiming("lat", 0.5)
+    reg.setGauge("g", 1.5)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Prometheus.LoggerMetrics.flush(reg, out += _, flushMetrics = true)
+    assert(out.toSeq == Seq("metric=count_a value=2", "metric=g value=1.5", "metric=lat samples=1"))
+    out.clear()
+    Prometheus.LoggerMetrics.flush(reg, out += _)
+    assert(out.toSeq == Seq("metric=g value=1.5"), "counters and timers reset; gauges persist")
   }
 }
