@@ -24,7 +24,7 @@ object QueriesProc {
     "proc_java" -> ((s, dir) => {
       val env = Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value"))
+          .select("event_id", "value").repartition(32)) // one-file input: one guest runtime per task
       val out = graft.operators.Script.processor(
         """java.util.Map root = (java.util.Map) msg.asStructured();
           |long id = ((Number) root.get("event_id")).longValue();
@@ -58,7 +58,7 @@ object QueriesProc {
     "proc_javascript" -> ((s, dir) => {
       val env = Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value"))
+          .select("event_id", "value").repartition(32)) // one-file input: one guest runtime per task
       val out = graft.operators.Javascript.processor(
         """(() => {
           |  let m = bento.v0_msg_as_structured();
@@ -86,7 +86,7 @@ object QueriesProc {
     "proc_python" -> ((s, dir) => {
       val env = Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value"))
+          .select("event_id", "value").repartition(32)) // one-file input: one guest runtime per task
       val out = graft.operators.Python.processor(
         """if this["event_id"] % 11 == 0:
           |    root = None
@@ -108,7 +108,7 @@ object QueriesProc {
     "proc_awk" -> ((s, dir) => {
       val env = graft.core.Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value"))
+          .select("event_id", "value").repartition(32)) // one-file input
       val out = graft.operators.Awk.processor(
         """json_get("value") > 100 { json_set("bucket", "big") }
           |{ json_set_float("scaled", json_get("value") * 2 + 1);
@@ -576,6 +576,7 @@ object QueriesProc {
       val srv = new graft.conn.Resp.MiniRedis().start()
       val url = srv.url
       val cust = t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"))
+        .repartition(32) // one-file input: one RESP client per task
       graft.conn.Redis.procCommand[Long](cust, url, "SADD")(
         r => Seq("seg:" + r.getString(0), r.getLong(1)))((_, rep) => rep.toLong)
         .count() // force the seeding phase before any SCARD runs
@@ -594,7 +595,7 @@ object QueriesProc {
     // Decode once per JVM, one instance per task thread — no shuffle
     "proc_wasm" -> ((s, dir) => {
       import s.implicits._
-      val raw = t(s, dir, "part").select(
+      val raw = t(s, dir, "part").repartition(32).select(
         concat_ws("|", col("p_partkey"), col("p_name")).as(graft.core.Msg.ContentCol),
         map().cast(MapType(StringType, StringType)).as(graft.core.Msg.MetaCol),
         lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
@@ -865,6 +866,7 @@ object QueriesProc {
       val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
         .select(col("l_orderkey").cast(LongType),
           concat_ws("|", col("l_quantity"), col("l_returnflag")).as("v"))
+        .repartition(32) // one-file input: concurrent producers
       graft.conn.Kafka.output(rows, bootstrap, "lineitem",
         partitionOf = r => (r.getLong(0) % 4).toInt,
         keyOf = r => r.getLong(0).toString.getBytes("UTF-8"),
@@ -1272,6 +1274,7 @@ object QueriesProc {
       val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 2 && col("l_orderkey") % 2 === 0)
         .select(col("l_orderkey").cast(LongType),
           concat_ws("|", col("l_quantity"), col("l_returnflag")).as("v"))
+        .repartition(32) // one-file input: concurrent producers
       graft.conn.Kinesis.output(rows, endpoint, "evt",
         keyOf = r => r.getLong(0).toString,
         dataOf = r => r.getString(1).getBytes("UTF-8"))
@@ -1982,6 +1985,7 @@ object QueriesProc {
       val fhEndpoint = fh.endpoint
       val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 3)
         .select(concat_ws("|", col("l_orderkey"), col("l_extendedprice")).as("v"))
+        .repartition(32) // one-file input: concurrent writers
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Firehose.Client(fhEndpoint)
@@ -2325,6 +2329,7 @@ object QueriesProc {
       val endpoint = srv.endpoint
       val ev = t(s, dir, "events").filter(col("event_type").isNotNull && col("event_id") % 2 === 0)
         .select(col("event_id").cast(LongType), col("event_type"))
+        .repartition(32) // one-file input: concurrent bulk writers, not one
       // pass 1: index the even-id events (per-partition bulk batches of 500)
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
@@ -2643,6 +2648,7 @@ object QueriesProc {
       val addr = srv.address
       val rows = t(s, dir, "events").filter(col("event_id") % 7 === 0 && col("event_type").isNotNull)
         .select(col("event_id").cast(LongType), col("event_type"))
+        .repartition(32) // one-file input: one producer per task
       val expected = rows.count()
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
@@ -3203,6 +3209,7 @@ object QueriesProc {
         .select(col("l_orderkey").cast(LongType),
           concat_ws("|", monotonically_increasing_id(),
             col("l_orderkey"), col("l_tax")).as("v"))
+        .repartition(32) // one-file input: concurrent producers
       val expected = rows.count()
       graft.conn.Kafka.output(rows, bootstrap, "li4",
         partitionOf = r => (r.getLong(0) % 4).toInt,
