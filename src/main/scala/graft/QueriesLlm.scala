@@ -21,6 +21,7 @@ object QueriesLlm {
     * near-duplicates so near-dup operators have known positives. */
   def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
+      .repartition(32) // one-file input: distribute the shingle/signature stages
     val mutated = docs
       .select((col("doc_id") + 100000L).as("doc_id"),
         substring_index(col("text"), " ", 40).as("text"))
@@ -37,7 +38,7 @@ object QueriesLlm {
       TextAnalysis.charCount(col("text")).cast(LongType).as("n_chars_calc"))),
 
     // quality scoring (length/punct/stopword/word-length bands)
-    "llm_quality" -> ((s, dir) => t(s, dir, "documents").select(
+    "llm_quality" -> ((s, dir) => t(s, dir, "documents").repartition(32).select(
       col("doc_id"),
       round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
       round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
@@ -91,6 +92,7 @@ object QueriesLlm {
     // pattern as plantedCorpus for text.
     "llm_embed_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .repartition(32) // one-file input: distribute the hyperplane hashing
       val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
@@ -181,7 +183,8 @@ object QueriesLlm {
     // unigram log-prob quality signal (CCNet perplexity-proxy): mean
     // log10 P(token) under the corpus's own unigram distribution
     "llm_unigram_logprob" -> ((s, dir) => {
-      val r = TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      val r = TextAnalysis.unigramLogProb(
+        t(s, dir, "documents").repartition(32), "doc_id", "text")
       r.select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"), col("n_tokens"))
     }),
 
@@ -209,7 +212,7 @@ object QueriesLlm {
     // word prefixes of every 10th doc (planted contamination, same pattern
     // as plantedCorpus) → flag train docs sharing any 5-gram, with counts
     "llm_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").repartition(32) // one-file input
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
         .select(substring_index(col("text"), " ", 20).as("text"))
       Dedup.decontaminate(docs, evalSet, "doc_id", "text", n = 5)
