@@ -108,7 +108,13 @@ class Amqp1Spec extends AnyFunSuite {
         assert(new String(redelivered.body, UTF_8) == "m2")
         assert(redelivered.deliveryCount == 1L, "abandon bumps the delivery count")
         rcv.accept(redelivered)
-        assert(rcv.receive(300).isEmpty && srv.depth("sbq") == 0)
+        assert(rcv.receive(300).isEmpty)
+        // the accepted DISPOSITION settles asynchronously broker-side —
+        // poll instead of asserting instantly (the in-suite flake)
+        val settleDeadline = System.currentTimeMillis() + 10000
+        while (srv.depth("sbq") > 0 && System.currentTimeMillis() < settleDeadline)
+          Thread.sleep(20)
+        assert(srv.depth("sbq") == 0)
       } finally rcv.close()
     }
   }
