@@ -244,11 +244,59 @@ object Amqp1 {
     private def serve(sock: Socket): Unit = {
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new BufferedOutputStream(sock.getOutputStream)
-      // per-link state on this connection
+      val outLock = new Object // serve thread + dispatcher both write frames
+      // per-link state on this connection (shared with the dispatcher
+      // thread — guarded by qLock)
       val sendTargets = mutable.Map[Long, String]()  // sender-role peer links: handle -> queue
       val recvSources = mutable.Map[Long, String]()  // receiver-role peer links
+      val linkCredit = mutable.Map[Long, Long]()     // handle -> REMAINING credit
+      val linkChannel = mutable.Map[Long, Int]()     // handle -> session channel
       val outstanding = mutable.Map[Long, QMsg]()    // deliveryId -> unsettled delivery
       var deliveryId = 0L
+      @volatile var closed = false
+
+      // Standing-credit dispatcher (AMQP 1.0 §2.6.7: link-credit granted
+      // by flow REMAINS until used — it is a window, not a one-shot
+      // drain). The original design delivered only inside the Flow
+      // handler and dropped leftover credit when the queue was
+      // momentarily empty, so a transfer racing in a microsecond later
+      // never delivered (the in-suite flake: sender and receiver are on
+      // different connections/threads). The dispatcher waits on qLock
+      // and delivers whenever BOTH a message and credit exist.
+      val dispatcher = new Thread(() => {
+        try while (!closed) {
+          val task = qLock.synchronized {
+            var found: Option[(Long, QMsg)] = None
+            while (found.isEmpty && !closed) {
+              found = linkCredit.iterator.collectFirst {
+                case (h, c) if c > 0 && recvSources.contains(h) =>
+                  queues.get(recvSources(h))
+                    .flatMap(_.find(m => !m.settled && !m.acquired)).map(m => (h, m))
+              }.flatten
+              if (found.isEmpty) qLock.wait(200)
+            }
+            found.foreach { case (h, m) =>
+              m.acquired = true
+              m.deliveries += 1
+              linkCredit(h) -= 1
+              deliveryId += 1
+              outstanding(deliveryId) = m
+            }
+            found.map { case (h, m) => (h, m, deliveryId, linkChannel.getOrElse(h, 0)) }
+          }
+          task.foreach { case (h, m, did, ch) =>
+            outLock.synchronized {
+              writeFrame(out, ch, VDescribed(VULong(Code.Transfer),
+                VList(Vector(VUInt(h), VUInt(did),
+                  VBin(ByteBuffer.allocate(4).putInt(did.toInt).array()),
+                  VUInt(0), VBool(false) /* unsettled */))),
+                messagePayload(m.body, deliveryCount = (m.deliveries - 1).toLong))
+            }
+          }
+        } catch { case _: Throwable => () } // connection torn down
+      })
+      dispatcher.setDaemon(true)
+      dispatcher.start()
       try {
         val hdr = new Array[Byte](8); in.readFully(hdr)
         require(java.util.Arrays.equals(hdr, ProtoHeader), "amqp1: bad protocol header")
@@ -275,15 +323,22 @@ object Amqp1 {
                 }
                 case _ => ""
               }
-              if (roleReceiverAtPeer) recvSources(handle) = address(fieldAt(fs, 5))
-              else sendTargets(handle) = address(fieldAt(fs, 6))
-              writeFrame(out, f.channel, VDescribed(VULong(Code.Attach),
-                VList(Vector(VStr(name), VUInt(handle), VBool(!roleReceiverAtPeer),
-                  VNull, VNull, fieldAt(fs, 5), fieldAt(fs, 6)))))
-              if (!roleReceiverAtPeer) // grant the sender link credit
-                writeFrame(out, f.channel, VDescribed(VULong(Code.Flow),
-                  VList(Vector(VNull, VUInt(65535), VUInt(0), VUInt(65535),
-                    VUInt(handle), VUInt(0), VUInt(1000)))))
+              qLock.synchronized {
+                if (roleReceiverAtPeer) {
+                  recvSources(handle) = address(fieldAt(fs, 5))
+                  linkChannel(handle) = f.channel
+                  queue(recvSources(handle)) // ensure the queue exists
+                } else sendTargets(handle) = address(fieldAt(fs, 6))
+              }
+              outLock.synchronized {
+                writeFrame(out, f.channel, VDescribed(VULong(Code.Attach),
+                  VList(Vector(VStr(name), VUInt(handle), VBool(!roleReceiverAtPeer),
+                    VNull, VNull, fieldAt(fs, 5), fieldAt(fs, 6)))))
+                if (!roleReceiverAtPeer) // grant the sender link credit
+                  writeFrame(out, f.channel, VDescribed(VULong(Code.Flow),
+                    VList(Vector(VNull, VUInt(65535), VUInt(0), VUInt(65535),
+                      VUInt(handle), VUInt(0), VUInt(1000)))))
+              }
             case Code.Transfer =>
               val fs = fields(f.performative)
               val handle = fs(0) match { case VUInt(h) => h; case VULong(h) => h; case _ => 0L }
@@ -291,33 +346,18 @@ object Amqp1 {
                 qLock.synchronized { queue(q) += new QMsg(messageBody(f.payload)); qLock.notifyAll() }
               }
             case Code.Flow =>
-              // receiver grants credit: deliver up to link-credit messages
+              // receiver grants credit: the flow's link-credit SETS the
+              // standing window (our clients send delivery-count 0 with
+              // the desired credit); the dispatcher consumes it as
+              // messages become available
               val fs = fields(f.performative)
               val handle = fs(4) match { case VUInt(h) => h; case VULong(h) => h; case _ => -1L }
               val credit = fs(6) match { case VUInt(c) => c; case VULong(c) => c; case _ => 0L }
-              recvSources.get(handle).foreach { qn =>
-                var granted = credit
-                val q = queue(qn)
-                while (granted > 0) {
-                  val next = qLock.synchronized {
-                    q.find(m => !m.settled && !m.acquired) match {
-                      case Some(m) => m.acquired = true; Some(m)
-                      case None => None
-                    }
-                  }
-                  next match {
-                    case Some(m) =>
-                      deliveryId += 1
-                      m.deliveries += 1
-                      outstanding(deliveryId) = m
-                      writeFrame(out, f.channel, VDescribed(VULong(Code.Transfer),
-                        VList(Vector(VUInt(handle), VUInt(deliveryId),
-                          VBin(ByteBuffer.allocate(4).putInt(deliveryId.toInt).array()),
-                          VUInt(0), VBool(false) /* unsettled */))),
-                        messagePayload(m.body, deliveryCount = (m.deliveries - 1).toLong))
-                      granted -= 1
-                    case None => granted = 0
-                  }
+              qLock.synchronized {
+                if (recvSources.contains(handle)) {
+                  linkCredit(handle) = credit
+                  linkChannel(handle) = f.channel
+                  qLock.notifyAll()
                 }
               }
             case Code.Disposition =>
@@ -329,25 +369,37 @@ object Amqp1 {
                 case VDescribed(VULong(Code.Accepted), _) => true
                 case _ => false
               }
-              (first to last).foreach { id =>
-                outstanding.remove(id).foreach { m =>
-                  if (accepted) m.settled = true else m.acquired = false
+              qLock.synchronized {
+                (first to last).foreach { id =>
+                  outstanding.remove(id).foreach { m =>
+                    if (accepted) m.settled = true else m.acquired = false
+                  }
                 }
+                qLock.notifyAll() // released deliveries may redeliver now
               }
             case Code.Detach | Code.End =>
               // unsettled deliveries return to the queue for redelivery
-              outstanding.values.foreach(_.acquired = false)
-              outstanding.clear()
-              writeFrame(out, f.channel, f.performative)
+              qLock.synchronized {
+                outstanding.values.foreach(_.acquired = false)
+                outstanding.clear()
+                linkCredit.clear()
+                qLock.notifyAll()
+              }
+              outLock.synchronized(writeFrame(out, f.channel, f.performative))
             case Code.Close =>
-              writeFrame(out, 0, VDescribed(VULong(Code.Close), VList(Vector.empty)))
+              outLock.synchronized(
+                writeFrame(out, 0, VDescribed(VULong(Code.Close), VList(Vector.empty))))
               return
             case other => throw new IllegalArgumentException(f"amqp1: performative 0x$other%02x")
           }
         }
       } catch { case _: EOFException | _: java.net.SocketException => () }
       finally {
-        outstanding.values.foreach(_.acquired = false)
+        closed = true
+        qLock.synchronized {
+          outstanding.values.foreach(_.acquired = false)
+          qLock.notifyAll() // release the dispatcher
+        }
         sock.close()
       }
     }
