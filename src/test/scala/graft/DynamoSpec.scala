@@ -44,9 +44,12 @@ class DynamoSpec extends AnyFunSuite {
 
   test("TTL attribute expires items lazily (cache_dynamodb.go ttl_key contract)") {
     withDynamo { (_, c) =>
-      c.set("short", b("v"), ttlMs = 1000)
+      // 3 s TTL, not 1 s: the first read must land INSIDE the ttl window,
+      // and under the 32-way-parallel suite a GC pause can eat >1 s
+      // between set and get (the in-suite flake)
+      c.set("short", b("v"), ttlMs = 3000)
       assert(c.get("short").isDefined)
-      Thread.sleep(2100) // epoch-second granularity: sleep past the boundary
+      Thread.sleep(4100) // epoch-second granularity: sleep past the boundary
       assert(c.get("short").isEmpty, "expired item reads as absent")
       assert(c.add("short", b("v2")), "add treats the expired item as absent")
     }
