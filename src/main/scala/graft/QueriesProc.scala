@@ -2825,6 +2825,35 @@ object QueriesProc {
         .toDF("priority", "cnt")
     }),
 
+    // aws_cloudwatch metrics (impl/aws/metrics_cloudwatch.go:19-527):
+    // the accumulate-then-flush model — counters sum scalars, the
+    // flush drains the datum map and PutMetricData's it in ≤20-datum
+    // chunks over the Query protocol (30 datums here = 2 calls).
+    // Read-back decodes the fixture's received members; the oracle
+    // replays both counter families
+    "metric_cloudwatch" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Cloudwatch.MiniCloudWatch().start()
+      val stats = new graft.conn.Cloudwatch.Stats("graft/pipeline")
+      t(s, dir, "orders").groupBy(col("o_orderpriority")).count()
+        .collect().foreach(r =>
+          stats.incr("orders_total", r.getLong(1), Seq("priority" -> r.getString(0))))
+      t(s, dir, "customer").join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).count()
+        .collect().foreach(r =>
+          stats.incr("cust_total", r.getLong(1), Seq("nation" -> r.getString(0))))
+      val c = new graft.conn.Cloudwatch.Client(srv.endpoint)
+      stats.flush(c)
+      c.close()
+      val rows = srv.datums("graft/pipeline").map { d =>
+        (d.metricName, d.dimensions.headOption.map(_._2).getOrElse(""),
+          d.value.getOrElse(0.0).toLong)
+      }
+      srv.stop()
+      s.createDataset(rows).toDF("metric", "dim", "cnt")
+    }),
+
     // json_api metrics exporter (impl/io/metrics_json_api.go:14-72):
     // the registry served as one flat JSON object on /stats — counters
     // as numbers (label-suffixed keys), timers as percentile objects.
@@ -3403,6 +3432,12 @@ object QueriesProc {
     "metric_json_api" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
          WHERE event_type IS NOT NULL GROUP BY 1""",
+    "metric_cloudwatch" ->
+      """SELECT 'orders_total' AS metric, o_orderpriority AS dim,
+           count(*)::BIGINT AS cnt FROM orders GROUP BY 2
+         UNION ALL
+         SELECT 'cust_total', n_name, count(*)::BIGINT
+         FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 2""",
     "src_hdfs" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "src_zmq" ->
