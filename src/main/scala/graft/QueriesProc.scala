@@ -3185,6 +3185,53 @@ object QueriesProc {
     // (conn/Otlp.scala — public opentelemetry-proto schema via the
     // in-repo proto compiler). The gate re-aggregates the collector's
     // span attributes and checks parent/child linkage before crossing
+    // gcp_cloudtrace tracer (impl/gcp/tracer_cloudtrace.go:24-110): the
+    // same engine-side span shape exported to the Cloud Trace v2 REST
+    // surface — batchWrite per partition from EXECUTORS, Bearer-authed,
+    // resource tags stamped on every span, ParentBased ratio sampling
+    // (1.0 here; the arithmetic is spec-gated). Oracle replays the
+    // per-type counts the child spans carry
+    "trace_cloudtrace" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Cloudtrace.MiniCloudTrace("tok-gate").start()
+      val endpoint = srv.endpoint
+      val ev = t(s, dir, "events").filter(col("event_type").isNotNull)
+        .select(col("event_type"))
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val counts = scala.collection.mutable.Map[String, Long]()
+          it.foreach(r => counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + 1)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          def id(n: Int, seed: String) = graft.conn.Aws.SigV4.hex(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"ct-$pid-$seed".getBytes("UTF-8"))).take(n * 2)
+          val now = System.currentTimeMillis() * 1000000L
+          val tid = id(16, "trace")
+          val rootSid = id(8, "root")
+          val root = graft.conn.Otlp.Span(tid, rootSid, "", "partition", now, now + 1000000L,
+            Map("partition" -> (pid.toLong + 1)))
+          val children = counts.toSeq.zipWithIndex.map { case ((tpe, n), i) =>
+            graft.conn.Otlp.Span(tid, id(8, s"c$i"), rootSid, "type-batch",
+              now, now + 500000L, Map("type" -> tpe, "n" -> n))
+          }
+          val exp = new graft.conn.Cloudtrace.Exporter(endpoint, "proj1", "tok-gate",
+            samplingRatio = 1.0, tags = Map("service" -> "graft"))
+          try { exp.export(root +: children); () } finally exp.close()
+        }
+      }
+      val spans = srv.spans.map(_._2)
+      srv.stop()
+      val roots = spans.filter(_.displayName == "partition").map(_.spanId).toSet
+      val batches = spans.filter(_.displayName == "type-batch")
+      require(batches.forall(b => roots.contains(b.parentSpanId)),
+        "every batch span links to a partition root")
+      require(spans.forall(_.attributes.get("service").contains("graft")),
+        "resource tags stamped on every span")
+      s.createDataset(batches.map(b =>
+        (b.attributes("type").asInstanceOf[String], b.attributes("n").asInstanceOf[Long])))
+        .groupBy(col("_1").as("event_type")).agg(sum(col("_2")).as("cnt"))
+    }),
+
     "trace_otlp" -> ((s, dir) => {
       import s.implicits._
       val col2 = new graft.conn.Otlp.MiniCollector().start()
@@ -3489,6 +3536,9 @@ object QueriesProc {
       """SELECT l_orderkey, l_discount FROM lineitem
          WHERE l_linenumber = 6 AND l_orderkey % 4 = 0""",
     "trace_otlp" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt FROM events
+         WHERE event_type IS NOT NULL GROUP BY 1""",
+    "trace_cloudtrace" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
          WHERE event_type IS NOT NULL GROUP BY 1""",
     "src_kafka_group" ->
