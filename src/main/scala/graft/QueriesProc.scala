@@ -2854,6 +2854,25 @@ object QueriesProc {
       s.createDataset(rows).toDF("metric", "dim", "cnt")
     }),
 
+    // redis rate limit (impl/redis/rate_limit.go:46-119): the
+    // reference's INCR/PEXPIRE/PTTL token-bucket Lua script runs
+    // VERBATIM on the fixture's from-scratch Lua interpreter; every
+    // Spark task shares ONE bucket (the cross-instance semantics that
+    // distinguish it from the local rate limit), blocking on the
+    // script's PTTL backoff when the window saturates. Identity
+    // payload proves nothing is dropped or duplicated under throttling
+    "rate_limit_redis" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.conn.Resp.MiniRedis().start()
+      val url = srv.url
+      val rows = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast(LongType), col("s_name")).repartition(8)
+      graft.operators.External.perPartitionLookup[graft.conn.Redis.RateLimit, (Long, String)](rows)(
+        () => new graft.conn.Redis.RateLimit(url, "gate-rl", count = 500, intervalMs = 100)) {
+        (rl, r) => rl.waitFor(); (r.getLong(0), r.getString(1))
+      }(_.close()).toDF("s_suppkey", "s_name")
+    }),
+
     // json_api metrics exporter (impl/io/metrics_json_api.go:14-72):
     // the registry served as one flat JSON object on /stats — counters
     // as numbers (label-suffixed keys), timers as percentile objects.
@@ -3479,6 +3498,8 @@ object QueriesProc {
     "metric_json_api" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
          WHERE event_type IS NOT NULL GROUP BY 1""",
+    "rate_limit_redis" ->
+      """SELECT s_suppkey, s_name FROM supplier""",
     "metric_cloudwatch" ->
       """SELECT 'orders_total' AS metric, o_orderpriority AS dim,
            count(*)::BIGINT AS cnt FROM orders GROUP BY 2

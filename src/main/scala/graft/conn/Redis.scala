@@ -90,6 +90,49 @@ object Redis {
   }
 
   /** Reply → message content, mirroring the reference's marshaling. */
+  /** `redis` rate limit (impl/redis/rate_limit.go:46-119): the
+    * reference's token-bucket Lua script VERBATIM over EVAL — INCR the
+    * window key, PEXPIRE on first touch, and return PTTL as the
+    * retry-after when the count exceeds the bucket. The limit is
+    * SHARED across every client of the same Redis (here: every Spark
+    * task), which is exactly what distinguishes it from the local
+    * in-process RateLimiter (External.scala). `access()` returns 0 when
+    * admitted or the millis to wait; `waitFor()` is the blocking form
+    * the reference's rate_limit processor wraps around it. */
+  final class RateLimit(url: String, key: String, count: Long, intervalMs: Long)
+      extends AutoCloseable {
+    private val (h, p) = hostPort(url)
+    private val c = new Resp.Client(h, p)
+    private val script =
+      """local current = redis.call("INCR",KEYS[1])
+        |
+        |if current == 1 then
+        |    redis.call("PEXPIRE", KEYS[1], tonumber(ARGV[2]))
+        |end
+        |
+        |if current > tonumber(ARGV[1]) then
+        |	return redis.call("PTTL", KEYS[1])
+        |end
+        |
+        |return 0
+        |""".stripMargin
+
+    /** 0 = admitted; otherwise millis until the window resets */
+    def access(): Long = c.long("EVAL", script, "1", key, count.toString, intervalMs.toString)
+
+    /** block until admitted (bounded) */
+    def waitFor(maxWaitMs: Long = 30000): Unit = {
+      val deadline = System.currentTimeMillis() + maxWaitMs
+      var backoff = access()
+      while (backoff > 0) {
+        require(System.currentTimeMillis() < deadline, s"rate limit $key: starved")
+        Thread.sleep(math.min(backoff, 50L))
+        backoff = access()
+      }
+    }
+    override def close(): Unit = c.close()
+  }
+
   def renderReply(v: Resp.Value): String = v match {
     case Resp.Simple(s) => s
     case Resp.Int64(n) => n.toString

@@ -274,4 +274,26 @@ class RespSpec extends AnyFunSuite {
     assert(Redis.renderReply(Resp.Arr(Vector(Resp.bulk("a"), Resp.bulk("b")))) ==
       """["a","b"]""")
   }
+
+  test("redis rate limit: shared token bucket via the reference's Lua script (rate_limit.go)") {
+    val srv = new graft.conn.Resp.MiniRedis().start()
+    try {
+      val a = new graft.conn.Redis.RateLimit(srv.url, "rl", count = 3, intervalMs = 300)
+      val b = new graft.conn.Redis.RateLimit(srv.url, "rl", count = 3, intervalMs = 300)
+      try {
+        // the bucket is SHARED: 2 accesses on a + 1 on b exhaust it
+        assert(a.access() == 0L && a.access() == 0L && b.access() == 0L)
+        val wait = b.access()
+        assert(wait > 0L && wait <= 300L, s"over-count returns PTTL backoff, got $wait")
+        assert(a.access() > 0L, "both clients throttled by the one bucket")
+        Thread.sleep(wait + 150)
+        assert(a.access() == 0L, "window expired: bucket refills")
+        // waitFor blocks through saturation and admits eventually
+        (1 to 2).foreach(_ => assert(b.access() == 0L)) // fill again (3 used now)
+        val t0 = System.currentTimeMillis()
+        a.waitFor()
+        assert(System.currentTimeMillis() - t0 <= 1000, "admitted within the next window")
+      } finally { a.close(); b.close() }
+    } finally srv.stop()
+  }
 }
