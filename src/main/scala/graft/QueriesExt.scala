@@ -420,7 +420,7 @@ pipeline:
       val fields = graft.functions.Formats.protoDescriptor(desc)
       val enc = udf((j: String) => graft.functions.Formats.protoFromJson(j, fields))
       val dec = udf((b: Array[Byte]) => graft.functions.Formats.protoToJson(b, fields))
-      t(s, dir, "events").repartition(32) // one-file input: distribute the codec
+      t(s, dir, "events").repartition(Tables.fanout(s)) // one-file input: distribute the codec
         .withColumn("pb", enc(to_json(struct(col("event_id"), col("event_type"), col("value")))))
         .withColumn("back", dec(col("pb")))
         .select(
@@ -454,7 +454,7 @@ pipeline:
         graft.functions.ProtoSchema.encodeText(schema, "gate.Event", j, false))
       val dec = udf((b: Array[Byte]) =>
         graft.functions.ProtoSchema.decodeText(schema, "gate.Event", b, false, true))
-      t(s, dir, "events").repartition(32) // one-file input: distribute the codec
+      t(s, dir, "events").repartition(Tables.fanout(s)) // one-file input: distribute the codec
         .withColumn("js", to_json(struct(
           col("event_id"), col("event_type"), col("value"),
           struct(col("user_id").as("user"),
@@ -724,7 +724,7 @@ pipeline:
       // keep-alive round-trips run ~200 req/s — repartition so request
       // latency is paid across 32 concurrent per-partition clients
       // (exactly how the reference scales: parallel pipeline threads)
-      val ev = t(s, dir, "events").select(col("event_id")).repartition(32)
+      val ev = t(s, dir, "events").select(col("event_id")).repartition(Tables.fanout(s))
       // mutable holder so a failed request can RECREATE the client: a
       // response lost to a keep-alive race leaves the pooled connection
       // desynchronized, and every retry on the same client reuses it —

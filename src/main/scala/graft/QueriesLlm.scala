@@ -18,10 +18,16 @@ object QueriesLlm {
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
   /** documents ∪ mutated copies (id+100000, ~20% tail cut) — planted
-    * near-duplicates so near-dup operators have known positives. */
+    * near-duplicates so near-dup operators have known positives.
+    *
+    * Deliberately NOT pre-repartitioned: consumers whose first heavy stage
+    * is per-row work ahead of a materialization (minhash's signature UDF)
+    * add their own fanout; consumers whose first stage is already an
+    * exchange (simhash's pigeonhole blocking, exact-dedup's digest window)
+    * must not pay a second shuffle in front of it (r9 bench: the shared
+    * repartition cost llm_simhash_pairs +60%). */
   def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-      .repartition(32) // one-file input: distribute the shingle/signature stages
     val mutated = docs
       .select((col("doc_id") + 100000L).as("doc_id"),
         substring_index(col("text"), " ", 40).as("text"))
@@ -38,7 +44,7 @@ object QueriesLlm {
       TextAnalysis.charCount(col("text")).cast(LongType).as("n_chars_calc"))),
 
     // quality scoring (length/punct/stopword/word-length bands)
-    "llm_quality" -> ((s, dir) => t(s, dir, "documents").repartition(32).select(
+    "llm_quality" -> ((s, dir) => t(s, dir, "documents").repartition(Tables.fanout(s)).select(
       col("doc_id"),
       round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
       round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
@@ -77,7 +83,10 @@ object QueriesLlm {
     // MinHash+LSH near-dup pairs over the planted corpus (probabilistic → rows-only;
     // recall/precision asserted in DedupSpec against exact Jaccard)
     "llm_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(plantedCorpus(s, dir), "doc_id", "text",
+      // fanout BEFORE the signature stage: the minhash UDF is the heavy
+      // per-row work and materializes via localCheckpoint from the (one
+      // split) scan stage — without this it runs on a single core.
+      Dedup.minhashLshPairs(plantedCorpus(s, dir).repartition(Tables.fanout(s)), "doc_id", "text",
           threshold = 0.4, bands = 32, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -92,7 +101,7 @@ object QueriesLlm {
     // pattern as plantedCorpus for text.
     "llm_embed_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .repartition(32) // one-file input: distribute the hyperplane hashing
+        .repartition(Tables.fanout(s)) // one-file input: distribute the hyperplane hashing
       val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
@@ -184,7 +193,7 @@ object QueriesLlm {
     // log10 P(token) under the corpus's own unigram distribution
     "llm_unigram_logprob" -> ((s, dir) => {
       val r = TextAnalysis.unigramLogProb(
-        t(s, dir, "documents").repartition(32), "doc_id", "text")
+        t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text")
       r.select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"), col("n_tokens"))
     }),
 
@@ -212,7 +221,7 @@ object QueriesLlm {
     // word prefixes of every 10th doc (planted contamination, same pattern
     // as plantedCorpus) → flag train docs sharing any 5-gram, with counts
     "llm_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").repartition(32) // one-file input
+      val docs = t(s, dir, "documents").repartition(Tables.fanout(s)) // one-file input
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
         .select(substring_index(col("text"), " ", 20).as("text"))
       Dedup.decontaminate(docs, evalSet, "doc_id", "text", n = 5)

@@ -24,7 +24,7 @@ object QueriesProc {
     "proc_java" -> ((s, dir) => {
       val env = Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value").repartition(32)) // one-file input: one guest runtime per task
+          .select("event_id", "value").repartition(Tables.fanout(s))) // one-file input: one guest runtime per task
       val out = graft.operators.Script.processor(
         """java.util.Map root = (java.util.Map) msg.asStructured();
           |long id = ((Number) root.get("event_id")).longValue();
@@ -58,7 +58,7 @@ object QueriesProc {
     "proc_javascript" -> ((s, dir) => {
       val env = Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value").repartition(32)) // one-file input: one guest runtime per task
+          .select("event_id", "value").repartition(Tables.fanout(s))) // one-file input: one guest runtime per task
       val out = graft.operators.Javascript.processor(
         """(() => {
           |  let m = bento.v0_msg_as_structured();
@@ -86,7 +86,7 @@ object QueriesProc {
     "proc_python" -> ((s, dir) => {
       val env = Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value").repartition(32)) // one-file input: one guest runtime per task
+          .select("event_id", "value").repartition(Tables.fanout(s))) // one-file input: one guest runtime per task
       val out = graft.operators.Python.processor(
         """if this["event_id"] % 11 == 0:
           |    root = None
@@ -108,7 +108,7 @@ object QueriesProc {
     "proc_awk" -> ((s, dir) => {
       val env = graft.core.Msg.envelope(
         t(s, dir, "events").filter(col("value").isNotNull)
-          .select("event_id", "value").repartition(32)) // one-file input
+          .select("event_id", "value").repartition(Tables.fanout(s))) // one-file input
       val out = graft.operators.Awk.processor(
         """json_get("value") > 100 { json_set("bucket", "big") }
           |{ json_set_float("scaled", json_get("value") * 2 + 1);
@@ -351,7 +351,7 @@ object QueriesProc {
       // built TSV)
       val ev = t(s, dir, "events")
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
-        .repartition(32)
+        .repartition(Tables.fanout(s))
       val uaFamily = when(pmod(col("user_id"), lit(3)) === 0, lit("Chrome"))
         .when(pmod(col("user_id"), lit(3)) === 1, lit("Firefox"))
         .otherwise(lit("Safari"))
@@ -559,7 +559,7 @@ object QueriesProc {
       val url = srv.url
       val rows = t(s, dir, "supplier")
         .select(concat_ws("|", col("s_suppkey"), col("s_acctbal")).as("v"))
-        .as[String].repartition(8)
+        .as[String].repartition(Tables.connFanout(s, 8))
       graft.conn.Redis.listOutput(rows, url, "work_queue")
       graft.conn.Redis.listInput(s, url, "work_queue").toDF("line").select(
         split(col("line"), "\\|").getItem(0).cast(LongType).as("s_suppkey"),
@@ -576,7 +576,7 @@ object QueriesProc {
       val srv = new graft.conn.Resp.MiniRedis().start()
       val url = srv.url
       val cust = t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"))
-        .repartition(32) // one-file input: one RESP client per task
+        .repartition(Tables.fanout(s)) // one-file input: one RESP client per task
       graft.conn.Redis.procCommand[Long](cust, url, "SADD")(
         r => Seq("seg:" + r.getString(0), r.getLong(1)))((_, rep) => rep.toLong)
         .count() // force the seeding phase before any SCARD runs
@@ -595,7 +595,7 @@ object QueriesProc {
     // Decode once per JVM, one instance per task thread — no shuffle
     "proc_wasm" -> ((s, dir) => {
       import s.implicits._
-      val raw = t(s, dir, "part").repartition(32).select(
+      val raw = t(s, dir, "part").repartition(Tables.fanout(s)).select(
         concat_ws("|", col("p_partkey"), col("p_name")).as(graft.core.Msg.ContentCol),
         map().cast(MapType(StringType, StringType)).as(graft.core.Msg.MetaCol),
         lit(null).cast(StringType).as(graft.core.Msg.ErrorCol),
@@ -732,7 +732,7 @@ object QueriesProc {
       val ev = t(s, dir, "events").filter(col("value").isNotNull)
         .filter(col("event_id") % 20 === 0)
         .select(concat_ws("|", col("event_id"), col("event_type")).as("v"))
-        .as[String].repartition(8)
+        .as[String].repartition(Tables.connFanout(s, 8))
       graft.conn.Redis.streamsOutput(ev, url, "evstream")
       graft.conn.Redis.streamsInput(s, url, "evstream").toDF("id", "body").select(
         split(col("body"), "\\|").getItem(0).cast(LongType).as("event_id"),
@@ -866,7 +866,7 @@ object QueriesProc {
       val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
         .select(col("l_orderkey").cast(LongType),
           concat_ws("|", col("l_quantity"), col("l_returnflag")).as("v"))
-        .repartition(32) // one-file input: concurrent producers
+        .repartition(Tables.fanout(s)) // one-file input: concurrent producers
       graft.conn.Kafka.output(rows, bootstrap, "lineitem",
         partitionOf = r => (r.getLong(0) % 4).toInt,
         keyOf = r => r.getLong(0).toString.getBytes("UTF-8"),
@@ -1021,7 +1021,7 @@ object QueriesProc {
       }
       ready.await(10, java.util.concurrent.TimeUnit.SECONDS)
       val ev = t(s, dir, "events").filter(col("event_id") % 10 === 0)
-        .select(col("event_id")).repartition(16)
+        .select(col("event_id")).repartition(Tables.connFanout(s, 16))
       graft.operators.External.perPartitionLookup[graft.conn.Nats.Client, (Long, Long)](ev)(
         () => new graft.conn.Nats.Client(url)) { (c, row) =>
         val id = row.getLong(0)
@@ -1274,7 +1274,7 @@ object QueriesProc {
       val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 2 && col("l_orderkey") % 2 === 0)
         .select(col("l_orderkey").cast(LongType),
           concat_ws("|", col("l_quantity"), col("l_returnflag")).as("v"))
-        .repartition(32) // one-file input: concurrent producers
+        .repartition(Tables.fanout(s)) // one-file input: concurrent producers
       graft.conn.Kinesis.output(rows, endpoint, "evt",
         keyOf = r => r.getLong(0).toString,
         dataOf = r => r.getString(1).getBytes("UTF-8"))
@@ -1333,7 +1333,7 @@ object QueriesProc {
       val srv = new graft.conn.Lambda.MiniLambda(Map("score" -> fn)).start()
       val endpoint = srv.endpoint
       val ev = t(s, dir, "events").filter(col("value").isNotNull)
-        .select(to_json(struct(col("event_id"), col("value"))).as("payload")).repartition(32)
+        .select(to_json(struct(col("event_id"), col("value"))).as("payload")).repartition(Tables.fanout(s))
       graft.operators.External.perPartitionLookup[graft.conn.Lambda.Client, String](ev)(
         () => new graft.conn.Lambda.Client(endpoint)) { (c, row) =>
         new String(c.invoke("score", row.getString(0).getBytes("UTF-8")).payload, "UTF-8")
@@ -1861,7 +1861,7 @@ object QueriesProc {
         val c = new graft.conn.Azure.BlobClient(endpoint)
         try c.list("data", "sup/", pageSize = 200).map(_.name) finally c.close()
       }
-      s.createDataset(keys).repartition(math.min(32, math.max(1, keys.size)))
+      s.createDataset(keys).repartition(math.min(Tables.fanout(s), math.max(1, keys.size)))
         .mapPartitions { ks =>
           val c = new graft.conn.Azure.BlobClient(endpoint)
           val out = ks.map(k => new String(c.get("data", k).get, "UTF-8"))
@@ -1985,7 +1985,7 @@ object QueriesProc {
       val fhEndpoint = fh.endpoint
       val rows = t(s, dir, "lineitem").filter(col("l_linenumber") === 3)
         .select(concat_ws("|", col("l_orderkey"), col("l_extendedprice")).as("v"))
-        .repartition(32) // one-file input: concurrent writers
+        .repartition(Tables.fanout(s)) // one-file input: concurrent writers
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Firehose.Client(fhEndpoint)
@@ -2109,7 +2109,7 @@ object QueriesProc {
       val ev = t(s, dir, "events")
         .filter(col("event_type").isNotNull && col("value").isNotNull && col("event_id") % 2 === 0)
         .select(col("event_id"), col("event_type"), col("value"))
-        .repartition(32)
+        .repartition(Tables.fanout(s))
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Dynamo.Client(endpoint)
@@ -2153,7 +2153,7 @@ object QueriesProc {
       val ev = t(s, dir, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull && col("event_id") % 3 === 0)
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
-        .repartition(32) // one-file input → distribute the intake POSTs
+        .repartition(Tables.fanout(s)) // one-file input → distribute the intake POSTs
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Observability.Datadog.Client(endpoint, "t0k3n")
@@ -2263,7 +2263,7 @@ object QueriesProc {
         .filter(col("value").isNotNull && col("event_type").isNotNull && col("event_id") % 2 === 1)
         .select(to_json(struct(col("event_id"), col("event_type"), col("value"),
           (col("value") > 100.0).as("big"))).as("j"))
-        .repartition(32) // one-file input → one AppendRows stream per task
+        .repartition(Tables.fanout(s)) // one-file input → one AppendRows stream per task
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.BigQueryWrite.Client("127.0.0.1", port)
@@ -2296,7 +2296,7 @@ object QueriesProc {
       val table = "projects/proj/instances/inst/tables/orders"
       val rows = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
-        .repartition(32) // one-file input → distribute the mutation batches
+        .repartition(Tables.fanout(s)) // one-file input → distribute the mutation batches
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           val c = new graft.conn.Bigtable.Client("127.0.0.1", port)
@@ -2329,7 +2329,7 @@ object QueriesProc {
       val endpoint = srv.endpoint
       val ev = t(s, dir, "events").filter(col("event_type").isNotNull && col("event_id") % 2 === 0)
         .select(col("event_id").cast(LongType), col("event_type"))
-        .repartition(32) // one-file input: concurrent bulk writers, not one
+        .repartition(Tables.fanout(s)) // one-file input: concurrent bulk writers, not one
       // pass 1: index the even-id events (per-partition bulk batches of 500)
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
@@ -2602,7 +2602,7 @@ object QueriesProc {
       val rows = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderpriority").as("prio"),
           concat_ws("|", col("o_orderkey"), col("o_totalprice")).as("line"))
-        .repartition(8, col("prio")) // co-locate each priority's lines
+        .repartition(Tables.connFanout(s, 8), col("prio")) // co-locate each priority's lines
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
           // one object per (priority, partition) — names stay unique even
@@ -2648,7 +2648,7 @@ object QueriesProc {
       val addr = srv.address
       val rows = t(s, dir, "events").filter(col("event_id") % 7 === 0 && col("event_type").isNotNull)
         .select(col("event_id").cast(LongType), col("event_type"))
-        .repartition(32) // one-file input: one producer per task
+        .repartition(Tables.fanout(s)) // one-file input: one producer per task
       val expected = rows.count()
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
@@ -2866,7 +2866,7 @@ object QueriesProc {
       val srv = new graft.conn.Resp.MiniRedis().start()
       val url = srv.url
       val rows = t(s, dir, "supplier")
-        .select(col("s_suppkey").cast(LongType), col("s_name")).repartition(8)
+        .select(col("s_suppkey").cast(LongType), col("s_name")).repartition(Tables.connFanout(s, 8))
       graft.operators.External.perPartitionLookup[graft.conn.Redis.RateLimit, (Long, String)](rows)(
         () => new graft.conn.Redis.RateLimit(url, "gate-rl", count = 500, intervalMs = 100)) {
         (rl, r) => rl.waitFor(); (r.getLong(0), r.getString(1))
@@ -3147,7 +3147,7 @@ object QueriesProc {
         })).start()
       val port = srv.port
       val ev = t(s, dir, "events").filter(col("value").isNotNull && col("event_id") % 2 === 1)
-        .select(to_json(struct(col("event_id"), col("value"))).as("payload")).repartition(16)
+        .select(to_json(struct(col("event_id"), col("value"))).as("payload")).repartition(Tables.connFanout(s, 16))
       graft.operators.External.perPartitionLookup[graft.conn.Grpc.Client, String](ev)(
         () => new graft.conn.Grpc.Client("127.0.0.1", port)) { (c, row) =>
         new String(c.unary("/graft.Score/Compute", row.getString(0).getBytes("UTF-8")), "UTF-8")
@@ -3304,7 +3304,7 @@ object QueriesProc {
         .select(col("l_orderkey").cast(LongType),
           concat_ws("|", monotonically_increasing_id(),
             col("l_orderkey"), col("l_tax")).as("v"))
-        .repartition(32) // one-file input: concurrent producers
+        .repartition(Tables.fanout(s)) // one-file input: concurrent producers
       val expected = rows.count()
       graft.conn.Kafka.output(rows, bootstrap, "li4",
         partitionOf = r => (r.getLong(0) % 4).toInt,

@@ -422,7 +422,7 @@ object S3 {
       val c = new Client(endpoint)
       try c.list(bucket, prefix).map(_.key) finally c.close()
     }
-    spark.createDataset(keys).repartition(math.min(32, math.max(1, keys.size)))
+    spark.createDataset(keys).repartition(math.min(math.max(1, spark.sparkContext.defaultParallelism), math.max(1, keys.size)))
       .mapPartitions { ks =>
         val c = new Client(endpoint)
         val out = ks.map { k =>

@@ -46,4 +46,21 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` text works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Fan-out width for redistributing per-row-heavy work over a narrow
+    * scan (the testdata tables are single parquet files → one scan split).
+    * Derived from the scheduler's parallelism rather than a literal so the
+    * same code fills all cores on local[32] AND all executor slots on a
+    * real cluster — a hardcoded count would cap the stage at that many
+    * tasks no matter how many executors exist. */
+  def fanout(spark: SparkSession): Int =
+    math.max(1, spark.sparkContext.defaultParallelism)
+
+  /** Task width for stages that talk to a single external endpoint: bounded
+    * by a per-endpoint connection budget (the reference's `max_in_flight`
+    * analogue), and never wider than the cluster's parallelism. Unlike
+    * [[fanout]] this deliberately does NOT grow with the cluster — 1000
+    * tasks each opening a connection to one broker is an anti-pattern. */
+  def connFanout(spark: SparkSession, maxInFlight: Int): Int =
+    math.min(maxInFlight, fanout(spark))
 }
