@@ -214,14 +214,26 @@ object OpenSnowcat {
       if (v.nonEmpty && !jsonCols(name)) out(name) = typedValue(name, v)
       i += 1
     }
+    def p(name: String): Option[Any] = {
+      val raw = fieldAt(fields, name)
+      if (raw.nonEmpty) parseJson(raw) else None
+    }
+    shredEntries(p("contexts"), p("derived_contexts"), p("unstruct_event"))
+      .foreach { case (k, v) => out(k) = v }
+    graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
+  }
+
+  /** The shredded portion of the flattened `json` format, from the
+    * already-parsed three JSON columns: merged `contexts_*` arrays in
+    * first-seen order, then the unwrapped `unstruct_event_*` entry. */
+  private def shredEntries(ctxNode: Option[Any], derNode: Option[Any],
+                           unsNode: Option[Any]): Seq[(String, Any)] = {
     val ctx = mutable.LinkedHashMap[String, Vector[Any]]()
-    def addContexts(raw: String): Unit =
-      if (raw != null && raw.nonEmpty) parseJson(raw).foreach(walkContexts(_, ctx))
-    addContexts(fieldAt(fields, "contexts"))
-    addContexts(fieldAt(fields, "derived_contexts"))
+    ctxNode.foreach(walkContexts(_, ctx))
+    derNode.foreach(walkContexts(_, ctx))
+    val out = mutable.LinkedHashMap[String, Any]()
     ctx.foreach { case (k, arr) => out(k) = arr }
-    val u = fieldAt(fields, "unstruct_event")
-    if (u.nonEmpty) parseJson(u).foreach {
+    unsNode.foreach {
       case m: VectorMap[String @unchecked, Any @unchecked] =>
         // unwrap the iglu unstruct_event envelope to the inner
         // self-describing payload (analytics-SDK shredding)
@@ -240,7 +252,7 @@ object OpenSnowcat {
         } out(key) = data
       case _ => ()
     }
-    graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
+    out.toSeq
   }
 
   /** Collect self-describing contexts into flat `contexts_*` keys,
@@ -383,6 +395,58 @@ object OpenSnowcat {
   private val flatJsonUdf =
     udf((line: String) => flatJson(scala.collection.immutable.ArraySeq.unsafeWrapArray(
       line.split("\t", -1))))
+
+  /** ONE pass per row for configs that need both schema properties and
+    * the flattened `json` output: split once, parse the three JSON
+    * columns once, and emit BOTH the resolved property map (consumed by
+    * the drop filter / set_metadata BEFORE rows are pruned) and the
+    * shredded context/unstruct fragment (an object-body JSON string,
+    * spliced into the final event AFTER the PII transforms). Replaces
+    * the former schemaPropsUdf + flatJsonUdf double parse — the r9
+    * bench's allocation-pressure tail on proc_opensnowcat. Sound
+    * because the three JSON columns pass through the TSV rebuild
+    * untouched whenever no transform targets them (guarded at the call
+    * site). */
+  private def propsAndShredsUdf(paths: Seq[String]) =
+    udf((line: String) => {
+      val fields = line.split("\t", -1)
+      val t = jsonTriple(fields)
+      val pCtx = if (t(0).nonEmpty) parseJson(t(0)) else None
+      val pDer = if (t(1).nonEmpty) parseJson(t(1)) else None
+      val pUns = if (t(2).nonEmpty) parseJson(t(2)) else None
+      val parsed = Seq(pCtx, pDer, pUns).flatten
+      val props = paths.map(p => p ->
+        parsed.iterator.map(searchProperty(_, p)).find(_.nonEmpty).getOrElse("")).toMap
+      val entries = shredEntries(pCtx, pDer, pUns)
+      val frag =
+        if (entries.isEmpty) ""
+        else {
+          val s = graft.blob.Interp.marshalJson(VectorMap(entries: _*))
+          s.substring(1, s.length - 1) // keep the object BODY only
+        }
+      (props, frag)
+    })
+
+  /** Assemble the flattened `json` event from the REBUILT (post-PII)
+    * line plus a precomputed shred fragment: one split, zero JSON
+    * parses. Byte-identical to flatJson(rebuilt line) because the shred
+    * keys always follow the typed top-level fields. */
+  private val flatJsonShredsUdf =
+    udf((line: String, shreds: String) => {
+      val fields = line.split("\t", -1)
+      val out = mutable.LinkedHashMap[String, Any]()
+      var i = 0
+      while (i < columns.length && i < fields.length) {
+        val name = columns(i)
+        val v = fields(i)
+        if (v.nonEmpty && !jsonCols(name)) out(name) = typedValue(name, v)
+        i += 1
+      }
+      val top = graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
+      if (shreds == null || shreds.isEmpty) top
+      else if (out.isEmpty) "{" + shreds + "}"
+      else top.substring(0, top.length - 1) + "," + shreds + "}"
+    })
   private val enrichedJsonUdf =
     udf((line: String) => enrichedJson(scala.collection.immutable.ArraySeq.unsafeWrapArray(
       line.split("\t", -1))))
@@ -464,11 +528,27 @@ object OpenSnowcat {
     val cols = col("_osc")
 
     // every schema path used anywhere in the config resolves in ONE
-    // UDF call per row (one split + one parse of the JSON columns)
+    // UDF call per row (one split + one parse of the JSON columns).
+    // When the output format is `json` and no transform rewrites a JSON
+    // column, that same pass ALSO emits the shredded context fragment —
+    // the final flat-JSON build then never re-parses (combined path).
     val schemaPaths: Seq[String] =
       (cfg.setMetadata.values.toSeq ++ cfg.drop.keys.toSeq).filter(isSchemaPath).distinct
-    if (schemaPaths.nonEmpty)
-      out = out.withColumn("_oscp", schemaPropsUdf(schemaPaths)(col(Msg.ContentCol)))
+    val combined = schemaPaths.nonEmpty && cfg.outputFormat == "json" &&
+      !cfg.transforms.keys.exists(f => !isSchemaPath(f) && jsonCols(f.toLowerCase))
+    // The props UDF is tagged nondeterministic as a PLACEMENT PIN (the
+    // function itself is pure — same trick as the drop filter below):
+    // without it Catalyst pushes the drop filter through this projection,
+    // substituting the UDF (and the whole upstream TSV build) INTO the
+    // predicate — the heavy parse then runs up to twice in the filter and
+    // again in the projection (the r9 variance tail on proc_opensnowcat).
+    if (combined)
+      out = out.withColumn("_oscb",
+          propsAndShredsUdf(schemaPaths).asNondeterministic()(col(Msg.ContentCol)))
+        .withColumn("_oscp", col("_oscb")("_1"))
+    else if (schemaPaths.nonEmpty)
+      out = out.withColumn("_oscp",
+        schemaPropsUdf(schemaPaths).asNondeterministic()(col(Msg.ContentCol)))
     def propCol(path: String): Column = coalesce(col("_oscp")(path), lit(""))
 
     // 1. set_metadata before filters/transforms (reference Process order,
@@ -538,11 +618,12 @@ object OpenSnowcat {
 
     // 4. output format — the JSON formats take the single rebuilt line
     val content = cfg.outputFormat match {
+      case "json" if combined => flatJsonShredsUdf(tsv, col("_oscb")("_2"))
       case "json" => flatJsonUdf(tsv)
       case "enriched_json" => enrichedJsonUdf(tsv)
       case _ => tsv
     }
-    out.withColumn(Msg.ContentCol, content).drop("_osc", "_oscp")
+    out.withColumn(Msg.ContentCol, content).drop("_osc", "_oscp", "_oscb")
   }
 
   /** Schema-discovery column for pipeline-level aggregation:

@@ -15,10 +15,12 @@ import scala.collection.immutable.VectorMap
   * logic), PII transforms, set_metadata, schema discovery. */
 class OpenSnowcatSpec extends SparkSpec {
 
+  // In-repo copy of the reference's public-format page_view.tsv fixture
+  // (a sample Snowplow enriched event in the PUBLIC 131-column format) —
+  // no runtime path dependency on the reference checkout.
   private lazy val pageView: String = {
-    val raw = java.nio.file.Files.readString(
-      java.nio.file.Path.of("/root/reference/internal/impl/opensnowcat/testdata/page_view.tsv"))
-    raw.stripSuffix("\n")
+    val in = getClass.getResourceAsStream("/page_view.tsv")
+    try new String(in.readAllBytes(), "UTF-8").stripSuffix("\n") finally in.close()
   }
 
   private def envelope(lines: String*): DataFrame = {
