@@ -2926,7 +2926,8 @@ object QueriesProc {
         val c = new graft.conn.Hdfs.Client(endpoint)
         try c.listStatus("/data").map(_.pathSuffix) finally c.close()
       }
-      s.createDataset(names).repartition(math.min(8, math.max(1, names.size)))
+      s.createDataset(names).repartition(
+          math.min(Tables.connFanout(s, 8), math.max(1, names.size)))
         .mapPartitions { ks =>
           val c = new graft.conn.Hdfs.Client(endpoint)
           val out = ks.map(k => new String(c.open(s"/data/$k").get, "UTF-8"))

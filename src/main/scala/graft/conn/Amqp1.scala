@@ -251,7 +251,7 @@ object Amqp1 {
       val recvSources = mutable.Map[Long, String]()  // receiver-role peer links
       val linkCredit = mutable.Map[Long, Long]()     // handle -> REMAINING credit
       val linkChannel = mutable.Map[Long, Int]()     // handle -> session channel
-      val outstanding = mutable.Map[Long, QMsg]()    // deliveryId -> unsettled delivery
+      val outstanding = mutable.Map[Long, (Long, QMsg)]() // deliveryId -> (handle, unsettled delivery)
       var deliveryId = 0L
       @volatile var closed = false
 
@@ -268,11 +268,16 @@ object Amqp1 {
           val task = qLock.synchronized {
             var found: Option[(Long, QMsg)] = None
             while (found.isEmpty && !closed) {
-              found = linkCredit.iterator.collectFirst {
-                case (h, c) if c > 0 && recvSources.contains(h) =>
+              // flatMap, NOT collectFirst: collectFirst commits to the
+              // first link with credit even when that link's queue is
+              // momentarily empty (Some(None).flatten == None), starving
+              // every other link on the connection
+              found = linkCredit.iterator.flatMap { case (h, c) =>
+                if (c > 0 && recvSources.contains(h))
                   queues.get(recvSources(h))
                     .flatMap(_.find(m => !m.settled && !m.acquired)).map(m => (h, m))
-              }.flatten
+                else None
+              }.nextOption()
               if (found.isEmpty) qLock.wait(200)
             }
             found.foreach { case (h, m) =>
@@ -280,7 +285,7 @@ object Amqp1 {
               m.deliveries += 1
               linkCredit(h) -= 1
               deliveryId += 1
-              outstanding(deliveryId) = m
+              outstanding(deliveryId) = (h, m)
             }
             found.map { case (h, m) => (h, m, deliveryId, linkChannel.getOrElse(h, 0)) }
           }
@@ -371,18 +376,41 @@ object Amqp1 {
               }
               qLock.synchronized {
                 (first to last).foreach { id =>
-                  outstanding.remove(id).foreach { m =>
+                  outstanding.remove(id).foreach { case (_, m) =>
                     if (accepted) m.settled = true else m.acquired = false
                   }
                 }
                 qLock.notifyAll() // released deliveries may redeliver now
               }
-            case Code.Detach | Code.End =>
-              // unsettled deliveries return to the queue for redelivery
+            case Code.Detach =>
+              // detach ONE link (handle in field 0): requeue ITS unsettled
+              // deliveries and drop ITS standing credit — unrelated links
+              // on the connection keep their credit and keep flowing
+              val dfs = fields(f.performative)
+              val dHandle = dfs(0) match { case VUInt(h) => h; case VULong(h) => h; case _ => 0L }
               qLock.synchronized {
-                outstanding.values.foreach(_.acquired = false)
-                outstanding.clear()
-                linkCredit.clear()
+                outstanding.filterInPlace { case (_, (h, m)) =>
+                  if (h == dHandle) { m.acquired = false; false } else true
+                }
+                linkCredit.remove(dHandle)
+                recvSources.remove(dHandle)
+                linkChannel.remove(dHandle)
+                sendTargets.remove(dHandle)
+                qLock.notifyAll()
+              }
+              outLock.synchronized(writeFrame(out, f.channel, f.performative))
+            case Code.End =>
+              // session teardown: every link on THIS channel dies; links
+              // on other sessions of the connection are untouched
+              qLock.synchronized {
+                val dead = linkChannel.collect { case (h, ch) if ch == f.channel => h }.toSet
+                outstanding.filterInPlace { case (_, (h, m)) =>
+                  if (dead(h)) { m.acquired = false; false } else true
+                }
+                dead.foreach { h =>
+                  linkCredit.remove(h); recvSources.remove(h)
+                  linkChannel.remove(h); sendTargets.remove(h)
+                }
                 qLock.notifyAll()
               }
               outLock.synchronized(writeFrame(out, f.channel, f.performative))
@@ -397,7 +425,7 @@ object Amqp1 {
       finally {
         closed = true
         qLock.synchronized {
-          outstanding.values.foreach(_.acquired = false)
+          outstanding.values.foreach(_._2.acquired = false)
           qLock.notifyAll() // release the dispatcher
         }
         sock.close()

@@ -98,16 +98,17 @@ object Cloudtrace {
   }
 
   // ------------------------------------------------------------ exporter
-  /** TraceIDRatioBased: sample when the trace id's upper 63 bits fall
-    * under ratio * 2^63 (the OTel sampler's exact arithmetic); with
-    * ParentBased composition every span of a trace shares the verdict
-    * because it shares the trace id. */
+  /** TraceIDRatioBased: sample when 63 bits of the trace id fall under
+    * ratio * 2^63 (the OTel sampler's exact arithmetic). The sampler
+    * reads TraceID[8:16] — the LOWER 8 bytes of the 16-byte id — so any
+    * real OTel peer sharing the trace id reaches the same verdict; with
+    * ParentBased composition every span of a trace shares it too. */
   def sampled(traceIdHex: String, ratio: Double): Boolean = {
     if (ratio >= 1.0) true
     else if (ratio <= 0.0) false
     else {
-      val upper = java.lang.Long.parseUnsignedLong(traceIdHex.take(16), 16) >>> 1
-      upper < (ratio * (1L << 62).toDouble * 2.0).toLong
+      val low = java.lang.Long.parseUnsignedLong(traceIdHex.slice(16, 32), 16) >>> 1
+      low < (ratio * (1L << 62).toDouble * 2.0).toLong
     }
   }
 

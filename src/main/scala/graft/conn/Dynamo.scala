@@ -101,13 +101,22 @@ object Dynamo {
         // re-drive loop exactly as the public contract demands
         case "BatchWriteItem" =>
           val reqItems = Json.asObj(req("RequestItems"))
+          // validate the WHOLE request before applying anything — real
+          // DynamoDB rejects atomically; an error response must not
+          // leave the store partially mutated (the ≤25 cap is on the
+          // request total across tables, not per table)
+          reqItems.keys.find(!tables.contains(_)) match {
+            case Some(missing) => return err("ResourceNotFoundException", missing)
+            case None => ()
+          }
+          if (reqItems.values.map(Json.asArr(_).size).sum > 25)
+            return err("ValidationException", "Too many items requested")
           var unprocessed = VectorMap.empty[String, Any]
           reqItems.foreach { case (tableName, reqsAny) =>
             tables.get(tableName) match {
               case None => return err("ResourceNotFoundException", tableName)
               case Some((hashKey, items)) =>
                 val reqs = Json.asArr(reqsAny)
-                if (reqs.size > 25) return err("ValidationException", "Too many items requested")
                 val holdBack =
                   if (unprocessedOnce > 0) { val n = math.min(unprocessedOnce, reqs.size - 1); unprocessedOnce = 0; n }
                   else 0

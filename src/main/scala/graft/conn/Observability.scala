@@ -509,9 +509,13 @@ object Observability {
     object JsonApi {
       def render(reg: Registry): String = {
         val (scalars, timers) = reg.snapshot
+        // nearest-rank: the smallest sample with cumulative frequency
+        // >= q, i.e. index ceil(q*n) - 1 (NOT (q*n).toInt, which is off
+        // by one whenever q*n is whole — p99 of 100 samples is the 99th
+        // sample, not the max)
         def pct(sorted: Vector[Double], q: Double): Double =
           if (sorted.isEmpty) 0.0
-          else sorted(math.min(sorted.size - 1, (q * sorted.size).toInt))
+          else sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
         val entries: Seq[(String, Any)] =
           scalars.toSeq.map { case (k, v) => k -> (v: Any) } ++
           timers.toSeq.map { case (k, v) =>

@@ -356,6 +356,17 @@ object S3 {
       if (partsUploaded > 0) client.completeMultipart(bucket, key, uploadId)
       else client.abortMultipart(bucket, key, uploadId) // nothing written
     }
+
+    /** Abort without completing — the error path for sibling-writer
+      * failures, mirroring the reference writer's CloseAsync/abort
+      * discipline: a pending multipart upload left neither completed
+      * nor aborted accrues storage cost on real S3. Best-effort (the
+      * task is already failing). */
+    def abort(): Unit = if (!closed) {
+      closed = true
+      try client.abortMultipart(bucket, key, uploadId)
+      catch { case _: Exception => () }
+    }
   }
 
   /** aws_s3_stream output (output_s3_stream.go:294-436), Spark-first:
@@ -382,15 +393,22 @@ object S3 {
           val c = new Client(endpoint)
           val writers = scala.collection.mutable.LinkedHashMap[String, StreamingWriter]()
           try {
-            it.foreach { r =>
-              // path evaluates once per partition value, on its first
-              // message (the partition_by contract)
-              val w = writers.getOrElseUpdate(partitionKeyOf(r),
-                new StreamingWriter(c, bucket, pathOf(r), maxBufferBytes, maxBufferCount,
-                  contentType, minPartBytes = minPartBytes))
-              w.writeBytes(bodyOf(r))
-            }
-            writers.values.foreach(_.close())
+            var ok = false
+            try {
+              it.foreach { r =>
+                // path evaluates once per partition value, on its first
+                // message (the partition_by contract)
+                val w = writers.getOrElseUpdate(partitionKeyOf(r),
+                  new StreamingWriter(c, bucket, pathOf(r), maxBufferBytes, maxBufferCount,
+                    contentType, minPartBytes = minPartBytes))
+                w.writeBytes(bodyOf(r))
+              }
+              writers.values.foreach(_.close())
+              ok = true
+            } finally if (!ok)
+              // a writeBytes or an earlier close() threw: abort every
+              // writer still open so no multipart upload is left pending
+              writers.values.foreach(_.abort())
           } finally c.close()
         }
     }

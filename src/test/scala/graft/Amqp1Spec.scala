@@ -90,6 +90,54 @@ class Amqp1Spec extends AnyFunSuite {
     }
   }
 
+  test("detaching one link keeps the sibling link's standing credit (per-handle detach)") {
+    withBroker { (_, addr) =>
+      val snd1 = new Sender(addr, "qa")
+      val snd2 = new Sender(addr, "qb")
+      // ONE connection, TWO receiver links (handles 1 and 2) — the
+      // multi-link shape real amqp1 clients use; Receiver can't express it
+      val Array(host, portS) = addr.split(":")
+      val sock = new java.net.Socket(host, portS.toInt)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        out.write(Array[Byte]('A', 'M', 'Q', 'P', 0, 1, 0, 0)); out.flush()
+        val hdr = new Array[Byte](8); in.readFully(hdr)
+        def attach(handle: Long, source: String): Unit = {
+          Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.Attach), VList(Vector(
+            VStr(s"l$handle"), VUInt(handle), VBool(true), VNull, VNull,
+            VDescribed(VULong(0x28), VList(Vector(VStr(source)))),
+            VDescribed(VULong(0x29), VList(Vector(VStr(""))))))))
+          Amqp1.readAmqpFrame(in); ()
+        }
+        def flow(handle: Long, credit: Long): Unit =
+          Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.Flow), VList(Vector(
+            VNull, VUInt(65535), VUInt(0), VUInt(65535), VUInt(handle),
+            VUInt(0), VUInt(credit)))))
+        def transfer(): (Long, String) = {
+          sock.setSoTimeout(5000)
+          val f = Amqp1.readAmqpFrame(in)
+          val fs = f.performative.value.asInstanceOf[VList].items
+          val handle = fs(0) match { case VUInt(x) => x; case VULong(x) => x; case _ => -1L }
+          (handle, new String(Amqp1.messageSections(f.payload)._2, UTF_8))
+        }
+        attach(1, "qa"); attach(2, "qb")
+        flow(1, 5); flow(2, 5)
+        snd1.send(b("a1")); snd2.send(b("b1"))
+        val first = Seq(transfer(), transfer()).sortBy(_._1)
+        assert(first == Seq((1L, "a1"), (2L, "b1")))
+        // detach handle 1 ONLY — handle 2's remaining credit must survive
+        Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.Detach),
+          VList(Vector(VUInt(1), VBool(true)))))
+        Amqp1.readAmqpFrame(in) // detach echo
+        snd2.send(b("b2"))
+        assert(transfer() == ((2L, "b2")),
+          "sibling link delivers on its STANDING credit after the detach")
+      } finally { sock.close(); snd1.close(); snd2.close() }
+    }
+  }
+
   test("released disposition redelivers with delivery-count bumped (service-bus abandon)") {
     withBroker { (srv, addr) =>
       val snd = new Sender(addr, "sbq")

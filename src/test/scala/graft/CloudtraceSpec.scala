@@ -42,10 +42,15 @@ class CloudtraceSpec extends AnyFunSuite {
         bad.export(Seq(span("a" * 32, "b" * 16, "", "x"))))
       finally bad.close()
 
-      // ratio arithmetic: upper 63 bits of the trace id vs ratio * 2^63
+      // ratio arithmetic: 63 bits of TraceID[8:16] (the LOWER half) vs
+      // ratio * 2^63 — ids whose halves disagree pin the byte range
       assert(Cloudtrace.sampled("0" * 32, 0.5), "low id samples at 0.5")
       assert(!Cloudtrace.sampled("f" * 32, 0.5), "high id drops at 0.5")
       assert(Cloudtrace.sampled("f" * 32, 1.0) && !Cloudtrace.sampled("0" * 32, 0.0))
+      assert(Cloudtrace.sampled("f" * 16 + "0" * 16, 0.5),
+        "verdict keys on the LOWER 8 bytes (upper-high/lower-low samples)")
+      assert(!Cloudtrace.sampled("0" * 16 + "f" * 16, 0.5),
+        "upper-low/lower-high drops — the OTel TraceIDRatioBased convention")
 
       val exp = new Cloudtrace.Exporter(srv.endpoint, "p", "right", samplingRatio = 0.5)
       try {

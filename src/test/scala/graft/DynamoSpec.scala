@@ -115,6 +115,31 @@ class DynamoSpec extends AnyFunSuite {
     } finally { c.close(); srv.stop() }
   }
 
+  test("output: BatchWriteItem validates atomically — no partial mutation on error") {
+    import scala.collection.immutable.VectorMap
+    import graft.conn.Aws.Json
+    val srv = new Dynamo.MiniDynamo().start()
+    val c = new Dynamo.Client(srv.endpoint)
+    try {
+      c.createTable("t", "id")
+      c.createTable("u", "id")
+      def put(k: String) = Json.obj("PutRequest" -> Json.obj("Item" ->
+        VectorMap[String, Any]("id" -> Dynamo.toAttributeValue(k, numbersAsN = true))))
+      // a valid table listed BEFORE a missing one: the whole request must
+      // be rejected with nothing applied (real DynamoDB validates first)
+      val r1 = c.call("BatchWriteItem", Json.obj("RequestItems" ->
+        Json.obj("t" -> Vector[Any](put("a")), "missing" -> Vector[Any](put("b")))))
+      assert(r1.isLeft && r1.swap.toOption.get.contains("ResourceNotFoundException"))
+      assert(srv.itemCount("t") == 0, "no write lands before validation fails")
+      // the 25-request cap is on the REQUEST total across tables
+      val r2 = c.call("BatchWriteItem", Json.obj("RequestItems" -> Json.obj(
+        "t" -> (1 to 13).map(i => put(s"t$i")).toVector.map(x => x: Any),
+        "u" -> (1 to 13).map(i => put(s"u$i")).toVector.map(x => x: Any))))
+      assert(r2.isLeft && r2.swap.toOption.get.contains("ValidationException"))
+      assert(srv.itemCount("t") == 0 && srv.itemCount("u") == 0)
+    } finally { c.close(); srv.stop() }
+  }
+
   test("output: AttributeValue tree round-trips nested maps/lists; json_number_type both modes") {
     import scala.collection.immutable.VectorMap
     val doc = VectorMap[String, Any]("s" -> "x", "n" -> 7L, "d" -> 2.5, "b" -> true,

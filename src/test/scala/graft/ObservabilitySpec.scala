@@ -146,9 +146,13 @@ class ObservabilitySpec extends AnyFunSuite {
       assert(stats("input_received") == 5L || stats("input_received") == 5.0)
       assert(stats.contains("""output_sent{label="a"}"""))
       assert(stats("buffer_backlog") == 7L || stats("buffer_backlog") == 7.0)
+      // exact nearest-rank pins over samples 0.001..0.100: p-q of n=100
+      // is the ceil(q*100)th sorted sample — p50=50th=0.050, p99=99th=
+      // 0.099 (an implementation returning the max for p99 fails here)
       val lat = Json.asObj(stats("proc_latency"))
-      assert(math.abs(lat("p50").asInstanceOf[Double] - 0.051) < 0.002)
-      assert(math.abs(lat("p99").asInstanceOf[Double] - 0.1) < 0.002)
+      assert(lat("p50").asInstanceOf[Double] == 0.050)
+      assert(lat("p90").asInstanceOf[Double] == 0.090)
+      assert(lat("p99").asInstanceOf[Double] == 0.099)
     } finally ep.stop()
   }
 
