@@ -3252,6 +3252,60 @@ object QueriesProc {
         .groupBy(col("_1").as("event_type")).agg(sum(col("_2")).as("cnt"))
     }),
 
+    // jaeger tracer (impl/jaeger/tracer_jaeger.go:42-177): spans flow
+    // over the thrift-compact agent UDP datagram surface (conn/Jaeger
+    // .scala builds both agent and collector wire formats from the
+    // public jaeger.thrift IDL); same executor-side span shape as the
+    // other tracers — bounded per-partition aggregates become spans, no
+    // driver funnel
+    "trace_jaeger" -> ((s, dir) => {
+      import s.implicits._
+      val agent = new graft.conn.Jaeger.MiniJaegerAgent().start()
+      val address = agent.address
+      val ev = t(s, dir, "events").filter(col("event_type").isNotNull)
+        .select(col("event_type"))
+      ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.nonEmpty) {
+          val counts = scala.collection.mutable.Map[String, Long]()
+          it.foreach(r => counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + 1)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          def id(n: Int, seed: String) = graft.conn.Aws.SigV4.hex(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"jg-$pid-$seed".getBytes("UTF-8"))).take(n * 2)
+          val now = (System.currentTimeMillis() * 1000000L / 1000L) * 1000L // µs-aligned
+          val tid = id(16, "trace")
+          val rootSid = id(8, "root")
+          val root = graft.conn.Otlp.Span(tid, rootSid, "", "partition", now, now + 1000000L,
+            Map("partition" -> (pid.toLong + 1)))
+          val children = counts.toSeq.zipWithIndex.map { case ((tpe, n), i) =>
+            graft.conn.Otlp.Span(tid, id(8, s"c$i"), rootSid, "type-batch",
+              now, now + 500000L, Map("type" -> tpe, "n" -> n))
+          }
+          val exp = new graft.conn.Jaeger.Exporter(agentAddress = address,
+            serviceName = "graft", samplerParam = 1.0, tags = Map("env" -> "gate"))
+          try { exp.export(root +: children); () } finally exp.close()
+        }
+      }
+      // UDP datagrams race the gate's read-back: wait until the span
+      // count is stable (the fixture is local; this is bounded)
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline &&
+             { val n = agent.spans.size; val grew = n != last; last = n; grew })
+        Thread.sleep(50)
+      val spans = agent.spans
+      agent.stop()
+      require(spans.forall(_._1 == "graft"), "process service name on every batch")
+      val roots = spans.map(_._2).filter(_.name == "partition").map(_.spanId).toSet
+      val batches = spans.map(_._2).filter(_.name == "type-batch")
+      require(batches.forall(b => roots.contains(b.parentSpanId)),
+        "every batch span links to a partition root")
+      s.createDataset(batches.map(b =>
+        (b.attributes("type").asInstanceOf[String], b.attributes("n").asInstanceOf[Long])))
+        .groupBy(col("_1").as("event_type")).agg(sum(col("_2")).as("cnt"))
+        .select(col("event_type"), col("cnt").cast(LongType))
+    }),
+
     "trace_otlp" -> ((s, dir) => {
       import s.implicits._
       val col2 = new graft.conn.Otlp.MiniCollector().start()
@@ -3561,6 +3615,9 @@ object QueriesProc {
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
          WHERE event_type IS NOT NULL GROUP BY 1""",
     "trace_cloudtrace" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt FROM events
+         WHERE event_type IS NOT NULL GROUP BY 1""",
+    "trace_jaeger" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
          WHERE event_type IS NOT NULL GROUP BY 1""",
     "src_kafka_group" ->
