@@ -62,7 +62,10 @@ object TextAnalysis {
   private val profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "was", "with"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los", "una", "para"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den", "von", "zu"),
+    // "im"/"wir"/"haben" are unambiguous German markers ("in" alone ties
+    // de sentences into the en profile — r10 confusion-matrix finding)
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den",
+      "von", "zu", "im", "wir", "haben", "meine", "einer"),
     // "de"/"que"/"la" are top-frequency in BOTH es and fr: present in both
     // profiles they cancel out, leaving unique markers to break ties
     "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour", "qui", "sur", "de", "je"))

@@ -300,6 +300,122 @@ class MlSpec extends SparkSpec {
     assert(hits >= 47, s"IVF source-retrieval recall $hits/50")
   }
 
+  // ------------------------------------------------------------------
+  // Exact-baseline precision/recall gates for the six no-oracle rows
+  // (r9 verdict task 5): each pinned gate query is compared against the
+  // EXACT all-pairs / top-k answer computed independently at the gate
+  // SF, so the pins are no longer self-referential hashes.
+  private val gateSf = "/root/testdata/sf0.01"
+
+  test("llm_minhash_pairs: precision exact, recall >= 0.9 vs all-pairs Jaccard at the gate SF") {
+    val corpus = QueriesLlm.plantedCorpus(spark, gateSf)
+    val sh = corpus.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+      .localCheckpoint(false)
+    // exact ALL-pairs Jaccard (≈500k pairs at sf0.01) — the ground truth
+    val exact = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.4)
+      .select("id_a", "id_b", "j").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val got = QueriesLlm.queries("llm_minhash_pairs")(spark, gateSf)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // PRECISION is exact by construction (candidates verify with exact
+    // Jaccard): every reported pair must be in the exact set with the
+    // same (rounded) similarity
+    val falsePos = got.filter { case (k, _) => !exact.contains(k) }
+    assert(falsePos.isEmpty, s"pairs below threshold reported: ${falsePos.take(5)}")
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - exact(k)) < 1e-6, s"$k reported $j exact ${exact(k)}") }
+    // RECALL vs the exact set: banding is probabilistic near the
+    // threshold (S-curve), so measure above it — and demand perfection
+    // comfortably above
+    def recall(lo: Double): Double = {
+      val t = exact.filter(_._2 >= lo)
+      (t.keySet & got.keySet).size.toDouble / t.size
+    }
+    assert(exact.count(_._2 >= 0.6) > 50, "ground truth too small to gate on")
+    assert(recall(0.6) >= 0.9, s"recall@0.6 = ${recall(0.6)}")
+    assert(recall(0.8) == 1.0, s"recall@0.8 = ${recall(0.8)}")
+  }
+
+  test("llm_simhash_pairs: gate output EQUALS exact all-pairs Hamming at the gate SF") {
+    val corpus = QueriesLlm.plantedCorpus(spark, gateSf)
+    val sigs = corpus.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("s"))
+      .localCheckpoint(false)
+    val truth = sigs.alias("a").join(sigs.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("h", bit_count(col("a.s").bitwiseXOR(col("b.s"))))
+      .filter(col("h") <= 7)
+      .select(col("a.id"), col("b.id"), col("h")).as[(Long, Long, Int)].collect().toSet
+    val got = QueriesLlm.queries("llm_simhash_pairs")(spark, gateSf)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(truth.size > 100, "ground truth too small to gate on")
+    assert(got == truth, // pigeonhole recall + full verification = exact
+      s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
+  test("llm_embed_pairs: precision exact, recall >= 0.95 vs all-pairs cosine at the gate SF") {
+    val embG = Tables(spark, gateSf, "embeddings").select("vec_id", "embedding")
+    val perturbed = embG.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
+    val all = embG.unionByName(perturbed)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(false)
+    val exact = all.alias("a").join(all.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.Blob.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.95)
+      .select("id_a", "id_b", "c").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val got = QueriesLlm.queries("llm_embed_pairs")(spark, gateSf)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val falsePos = got.filter { case (k, _) => !exact.contains(k) }
+    assert(falsePos.isEmpty, s"pairs below threshold reported: ${falsePos.take(5)}")
+    got.foreach { case (k, c) =>
+      assert(math.abs(c - exact(k)) < 1e-6, s"$k reported $c exact ${exact(k)}") }
+    assert(exact.size >= 400, "ground truth too small to gate on")
+    val rec = (exact.keySet & got.keySet).size.toDouble / exact.size
+    assert(rec >= 0.95, s"recall $rec over ${exact.size} exact pairs")
+  }
+
+  test("llm_ann_lsh: recall vs the exact top-k at the gate SF; scores exact where retrieved") {
+    val exact = QueriesLlm.queries("llm_cosine_topk")(spark, gateSf)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val got = QueriesLlm.queries("llm_ann_lsh")(spark, gateSf)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    // every retrieved (query, vec) the exact set also contains must carry
+    // the identical cosine — approximation affects WHICH candidates are
+    // seen, never how they are scored
+    (got.keySet & exact.keySet).foreach { k =>
+      assert(math.abs(got(k) - exact(k)) < 1e-6, s"$k scored ${got(k)} exact ${exact(k)}") }
+    // self-hit floor: every query must retrieve itself at cosine 1
+    (0L until 5L).foreach(q => assert(got.contains((q, q)), s"query $q missed itself"))
+    val rec = (got.keySet & exact.keySet).size.toDouble / exact.size
+    // driver embeddings are near-random — LSH's documented worst case
+    // (measured 0.32 at the gate parameters); the structured-recall
+    // >= 0.9 gates live on the clustered fixtures above
+    assert(rec >= 0.25, s"ANN-LSH recall vs exact top-k: $rec")
+  }
+
+  test("llm_ann_ivf: recall vs the exact top-k at the gate SF; scores exact where retrieved") {
+    val exact = QueriesLlm.queries("llm_cosine_topk")(spark, gateSf)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val got = QueriesLlm.queries("llm_ann_ivf")(spark, gateSf)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    (got.keySet & exact.keySet).foreach { k =>
+      assert(math.abs(got(k) - exact(k)) < 1e-6, s"$k scored ${got(k)} exact ${exact(k)}") }
+    (0L until 5L).foreach(q => assert(got.contains((q, q)), s"query $q missed itself"))
+    val rec = (got.keySet & exact.keySet).size.toDouble / exact.size
+    assert(rec >= 0.4, s"ANN-IVF recall vs exact top-k: $rec")
+  }
+
   test("no-oracle gate queries pin exact result-set hashes at the gate SF") {
     // The six rows the driver can only rows-only-check (no SQL oracle for
     // banded/probabilistic plans) are DETERMINISTIC under their fixed
@@ -415,11 +531,35 @@ class MlSpec extends SparkSpec {
       ("zh", "我昨天买了一本新书内容非常有趣我想推荐给你"),
       ("zh", "火车站离这里不远走路大概需要十五分钟左右"),
       ("zh", "他每天早上六点起床跑步然后吃早饭去上班"),
-      ("zh", "这个周末我们打算去看电影然后一起吃晚饭")
+      ("zh", "这个周末我们打算去看电影然后一起吃晚饭"),
+      // held-out second wave — stresses the matrix off-diagonals
+      ("en", "we should have gone to the market before it started to rain"),
+      ("en", "there was not much that could be done about it at the time"),
+      ("es", "mis amigos y yo siempre cenamos juntos los viernes por la noche"),
+      ("es", "la ciudad tiene muchos museos y también un teatro muy antiguo"),
+      ("de", "wir haben den ganzen Tag im Museum verbracht und viel gesehen"),
+      ("de", "meine Schwester wohnt in einer kleinen Stadt in der Nähe von Berlin"),
+      ("fr", "les étudiants travaillent à la bibliothèque pendant les examens"),
+      ("fr", "mon frère habite près de la gare et il prend le train chaque jour"),
+      ("zh", "图书馆里有很多学生在准备下个星期的考试"),
+      ("zh", "我们家附近新开了一家餐厅味道很不错价格也便宜")
     ).toDF("want", "text")
-    val got = samples.select(col("want"), TextAnalysis.langId(col("text")).as("got")).collect()
-    val wrong = got.filter(r => r.getString(0) != r.getString(1))
-    assert(wrong.isEmpty, wrong.map(r => s"${r.getString(0)}->${r.getString(1)}").mkString(", "))
+    val got = samples.select(col("want"), TextAnalysis.langId(col("text")).as("got"))
+      .as[(String, String)].collect()
+    // full confusion matrix: per-class precision AND recall must be
+    // perfect on the curated corpus (any off-diagonal cell names the
+    // confused language pair in the failure message)
+    val matrix = got.groupBy(identity).view.mapValues(_.length).toMap
+    val langs = got.map(_._1).distinct.sorted
+    val offDiag = matrix.filter { case ((w, g), _) => w != g }
+    assert(offDiag.isEmpty, "confusion cells: " +
+      offDiag.map { case ((w, g), n) => s"$w->$g x$n" }.mkString(", "))
+    langs.foreach { l =>
+      val recall = matrix.getOrElse((l, l), 0).toDouble / got.count(_._1 == l)
+      val predicted = got.count(_._2 == l)
+      val precision = if (predicted == 0) 0.0 else matrix.getOrElse((l, l), 0).toDouble / predicted
+      assert(recall == 1.0 && precision == 1.0, s"$l: precision=$precision recall=$recall")
+    }
   }
 
   test("token counting and quality scoring behave on edge cases") {
