@@ -33,10 +33,11 @@ object QueriesCore {
   private val streamSplitInputs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  private def timeSplitEventsDir(s: SparkSession, dir: String): java.nio.file.Path =
+  private[graft] def timeSplitEventsDir(s: SparkSession, dir: String): java.nio.file.Path =
     streamSplitInputs.computeIfAbsent(dir, { _ =>
       import org.apache.spark.sql.Row
-      val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("event_type"), col("value"))
       val Row(tmin: java.sql.Timestamp, tmax: java.sql.Timestamp) =
         ev.agg(min("ts"), max("ts")).head()
       val splitMs = (tmin.getTime + tmax.getTime) / 2

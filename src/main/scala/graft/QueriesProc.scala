@@ -2241,6 +2241,105 @@ object QueriesProc {
           split(col("line"), "\\|").getItem(1).cast(DoubleType).as("l_quantity"))
     }),
 
+    // STREAMING twin of out_aws_s3_stream: readStream over time-split
+    // event files (maxFilesPerTrigger=1 → real micro-batches) →
+    // foreachBatch → the SAME executor-side multipart streamOutput.
+    // Object paths carry the batch id — the per-micro-batch object
+    // naming of the reference's streaming object writer — so batches
+    // never overwrite each other; read-back unions all batches and the
+    // oracle replays the projection. At scale this is exactly the
+    // writeStream shape: each trigger's data fans out by partition
+    // value, uploads multipart from executors, no driver funnel.
+    "stream_out_s3" -> ((s, dir) => {
+      val srv = new graft.conn.S3.MiniS3().start()
+      val endpoint = srv.endpoint
+      val inDir = QueriesCore.timeSplitEventsDir(s, dir)
+      val schema = s.read.parquet(inDir.resolve("0_events.parquet").toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("event_id") % 5 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val ckpt = java.nio.file.Files.createTempDirectory("sos_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          graft.conn.S3.streamOutput(batch.toDF(), endpoint, "lake",
+            partitionExpr = col("event_type"),
+            partitionKeyOf = r => r.getString(1),
+            pathOf = r => s"ev/batch=$batchId/type=${r.getString(1)}.psv",
+            bodyOf = r => s"${r.getLong(0)}|${r.getDouble(2)}\n".getBytes("UTF-8"),
+            maxBufferBytes = 8 * 1024, minPartBytes = 0)
+        }
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val back = graft.conn.S3.input(s, endpoint, "lake", "ev/")
+        .toDF("s3_key", "content", "mtime", "ctype")
+      back.select(
+          regexp_extract(col("s3_key"), "type=(.+)\\.psv", 1).as("event_type"),
+          explode(split(col("content"), "\n")).as("line"))
+        .filter(col("line") =!= "")
+        .select(
+          split(col("line"), "\\|").getItem(0).cast(LongType).as("event_id"),
+          col("event_type"),
+          split(col("line"), "\\|").getItem(1).cast(DoubleType).as("value"))
+    }),
+
+    // STREAMING twin of out_gcp_bq_write: micro-batched readStream →
+    // foreachBatch → per-partition AppendRows bidi streams from the
+    // executors (the natural streaming warehouse appender — the
+    // DefaultStream commits each batch on arrival, so the warehouse
+    // view is the union of all triggers)
+    "stream_out_bq_write" -> ((s, dir) => {
+      import s.implicits._
+      val fields = Seq(
+        graft.conn.BigQueryWrite.Field("event_id", graft.conn.BigQueryWrite.FieldType.Int64),
+        graft.conn.BigQueryWrite.Field("event_type", graft.conn.BigQueryWrite.FieldType.String),
+        graft.conn.BigQueryWrite.Field("value", graft.conn.BigQueryWrite.FieldType.Double),
+        graft.conn.BigQueryWrite.Field("big", graft.conn.BigQueryWrite.FieldType.Bool))
+      val table = "projects/proj/datasets/ds/tables/events_stream"
+      val srv = new graft.conn.BigQueryWrite.MiniBqStorage(Map(table -> fields)).start()
+      val port = srv.port
+      val inDir = QueriesCore.timeSplitEventsDir(s, dir)
+      val schema = s.read.parquet(inDir.resolve("0_events.parquet").toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("event_id") % 5 === 1)
+        .select(to_json(struct(col("event_id"), col("event_type"), col("value"),
+          (col("value") > 100.0).as("big"))).as("j"))
+      val ckpt = java.nio.file.Files.createTempDirectory("sbq_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          batch.toDF().repartition(Tables.fanout(s))
+            .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+              if (it.nonEmpty) {
+                val c = new graft.conn.BigQueryWrite.Client("127.0.0.1", port)
+                try {
+                  val schema2 = c.getWriteStream(table)
+                  c.appendJsonRows(table, schema2, it.map(_.getString(0)), batchRows = 500)
+                  ()
+                } finally c.close()
+              }
+            }
+        }
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = srv.rows(table).map(r => (r("event_id").asInstanceOf[Long],
+        r("event_type").asInstanceOf[String], r("value").asInstanceOf[Double],
+        r("big").asInstanceOf[Boolean]))
+        .toDF("event_id", "event_type", "value", "big")
+      srv.stop()
+      out
+    }),
+
     // gcp_bigquery_write_api output (impl/gcp/output_bigquery_storage.
     // go:29-365): Storage Write API over the in-repo gRPC stack —
     // GetWriteStream(_default, FULL) discovers the table schema, JSON
@@ -3515,6 +3614,13 @@ object QueriesProc {
       """SELECT event_id, event_type, value, (value > 100) AS big
          FROM events
          WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_id % 2 = 1""",
+    "stream_out_s3" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL AND event_id % 5 = 0""",
+    "stream_out_bq_write" ->
+      """SELECT event_id, event_type, value, (value > 100) AS big
+         FROM events
+         WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_id % 5 = 1""",
     "out_gcp_bigtable" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
          SELECT 'order#' || lpad(o_orderkey::VARCHAR, 12, '0') AS row_key,
