@@ -582,7 +582,13 @@ object Interp {
     case other => marshalJson(other)
   }
 
+  /** Pre-rendered JSON passthrough: marshalJson emits the string verbatim.
+    * Lets a caller merge independently-rendered fragments into one object
+    * while keeping the sorted-key output contract. */
+  final case class RawJson(s: String)
+
   def marshalJson(v: Any): String = v match {
+    case RawJson(s) => s
     case null | VNothing => "null"
     case b: Boolean => b.toString
     case l: Long => l.toString

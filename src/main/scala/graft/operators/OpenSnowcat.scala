@@ -296,18 +296,31 @@ object OpenSnowcat {
       if (v.nonEmpty && !jsonCols(name)) out(name) = typedValue(name, v)
       i += 1
     }
-    def contextsOf(colName: String): VectorMap[String, Any] = {
+    def p(name: String): Option[Any] = {
+      val raw = fieldAt(fields, name)
+      if (raw.nonEmpty) parseJson(raw) else None
+    }
+    enrichedEntries(p("contexts"), p("derived_contexts"), p("unstruct_event"))
+      .foreach { case (k, v) => out(k) = v }
+    graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
+  }
+
+  /** The schema-derived portion of the enriched_json format, from the
+    * already-parsed three JSON columns: `contexts`, `unstruct_event`,
+    * `derived_contexts` keys in that order, each only when nonEmpty. */
+  private def enrichedEntries(ctxNode: Option[Any], derNode: Option[Any],
+                              unsNode: Option[Any]): Seq[(String, Any)] = {
+    val out = mutable.LinkedHashMap[String, Any]()
+    def contextsOf(node: Option[Any]): VectorMap[String, Any] = {
       val acc = mutable.LinkedHashMap[String, (String, Vector[Any])]()
-      val raw = fieldAt(fields, colName)
-      if (raw.nonEmpty) parseJson(raw).foreach(walkEnriched(_, acc))
+      node.foreach(walkEnriched(_, acc))
       VectorMap(acc.toSeq.map { case (k, (ver, data)) =>
         k -> VectorMap[String, Any]("version" -> ver, "data" -> data)
       }: _*)
     }
-    val ctx = contextsOf("contexts")
+    val ctx = contextsOf(ctxNode)
     if (ctx.nonEmpty) out("contexts") = ctx
-    val u = fieldAt(fields, "unstruct_event")
-    if (u.nonEmpty) parseJson(u).foreach {
+    unsNode.foreach {
       case m: VectorMap[String @unchecked, Any @unchecked] =>
         for {
           uri <- m.get("schema").collect { case s: String => s }
@@ -320,9 +333,9 @@ object OpenSnowcat {
         }
       case _ => ()
     }
-    val derived = contextsOf("derived_contexts")
+    val derived = contextsOf(derNode)
     if (derived.nonEmpty) out("derived_contexts") = derived
-    graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
+    out.toSeq
   }
 
   private def walkEnriched(node: Any,
@@ -407,7 +420,7 @@ object OpenSnowcat {
     * because the three JSON columns pass through the TSV rebuild
     * untouched whenever no transform targets them (guarded at the call
     * site). */
-  private def propsAndShredsUdf(paths: Seq[String]) =
+  private def propsAndShredsUdf(paths: Seq[String], enriched: Boolean = false) =
     udf((line: String) => {
       val fields = line.split("\t", -1)
       val t = jsonTriple(fields)
@@ -417,22 +430,23 @@ object OpenSnowcat {
       val parsed = Seq(pCtx, pDer, pUns).flatten
       val props = paths.map(p => p ->
         parsed.iterator.map(searchProperty(_, p)).find(_.nonEmpty).getOrElse("")).toMap
-      val entries = shredEntries(pCtx, pDer, pUns)
-      val frag =
-        if (entries.isEmpty) ""
-        else {
-          val s = graft.blob.Interp.marshalJson(VectorMap(entries: _*))
-          s.substring(1, s.length - 1) // keep the object BODY only
-        }
-      (props, frag)
+      val entries =
+        if (enriched) enrichedEntries(pCtx, pDer, pUns)
+        else shredEntries(pCtx, pDer, pUns)
+      // each entry rendered INDIVIDUALLY — the assembler re-merges them
+      // into the (sorted-key) top-level object without re-parsing
+      (props, entries.map { case (k, v) =>
+        k -> graft.blob.Interp.marshalJson(v)
+      }.toMap)
     })
 
-  /** Assemble the flattened `json` event from the REBUILT (post-PII)
-    * line plus a precomputed shred fragment: one split, zero JSON
-    * parses. Byte-identical to flatJson(rebuilt line) because the shred
-    * keys always follow the typed top-level fields. */
+  /** Assemble the final JSON event from the REBUILT (post-PII) line plus
+    * the precomputed per-key shred fragments: one split, zero JSON
+    * parses. Byte-identical to the direct flatJson/enrichedJson build —
+    * the single marshal call applies the same sorted-key contract, with
+    * the pre-rendered fragments spliced verbatim via RawJson. */
   private val flatJsonShredsUdf =
-    udf((line: String, shreds: String) => {
+    udf((line: String, shreds: Map[String, String]) => {
       val fields = line.split("\t", -1)
       val out = mutable.LinkedHashMap[String, Any]()
       var i = 0
@@ -442,10 +456,9 @@ object OpenSnowcat {
         if (v.nonEmpty && !jsonCols(name)) out(name) = typedValue(name, v)
         i += 1
       }
-      val top = graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
-      if (shreds == null || shreds.isEmpty) top
-      else if (out.isEmpty) "{" + shreds + "}"
-      else top.substring(0, top.length - 1) + "," + shreds + "}"
+      if (shreds != null)
+        shreds.foreach { case (k, v) => out(k) = graft.blob.Interp.RawJson(v) }
+      graft.blob.Interp.marshalJson(VectorMap(out.toSeq: _*))
     })
   private val enrichedJsonUdf =
     udf((line: String) => enrichedJson(scala.collection.immutable.ArraySeq.unsafeWrapArray(
@@ -534,7 +547,8 @@ object OpenSnowcat {
     // the final flat-JSON build then never re-parses (combined path).
     val schemaPaths: Seq[String] =
       (cfg.setMetadata.values.toSeq ++ cfg.drop.keys.toSeq).filter(isSchemaPath).distinct
-    val combined = schemaPaths.nonEmpty && cfg.outputFormat == "json" &&
+    val combined = schemaPaths.nonEmpty &&
+      (cfg.outputFormat == "json" || cfg.outputFormat == "enriched_json") &&
       !cfg.transforms.keys.exists(f => !isSchemaPath(f) && jsonCols(f.toLowerCase))
     // The props UDF is tagged nondeterministic as a PLACEMENT PIN (the
     // function itself is pure — same trick as the drop filter below):
@@ -544,7 +558,8 @@ object OpenSnowcat {
     // again in the projection (the r9 variance tail on proc_opensnowcat).
     if (combined)
       out = out.withColumn("_oscb",
-          propsAndShredsUdf(schemaPaths).asNondeterministic()(col(Msg.ContentCol)))
+          propsAndShredsUdf(schemaPaths, enriched = cfg.outputFormat == "enriched_json")
+            .asNondeterministic()(col(Msg.ContentCol)))
         .withColumn("_oscp", col("_oscb")("_1"))
     else if (schemaPaths.nonEmpty)
       out = out.withColumn("_oscp",
@@ -617,8 +632,12 @@ object OpenSnowcat {
       }
 
     // 4. output format — the JSON formats take the single rebuilt line
+    // the shred-splice assembler is format-agnostic: both JSON formats
+    // share the typed top-level build and differ only in the fragment
+    // the combined UDF precomputed
     val content = cfg.outputFormat match {
-      case "json" if combined => flatJsonShredsUdf(tsv, col("_oscb")("_2"))
+      case "json" | "enriched_json" if combined =>
+        flatJsonShredsUdf(tsv, col("_oscb")("_2"))
       case "json" => flatJsonUdf(tsv)
       case "enriched_json" => enrichedJsonUdf(tsv)
       case _ => tsv

@@ -162,6 +162,31 @@ class OpenSnowcatSpec extends SparkSpec {
     assert(out(2) == "", "empty value never transformed")
   }
 
+  test("json via the combined single-parse path is byte-identical to the direct build") {
+    val cfg = Config(outputFormat = "json",
+      setMetadata = Map("ua_family" ->
+        "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily"))
+    val Seq((json, meta)) = run(cfg, pageView)
+    val direct = OpenSnowcat.flatJson(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(pageView.split("\t", -1)))
+    assert(json == direct, "combined path diverged from the direct flat build")
+    assert(meta("ua_family") == "Chrome")
+  }
+
+  test("enriched_json via the combined single-parse path is byte-identical to the direct build") {
+    // a schema-path consumer (set_metadata) + enriched output triggers
+    // the combined props+fragment UDF; its spliced output must equal
+    // enrichedJson applied directly to the same line
+    val cfg = Config(outputFormat = "enriched_json",
+      setMetadata = Map("ua_family" ->
+        "com_snowplowanalytics_snowplow_ua_parser_context.useragentFamily"))
+    val Seq((json, meta)) = run(cfg, pageView)
+    val direct = OpenSnowcat.enrichedJson(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(pageView.split("\t", -1)))
+    assert(json == direct, "combined path diverged from the direct enriched build")
+    assert(meta("ua_family") == "Chrome", "schema-path metadata resolved in the same pass")
+  }
+
   test("enriched_json nests schemas as vendor_name keys (reference TestProcessPageViewEnrichedJSON)") {
     val Seq((json, _)) = run(Config(outputFormat = "enriched_json"), pageView)
     val m = parse(json)
