@@ -108,5 +108,9 @@ object SparkEntry {
     // multipart S3 output, and the two gRPC-stack GCP outputs (bulk
     // MutateRows; bidi AppendRows) — the round's heavy new rows
     "proc_opensnowcat", "out_aws_s3_stream", "out_gcp_bigtable",
-    "out_gcp_bq_write")
+    "out_gcp_bq_write",
+    // round 10: the streaming twins of the two natural streaming sinks
+    // (micro-batched foreachBatch → multipart / AppendRows) and the
+    // jaeger tracer's compact-thrift UDP export path
+    "stream_out_s3", "stream_out_bq_write", "trace_jaeger")
 }
