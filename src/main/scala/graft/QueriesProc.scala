@@ -3363,8 +3363,12 @@ object QueriesProc {
       val address = agent.address
       val ev = t(s, dir, "events").filter(col("event_type").isNotNull)
         .select(col("event_type"))
+      // counts partitions that actually emit a trace, so the read-back
+      // below has an expected-roots floor instead of a pure quiesce test
+      val emitting = s.sparkContext.longAccumulator("jaeger_emitting_partitions")
       ev.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.nonEmpty) {
+          emitting.add(1L)
           val counts = scala.collection.mutable.Map[String, Long]()
           it.foreach(r => counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + 1)
           val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -3385,14 +3389,24 @@ object QueriesProc {
           try { exp.export(root +: children); () } finally exp.close()
         }
       }
-      // UDP datagrams race the gate's read-back: wait until the span
-      // count is stable (the fixture is local; this is bounded)
+      // UDP datagrams race the gate's read-back. Two guards: (a) wait
+      // until a root span from EVERY emitting partition has arrived
+      // (accumulator floor — a delayed datagram can't silently truncate
+      // the result), then (b) a stability window for the child-span
+      // datagrams of the final batches. Received spans are deduped by
+      // (traceId, spanId) — ids are deterministic per partition, so a
+      // retried task's re-sent spans collapse instead of double-counting.
+      def uniq = agent.spans.distinctBy(p => (p._2.traceId, p._2.spanId))
       val deadline = System.currentTimeMillis() + 10000
+      val wantRoots = emitting.value
+      while (System.currentTimeMillis() < deadline &&
+             uniq.count(_._2.name == "partition") < wantRoots)
+        Thread.sleep(50)
       var last = -1
       while (System.currentTimeMillis() < deadline &&
              { val n = agent.spans.size; val grew = n != last; last = n; grew })
         Thread.sleep(50)
-      val spans = agent.spans
+      val spans = uniq
       agent.stop()
       require(spans.forall(_._1 == "graft"), "process service name on every batch")
       val roots = spans.map(_._2).filter(_.name == "partition").map(_.spanId).toSet

@@ -329,9 +329,12 @@ object Amqp1 {
                 case _ => ""
               }
               qLock.synchronized {
+                // record the owning channel for BOTH roles so End on the
+                // session tears down sender links too (else transfers on a
+                // handle from an ended session would still be accepted)
+                linkChannel(handle) = f.channel
                 if (roleReceiverAtPeer) {
                   recvSources(handle) = address(fieldAt(fs, 5))
-                  linkChannel(handle) = f.channel
                   queue(recvSources(handle)) // ensure the queue exists
                 } else sendTargets(handle) = address(fieldAt(fs, 6))
               }

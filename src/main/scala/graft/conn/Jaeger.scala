@@ -511,12 +511,19 @@ object Jaeger {
     def start(): this.type = {
       val th = new Thread(() => {
         val pkt = new DatagramPacket(new Array[Byte](65535), 65535)
-        try while (running) {
-          sock.receive(pkt)
-          val bytes = java.util.Arrays.copyOf(pkt.getData, pkt.getLength)
-          val (service, ss) = decodeEmitBatchCompact(bytes)
-          ss.foreach(s => buf.add((service, s)))
-        } catch { case _: Exception => () } // socket closed
+        while (running) {
+          // catch per-datagram: a malformed packet must not kill the
+          // receiver thread; only a closed socket exits the loop
+          try {
+            sock.receive(pkt)
+            val bytes = java.util.Arrays.copyOf(pkt.getData, pkt.getLength)
+            val (service, ss) = decodeEmitBatchCompact(bytes)
+            ss.foreach(s => buf.add((service, s)))
+          } catch {
+            case _: java.net.SocketException => running = false // socket closed
+            case _: Exception => () // bad datagram: skip it
+          }
+        }
       })
       th.setDaemon(true); th.start()
       this

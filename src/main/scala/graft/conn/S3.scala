@@ -311,6 +311,11 @@ object S3 {
     private var bufCount = 0
     private var partNumber = 0
     private var closed = false
+    // Set only once the multipart upload is settled server-side
+    // (completed or aborted). abort() keys on this, not `closed`, so a
+    // completeMultipart failure inside close() still leaves the upload
+    // abortable by the error path instead of pending forever.
+    private var settled = false
     var partsUploaded: Int = 0
     var totalMessages: Long = 0L
     var totalBytes: Long = 0L
@@ -344,6 +349,7 @@ object S3 {
       if (!done) {
         client.abortMultipart(bucket, key, uploadId)
         closed = true
+        settled = true
         throw new java.io.IOException(s"failed to upload part $partNumber after retries", lastErr)
       }
       partsUploaded += 1
@@ -355,6 +361,7 @@ object S3 {
       if (buf.size > 0) { closed = false; flush(); closed = true }
       if (partsUploaded > 0) client.completeMultipart(bucket, key, uploadId)
       else client.abortMultipart(bucket, key, uploadId) // nothing written
+      settled = true
     }
 
     /** Abort without completing — the error path for sibling-writer
@@ -362,8 +369,9 @@ object S3 {
       * discipline: a pending multipart upload left neither completed
       * nor aborted accrues storage cost on real S3. Best-effort (the
       * task is already failing). */
-    def abort(): Unit = if (!closed) {
+    def abort(): Unit = if (!settled) {
       closed = true
+      settled = true
       try client.abortMultipart(bucket, key, uploadId)
       catch { case _: Exception => () }
     }

@@ -14,10 +14,15 @@ import scala.jdk.CollectionConverters._
   */
 class BloblangGoldenSpec extends AnyFunSuite {
 
+  // Vendored copy of the reference's public `config/test` fixture tree
+  // (src/test/resources/bloblang-golden) — the suite no longer depends on
+  // a reference checkout being present at runtime.
+  private val corpusRoot =
+    new java.io.File(getClass.getResource("/bloblang-golden").toURI)
   private val corpusDirs = Seq(
-    new java.io.File("/root/reference/config/test/bloblang"),
-    new java.io.File("/root/reference/config/test"),
-    new java.io.File("/root/reference/config/test/cookbooks"))
+    new java.io.File(corpusRoot, "bloblang"),
+    corpusRoot,
+    new java.io.File(corpusRoot, "cookbooks"))
   private val yaml = new org.yaml.snakeyaml.Yaml()
 
   private def anyRef(v: Any): Any = v // readability alias
