@@ -2737,10 +2737,16 @@ object QueriesProc {
     // ack) over the from-scratch binary protocol (conn/Pulsar.scala:
     // protobuf BaseCommand frames via the in-repo proto compiler,
     // CRC32C payload trailers; the reference wraps pulsar-client-go).
-    // One producer per Spark partition blocks on each SEND_RECEIPT; the
-    // driver-side shared-subscription consumer grants FLOW permits in
-    // batches and acks — the partition key rides MessageMetadata and
-    // crosses the gate
+    // One producer per Spark partition blocks on each SEND_RECEIPT. The
+    // drain is N shared-subscription consumers, ONE PER EXECUTOR TASK —
+    // pulsar's Shared subscription type is explicitly built for this
+    // fan-out (the broker round-robins the cursor across consumers with
+    // permits; the reference input is one consumer, but its subscription
+    // mode is the multi-consumer one). Each task spools its share to a
+    // file and the gate returns the distributed scan over the spool
+    // (PLANS.md spool-then-scan discipline) — no driver funnel on either
+    // side, and re-reading the result never re-consumes the topic. The
+    // partition key rides MessageMetadata and crosses the gate
     "src_pulsar" -> ((s, dir) => {
       import s.implicits._
       val srv = new graft.conn.Pulsar.MiniPulsar().start()
@@ -2760,22 +2766,46 @@ object QueriesProc {
           } finally p.close()
         }
       }
-      val cons = new graft.conn.Pulsar.Consumer(addr, "events", "graft-sub")
-      val got = Vector.newBuilder[(Long, String)]
-      // sliding permit window: grant 500 up front, top up every 250
-      // consumed so the flow never stalls waiting for a timeout
-      cons.flow(500)
-      var sinceFlow = 0
-      var n = 0L
-      while (n < expected) {
-        val m = cons.receive(5000).getOrElse(sys.error(s"pulsar drained early at $n/$expected"))
-        got += ((m.partitionKey.toLong, new String(m.payload, "UTF-8")))
-        cons.ack(m.entryId)
-        n += 1; sinceFlow += 1
-        if (sinceFlow >= 250) { cons.flow(250); sinceFlow = 0 }
+      // the produce action completed → terminate the topic (admin-API
+      // analogue); each consumer then drains until the broker's
+      // REACHED_END_OF_TOPIC — the protocol's own deterministic
+      // drain-complete signal, no timeout heuristics anywhere — and the
+      // driver re-checks the drained total against the produced count
+      srv.terminate("events")
+      val spool = java.nio.file.Files.createTempDirectory("pulsar-spool").toString
+      val nCons = Tables.connFanout(s, 8)
+      s.sparkContext.parallelize(0 until nCons, nCons).foreachPartition { _ =>
+        val cons = new graft.conn.Pulsar.Consumer(addr, "events", "graft-sub")
+        val sb = new StringBuilder
+        try {
+          // sliding permit window: grant 500 up front, top up every 250
+          // consumed so the shared pool never stalls waiting on credit
+          cons.flow(500)
+          var sinceFlow = 0
+          var done = false
+          while (!done) cons.receive(10000) match {
+            case Some(m) =>
+              sb.append(m.partitionKey).append('\t')
+                .append(new String(m.payload, "UTF-8")).append('\n')
+              cons.ack(m.entryId)
+              sinceFlow += 1
+              if (sinceFlow >= 250) { cons.flow(250); sinceFlow = 0 }
+            case None => done = true
+          }
+        } finally cons.close()
+        if (sb.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(spool, f"part-$pid%03d.tsv"),
+            sb.toString.getBytes("UTF-8"))
+        }
       }
-      cons.close(); srv.stop()
-      s.createDataset(got.result()).toDF("event_id", "event_type")
+      srv.stop()
+      val out = s.read.option("sep", "\t")
+        .schema("event_id LONG, event_type STRING").csv(spool)
+      val total = out.count()
+      require(total == expected, s"pulsar drain lost messages: $total/$expected")
+      out
     }),
 
     // statsd metrics target (impl/statsd/metrics.go — the `metric`

@@ -70,6 +70,7 @@ object Pulsar {
     message CommandSuccess { uint64 request_id = 1; }
     message CommandError { uint64 request_id = 1; int32 error = 2; string message = 3; }
     message CommandProducerSuccess { uint64 request_id = 1; string producer_name = 2; }
+    message CommandReachedEndOfTopic { uint64 consumer_id = 1; }
     message BaseCommand {
       int32 type = 1;
       CommandConnect connect = 2;
@@ -84,6 +85,7 @@ object Pulsar {
       CommandSuccess success = 13;
       CommandError error = 14;
       CommandProducerSuccess producer_success = 17;
+      CommandReachedEndOfTopic reachedEndOfTopic = 27;
     }
   """
   private lazy val reg = ProtoSchema.registryForText(Schema)
@@ -95,6 +97,7 @@ object Pulsar {
     val Connect = 2; val Connected = 3; val Subscribe = 4; val Producer = 5
     val Send = 6; val SendReceipt = 7; val Message = 9; val Ack = 10
     val Flow = 11; val Success = 13; val Error = 14; val ProducerSuccess = 17
+    val ReachedEndOfTopic = 27
   }
 
   private def cmdBytes(json: VectorMap[String, Any]): Array[Byte] =
@@ -160,7 +163,10 @@ object Pulsar {
 
   // ------------------------------------------------------------- fixture
   private final case class StoredMsg(entryId: Long, meta: VectorMap[String, Any], payload: Array[Byte])
-  private final class Topic { var entryGen = 0L; val msgs = new ArrayBuffer[StoredMsg]() }
+  private final class Topic {
+    var entryGen = 0L; val msgs = new ArrayBuffer[StoredMsg]()
+    var terminated = false // no more publishes; drained consumers get REACHED_END_OF_TOPIC
+  }
   private final class SubState { // shared-subscription cursor
     var cursor = 0
     val consumers = new ArrayBuffer[(OutputStream, Long)]() // (connection out, consumer_id)
@@ -180,20 +186,36 @@ object Pulsar {
 
     private def writeFrame(out: OutputStream, bytes: Array[Byte]): Unit =
       out.synchronized { out.write(bytes); out.flush() }
+    private def writeFrameNoFlush(out: OutputStream, bytes: Array[Byte]): Unit =
+      out.synchronized(out.write(bytes))
 
-    /** deliver while the subscription has permits and a cursor backlog */
+    /** deliver while the subscription has permits and a cursor backlog;
+      * delivery frames are buffered and each touched consumer connection
+      * is flushed ONCE per pump — a flush per message serializes the
+      * whole fan-out on syscalls under the broker lock */
     private def pump(topicName: String, subName: String): Unit = {
       val st = subs.getOrElse((topicName, subName), return)
       val t = topic(topicName)
+      val touched = mutable.Set[OutputStream]()
       while (st.permits > 0 && st.cursor < t.msgs.size && st.consumers.nonEmpty) {
         val m = t.msgs(st.cursor)
         val (out, cid) = st.consumers(st.rr % st.consumers.size)
         st.rr += 1; st.cursor += 1; st.permits -= 1
-        writeFrame(out, payloadFrame(
+        writeFrameNoFlush(out, payloadFrame(
           Json.obj("type" -> T.Message.toLong, "message" -> Json.obj(
             "consumerId" -> cid,
             "messageId" -> Json.obj("ledgerId" -> 0L, "entryId" -> m.entryId))),
           m.meta, m.payload))
+        touched += out
+      }
+      touched.foreach(o => o.synchronized(o.flush()))
+      // terminated topic, backlog fully dispatched: notify every attached
+      // consumer (REACHED_END_OF_TOPIC, PulsarApi.proto) — written after
+      // the deliveries above, so each consumer sees its messages first
+      if (t.terminated && st.cursor >= t.msgs.size) st.consumers.foreach { case (o, cid) =>
+        try writeFrame(o, simpleFrame(Json.obj("type" -> T.ReachedEndOfTopic.toLong,
+          "reachedEndOfTopic" -> Json.obj("consumerId" -> cid))))
+        catch { case _: Exception => () } // consumer already gone
       }
     }
 
@@ -222,7 +244,10 @@ object Pulsar {
               val t = topic(topicName)
               t.entryGen += 1
               t.msgs += StoredMsg(t.entryGen, f.meta.get, f.payload)
-              writeFrame(out, simpleFrame(Json.obj("type" -> T.SendReceipt.toLong,
+              // receipt is buffered, not flushed: a pipelined producer
+              // window of N sends gets its N receipts in one flush (below,
+              // once the input side goes quiet) instead of N syscalls
+              writeFrameNoFlush(out, simpleFrame(Json.obj("type" -> T.SendReceipt.toLong,
                 "sendReceipt" -> Json.obj("producerId" -> num(s, "producerId"),
                   "sequenceId" -> num(s, "sequenceId"),
                   "messageId" -> Json.obj("ledgerId" -> 0L, "entryId" -> t.entryGen)))))
@@ -249,6 +274,10 @@ object Pulsar {
                   "message" -> s"unsupported command type $other"))))
           }
         }
+        // flush buffered receipts once the client's input side goes
+        // quiet (end of a pipelined send window) — near-free when the
+        // buffer is already empty
+        if (in.available() == 0) out.synchronized(out.flush())
       } catch { case _: EOFException | _: java.net.SocketException => () }
       finally {
         lock.synchronized {
@@ -258,11 +287,24 @@ object Pulsar {
       }
     }
 
+    /** Admin-API analogue of topic termination (`pulsar-admin topics
+      * terminate`): publishes stop, and every consumer that reaches the
+      * end of the backlog is sent REACHED_END_OF_TOPIC — the protocol's
+      * own deterministic drain-complete signal (no timeout heuristics). */
+    def terminate(name: String): Unit = lock.synchronized {
+      topic(name).terminated = true
+      subs.keys.filter(_._1 == name).foreach { case (tn, sn) => pump(tn, sn) }
+    }
+
     def start(): this.type = {
       server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
       val acceptor = new Thread(() => {
         try while (true) {
           val sock = server.accept()
+          // per-message delivery frames are small; without this the
+          // round-robin fan-out across N sparse consumer connections
+          // hits Nagle + delayed-ACK stalls
+          sock.setTcpNoDelay(true)
           val th = new Thread(() => serve(sock)); th.setDaemon(true); th.start()
         } catch { case _: Throwable => () }
       })
@@ -363,17 +405,25 @@ object Pulsar {
       out.flush()
     }
 
+    /** true once the broker signalled REACHED_END_OF_TOPIC */
+    @volatile var endOfTopic: Boolean = false
+
     def receive(timeoutMs: Int = 5000): Option[Received] = synchronized {
+      if (endOfTopic) return None
       sock.setSoTimeout(timeoutMs)
       try {
         val f = readPulsarFrame(in)
-        require(num(f.cmd, "type") == T.Message, s"expected MESSAGE, got ${f.cmd}")
-        val meta = f.meta.get
-        val props = meta.get("properties").map(Json.asArr).getOrElse(Vector.empty).map { kv =>
-          val m = Json.asObj(kv); Json.str(m, "key") -> Json.str(m, "value")
-        }.toMap
-        Some(Received(num(sub(sub(f.cmd, "message"), "messageId"), "entryId"),
-          f.payload, Json.strOpt(meta, "partitionKey").getOrElse(""), props))
+        num(f.cmd, "type") match {
+          case t if t == T.Message =>
+            val meta = f.meta.get
+            val props = meta.get("properties").map(Json.asArr).getOrElse(Vector.empty).map { kv =>
+              val m = Json.asObj(kv); Json.str(m, "key") -> Json.str(m, "value")
+            }.toMap
+            Some(Received(num(sub(sub(f.cmd, "message"), "messageId"), "entryId"),
+              f.payload, Json.strOpt(meta, "partitionKey").getOrElse(""), props))
+          case t if t == T.ReachedEndOfTopic => endOfTopic = true; None
+          case other => sys.error(s"expected MESSAGE, got type $other")
+        }
       } catch { case _: java.net.SocketTimeoutException => None }
       finally sock.setSoTimeout(0)
     }

@@ -105,4 +105,27 @@ class PulsarSpec extends AnyFunSuite {
       } finally { prod.close(); c1.close(); c2.close() }
     }
   }
+
+  test("terminated topic signals REACHED_END_OF_TOPIC after the backlog, incl. late subscribers") {
+    withPulsar { (srv, addr) =>
+      val prod = new Pulsar.Producer(addr, "t5")
+      val c1 = new Pulsar.Consumer(addr, "t5", "shared")
+      try {
+        (1 to 4).foreach(i => prod.send(b(s"m$i")))
+        srv.terminate("t5")
+        c1.flow(100)
+        // every staged message is delivered BEFORE the end-of-topic signal
+        val g1 = Iterator.continually(c1.receive(2000)).takeWhile(_.isDefined).flatten.toVector
+        assert(g1.map(_.entryId) == (1L to 4L), "full backlog precedes the end signal")
+        assert(c1.endOfTopic, "drain ended by REACHED_END_OF_TOPIC, not a timeout")
+        // a subscriber attaching after termination (with nothing left to
+        // consume) is notified as soon as it grants permits
+        val c2 = new Pulsar.Consumer(addr, "t5", "shared")
+        try {
+          c2.flow(100)
+          assert(c2.receive(2000).isEmpty && c2.endOfTopic, "late subscriber notified")
+        } finally c2.close()
+      } finally { prod.close(); c1.close() }
+    }
+  }
 }
