@@ -67,6 +67,38 @@ object QueriesLlm {
       Dedup.exact(plantedCorpus(s, dir), "text", col("doc_id"))
         .select("doc_id")),
 
+    // dedup RESOLUTION: near-dup pairs → connected components → one
+    // canonical doc per cluster (the step that actually DROPS the
+    // duplicates a pair generator finds). The edge set here is fully
+    // deterministic — exact-digest stars over the planted corpus plus
+    // consecutive-id shingle-Jaccard ≥ 0.02 — so the complete cluster
+    // assignment is DuckDB-checkable via a recursive CTE; the
+    // probabilistic pair generators have their own exact-baseline gates
+    // (MlSpec). Resolution = Dedup.connectedComponents (min-label
+    // propagation with path doubling, O(log d) shuffle rounds).
+    "llm_dedup_resolve" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+      val dig = corpus.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"))
+      val w = Window.partitionBy("_d")
+      val starEdges = dig.withColumn("_m", min("doc_id").over(w))
+        .filter(col("doc_id") =!= col("_m"))
+        .select(col("_m").as("id_a"), col("doc_id").as("id_b"))
+      // fanout before the shingle build (one-file input: the per-row
+      // n-gram work would otherwise run on a single scan split), compute
+      // shingles ONCE and self-join — both sides share the exchange
+      val sh = t(s, dir, "documents").repartition(Tables.fanout(s))
+        .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      val jacEdges = sh.as("a").join(sh.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
+          size(array_union(col("a.sh"), col("b.sh"))).cast(DoubleType) >= 0.02)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.connectedComponents(corpus.select(col("doc_id").as("node")),
+          starEdges.unionByName(jacEdges))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          when(col("node") === col("label"), 1L).otherwise(0L).as("keep"))
+    }),
+
     // exact n-gram Jaccard between consecutive docs (verification primitive)
     "llm_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -338,6 +370,39 @@ object QueriesLlm {
                   ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
            FROM documents)
          GROUP BY md5(text)""",
+    "llm_dedup_resolve" ->
+      s"""WITH RECURSIVE
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
+           FROM documents),
+         dig AS (SELECT doc_id, md5(text) AS d FROM corpus),
+         star AS (
+           SELECT m.m AS id_a, g.doc_id AS id_b FROM dig g
+           JOIN (SELECT d, min(doc_id) AS m FROM dig GROUP BY d) m ON g.d = m.d
+           WHERE g.doc_id <> m.m),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]
+             ELSE list_transform(generate_series(0, len($oTok) - 3),
+               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3])) END) AS shingles
+           FROM documents),
+         jac AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+           WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.02),
+         edges AS (SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM jac),
+         und AS (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
+         cc(node, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT u.s, cc.label FROM und u JOIN cc ON cc.node = u.t)
+         SELECT node AS doc_id, min(label) AS cluster_id,
+           CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM cc GROUP BY node""",
     "llm_ngram_jaccard" ->
       s"""WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]

@@ -112,5 +112,9 @@ object SparkEntry {
     // round 10: the streaming twins of the two natural streaming sinks
     // (micro-batched foreachBatch → multipart / AppendRows) and the
     // jaeger tracer's compact-thrift UDP export path
-    "stream_out_s3", "stream_out_bq_write", "trace_jaeger")
+    "stream_out_s3", "stream_out_bq_write", "trace_jaeger",
+    // round 11: dedup resolution — iterative connected components over
+    // the near-dup pair graph (path-doubling min-label, log-depth
+    // shuffle rounds; times the iterative-DataFrame loop shape)
+    "llm_dedup_resolve")
 }

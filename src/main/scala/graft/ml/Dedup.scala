@@ -280,4 +280,64 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Connected components over a near-dup pair graph — the RESOLUTION
+    * step of corpus dedup: pair generators (minhash/simhash/embedding/
+    * exact) say "a duplicates b"; this turns the pair set into clusters
+    * so one canonical document per cluster survives.
+    *
+    * Pure DataFrame min-label propagation with PATH DOUBLING
+    * ("hash-to-min" family): each round a node takes the min of its own
+    * label, its neighbors' labels, and its label's label. Doubling makes
+    * convergence O(log diameter) rounds instead of O(diameter) — the
+    * difference between 40 shuffles and 6 on a chain-shaped component.
+    * Each round is two shuffle joins + one groupBy, all keyed on node
+    * id; `localCheckpoint` truncates lineage so the plan doesn't grow
+    * with iterations (the classic iterative-DataFrame trap). Nothing is
+    * collected to the driver; the loop's only driver-side state is the
+    * convergence counter. At 100 TB this is the standard GraphX-free CC:
+    * shuffle volume per round is O(|E|), rounds are O(log d).
+    *
+    * @param nodes one column `node` (long ids)
+    * @param edges columns `id_a`,`id_b` (undirected pairs, either order)
+    * @return (node, label) where label = min node id in the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          rounds: Int = 6): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false) // computed once, re-joined every round
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var prev = labels
+    // Fixed round count, NO per-round driver actions: each round is a
+    // LAZY localCheckpoint (truncates lineage so plans stay flat — the
+    // hop self-join would otherwise double plan size per round), and the
+    // whole cascade materializes inside the single fixpoint-check job
+    // below. Per-round convergence counts would cost one scheduled job
+    // per round — at small per-round data the job overhead, not the
+    // shuffle, dominates. Doubling reach after r rounds is 2^(r-1) and
+    // the LAST round must be a no-op for the fixpoint check, so the
+    // default covers component diameter 2^(rounds-2) = 16; post-fixpoint
+    // rounds are cheap shuffles over already-stable labels.
+    for (i <- 1 to rounds) {
+      val viaEdge = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), labels("label"))
+      val base = labels.unionByName(viaEdge)
+      val withHop =
+        if (i == 1) base // labels are identity in round 1: hop is a no-op
+        else base.unionByName(labels.as("x")
+          .join(labels.as("p"), col("x.label") === col("p.node"))
+          .select(col("x.node").as("node"), col("p.label").as("label")))
+      prev = labels
+      labels = withHop.groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(false)
+    }
+    // one post-hoc fixpoint check: the final round must be a no-op —
+    // an unconverged graph (diameter > 2^rounds) fails loudly
+    val changed = labels.withColumnRenamed("label", "_l2")
+      .join(prev, "node").filter(col("_l2") =!= col("label"))
+      .limit(1).count()
+    require(changed == 0, s"connectedComponents not converged after $rounds rounds")
+    labels
+  }
 }

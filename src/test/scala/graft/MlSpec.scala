@@ -685,4 +685,23 @@ class MlSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(zs(1L) == "tiny" && zs(3L) == "balloons")
   }
+
+  test("connectedComponents: chain, triangle, isolated node; min id wins; converges in log rounds") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6-7-8 (diameter 7: pure neighbor-min would need
+    // 7+1 rounds; path doubling reaches distance 2^(r-1), so round 4
+    // resolves it and round 5 is the no-op the fixpoint check needs),
+    // triangle 10-11-12 with a redundant edge, isolated node 20
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (12L, 10L)
+    ).toDF("id_a", "id_b")
+    val nodes = ((1L to 8L) ++ (10L to 12L) ++ Seq(20L)).toDF("node")
+    val got = graft.ml.Dedup.connectedComponents(nodes, edges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(n => assert(got(n) == 1L, s"chain node $n"))
+    (10L to 12L).foreach(n => assert(got(n) == 10L, s"triangle node $n"))
+    assert(got(20L) == 20L, "isolated node is its own cluster")
+    assert(got.size == 12)
+  }
 }
