@@ -76,6 +76,9 @@ object S3 {
 
     def objectCount(bucket: String): Int = objects.keys.count(_._1 == bucket)
     def pendingUploads: Int = uploads.size
+    /** failure injection: the next CompleteMultipartUpload returns 500
+      * (upload stays pending) — lets specs pin the close/abort discipline */
+    @volatile var failNextComplete: Boolean = false
     def putDirect(bucket: String, key: String, bytes: Array[Byte], contentType: String = "application/octet-stream"): Unit =
       objects.put((bucket, key), Obj(bytes, contentType, Map.empty, System.currentTimeMillis()))
 
@@ -132,6 +135,11 @@ object S3 {
 
         // ---- multipart: POST /b/k?uploadId=U  (complete)
         case ("POST", k) if q.contains("uploadId") =>
+          if (failNextComplete) {
+            failNextComplete = false
+            return (500, Seq("Content-Type" -> "application/xml"),
+              "<Error><Code>InternalError</Code></Error>".getBytes(UTF_8))
+          }
           uploads.remove(q("uploadId")) match {
             case Some((b, _, ct, meta, parts)) =>
               val ordered = parts.toSeq.sortBy(_._1)

@@ -138,6 +138,43 @@ class Amqp1Spec extends AnyFunSuite {
     }
   }
 
+  test("End tears down SENDER links on the session: transfers after End are not accepted") {
+    withBroker { (srv, addr) =>
+      val Array(host, portS) = addr.split(":")
+      val sock = new java.net.Socket(host, portS.toInt)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        out.write(Array[Byte]('A', 'M', 'Q', 'P', 0, 1, 0, 0)); out.flush()
+        val hdr = new Array[Byte](8); in.readFully(hdr)
+        // sender-role attach (role=false), handle 7, target queue qx
+        Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.Attach), VList(Vector(
+          VStr("l7"), VUInt(7), VBool(false), VNull, VNull,
+          VDescribed(VULong(0x28), VList(Vector(VStr("")))),
+          VDescribed(VULong(0x29), VList(Vector(VStr("qx"))))))))
+        Amqp1.readAmqpFrame(in) // attach echo
+        Amqp1.readAmqpFrame(in) // credit flow
+        def transfer(n: Int, body: String): Unit =
+          Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.Transfer), VList(Vector(
+            VUInt(7), VUInt(n.toLong),
+            VBin(java.nio.ByteBuffer.allocate(4).putInt(n).array()),
+            VUInt(0), VBool(true)))), Amqp1.messagePayload(b(body)))
+        transfer(1, "m1")
+        val deadline = System.currentTimeMillis() + 3000
+        while (srv.depth("qx") < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(srv.depth("qx") == 1, "pre-End transfer accepted")
+        // End the session: the sender link's handle must die with it
+        Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.End), VList(Vector.empty)))
+        Amqp1.readAmqpFrame(in) // end echo
+        transfer(2, "m2")
+        Thread.sleep(300)
+        assert(srv.depth("qx") == 1, "transfer on an ended session is NOT accepted")
+      } finally sock.close()
+    }
+  }
+
   test("released disposition redelivers with delivery-count bumped (service-bus abandon)") {
     withBroker { (srv, addr) =>
       val snd = new Sender(addr, "sbq")

@@ -38,6 +38,27 @@ class JaegerSpec extends AnyFunSuite {
     } finally agent.stop()
   }
 
+  test("agent survives a malformed datagram; later batches still received") {
+    val agent = new Jaeger.MiniJaegerAgent().start()
+    try {
+      // garbage packet: must not kill the receiver thread
+      val sock = new java.net.DatagramSocket()
+      try {
+        val junk = Array.fill[Byte](64)(0x7f)
+        val Array(host, port) = agent.address.split(":")
+        sock.send(new java.net.DatagramPacket(junk, junk.length,
+          java.net.InetAddress.getByName(host), port.toInt))
+      } finally sock.close()
+      val exp = new Jaeger.Exporter(agentAddress = agent.address, serviceName = "svc-r")
+      try assert(exp.export(Seq(span("ab" * 16, "3" * 16, "", "after-junk"))) == 1)
+      finally exp.close()
+      val deadline = System.currentTimeMillis() + 5000
+      while (agent.spans.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(agent.spans.map(_._2.name) == Vector("after-junk"),
+        "receiver thread alive after the bad packet")
+    } finally agent.stop()
+  }
+
   test("collector surface: binary Batch POST; collector_url OVERRIDES agent_address") {
     val agent = new Jaeger.MiniJaegerAgent().start()
     val coll = new Jaeger.MiniJaegerCollector().start()

@@ -21,7 +21,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "llm_unigram_logprob", // LLM row (fanout conversion, round 10)
     "llm_simhash_pairs",   // LLM row whose OUTPUT is a pair set from banding
     "src_kafka",           // connector (connFanout produce + partitioned consume)
-    "proc_opensnowcat")    // placement-pinned single-parse plan
+    "proc_opensnowcat",    // placement-pinned single-parse plan
+    "llm_dedup_resolve")   // iterative CC (round-11): loop must not depend on width
 
   /** check.py's canonicalization: columns sorted by name, rows sorted,
     * values stringified. */

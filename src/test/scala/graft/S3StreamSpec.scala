@@ -74,6 +74,27 @@ class S3StreamSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("close() failing at CompleteMultipartUpload leaves the upload abortable by abort()") {
+    val srv = new S3.MiniS3().start()
+    try {
+      val c = new S3.Client(srv.endpoint)
+      try {
+        val w = new S3.StreamingWriter(c, "b", "flaky.log",
+          maxBufferCount = 1, minPartBytes = 0)
+        w.writeBytes(msg(1, 20))
+        assert(w.partsUploaded == 1 && srv.pendingUploads == 1)
+        srv.failNextComplete = true
+        intercept[IllegalArgumentException](w.close())
+        assert(srv.pendingUploads == 1, "complete failed; upload still pending")
+        // the error path: abort() must key on SETTLED (complete/abort
+        // succeeded), not on closed — else this upload leaks forever
+        w.abort()
+        assert(srv.pendingUploads == 0, "abort() cleaned up the failed close")
+        assert(c.get("b", "flaky.log").isEmpty, "nothing completed")
+      } finally c.close()
+    } finally srv.stop()
+  }
+
   test("streamOutput: repartition routes each partition value to one upload, parts from executors") {
     val srv = new S3.MiniS3().start()
     try {
