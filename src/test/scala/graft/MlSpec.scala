@@ -381,6 +381,35 @@ class MlSpec extends SparkSpec {
     assert(rec >= 0.95, s"recall $rec over ${exact.size} exact pairs")
   }
 
+  test("semantic-dedup composition: LSH-pair clusters match exact-pair clusters >= 95%") {
+    // the RESOLUTION stage (connectedComponents) composed with the
+    // PROBABILISTIC pair generator: clusters from LSH embedding pairs
+    // must agree with clusters from exact all-pairs cosine on ~all
+    // nodes (the generator's recall bound is the only divergence source)
+    val embG = Tables(spark, gateSf, "embeddings").select("vec_id", "embedding")
+    val perturbed = embG.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
+    val all = embG.unionByName(perturbed).localCheckpoint(false)
+    val nodes = all.select(col("vec_id").as("node"))
+    val exactPairs = all.alias("a").join(all.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.Blob.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.95).select("id_a", "id_b")
+    val lshPairs = QueriesLlm.queries("llm_embed_pairs")(spark, gateSf)
+      .select("id_a", "id_b")
+    val exactCc = graft.ml.Dedup.connectedComponents(nodes, exactPairs)
+      .as[(Long, Long)].collect().toMap
+    val lshCc = graft.ml.Dedup.connectedComponents(nodes, lshPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(exactCc.keySet == lshCc.keySet)
+    val agree = exactCc.count { case (n, l) => lshCc(n) == l }
+    val frac = agree.toDouble / exactCc.size
+    assert(frac >= 0.95, s"cluster agreement $frac over ${exactCc.size} nodes")
+    // duplicates exist in the planted corpus: some cluster is non-trivial
+    assert(exactCc.values.groupBy(identity).exists(_._2.size > 1))
+  }
+
   test("llm_ann_lsh: recall vs the exact top-k at the gate SF; scores exact where retrieved") {
     val exact = QueriesLlm.queries("llm_cosine_topk")(spark, gateSf)
       .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()

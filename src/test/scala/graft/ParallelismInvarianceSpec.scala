@@ -22,7 +22,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "llm_simhash_pairs",   // LLM row whose OUTPUT is a pair set from banding
     "src_kafka",           // connector (connFanout produce + partitioned consume)
     "proc_opensnowcat",    // placement-pinned single-parse plan
-    "llm_dedup_resolve")   // iterative CC (round-11): loop must not depend on width
+    "llm_dedup_resolve",   // iterative CC (round-11): loop must not depend on width
+    "stream_dedupe")       // streaming micro-batch state across trigger widths
 
   /** check.py's canonicalization: columns sorted by name, rows sorted,
     * values stringified. */
