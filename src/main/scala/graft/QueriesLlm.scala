@@ -99,6 +99,35 @@ object QueriesLlm {
           when(col("node") === col("label"), 1L).otherwise(0L).as("keep"))
     }),
 
+    // substring-level (span) dedup: maximal 15-token spans occurring ≥2×
+    // anywhere in the planted corpus (Lee et al. 2021 sequence-dedup
+    // flavor — catches boilerplate/templated spans that document-level
+    // dedup misses; the planted 40-token twins guarantee known spans).
+    // Fully deterministic → complete DuckDB oracle (same windowing +
+    // gaps-and-islands merge). fanout: window building is the per-row
+    // heavy stage ahead of the first exchange, and the input is one file.
+    "llm_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(plantedCorpus(s, dir).repartition(Tables.fanout(s)),
+        "doc_id", "text", w = 15)),
+
+    // BM25 topical relevance against a fixed seed-keyword set (corpus
+    // filtering/weighting). Lucene-flavored non-negative idf; scores
+    // rounded post-sum for the hash compare.
+    "llm_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents").repartition(Tables.fanout(s)),
+          "doc_id", "text", Seq("scan", "merge", "window"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
+    // vocabulary building: top-100 bigrams by frequency with a total
+    // tie-break (freq desc, bigram asc) — TakeOrderedAndProject, no
+    // global sort. The unigram vocab is the llm_unigram_logprob pass.
+    "llm_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents").repartition(Tables.fanout(s))
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(100)),
+
     // exact n-gram Jaccard between consecutive docs (verification primitive)
     "llm_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -403,6 +432,50 @@ object QueriesLlm {
          SELECT node AS doc_id, min(label) AS cluster_id,
            CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM cc GROUP BY node""",
+    "llm_dup_spans" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
+           FROM documents),
+         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
+         eligible AS (SELECT doc_id, t FROM tok WHERE len(t) >= 15),
+         win AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+15], ' ') AS w
+                 FROM eligible, UNNEST(generate_series(0, len(t) - 15)) AS u(i)),
+         cnt AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY w) AS c FROM win),
+         occ AS (SELECT doc_id, pos, pos + 14 AS e FROM cnt WHERE c >= 2),
+         m AS (SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM occ),
+         fl AS (SELECT doc_id, pos, e,
+                 CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END AS brk FROM m),
+         isl AS (SELECT doc_id, pos, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)
+         SELECT doc_id, min(pos) AS span_start, max(e) + 1 AS span_end,
+           count(*) AS n_windows
+         FROM isl GROUP BY doc_id, g""",
+    "llm_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM tok),
+         ex AS (SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM tok),
+         tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM ex
+                WHERE term IN ('scan', 'merge', 'window') GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term)
+         SELECT doc_id,
+           round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6) AS score
+         FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+         GROUP BY doc_id""",
+    "llm_vocab_topk" ->
+      s"""WITH tok AS (SELECT $oTok AS t FROM documents),
+         bg AS (SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(generate_series(0, len(t) - 2),
+                    i -> concat_ws(' ', t[i+1], t[i+2])) END) AS bigram FROM tok)
+         SELECT bigram, count(*) AS freq FROM bg GROUP BY bigram
+         ORDER BY freq DESC, bigram LIMIT 100""",
     "llm_ngram_jaccard" ->
       s"""WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]

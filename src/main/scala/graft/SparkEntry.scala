@@ -116,5 +116,9 @@ object SparkEntry {
     // round 11: dedup resolution — iterative connected components over
     // the near-dup pair graph (path-doubling min-label, log-depth
     // shuffle rounds; times the iterative-DataFrame loop shape)
-    "llm_dedup_resolve")
+    "llm_dedup_resolve",
+    // round 11 late: substring-level span dedup (every-offset windowing —
+    // the corpus's heaviest explode; times generator + two window-function
+    // shuffles)
+    "llm_dup_spans")
 }

@@ -340,4 +340,49 @@ object Dedup {
     require(changed == 0, s"connectedComponents not converged after $rounds rounds")
     labels
   }
+
+  /** Substring-level (span) dedup — the sequence-dedup flavor of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2021, arXiv:2107.06499): find maximal token spans that
+    * occur ≥2 times anywhere in the corpus, so a pipeline can CUT the
+    * repeated span (boilerplate, licenses, templated headers) instead of
+    * dropping whole documents. Document-level dedup misses these;
+    * the paper's suffix-array pass is replaced here by the standard
+    * distributed approximation: fixed-width W-token rolling windows.
+    *
+    * Shape: tokenize → W-token windows at every offset (md5'd BEFORE the
+    * exchange, so the shuffle moves 16-byte digests, not window text) →
+    * per-window occurrence count (one hash-partitioned Window count —
+    * duplicated-window groups are small, no groupBy+self-join double
+    * shuffle) → per-doc gaps-and-islands merge of overlapping/adjacent
+    * duplicated windows into maximal spans (one shuffle keyed on doc).
+    * Three linear shuffles total; at 100 TB the window count is
+    * O(corpus tokens) and each shuffle key is fixed-width.
+    *
+    * @return (doc_id, span_start, span_end, n_windows): token-offset
+    *         half-open [start, end) maximal duplicated spans
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 15): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= w)
+    val win = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("_t")) - w),
+        i => md5(array_join(slice(col("_t"), i + 1, lit(w)), " ").cast(BinaryType))))
+        .as(Seq("pos", "h")))
+    val dupOcc = win
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_c") >= 2)
+      .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val pmax = max(col("_e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupOcc
+      .withColumn("_brk", when(pmax.isNull || col("pos") > pmax + 1, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min("pos").cast(LongType).as("span_start"),
+        (max("_e") + 1).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
 }

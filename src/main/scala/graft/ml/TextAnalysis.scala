@@ -221,4 +221,33 @@ object TextAnalysis {
       .agg(avg(log10(col("tf").cast(DoubleType) / total.toDouble)).as("avg_logprob"),
         count(lit(1)).cast(LongType).as("n_tokens"))
   }
+
+  /** BM25 relevance of each document to a fixed query-term set
+    * (Robertson–Spärck Jones probabilistic ranking; the Lucene-flavored
+    * non-negative idf `ln(1 + (N − df + ½)/(df + ½))`). The training-data
+    * use: topical filtering/weighting of a corpus against seed keywords.
+    *
+    * Scale plan: one corpus scan builds (doc, dl, token); the query-term
+    * `isin` filter runs BEFORE the tf shuffle so only matching tokens
+    * move; df-per-term and the (N, avgdl) row are tiny aggregates joined
+    * back by explicit broadcast. Nothing is quadratic, nothing collects.
+    */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val dl = df.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"), size(col("_t")).cast(DoubleType).as("_dl"), col("_t"))
+    val stats = dl.agg(count(lit(1)).cast(DoubleType).as("_n"), avg("_dl").as("_avgdl"))
+    val tf = dl.select(col("doc_id"), col("_dl"), explode(col("_t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("_dl"), col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("_tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(countDistinct("doc_id").cast(DoubleType).as("_df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s", col("_idf") * col("_tf") * lit(k1 + 1) /
+        (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy("doc_id").agg(sum("_s").as("score"))
+  }
 }

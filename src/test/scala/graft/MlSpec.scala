@@ -733,4 +733,58 @@ class MlSpec extends SparkSpec {
     assert(got(20L) == 20L, "isolated node is its own cluster")
     assert(got.size == 12)
   }
+
+  test("dupSpans: merges overlapping windows to maximal spans; unique text and short docs excluded") {
+    import spark.implicits._
+    // 12-token duplicated prefix shared by docs 1 and 2 (w=4 → windows at
+    // offsets 0..8 in both, merging to one [0,12) span); doc 1 continues
+    // with unique tokens (no span there); doc 3 is all-unique; doc 4 is
+    // shorter than w. Tokens are single letters to keep offsets obvious.
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared + " uniq1 uniq2 uniq3 uniq4"),
+      (2L, shared),
+      (3L, (1 to 10).map(i => s"other$i").mkString(" ")),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = graft.ml.Dedup.dupSpans(corpus, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((0L, 12L, 9L)), "doc 1: one maximal span over the shared prefix")
+    assert(got(2L) == ((0L, 12L, 9L)), "doc 2: same span")
+    assert(!got.contains(3L) && !got.contains(4L))
+    assert(got.size == 2)
+  }
+
+  test("dupSpans: non-adjacent duplicated regions stay separate spans") {
+    import spark.implicits._
+    // doc 1 repeats region A at both ends with a unique middle — two
+    // islands; doc 2 carries A once (one island)
+    val a = (1 to 4).map(i => s"a$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$a m1 m2 m3 m4 m5 $a"),
+      (2L, a)
+    ).toDF("doc_id", "text")
+    val got = graft.ml.Dedup.dupSpans(corpus, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 4L), (1L, 9L, 13L), (2L, 0L, 4L)), got.toString)
+  }
+
+  test("bm25 matches a hand-computed score") {
+    import spark.implicits._
+    // 3 docs, query = {x}: df(x)=2, N=3, avgdl = (3+2+4)/3
+    val corpus = Seq(
+      (1L, "x y x"),     // tf=2, dl=3
+      (2L, "x z"),       // tf=1, dl=2
+      (3L, "p q r s")    // no hit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val k1 = 1.2; val b = 0.75; val avgdl = 3.0; val n = 3.0; val df = 2.0
+    val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double) = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L) - s(2, 3)) < 1e-12, s"${got(1L)} vs ${s(2, 3)}")
+    assert(math.abs(got(2L) - s(1, 2)) < 1e-12)
+    assert(got(1L) > got(2L), "higher tf at comparable dl ranks higher")
+  }
 }
