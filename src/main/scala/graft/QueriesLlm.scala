@@ -110,6 +110,14 @@ object QueriesLlm {
       Dedup.dupSpans(plantedCorpus(s, dir).repartition(Tables.fanout(s)),
         "doc_id", "text", w = 15)),
 
+    // the CUT step (Lee et al. keep-first policy): canonical occurrence
+    // of each duplicated window survives, every other occurrence is cut;
+    // docs fully covered by cuts stay as empty rows. Deterministic →
+    // full oracle.
+    "llm_dup_cut" -> ((s, dir) =>
+      Dedup.dupSpanCut(plantedCorpus(s, dir).repartition(Tables.fanout(s)),
+        "doc_id", "text", w = 15)),
+
     // BM25 topical relevance against a fixed seed-keyword set (corpus
     // filtering/weighting). Lucene-flavored non-negative idf; scores
     // rounded post-sum for the hash compare.
@@ -457,6 +465,47 @@ object QueriesLlm {
          SELECT doc_id, min(pos) AS span_start, max(e) + 1 AS span_end,
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, g""",
+    "llm_dup_cut" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
+           FROM documents),
+         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
+         eligible AS (SELECT doc_id, t FROM tok WHERE len(t) >= 15),
+         win AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+15], ' ') AS w
+                 FROM eligible, UNNEST(generate_series(0, len(t) - 15)) AS u(i)),
+         cnt AS (SELECT doc_id, pos, w, count(*) OVER (PARTITION BY w) AS c FROM win),
+         dup AS (SELECT doc_id, pos, w FROM cnt WHERE c >= 2),
+         canon AS (SELECT w, min(doc_id) AS md FROM dup GROUP BY w),
+         canon2 AS (SELECT d.w, c.md, min(d.pos) AS mp FROM dup d
+                    JOIN canon c ON d.w = c.w AND d.doc_id = c.md GROUP BY d.w, c.md),
+         cut AS (SELECT d.doc_id, d.pos, d.pos + 14 AS e FROM dup d
+                 JOIN canon2 c ON d.w = c.w
+                 WHERE NOT (d.doc_id = c.md AND d.pos = c.mp)),
+         m AS (SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM cut),
+         fl AS (SELECT doc_id, pos, e,
+                 CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END AS brk FROM m),
+         isl AS (SELECT doc_id, pos, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl),
+         spans AS (SELECT doc_id, min(pos) AS s, max(e) AS me FROM isl GROUP BY doc_id, g),
+         cutpos AS (SELECT doc_id, unnest(generate_series(s, me)) AS pos FROM spans),
+         postok AS (SELECT doc_id, len(t) AS n, i AS pos, t[i+1] AS tk
+                    FROM tok, UNNEST(generate_series(0, len(t) - 1)) AS u(i)
+                    WHERE len(t) > 0),
+         surv AS (SELECT p.doc_id, p.pos, p.tk, p.n FROM postok p
+                  LEFT JOIN cutpos c ON c.doc_id = p.doc_id AND c.pos = p.pos
+                  WHERE c.pos IS NULL),
+         cleaned AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+                       max(n) - count(*) AS n_cut FROM surv GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+           CAST(coalesce(c.n_cut, len(t.t)) AS BIGINT) AS n_cut
+         FROM tok t LEFT JOIN cleaned c USING (doc_id)""",
     "llm_bm25" ->
       s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
          stats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM tok),

@@ -366,23 +366,84 @@ object Dedup {
                w: Int = 15): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
       .filter(size(col("_t")) >= w)
-    val win = base.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), size(col("_t")) - w),
-        i => md5(array_join(slice(col("_t"), i + 1, lit(w)), " ").cast(BinaryType))))
-        .as(Seq("pos", "h")))
-    val dupOcc = win
-      .withColumn("_c", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("_c") >= 2)
-      .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e"))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val pmax = max(col("_e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    dupOcc
-      .withColumn("_brk", when(pmax.isNull || col("pos") > pmax + 1, 1).otherwise(0))
-      .withColumn("_isl", sum(col("_brk")).over(byDoc))
+    mergeIslands(dupOccurrences(base, w)
+        .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e")))
       .groupBy(col("doc_id"), col("_isl"))
       .agg(min("pos").cast(LongType).as("span_start"),
         (max("_e") + 1).cast(LongType).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** (doc_id, pos, h, _c): every W-token window occurrence whose window
+    * occurs ≥2× corpus-wide. One hash-partitioned Window count on the
+    * 16-byte digest. */
+  private def dupOccurrences(base: DataFrame, w: Int): DataFrame =
+    base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("_t")) - w),
+          i => md5(array_join(slice(col("_t"), i + 1, lit(w)), " ").cast(BinaryType))))
+          .as(Seq("pos", "h")))
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_c") >= 2)
+
+  /** Gaps-and-islands: merge overlapping/adjacent [pos, _e] token
+    * intervals per doc into `_isl`-numbered maximal islands. */
+  private def mergeIslands(occ: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val pmax = max(col("_e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    occ
+      .withColumn("_brk", when(pmax.isNull || col("pos") > pmax + 1, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(byDoc))
+  }
+
+  /** The CUT step of substring-level dedup (Lee et al. 2021 keep-first
+    * policy): every duplicated W-token window keeps its canonical
+    * occurrence — the corpus-wide min (doc_id, pos) for that window —
+    * and every OTHER occurrence is cut from its document. Non-canonical
+    * windows merge per doc into maximal cut spans; the covered token
+    * positions are removed and the survivor tokens re-joined.
+    *
+    * Shape: dupSpans' window/count stages, plus a min_by per window
+    * digest (same hash-partitioned Window pass), then cut-coverage as
+    * explode(positions) → LEFT ANTI join against the token stream —
+    * all shuffle-keyed on (doc, pos), no per-row interval scans, no
+    * collects. Docs without cuts (including docs shorter than W) pass
+    * through unchanged.
+    *
+    * @return (doc_id, clean_text, n_cut) — normalized-token text with
+    *         cut spans removed; n_cut = tokens removed
+    */
+  def dupSpanCut(df: DataFrame, idCol: String, textCol: String,
+                 w: Int = 15): DataFrame = {
+    val all = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+    val base = all.filter(size(col("_t")) >= w)
+    // canonical occurrence per window digest = min (doc_id, pos); every
+    // other occurrence is a cut window
+    val perWin = Window.partitionBy("h")
+    val occ = dupOccurrences(base, w)
+      .withColumn("_minDoc", min("doc_id").over(perWin))
+      .withColumn("_minPos", min(when(col("doc_id") === col("_minDoc"), col("pos")))
+        .over(perWin))
+    val cut = occ
+      .filter(col("doc_id") =!= col("_minDoc") || col("pos") =!= col("_minPos"))
+      .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e"))
+    val cutPos = mergeIslands(cut)
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min("pos").as("_s"), max("_e").as("_me"))
+      .select(col("doc_id"), explode(sequence(col("_s"), col("_me"))).as("pos"))
+    val posTok = all.select(col("doc_id"), size(col("_t")).as("_n"),
+      posexplode(col("_t")).as(Seq("pos", "tok")))
+    val cleaned = posTok.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        (first(col("_n")) - count(lit(1))).cast(LongType).as("n_cut"))
+    // fully-cut docs (and empty docs) have no surviving tokens — keep
+    // them with empty clean_text rather than dropping the row
+    all.select(col("doc_id"), size(col("_t")).cast(LongType).as("_n0"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_cut"), col("_n0")).as("n_cut"))
   }
 }

@@ -769,6 +769,24 @@ class MlSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 4L), (1L, 9L, 13L), (2L, 0L, 4L)), got.toString)
   }
 
+  test("dupSpanCut: keep-first policy — canonical occurrence survives, copies are cut") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 tail1 tail2"), // canonical carrier of a1..a5
+      (2L, "a1 a2 a3 a4 a5"),             // full duplicate → fully cut
+      (3L, "x y"),                        // shorter than w → passthrough
+      // intra-doc repeat: first occurrence of b1..b4 kept, second cut
+      (4L, "b1 b2 b3 b4 z1 z2 z3 b1 b2 b3 b4")
+    ).toDF("doc_id", "text")
+    val got = graft.ml.Dedup.dupSpanCut(corpus, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("a1 a2 a3 a4 a5 tail1 tail2", 0L)), "canonical doc untouched")
+    assert(got(2L) == (("", 5L)), "full duplicate fully cut, row kept")
+    assert(got(3L) == (("x y", 0L)), "short doc passes through")
+    assert(got(4L) == (("b1 b2 b3 b4 z1 z2 z3", 4L)), "intra-doc second occurrence cut")
+    assert(got.size == 4)
+  }
+
   test("bm25 matches a hand-computed score") {
     import spark.implicits._
     // 3 docs, query = {x}: df(x)=2, N=3, avgdl = (3+2+4)/3
