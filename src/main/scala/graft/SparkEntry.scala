@@ -119,6 +119,6 @@ object SparkEntry {
     "llm_dedup_resolve",
     // round 11 late: substring-level span dedup (every-offset windowing —
     // the corpus's heaviest explode; times generator + two window-function
-    // shuffles)
-    "llm_dup_spans")
+    // shuffles) and its CUT step (canonical selection + anti-join rebuild)
+    "llm_dup_spans", "llm_dup_cut")
 }
