@@ -2777,6 +2777,7 @@ object QueriesProc {
       s.sparkContext.parallelize(0 until nCons, nCons).foreachPartition { _ =>
         val cons = new graft.conn.Pulsar.Consumer(addr, "events", "graft-sub")
         val sb = new StringBuilder
+        val b64 = java.util.Base64.getEncoder
         try {
           // sliding permit window: grant 500 up front, top up every 250
           // consumed so the shared pool never stalls waiting on credit
@@ -2785,12 +2786,21 @@ object QueriesProc {
           var done = false
           while (!done) cons.receive(10000) match {
             case Some(m) =>
+              // key is a numeric string; payload is base64'd so spool
+              // lines survive ANY payload bytes (tabs/quotes/newlines/
+              // empty) — a raw-TSV spool read back through the CSV
+              // parser would silently corrupt those
               sb.append(m.partitionKey).append('\t')
-                .append(new String(m.payload, "UTF-8")).append('\n')
+                .append(b64.encodeToString(m.payload)).append('\n')
               cons.ack(m.entryId)
               sinceFlow += 1
               if (sinceFlow >= 250) { cons.flow(250); sinceFlow = 0 }
-            case None => done = true
+            case None =>
+              // receive returns None for BOTH the protocol's end signal
+              // and a socket timeout; only the former ends the drain —
+              // a stall must fail loudly, not truncate silently
+              if (cons.endOfTopic) done = true
+              else sys.error("pulsar drain: receive timed out before REACHED_END_OF_TOPIC")
           }
         } finally cons.close()
         if (sb.nonEmpty) {
@@ -2801,8 +2811,9 @@ object QueriesProc {
         }
       }
       srv.stop()
-      val out = s.read.option("sep", "\t")
-        .schema("event_id LONG, event_type STRING").csv(spool)
+      val out = s.read.text(spool).select(
+        substring_index(col("value"), "\t", 1).cast(LongType).as("event_id"),
+        decode(unbase64(substring_index(col("value"), "\t", -1)), "UTF-8").as("event_type"))
       val total = out.count()
       require(total == expected, s"pulsar drain lost messages: $total/$expected")
       out
@@ -3427,13 +3438,21 @@ object QueriesProc {
       // (traceId, spanId) — ids are deterministic per partition, so a
       // retried task's re-sent spans collapse instead of double-counting.
       def uniq = agent.spans.distinctBy(p => (p._2.traceId, p._2.spanId))
-      val deadline = System.currentTimeMillis() + 10000
+      val rootsDeadline = System.currentTimeMillis() + 10000
       val wantRoots = emitting.value
-      while (System.currentTimeMillis() < deadline &&
-             uniq.count(_._2.name == "partition") < wantRoots)
+      while (uniq.count(_._2.name == "partition") < wantRoots) {
+        // fail loudly: proceeding without every root would silently
+        // truncate the result (missing batches pass the linkage forall)
+        require(System.currentTimeMillis() < rootsDeadline,
+          s"jaeger read-back: ${uniq.count(_._2.name == "partition")}/$wantRoots roots in 10s")
         Thread.sleep(50)
+      }
+      // the stability window has its OWN budget — sharing the roots
+      // deadline would leave a zero-length window when roots arrive
+      // late, dropping in-flight child datagrams
+      val stabDeadline = System.currentTimeMillis() + 3000
       var last = -1
-      while (System.currentTimeMillis() < deadline &&
+      while (System.currentTimeMillis() < stabDeadline &&
              { val n = agent.spans.size; val grew = n != last; last = n; grew })
         Thread.sleep(50)
       val spans = uniq

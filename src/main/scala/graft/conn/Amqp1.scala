@@ -247,11 +247,15 @@ object Amqp1 {
       val outLock = new Object // serve thread + dispatcher both write frames
       // per-link state on this connection (shared with the dispatcher
       // thread — guarded by qLock)
-      val sendTargets = mutable.Map[Long, String]()  // sender-role peer links: handle -> queue
-      val recvSources = mutable.Map[Long, String]()  // receiver-role peer links
-      val linkCredit = mutable.Map[Long, Long]()     // handle -> REMAINING credit
-      val linkChannel = mutable.Map[Long, Int]()     // handle -> session channel
-      val outstanding = mutable.Map[Long, (Long, QMsg)]() // deliveryId -> (handle, unsettled delivery)
+      // links are keyed by (channel, handle): AMQP 1.0 scopes handles
+      // PER SESSION (§2.6.2), so the same handle may name different
+      // links on different channels of one connection — handle-only
+      // keys would let a sender attach clobber a receiver link
+      type LinkKey = (Int, Long)
+      val sendTargets = mutable.Map[LinkKey, String]()  // sender-role peer links -> queue
+      val recvSources = mutable.Map[LinkKey, String]()  // receiver-role peer links
+      val linkCredit = mutable.Map[LinkKey, Long]()     // REMAINING credit
+      val outstanding = mutable.Map[Long, (LinkKey, QMsg)]() // deliveryId -> (link, unsettled delivery)
       var deliveryId = 0L
       @volatile var closed = false
 
@@ -266,30 +270,30 @@ object Amqp1 {
       val dispatcher = new Thread(() => {
         try while (!closed) {
           val task = qLock.synchronized {
-            var found: Option[(Long, QMsg)] = None
+            var found: Option[(LinkKey, QMsg)] = None
             while (found.isEmpty && !closed) {
               // flatMap, NOT collectFirst: collectFirst commits to the
               // first link with credit even when that link's queue is
               // momentarily empty (Some(None).flatten == None), starving
               // every other link on the connection
-              found = linkCredit.iterator.flatMap { case (h, c) =>
-                if (c > 0 && recvSources.contains(h))
-                  queues.get(recvSources(h))
-                    .flatMap(_.find(m => !m.settled && !m.acquired)).map(m => (h, m))
+              found = linkCredit.iterator.flatMap { case (k, c) =>
+                if (c > 0 && recvSources.contains(k))
+                  queues.get(recvSources(k))
+                    .flatMap(_.find(m => !m.settled && !m.acquired)).map(m => (k, m))
                 else None
               }.nextOption()
               if (found.isEmpty) qLock.wait(200)
             }
-            found.foreach { case (h, m) =>
+            found.foreach { case (k, m) =>
               m.acquired = true
               m.deliveries += 1
-              linkCredit(h) -= 1
+              linkCredit(k) -= 1
               deliveryId += 1
-              outstanding(deliveryId) = (h, m)
+              outstanding(deliveryId) = (k, m)
             }
-            found.map { case (h, m) => (h, m, deliveryId, linkChannel.getOrElse(h, 0)) }
+            found.map { case (k, m) => (k, m, deliveryId) }
           }
-          task.foreach { case (h, m, did, ch) =>
+          task.foreach { case ((ch, h), m, did) =>
             outLock.synchronized {
               writeFrame(out, ch, VDescribed(VULong(Code.Transfer),
                 VList(Vector(VUInt(h), VUInt(did),
@@ -329,14 +333,11 @@ object Amqp1 {
                 case _ => ""
               }
               qLock.synchronized {
-                // record the owning channel for BOTH roles so End on the
-                // session tears down sender links too (else transfers on a
-                // handle from an ended session would still be accepted)
-                linkChannel(handle) = f.channel
+                val k = (f.channel, handle)
                 if (roleReceiverAtPeer) {
-                  recvSources(handle) = address(fieldAt(fs, 5))
-                  queue(recvSources(handle)) // ensure the queue exists
-                } else sendTargets(handle) = address(fieldAt(fs, 6))
+                  recvSources(k) = address(fieldAt(fs, 5))
+                  queue(recvSources(k)) // ensure the queue exists
+                } else sendTargets(k) = address(fieldAt(fs, 6))
               }
               outLock.synchronized {
                 writeFrame(out, f.channel, VDescribed(VULong(Code.Attach),
@@ -350,7 +351,7 @@ object Amqp1 {
             case Code.Transfer =>
               val fs = fields(f.performative)
               val handle = fs(0) match { case VUInt(h) => h; case VULong(h) => h; case _ => 0L }
-              sendTargets.get(handle).foreach { q =>
+              sendTargets.get((f.channel, handle)).foreach { q =>
                 qLock.synchronized { queue(q) += new QMsg(messageBody(f.payload)); qLock.notifyAll() }
               }
             case Code.Flow =>
@@ -362,9 +363,9 @@ object Amqp1 {
               val handle = fs(4) match { case VUInt(h) => h; case VULong(h) => h; case _ => -1L }
               val credit = fs(6) match { case VUInt(c) => c; case VULong(c) => c; case _ => 0L }
               qLock.synchronized {
-                if (recvSources.contains(handle)) {
-                  linkCredit(handle) = credit
-                  linkChannel(handle) = f.channel
+                val k = (f.channel, handle)
+                if (recvSources.contains(k)) {
+                  linkCredit(k) = credit
                   qLock.notifyAll()
                 }
               }
@@ -391,14 +392,14 @@ object Amqp1 {
               // on the connection keep their credit and keep flowing
               val dfs = fields(f.performative)
               val dHandle = dfs(0) match { case VUInt(h) => h; case VULong(h) => h; case _ => 0L }
+              val dKey = (f.channel, dHandle)
               qLock.synchronized {
-                outstanding.filterInPlace { case (_, (h, m)) =>
-                  if (h == dHandle) { m.acquired = false; false } else true
+                outstanding.filterInPlace { case (_, (k, m)) =>
+                  if (k == dKey) { m.acquired = false; false } else true
                 }
-                linkCredit.remove(dHandle)
-                recvSources.remove(dHandle)
-                linkChannel.remove(dHandle)
-                sendTargets.remove(dHandle)
+                linkCredit.remove(dKey)
+                recvSources.remove(dKey)
+                sendTargets.remove(dKey)
                 qLock.notifyAll()
               }
               outLock.synchronized(writeFrame(out, f.channel, f.performative))
@@ -406,13 +407,13 @@ object Amqp1 {
               // session teardown: every link on THIS channel dies; links
               // on other sessions of the connection are untouched
               qLock.synchronized {
-                val dead = linkChannel.collect { case (h, ch) if ch == f.channel => h }.toSet
-                outstanding.filterInPlace { case (_, (h, m)) =>
-                  if (dead(h)) { m.acquired = false; false } else true
+                val dead = (linkCredit.keySet ++ recvSources.keySet ++ sendTargets.keySet)
+                  .filter(_._1 == f.channel).toSet
+                outstanding.filterInPlace { case (_, (k, m)) =>
+                  if (dead(k)) { m.acquired = false; false } else true
                 }
-                dead.foreach { h =>
-                  linkCredit.remove(h); recvSources.remove(h)
-                  linkChannel.remove(h); sendTargets.remove(h)
+                dead.foreach { k =>
+                  linkCredit.remove(k); recvSources.remove(k); sendTargets.remove(k)
                 }
                 qLock.notifyAll()
               }

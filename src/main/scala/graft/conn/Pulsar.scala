@@ -208,7 +208,11 @@ object Pulsar {
           m.meta, m.payload))
         touched += out
       }
-      touched.foreach(o => o.synchronized(o.flush()))
+      // per-connection isolation: one dead consumer socket must not
+      // strand the other consumers' buffered deliveries or skip the
+      // end-of-topic notifications below
+      touched.foreach(o => try o.synchronized(o.flush())
+        catch { case _: java.io.IOException => () })
       // terminated topic, backlog fully dispatched: notify every attached
       // consumer (REACHED_END_OF_TOPIC, PulsarApi.proto) — written after
       // the deliveries above, so each consumer sees its messages first
@@ -428,12 +432,18 @@ object Pulsar {
       finally sock.setSoTimeout(0)
     }
 
+    /** Buffered: acks ride the BufferedOutputStream and reach the wire
+      * on the next flow()'s flush (every permit top-up) or on close() —
+      * a flush per ack would put one syscall back in the drain's inner
+      * loop, the exact cost the pump's batched flushes removed. */
     def ack(entryId: Long): Unit = synchronized {
       out.write(simpleFrame(Json.obj("type" -> T.Ack.toLong,
         "ack" -> Json.obj("consumerId" -> consumerId, "ackType" -> 0L,
           "messageId" -> Vector[Any](Json.obj("ledgerId" -> 0L, "entryId" -> entryId))))))
-      out.flush()
     }
-    override def close(): Unit = sock.close()
+    override def close(): Unit = {
+      try synchronized(out.flush()) catch { case _: java.io.IOException => () }
+      sock.close()
+    }
   }
 }

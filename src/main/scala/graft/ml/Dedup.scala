@@ -309,17 +309,21 @@ object Dedup {
       .localCheckpoint(false) // computed once, re-joined every round
     var labels = nodes.select(col("node"), col("node").as("label"))
     var prev = labels
-    // Fixed round count, NO per-round driver actions: each round is a
+    // Batched round count, NO per-round driver actions: each round is a
     // LAZY localCheckpoint (truncates lineage so plans stay flat — the
     // hop self-join would otherwise double plan size per round), and the
-    // whole cascade materializes inside the single fixpoint-check job
-    // below. Per-round convergence counts would cost one scheduled job
-    // per round — at small per-round data the job overhead, not the
-    // shuffle, dominates. Doubling reach after r rounds is 2^(r-1) and
-    // the LAST round must be a no-op for the fixpoint check, so the
-    // default covers component diameter 2^(rounds-2) = 16; post-fixpoint
-    // rounds are cheap shuffles over already-stable labels.
-    for (i <- 1 to rounds) {
+    // whole cascade materializes inside the fixpoint-check job below.
+    // Per-round convergence counts would cost one scheduled job per
+    // round — at small per-round data the job overhead, not the shuffle,
+    // dominates. Doubling reach after r rounds is 2^(r-1) and the LAST
+    // round must be a no-op for the fixpoint check, so the first batch
+    // covers component diameter 2^(rounds-2) = 16. If the graph hasn't
+    // converged (a longer chain in the data — a DATA SHAPE, not a bug),
+    // escalate 3 rounds per re-check (reach ×8 each batch): the common
+    // case still pays exactly one check, and there is no diameter cliff.
+    var i = 0
+    def runRound(): Unit = {
+      i += 1
       val viaEdge = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), labels("label"))
       val base = labels.unionByName(viaEdge)
@@ -332,12 +336,17 @@ object Dedup {
       labels = withHop.groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(false)
     }
-    // one post-hoc fixpoint check: the final round must be a no-op —
-    // an unconverged graph (diameter > 2^rounds) fails loudly
-    val changed = labels.withColumnRenamed("label", "_l2")
+    def changed(): Long = labels.withColumnRenamed("label", "_l2")
       .join(prev, "node").filter(col("_l2") =!= col("label"))
       .limit(1).count()
-    require(changed == 0, s"connectedComponents not converged after $rounds rounds")
+    (1 to rounds).foreach(_ => runRound())
+    val maxRounds = 40 // reach 2^39 — beyond any real component diameter
+    var ch = changed()
+    while (ch > 0 && i < maxRounds) {
+      (1 to math.min(3, maxRounds - i)).foreach(_ => runRound())
+      ch = changed()
+    }
+    require(ch == 0, s"connectedComponents not converged after $i rounds")
     labels
   }
 

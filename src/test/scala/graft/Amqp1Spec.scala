@@ -175,6 +175,51 @@ class Amqp1Spec extends AnyFunSuite {
     }
   }
 
+  test("same handle on two channels names two links: sender attach must not clobber the receiver") {
+    withBroker { (srv, addr) =>
+      val Array(host, portS) = addr.split(":")
+      val sock = new java.net.Socket(host, portS.toInt)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        out.write(Array[Byte]('A', 'M', 'Q', 'P', 0, 1, 0, 0)); out.flush()
+        val hdr = new Array[Byte](8); in.readFully(hdr)
+        // receiver-role attach (role=true: peer receives), handle 0 on
+        // channel 0, source queue qcc
+        Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.Attach), VList(Vector(
+          VStr("rcv"), VUInt(0), VBool(true), VNull, VNull,
+          VDescribed(VULong(0x28), VList(Vector(VStr("qcc")))),
+          VDescribed(VULong(0x29), VList(Vector(VStr(""))))))))
+        Amqp1.readAmqpFrame(in) // attach echo
+        // sender-role attach with the SAME handle 0 on channel 1 —
+        // AMQP handles are per-session, so this is a DIFFERENT link
+        Amqp1.writeFrame(out, 1, VDescribed(VULong(Code.Attach), VList(Vector(
+          VStr("snd"), VUInt(0), VBool(false), VNull, VNull,
+          VDescribed(VULong(0x28), VList(Vector(VStr("")))),
+          VDescribed(VULong(0x29), VList(Vector(VStr("qcc"))))))))
+        Amqp1.readAmqpFrame(in) // attach echo
+        Amqp1.readAmqpFrame(in) // credit flow for the sender link
+        // publish via the channel-1 sender link
+        Amqp1.writeFrame(out, 1, VDescribed(VULong(Code.Transfer), VList(Vector(
+          VUInt(0), VUInt(1), VBin(Array[Byte](0, 0, 0, 1)), VUInt(0), VBool(true)))),
+          Amqp1.messagePayload(b("cc-msg")))
+        val deadline = System.currentTimeMillis() + 3000
+        while (srv.depth("qcc") < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(srv.depth("qcc") == 1, "transfer on the channel-1 sender link accepted")
+        // grant credit on the channel-0 receiver link: the delivery must
+        // arrive as a transfer framed on CHANNEL 0 (the receiver's
+        // session), proving the sender attach didn't steal the handle
+        Amqp1.writeFrame(out, 0, VDescribed(VULong(Code.Flow), VList(Vector(
+          VNull, VUInt(65535), VUInt(0), VUInt(65535), VUInt(0), VUInt(0), VUInt(10)))))
+        val f = Amqp1.readAmqpFrame(in)
+        assert(f.performative.descriptor == VULong(Code.Transfer), "delivery arrives")
+        assert(f.channel == 0, s"delivery framed on the receiver's channel, got ${f.channel}")
+      } finally sock.close()
+    }
+  }
+
   test("released disposition redelivers with delivery-count bumped (service-bus abandon)") {
     withBroker { (srv, addr) =>
       val snd = new Sender(addr, "sbq")

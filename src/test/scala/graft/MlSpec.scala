@@ -734,6 +734,17 @@ class MlSpec extends SparkSpec {
     assert(got.size == 12)
   }
 
+  test("connectedComponents: escalation converges a chain longer than the first batch's reach") {
+    import spark.implicits._
+    // rounds=3: first batch reaches diameter 2 (last round is the no-op);
+    // a diameter-7 chain forces the 3-round escalation path
+    val edges = (1L to 7L).map(n => (n, n + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 8L).toDF("node")
+    val got = graft.ml.Dedup.connectedComponents(nodes, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(n => assert(got(n) == 1L, s"chain node $n"))
+  }
+
   test("dupSpans: merges overlapping windows to maximal spans; unique text and short docs excluded") {
     import spark.implicits._
     // 12-token duplicated prefix shared by docs 1 and 2 (w=4 → windows at
