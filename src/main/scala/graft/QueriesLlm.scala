@@ -136,6 +136,34 @@ object QueriesLlm {
         .orderBy(col("freq").desc, col("bigram"))
         .limit(100)),
 
+    // END-TO-END corpus selection — the composition a training pipeline
+    // actually ships, as ONE declarative plan: canonical-copy exact
+    // dedup (digest window) + strict quality bar (all four bands — the
+    // C4-flavor keep rule) + token-length band +
+    // eval-set decontamination (broadcast-gram anti-join). Every
+    // component is individually gated; this row gates the composition.
+    // The shared corpus is NOT pre-repartitioned (the main pipeline's
+    // first exchange is the digest window); decontaminate adds its own
+    // fanout ahead of its per-row shingle stage.
+    "llm_corpus_select" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+      val evalSet = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(substring_index(col("text"), " ", 20).as("text"))
+      val contaminated = Dedup.decontaminate(
+          corpus.repartition(Tables.fanout(s)), evalSet, "doc_id", "text", n = 5)
+        .select("doc_id")
+      val w = Window.partitionBy("_d")
+      corpus
+        .withColumn("_d", md5(col("text").cast(BinaryType)))
+        .withColumn("_canon", min("doc_id").over(w))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("doc_id") === col("_canon") && col("quality") >= 1.0 &&
+          col("n_tokens").between(20, 1000))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    }),
+
     // exact n-gram Jaccard between consecutive docs (verification primitive)
     "llm_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -525,6 +553,39 @@ object QueriesLlm {
                     i -> concat_ws(' ', t[i+1], t[i+2])) END) AS bigram FROM tok)
          SELECT bigram, count(*) AS freq FROM bg GROUP BY bigram
          ORDER BY freq DESC, bigram LIMIT 100""",
+    "llm_corpus_select" -> {
+      val gram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
+             ELSE list_transform(generate_series(0, len($oTok) - 5),
+               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3], ($oTok)[i+4], ($oTok)[i+5])) END"""
+      val nTok = """CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END"""
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
+           FROM documents),
+         q AS (SELECT doc_id, text,
+             ((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) < 0.2 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN ($nTok) = 0 THEN 0.0 ELSE (length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / ($nTok)) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)) AS quality,
+             ($nTok) AS n_tokens,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+           FROM corpus),
+         ev AS (
+           SELECT CASE WHEN len(string_split(text, ' ')) <= 20 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:20], ' ') END AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         evg AS (SELECT DISTINCT unnest($gram5) AS g FROM ev),
+         tr AS (SELECT doc_id, unnest(list_distinct($gram5)) AS g FROM corpus),
+         cont AS (SELECT DISTINCT tr.doc_id FROM tr JOIN evg ON tr.g = evg.g)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+         FROM q
+         WHERE doc_id = canon AND quality >= 1.0 AND n_tokens BETWEEN 20 AND 1000
+           AND doc_id NOT IN (SELECT doc_id FROM cont)"""
+    },
     "llm_ngram_jaccard" ->
       s"""WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]

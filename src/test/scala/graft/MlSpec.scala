@@ -798,6 +798,27 @@ class MlSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("llm_corpus_select: every selection clause is non-vacuous at the gate SF") {
+    import spark.implicits._
+    val corpus = QueriesLlm.plantedCorpus(spark, sf)
+    val total = corpus.count()
+    val selected = QueriesLlm.queries("llm_corpus_select")(spark, sf).count()
+    assert(selected > 0 && selected < total, s"selection is a real filter: $selected/$total")
+    // each clause individually excludes at least one doc — a vacuous
+    // clause would make the composition gate weaker than it claims
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      .select(substring_index(col("text"), " ", 20).as("text"))
+    val nContaminated = Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 5).count()
+    assert(nContaminated > 0, "decontamination clause active")
+    val nDupes = corpus.groupBy(md5(col("text").cast("binary"))).count()
+      .filter(col("count") > 1).count()
+    assert(nDupes > 0, "exact-dedup clause active")
+    val nShort = corpus.filter(TextAnalysis.tokenCount(col("text")) < 20).count()
+    assert(nShort > 0, "token-band clause active")
+    val nLowQ = corpus.filter(TextAnalysis.qualityScore(col("text")) < 1.0).count()
+    assert(nLowQ > 0, "quality clause active")
+  }
+
   test("bm25 matches a hand-computed score") {
     import spark.implicits._
     // 3 docs, query = {x}: df(x)=2, N=3, avgdl = (3+2+4)/3
