@@ -34,6 +34,31 @@ object QueriesLlm {
     docs.unionByName(mutated)
   }
 
+  private val docsSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** plantedCorpus written as TWO doc_id-ordered parquet files (originals,
+    * then twins) for file-stream gates — the ordering is what makes
+    * streaming keep-first-per-digest equal batch min-per-digest. */
+  private[graft] def docsSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    docsSplitCache.computeIfAbsent(dir, { _ =>
+      val corpus = plantedCorpus(s, dir)
+      val d = java.nio.file.Files.createTempDirectory("scs_in")
+      def writeOne(part: DataFrame, name: String, modTime: Long): Unit = {
+        val staging = java.nio.file.Files.createTempDirectory("scs_stage")
+        part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val f = new java.io.File(staging.toString).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no parquet part written"))
+        val dest = d.resolve(name).toFile
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(modTime) // file source orders by modTime
+      }
+      writeOne(corpus.filter(col("doc_id") < 100000L), "0_docs.parquet", 1000000000L)
+      writeOne(corpus.filter(col("doc_id") >= 100000L), "1_docs.parquet", 2000000000L)
+      d
+    })
+
   val queries: Map[String, Q] = Map(
 
     // token counting: whitespace + BPE-ish regex subwords
@@ -162,6 +187,60 @@ object QueriesLlm {
           col("n_tokens").between(20, 1000))
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_tokens", "quality")
+    }),
+
+    // STREAMING twin of llm_corpus_select: the same selection over a
+    // micro-batched corpus. Canonical-copy dedup is cross-batch keyed
+    // state — flatMapGroupsWithState on the content digest emits the
+    // batch-min doc the FIRST time a digest is seen (dropDuplicates
+    // would keep an ARBITRARY row among same-batch duplicates; the
+    // explicit min makes the survivor deterministic). The splits are
+    // doc_id-ordered, so the first batch containing a digest holds its
+    // global min and streaming keep-first equals the batch oracle's
+    // min-per-digest. Quality/token filters are stateless; the
+    // decontamination set is a batch-side static joined stream-static.
+    "stream_corpus_select" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val inDir = docsSplitDir(s, dir)
+      val schema = s.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+      val evalSet = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(substring_index(col("text"), " ", 20).as("text"))
+      val contaminated = Dedup.decontaminate(
+          plantedCorpus(s, dir).repartition(Tables.fanout(s)), evalSet, "doc_id", "text", n = 5)
+        .select(col("doc_id"), lit(1).as("_c"))
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .toDF("_1", "_2", "_3", "_4").as[(Long, String, Long, Double)]
+      val canonical = stream.groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (_: String, rows: Iterator[(Long, String, Long, Double)],
+           state: GroupState[Boolean]) =>
+            if (state.exists) Iterator.empty
+            else { state.update(true); Iterator(rows.minBy(_._1)) })
+        .toDF("doc_id", "_d", "n_tokens", "quality")
+      val selected = canonical
+        .filter(col("quality") >= 1.0 && col("n_tokens").between(20, 1000))
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .filter(col("_c").isNull)
+        .select("doc_id", "n_tokens", "quality")
+      val ckpt = java.nio.file.Files.createTempDirectory("scs_ckpt").toFile
+      ckpt.deleteOnExit()
+      // state exchange sized to state volume (stream_win_tumbling note)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try selected.writeStream.format("memory")
+        .queryName("stream_corpus_select_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      s.table("stream_corpus_select_sink")
     }),
 
     // exact n-gram Jaccard between consecutive docs (verification primitive)
@@ -400,7 +479,7 @@ object QueriesLlm {
   // lower → split on non-(letter|digit) → drop empties.
   private val oTok = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "llm_token_stats" ->
       s"""SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
@@ -740,4 +819,10 @@ object QueriesLlm {
          FROM f"""
     }
   )
+
+  /** The streaming twin is DESIGNED to produce the identical result
+    * (doc_id-ordered splits make keep-first == min-per-digest), so it
+    * shares the batch oracle verbatim. */
+  val oracle: Map[String, String] =
+    oracleBase.updated("stream_corpus_select", oracleBase("llm_corpus_select"))
 }

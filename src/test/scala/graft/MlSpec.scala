@@ -819,6 +819,19 @@ class MlSpec extends SparkSpec {
     assert(nLowQ > 0, "quality clause active")
   }
 
+  test("stream_corpus_select equals the batch selection exactly (cross-batch keyed state)") {
+    def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("")).toVector.sorted
+    }
+    val batch = canon(QueriesLlm.queries("llm_corpus_select")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_corpus_select")(spark, sf))
+    assert(batch.nonEmpty, "selection keeps rows at the spec SF")
+    assert(stream == batch,
+      s"streaming twin diverges: batch ${batch.size} rows, stream ${stream.size}")
+  }
+
   test("bm25 matches a hand-computed score") {
     import spark.implicits._
     // 3 docs, query = {x}: df(x)=2, N=3, avgdl = (3+2+4)/3
