@@ -33,6 +33,26 @@ object QueriesCore {
   private val streamSplitInputs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Write each (df, name) as ONE parquet file in a fresh dir with
+    * strictly increasing modTimes — the file source orders by modTime,
+    * so the Seq order IS the micro-batch order. The single shared copy
+    * of this fragile ordering logic (used by every file-stream gate). */
+  private[graft] def writeSplitDir(prefix: String,
+                                   parts: Seq[(DataFrame, String)]): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    parts.zipWithIndex.foreach { case ((part, name), i) =>
+      val staging = java.nio.file.Files.createTempDirectory(s"${prefix}_stage")
+      part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val f = new java.io.File(staging.toString).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("no parquet part written"))
+      val dest = d.resolve(name).toFile
+      java.nio.file.Files.move(f.toPath, dest.toPath)
+      dest.setLastModified((i + 1) * 1000000000L) // file source orders by modTime
+    }
+    d
+  }
+
   private[graft] def timeSplitEventsDir(s: SparkSession, dir: String): java.nio.file.Path =
     streamSplitInputs.computeIfAbsent(dir, { _ =>
       import org.apache.spark.sql.Row
@@ -40,22 +60,10 @@ object QueriesCore {
         .select(col("ts"), col("event_id"), col("event_type"), col("value"))
       val Row(tmin: java.sql.Timestamp, tmax: java.sql.Timestamp) =
         ev.agg(min("ts"), max("ts")).head()
-      val splitMs = (tmin.getTime + tmax.getTime) / 2
-      val d = java.nio.file.Files.createTempDirectory("swa_in")
-      def writeOne(part: DataFrame, name: String, modTime: Long): Unit = {
-        val staging = java.nio.file.Files.createTempDirectory("swa_stage")
-        part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-        val f = new java.io.File(staging.toString).listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error("no parquet part written"))
-        val dest = d.resolve(name).toFile
-        java.nio.file.Files.move(f.toPath, dest.toPath)
-        dest.setLastModified(modTime) // file source orders by modTime
-      }
-      val splitTs = new java.sql.Timestamp(splitMs)
-      writeOne(ev.filter(col("ts") < lit(splitTs)), "0_events.parquet", 1000000000L)
-      writeOne(ev.filter(col("ts") >= lit(splitTs)), "1_events.parquet", 2000000000L)
-      d
+      val splitTs = new java.sql.Timestamp((tmin.getTime + tmax.getTime) / 2)
+      writeSplitDir("swa_in", Seq(
+        (ev.filter(col("ts") < lit(splitTs)), "0_events.parquet"),
+        (ev.filter(col("ts") >= lit(splitTs)), "1_events.parquet")))
     })
 
   val queries: Map[String, Q] = Map(

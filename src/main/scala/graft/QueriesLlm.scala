@@ -43,20 +43,9 @@ object QueriesLlm {
   private[graft] def docsSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
     docsSplitCache.computeIfAbsent(dir, { _ =>
       val corpus = plantedCorpus(s, dir)
-      val d = java.nio.file.Files.createTempDirectory("scs_in")
-      def writeOne(part: DataFrame, name: String, modTime: Long): Unit = {
-        val staging = java.nio.file.Files.createTempDirectory("scs_stage")
-        part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-        val f = new java.io.File(staging.toString).listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error("no parquet part written"))
-        val dest = d.resolve(name).toFile
-        java.nio.file.Files.move(f.toPath, dest.toPath)
-        dest.setLastModified(modTime) // file source orders by modTime
-      }
-      writeOne(corpus.filter(col("doc_id") < 100000L), "0_docs.parquet", 1000000000L)
-      writeOne(corpus.filter(col("doc_id") >= 100000L), "1_docs.parquet", 2000000000L)
-      d
+      QueriesCore.writeSplitDir("scs_in", Seq(
+        (corpus.filter(col("doc_id") < 100000L), "0_docs.parquet"),
+        (corpus.filter(col("doc_id") >= 100000L), "1_docs.parquet")))
     })
 
   val queries: Map[String, Q] = Map(
@@ -206,9 +195,14 @@ object QueriesLlm {
       val schema = s.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
       val evalSet = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(substring_index(col("text"), " ", 20).as("text"))
+      // localCheckpoint: the stream-static join re-executes the static
+      // subtree EVERY micro-batch — without this the decontamination
+      // scan+shingle pass (the query's heaviest stage) runs once per
+      // trigger instead of once
       val contaminated = Dedup.decontaminate(
           plantedCorpus(s, dir).repartition(Tables.fanout(s)), evalSet, "doc_id", "text", n = 5)
         .select(col("doc_id"), lit(1).as("_c"))
+        .localCheckpoint(false)
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString)
         .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"),
@@ -479,6 +473,22 @@ object QueriesLlm {
   // lower → split on non-(letter|digit) → drop empties.
   private val oTok = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
 
+  // shared oracle fragments — hoisted so the composed llm_corpus_select
+  // oracle provably checks the SAME rule as the component oracles
+  private val oGram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
+             ELSE list_transform(generate_series(0, len($oTok) - 5),
+               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3], ($oTok)[i+4], ($oTok)[i+5])) END"""
+  private val oEvalPrefix =
+    """SELECT CASE WHEN len(string_split(text, ' ')) <= 20 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:20], ' ') END AS text
+           FROM documents WHERE doc_id % 10 = 0"""
+  private val oNTok = """CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END"""
+  private val oQuality = s"""((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) < 0.2 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN ($oNTok) = 0 THEN 0.0 ELSE (length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / ($oNTok)) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END))"""
+
   private val oracleBase: Map[String, String] = Map(
     "llm_token_stats" ->
       s"""SELECT doc_id,
@@ -497,10 +507,7 @@ object QueriesLlm {
            round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0 THEN 0.0
              ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
                   / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) END, 6) AS mean_word_len,
-           ((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
-            + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) < 0.2 THEN 0.25 ELSE 0.0 END)
-            + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
-            + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)) AS quality
+           $oQuality AS quality
          FROM documents""",
     "llm_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($oTok)), ' ')) AS fp_md5
@@ -632,12 +639,7 @@ object QueriesLlm {
                     i -> concat_ws(' ', t[i+1], t[i+2])) END) AS bigram FROM tok)
          SELECT bigram, count(*) AS freq FROM bg GROUP BY bigram
          ORDER BY freq DESC, bigram LIMIT 100""",
-    "llm_corpus_select" -> {
-      val gram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
-             ELSE list_transform(generate_series(0, len($oTok) - 5),
-               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3], ($oTok)[i+4], ($oTok)[i+5])) END"""
-      val nTok = """CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END"""
+    "llm_corpus_select" ->
       s"""WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
@@ -646,25 +648,18 @@ object QueriesLlm {
                   ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
            FROM documents),
          q AS (SELECT doc_id, text,
-             ((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) < 0.2 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN (CASE WHEN ($nTok) = 0 THEN 0.0 ELSE (length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / ($nTok)) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)) AS quality,
-             ($nTok) AS n_tokens,
+             $oQuality AS quality,
+             ($oNTok) AS n_tokens,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canon
            FROM corpus),
-         ev AS (
-           SELECT CASE WHEN len(string_split(text, ' ')) <= 20 THEN text
-                  ELSE array_to_string(string_split(text, ' ')[1:20], ' ') END AS text
-           FROM documents WHERE doc_id % 10 = 0),
-         evg AS (SELECT DISTINCT unnest($gram5) AS g FROM ev),
-         tr AS (SELECT doc_id, unnest(list_distinct($gram5)) AS g FROM corpus),
+         ev AS ($oEvalPrefix),
+         evg AS (SELECT DISTINCT unnest($oGram5) AS g FROM ev),
+         tr AS (SELECT doc_id, unnest(list_distinct($oGram5)) AS g FROM corpus),
          cont AS (SELECT DISTINCT tr.doc_id FROM tr JOIN evg ON tr.g = evg.g)
          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
          FROM q
          WHERE doc_id = canon AND quality >= 1.0 AND n_tokens BETWEEN 20 AND 1000
-           AND doc_id NOT IN (SELECT doc_id FROM cont)"""
-    },
+           AND doc_id NOT IN (SELECT doc_id FROM cont)""",
     "llm_ngram_jaccard" ->
       s"""WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]
@@ -752,20 +747,13 @@ object QueriesLlm {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT
            < CAST(floor((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                          WHEN 'fr' THEN 1.0 ELSE 0.1 END) * 4294967296.0) AS BIGINT)""",
-    "llm_decontaminate" -> {
-      val gram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
-             ELSE list_transform(generate_series(0, len($oTok) - 5),
-               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3], ($oTok)[i+4], ($oTok)[i+5])) END"""
-      s"""WITH ev AS (
-           SELECT CASE WHEN len(string_split(text, ' ')) <= 20 THEN text
-                  ELSE array_to_string(string_split(text, ' ')[1:20], ' ') END AS text
-           FROM documents WHERE doc_id % 10 = 0),
-         evg AS (SELECT DISTINCT unnest($gram5) AS g FROM ev),
-         tr AS (SELECT doc_id, unnest(list_distinct($gram5)) AS g FROM documents)
+    "llm_decontaminate" ->
+      s"""WITH ev AS ($oEvalPrefix),
+         evg AS (SELECT DISTINCT unnest($oGram5) AS g FROM ev),
+         tr AS (SELECT doc_id, unnest(list_distinct($oGram5)) AS g FROM documents)
          SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
          FROM tr JOIN evg ON tr.g = evg.g
-         GROUP BY tr.doc_id"""
-    },
+         GROUP BY tr.doc_id""",
     "mm_decode_bmp" ->
       """SELECT c_custkey AS media_id, 2::BIGINT AS w, 2::BIGINT AS h,
            round((((c_custkey*37 + 0) % 256)/255.0 + ((c_custkey*37 + 4) % 256)/255.0

@@ -255,8 +255,12 @@ object Amqp1 {
       val sendTargets = mutable.Map[LinkKey, String]()  // sender-role peer links -> queue
       val recvSources = mutable.Map[LinkKey, String]()  // receiver-role peer links
       val linkCredit = mutable.Map[LinkKey, Long]()     // REMAINING credit
-      val outstanding = mutable.Map[Long, (LinkKey, QMsg)]() // deliveryId -> (link, unsettled delivery)
-      var deliveryId = 0L
+      // delivery-ids are SESSION-scoped too (AMQP 1.0 §2.6.10: the
+      // transfer's delivery-id numbers the session's transfer sequence) —
+      // connection-global ids would let a disposition on one channel
+      // settle another channel's deliveries
+      val outstanding = mutable.Map[(Int, Long), (LinkKey, QMsg)]() // (channel, deliveryId)
+      val deliveryIds = mutable.Map[Int, Long]() // channel -> last assigned id
       @volatile var closed = false
 
       // Standing-credit dispatcher (AMQP 1.0 §2.6.7: link-credit granted
@@ -284,14 +288,15 @@ object Amqp1 {
               }.nextOption()
               if (found.isEmpty) qLock.wait(200)
             }
-            found.foreach { case (k, m) =>
+            found.map { case (k, m) =>
               m.acquired = true
               m.deliveries += 1
               linkCredit(k) -= 1
-              deliveryId += 1
-              outstanding(deliveryId) = (k, m)
+              val did = deliveryIds.getOrElse(k._1, 0L) + 1
+              deliveryIds(k._1) = did
+              outstanding((k._1, did)) = (k, m)
+              (k, m, did)
             }
-            found.map { case (k, m) => (k, m, deliveryId) }
           }
           task.foreach { case ((ch, h), m, did) =>
             outLock.synchronized {
@@ -379,8 +384,9 @@ object Amqp1 {
                 case _ => false
               }
               qLock.synchronized {
+                // session-scoped: only THIS channel's deliveries settle
                 (first to last).foreach { id =>
-                  outstanding.remove(id).foreach { case (_, m) =>
+                  outstanding.remove((f.channel, id)).foreach { case (_, m) =>
                     if (accepted) m.settled = true else m.acquired = false
                   }
                 }

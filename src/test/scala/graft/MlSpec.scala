@@ -823,7 +823,7 @@ class MlSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
       val cols = df.columns.sorted.toSeq
       df.select(cols.map(col): _*).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("")).toVector.sorted
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).toVector.sorted
     }
     val batch = canon(QueriesLlm.queries("llm_corpus_select")(spark, sf))
     val stream = canon(QueriesLlm.queries("stream_corpus_select")(spark, sf))
