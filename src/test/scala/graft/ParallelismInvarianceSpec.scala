@@ -24,7 +24,8 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "proc_opensnowcat",    // placement-pinned single-parse plan
     "llm_dedup_resolve",   // iterative CC (round-11): loop must not depend on width
     "llm_dup_cut",         // window-function counts + anti-join rebuild (round-11 late)
-    "stream_dedupe")       // streaming micro-batch state across trigger widths
+    "stream_dedupe",       // streaming micro-batch state across trigger widths
+    "stream_corpus_select") // keyed flatMapGroupsWithState + stream-static join
 
   /** check.py's canonicalization: columns sorted by name, rows sorted,
     * values stringified. */
