@@ -119,6 +119,8 @@ object SparkEntry {
     "llm_dedup_resolve",
     // round 11 late: substring-level span dedup (every-offset windowing —
     // the corpus's heaviest explode; times generator + two window-function
-    // shuffles) and its CUT step (canonical selection + anti-join rebuild)
-    "llm_dup_spans", "llm_dup_cut")
+    // shuffles), its CUT step (canonical selection + anti-join rebuild),
+    // and the end-to-end corpus-selection composition (digest window +
+    // quality/token bands + decontamination anti-join in one plan)
+    "llm_dup_spans", "llm_dup_cut", "llm_corpus_select")
 }
