@@ -124,6 +124,24 @@ object QueriesLlm {
       Dedup.dupSpans(plantedCorpus(s, dir).repartition(Tables.fanout(s)),
         "doc_id", "text", w = 15)),
 
+    // corpus duplication statistics — the headline number a dedup pass
+    // reports (what fraction of corpus tokens sit inside duplicated
+    // spans): one aggregate over the span table + per-doc token counts
+    "llm_dup_stats" -> ((s, dir) => {
+      val spans = Dedup.dupSpans(plantedCorpus(s, dir).repartition(Tables.fanout(s)),
+          "doc_id", "text", w = 15)
+        .groupBy("doc_id").agg(sum(col("span_end") - col("span_start")).as("_dup"))
+      val toks = plantedCorpus(s, dir)
+        .select(col("doc_id"), size(Dedup.tokens(col("text"))).cast(LongType).as("_n"))
+      toks.join(spans, Seq("doc_id"), "left_outer")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_docs_with_dups"),
+          sum(coalesce(col("_dup"), lit(0L))).as("dup_tokens"),
+          sum(col("_n")).as("total_tokens"))
+        .select(col("n_docs"), col("n_docs_with_dups"), col("dup_tokens"), col("total_tokens"),
+          round(col("dup_tokens").cast(DoubleType) / col("total_tokens"), 6).as("dup_fraction"))
+    }),
+
     // the CUT step (Lee et al. keep-first policy): canonical occurrence
     // of each duplicated window survives, every other occurrence is cut;
     // docs fully covered by cuts stay as empty rows. Deterministic →
@@ -489,6 +507,31 @@ object QueriesLlm {
               + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
               + (CASE WHEN (CASE WHEN ($oNTok) = 0 THEN 0.0 ELSE (length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / ($oNTok)) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END))"""
 
+  /** Shared dup-span CTE chains: planted corpus → windows → occurrence
+    * counts (oDupWin), and occ(doc_id,pos,e) → merged islands (oIslands).
+    * llm_dup_spans / llm_dup_cut / llm_dup_stats compose these so all
+    * three provably use the same windowing and merge rule. */
+  private val oDupWin = s"""corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
+                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
+           FROM documents),
+         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
+         eligible AS (SELECT doc_id, t FROM tok WHERE len(t) >= 15),
+         win AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+15], ' ') AS w
+                 FROM eligible, UNNEST(generate_series(0, len(t) - 15)) AS u(i)),
+         cnt AS (SELECT doc_id, pos, w, count(*) OVER (PARTITION BY w) AS c FROM win)"""
+  private val oIslands = """m AS (SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM occ),
+         fl AS (SELECT doc_id, pos, e,
+                 CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END AS brk FROM m),
+         isl AS (SELECT doc_id, pos, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)"""
+
   private val oracleBase: Map[String, String] = Map(
     "llm_token_stats" ->
       s"""SELECT doc_id,
@@ -555,58 +598,34 @@ object QueriesLlm {
            CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM cc GROUP BY node""",
     "llm_dup_spans" ->
-      s"""WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000,
-             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
-                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
-           FROM documents),
-         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
-         eligible AS (SELECT doc_id, t FROM tok WHERE len(t) >= 15),
-         win AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+15], ' ') AS w
-                 FROM eligible, UNNEST(generate_series(0, len(t) - 15)) AS u(i)),
-         cnt AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY w) AS c FROM win),
+      s"""WITH $oDupWin,
          occ AS (SELECT doc_id, pos, pos + 14 AS e FROM cnt WHERE c >= 2),
-         m AS (SELECT doc_id, pos, e,
-                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-               FROM occ),
-         fl AS (SELECT doc_id, pos, e,
-                 CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END AS brk FROM m),
-         isl AS (SELECT doc_id, pos, e,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)
+         $oIslands
          SELECT doc_id, min(pos) AS span_start, max(e) + 1 AS span_end,
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, g""",
+    "llm_dup_stats" ->
+      s"""WITH $oDupWin,
+         occ AS (SELECT doc_id, pos, pos + 14 AS e FROM cnt WHERE c >= 2),
+         $oIslands,
+         sp AS (SELECT doc_id, min(pos) AS s, max(e) + 1 AS e2 FROM isl GROUP BY doc_id, g),
+         dd AS (SELECT doc_id, sum(e2 - s) AS dup FROM sp GROUP BY doc_id)
+         SELECT count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN dd.dup IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_dups,
+           sum(coalesce(dd.dup, 0))::BIGINT AS dup_tokens,
+           sum(len(tok.t))::BIGINT AS total_tokens,
+           round(sum(coalesce(dd.dup, 0))::DOUBLE / sum(len(tok.t)), 6) AS dup_fraction
+         FROM tok LEFT JOIN dd USING (doc_id)""",
     "llm_dup_cut" ->
-      s"""WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000,
-             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
-                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
-           FROM documents),
-         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
-         eligible AS (SELECT doc_id, t FROM tok WHERE len(t) >= 15),
-         win AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+15], ' ') AS w
-                 FROM eligible, UNNEST(generate_series(0, len(t) - 15)) AS u(i)),
-         cnt AS (SELECT doc_id, pos, w, count(*) OVER (PARTITION BY w) AS c FROM win),
+      s"""WITH $oDupWin,
          dup AS (SELECT doc_id, pos, w FROM cnt WHERE c >= 2),
          canon AS (SELECT w, min(doc_id) AS md FROM dup GROUP BY w),
          canon2 AS (SELECT d.w, c.md, min(d.pos) AS mp FROM dup d
                     JOIN canon c ON d.w = c.w AND d.doc_id = c.md GROUP BY d.w, c.md),
-         cut AS (SELECT d.doc_id, d.pos, d.pos + 14 AS e FROM dup d
+         occ AS (SELECT d.doc_id, d.pos, d.pos + 14 AS e FROM dup d
                  JOIN canon2 c ON d.w = c.w
                  WHERE NOT (d.doc_id = c.md AND d.pos = c.mp)),
-         m AS (SELECT doc_id, pos, e,
-                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-               FROM cut),
-         fl AS (SELECT doc_id, pos, e,
-                 CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END AS brk FROM m),
-         isl AS (SELECT doc_id, pos, e,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl),
+         $oIslands,
          spans AS (SELECT doc_id, min(pos) AS s, max(e) AS me FROM isl GROUP BY doc_id, g),
          cutpos AS (SELECT doc_id, unnest(generate_series(s, me)) AS pos FROM spans),
          postok AS (SELECT doc_id, len(t) AS n, i AS pos, t[i+1] AS tk
