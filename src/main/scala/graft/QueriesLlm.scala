@@ -131,11 +131,11 @@ object QueriesLlm {
       val spans = Dedup.dupSpans(plantedCorpus(s, dir).repartition(Tables.fanout(s)),
           "doc_id", "text", w = 15)
         .groupBy("doc_id").agg(sum(col("span_end") - col("span_start")).as("_dup"))
-      val toks = plantedCorpus(s, dir)
+      val toks = plantedCorpus(s, dir).repartition(Tables.fanout(s))
         .select(col("doc_id"), size(Dedup.tokens(col("text"))).cast(LongType).as("_n"))
       toks.join(spans, Seq("doc_id"), "left_outer")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_docs_with_dups"),
+          count(col("_dup")).as("n_docs_with_dups"),
           sum(coalesce(col("_dup"), lit(0L))).as("dup_tokens"),
           sum(col("_n")).as("total_tokens"))
         .select(col("n_docs"), col("n_docs_with_dups"), col("dup_tokens"), col("total_tokens"),
@@ -507,17 +507,21 @@ object QueriesLlm {
               + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
               + (CASE WHEN (CASE WHEN ($oNTok) = 0 THEN 0.0 ELSE (length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / ($oNTok)) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END))"""
 
-  /** Shared dup-span CTE chains: planted corpus → windows → occurrence
-    * counts (oDupWin), and occ(doc_id,pos,e) → merged islands (oIslands).
-    * llm_dup_spans / llm_dup_cut / llm_dup_stats compose these so all
-    * three provably use the same windowing and merge rule. */
-  private val oDupWin = s"""corpus AS (
-           SELECT doc_id, text FROM documents
+  /** The planted-corpus SQL (documents ∪ 40-token-truncated twins) —
+    * ONE copy shared by every oracle that mirrors plantedCorpus, so the
+    * planting rule cannot drift between the dedup/dup-span families. */
+  private val oCorpus = """SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 100000,
              CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
                   ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
-           FROM documents),
+           FROM documents"""
+
+  /** Shared dup-span CTE chains: planted corpus → windows → occurrence
+    * counts (oDupWin), and occ(doc_id,pos,e) → merged islands (oIslands).
+    * llm_dup_spans / llm_dup_cut / llm_dup_stats compose these so all
+    * three provably use the same windowing and merge rule. */
+  private val oDupWin = s"""corpus AS ($oCorpus),
          tok AS (SELECT doc_id, $oTok AS t FROM corpus),
          eligible AS (SELECT doc_id, t FROM tok WHERE len(t) >= 15),
          win AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+15], ' ') AS w
@@ -556,23 +560,11 @@ object QueriesLlm {
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($oTok)), ' ')) AS fp_md5
          FROM documents""",
     "llm_dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id FROM (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000,
-             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
-                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
-           FROM documents)
+      s"""SELECT min(doc_id) AS doc_id FROM ($oCorpus)
          GROUP BY md5(text)""",
     "llm_dedup_resolve" ->
       s"""WITH RECURSIVE
-         corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000,
-             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
-                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
-           FROM documents),
+         corpus AS ($oCorpus),
          dig AS (SELECT doc_id, md5(text) AS d FROM corpus),
          star AS (
            SELECT m.m AS id_a, g.doc_id AS id_b FROM dig g
@@ -659,13 +651,7 @@ object QueriesLlm {
          SELECT bigram, count(*) AS freq FROM bg GROUP BY bigram
          ORDER BY freq DESC, bigram LIMIT 100""",
     "llm_corpus_select" ->
-      s"""WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000,
-             CASE WHEN len(string_split(text, ' ')) <= 40 THEN text
-                  ELSE array_to_string(string_split(text, ' ')[1:40], ' ') END
-           FROM documents),
+      s"""WITH corpus AS ($oCorpus),
          q AS (SELECT doc_id, text,
              $oQuality AS quality,
              ($oNTok) AS n_tokens,

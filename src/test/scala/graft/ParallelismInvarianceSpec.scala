@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions.col
   * ways — in-suite at local[4] and in a child JVM running `graft.Verify`
   * at local[32] (the driver's exact code path) — and asserts the
   * canonicalized results are identical. Sample covers one guest runtime,
-  * one codec, two LLM rows (one of them the partition-sensitive banded
-  * pair set), one connector, and the re-planned proc_opensnowcat.
+  * one codec, four LLM rows (the partition-sensitive banded pair set,
+  * the fanout-converted logprob, the iterative CC loop, the
+  * window-function span cut), one connector, the re-planned
+  * proc_opensnowcat, and two streaming rows (cross-trigger dedupe
+  * state; keyed flatMapGroupsWithState + stream-static join).
   */
 class ParallelismInvarianceSpec extends SparkSpec {
 
