@@ -48,7 +48,11 @@ object QueriesCore {
         .getOrElse(sys.error("no parquet part written"))
       val dest = d.resolve(name).toFile
       java.nio.file.Files.move(f.toPath, dest.toPath)
-      dest.setLastModified((i + 1) * 1000000000L) // file source orders by modTime
+      // file source orders by modTime — this IS the micro-batch order, so
+      // a silently-failed setLastModified (fs-dependent) would reorder
+      // batches and produce wrong-but-plausible streaming results
+      require(dest.setLastModified((i + 1) * 1000000000L),
+        s"setLastModified failed for $name — micro-batch ordering would break")
     }
     d
   }

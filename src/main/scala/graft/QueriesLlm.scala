@@ -28,11 +28,23 @@ object QueriesLlm {
     * repartition cost llm_simhash_pairs +60%). */
   def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
+    // the +100000 twin offset assumes source ids stay below it — checked
+    // once per dir (not assumed): a larger documents table would otherwise
+    // collide twins with originals and silently misroute the
+    // originals/twins splits (docsSplitDir) built on doc_id < 100000
+    if (docIdRangeChecked.add(dir)) {
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      require(mx < 100000L,
+        s"plantedCorpus: max documents.doc_id=$mx >= 100000 — twin ids would collide")
+    }
     val mutated = docs
       .select((col("doc_id") + 100000L).as("doc_id"),
         substring_index(col("text"), " ", 40).as("text"))
     docs.unionByName(mutated)
   }
+
+  private val docIdRangeChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val docsSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
@@ -92,9 +104,15 @@ object QueriesLlm {
     // propagation with path doubling, O(log d) shuffle rounds).
     "llm_dedup_resolve" -> ((s, dir) => {
       val corpus = plantedCorpus(s, dir)
+      // star edges via groupBy(min)+join-back, not a min-over-window on
+      // the content digest: a viral duplicate text is a hot digest, and
+      // the window form funnels all its rows into one task (window-skew
+      // audit, PLANS.md). The slim (id, digest) table is checkpointed so
+      // the agg and the probe don't re-scan the corpus.
       val dig = corpus.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"))
-      val w = Window.partitionBy("_d")
-      val starEdges = dig.withColumn("_m", min("doc_id").over(w))
+        .localCheckpoint(false)
+      val digMin = dig.groupBy("_d").agg(min("doc_id").as("_m"))
+      val starEdges = dig.join(digMin, "_d")
         .filter(col("doc_id") =!= col("_m"))
         .select(col("_m").as("id_a"), col("doc_id").as("id_b"))
       // fanout before the shingle build (one-file input: the per-row
@@ -170,13 +188,16 @@ object QueriesLlm {
 
     // END-TO-END corpus selection — the composition a training pipeline
     // actually ships, as ONE declarative plan: canonical-copy exact
-    // dedup (digest window) + strict quality bar (all four bands — the
-    // C4-flavor keep rule) + token-length band +
-    // eval-set decontamination (broadcast-gram anti-join). Every
-    // component is individually gated; this row gates the composition.
-    // The shared corpus is NOT pre-repartitioned (the main pipeline's
-    // first exchange is the digest window); decontaminate adds its own
-    // fanout ahead of its per-row shingle stage.
+    // dedup (groupBy(digest) + min(struct) — partial agg absorbs a viral
+    // duplicate map-side where the previous min-over-window funneled it
+    // into one task) + strict quality bar (all four bands — the C4-flavor
+    // keep rule) + token-length band + eval-set decontamination
+    // (broadcast-gram anti-join). Every component is individually gated;
+    // this row gates the composition. The shared corpus is NOT
+    // pre-repartitioned (the main pipeline's first exchange is the digest
+    // aggregate); decontaminate adds its own fanout ahead of its per-row
+    // shingle stage. Quality/token scoring runs AFTER the dedup aggregate
+    // — only survivors pay the per-row text math.
     "llm_corpus_select" -> ((s, dir) => {
       val corpus = plantedCorpus(s, dir)
       val evalSet = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
@@ -184,14 +205,13 @@ object QueriesLlm {
       val contaminated = Dedup.decontaminate(
           corpus.repartition(Tables.fanout(s)), evalSet, "doc_id", "text", n = 5)
         .select("doc_id")
-      val w = Window.partitionBy("_d")
       corpus
-        .withColumn("_d", md5(col("text").cast(BinaryType)))
-        .withColumn("_canon", min("doc_id").over(w))
+        .groupBy(md5(col("text").cast(BinaryType)).as("_d"))
+        .agg(min(struct(col("doc_id"), col("text"))).as("_w"))
+        .select(col("_w.doc_id").as("doc_id"), col("_w.text").as("text"))
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .filter(col("doc_id") === col("_canon") && col("quality") >= 1.0 &&
-          col("n_tokens").between(20, 1000))
+        .filter(col("quality") >= 1.0 && col("n_tokens").between(20, 1000))
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_tokens", "quality")
     }),
@@ -207,21 +227,28 @@ object QueriesLlm {
     // min-per-digest. Quality/token filters are stateless; the
     // decontamination set is a batch-side static joined stream-static.
     "stream_corpus_select" -> ((s, dir) => {
-      import s.implicits._
+      // The whole gate runs on its OWN SparkSession (shared SparkContext,
+      // isolated SQLConf/catalog): the streaming-state exchange wants a
+      // small shuffle-partition count (sized to state volume), and a
+      // session-global conf.set would leak into any query planned
+      // concurrently on the caller's session (round-11 advice).
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val inDir = docsSplitDir(s, dir)
-      val schema = s.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
-      val evalSet = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+      val evalSet = t(ss, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(substring_index(col("text"), " ", 20).as("text"))
       // localCheckpoint: the stream-static join re-executes the static
       // subtree EVERY micro-batch — without this the decontamination
       // scan+shingle pass (the query's heaviest stage) runs once per
       // trigger instead of once
       val contaminated = Dedup.decontaminate(
-          plantedCorpus(s, dir).repartition(Tables.fanout(s)), evalSet, "doc_id", "text", n = 5)
+          plantedCorpus(ss, dir).repartition(Tables.fanout(ss)), evalSet, "doc_id", "text", n = 5)
         .select(col("doc_id"), lit(1).as("_c"))
         .localCheckpoint(false)
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString)
         .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"),
           TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
@@ -241,18 +268,14 @@ object QueriesLlm {
         .select("doc_id", "n_tokens", "quality")
       val ckpt = java.nio.file.Files.createTempDirectory("scs_ckpt").toFile
       ckpt.deleteOnExit()
-      // state exchange sized to state volume (stream_win_tumbling note)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try selected.writeStream.format("memory")
+      val q = selected.writeStream.format("memory")
         .queryName("stream_corpus_select_sink")
         .outputMode("append")
         .option("checkpointLocation", ckpt.getPath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
-      s.table("stream_corpus_select_sink")
+      ss.table("stream_corpus_select_sink")
     }),
 
     // exact n-gram Jaccard between consecutive docs (verification primitive)

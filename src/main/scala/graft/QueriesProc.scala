@@ -2774,6 +2774,12 @@ object QueriesProc {
       srv.terminate("events")
       val spool = java.nio.file.Files.createTempDirectory("pulsar-spool").toString
       val nCons = Tables.connFanout(s, 8)
+      // NOTE: this drain assumes NO task retries (local fixture: the
+      // broker advances the shared-subscription cursor on delivery, acks
+      // are no-ops) — a task that dies mid-drain loses its messages
+      // permanently and the total==expected require below fails loudly.
+      // Against a real broker the drain must ack-on-spool-flush and rely
+      // on redelivery of unacked messages instead.
       s.sparkContext.parallelize(0 until nCons, nCons).foreachPartition { _ =>
         val cons = new graft.conn.Pulsar.Consumer(addr, "events", "graft-sub")
         val sb = new StringBuilder

@@ -172,13 +172,21 @@ object Dedup {
     * guard: buckets larger than `maxBucketSize` are dropped from candidate
     * generation (a degenerate key — e.g. near-empty docs all hashing alike —
     * otherwise goes quadratic in one task; its members still pair via their
-    * other bands/blocks). The size check is a window count over the same
-    * key the join shuffles on, so it adds no extra shuffle of wide rows. */
+    * other bands/blocks). Bucket sizes come from groupBy+count, NOT a
+    * window count: a window hash-exchanges every row of one key into ONE
+    * task, so the degenerate bucket this guard exists to drop would itself
+    * become a straggler just to be counted. Partial aggregation absorbs
+    * the hot key map-side, and the join back is AQE-skew-splittable (and
+    * drops the hot key's rows before the quadratic pair join). The slim
+    * band rows are localCheckpoint'ed once — both the size aggregate and
+    * the join probe consume them without recomputing upstream signatures. */
   private[ml] def boundedBucketPairs(df: DataFrame, idCol: String,
                                      bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
-    val w = Window.partitionBy(bucketKeys.map(col): _*)
-    val bounded = df.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
+    val in = df.localCheckpoint(false)
+    val small = in.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
+      .select(bucketKeys.map(col): _*)
+    val bounded = in.join(small, bucketKeys)
     bounded.select(bucketKeys.map(col) :+ col(idCol).as("id_a"): _*)
       .join(bounded.select(bucketKeys.map(col) :+ col(idCol).as("id_b"): _*), bucketKeys)
       .filter(col("id_a") < col("id_b"))
@@ -209,9 +217,14 @@ object Dedup {
     val blocked = sigs.select(col("_id"), col("_sim"),
       posexplode(array((0 until blocks).map(i =>
         shiftright(col("_sim"), i * bits).bitwiseAND(lit(mask))): _*)).as(Seq("_blk", "_key")))
-    val w = Window.partitionBy("_blk", "_key")
-    val bounded = blocked.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
+      .localCheckpoint(false) // consumed by the size agg AND the join probe
+    // bucket sizes via groupBy+count+join-back, not a window count — same
+    // skew rationale as boundedBucketPairs (partial agg absorbs a hot
+    // block key map-side; a window would funnel it into one task)
+    val small = blocked.groupBy("_blk", "_key")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
+      .select("_blk", "_key")
+    val bounded = blocked.join(small, Seq("_blk", "_key"))
     bounded.select(col("_blk"), col("_key"), col("_id").as("id_a"), col("_sim").as("_sim_a"))
       .join(bounded.select(col("_blk"), col("_key"), col("_id").as("id_b"), col("_sim").as("_sim_b")),
         Seq("_blk", "_key"))
@@ -223,11 +236,20 @@ object Dedup {
   }
 
   /** Exact dedup: keep one deterministic winner per content digest.
-    * Shuffles 32-byte sha256 keys, not documents. */
+    *
+    * groupBy(digest) + min_by, NOT a row_number window: a window function
+    * hash-exchanges ALL rows of one digest into ONE task, and a viral
+    * exact-duplicate text (the very thing exact dedup hunts at 100 TB) is
+    * exactly such a hot digest. min_by is a declarative aggregate with
+    * partial (map-side) combine — each input partition contributes at most
+    * one candidate row per digest it holds, so no reducer ever sees the
+    * full duplicate pile. Ties on `tieBreak` are arbitrary (same contract
+    * as the previous window form); callers pass a unique key. */
   def exact(df: DataFrame, textCol: String, tieBreak: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2(col(textCol).cast(BinaryType), 256)).orderBy(tieBreak)
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val cols = df.columns.toSeq
+    df.groupBy(sha2(col(textCol).cast(BinaryType), 256).as("_dg"))
+      .agg(min_by(struct(cols.map(col): _*), tieBreak).as("_w"))
+      .select(cols.map(c => col("_w").getField(c).as(c)): _*)
   }
 
   /** Decontamination: flag training docs that share any word n-gram with
@@ -360,13 +382,17 @@ object Dedup {
     * distributed approximation: fixed-width W-token rolling windows.
     *
     * Shape: tokenize → W-token windows at every offset (md5'd BEFORE the
-    * exchange, so the shuffle moves 16-byte digests, not window text) →
-    * per-window occurrence count (one hash-partitioned Window count —
-    * duplicated-window groups are small, no groupBy+self-join double
-    * shuffle) → per-doc gaps-and-islands merge of overlapping/adjacent
-    * duplicated windows into maximal spans (one shuffle keyed on doc).
-    * Three linear shuffles total; at 100 TB the window count is
-    * O(corpus tokens) and each shuffle key is fixed-width.
+    * exchange, so shuffles move 16-byte digests, not window text; the
+    * occurrence table is localCheckpoint'ed once — the 100 TB "signature
+    * table" stage) → per-digest occurrence counts via groupBy+count, then
+    * a join back to occurrences (partial aggregation absorbs a hot digest
+    * map-side, and the join is AQE-skew-splittable / broadcastable — a
+    * window-function count would hash-exchange EVERY occurrence of one
+    * digest into ONE task, and viral boilerplate is exactly the data
+    * shape this operator hunts) → per-doc gaps-and-islands merge of
+    * overlapping/adjacent duplicated windows into maximal spans (one
+    * shuffle keyed on doc, bounded per-partition by document length).
+    * All shuffle keys are fixed-width; total work O(corpus tokens).
     *
     * @return (doc_id, span_start, span_end, n_windows): token-offset
     *         half-open [start, end) maximal duplicated spans
@@ -384,16 +410,35 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
-  /** (doc_id, pos, h, _c): every W-token window occurrence whose window
-    * occurs ≥2× corpus-wide. One hash-partitioned Window count on the
-    * 16-byte digest. */
-  private def dupOccurrences(base: DataFrame, w: Int): DataFrame =
+  /** (doc_id, pos, h): every W-token window occurrence, digests computed
+    * map-side. Materialized once (lazy localCheckpoint): both the digest
+    * statistics aggregate and the join probe consume it, and the explode
+    * must not recompute per consumer. At cluster scale this is the
+    * intermediate "window table" a span-dedup pipeline would persist. */
+  private def winOccurrences(base: DataFrame, w: Int): DataFrame =
     base.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("_t")) - w),
           i => md5(array_join(slice(col("_t"), i + 1, lit(w)), " ").cast(BinaryType))))
           .as(Seq("pos", "h")))
-      .withColumn("_c", count(lit(1)).over(Window.partitionBy("h")))
+      .localCheckpoint(false)
+
+  /** Occurrences of duplicated windows (corpus-wide count ≥ 2), with the
+    * canonical occurrence _first = min (doc_id, pos) per digest.
+    *
+    * groupBy+count+min(struct)+join-back, NOT window functions over the
+    * digest: partial aggregation absorbs a viral digest map-side (each
+    * input partition emits ONE partial row per digest), and the join back
+    * is AQE-skew-splittable — or a broadcast when the duplicated-digest
+    * set is small, which at high dedup quality it is. A window count
+    * would pile every occurrence of the hottest digest into one task —
+    * a straggler/OOM cliff exactly on this operator's target data. */
+  private def dupOccurrences(base: DataFrame, w: Int): DataFrame = {
+    val occ = winOccurrences(base, w)
+    val stats = occ.groupBy("h")
+      .agg(count(lit(1)).as("_c"), min(struct(col("doc_id"), col("pos"))).as("_first"))
       .filter(col("_c") >= 2)
+    occ.join(stats, "h")
+  }
 
   /** Gaps-and-islands: merge overlapping/adjacent [pos, _e] token
     * intervals per doc into `_isl`-numbered maximal islands. */
@@ -412,12 +457,13 @@ object Dedup {
     * windows merge per doc into maximal cut spans; the covered token
     * positions are removed and the survivor tokens re-joined.
     *
-    * Shape: dupSpans' window/count stages, plus a min_by per window
-    * digest (same hash-partitioned Window pass), then cut-coverage as
-    * explode(positions) → LEFT ANTI join against the token stream —
-    * all shuffle-keyed on (doc, pos), no per-row interval scans, no
-    * collects. Docs without cuts (including docs shorter than W) pass
-    * through unchanged.
+    * Shape: dupSpans' window/count stages — the canonical occurrence is
+    * the min(struct(doc_id, pos)) already carried by the digest-stats
+    * aggregate (partial-agg, skew-safe; see dupOccurrences) — then
+    * cut-coverage as explode(positions) → LEFT ANTI join against the
+    * token stream — all shuffle-keyed on (doc, pos), no per-row interval
+    * scans, no collects. Docs without cuts (including docs shorter than
+    * W) pass through unchanged.
     *
     * @return (doc_id, clean_text, n_cut) — normalized-token text with
     *         cut spans removed; n_cut = tokens removed
@@ -426,15 +472,11 @@ object Dedup {
                  w: Int = 15): DataFrame = {
     val all = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
     val base = all.filter(size(col("_t")) >= w)
-    // canonical occurrence per window digest = min (doc_id, pos); every
-    // other occurrence is a cut window
-    val perWin = Window.partitionBy("h")
-    val occ = dupOccurrences(base, w)
-      .withColumn("_minDoc", min("doc_id").over(perWin))
-      .withColumn("_minPos", min(when(col("doc_id") === col("_minDoc"), col("pos")))
-        .over(perWin))
-    val cut = occ
-      .filter(col("doc_id") =!= col("_minDoc") || col("pos") =!= col("_minPos"))
+    // canonical occurrence per window digest = min (doc_id, pos), carried
+    // as _first by dupOccurrences' digest-stats aggregate; every other
+    // occurrence is a cut window
+    val cut = dupOccurrences(base, w)
+      .filter(col("doc_id") =!= col("_first.doc_id") || col("pos") =!= col("_first.pos"))
       .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e"))
     val cutPos = mergeIslands(cut)
       .groupBy(col("doc_id"), col("_isl"))

@@ -127,7 +127,11 @@ object TextAnalysis {
     *
     * Scale plan: the explode is map-side; the only shuffle keys on the
     * paragraph digest (not the text — same 100 TB discipline as
-    * [[Dedup.exact]]). Returns (idCol, para_idx, para) of survivors;
+    * [[Dedup.exact]]), and the winner per digest comes from groupBy +
+    * min(struct), not a row_number window — a shared boilerplate
+    * paragraph (this operator's whole prey) is a hot digest, and partial
+    * aggregation absorbs it map-side where a window would funnel every
+    * copy into one task. Returns (idCol, para_idx, para) of survivors;
     * re-assembling cleaned documents is a groupBy(idCol) sort_by(para_idx)
     * away. */
   def paragraphDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -136,10 +140,10 @@ object TextAnalysis {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("para_idx", "para")))
       .filter(length(trim(col("para"))) > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2(col("para").cast(BinaryType), 256))
-      .orderBy(col(idCol), col("para_idx"))
-    paras.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    paras.groupBy(sha2(col("para").cast(BinaryType), 256).as("_pd"))
+      .agg(min(struct(col(idCol), col("para_idx"), col("para"))).as("_w"))
+      .select(col("_w").getField(idCol).as(idCol),
+        col("_w.para_idx").as("para_idx"), col("_w.para").as("para"))
   }
 
   /** Deterministic stratified sampler — the data-MIXING step of a

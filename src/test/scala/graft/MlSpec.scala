@@ -798,6 +798,45 @@ class MlSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("dup-span family survives a degenerate corpus (one viral window in half the docs) with no digest window-function") {
+    import spark.implicits._
+    // the skew shape the operator exists for: ONE 15-token boilerplate
+    // block repeated across ~half the corpus — its digest is a hot key
+    // that a window-function count would funnel into a single task
+    // (round-11 verdict #1). The de-skewed plan counts via groupBy
+    // (partial agg) + join-back, so the hot digest never piles up.
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val corpus = (1L to 200L).map { i =>
+      if (i % 2 == 0) (i, boiler + " " + (1 to 5).map(j => s"u${i}x$j").mkString(" "))
+      else (i, (1 to 20).map(j => s"q${i}y$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val spans = graft.ml.Dedup.dupSpans(corpus, "doc_id", "text", w = 15)
+    val gotSpans = spans.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotSpans.keySet == (2L to 200L by 2).toSet, "every boilerplate carrier flagged")
+    gotSpans.values.foreach(v => assert(v == ((0L, 15L, 1L)), s"span $v"))
+    // structural guard: the executed plan must contain NO window function
+    // partitioned on the content digest `h` (the per-doc islands window
+    // on doc_id is fine — bounded by document length)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(h#"),
+      s"digest-partitioned window crept back into dupSpans:\n$plan")
+    // the CUT keeps exactly one canonical carrier (doc 2) intact and
+    // strips the boilerplate from all other carriers
+    val cut = graft.ml.Dedup.dupSpanCut(corpus, "doc_id", "text", w = 15)
+    val gotCut = cut.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(gotCut(2L)._2 == 0L, "canonical carrier untouched")
+    (4L to 200L by 2).foreach { i =>
+      assert(gotCut(i)._2 == 15L, s"doc $i boilerplate cut")
+      assert(!gotCut(i)._1.contains("b1"), s"doc $i still carries boilerplate")
+    }
+    (1L to 199L by 2).foreach(i => assert(gotCut(i)._2 == 0L, s"unique doc $i untouched"))
+    val cutPlan = cut.queryExecution.executedPlan.toString
+    assert(!cutPlan.contains("windowspecdefinition(h#"),
+      s"digest-partitioned window crept back into dupSpanCut:\n$cutPlan")
+  }
+
   test("llm_corpus_select: every selection clause is non-vacuous at the gate SF") {
     import spark.implicits._
     val corpus = QueriesLlm.plantedCorpus(spark, sf)
