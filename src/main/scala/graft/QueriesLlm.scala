@@ -278,6 +278,61 @@ object QueriesLlm {
       ss.table("stream_corpus_select_sink")
     }),
 
+    // STREAMING twin of llm_dup_spans — the shape a continuous-ingestion
+    // pipeline needs: cross-batch window-digest state. Each micro-batch
+    // explodes its docs into W-token window digests (stateless,
+    // map-side, the SAME Dedup.windowDigests rule as batch);
+    // flatMapGroupsWithState keyed on the digest emits occurrences once
+    // the digest's cross-batch count crosses 2 (state remembers the
+    // first occurrence so it is emitted retroactively, then a viral
+    // digest emits every later occurrence immediately). The final
+    // gaps-and-islands merge is a finishing batch compaction over the
+    // streamed occurrence set (streaming-ingest + batch-compact, the
+    // standard split: the STATE is streaming, the island merge is a
+    // per-doc batch pass). Skew note: keyed streaming state shuffles on
+    // the digest, but the per-task pile for a viral digest is bounded
+    // by ONE micro-batch's occurrences, not the corpus — the trigger
+    // interval is the built-in skew ceiling.
+    "stream_dup_spans" -> ((s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val w = 15
+      val inDir = docsSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+      val occStream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+        .filter(size(col("_t")) >= w)
+        .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))
+        .toDF("_1", "_2", "_3").as[(Long, Int, String)]
+      // state per digest: absent = unseen; (doc, pos) = ONE unemitted
+      // occurrence stored; (-1, -1) = viral (>= 2 seen, all emitted)
+      val dupOcc = occStream.groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (_: String, rows: Iterator[(Long, Int, String)], state: GroupState[(Long, Int)]) => {
+            val incoming = rows.map(r => (r._1, r._2)).toList
+            if (state.exists && state.get._1 == -1L) incoming.iterator
+            else {
+              val all = (if (state.exists) List(state.get) else Nil) ++ incoming
+              if (all.lengthCompare(2) >= 0) { state.update((-1L, -1)); all.iterator }
+              else { all.headOption.foreach(state.update); Iterator.empty }
+            }
+          })
+        .toDF("doc_id", "pos")
+      val ckpt = java.nio.file.Files.createTempDirectory("sds_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = dupOcc.writeStream.format("memory")
+        .queryName("stream_dup_spans_occ")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Dedup.spansFromOccurrences(ss.table("stream_dup_spans_occ"), w)
+    }),
+
     // exact n-gram Jaccard between consecutive docs (verification primitive)
     "llm_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -836,9 +891,13 @@ object QueriesLlm {
     }
   )
 
-  /** The streaming twin is DESIGNED to produce the identical result
-    * (doc_id-ordered splits make keep-first == min-per-digest), so it
-    * shares the batch oracle verbatim. */
+  /** The streaming twins are DESIGNED to produce identical results to
+    * their batch counterparts (stream_corpus_select: doc_id-ordered
+    * splits make keep-first == min-per-digest; stream_dup_spans: the
+    * cross-batch digest count flags exactly the corpus-wide ≥2 windows),
+    * so they share the batch oracles verbatim. */
   val oracle: Map[String, String] =
-    oracleBase.updated("stream_corpus_select", oracleBase("llm_corpus_select"))
+    oracleBase
+      .updated("stream_corpus_select", oracleBase("llm_corpus_select"))
+      .updated("stream_dup_spans", oracleBase("llm_dup_spans"))
 }

@@ -401,14 +401,28 @@ object Dedup {
                w: Int = 15): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
       .filter(size(col("_t")) >= w)
-    mergeIslands(dupOccurrences(base, w)
-        .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e")))
+    spansFromOccurrences(dupOccurrences(base, w), w)
+  }
+
+  /** md5 digests of the W-token windows of token array `t`, one per
+    * offset — the SINGLE definition of the windowing rule, shared by the
+    * batch operators and the streaming twin so they cannot drift. */
+  private[graft] def windowDigests(t: Column, w: Int): Column =
+    transform(sequence(lit(0), size(t) - w),
+      i => md5(array_join(slice(t, i + 1, lit(w)), " ").cast(BinaryType)))
+
+  /** Duplicated-window occurrences (doc_id, pos, …) → maximal per-doc
+    * spans: gaps-and-islands merge + per-island aggregate. Shared by the
+    * batch dupSpans and the streaming twin's finishing compaction. */
+  private[graft] def spansFromOccurrences(occ: DataFrame, w: Int): DataFrame =
+    mergeIslands(occ
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          (col("pos") + w - 1).cast(LongType).as("_e")))
       .groupBy(col("doc_id"), col("_isl"))
       .agg(min("pos").cast(LongType).as("span_start"),
         (max("_e") + 1).cast(LongType).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
-  }
 
   /** (doc_id, pos, h): every W-token window occurrence, digests computed
     * map-side. Materialized once (lazy localCheckpoint): both the digest
@@ -417,9 +431,7 @@ object Dedup {
     * intermediate "window table" a span-dedup pipeline would persist. */
   private def winOccurrences(base: DataFrame, w: Int): DataFrame =
     base.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("_t")) - w),
-          i => md5(array_join(slice(col("_t"), i + 1, lit(w)), " ").cast(BinaryType))))
-          .as(Seq("pos", "h")))
+        posexplode(windowDigests(col("_t"), w)).as(Seq("pos", "h")))
       .localCheckpoint(false)
 
   /** Occurrences of duplicated windows (corpus-wide count ≥ 2), with the

@@ -871,6 +871,19 @@ class MlSpec extends SparkSpec {
       s"streaming twin diverges: batch ${batch.size} rows, stream ${stream.size}")
   }
 
+  test("stream_dup_spans equals the batch span dedup exactly (cross-batch digest state)") {
+    def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("")).toVector.sorted
+    }
+    val batch = canon(QueriesLlm.queries("llm_dup_spans")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_dup_spans")(spark, sf))
+    assert(batch.nonEmpty, "planted corpus carries duplicated spans at the spec SF")
+    assert(stream == batch,
+      s"streaming twin diverges: batch ${batch.size} rows, stream ${stream.size}")
+  }
+
   test("bm25 matches a hand-computed score") {
     import spark.implicits._
     // 3 docs, query = {x}: df(x)=2, N=3, avgdl = (3+2+4)/3
