@@ -144,16 +144,22 @@ object QueriesBlob {
     }),
 
     // batch-positional functions: from_all().sum(), batch_size, from(0)
-    // (methods.go:229, functions.go:186-201) — batch = the full frame here;
-    // window over () is the batch-global idiom (documented batch semantics)
+    // (methods.go:229, functions.go:186-201) — batch = the full frame here.
+    // The batch-global values come from ONE aggregate broadcast back to
+    // every row, not an empty-partition window: Window.partitionBy() is a
+    // single-task funnel of the whole table, while agg + broadcast
+    // crossJoin keeps the scan fully parallel and moves three scalars
+    // (window-skew audit, PLANS.md).
     "blob_from_all" -> ((s, dir) => {
-      val all = Window.partitionBy()
-      t(s, dir, "events").select(
+      val ev = t(s, dir, "events")
+      val g = ev.agg(
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("_tot"),
+        count(lit(1)).as("batch_size"),
+        max(when(col("event_id") === 0L, col("value"))).as("v_from0"))
+      ev.crossJoin(broadcast(g)).select(
         col("event_id"),
-        round(col("value") /
-          sum(col("value").cast(DecimalType(18, 6))).over(all).cast(DoubleType), 6).as("share"),
-        count(lit(1)).over(all).as("batch_size"),
-        max(when(col("event_id") === 0L, col("value"))).over(all).as("v_from0"))
+        round(col("value") / col("_tot"), 6).as("share"),
+        col("batch_size"), col("v_from0"))
     }),
 
     // jsonpath navigation: nested objects, array index, missing-path

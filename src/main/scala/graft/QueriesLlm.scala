@@ -28,23 +28,27 @@ object QueriesLlm {
     * repartition cost llm_simhash_pairs +60%). */
   def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    // the +100000 twin offset assumes source ids stay below it — checked
-    // once per dir (not assumed): a larger documents table would otherwise
-    // collide twins with originals and silently misroute the
-    // originals/twins splits (docsSplitDir) built on doc_id < 100000
-    if (docIdRangeChecked.add(dir)) {
-      val mx = docs.agg(max("doc_id")).head().getLong(0)
-      require(mx < 100000L,
-        s"plantedCorpus: max documents.doc_id=$mx >= 100000 — twin ids would collide")
-    }
+    val off = twinOffset(s, dir)
     val mutated = docs
-      .select((col("doc_id") + 100000L).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         substring_index(col("text"), " ", 40).as("text"))
     docs.unionByName(mutated)
   }
 
-  private val docIdRangeChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Twin-id offset for plantedCorpus/docsSplitDir, derived from the
+    * ACTUAL max doc_id once per dir rather than assumed: the documented
+    * +100000 convention holds for every gate dir (oracles hardcode it),
+    * but a larger corpus (ScaleGen probe dirs at ≥20×) would collide
+    * twins with originals — there the offset grows past the real max so
+    * the planted structure stays collision-free. */
+  private[graft] def twinOffset(s: SparkSession, dir: String): Long =
+    twinOffsets.computeIfAbsent(dir, { _ =>
+      val mx = t(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      math.max(100000L, mx + 1)
+    })
+
+  private val twinOffsets =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   private val docsSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
@@ -55,9 +59,10 @@ object QueriesLlm {
   private[graft] def docsSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
     docsSplitCache.computeIfAbsent(dir, { _ =>
       val corpus = plantedCorpus(s, dir)
+      val off = twinOffset(s, dir) // originals/twins boundary, never assumed
       QueriesCore.writeSplitDir("scs_in", Seq(
-        (corpus.filter(col("doc_id") < 100000L), "0_docs.parquet"),
-        (corpus.filter(col("doc_id") >= 100000L), "1_docs.parquet")))
+        (corpus.filter(col("doc_id") < off), "0_docs.parquet"),
+        (corpus.filter(col("doc_id") >= off), "1_docs.parquet")))
     })
 
   val queries: Map[String, Q] = Map(
@@ -306,12 +311,12 @@ object QueriesLlm {
         .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
         .filter(size(col("_t")) >= w)
         .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))
-        .toDF("_1", "_2", "_3").as[(Long, Int, String)]
+        .toDF("_1", "_2", "_3").as[(Long, Int, Long)]
       // state per digest: absent = unseen; (doc, pos) = ONE unemitted
       // occurrence stored; (-1, -1) = viral (>= 2 seen, all emitted)
       val dupOcc = occStream.groupByKey(_._3)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          (_: String, rows: Iterator[(Long, Int, String)], state: GroupState[(Long, Int)]) => {
+          (_: Long, rows: Iterator[(Long, Int, Long)], state: GroupState[(Long, Int)]) => {
             val incoming = rows.map(r => (r._1, r._2)).toList
             if (state.exists && state.get._1 == -1L) incoming.iterator
             else {

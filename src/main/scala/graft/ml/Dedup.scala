@@ -381,10 +381,11 @@ object Dedup {
     * the paper's suffix-array pass is replaced here by the standard
     * distributed approximation: fixed-width W-token rolling windows.
     *
-    * Shape: tokenize → W-token windows at every offset (md5'd BEFORE the
-    * exchange, so shuffles move 16-byte digests, not window text; the
-    * occurrence table is localCheckpoint'ed once — the 100 TB "signature
-    * table" stage) → per-digest occurrence counts via groupBy+count, then
+    * Shape: tokenize → W-token windows at every offset (hashed to 8-byte
+    * digests BEFORE the exchange, so shuffles move longs, not window
+    * text; the occurrence table is localCheckpoint'ed once — the 100 TB
+    * "signature table" stage) → per-digest occurrence counts via
+    * groupBy+count, then
     * a join back to occurrences (partial aggregation absorbs a hot digest
     * map-side, and the join is AQE-skew-splittable / broadcastable — a
     * window-function count would hash-exchange EVERY occurrence of one
@@ -404,12 +405,24 @@ object Dedup {
     spansFromOccurrences(dupOccurrences(base, w), w)
   }
 
-  /** md5 digests of the W-token windows of token array `t`, one per
+  /** 64-bit digests of the W-token windows of token array `t`, one per
     * offset — the SINGLE definition of the windowing rule, shared by the
-    * batch operators and the streaming twin so they cannot drift. */
-  private[graft] def windowDigests(t: Column, w: Int): Column =
-    transform(sequence(lit(0), size(t) - w),
-      i => md5(array_join(slice(t, i + 1, lit(w)), " ").cast(BinaryType)))
+    * batch operators and the streaming twin so they cannot drift.
+    *
+    * Tokens are hashed once, then each window chains the w token-hashes
+    * numerically (the shingleHashes trick: w shifted slices combined
+    * pairwise with zip_with) — no per-offset string concatenation, no
+    * md5 over built strings, and the digest that rides every shuffle is
+    * an 8-byte long instead of a 32-char hex string. Window equality is
+    * preserved modulo negligible 64-bit collisions (same standard as
+    * shingleHashes/decontaminate; the oracle compares final spans, which
+    * are digest-free). */
+  private[graft] def windowDigests(t: Column, w: Int): Column = {
+    val th = transform(t, x => xxhash64(x))
+    val m = size(th) - (w - 1)
+    val windows = (1 to w).map(k => slice(th, lit(k), greatest(m, lit(0))))
+    windows.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+  }
 
   /** Duplicated-window occurrences (doc_id, pos, …) → maximal per-doc
     * spans: gaps-and-islands merge + per-island aggregate. Shared by the
@@ -434,20 +447,26 @@ object Dedup {
         posexplode(windowDigests(col("_t"), w)).as(Seq("pos", "h")))
       .localCheckpoint(false)
 
-  /** Occurrences of duplicated windows (corpus-wide count ≥ 2), with the
-    * canonical occurrence _first = min (doc_id, pos) per digest.
+  /** Occurrences of duplicated windows (corpus-wide count ≥ 2); when
+    * `withCanon`, also the canonical occurrence _first = min (doc_id,
+    * pos) per digest (only the CUT consumer pays for it).
     *
-    * groupBy+count+min(struct)+join-back, NOT window functions over the
-    * digest: partial aggregation absorbs a viral digest map-side (each
-    * input partition emits ONE partial row per digest), and the join back
-    * is AQE-skew-splittable — or a broadcast when the duplicated-digest
-    * set is small, which at high dedup quality it is. A window count
-    * would pile every occurrence of the hottest digest into one task —
-    * a straggler/OOM cliff exactly on this operator's target data. */
-  private def dupOccurrences(base: DataFrame, w: Int): DataFrame = {
+    * groupBy+count(+min(struct))+join-back, NOT window functions over
+    * the digest: partial aggregation absorbs a viral digest map-side
+    * (each input partition emits ONE partial row per digest), and the
+    * join back is AQE-skew-splittable — or a broadcast when the
+    * duplicated-digest set is small, which at high dedup quality it is.
+    * A window count would pile every occurrence of the hottest digest
+    * into one task — a straggler/OOM cliff exactly on this operator's
+    * target data. */
+  private def dupOccurrences(base: DataFrame, w: Int,
+                             withCanon: Boolean = false): DataFrame = {
     val occ = winOccurrences(base, w)
-    val stats = occ.groupBy("h")
-      .agg(count(lit(1)).as("_c"), min(struct(col("doc_id"), col("pos"))).as("_first"))
+    val aggs =
+      if (withCanon) Seq(count(lit(1)).as("_c"),
+        min(struct(col("doc_id"), col("pos"))).as("_first"))
+      else Seq(count(lit(1)).as("_c"))
+    val stats = occ.groupBy("h").agg(aggs.head, aggs.tail: _*)
       .filter(col("_c") >= 2)
     occ.join(stats, "h")
   }
@@ -487,7 +506,7 @@ object Dedup {
     // canonical occurrence per window digest = min (doc_id, pos), carried
     // as _first by dupOccurrences' digest-stats aggregate; every other
     // occurrence is a cut window
-    val cut = dupOccurrences(base, w)
+    val cut = dupOccurrences(base, w, withCanon = true)
       .filter(col("doc_id") =!= col("_first.doc_id") || col("pos") =!= col("_first.pos"))
       .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e"))
     val cutPos = mergeIslands(cut)

@@ -63,19 +63,18 @@ object Caches {
     * deterministic order (one hash shuffle; the reference's single-threaded
     * "last set wins" needs an explicit order in a parallel engine). */
   def buildLastWins(df: DataFrame, key: Column, value: Column, order: Column): KvCache = {
+    // max_by, not a row_number window: a hot cache key (the natural skew
+    // shape for a kv cache) partial-aggregates map-side instead of piling
+    // into one window task (window-skew audit, PLANS.md)
     val kv = df.select(key.as("k"), value.as("v"), order.as("o"))
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("k")).orderBy(col("o").desc)))
-      .filter(col("_rn") === 1).select("k", "v")
+      .groupBy("k").agg(max_by(col("v"), col("o")).as("v"))
     KvCache(kv, "k", "v")
   }
 
   /** `cache_add`: first-writer-wins (add fails if present → keep first). */
   def buildFirstWins(df: DataFrame, key: Column, value: Column, order: Column): KvCache = {
     val kv = df.select(key.as("k"), value.as("v"), order.as("o"))
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("k")).orderBy(col("o"))))
-      .filter(col("_rn") === 1).select("k", "v")
+      .groupBy("k").agg(min_by(col("v"), col("o")).as("v"))
     KvCache(kv, "k", "v")
   }
 

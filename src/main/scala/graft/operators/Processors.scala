@@ -102,13 +102,17 @@ object Processors {
 
   /** `dedupe` (processor_dedupe.go:20-31): drop rows whose key was already
     * seen. Deterministic winner = lowest `orderBy` value (the reference's
-    * "first seen" under its single-threaded cache). One shuffle on the key;
-    * at 100 TB this is the standard hash-partitioned dedup, AQE handles skew.
+    * "first seen" under its single-threaded cache). One shuffle on the key
+    * via groupBy + min_by — partial aggregation absorbs a hot dedup key
+    * map-side, where a row_number window would pile every duplicate of
+    * one key into a single task (window-skew audit, PLANS.md).
     */
   def dedupe(keys: Seq[Column], orderBy: Column): Processor =
     Processor("dedupe") { df =>
-      val w = Window.partitionBy(keys: _*).orderBy(orderBy)
-      df.withColumn("_dd_rn", row_number().over(w)).filter(col("_dd_rn") === 1).drop("_dd_rn")
+      val cols = df.columns.toSeq
+      df.groupBy(keys: _*)
+        .agg(min_by(struct(cols.map(col): _*), orderBy).as("_w"))
+        .select(cols.map(c => col("_w").getField(c).as(c)): _*)
     }
 
   /** `archive` with `json_array`/`lines` format (processor_archive.go:21):
