@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions.col
   * at local[32] (the driver's exact code path) — and asserts the
   * canonicalized results are identical. Sample covers one guest runtime,
   * one codec, four LLM rows (the partition-sensitive banded pair set,
-  * the fanout-converted logprob, the iterative CC loop, the
-  * window-function span cut), one connector, the re-planned
-  * proc_opensnowcat, and two streaming rows (cross-trigger dedupe
-  * state; keyed flatMapGroupsWithState + stream-static join).
+  * the fanout-converted logprob, the iterative CC loop, the de-skewed
+  * span cut), one connector, the re-planned proc_opensnowcat, and three
+  * streaming rows (cross-trigger dedupe state; keyed
+  * flatMapGroupsWithState + stream-static join; cross-batch digest
+  * state feeding a batch compaction).
   */
 class ParallelismInvarianceSpec extends SparkSpec {
 
@@ -26,9 +27,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "src_kafka",           // connector (connFanout produce + partitioned consume)
     "proc_opensnowcat",    // placement-pinned single-parse plan
     "llm_dedup_resolve",   // iterative CC (round-11): loop must not depend on width
-    "llm_dup_cut",         // window-function counts + anti-join rebuild (round-11 late)
+    "llm_dup_cut",         // de-skewed agg+join counts + anti-join rebuild (round-12)
     "stream_dedupe",       // streaming micro-batch state across trigger widths
-    "stream_corpus_select") // keyed flatMapGroupsWithState + stream-static join
+    "stream_corpus_select", // keyed flatMapGroupsWithState + stream-static join
+    "stream_dup_spans")    // cross-batch digest state + batch compaction (round-12)
 
   /** check.py's canonicalization: columns sorted by name, rows sorted,
     * values stringified. */
