@@ -119,6 +119,17 @@ object QueriesCore {
         .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
     }),
 
+    // the SAME ranking computed skew-proof: two-phase range-partitioned
+    // row_number (Processors.scalableRowNumber — the window-skew audit's
+    // escape hatch for groups too large for one task). Shares
+    // window_rank's oracle: identical semantics, different physical plan.
+    "window_rank_scaled" -> ((s, dir) =>
+      Processors.scalableRowNumber(t(s, dir, "customer"),
+          col("c_nationkey"), Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          col("rn").cast(IntegerType).as("rn"))),
+
     // dedupe processor (processor_dedupe.go:20): deterministic first-seen winner
     "proc_dedupe" -> ((s, dir) => Flow(t(s, dir, "events"))
       .pipe(Processors.dedupe(Seq(col("user_id"), col("event_type")), col("event_id")))
@@ -424,6 +435,13 @@ object QueriesCore {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) WHERE rn <= 3""",
+    // identical semantics to window_rank — the skew-proof two-phase plan
+    // must hash-match the plain-window oracle exactly
+    "window_rank_scaled" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
            SELECT c_nationkey, c_custkey, c_acctbal,
              row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn

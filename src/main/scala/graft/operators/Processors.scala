@@ -115,6 +115,57 @@ object Processors {
         .select(cols.map(c => col("_w").getField(c).as(c)): _*)
     }
 
+  /** row_number-within-group WITHOUT a per-group single-task funnel — the
+    * documented escape hatch for the one window shape the skew audit
+    * could not convert (PLANS.md round-12): rank semantics need a total
+    * per-group order, and a plain `Window.partitionBy(key)` sends every
+    * row of one group to ONE task — fine for bounded groups, a straggler
+    * when one group holds a large share of a 100 TB table.
+    *
+    * Two-phase plan, fully declarative: (1) range-partition on
+    * (key, order) so each group occupies a contiguous RUN of partitions
+    * and every partition holds at most a partition-sized slice of any
+    * group; (2) local row_number per (key, partition) — group size is
+    * bounded by the partition size, never the group size; (3) per-
+    * (partition, key) counts (a tiny table: ≈ #groups + #partitions rows,
+    * because ranged groups are contiguous) → running offsets per key →
+    * broadcast back; final number = offset + local number. Two data
+    * shuffles total (range + local-window hash) vs the plain window's
+    * one — the price of skew immunity, so use the plain window when
+    * groups are known-bounded (dimension keys at gate SF) and this when
+    * they are not.
+    *
+    * `order` must be a TOTAL order within each group (add a unique
+    * tiebreak — same contract that makes the plain window deterministic).
+    * The ranged partition ids feed both the counts and the final join, so
+    * the ranged frame is localCheckpoint'ed once to pin them. */
+  def scalableRowNumber(df: DataFrame, key: Column, order: Seq[Column],
+                        outCol: String = "rn",
+                        numPartitions: Option[Int] = None): DataFrame = {
+    val cols = df.columns.toSeq
+    // default width is AQE's to pick (coalesces small inputs, splits at
+    // scale); the explicit knob exists for tests and fixed-width plans
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, (key +: order): _*))
+      .getOrElse(df.repartitionByRange((key +: order): _*))
+    val local = ranged
+      .withColumn("_rwg_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(false)
+      .withColumn("_rwg_lrn", row_number().over(
+        Window.partitionBy(key, col("_rwg_pid")).orderBy(order: _*)))
+    val counts = local.groupBy(col("_rwg_pid").as("_rwg_pid2"), key.as("_rwg_k"))
+      .agg(count(lit(1)).as("_rwg_c"))
+    val offW = Window.partitionBy("_rwg_k").orderBy("_rwg_pid2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_rwg_off", coalesce(sum("_rwg_c").over(offW), lit(0L)))
+      .select(col("_rwg_pid2"), col("_rwg_k"), col("_rwg_off"))
+    local.join(broadcast(offsets),
+        col("_rwg_pid") === col("_rwg_pid2") && (key <=> col("_rwg_k")))
+      .withColumn(outCol, col("_rwg_off") + col("_rwg_lrn"))
+      .select((cols :+ outCol).map(col): _*)
+  }
+
   /** `archive` with `json_array`/`lines` format (processor_archive.go:21):
     * many rows → one row per group. Sorted collect keeps output deterministic.
     */

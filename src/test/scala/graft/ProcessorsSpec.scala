@@ -108,6 +108,34 @@ class ProcessorsSpec extends SparkSpec {
     assert(got == Map("k1" -> "first", "k2" -> "only"))
   }
 
+  test("scalableRowNumber equals the plain window row_number (skewed groups, null key, desc order)") {
+    // one viral group (0) holding 80% of rows forces group-spanning range
+    // partitions; group 1 is small; a null-key group checks the <=> join
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map { i =>
+      val k: java.lang.Long = if (i % 10 < 8) 0L else if (i % 10 == 8) 1L else null
+      (k, rnd.nextInt(50).toDouble, i.toLong) // ties in v → unique id tiebreak
+    }
+    val df = rows.toDF("k", "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .collect().map(r => (r.get(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    // explicit width: AQE would coalesce this tiny shuffle to one
+    // partition and the offset machinery would never be exercised
+    val got = Processors.scalableRowNumber(df, col("k"), Seq(col("v").desc, col("id")), "rn",
+        numPartitions = Some(8))
+      .collect().map(r => (r.get(0), r.getDouble(1), r.getLong(2), r.getLong(3).toInt)).toSet
+    assert(got == want,
+      s"two-phase diverges: onlyGot=${(got -- want).take(3)} onlyWant=${(want -- got).take(3)}")
+    // the viral group must actually span multiple range partitions, or
+    // the offset machinery was never exercised
+    val spans = df.repartitionByRange(8, col("k"), col("v").desc, col("id"))
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .filter(col("k") === 0L).select("_pid").distinct().count()
+    assert(spans > 1, s"viral group spans only $spans partition(s) — fixture too small")
+  }
+
   test("whileLoop at maxIters=50 keeps plan depth bounded and terminates quickly") {
     // 50 iterations of a self-referencing mutation would be a 3^50 plan
     // tree without the per-iteration localCheckpoint cut; with it, each
