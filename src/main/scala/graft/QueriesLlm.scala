@@ -308,6 +308,11 @@ object QueriesLlm {
       val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
       val occStream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString)
+        // each micro-batch is ONE parquet file = one scan split, and the
+        // scan+tokenize+window-explode pipeline into the pre-shuffle
+        // stage — without this fanout the batch's heaviest work runs on
+        // a single task (the one-file-input lesson, applied to streams)
+        .repartition(Tables.fanout(ss))
         .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
         .filter(size(col("_t")) >= w)
         .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))

@@ -122,5 +122,9 @@ object SparkEntry {
     // shuffles), its CUT step (canonical selection + anti-join rebuild),
     // and the end-to-end corpus-selection composition (digest window +
     // quality/token bands + decontamination anti-join in one plan)
-    "llm_dup_spans", "llm_dup_cut", "llm_corpus_select")
+    "llm_dup_spans", "llm_dup_cut", "llm_corpus_select",
+    // round 12: the streaming span-dedup twin (cross-batch digest state +
+    // batch compaction) and the skew-proof two-phase rank (times the
+    // range-partition + offset-broadcast machinery next to window_rank)
+    "stream_dup_spans", "window_rank_scaled")
 }

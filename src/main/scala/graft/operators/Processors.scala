@@ -138,7 +138,11 @@ object Processors {
     * `order` must be a TOTAL order within each group (add a unique
     * tiebreak — same contract that makes the plain window deterministic).
     * The ranged partition ids feed both the counts and the final join, so
-    * the ranged frame is localCheckpoint'ed once to pin them. */
+    * the ranged frame is localCheckpoint'ed once to pin them. The offset
+    * broadcast scales with #distinct keys + #partitions — which is small
+    * exactly where this operator applies (few keys, huge groups); at high
+    * key cardinality groups are small and the plain window doesn't skew
+    * in the first place. */
   def scalableRowNumber(df: DataFrame, key: Column, order: Seq[Column],
                         outCol: String = "rn",
                         numPartitions: Option[Int] = None): DataFrame = {
