@@ -255,6 +255,13 @@ object QueriesLlm {
         .localCheckpoint(false)
       val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString)
+        // one file per micro-batch = one scan split; distribute the
+        // per-row digest/token/quality math instead of fusing it into a
+        // single pre-shuffle task (same fanout as stream_dup_spans).
+        // Keep-first depends on batch MEMBERSHIP, not intra-batch order
+        // (the state fn takes minBy over each batch's rows), so the
+        // round-robin exchange cannot change the result.
+        .repartition(Tables.fanout(ss))
         .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"),
           TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -300,7 +307,12 @@ object QueriesLlm {
     // interval is the built-in skew ceiling.
     "stream_dup_spans" -> ((s, dir) => {
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // state exchange sized to STATE VOLUME: span-dedup state is one
+      // entry per distinct window digest (~two orders of magnitude more
+      // keys than corpus-select's per-document digests), so it gets the
+      // full scheduler width, not the small-state 8 (30x probe: the
+      // 8-partition cap was the one super-linear step in the curve)
+      ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
       import ss.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val w = 15
