@@ -515,6 +515,20 @@ object QueriesLlm {
       Dedup.decontaminate(docs, evalSet, "doc_id", "text", n = 5)
     }),
 
+    // SPAN-LEVEL decontamination (the surgical variant of
+    // llm_decontaminate): cut the eval-matching 5-gram spans out of the
+    // training docs instead of dropping whole documents — doc-level
+    // decontamination loses an entire document for one quoted benchmark
+    // sentence. Same planted eval set as llm_decontaminate; fully
+    // deterministic → complete DuckDB oracle (same window/island/rebuild
+    // rule as llm_dup_cut, match against the eval gram set).
+    "llm_decontaminate_cut" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(Tables.fanout(s)) // one-file input
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+        .select(substring_index(col("text"), " ", 20).as("text"))
+      Dedup.decontaminateCut(docs, evalSet, "doc_id", "text", n = 5)
+    }),
+
     // REAL bmp decode: synthesize deterministic 2x2 BMPs, decode them
     // executor-side, and let the oracle recompute dimensions + channel
     // means from the pixel formula — verifies the actual byte parser
@@ -859,6 +873,31 @@ object QueriesLlm {
          SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
          FROM tr JOIN evg ON tr.g = evg.g
          GROUP BY tr.doc_id""",
+    "llm_decontaminate_cut" ->
+      s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
+         ev AS ($oEvalPrefix),
+         evt AS (SELECT $oTok AS t FROM ev),
+         evw AS (SELECT DISTINCT array_to_string(t[i+1:i+5], ' ') AS w
+                 FROM evt, UNNEST(generate_series(0, len(t) - 5)) AS u(i)
+                 WHERE len(t) >= 5),
+         win AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+5], ' ') AS w
+                 FROM tok, UNNEST(generate_series(0, len(t) - 5)) AS u(i)
+                 WHERE len(t) >= 5),
+         occ AS (SELECT doc_id, pos, pos + 4 AS e FROM win JOIN evw USING (w)),
+         $oIslands,
+         spans AS (SELECT doc_id, min(pos) AS s, max(e) AS me FROM isl GROUP BY doc_id, g),
+         cutpos AS (SELECT doc_id, unnest(generate_series(s, me)) AS pos FROM spans),
+         postok AS (SELECT doc_id, len(t) AS n, i AS pos, t[i+1] AS tk
+                    FROM tok, UNNEST(generate_series(0, len(t) - 1)) AS u(i)
+                    WHERE len(t) > 0),
+         surv AS (SELECT p.doc_id, p.pos, p.tk, p.n FROM postok p
+                  LEFT JOIN cutpos c ON c.doc_id = p.doc_id AND c.pos = p.pos
+                  WHERE c.pos IS NULL),
+         cleaned AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+                       max(n) - count(*) AS n_cut FROM surv GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+           CAST(coalesce(c.n_cut, len(t.t)) AS BIGINT) AS n_cut
+         FROM tok t LEFT JOIN cleaned c USING (doc_id)""",
     "mm_decode_bmp" ->
       """SELECT c_custkey AS media_id, 2::BIGINT AS w, 2::BIGINT AS h,
            round((((c_custkey*37 + 0) % 256)/255.0 + ((c_custkey*37 + 4) % 256)/255.0

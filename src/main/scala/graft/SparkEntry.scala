@@ -124,7 +124,9 @@ object SparkEntry {
     // quality/token bands + decontamination anti-join in one plan)
     "llm_dup_spans", "llm_dup_cut", "llm_corpus_select",
     // round 12: the streaming span-dedup twin (cross-batch digest state +
-    // batch compaction) and the skew-proof two-phase rank (times the
-    // range-partition + offset-broadcast machinery next to window_rank)
-    "stream_dup_spans", "window_rank_scaled")
+    // batch compaction), the skew-proof two-phase rank (times the
+    // range-partition + offset-broadcast machinery next to window_rank),
+    // and span-level decontamination (broadcast gram match + anti-join
+    // rebuild — the surgical variant of llm_decontaminate)
+    "stream_dup_spans", "window_rank_scaled", "llm_decontaminate_cut")
 }

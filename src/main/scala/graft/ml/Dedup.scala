@@ -509,6 +509,49 @@ object Dedup {
     val cut = dupOccurrences(base, w, withCanon = true)
       .filter(col("doc_id") =!= col("_first.doc_id") || col("pos") =!= col("_first.pos"))
       .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("_e"))
+    rebuildWithoutSpans(all, cut)
+  }
+
+  /** Span-level eval-set DECONTAMINATION — the surgical variant of
+    * [[decontaminate]]: instead of flagging (and dropping) every training
+    * document that shares an n-gram with the eval set, CUT the matching
+    * token spans and keep the rest of the document. Doc-level
+    * decontamination throws away an entire document for one quoted
+    * benchmark sentence; at 100 TB that is real data loss — the cut
+    * variant removes exactly the contaminated windows (merged to maximal
+    * spans) and rebuilds the survivors, the same rebuild machinery as
+    * [[dupSpanCut]].
+    *
+    * Scale plan mirrors [[decontaminate]]: the eval set's distinct
+    * window digests are tiny → broadcast; the train side explodes its
+    * n-token windows map-side (8-byte digests, the [[windowDigests]]
+    * rule) and broadcast-joins — the corpus never shuffles for the
+    * match; only matched occurrences (rare) reach the per-doc island
+    * merge. Docs shorter than n tokens cannot contain an n-token window
+    * and pass through unchanged.
+    *
+    * @return (doc_id, clean_text, n_cut) — normalized-token text with
+    *         contaminated spans removed; n_cut = tokens removed
+    */
+  def decontaminateCut(train: DataFrame, evalSet: DataFrame, idCol: String,
+                       textCol: String, n: Int = 5): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(windowDigests(tokens(col(textCol)), n)).as("h")).distinct()
+    val all = train.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+    val occ = all.filter(size(col("_t")) >= n)
+      .select(col("doc_id"), posexplode(windowDigests(col("_t"), n)).as(Seq("pos", "h")))
+    val cut = occ.join(broadcast(evalGrams), "h")
+      .select(col("doc_id"), col("pos"), (col("pos") + n - 1).as("_e"))
+    rebuildWithoutSpans(all, cut)
+  }
+
+  /** Rebuild documents with the given [pos, _e] token spans removed:
+    * merge spans to maximal islands, explode covered positions, LEFT
+    * ANTI against the token stream, re-join survivors in order. Shared
+    * by [[dupSpanCut]] and [[decontaminateCut]]. Docs with no cuts
+    * (including docs absent from `cut`) pass through unchanged; fully-
+    * cut docs stay as rows with empty clean_text. */
+  private def rebuildWithoutSpans(all: DataFrame, cut: DataFrame): DataFrame = {
     val cutPos = mergeIslands(cut)
       .groupBy(col("doc_id"), col("_isl"))
       .agg(min("pos").as("_s"), max("_e").as("_me"))

@@ -837,6 +837,28 @@ class MlSpec extends SparkSpec {
       s"digest-partitioned window crept back into dupSpanCut:\n$cutPlan")
   }
 
+  test("decontaminateCut removes exactly the eval-matching spans, keeps the rest") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "pre1 pre2 alpha beta gamma delta epsilon post1 post2"), // eval 5-gram inside
+      (2L, "one two three four five six"),                          // clean
+      (3L, "alpha beta gamma delta epsilon"),                       // fully contaminated
+      (4L, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon"), // overlapping matches merge
+      (5L, "tiny doc")                                              // shorter than n → untouched
+    ).toDF("doc_id", "text")
+    val evalSet = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val got = graft.ml.Dedup.decontaminateCut(train, evalSet, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // eval 5-grams: {a b g d e, b g d e z}
+    assert(got(1L) == (("pre1 pre2 post1 post2", 5L)), got(1L).toString)
+    assert(got(2L) == (("one two three four five six", 0L)))
+    assert(got(3L) == (("", 5L)), "fully contaminated doc stays as an empty row")
+    // doc 4: windows at 0 (abgde), 1 (bgdez), 2 (gdeza)... matches at 0,1 and 6
+    // (abgde again) → islands [0,6) ∪ [6,11) merge to one full cut
+    assert(got(4L) == (("", 11L)), got(4L).toString)
+    assert(got(5L) == (("tiny doc", 0L)), "short doc passes through")
+  }
+
   test("llm_corpus_select: every selection clause is non-vacuous at the gate SF") {
     import spark.implicits._
     val corpus = QueriesLlm.plantedCorpus(spark, sf)
