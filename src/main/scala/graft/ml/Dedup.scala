@@ -542,21 +542,35 @@ object Dedup {
       .select(col("doc_id"), posexplode(windowDigests(col("_t"), n)).as(Seq("pos", "h")))
     val cut = occ.join(broadcast(evalGrams), "h")
       .select(col("doc_id"), col("pos"), (col("pos") + n - 1).as("_e"))
-    rebuildWithoutSpans(all, cut)
+    rebuildWithoutSpans(all, cut, dirtyOnly = true)
   }
 
   /** Rebuild documents with the given [pos, _e] token spans removed:
     * merge spans to maximal islands, explode covered positions, LEFT
     * ANTI against the token stream, re-join survivors in order. Shared
-    * by [[dupSpanCut]] and [[decontaminateCut]]. Docs with no cuts
-    * (including docs absent from `cut`) pass through unchanged; fully-
-    * cut docs stay as rows with empty clean_text. */
-  private def rebuildWithoutSpans(all: DataFrame, cut: DataFrame): DataFrame = {
+    * by [[dupSpanCut]] and [[decontaminateCut]].
+    *
+    * With `dirtyOnly`, only docs WITH cuts pay the explode→anti-join→
+    * re-assemble shuffle: untouched docs emit their normalized token
+    * text per-row with NO shuffle at all. Right when dirty ≪ corpus
+    * (decontamination: a quoted benchmark sentence is rare), because the
+    * rebuild exchange then tracks the DIRTY volume — but the split costs
+    * one extra corpus tokenize pass + two doc_id joins, so when most
+    * docs carry cuts (pervasive boilerplate — span dedup's worst case)
+    * the simple full rebuild is cheaper (measured: the dup-cut gate's
+    * planted all-dirty corpus pays +70% under the split). Docs with no
+    * cuts pass through unchanged; fully-cut docs stay as rows with
+    * empty clean_text. */
+  private def rebuildWithoutSpans(all: DataFrame, cut: DataFrame,
+                                  dirtyOnly: Boolean = false): DataFrame = {
     val cutPos = mergeIslands(cut)
       .groupBy(col("doc_id"), col("_isl"))
       .agg(min("pos").as("_s"), max("_e").as("_me"))
       .select(col("doc_id"), explode(sequence(col("_s"), col("_me"))).as("pos"))
-    val posTok = all.select(col("doc_id"), size(col("_t")).as("_n"),
+    val dirty = cut.select("doc_id").distinct()
+    val dirtyAll =
+      if (dirtyOnly) all.join(dirty, Seq("doc_id"), "left_semi") else all
+    val posTok = dirtyAll.select(col("doc_id"), size(col("_t")).as("_n"),
       posexplode(col("_t")).as(Seq("pos", "tok")))
     val cleaned = posTok.join(cutPos, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
@@ -565,10 +579,19 @@ object Dedup {
         (first(col("_n")) - count(lit(1))).cast(LongType).as("n_cut"))
     // fully-cut docs (and empty docs) have no surviving tokens — keep
     // them with empty clean_text rather than dropping the row
-    all.select(col("doc_id"), size(col("_t")).cast(LongType).as("_n0"))
+    val rebuilt = dirtyAll
+      .select(col("doc_id"), size(col("_t")).cast(LongType).as("_n0"))
       .join(cleaned, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_cut"), col("_n0")).as("n_cut"))
+    if (!dirtyOnly) rebuilt
+    else {
+      val untouched = all.join(dirty, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          array_join(col("_t"), " ").as("clean_text"),
+          lit(0L).as("n_cut"))
+      untouched.unionByName(rebuilt)
+    }
   }
 }
