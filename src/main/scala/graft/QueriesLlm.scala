@@ -515,6 +515,21 @@ object QueriesLlm {
       Dedup.decontaminate(docs, evalSet, "doc_id", "text", n = 5)
     }),
 
+    // DSIR-flavor data selection (Xie et al. 2023): importance weight =
+    // mean log-ratio of a target-domain unigram model (every 7th doc as
+    // the planted target sample) to the corpus model; the top-100 most
+    // target-like docs survive. Rank on the ROUNDED ratio with a doc_id
+    // tiebreak so the oracle's ordering decisions are bit-identical.
+    "llm_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(Tables.fanout(s)) // one-file input
+      val target = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      TextAnalysis.dsirLogRatio(docs, target, "doc_id", "text")
+        .select(col("doc_id"), round(col("dsir_logratio"), 6).as("dsir_logratio"),
+          col("n_tokens"))
+        .orderBy(col("dsir_logratio").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // SPAN-LEVEL decontamination (the surgical variant of
     // llm_decontaminate): cut the eval-matching 5-gram spans out of the
     // training docs instead of dropping whole documents — doc-level
@@ -873,6 +888,20 @@ object QueriesLlm {
          SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
          FROM tr JOIN evg ON tr.g = evg.g
          GROUP BY tr.doc_id""",
+    "llm_dsir" ->
+      s"""WITH ct AS (SELECT doc_id, unnest($oTok) AS tok FROM documents),
+         cf AS (SELECT tok, count(*) AS cf FROM ct GROUP BY tok),
+         ctot AS (SELECT sum(cf)::DOUBLE AS t, count(*)::DOUBLE AS v FROM cf),
+         tt AS (SELECT unnest($oTok) AS tok FROM documents WHERE doc_id % 7 = 0),
+         tf AS (SELECT tok, count(*) AS tft FROM tt GROUP BY tok)
+         SELECT ct.doc_id,
+           round(avg(log10((coalesce(tf.tft, 0) + 1) / (
+               (SELECT coalesce(sum(tft), 0)::DOUBLE FROM tf) + ctot.v))
+             - log10(cf.cf / ctot.t)), 6) AS dsir_logratio,
+           count(*)::BIGINT AS n_tokens
+         FROM ct JOIN cf USING (tok) LEFT JOIN tf USING (tok) CROSS JOIN ctot
+         GROUP BY ct.doc_id
+         ORDER BY dsir_logratio DESC, ct.doc_id LIMIT 100""",
     "llm_decontaminate_cut" ->
       s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
          ev AS ($oEvalPrefix),

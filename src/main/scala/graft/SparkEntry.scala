@@ -126,7 +126,9 @@ object SparkEntry {
     // round 12: the streaming span-dedup twin (cross-batch digest state +
     // batch compaction), the skew-proof two-phase rank (times the
     // range-partition + offset-broadcast machinery next to window_rank),
-    // and span-level decontamination (broadcast gram match + anti-join
-    // rebuild — the surgical variant of llm_decontaminate)
-    "stream_dup_spans", "window_rank_scaled", "llm_decontaminate_cut")
+    // span-level decontamination (broadcast gram match + anti-join
+    // rebuild — the surgical variant of llm_decontaminate), and
+    // DSIR-flavor target-domain selection (double word-count + vocab join)
+    "stream_dup_spans", "window_rank_scaled", "llm_decontaminate_cut",
+    "llm_dsir")
 }

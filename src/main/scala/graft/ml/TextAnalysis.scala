@@ -226,6 +226,42 @@ object TextAnalysis {
         count(lit(1)).cast(LongType).as("n_tokens"))
   }
 
+  /** DSIR-flavor importance weight ("Data Selection for Language Models
+    * via Importance Resampling", Xie et al. 2023, arXiv:2302.03169 —
+    * unigram feature space): per-document mean log₁₀ ratio of a TARGET
+    * domain unigram model to the corpus unigram model. Docs whose tokens
+    * look like the target (high ratio) are up-weighted for selection;
+    * the published method resamples ∝ exp(weight) — rank/threshold on
+    * the returned log-ratio to select deterministically. Target model is
+    * add-one smoothed over the corpus vocabulary (target samples are
+    * small; an unsmoothed OOV token would send the ratio to -∞).
+    *
+    * Scale plan: two word-count aggregates (map-side partial agg; the
+    * target one is tiny) + one vocabulary join back to the corpus token
+    * stream — the unigramLogProb shape with a second, left-joined
+    * frequency table. Neither vocab join is forced to broadcast (Zipf:
+    * vocab ≪ corpus but can be GBs at web scale); AQE decides. The two
+    * scalar totals are one-row aggregates, not data collects. */
+  def dsirLogRatio(corpus: org.apache.spark.sql.DataFrame,
+                   target: org.apache.spark.sql.DataFrame,
+                   idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val corpusToks = corpus.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+    val corpusTf = corpusToks.groupBy("tok").agg(count(lit(1)).as("_cf"))
+    val targetTf = target.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("_tft"))
+    val Array(cTot, v) = corpusTf.agg(sum("_cf"), count(lit(1))).first() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val tTot = targetTf.agg(coalesce(sum("_tft"), lit(0L))).first().getLong(0)
+    corpusToks.join(corpusTf, "tok")
+      .join(targetTf, Seq("tok"), "left_outer")
+      .withColumn("_lr",
+        log10((coalesce(col("_tft"), lit(0L)).cast(DoubleType) + 1.0) / (tTot + v).toDouble) -
+          log10(col("_cf").cast(DoubleType) / cTot.toDouble))
+      .groupBy(idCol)
+      .agg(avg("_lr").as("dsir_logratio"), count(lit(1)).cast(LongType).as("n_tokens"))
+  }
+
   /** BM25 relevance of each document to a fixed query-term set
     * (Robertson–Spärck Jones probabilistic ranking; the Lucene-flavored
     * non-negative idf `ln(1 + (N − df + ½)/(df + ½))`). The training-data

@@ -837,6 +837,23 @@ class MlSpec extends SparkSpec {
       s"digest-partitioned window crept back into dupSpanCut:\n$cutPlan")
   }
 
+  test("dsirLogRatio matches hand-computed target/corpus unigram log-ratios") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq((1L, "a a b")).toDF("doc_id", "text") // doc 1 is the target sample
+    val got = TextAnalysis.dsirLogRatio(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // corpus tf: a=2 b=2 c=1, total 5, vocab 3; target tf: a=2 b=1, total 3
+    // smoothed target P: (tf_t+1)/(3+3); ratios per token:
+    val ra = math.log10(3.0 / 6) - math.log10(2.0 / 5)
+    val rb = math.log10(2.0 / 6) - math.log10(2.0 / 5)
+    val rc = math.log10(1.0 / 6) - math.log10(1.0 / 5)
+    assert(math.abs(got(1L)._1 - (ra + ra + rb) / 3) < 1e-12 && got(1L)._2 == 3L)
+    assert(math.abs(got(2L)._1 - (rb + rc) / 2) < 1e-12 && got(2L)._2 == 2L)
+    // the target-like doc outranks the one carrying the target-absent token
+    assert(got(1L)._1 > got(2L)._1)
+  }
+
   test("decontaminateCut removes exactly the eval-matching spans, keeps the rest") {
     import spark.implicits._
     val train = Seq(
