@@ -53,6 +53,20 @@ object QueriesLlm {
   private val docsSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  private val documentsSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The RAW documents table as two parquet files (doc_id parity split)
+    * for STATELESS file-stream gates — any split works because their
+    * per-doc transforms are row-local; parity keeps both batches busy. */
+  private[graft] def documentsSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    documentsSplitCache.computeIfAbsent(dir, { _ =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      QueriesCore.writeSplitDir("sdc_in", Seq(
+        (docs.filter(col("doc_id") % 2 === 0), "0_docs.parquet"),
+        (docs.filter(col("doc_id") % 2 =!= 0), "1_docs.parquet")))
+    })
+
   /** plantedCorpus written as TWO doc_id-ordered parquet files (originals,
     * then twins) for file-stream gates — the ordering is what makes
     * streaming keep-first-per-digest equal batch min-per-digest. */
@@ -353,6 +367,62 @@ object QueriesLlm {
         .start()
       q.awaitTermination()
       Dedup.spansFromOccurrences(ss.table("stream_dup_spans_occ"), w)
+    }),
+
+    // STREAMING twin of llm_decontaminate_cut — the STATELESS streaming
+    // class (vs the keyed-state twins above): the eval gram set is a
+    // bounded batch-side broadcast, and the cut is row-local (a doc's
+    // spans depend only on its own tokens), so each micro-batch is
+    // embarrassingly parallel — no state store, no shuffle, the plan a
+    // continuous-ingestion decontaminator actually wants. Tokenization
+    // stays the SPARK column (Dedup.tokens) so the rule cannot drift
+    // from batch; the typed map covers only match/merge/rebuild (pure,
+    // position-set union == merged-island coverage). Gram match is on
+    // window STRINGS (in-JVM set, no digests → no collision caveat).
+    "stream_decontaminate_cut" -> ((s, dir) => {
+      val ss = s.newSession()
+      import ss.implicits._
+      val n = 5
+      val inDir = documentsSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+      // bounded by construction (an eval/benchmark set): collect + broadcast
+      val evalTok = t(ss, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(Dedup.tokens(substring_index(col("text"), " ", 20)).as("_t"))
+        .filter(size(col("_t")) >= n)
+        .select(explode(transform(sequence(lit(0), size(col("_t")) - n),
+          i => array_join(slice(col("_t"), i + 1, lit(n)), " "))).as("g"))
+        .distinct().as[String].collect().toSet
+      val grams = ss.sparkContext.broadcast(evalTok)
+      val cutDone = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .repartition(Tables.fanout(ss)) // one file per batch = one scan split
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+        .as[(Long, Seq[String])]
+        .map { case (id, toks) =>
+          if (toks.length < n) (id, toks.mkString(" "), 0L)
+          else {
+            val hits = (0 to toks.length - n)
+              .filter(i => grams.value.contains(toks.slice(i, i + n).mkString(" ")))
+            if (hits.isEmpty) (id, toks.mkString(" "), 0L)
+            else {
+              val cut = new Array[Boolean](toks.length)
+              hits.foreach(i => (i until i + n).foreach(j => cut(j) = true))
+              val surv = toks.indices.collect { case j if !cut(j) => toks(j) }
+              (id, surv.mkString(" "), (toks.length - surv.length).toLong)
+            }
+          }
+        }
+        .toDF("doc_id", "clean_text", "n_cut")
+      val ckpt = java.nio.file.Files.createTempDirectory("sdc_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = cutDone.writeStream.format("memory")
+        .queryName("stream_decontaminate_cut_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("stream_decontaminate_cut_sink")
     }),
 
     // exact n-gram Jaccard between consecutive docs (verification primitive)
@@ -990,4 +1060,5 @@ object QueriesLlm {
     oracleBase
       .updated("stream_corpus_select", oracleBase("llm_corpus_select"))
       .updated("stream_dup_spans", oracleBase("llm_dup_spans"))
+      .updated("stream_decontaminate_cut", oracleBase("llm_decontaminate_cut"))
 }

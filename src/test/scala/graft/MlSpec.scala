@@ -914,13 +914,29 @@ class MlSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
       val cols = df.columns.sorted.toSeq
       df.select(cols.map(col): _*).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("")).toVector.sorted
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).toVector.sorted
     }
     val batch = canon(QueriesLlm.queries("llm_dup_spans")(spark, sf))
     val stream = canon(QueriesLlm.queries("stream_dup_spans")(spark, sf))
     assert(batch.nonEmpty, "planted corpus carries duplicated spans at the spec SF")
     assert(stream == batch,
       s"streaming twin diverges: batch ${batch.size} rows, stream ${stream.size}")
+  }
+
+  test("stream_decontaminate_cut equals the batch span decontamination exactly (stateless twin)") {
+    def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).toVector.sorted
+    }
+    val batch = canon(QueriesLlm.queries("llm_decontaminate_cut")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_decontaminate_cut")(spark, sf))
+    assert(batch.nonEmpty)
+    val cutDocs = QueriesLlm.queries("llm_decontaminate_cut")(spark, sf)
+      .filter(col("n_cut") > 0).count()
+    assert(cutDocs > 0, "planted contamination cuts rows at the spec SF")
+    assert(stream == batch,
+      s"stateless streaming twin diverges: batch ${batch.size} rows, stream ${stream.size}")
   }
 
   test("bm25 matches a hand-computed score") {
