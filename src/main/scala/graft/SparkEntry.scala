@@ -130,5 +130,8 @@ object SparkEntry {
     // rebuild — the surgical variant of llm_decontaminate), and
     // DSIR-flavor target-domain selection (double word-count + vocab join)
     "stream_dup_spans", "window_rank_scaled", "llm_decontaminate_cut",
-    "llm_dsir")
+    "llm_dsir",
+    // round 12 late: the stateless streaming class (broadcast side data +
+    // row-local transform, no state store) next to the keyed-state twins
+    "stream_decontaminate_cut")
 }
