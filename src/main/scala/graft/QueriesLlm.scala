@@ -79,6 +79,89 @@ object QueriesLlm {
         (corpus.filter(col("doc_id") >= off), "1_docs.parquet")))
     })
 
+  private val sinkIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** stream_dup_spans body, parameterized on the singleton-eviction
+    * horizon so the MlSpec retention gate can run it BOTH ways
+    * (NoTimeout vs a not-yet-reached horizon) and pin the equality.
+    * Unique memory-sink name per invocation: the two runs share a JVM. */
+  private[graft] def streamDupSpans(s: SparkSession, dir: String,
+                                    evictSingletonsAfterMs: Option[Long]): DataFrame = {
+    val ss = s.newSession()
+    // state exchange sized to STATE VOLUME: span-dedup state is one
+    // entry per distinct window digest (~two orders of magnitude more
+    // keys than corpus-select's per-document digests), so it gets the
+    // full scheduler width, not the small-state 8 (30x probe: the
+    // 8-partition cap was the one super-linear step in the curve)
+    ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
+    import ss.implicits._
+    val w = 15
+    val inDir = docsSplitDir(s, dir)
+    val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+    val occStream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      // each micro-batch is ONE parquet file = one scan split, and the
+      // scan+tokenize+window-explode pipeline into the pre-shuffle
+      // stage — without this fanout the batch's heaviest work runs on
+      // a single task (the one-file-input lesson, applied to streams)
+      .repartition(Tables.fanout(ss))
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= w)
+      .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))
+      .toDF("_1", "_2", "_3").as[(Long, Int, Long)]
+    val dupOcc = graft.streaming.StreamDedup.dupOccurrences(occStream, evictSingletonsAfterMs)
+    val ckpt = java.nio.file.Files.createTempDirectory("sds_ckpt").toFile
+    ckpt.deleteOnExit()
+    val sink = s"stream_dup_spans_occ_${sinkIds.incrementAndGet()}"
+    val writer = dupOcc.writeStream.format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getPath)
+    // Under ProcessingTimeTimeout the engine schedules no-data batches
+    // FOREVER (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    // unconditionally true, so `noNewData` is never set): AvailableNow
+    // never terminates and processAllAvailable never returns. The
+    // eviction path therefore runs a paced continuous trigger — the
+    // deployment shape anyway (a continuous stream is never "done";
+    // timeouts fire in the no-data batches between arrivals) — and
+    // stops on the drained-input signal instead.
+    if (evictSingletonsAfterMs.isDefined) {
+      val q = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+        .start()
+      drainAndStop(q)
+    } else {
+      val q = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Dedup.spansFromOccurrences(ss.table(sink), w)
+  }
+
+  /** Stop a continuously-triggered file-stream query once its input is
+    * drained. A file source hands out every available file before ever
+    * running an empty batch, so "a no-data micro-batch ran after at
+    * least one data batch" == "all input processed". Needed because
+    * ProcessingTimeTimeout disables both AvailableNow termination and
+    * processAllAvailable (see streamDupSpans). */
+  private[graft] def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                  timeoutMs: Long = 300000L): Unit = {
+    val t0 = System.nanoTime()
+    def drained: Boolean = {
+      val ps = q.recentProgress
+      ps.exists(_.numInputRows > 0) && ps.nonEmpty && ps.last.numInputRows == 0
+    }
+    while (!drained) {
+      if (q.exception.isDefined) { q.stop(); throw q.exception.get }
+      require((System.nanoTime() - t0) / 1e6 < timeoutMs,
+        s"drainAndStop: query ${q.name} not drained after $timeoutMs ms")
+      Thread.sleep(25)
+    }
+    q.stop()
+    q.awaitTermination()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // token counting: whitespace + BPE-ish regex subwords
@@ -160,6 +243,30 @@ object QueriesLlm {
     "llm_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(plantedCorpus(s, dir).repartition(Tables.fanout(s)),
         "doc_id", "text", w = 15)),
+
+    // DEGENERATE-corpus span dedup — the SkewProbe shape promoted into a
+    // standing gate + bench row (r12 verdict): half the docs share ONE
+    // viral 15-token window (2M occurrences of one digest at probe
+    // scale), the exact shape that made a window-function count a
+    // one-task straggler. 20 synthetic docs per documents row (~100k
+    // docs at bench SF); even ids carry the viral window + a unique
+    // 5-token tail, odd ids are 20 unique tokens. The oracle is CLOSED
+    // FORM (derived independently from the construction, not a replay
+    // of the window rule): every even doc's only duplicated window sits
+    // at offset 0 → span [0, 15), n_windows 1.
+    "llm_dup_spans_skew" -> ((s, dir) => {
+      val amp = 20
+      val viral = (1 to 15).map(i => s"b$i").mkString(" ")
+      def tail(p: String, k: Int) = concat_ws(" ",
+        (1 to k).map(j => concat(lit(p), col("id"), lit(s"x$j"))): _*)
+      val ids = t(s, dir, "documents").select(
+          explode(sequence(col("doc_id") * amp, col("doc_id") * amp + (amp - 1))).as("id"))
+        .repartition(Tables.fanout(s)) // distribute the per-row synthesis
+      val docs = ids.select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, concat(lit(viral + " "), tail("u", 5)))
+          .otherwise(tail("q", 20)).as("text"))
+      Dedup.dupSpans(docs, "doc_id", "text", w = 15)
+    }),
 
     // corpus duplication statistics — the headline number a dedup pass
     // reports (what fraction of corpus tokens sit inside duplicated
@@ -319,55 +426,14 @@ object QueriesLlm {
     // the digest, but the per-task pile for a viral digest is bounded
     // by ONE micro-batch's occurrences, not the corpus — the trigger
     // interval is the built-in skew ceiling.
-    "stream_dup_spans" -> ((s, dir) => {
-      val ss = s.newSession()
-      // state exchange sized to STATE VOLUME: span-dedup state is one
-      // entry per distinct window digest (~two orders of magnitude more
-      // keys than corpus-select's per-document digests), so it gets the
-      // full scheduler width, not the small-state 8 (30x probe: the
-      // 8-partition cap was the one super-linear step in the curve)
-      ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
-      import ss.implicits._
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val w = 15
-      val inDir = docsSplitDir(s, dir)
-      val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
-      val occStream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(inDir.toString)
-        // each micro-batch is ONE parquet file = one scan split, and the
-        // scan+tokenize+window-explode pipeline into the pre-shuffle
-        // stage — without this fanout the batch's heaviest work runs on
-        // a single task (the one-file-input lesson, applied to streams)
-        .repartition(Tables.fanout(ss))
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
-        .filter(size(col("_t")) >= w)
-        .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))
-        .toDF("_1", "_2", "_3").as[(Long, Int, Long)]
-      // state per digest: absent = unseen; (doc, pos) = ONE unemitted
-      // occurrence stored; (-1, -1) = viral (>= 2 seen, all emitted)
-      val dupOcc = occStream.groupByKey(_._3)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          (_: Long, rows: Iterator[(Long, Int, Long)], state: GroupState[(Long, Int)]) => {
-            val incoming = rows.map(r => (r._1, r._2)).toList
-            if (state.exists && state.get._1 == -1L) incoming.iterator
-            else {
-              val all = (if (state.exists) List(state.get) else Nil) ++ incoming
-              if (all.lengthCompare(2) >= 0) { state.update((-1L, -1)); all.iterator }
-              else { all.headOption.foreach(state.update); Iterator.empty }
-            }
-          })
-        .toDF("doc_id", "pos")
-      val ckpt = java.nio.file.Files.createTempDirectory("sds_ckpt").toFile
-      ckpt.deleteOnExit()
-      val q = dupOcc.writeStream.format("memory")
-        .queryName("stream_dup_spans_occ")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.getPath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Dedup.spansFromOccurrences(ss.table("stream_dup_spans_occ"), w)
-    }),
+    // The GATE runs the eviction-capable path with a 1-hour singleton
+    // horizon: a horizon the run never reaches is provably identical to
+    // NoTimeout (MlSpec pins the equality), so the gate exercises the
+    // retention code you would deploy while sharing the batch oracle
+    // verbatim. The recall trade + RocksDB deployment note live on
+    // [[graft.streaming.StreamDedup]].
+    "stream_dup_spans" -> ((s, dir) =>
+      streamDupSpans(s, dir, evictSingletonsAfterMs = Some(3600L * 1000))),
 
     // STREAMING twin of llm_decontaminate_cut — the STATELESS streaming
     // class (vs the keyed-state twins above): the eval gram set is a
@@ -466,6 +532,25 @@ object QueriesLlm {
       Dedup.embeddingPairs(emb.unionByName(perturbed), "vec_id", "embedding", 64,
           threshold = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // SemDeDup semantic dedup (Abbas et al. 2023): k-means cells via the
+    // IVF machinery (sampled training, trainMod=2 — the 100 TB shape),
+    // within-cell ≥0.95-cosine pairs drop their centroid-farther side.
+    // Same planted perturbed twins as llm_embed_pairs (each twin pair is
+    // a known within-cell near-dup → exactly one survivor). k-means →
+    // rows-only gate; exact result pinned by hash in MlSpec next to the
+    // ANN rows, semantics gated on planted paraphrase clusters there too.
+    "llm_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .repartition(Tables.fanout(s)) // one-file input: distribute assignment
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
+      Similarity.semDedup(emb.unionByName(perturbed), "vec_id", "embedding", 64,
+          nCells = 16, threshold = 0.95, iters = 4, trainMod = 2)
+        .select(col("vec_id"), col("cell"),
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
     }),
 
     // brute-force cosine top-k (exact ANN baseline). Rank on the ROUNDED
@@ -600,6 +685,22 @@ object QueriesLlm {
         .limit(100)
     }),
 
+    // Hashed-feature DSIR (the paper's real feature space: unigrams +
+    // bigrams hashed into 10k buckets) — the de-hot-keyed scale shape:
+    // both frequency tables are bounded at `buckets` rows so the
+    // per-occurrence join is a broadcast, never a skewed token shuffle.
+    // md5-derived buckets make the hashing DuckDB-replayable → full
+    // oracle. Same top-100 selection convention as llm_dsir.
+    "llm_dsir_hashed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(Tables.fanout(s)) // one-file input
+      val target = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      TextAnalysis.dsirLogRatioHashed(docs, target, "doc_id", "text", buckets = 10000)
+        .select(col("doc_id"), round(col("dsir_logratio"), 6).as("dsir_logratio"),
+          col("n_feats"))
+        .orderBy(col("dsir_logratio").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // SPAN-LEVEL decontamination (the surgical variant of
     // llm_decontaminate): cut the eval-matching 5-gram spans out of the
     // training docs instead of dropping whole documents — doc-level
@@ -612,6 +713,41 @@ object QueriesLlm {
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
         .select(substring_index(col("text"), " ", 20).as("text"))
       Dedup.decontaminateCut(docs, evalSet, "doc_id", "text", n = 5)
+    }),
+
+    // Token-budget-aware quality REWEIGHTING — the soft-dedup step a real
+    // pipeline runs between dedup and selection: instead of hard
+    // drop/keep, each doc gets a sampling weight composed from its
+    // duplicate multiplicity (exact-digest count — partial agg +
+    // join-back, skew-safe), quality score, and DSIR target-affinity
+    // (logistic-squashed), then a deterministic md5-coin keeps docs with
+    // probability = weight (llm_sample_mix's reproducible-coin rule —
+    // at 100 TB a rand() sample breaks resumability). Docs with zero
+    // tokens carry no DSIR signal and are excluded by the inner join —
+    // they would be dropped by any token filter anyway. Fully
+    // deterministic → complete DuckDB oracle; non-vacuity (both kept
+    // and dropped rows, dup_cnt > 1 present, weights non-constant)
+    // pinned in MlSpec.
+    "llm_weighted_mix" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+      val dupCnt = corpus
+        .groupBy(md5(col("text").cast(BinaryType)).as("_d"))
+        .agg(count(lit(1)).as("dup_cnt"))
+      val target = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      val dsir = TextAnalysis.dsirLogRatio(
+          corpus.repartition(Tables.fanout(s)), target, "doc_id", "text")
+        .select(col("doc_id"), round(col("dsir_logratio"), 6).as("_r"))
+      corpus
+        .withColumn("_d", md5(col("text").cast(BinaryType)))
+        .join(dupCnt, "_d")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .join(dsir, "doc_id")
+        .withColumn("weight", round((col("quality") / 4.0) / col("dup_cnt") *
+          (lit(1.0) / (lit(1.0) + exp(-col("_r")))), 6))
+        .select(col("doc_id"), col("dup_cnt"), col("weight"),
+          when(TextAnalysis.sampleCoin(col("doc_id"), "graftmix") <
+            (col("weight") * lit(4294967296.0)).cast(LongType), 1L).otherwise(0L)
+            .as("kept"))
     }),
 
     // REAL bmp decode: synthesize deterministic 2x2 BMPs, decode them
@@ -972,6 +1108,62 @@ object QueriesLlm {
          FROM ct JOIN cf USING (tok) LEFT JOIN tf USING (tok) CROSS JOIN ctot
          GROUP BY ct.doc_id
          ORDER BY dsir_logratio DESC, ct.doc_id LIMIT 100""",
+    "llm_dup_spans_skew" ->
+      """WITH ids AS (SELECT unnest(generate_series(doc_id * 20, doc_id * 20 + 19)) AS id
+                      FROM documents)
+         SELECT id AS doc_id, 0::BIGINT AS span_start, 15::BIGINT AS span_end,
+           1::BIGINT AS n_windows
+         FROM ids WHERE id % 2 = 0""",
+    "llm_weighted_mix" ->
+      s"""WITH corpus AS ($oCorpus),
+         d AS (SELECT doc_id, text, md5(text) AS dg FROM corpus),
+         dc AS (SELECT dg, count(*) AS dup_cnt FROM d GROUP BY dg),
+         ct AS (SELECT doc_id, unnest($oTok) AS tok FROM corpus),
+         cf AS (SELECT tok, count(*) AS cf FROM ct GROUP BY tok),
+         ctot AS (SELECT sum(cf)::DOUBLE AS t, count(*)::DOUBLE AS v FROM cf),
+         tt AS (SELECT unnest($oTok) AS tok FROM documents WHERE doc_id % 7 = 0),
+         tf AS (SELECT tok, count(*) AS tft FROM tt GROUP BY tok),
+         ttot AS (SELECT coalesce(sum(tft), 0)::DOUBLE AS t FROM tf),
+         dsir AS (SELECT ct.doc_id,
+             round(avg(log10((coalesce(tf.tft, 0) + 1) / (ttot.t + ctot.v))
+               - log10(cf.cf / ctot.t)), 6) AS r
+           FROM ct JOIN cf USING (tok) LEFT JOIN tf USING (tok)
+           CROSS JOIN ctot CROSS JOIN ttot
+           GROUP BY ct.doc_id),
+         q AS (SELECT doc_id, $oQuality AS quality FROM corpus),
+         w AS (SELECT d.doc_id, dc.dup_cnt,
+             round((q.quality / 4.0) / dc.dup_cnt
+               * (1.0 / (1.0 + exp(-dsir.r))), 6) AS weight
+           FROM d JOIN dc USING (dg) JOIN q USING (doc_id) JOIN dsir USING (doc_id))
+         SELECT doc_id, dup_cnt::BIGINT AS dup_cnt, weight,
+           (CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'graftmix'), 1, 8))::BIGINT
+                 < CAST(floor(weight * 4294967296.0) AS BIGINT) THEN 1 ELSE 0 END)::BIGINT AS kept
+         FROM w""",
+    "llm_dsir_hashed" -> {
+      // feature list: unigrams ++ bigrams (the <2-token special case
+      // mirrors Dedup.shingles: the whole joined text as one gram);
+      // bucket = first 8 md5 hex chars as int, mod 10000 (sampleCoin's
+      // replayable-hash convention)
+      val oFeats = s"""list_concat(t, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(0, len(t) - 2),
+                 i -> concat_ws(' ', t[i+1], t[i+2])) END)"""
+      s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
+         cb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS b
+                FROM (SELECT doc_id, unnest($oFeats) AS g FROM tok)),
+         cf AS (SELECT b, count(*) AS cf FROM cb GROUP BY b),
+         ctot AS (SELECT sum(cf)::DOUBLE AS t FROM cf),
+         tb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS b
+                FROM (SELECT unnest($oFeats) AS g FROM tok WHERE doc_id % 7 = 0)),
+         tf AS (SELECT b, count(*) AS tft FROM tb GROUP BY b),
+         ttot AS (SELECT coalesce(sum(tft), 0)::DOUBLE AS t FROM tf)
+         SELECT cb.doc_id,
+           round(avg(log10((coalesce(tf.tft, 0) + 1) / (ttot.t + 10000))
+             - log10(cf.cf / ctot.t)), 6) AS dsir_logratio,
+           count(*)::BIGINT AS n_feats
+         FROM cb JOIN cf USING (b) LEFT JOIN tf USING (b) CROSS JOIN ctot CROSS JOIN ttot
+         GROUP BY cb.doc_id
+         ORDER BY dsir_logratio DESC, cb.doc_id LIMIT 100"""
+    },
     "llm_decontaminate_cut" ->
       s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
          ev AS ($oEvalPrefix),

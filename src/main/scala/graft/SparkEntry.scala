@@ -133,5 +133,12 @@ object SparkEntry {
     "llm_dsir",
     // round 12 late: the stateless streaming class (broadcast side data +
     // row-local transform, no state store) next to the keyed-state twins
-    "stream_decontaminate_cut")
+    "stream_decontaminate_cut",
+    // round 13: the degenerate-corpus skew row (SkewProbe promoted into
+    // the bench — holds the de-skew property round-over-round), hashed-
+    // feature DSIR (bounded-bucket broadcast join, the de-hot-keyed
+    // scale shape), SemDeDup semantic dedup (k-means cells + within-cell
+    // prune), and the weighted-mix soft-dedup composition
+    "llm_dup_spans_skew", "llm_dsir_hashed", "llm_semdedup",
+    "llm_weighted_mix")
 }

@@ -218,6 +218,78 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Cosine of each row's (unit-norm) vector to its assigned centroid —
+    * the SemDeDup keep-priority signal. Fused per-row loop (see
+    * hyperplaneSignature for why not an expression tree). */
+  private def centroidCos(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (cell: Int, v: Seq[Double]) =>
+      val row = cents(cell)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(row.length, v.length)
+      while (i < n) { dot += row(i) * v(i); i += 1 }
+      dot
+    }
+
+  /** SemDeDup — SEMANTIC deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et al.
+    * 2023, arXiv:2303.09540): the dedup granularity the lexical family
+    * (exact / MinHash / SimHash / substring spans) cannot see —
+    * paraphrases and re-renderings that share meaning but few n-grams.
+    *
+    * Shape (the paper's, distributed): k-means-cluster the embeddings
+    * (the existing deterministic [[ivfCentroids]] — sampled training via
+    * `trainMod` at scale), then compare pairs ONLY within a cluster;
+    * any pair with cosine ≥ `threshold` drops its lower-priority side.
+    * Priority = (cosine-to-centroid, then smaller id) — the
+    * centroid-nearest representative survives. The survivor set is
+    * τ-independent WITHIN each cluster (every ≥τ pair loses its
+    * lower-priority endpoint); cross-cluster near-dups are the method's
+    * accepted recall miss (the paper's too — raise nCells quality or
+    * nProbe-style multi-assignment if it matters).
+    *
+    * Scale plan: no all-pairs — candidate generation is
+    * [[Dedup.boundedBucketPairs]] keyed on the cell id (slim (id, cell)
+    * rows ride the shuffle; vectors join back only for candidate pairs),
+    * with the same degenerate-bucket cap as the LSH families: a cell
+    * larger than `maxCellSize` is excluded from pair generation rather
+    * than going quadratic in one task (k-means cells are size-balanced
+    * by construction, so the cap is a skew fuse, not a working limit).
+    * Centroid state is nCells × dim doubles — kilobytes, driver-resident.
+    *
+    * @return (idCol, cell, centroid_cos, keep) — every corpus row, with
+    *         keep = 1 for survivors
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nCells: Int = 16, threshold: Double = 0.95, iters: Int = 4,
+               trainMod: Int = 1, maxCellSize: Int = 100000): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, dim, nCells, iters, trainMod)
+    val assign = assignCell(cents)
+    val ccos = centroidCos(cents)
+    // assignment + priority computed once; both the pair probe and the
+    // verification join consume it (the LSH families' signature-table stage)
+    val vecs = corpus.select(col(idCol).as("_id"), normalized(col(vecCol)).as("_nv"))
+      .withColumn("_cell", assign(col("_nv")))
+      .withColumn("_ccos", ccos(col("_cell"), col("_nv")))
+      .localCheckpoint(false)
+    val candidates = Dedup.boundedBucketPairs(
+      vecs.select("_id", "_cell"), "_id", Seq("_cell"), maxCellSize)
+    val a = vecs.select(col("_id").as("id_a"), col("_nv").as("_va"), col("_ccos").as("_ca"))
+    val b = vecs.select(col("_id").as("id_b"), col("_nv").as("_vb"), col("_ccos").as("_cb"))
+    val losers = candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("_cos", graft.functions.Blob.cosineSimilarity(col("_va"), col("_vb")))
+      .filter(col("_cos") >= threshold)
+      // lower priority loses: smaller centroid-cosine, ties to the larger id
+      .select(when(col("_ca") < col("_cb") ||
+          (col("_ca") === col("_cb") && col("id_a") > col("id_b")), col("id_a"))
+        .otherwise(col("id_b")).as("_loser"))
+      .distinct()
+    vecs.join(losers, vecs("_id") === losers("_loser"), "left_outer")
+      .select(col("_id").as(idCol), col("_cell").cast(LongType).as("cell"),
+        col("_ccos").as("centroid_cos"),
+        when(col("_loser").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   /** LSH-bucketed ANN: score only pairs sharing a bucket in >=1 of `tables`
     * hyperplane tables. Recall < 1.0 but corpus-side work drops from
     * O(|corpus| * |queries|) to O(bucket collisions). */

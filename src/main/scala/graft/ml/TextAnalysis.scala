@@ -262,6 +262,54 @@ object TextAnalysis {
       .agg(avg("_lr").as("dsir_logratio"), count(lit(1)).cast(LongType).as("n_tokens"))
   }
 
+  /** Hashed-feature DSIR — the published method's actual feature space
+    * (Xie et al. 2023, arXiv:2302.03169 §2: unigrams AND bigrams hashed
+    * into a fixed bucket count) and the 100 TB join shape the unigram
+    * variant lacks: both frequency tables are BOUNDED at `buckets` rows
+    * by construction, so the per-occurrence join is a broadcast hash
+    * join — the raw-token join of [[dsirLogRatio]] probes a
+    * vocabulary-sized (Zipf, heavy-tailed, stopword-hot) table instead,
+    * which at web scale is a skewed shuffle join (AQE-splittable, but
+    * the hot rows are the least informative tokens). Hashing also caps
+    * the model size independent of corpus vocabulary growth.
+    *
+    * The bucket hash is md5-based (first 8 hex chars, like
+    * [[sampleCoin]]) rather than xxhash64 so external engines can
+    * replay the exact bucketing. Smoothing: add-one over the `buckets`
+    * space (the hashed analog of dsirLogRatio's vocab smoothing).
+    *
+    * @return (idCol, dsir_logratio, n_feats) — mean log₁₀ target/corpus
+    *         bucket-probability ratio over the doc's feature occurrences
+    */
+  def dsirLogRatioHashed(corpus: org.apache.spark.sql.DataFrame,
+                         target: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         buckets: Int = 10000): org.apache.spark.sql.DataFrame = {
+    def feats(text: Column): Column =
+      concat(Dedup.tokens(text), Dedup.shingles(text, 2))
+    def bucketOf(g: Column): Column =
+      pmod(conv(substring(md5(g.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType), lit(buckets.toLong))
+    val corpusB = corpus.select(col(idCol), explode(feats(col(textCol))).as("_g"))
+      .select(col(idCol), bucketOf(col("_g")).as("_b"))
+    val targetB = target.select(explode(feats(col(textCol))).as("_g"))
+      .select(bucketOf(col("_g")).as("_b"))
+    // bounded at `buckets` rows by construction → broadcast is safe at
+    // ANY corpus scale (unlike a vocabulary table, which grows with data)
+    val corpusBf = corpusB.groupBy("_b").agg(count(lit(1)).as("_cf"))
+    val targetBf = targetB.groupBy("_b").agg(count(lit(1)).as("_tft"))
+    val cTot = corpusBf.agg(sum("_cf")).first().getLong(0)
+    val tTot = targetBf.agg(coalesce(sum("_tft"), lit(0L))).first().getLong(0)
+    corpusB.join(broadcast(corpusBf), "_b")
+      .join(broadcast(targetBf), Seq("_b"), "left_outer")
+      .withColumn("_lr",
+        log10((coalesce(col("_tft"), lit(0L)).cast(DoubleType) + 1.0) /
+            (tTot + buckets).toDouble) -
+          log10(col("_cf").cast(DoubleType) / cTot.toDouble))
+      .groupBy(idCol)
+      .agg(avg("_lr").as("dsir_logratio"), count(lit(1)).cast(LongType).as("n_feats"))
+  }
+
   /** BM25 relevance of each document to a fixed query-term set
     * (Robertson–Spärck Jones probabilistic ranking; the Lucene-flavored
     * non-negative idf `ln(1 + (N − df + ½)/(df + ½))`). The training-data

@@ -459,7 +459,8 @@ class MlSpec extends SparkSpec {
       "llm_embed_pairs" -> "4aa21e3beb1c1e23",   // 500 pairs
       "llm_langid" -> "e92e8aca52412e6d",        // 500 rows
       "llm_ann_lsh" -> "60e22eb74f82a6f7",       // 18 rows
-      "llm_ann_ivf" -> "ef16fe676934cb28")       // 25 rows
+      "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
+      "llm_semdedup" -> "d2ea5336e9599c63")      // 1000 rows (500 planted twins)
     val drifted = pins.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
       val df = SparkEntry.queries(name)(spark, dir)
       val rows = df.collect().map(_.toSeq.map(String.valueOf).mkString(",")).sorted
@@ -937,6 +938,167 @@ class MlSpec extends SparkSpec {
     assert(cutDocs > 0, "planted contamination cuts rows at the spec SF")
     assert(stream == batch,
       s"stateless streaming twin diverges: batch ${batch.size} rows, stream ${stream.size}")
+  }
+
+  test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
+    import spark.implicits._
+    // 4 well-separated direction groups (orthogonal bases — cross-group
+    // cosine ~0). Per group: a 3-member near-identical "paraphrase"
+    // trio (pairwise cosine > 0.999) + 1 distinct member (cosine to the
+    // trio ≈ 0.89 < τ). Deterministic fixture, no RNG.
+    val dim = 8
+    def vec(base: Int, jitter: Double, extra: Int = -1, extraW: Double = 0.0): Seq[Float] = {
+      val v = Array.fill(dim)(0.0)
+      v(base) = 1.0
+      v((base + 4) % dim) = jitter
+      if (extra >= 0) v(extra) = extraW
+      v.map(_.toFloat).toSeq
+    }
+    val rows = (0 until 4).flatMap { g =>
+      val trio = (0 until 3).map(j => (g * 10L + j, vec(g, 0.01 * (j + 1))))
+      val distinct = (g * 10L + 5, vec(g, 0.0, extra = (g + 5) % dim, extraW = 0.5))
+      trio :+ distinct
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ml.Similarity.semDedup(df, "vec_id", "embedding", dim,
+        nCells = 4, threshold = 0.95, iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length == 16, "every corpus row is classified")
+    val keep = out.filter(_._4 == 1L).map(_._1).toSet
+    (0 until 4).foreach { g =>
+      val trioIds = Set(g * 10L, g * 10L + 1, g * 10L + 2)
+      val kept = trioIds & keep
+      assert(kept.size == 1, s"group $g: paraphrase trio must keep exactly one, kept $kept")
+      // the survivor is the trio's max-(centroid_cos, smaller-id) member
+      val trio = out.filter(r => trioIds.contains(r._1))
+      val best = trio.maxBy(r => (r._3, -r._1))._1
+      assert(kept.head == best, s"group $g: survivor ${kept.head} is not centroid-nearest $best")
+      assert(keep.contains(g * 10L + 5), s"group $g: the distinct member must survive")
+    }
+    // survivor independence: no two same-cell survivors at cosine >= τ
+    // (the property the pairwise loser rule guarantees within a cell)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val byId = rows.toMap
+    val cells = out.map(r => r._1 -> r._2).toMap
+    for {
+      x <- keep; y <- keep if x < y && cells(x) == cells(y)
+    } assert(cos(byId(x), byId(y)) < 0.95,
+      s"survivors $x,$y share cell ${cells(x)} at cosine >= threshold")
+    // every dropped row has a higher-priority same-cell tau-neighbor
+    val pri = out.map(r => r._1 -> ((r._3, -r._1))).toMap
+    out.filter(_._4 == 0L).foreach { case (id, cell, _, _) =>
+      val beaten = out.exists(o => o._1 != id && o._2 == cell &&
+        cos(byId(id), byId(o._1)) >= 0.95 &&
+        Ordering[(Double, Long)].gt(pri(o._1), pri(id)))
+      assert(beaten, s"dropped $id has no higher-priority near-dup in cell $cell")
+    }
+  }
+
+  test("stream_dup_spans: a not-yet-reached eviction horizon equals NoTimeout exactly") {
+    // The gate ships the eviction-capable path (1 h horizon); this spec
+    // pins the claim that makes its oracle valid — a horizon the run
+    // never reaches is bit-identical to unbounded retention.
+    def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("")).toVector.sorted
+    }
+    val unbounded = canon(QueriesLlm.streamDupSpans(spark, sf, None))
+    val horizon = canon(QueriesLlm.streamDupSpans(spark, sf, Some(3600L * 1000)))
+    assert(unbounded.nonEmpty, "planted corpus carries duplicated spans at the spec SF")
+    assert(horizon == unbounded,
+      s"eviction horizon diverged: NoTimeout ${unbounded.size} rows, horizon ${horizon.size}")
+  }
+
+  test("StreamDedup: singleton digests age out past the horizon; viral state survives") {
+    // Hand-built occurrence stream, one file per micro-batch:
+    //   batch 0: digest 42 first occurrence (doc 0) + digest 11 twice (viral)
+    //   batches 1-2: filler digests (the horizon elapses; timeouts fire
+    //                for keys WITHOUT new data)
+    //   batch 3: digest 42 again (doc 5) + digest 11 a third time
+    // With a 1 ms horizon, digest 42's singleton state is evicted during
+    // the filler batches, so its batch-3 recurrence reads as a fresh
+    // singleton — the documented straddling-duplicate recall trade. The
+    // viral digest 11 is never evicted: its third occurrence still emits.
+    import spark.implicits._
+    def occFile(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("doc_id", "pos", "h")
+    val inDir = QueriesCore.writeSplitDir("sds_evict", Seq(
+      (occFile(Seq((0L, 0, 42L), (1L, 0, 11L), (2L, 0, 11L))), "0_occ.parquet"),
+      (occFile(Seq((100L, 0, 777L))), "1_occ.parquet"),
+      (occFile(Seq((101L, 0, 888L))), "2_occ.parquet"),
+      (occFile(Seq((5L, 3, 42L), (3L, 0, 11L))), "3_occ.parquet")))
+    def run(evict: Option[Long]): (Set[(Long, Int)], Long) = {
+      val ss = spark.newSession()
+      import ss.implicits._
+      val schema = ss.read.parquet(inDir.resolve("0_occ.parquet").toString).schema
+      val occ = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .toDF("_1", "_2", "_3").as[(Long, Int, Long)]
+      val sink = s"sds_evict_${evict.isDefined}"
+      val ckpt = java.nio.file.Files.createTempDirectory("sds_evict_ckpt").toFile
+      ckpt.deleteOnExit()
+      // paced continuous trigger + drained-input stop for the eviction
+      // run: under ProcessingTimeTimeout the engine schedules no-data
+      // batches forever, so neither AvailableNow nor processAllAvailable
+      // ever returns (see QueriesLlm.drainAndStop); the pacing also
+      // guarantees the 1 ms horizon elapses between micro-batches
+      val writer = graft.streaming.StreamDedup.dupOccurrences(occ, evict)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+      if (evict.isDefined) {
+        val q = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(20L)).start()
+        QueriesLlm.drainAndStop(q)
+        val removed = q.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsRemoved).sum
+        val out = ss.table(sink).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        return (out, removed)
+      }
+      val q = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      val out = ss.table(sink).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      (out, removed)
+    }
+    val (unbounded, removed0) = run(None)
+    assert(unbounded == Set((1L, 0), (2L, 0), (0L, 0), (5L, 3), (3L, 0)),
+      s"NoTimeout must flag both digests' occurrences, got $unbounded")
+    assert(removed0 == 0L, "NoTimeout must never evict state")
+    val (evicted, removed1) = run(Some(1L))
+    assert(evicted == Set((1L, 0), (2L, 0), (3L, 0)),
+      s"past-horizon singleton must be missed, viral digest must survive eviction, got $evicted")
+    assert(removed1 >= 1L, "eviction must remove the aged singleton state row")
+  }
+
+  test("llm_weighted_mix: every weight factor is active and the coin splits the corpus") {
+    val out = QueriesLlm.queries("llm_weighted_mix")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // dup factor active: the planted ≤40-token twins give dup_cnt 2 rows
+    assert(out.exists(_._2 >= 2L), "dup_cnt > 1 must occur (planted twins)")
+    assert(out.exists(_._2 === 1L), "dup_cnt == 1 must occur")
+    // weights non-constant and in [0, 1]
+    assert(out.map(_._3).distinct.length > 10, "weights must vary across docs")
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0), "weight is a probability")
+    // the coin both keeps and drops
+    assert(out.exists(_._4 == 1L), "some docs kept")
+    assert(out.exists(_._4 == 0L), "some docs dropped")
+    // a duplicated copy never outweighs its identical original's weight
+    // class: dup_cnt=2 rows weigh half their quality/dsir product
+    val kept = out.count(_._4 == 1L).toDouble / out.length
+    assert(kept > 0.01 && kept < 0.99, s"keep rate $kept must be a real split")
   }
 
   test("bm25 matches a hand-computed score") {
