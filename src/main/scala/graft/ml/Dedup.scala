@@ -244,11 +244,16 @@ object Dedup {
     * partial (map-side) combine — each input partition contributes at most
     * one candidate row per digest it holds, so no reducer ever sees the
     * full duplicate pile. Ties on `tieBreak` are arbitrary (same contract
-    * as the previous window form); callers pass a unique key. */
+    * as the previous window form); callers pass a unique key. NULL
+    * tieBreak values rank FIRST (the nulls-first contract of the window
+    * form this replaced) and never drop a group's rows: the ordering
+    * rides a never-null (isNotNull, value) struct, because a bare
+    * min_by ignores rows whose ordering value is NULL. */
   def exact(df: DataFrame, textCol: String, tieBreak: Column): DataFrame = {
     val cols = df.columns.toSeq
     df.groupBy(sha2(col(textCol).cast(BinaryType), 256).as("_dg"))
-      .agg(min_by(struct(cols.map(col): _*), tieBreak).as("_w"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(tieBreak.isNotNull, tieBreak)).as("_w"))
       .select(cols.map(c => col("_w").getField(c).as(c)): _*)
   }
 
@@ -315,10 +320,18 @@ object Dedup {
     * difference between 40 shuffles and 6 on a chain-shaped component.
     * Each round is two shuffle joins + one groupBy, all keyed on node
     * id; `localCheckpoint` truncates lineage so the plan doesn't grow
-    * with iterations (the classic iterative-DataFrame trap). Nothing is
-    * collected to the driver; the loop's only driver-side state is the
-    * convergence counter. At 100 TB this is the standard GraphX-free CC:
-    * shuffle volume per round is O(|E|), rounds are O(log d).
+    * with iterations (the classic iterative-DataFrame trap), and each
+    * round's superseded label frame is RELEASED after the next fixpoint
+    * check materializes its successor — without that, every round's
+    * blocks stay resident until the session GCs the plans (r12 advice).
+    * Cluster caveat: localCheckpoint blocks are not recomputable, so an
+    * executor loss mid-loop fails the job; at real cluster scale prefer
+    * `spark.sql.adaptive`-friendly reliable checkpoints (checkpoint dir
+    * on the DFS) for multi-hour runs — the loop structure is identical.
+    * Nothing is collected to the driver; the loop's only driver-side
+    * state is the convergence counter. At 100 TB this is the standard
+    * GraphX-free CC: shuffle volume per round is O(|E|), rounds are
+    * O(log d).
     *
     * @param nodes one column `node` (long ids)
     * @param edges columns `id_a`,`id_b` (undirected pairs, either order)
@@ -344,6 +357,7 @@ object Dedup {
     // escalate 3 rounds per re-check (reach ×8 each batch): the common
     // case still pays exactly one check, and there is no diameter cliff.
     var i = 0
+    val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def runRound(): Unit = {
       i += 1
       val viaEdge = sym.join(labels, sym("dst") === labels("node"))
@@ -354,13 +368,25 @@ object Dedup {
         else base.unionByName(labels.as("x")
           .join(labels.as("p"), col("x.label") === col("p.node"))
           .select(col("x.node").as("node"), col("p.label").as("label")))
+      // superseded once the NEXT fixpoint check materializes; round 1's
+      // prev is the caller's nodes projection — never ours to release
+      // (its plan may contain the CALLER's checkpoints)
+      if (i >= 2) retired += prev
       prev = labels
       labels = withHop.groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(false)
     }
-    def changed(): Long = labels.withColumnRenamed("label", "_l2")
-      .join(prev, "node").filter(col("_l2") =!= col("label"))
-      .limit(1).count()
+    def changed(): Long = {
+      val ch = labels.withColumnRenamed("label", "_l2")
+        .join(prev, "node").filter(col("_l2") =!= col("label"))
+        .limit(1).count()
+      // the count materialized labels (and transitively prev): every
+      // older round's checkpoint blocks are now unreachable — release
+      // them instead of waiting for the ContextCleaner's GC cycle
+      retired.foreach(org.apache.spark.sql.graftshim.CheckpointRelease.unpersist)
+      retired.clear()
+      ch
+    }
     (1 to rounds).foreach(_ => runRound())
     val maxRounds = 40 // reach 2^39 — beyond any real component diameter
     var ch = changed()
@@ -369,6 +395,10 @@ object Dedup {
       ch = changed()
     }
     require(ch == 0, s"connectedComponents not converged after $i rounds")
+    // sym and the last prev are dead once the caller's reads hit the
+    // final labels checkpoint; labels itself stays live for the caller
+    org.apache.spark.sql.graftshim.CheckpointRelease.unpersist(prev)
+    org.apache.spark.sql.graftshim.CheckpointRelease.unpersist(sym)
     labels
   }
 

@@ -65,16 +65,21 @@ object Caches {
   def buildLastWins(df: DataFrame, key: Column, value: Column, order: Column): KvCache = {
     // max_by, not a row_number window: a hot cache key (the natural skew
     // shape for a kv cache) partial-aggregates map-side instead of piling
-    // into one window task (window-skew audit, PLANS.md)
+    // into one window task (window-skew audit, PLANS.md). The ordering
+    // rides a never-null (isNotNull, value) struct: bare max_by IGNORES
+    // rows whose order is NULL — null-ordered writes rank lowest (the
+    // desc-nulls-last window contract) instead of silently vanishing.
     val kv = df.select(key.as("k"), value.as("v"), order.as("o"))
-      .groupBy("k").agg(max_by(col("v"), col("o")).as("v"))
+      .groupBy("k").agg(max_by(col("v"), struct(col("o").isNotNull, col("o"))).as("v"))
     KvCache(kv, "k", "v")
   }
 
-  /** `cache_add`: first-writer-wins (add fails if present → keep first). */
+  /** `cache_add`: first-writer-wins (add fails if present → keep first).
+    * NULL order ranks first (nulls-first) via the same never-null
+    * ordering struct as [[buildLastWins]]. */
   def buildFirstWins(df: DataFrame, key: Column, value: Column, order: Column): KvCache = {
     val kv = df.select(key.as("k"), value.as("v"), order.as("o"))
-      .groupBy("k").agg(min_by(col("v"), col("o")).as("v"))
+      .groupBy("k").agg(min_by(col("v"), struct(col("o").isNotNull, col("o"))).as("v"))
     KvCache(kv, "k", "v")
   }
 

@@ -105,13 +105,17 @@ object Processors {
     * "first seen" under its single-threaded cache). One shuffle on the key
     * via groupBy + min_by — partial aggregation absorbs a hot dedup key
     * map-side, where a row_number window would pile every duplicate of
-    * one key into a single task (window-skew audit, PLANS.md).
+    * one key into a single task (window-skew audit, PLANS.md). NULL
+    * `orderBy` values rank first (the window form's nulls-first) and
+    * never drop rows: bare min_by ignores NULL-ordered rows, so the
+    * ordering rides a never-null (isNotNull, value) struct.
     */
   def dedupe(keys: Seq[Column], orderBy: Column): Processor =
     Processor("dedupe") { df =>
       val cols = df.columns.toSeq
       df.groupBy(keys: _*)
-        .agg(min_by(struct(cols.map(col): _*), orderBy).as("_w"))
+        .agg(min_by(struct(cols.map(col): _*),
+          struct(orderBy.isNotNull, orderBy)).as("_w"))
         .select(cols.map(c => col("_w").getField(c).as(c)): _*)
     }
 
@@ -138,11 +142,12 @@ object Processors {
     * `order` must be a TOTAL order within each group (add a unique
     * tiebreak — same contract that makes the plain window deterministic).
     * The ranged partition ids feed both the counts and the final join, so
-    * the ranged frame is localCheckpoint'ed once to pin them. The offset
-    * broadcast scales with #distinct keys + #partitions — which is small
-    * exactly where this operator applies (few keys, huge groups); at high
-    * key cardinality groups are small and the plain window doesn't skew
-    * in the first place. */
+    * the ranged frame is localCheckpoint'ed once to pin them. The offsets
+    * table scales with #distinct keys + #partitions — small exactly where
+    * this operator applies (few keys, huge groups), where AQE broadcasts
+    * it; at high key cardinality groups are small and the plain window
+    * doesn't skew in the first place, and the un-hinted join degrades to
+    * a shuffle instead of OOMing the driver. */
   def scalableRowNumber(df: DataFrame, key: Column, order: Seq[Column],
                         outCol: String = "rn",
                         numPartitions: Option[Int] = None): DataFrame = {
@@ -164,7 +169,12 @@ object Processors {
     val offsets = counts
       .withColumn("_rwg_off", coalesce(sum("_rwg_c").over(offW), lit(0L)))
       .select(col("_rwg_pid2"), col("_rwg_k"), col("_rwg_off"))
-    local.join(broadcast(offsets),
+    // no broadcast HINT: the offsets table scales with #distinct keys ×
+    // #partitions, so a forced broadcast would OOM the driver exactly
+    // when a caller misuses this on a high-cardinality key; size
+    // estimates + AQE still pick broadcast for the intended few-key
+    // shape, and degrade to a shuffle join instead of failing otherwise
+    local.join(offsets,
         col("_rwg_pid") === col("_rwg_pid2") && (key <=> col("_rwg_k")))
       .withColumn(outCol, col("_rwg_off") + col("_rwg_lrn"))
       .select((cols :+ outCol).map(col): _*)
