@@ -125,19 +125,33 @@ object QueriesLlm {
     // deployment shape anyway (a continuous stream is never "done";
     // timeouts fire in the no-data batches between arrivals) — and
     // stops on the drained-input signal instead.
-    if (evictSingletonsAfterMs.isDefined) {
-      val q = writer
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
-        .start()
-      drainAndStop(q)
-    } else {
-      val q = writer
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    val q =
+      if (evictSingletonsAfterMs.isDefined) {
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+          .start()
+        drainAndStop(q0)
+        q0
+      } else {
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      }
+    // terminal state-store metrics for the retention probe (StateProbe):
+    // rows resident at the last progress, total rows evicted
+    lastStateMetrics = {
+      val ps = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      Some((ps.lastOption.map(_.numRowsTotal).getOrElse(0L), ps.map(_.numRowsRemoved).sum))
     }
     Dedup.spansFromOccurrences(ss.table(sink), w)
   }
+
+  /** Terminal (numRowsTotal, numRowsRemoved) of the most recent
+    * [[streamDupSpans]] run — probe/spec plumbing only (runs are
+    * sequential there), never part of a query plan. */
+  @volatile private[graft] var lastStateMetrics: Option[(Long, Long)] = None
 
   /** Stop a continuously-triggered file-stream query once its input is
     * drained. A file source hands out every available file before ever

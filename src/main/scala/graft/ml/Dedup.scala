@@ -368,21 +368,27 @@ object Dedup {
         else base.unionByName(labels.as("x")
           .join(labels.as("p"), col("x.label") === col("p.node"))
           .select(col("x.node").as("node"), col("p.label").as("label")))
-      // superseded once the NEXT fixpoint check materializes; round 1's
-      // prev is the caller's nodes projection — never ours to release
-      // (its plan may contain the CALLER's checkpoints)
-      if (i >= 2) retired += prev
+      // superseded once the NEXT fixpoint check materializes. prev only
+      // becomes one of OUR checkpoints after round 2's reassignment —
+      // in rounds 1-2 it is still the caller's nodes projection, whose
+      // plan may contain the CALLER's checkpoints (never ours to release)
+      if (i >= 3) retired += prev
       prev = labels
       labels = withHop.groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(false)
     }
     def changed(): Long = {
+      // a FULL count, deliberately not limit(1): the fixpoint check is
+      // also the job that materializes EVERY partition of the label
+      // checkpoints (a limit(1) job computes only the partitions it
+      // touches, leaving the rest lazy — releasing upstream blocks would
+      // then strand them: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next read)
       val ch = labels.withColumnRenamed("label", "_l2")
         .join(prev, "node").filter(col("_l2") =!= col("label"))
-        .limit(1).count()
-      // the count materialized labels (and transitively prev): every
-      // older round's checkpoint blocks are now unreachable — release
-      // them instead of waiting for the ContextCleaner's GC cycle
+        .count()
+      // the count materialized labels (and transitively every earlier
+      // round, fully): older rounds' checkpoint blocks are unreachable —
+      // release them instead of waiting for the ContextCleaner's GC cycle
       retired.foreach(org.apache.spark.sql.graftshim.CheckpointRelease.unpersist)
       retired.clear()
       ch

@@ -17,7 +17,10 @@ import org.apache.spark.sql.execution.LogicalRDD
 object CheckpointRelease {
   def unpersist(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD =>
+        if (sys.props.contains("graft.debug.ckptrelease"))
+          System.err.println(s"[ckptrelease] unpersist rdd_${lr.rdd.id}")
+        lr.rdd.unpersist(blocking = false)
       case _ =>
     }
 }
