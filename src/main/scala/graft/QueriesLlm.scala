@@ -160,7 +160,8 @@ object QueriesLlm {
     * ProcessingTimeTimeout disables both AvailableNow termination and
     * processAllAvailable (see streamDupSpans). */
   private[graft] def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
-                                  timeoutMs: Long = 300000L): Unit = {
+                                  timeoutMs: Long = 300000L,
+                                  stopAfterDrain: Boolean = true): Unit = {
     val t0 = System.nanoTime()
     def drained: Boolean = {
       val ps = q.recentProgress
@@ -172,8 +173,44 @@ object QueriesLlm {
         s"drainAndStop: query ${q.name} not drained after $timeoutMs ms")
       Thread.sleep(25)
     }
-    q.stop()
-    q.awaitTermination()
+    if (stopAfterDrain) {
+      q.stop()
+      q.awaitTermination()
+    }
+  }
+
+  /** (doc_id, cluster_id) near-dup component resolution over the planted
+    * corpus — shared by llm_dedup_resolve and llm_dedup_keep_best so the
+    * two canonical-selection rules provably act on the SAME graph.
+    *
+    * Star edges via groupBy(min)+join-back, not a min-over-window on the
+    * content digest: a viral duplicate text is a hot digest, and the
+    * window form funnels all its rows into one task (window-skew audit,
+    * PLANS.md). The slim (id, digest) table is checkpointed so the agg
+    * and the probe don't re-scan the corpus. Resolution =
+    * Dedup.connectedComponents (min-label propagation with path
+    * doubling, O(log d) shuffle rounds). */
+  private def resolvedClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(s, dir)
+    val dig = corpus.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"))
+      .localCheckpoint(false)
+    val digMin = dig.groupBy("_d").agg(min("doc_id").as("_m"))
+    val starEdges = dig.join(digMin, "_d")
+      .filter(col("doc_id") =!= col("_m"))
+      .select(col("_m").as("id_a"), col("doc_id").as("id_b"))
+    // fanout before the shingle build (one-file input: the per-row
+    // n-gram work would otherwise run on a single scan split), compute
+    // shingles ONCE and self-join — both sides share the exchange
+    val sh = t(s, dir, "documents").repartition(Tables.fanout(s))
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    val jacEdges = sh.as("a").join(sh.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
+        size(array_union(col("a.sh"), col("b.sh"))).cast(DoubleType) >= 0.02)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    Dedup.connectedComponents(corpus.select(col("doc_id").as("node")),
+        starEdges.unionByName(jacEdges))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -218,33 +255,30 @@ object QueriesLlm {
     // probabilistic pair generators have their own exact-baseline gates
     // (MlSpec). Resolution = Dedup.connectedComponents (min-label
     // propagation with path doubling, O(log d) shuffle rounds).
-    "llm_dedup_resolve" -> ((s, dir) => {
-      val corpus = plantedCorpus(s, dir)
-      // star edges via groupBy(min)+join-back, not a min-over-window on
-      // the content digest: a viral duplicate text is a hot digest, and
-      // the window form funnels all its rows into one task (window-skew
-      // audit, PLANS.md). The slim (id, digest) table is checkpointed so
-      // the agg and the probe don't re-scan the corpus.
-      val dig = corpus.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("_d"))
-        .localCheckpoint(false)
-      val digMin = dig.groupBy("_d").agg(min("doc_id").as("_m"))
-      val starEdges = dig.join(digMin, "_d")
-        .filter(col("doc_id") =!= col("_m"))
-        .select(col("_m").as("id_a"), col("doc_id").as("id_b"))
-      // fanout before the shingle build (one-file input: the per-row
-      // n-gram work would otherwise run on a single scan split), compute
-      // shingles ONCE and self-join — both sides share the exchange
-      val sh = t(s, dir, "documents").repartition(Tables.fanout(s))
-        .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
-      val jacEdges = sh.as("a").join(sh.as("b"),
-          col("b.doc_id") === col("a.doc_id") + 1)
-        .filter(size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
-          size(array_union(col("a.sh"), col("b.sh"))).cast(DoubleType) >= 0.02)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.connectedComponents(corpus.select(col("doc_id").as("node")),
-          starEdges.unionByName(jacEdges))
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-          when(col("node") === col("label"), 1L).otherwise(0L).as("keep"))
+    "llm_dedup_resolve" -> ((s, dir) =>
+      resolvedClusters(s, dir)
+        .withColumn("keep",
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))),
+
+    // Quality-aware canonical selection over the SAME component graph:
+    // instead of keeping the min-id member (llm_dedup_resolve's rule),
+    // keep each cluster's HIGHEST-quality member (doc_id tiebreak) —
+    // what a real pipeline wants when one duplicate is a clean copy and
+    // another is a truncated/boilerplate-ridden one. One extra
+    // partial-agg shuffle (max_by over the cluster key) on top of the
+    // shared resolution; quality is computed for every member so the
+    // max_by ordering struct is non-null by construction (the min_by/
+    // max_by null contract, Dedup.scala). Full recursive-CTE oracle.
+    "llm_dedup_keep_best" -> ((s, dir) => {
+      val q = plantedCorpus(s, dir).repartition(Tables.fanout(s))
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      resolvedClusters(s, dir).join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(struct(col("doc_id"), col("quality")),
+            struct(col("quality"), -col("doc_id"))).as("_w"))
+        .select(col("cluster_id"), col("_w.doc_id").as("doc_id"),
+          col("_w.quality").as("quality"), col("n_members"))
     }),
 
     // substring-level (span) dedup: maximal 15-token spans occurring ≥2×
@@ -674,6 +708,30 @@ object QueriesLlm {
           Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), defaultRate = 0.1)
         .select("doc_id", "lang")),
 
+    // Deterministic GLOBAL shuffle + training-shard assignment — the
+    // last step of every training-data pipeline (the corpus must reach
+    // the trainer in a reproducible pseudo-random order, sharded for
+    // parallel readers): shard = md5-coin mod nShards, position within
+    // the shard = coin order (doc_id tiebreak — coins can collide).
+    // Shards are FEW and HUGE by construction (corpus/nShards rows
+    // each), exactly the shape where Window.partitionBy(shard) funnels
+    // a whole shard into one task — so the numbering is
+    // Processors.scalableRowNumber (two-phase range-partitioned
+    // row_number), the skew escape hatch in its intended production
+    // role. md5 coin → DuckDB-replayable → full oracle; same-corpus
+    // determinism is what makes a 100 TB run resumable (llm_sample_mix's
+    // reproducible-coin rule).
+    "llm_shard_shuffle" -> ((s, dir) => {
+      val nShards = 8
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.sampleCoin(col("doc_id"), "graftshard").as("_coin"))
+        .withColumn("shard", pmod(col("_coin"), lit(nShards.toLong)))
+      graft.operators.Processors.scalableRowNumber(keyed, col("shard"),
+          Seq(col("_coin"), col("doc_id")), "pos_in_shard")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+    }),
+
     // decontamination (GPT-3 13-gram shape, n=5 here): eval set = first-20-
     // word prefixes of every 10th doc (planted contamination, same pattern
     // as plantedCorpus) → flag train docs sharing any 5-gram, with counts
@@ -938,6 +996,47 @@ object QueriesLlm {
          SELECT node AS doc_id, min(label) AS cluster_id,
            CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM cc GROUP BY node""",
+    "llm_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         corpus AS ($oCorpus),
+         dig AS (SELECT doc_id, md5(text) AS d FROM corpus),
+         star AS (
+           SELECT m.m AS id_a, g.doc_id AS id_b FROM dig g
+           JOIN (SELECT d, min(doc_id) AS m FROM dig GROUP BY d) m ON g.d = m.d
+           WHERE g.doc_id <> m.m),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len($oTok) < 3 THEN [array_to_string($oTok, ' ')]
+             ELSE list_transform(generate_series(0, len($oTok) - 3),
+               i -> concat_ws(' ', ($oTok)[i+1], ($oTok)[i+2], ($oTok)[i+3])) END) AS shingles
+           FROM documents),
+         jac AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+           WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.02),
+         edges AS (SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM jac),
+         und AS (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
+         cc(node, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT u.s, cc.label FROM und u JOIN cc ON cc.node = u.t),
+         cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+         q AS (SELECT doc_id, $oQuality AS quality FROM corpus),
+         r AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC, cl.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+               FROM cl JOIN q USING (doc_id))
+         SELECT cluster_id, doc_id, quality, n_members::BIGINT AS n_members
+         FROM r WHERE rn = 1""",
+    "llm_shard_shuffle" ->
+      """WITH c AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || 'graftshard'), 1, 8))::BIGINT AS coin
+         FROM documents)
+         SELECT doc_id, coin % 8 AS shard,
+           (row_number() OVER (PARTITION BY coin % 8 ORDER BY coin, doc_id))::BIGINT
+             AS pos_in_shard
+         FROM c""",
     "llm_dup_spans" ->
       s"""WITH $oDupWin,
          occ AS (SELECT doc_id, pos, pos + 14 AS e FROM cnt WHERE c >= 2),

@@ -140,5 +140,8 @@ object SparkEntry {
     // scale shape), SemDeDup semantic dedup (k-means cells + within-cell
     // prune), and the weighted-mix soft-dedup composition
     "llm_dup_spans_skew", "llm_dsir_hashed", "llm_semdedup",
-    "llm_weighted_mix")
+    "llm_weighted_mix",
+    // round 13 late: deterministic global shuffle + shard assignment —
+    // scalableRowNumber in its production role (few huge shards)
+    "llm_shard_shuffle")
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ml.Dedup
+
+/** State-store retention probe for streaming span dedup (SCALING.md).
+  *
+  * Measures terminal state-store size for
+  * [[graft.streaming.StreamDedup.dupOccurrences]] with and without the
+  * singleton-eviction horizon: the NoTimeout run holds one state row per
+  * distinct window digest forever (the r12 verdict's scale seam); the
+  * horizon run keeps viral markers and evicts singletons that go
+  * `horizonMs` without a second occurrence. A SHORT horizon plus a
+  * post-drain linger (timeouts fire in the no-data batches a
+  * ProcessingTime trigger keeps scheduling) shows the steady-state
+  * difference a continuous deployment would see.
+  *
+  * Output-equality of the two modes within a not-yet-reached horizon is
+  * pinned in MlSpec; this probe is about STATE VOLUME, not results.
+  *
+  * Usage: runMain graft.StateProbe <docsDir> <nSplits> <horizonMs|0> [lingerMs]
+  * Prints {"stateprobe":...,"rows_total":...,"rows_removed":...,...}.
+  */
+object StateProbe {
+  def main(args: Array[String]): Unit = {
+    val docsDir = args(0)
+    val nSplits = args(1).toInt
+    val horizonMs = args(2).toLong
+    val lingerMs = args.lift(3).map(_.toLong).getOrElse(6000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val w = 15
+    // nSplits doc_id-striped parquet files = nSplits micro-batches, over
+    // the SAME planted corpus the stream_dup_spans gate streams (docs ∪
+    // truncated twins) so the singleton/viral state mix is the gate's
+    val docs = QueriesLlm.plantedCorpus(spark, docsDir)
+    val inDir = QueriesCore.writeSplitDir("stateprobe_in",
+      (0 until nSplits).map(i =>
+        (docs.filter(pmod(col("doc_id"), lit(nSplits)) === i), f"$i%02d_docs.parquet")))
+    val schema = spark.read.parquet(inDir.resolve("00_docs.parquet").toString).schema
+
+    val occStream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .repartition(core.Tables.fanout(spark))
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= w)
+      .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))
+      .toDF("_1", "_2", "_3").as[(Long, Int, Long)]
+    val horizon = if (horizonMs > 0) Some(horizonMs) else None
+    val dupOcc = graft.streaming.StreamDedup.dupOccurrences(occStream, horizon)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("stateprobe_ckpt").toFile
+    ckpt.deleteOnExit()
+    val writer = dupOcc.writeStream.format("memory").queryName("stateprobe_sink")
+      .outputMode("append").option("checkpointLocation", ckpt.getPath)
+
+    val t0 = System.nanoTime()
+    val q =
+      if (horizon.isDefined) {
+        // deployment shape: paced trigger; timeouts fire in no-data batches
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+          .start()
+        // drain the input, then LINGER so the horizon actually elapses for
+        // the last batches' singletons (drainAndStop would stop at the
+        // first empty batch, before any timeout fires)
+        QueriesLlm.drainAndStop(q0, stopAfterDrain = false)
+        Thread.sleep(lingerMs)
+        q0.stop(); q0.awaitTermination()
+        q0
+      } else {
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      }
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val ps = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    val rowsTotal = ps.lastOption.map(_.numRowsTotal).getOrElse(0L)
+    val rowsRemoved = ps.map(_.numRowsRemoved).sum
+    val stateBytes = ps.lastOption.map(_.memoryUsedBytes).getOrElse(0L)
+    val emitted = spark.table("stateprobe_sink").count()
+    println(f"""{"stateprobe":"$docsDir","splits":$nSplits,"horizon_ms":$horizonMs,"rows_total":$rowsTotal,"rows_removed":$rowsRemoved,"state_bytes":$stateBytes,"emitted":$emitted,"wall":$wall%.3f}""")
+    spark.stop()
+  }
+}

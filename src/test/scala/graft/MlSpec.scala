@@ -1119,4 +1119,59 @@ class MlSpec extends SparkSpec {
     assert(math.abs(got(2L) - s(1, 2)) < 1e-12)
     assert(got(1L) > got(2L), "higher tf at comparable dl ranks higher")
   }
+
+  test("llm_shard_shuffle: per-shard positions replay the (coin, doc_id) order exactly") {
+    val out = QueriesLlm.queries("llm_shard_shuffle")(spark, sf)
+    // recompute the full rule independently with the plain window (fine
+    // at spec SF; the gate's scalableRowNumber is the scale form) and
+    // assert bit-equality — covers shard assignment, ordering, and the
+    // 1..n contiguity of positions in one shot
+    val coin = TextAnalysis.sampleCoin(col("doc_id"), "graftshard")
+    val expect = docs.select(col("doc_id"), coin.as("_c"))
+      .withColumn("shard", pmod(col("_c"), lit(8L)))
+      .withColumn("pos_in_shard", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy(col("_c"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shard", "pos_in_shard")
+    assert(out.count() == docs.count())
+    assert(out.except(expect).isEmpty && expect.except(out).isEmpty)
+    // all 8 shards populated at this SF, sizes near-balanced (md5 coin)
+    val sizes = out.groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length == 8, s"expected 8 shards, got ${sizes.length}")
+  }
+
+  test("llm_dedup_keep_best keeps the max-quality member, not the min id") {
+    // planted cluster: doc 0 is a LOW-quality near-dup of the HIGHER-
+    // quality doc 1 (shared 3-shingles + consecutive ids → a jaccard
+    // edge; plantedCorpus adds same-text twins at +100000 via star
+    // edges) → one 4-member cluster labeled 0 whose keeper must be 1 —
+    // the min-id rule (llm_dedup_resolve) would keep 0.
+    val t0 = "cat sat mat door dog x1 x2 x3"
+    val t1 = "the cat sat mat door dog and it is that good for the day in a town"
+    val fix = Seq((0L, t0), (1L, t1)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+    val fixDir = java.nio.file.Files.createTempDirectory("mlspec_keepbest").toString
+    fix.write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val kept = QueriesLlm.queries("llm_dedup_keep_best")(spark, fixDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(kept.toSeq == Seq((0L, 1L, 1.0, 4L)),
+      s"cluster 0 should keep doc 1 (quality 1.0 of 4 members): ${kept.toSeq}")
+
+    // corpus-wide property at spec SF: every keeper is its cluster's
+    // quality max (doc_id tiebreak), n_members matches the shared graph
+    val clusters = QueriesLlm.queries("llm_dedup_resolve")(spark, sf)
+      .select("doc_id", "cluster_id")
+    val q = QueriesLlm.plantedCorpus(spark, sf)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+    val best = clusters.join(q, "doc_id")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"),
+        max_by(struct(col("doc_id"), col("q")), struct(col("q"), -col("doc_id"))).as("w"))
+      .select(col("cluster_id"), col("w.doc_id").as("doc_id"),
+        col("w.q").as("quality"), col("n").as("n_members"))
+    val got = QueriesLlm.queries("llm_dedup_keep_best")(spark, sf)
+    assert(got.except(best).isEmpty && best.except(got).isEmpty)
+    // non-vacuity: multi-member clusters exist
+    assert(got.filter(col("n_members") > 1).count() > 0)
+  }
 }
