@@ -19,15 +19,23 @@ import graft.ml.Dedup
   * Output-equality of the two modes within a not-yet-reached horizon is
   * pinned in MlSpec; this probe is about STATE VOLUME, not results.
   *
-  * Usage: runMain graft.StateProbe <docsDir> <nSplits> <horizonMs|0> [lingerMs]
+  * Usage: runMain graft.StateProbe <docsDir> <nSplits> <horizonMs|0> [lingerMs] [mem|rocksdb]
   * Prints {"stateprobe":...,"rows_total":...,"rows_removed":...,...}.
-  */
+  *
+  * The 5th arg picks the state-store provider: `mem` (default) is
+  * Spark's HDFSBackedStateStoreProvider — every micro-batch copies the
+  * full version map, so per-batch cost grows with TOTAL state and the
+  * operator goes super-linear once state outgrows the heap's comfort;
+  * `rocksdb` is the deployment provider the operator docs prescribe
+  * (disk-resident state, per-batch cost tracks the DELTA). The probe
+  * exists to measure that difference, not just assert it. */
 object StateProbe {
   def main(args: Array[String]): Unit = {
     val docsDir = args(0)
     val nSplits = args(1).toInt
     val horizonMs = args(2).toLong
     val lingerMs = args.lift(3).map(_.toLong).getOrElse(6000L)
+    val provider = args.lift(4).getOrElse("mem")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,6 +46,9 @@ object StateProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (provider == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
     val w = 15
@@ -62,7 +73,11 @@ object StateProbe {
 
     val ckpt = java.nio.file.Files.createTempDirectory("stateprobe_ckpt").toFile
     ckpt.deleteOnExit()
-    val writer = dupOcc.writeStream.format("memory").queryName("stateprobe_sink")
+    // noop sink: the memory sink accumulates every emitted occurrence on
+    // the DRIVER — at 100× that is tens of millions of rows and the sink
+    // itself becomes the bottleneck being mismeasured; emitted counts
+    // come from the progress stream instead
+    val writer = dupOcc.writeStream.format("noop").queryName("stateprobe_sink")
       .outputMode("append").option("checkpointLocation", ckpt.getPath)
 
     val t0 = System.nanoTime()
@@ -92,8 +107,9 @@ object StateProbe {
     val rowsTotal = ps.lastOption.map(_.numRowsTotal).getOrElse(0L)
     val rowsRemoved = ps.map(_.numRowsRemoved).sum
     val stateBytes = ps.lastOption.map(_.memoryUsedBytes).getOrElse(0L)
-    val emitted = spark.table("stateprobe_sink").count()
-    println(f"""{"stateprobe":"$docsDir","splits":$nSplits,"horizon_ms":$horizonMs,"rows_total":$rowsTotal,"rows_removed":$rowsRemoved,"state_bytes":$stateBytes,"emitted":$emitted,"wall":$wall%.3f}""")
+    val emitted = q.recentProgress.flatMap(p => Option(p.sink)).map(_.numOutputRows)
+      .filter(_ > 0).sum
+    println(f"""{"stateprobe":"$docsDir","splits":$nSplits,"horizon_ms":$horizonMs,"provider":"$provider","rows_total":$rowsTotal,"rows_removed":$rowsRemoved,"state_bytes":$stateBytes,"emitted":$emitted,"wall":$wall%.3f}""")
     spark.stop()
   }
 }
