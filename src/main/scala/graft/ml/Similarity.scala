@@ -108,7 +108,7 @@ object Similarity {
 
   /** argmax-dot cell assignment against unit-norm centroids (one fused
     * loop — see hyperplaneSignature for why not an expression tree). */
-  private def assignCell(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+  private[graft] def assignCell(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Seq[Double]) =>
       var best = 0
       var bestDot = Double.NegativeInfinity
@@ -124,6 +124,75 @@ object Similarity {
       }
       best
     }
+
+  /** Two-level (coarse-then-fine) cell assignment — the scale form of
+    * [[assignCell]]: a flat argmax scans ALL k centroids per row
+    * (O(k·dim)), which turns quadratic-ish once k must grow with the
+    * corpus (SemDeDup's requirement; the 30× probe measured the 3.85×/3×
+    * step this causes). Here the k centroids are themselves clustered —
+    * driver-side Lloyd's over k points, microseconds — into ~√k coarse
+    * groups; each row scans the √k coarse centroids, takes the
+    * `nProbeCoarse` best groups, and scans only their children:
+    * O((nProbeCoarse+1)·√k·dim) per row. Assignment is approximate (the
+    * true argmax can live in an unprobed group — same trade as IVF's
+    * nProbe); MlSpec gates agreement with the flat scan ≥ 95% and that
+    * near-identical vectors still land together. Returns GLOBAL cell
+    * indices, so it is a drop-in for [[assignCell]]. */
+  private[graft] def assignCellHier(cents: Array[Array[Double]], nProbeCoarse: Int = 2)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val k = cents.length
+    val dim = if (k > 0) cents(0).length else 0
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
+    }
+    // Lloyd's over the centroid set (deterministic seed: every g-th centroid)
+    var coarse = Array.tabulate(g)(j => cents(j * k / g))
+    val groupOf = new Array[Int](k)
+    for (_ <- 0 until 4) {
+      var c = 0
+      while (c < k) {
+        var best = 0; var bd = Double.NegativeInfinity; var j = 0
+        while (j < g) {
+          val d = dot(coarse(j), cents(c)); if (d > bd) { bd = d; best = j }; j += 1
+        }
+        groupOf(c) = best; c += 1
+      }
+      coarse = Array.tabulate(g) { j =>
+        val members = (0 until k).filter(groupOf(_) == j)
+        if (members.isEmpty) coarse(j)
+        else unitNorm(Array.tabulate(dim)(i => members.map(cents(_)(i)).sum / members.size))
+      }
+    }
+    val children: Array[Array[Int]] =
+      (0 until g).map(j => (0 until k).filter(groupOf(_) == j).toArray).toArray
+    val coarseF = coarse
+    udf { (v: Seq[Double]) =>
+      val vv = v.toArray
+      // top-nProbeCoarse coarse groups by dot
+      val order = Array.tabulate(g)(j => (-dot(coarseF(j), vv), j)).sorted
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var p = 0
+      while (p < math.min(nProbeCoarse, g)) {
+        val kids = children(order(p)._2)
+        var ci = 0
+        while (ci < kids.length) {
+          val c = kids(ci)
+          val d = dot(cents(c), vv)
+          if (d > bestDot) { bestDot = d; best = c }
+          ci += 1
+        }
+        p += 1
+      }
+      best
+    }
+  }
+
+  /** Flat scan below this cell count; two-level probe at or above it
+    * (the flat form is exact and cheaper while k·dim per row is trivial). */
+  private val hierAssignThreshold = 64
 
   /** `nProbe` nearest cells for a query vector (driver-built centroid
     * matrix, executor-fused loop): the IVF probe list. */
@@ -264,7 +333,12 @@ object Similarity {
                nCells: Int = 16, threshold: Double = 0.95, iters: Int = 4,
                trainMod: Int = 1, maxCellSize: Int = 100000): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, dim, nCells, iters, trainMod)
-    val assign = assignCell(cents)
+    // flat scan at gate-scale cell counts (exact, trivially cheap);
+    // two-level probe once nCells grows with the corpus — the 30× probe
+    // measured flat assignment going super-linear exactly because nCells
+    // MUST scale to bound within-cell pairs (PLANS.md round-13 seam)
+    val assign = if (nCells >= hierAssignThreshold) assignCellHier(cents)
+                 else assignCell(cents)
     val ccos = centroidCos(cents)
     // assignment + priority computed once; both the pair probe and the
     // verification join consume it (the LSH families' signature-table stage)

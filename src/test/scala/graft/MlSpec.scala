@@ -1120,6 +1120,43 @@ class MlSpec extends SparkSpec {
     assert(got(1L) > got(2L), "higher tf at comparable dl ranks higher")
   }
 
+  test("assignCellHier: high agreement with the flat scan; perturbed twins co-locate") {
+    // clustered fixture (the shape k-means-trained centroids actually
+    // see): 100 unit centroids, 2000 vectors each near one of them
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def gauss() = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val cents = Array.fill(100)(gauss())
+    val vecs = (0 until 2000).map { i =>
+      val base = cents(rnd.nextInt(100))
+      val noisy = unit(base.zip(Array.fill(dim)(rnd.nextGaussian() * 0.1)).map { case (a, b) => a + b })
+      val twin = unit(noisy.zip(Array.fill(dim)(rnd.nextGaussian() * 0.01)).map { case (a, b) => a + b })
+      (i.toLong, noisy.toSeq, twin.toSeq)
+    }.toDF("id", "a", "b")
+    val flat = Similarity.assignCell(cents)
+    val hier = Similarity.assignCellHier(cents)
+    val (agree, twinsTogether) = vecs
+      .agg(avg(when(flat(col("a")) === hier(col("a")), 1.0).otherwise(0.0)),
+        avg(when(hier(col("a")) === hier(col("b")), 1.0).otherwise(0.0)))
+      .as[(Double, Double)].head()
+    assert(agree >= 0.95, s"flat/hier agreement $agree")
+    assert(twinsTogether >= 0.98, s"perturbed twins co-located only $twinsTogether")
+    // semDedup through the hier path (nCells >= 64 threshold) still
+    // resolves planted twin pairs: one survivor per pair
+    val emb = vecs.select(col("id").as("vec_id"),
+        col("a").cast("array<float>").as("embedding"))
+      .unionByName(vecs.select((col("id") + 100000L).as("vec_id"),
+        col("b").cast("array<float>").as("embedding")))
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", dim,
+      nCells = 64, threshold = 0.99, iters = 2, trainMod = 1)
+    val pairKept = out.withColumn("base", pmod(col("vec_id"), lit(100000L)))
+      .groupBy("base").agg(sum("keep").as("k"))
+    val resolved = pairKept.agg(avg(when(col("k") === 1L, 1.0).otherwise(0.0)))
+      .as[Double].head()
+    assert(resolved >= 0.95, s"twin pairs resolved to one survivor: $resolved")
+  }
+
   test("llm_shard_shuffle: per-shard positions replay the (coin, doc_id) order exactly") {
     val out = QueriesLlm.queries("llm_shard_shuffle")(spark, sf)
     // recompute the full rule independently with the plain window (fine
