@@ -757,6 +757,20 @@ object QueriesLlm {
         .limit(100)
     }),
 
+    // Hashed bigram LM score — the perplexity-flavor quality filter
+    // (CCNet buckets documents by KenLM perplexity; this is the
+    // in-corpus, external-model-free analog): mean log10 of an
+    // interpolated add-one-smoothed bigram probability, all count
+    // tables bounded at 10k hashed buckets → broadcast joins, the
+    // occurrence stream never shuffles on a token key. md5 bucketing
+    // (sampleCoin convention) → full DuckDB oracle.
+    "llm_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(Tables.fanout(s)) // one-file input
+      TextAnalysis.lmScoreHashed(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("lm_score"), 6).as("lm_score"),
+          col("n_bigrams"))
+    }),
+
     // Hashed-feature DSIR (the paper's real feature space: unigrams +
     // bigrams hashed into 10k buckets) — the de-hot-keyed scale shape:
     // both frequency tables are bounded at `buckets` rows so the
@@ -1252,6 +1266,28 @@ object QueriesLlm {
            (CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'graftmix'), 1, 8))::BIGINT
                  < CAST(floor(weight * 4294967296.0) AS BIGINT) THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM w""",
+    "llm_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
+         uf AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 10000 AS b,
+                  count(*) AS uc
+                FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+         utot AS (SELECT sum(uc)::DOUBLE AS t FROM uf),
+         occ AS (SELECT doc_id,
+                  ('0x' || substr(md5(concat_ws(' ', t[i+1], t[i+2])), 1, 8))::BIGINT % 10000 AS bb,
+                  ('0x' || substr(md5(t[i+1]), 1, 8))::BIGINT % 10000 AS b1,
+                  ('0x' || substr(md5(t[i+2]), 1, 8))::BIGINT % 10000 AS b2
+                 FROM tok, UNNEST(generate_series(0, len(t) - 2)) AS u(i)
+                 WHERE len(t) >= 2),
+         bf AS (SELECT bb AS b, count(*) AS bc FROM occ GROUP BY bb)
+         SELECT occ.doc_id,
+           round(avg(log10(0.7 * ((bf.bc + 1) / (u1.uc + 10000.0))
+             + (1 - 0.7) * ((u2.uc + 1) / (utot.t + 10000)))), 6) AS lm_score,
+           count(*)::BIGINT AS n_bigrams
+         FROM occ JOIN bf ON occ.bb = bf.b
+         JOIN uf u1 ON occ.b1 = u1.b
+         JOIN uf u2 ON occ.b2 = u2.b
+         CROSS JOIN utot
+         GROUP BY occ.doc_id""",
     "llm_dsir_hashed" -> {
       // feature list: unigrams ++ bigrams (the <2-token special case
       // mirrors Dedup.shingles: the whole joined text as one gram);

@@ -142,6 +142,8 @@ object SparkEntry {
     "llm_dup_spans_skew", "llm_dsir_hashed", "llm_semdedup",
     "llm_weighted_mix",
     // round 13 late: deterministic global shuffle + shard assignment —
-    // scalableRowNumber in its production role (few huge shards)
-    "llm_shard_shuffle")
+    // scalableRowNumber in its production role (few huge shards) — and
+    // the hashed bigram LM quality filter (bounded-bucket broadcast
+    // shape, the perplexity-flavor complement to llm_quality)
+    "llm_shard_shuffle", "llm_lm_score")
 }

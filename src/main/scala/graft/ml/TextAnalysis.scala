@@ -325,6 +325,61 @@ object TextAnalysis {
       .agg(avg("_lr").as("dsir_logratio"), count(lit(1)).cast(LongType).as("n_feats"))
   }
 
+  /** Hashed interpolated bigram language-model score — the
+    * perplexity-flavor quality filter real pipelines run (CCNet trains a
+    * KenLM and buckets documents by perplexity; this is the in-corpus,
+    * external-model-free analog): per document, the mean log₁₀ of an
+    * interpolated bigram probability
+    * `λ·P(w₂|w₁) + (1−λ)·P(w₂)`, both estimated from the corpus itself
+    * with add-one smoothing over `buckets` hashed slots. Gibberish and
+    * boilerplate-free word salad score low (their bigrams are rare in
+    * the corpus); templated/repeated text scores high — the
+    * quality-band complement to the heuristic qualityScore.
+    *
+    * Scale plan = [[dsirLogRatioHashed]]'s: every count table is BOUNDED
+    * at `buckets` rows by construction (unigram and bigram models both),
+    * localCheckpoint'ed so the corpus explode runs once per model, and
+    * broadcast into the per-occurrence joins — the occurrence stream
+    * never shuffles on a token key; the only exchange is the final
+    * per-doc mean. md5 bucketing keeps it DuckDB-replayable → full
+    * oracle. Docs with < 2 tokens have no bigrams and no row.
+    *
+    * @return (idCol, lm_score, n_bigrams) */
+  def lmScoreHashed(corpus: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String,
+                    buckets: Int = 10000, lambda: Double = 0.7)
+      : org.apache.spark.sql.DataFrame = {
+    def bucketOf(g: Column): Column =
+      pmod(conv(substring(md5(g.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType), lit(buckets.toLong))
+    val uniBf = corpus.select(explode(Dedup.tokens(col(textCol))).as("_w"))
+      .select(bucketOf(col("_w")).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_uc"))
+      .localCheckpoint(false)
+    val uTot = uniBf.agg(sum("_uc")).first().getLong(0)
+    // well-formed "w1 w2" grams only (≥2-token docs) — shingles' short-doc
+    // special case would make substring_index split mid-text
+    val biOcc = corpus
+      .filter(size(Dedup.tokens(col(textCol))) >= 2)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("_g"))
+      .select(col(idCol), bucketOf(col("_g")).as("_bb"),
+        bucketOf(substring_index(col("_g"), " ", 1)).as("_b1"),
+        bucketOf(substring_index(col("_g"), " ", -1)).as("_b2"))
+    val biBf = biOcc.groupBy(col("_bb").as("_b")).agg(count(lit(1)).as("_bc"))
+      .localCheckpoint(false)
+    val u1 = uniBf.select(col("_b").as("_b1"), col("_uc").as("_uc1"))
+    val u2 = uniBf.select(col("_b").as("_b2"), col("_uc").as("_uc2"))
+    biOcc
+      .join(broadcast(biBf.withColumnRenamed("_b", "_bb")), "_bb")
+      .join(broadcast(u1), "_b1")
+      .join(broadcast(u2), "_b2")
+      .withColumn("_p",
+        log10(lit(lambda) * ((col("_bc") + 1.0) / (col("_uc1") + buckets.toDouble)) +
+          lit(1.0 - lambda) * ((col("_uc2") + 1.0) / (uTot + buckets).toDouble)))
+      .groupBy(idCol)
+      .agg(avg("_p").as("lm_score"), count(lit(1)).cast(LongType).as("n_bigrams"))
+  }
+
   /** BM25 relevance of each document to a fixed query-term set
     * (Robertson–Spärck Jones probabilistic ranking; the Lucene-flavored
     * non-negative idf `ln(1 + (N − df + ½)/(df + ½))`). The training-data

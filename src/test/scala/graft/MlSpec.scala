@@ -1157,6 +1157,21 @@ class MlSpec extends SparkSpec {
     assert(resolved >= 0.95, s"twin pairs resolved to one survivor: $resolved")
   }
 
+  test("lmScoreHashed: corpus-frequent bigrams outscore rare ones; short docs drop") {
+    val common = (1 to 8).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val fix = (common :+ (98L, "zxq1 wvu2 tsr3 qpo4 nml5 kji6 hgf7") :+ (99L, "single"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreHashed(fix, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!out.contains(99L), "a 1-token doc has no bigrams and no row")
+    assert(out(1L)._2 == 8L, s"bigram count: ${out(1L)._2}") // 9 tokens -> 8 bigrams
+    val commonMin = (1 to 8).map(i => out(i.toLong)._1).min
+    assert(out(98L)._1 < commonMin,
+      s"gibberish ${out(98L)._1} should score below common $commonMin")
+    // identical docs score identically (pure function of corpus + text)
+    assert((1 to 8).map(i => out(i.toLong)).distinct.size == 1)
+  }
+
   test("llm_shard_shuffle: per-shard positions replay the (coin, doc_id) order exactly") {
     val out = QueriesLlm.queries("llm_shard_shuffle")(spark, sf)
     // recompute the full rule independently with the plain window (fine
