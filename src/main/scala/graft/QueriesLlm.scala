@@ -539,6 +539,45 @@ object QueriesLlm {
       ss.table("stream_decontaminate_cut_sink")
     }),
 
+    // STREAMING twin of llm_lm_score — the deployment shape: score a
+    // document stream against a FROZEN language model trained on the
+    // static corpus (CCNet's actual topology — the LM is trained once,
+    // the corpus streams past it). The model is the batch operator's
+    // LmModel verbatim (bounded checkpointed count tables), and each
+    // micro-batch is scored by the SAME lmScoreWith column pipeline via
+    // foreachBatch — no reimplemented hash or tokenizer to drift, no
+    // state store (a doc's score depends only on its own bigrams + the
+    // frozen model), per-doc aggregation complete within the batch
+    // because a document arrives whole in one row. Shares the batch
+    // oracle verbatim.
+    "stream_lm_score" -> ((s, dir) => {
+      val ss = s.newSession()
+      val inDir = documentsSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+      val model = TextAnalysis.lmModelHashed(t(ss, dir, "documents"), "text")
+      val outDir = java.nio.file.Files.createTempDirectory("slm_out")
+      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        // one file per micro-batch = one scan split; distribute the
+        // per-row shingle/bucket math (the one-file-input lesson)
+        .repartition(Tables.fanout(ss))
+      val ckpt = java.nio.file.Files.createTempDirectory("slm_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextAnalysis.lmScoreWith(model, batch, "doc_id", "text")
+            .select(col("doc_id"), round(col("lm_score"), 6).as("lm_score"),
+              col("n_bigrams"))
+            .write.mode("append").parquet(outDir.toString)
+          ()
+        }
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.read.parquet(outDir.toString)
+    }),
+
     // exact n-gram Jaccard between consecutive docs (verification primitive)
     "llm_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1402,4 +1441,5 @@ object QueriesLlm {
       .updated("stream_corpus_select", oracleBase("llm_corpus_select"))
       .updated("stream_dup_spans", oracleBase("llm_dup_spans"))
       .updated("stream_decontaminate_cut", oracleBase("llm_decontaminate_cut"))
+      .updated("stream_lm_score", oracleBase("llm_lm_score"))
 }

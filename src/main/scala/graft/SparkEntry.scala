@@ -145,5 +145,8 @@ object SparkEntry {
     // scalableRowNumber in its production role (few huge shards) — and
     // the hashed bigram LM quality filter (bounded-bucket broadcast
     // shape, the perplexity-flavor complement to llm_quality)
-    "llm_shard_shuffle", "llm_lm_score")
+    "llm_shard_shuffle", "llm_lm_score",
+    // round 13 late: the frozen-model streaming scorer (foreachBatch
+    // over the shared lmScoreWith pipeline, no state store)
+    "stream_lm_score")
 }

@@ -349,33 +349,60 @@ object TextAnalysis {
                     idCol: String, textCol: String,
                     buckets: Int = 10000, lambda: Double = 0.7)
       : org.apache.spark.sql.DataFrame = {
-    def bucketOf(g: Column): Column =
-      pmod(conv(substring(md5(g.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
-        .cast(LongType), lit(buckets.toLong))
+    val m = lmModelHashed(corpus, textCol, buckets)
+    lmScoreWith(m, corpus, idCol, textCol, lambda)
+  }
+
+  /** The trained hashed-bucket LM: two bounded, checkpointed count
+    * tables + the unigram total. Built ONCE, scorable many times — the
+    * split lets the streaming twin score micro-batches against a model
+    * trained on the static corpus with the SAME column code (no
+    * reimplemented hash to drift). */
+  case class LmModel(uniBf: org.apache.spark.sql.DataFrame,
+                     biBf: org.apache.spark.sql.DataFrame,
+                     uTot: Long, buckets: Int)
+
+  private def lmBucketOf(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType), lit(buckets.toLong))
+
+  /** (idCol, _bb, _b1, _b2) bigram-occurrence buckets; ≥2-token docs only
+    * (shingles' short-doc special case would make substring_index split
+    * mid-text). Shared by training and scoring so the rule cannot drift. */
+  private def lmBigramBuckets(df: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String, buckets: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.filter(size(Dedup.tokens(col(textCol))) >= 2)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("_g"))
+      .select(col(idCol), lmBucketOf(col("_g"), buckets).as("_bb"),
+        lmBucketOf(substring_index(col("_g"), " ", 1), buckets).as("_b1"),
+        lmBucketOf(substring_index(col("_g"), " ", -1), buckets).as("_b2"))
+
+  def lmModelHashed(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                    buckets: Int = 10000): LmModel = {
     val uniBf = corpus.select(explode(Dedup.tokens(col(textCol))).as("_w"))
-      .select(bucketOf(col("_w")).as("_b"))
+      .select(lmBucketOf(col("_w"), buckets).as("_b"))
       .groupBy("_b").agg(count(lit(1)).as("_uc"))
       .localCheckpoint(false)
     val uTot = uniBf.agg(sum("_uc")).first().getLong(0)
-    // well-formed "w1 w2" grams only (≥2-token docs) — shingles' short-doc
-    // special case would make substring_index split mid-text
-    val biOcc = corpus
-      .filter(size(Dedup.tokens(col(textCol))) >= 2)
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("_g"))
-      .select(col(idCol), bucketOf(col("_g")).as("_bb"),
-        bucketOf(substring_index(col("_g"), " ", 1)).as("_b1"),
-        bucketOf(substring_index(col("_g"), " ", -1)).as("_b2"))
-    val biBf = biOcc.groupBy(col("_bb").as("_b")).agg(count(lit(1)).as("_bc"))
+    val biBf = lmBigramBuckets(corpus, corpus.columns.head, textCol, buckets)
+      .groupBy(col("_bb").as("_b")).agg(count(lit(1)).as("_bc"))
       .localCheckpoint(false)
-    val u1 = uniBf.select(col("_b").as("_b1"), col("_uc").as("_uc1"))
-    val u2 = uniBf.select(col("_b").as("_b2"), col("_uc").as("_uc2"))
-    biOcc
-      .join(broadcast(biBf.withColumnRenamed("_b", "_bb")), "_bb")
+    LmModel(uniBf, biBf, uTot, buckets)
+  }
+
+  def lmScoreWith(m: LmModel, df: org.apache.spark.sql.DataFrame,
+                  idCol: String, textCol: String, lambda: Double = 0.7)
+      : org.apache.spark.sql.DataFrame = {
+    val u1 = m.uniBf.select(col("_b").as("_b1"), col("_uc").as("_uc1"))
+    val u2 = m.uniBf.select(col("_b").as("_b2"), col("_uc").as("_uc2"))
+    lmBigramBuckets(df, idCol, textCol, m.buckets)
+      .join(broadcast(m.biBf.withColumnRenamed("_b", "_bb")), "_bb")
       .join(broadcast(u1), "_b1")
       .join(broadcast(u2), "_b2")
       .withColumn("_p",
-        log10(lit(lambda) * ((col("_bc") + 1.0) / (col("_uc1") + buckets.toDouble)) +
-          lit(1.0 - lambda) * ((col("_uc2") + 1.0) / (uTot + buckets).toDouble)))
+        log10(lit(lambda) * ((col("_bc") + 1.0) / (col("_uc1") + m.buckets.toDouble)) +
+          lit(1.0 - lambda) * ((col("_uc2") + 1.0) / (m.uTot + m.buckets).toDouble)))
       .groupBy(idCol)
       .agg(avg("_p").as("lm_score"), count(lit(1)).cast(LongType).as("n_bigrams"))
   }

@@ -1172,6 +1172,15 @@ class MlSpec extends SparkSpec {
     assert((1 to 8).map(i => out(i.toLong)).distinct.size == 1)
   }
 
+  test("stream_lm_score equals the batch scorer exactly (frozen model, shared column code)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val batch = canon(QueriesLlm.queries("llm_lm_score")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_lm_score")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}")
+  }
+
   test("llm_shard_shuffle: per-shard positions replay the (coin, doc_id) order exactly") {
     val out = QueriesLlm.queries("llm_shard_shuffle")(spark, sf)
     // recompute the full rule independently with the plain window (fine
