@@ -177,6 +177,13 @@ object Zmq {
     def port: Int = server.getLocalPort
     def subscriberCount: Int = peers.synchronized(peers.size)
 
+    /** Registered topic subscriptions across peers. A peer appears in
+      * [[subscriberCount]] as soon as its handshake completes, BEFORE its
+      * SUBSCRIBE control frame is processed — the ZMQ "slow joiner"
+      * window, during which a publish is (correctly) filtered away.
+      * Coordination that needs delivery guarantees waits on THIS count. */
+    def subscriptionCount: Int = peers.synchronized(peers.map(_.topics.size).sum)
+
     def start(): this.type = {
       server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
       val acceptor = new Thread(() => {

@@ -46,8 +46,12 @@ class ZmqNanomsgSpec extends AnyFunSuite {
     val subA = new Zmq.SubClient("127.0.0.1", srv.port, Seq("alerts."))
     val subAll = new Zmq.SubClient("127.0.0.1", srv.port, Seq(""))
     try {
+      // wait for the SUBSCRIPTIONS, not the connections: a peer counts as
+      // a subscriber at handshake, before its SUBSCRIBE frame is processed
+      // (the slow-joiner window) — publishing in that window is correctly
+      // filtered away and made this test flaky under load
       val deadline = System.currentTimeMillis() + 3000
-      while (srv.subscriberCount < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      while (srv.subscriptionCount < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
       srv.publish(b("alerts.disk"), b("full"))
       srv.publish(b("logs.app"), b("line"))
       assert(subA.receive().map(_._1).contains("alerts.disk"))
