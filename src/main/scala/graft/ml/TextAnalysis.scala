@@ -396,13 +396,21 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     val u1 = m.uniBf.select(col("_b").as("_b1"), col("_uc").as("_uc1"))
     val u2 = m.uniBf.select(col("_b").as("_b2"), col("_uc").as("_uc2"))
+    // LEFT joins: a bucket the frozen model never saw must get the
+    // add-one-smoothed probability (count 0), not silently drop the
+    // occurrence — the +1 exists precisely for unseen events, and in the
+    // deployment topology (model frozen on the static corpus, NEW docs
+    // streaming past it) unseen buckets are routine. With inner joins a
+    // doc whose bigrams were all unseen vanished from the output.
     lmBigramBuckets(df, idCol, textCol, m.buckets)
-      .join(broadcast(m.biBf.withColumnRenamed("_b", "_bb")), "_bb")
-      .join(broadcast(u1), "_b1")
-      .join(broadcast(u2), "_b2")
+      .join(broadcast(m.biBf.withColumnRenamed("_b", "_bb")), Seq("_bb"), "left_outer")
+      .join(broadcast(u1), Seq("_b1"), "left_outer")
+      .join(broadcast(u2), Seq("_b2"), "left_outer")
       .withColumn("_p",
-        log10(lit(lambda) * ((col("_bc") + 1.0) / (col("_uc1") + m.buckets.toDouble)) +
-          lit(1.0 - lambda) * ((col("_uc2") + 1.0) / (m.uTot + m.buckets).toDouble)))
+        log10(lit(lambda) * ((coalesce(col("_bc"), lit(0L)) + 1.0) /
+            (coalesce(col("_uc1"), lit(0L)) + m.buckets.toDouble)) +
+          lit(1.0 - lambda) * ((coalesce(col("_uc2"), lit(0L)) + 1.0) /
+            (m.uTot + m.buckets).toDouble)))
       .groupBy(idCol)
       .agg(avg("_p").as("lm_score"), count(lit(1)).cast(LongType).as("n_bigrams"))
   }

@@ -1172,6 +1172,47 @@ class MlSpec extends SparkSpec {
     assert((1 to 8).map(i => out(i.toLong)).distinct.size == 1)
   }
 
+  test("lmScoreWith: unseen buckets get the add-one-smoothed probability, not dropped") {
+    // deployment topology: model frozen on corpus A, NEW docs scored
+    // against it — every bucket of the new doc may be absent from the
+    // model tables. The inner-join form silently dropped those
+    // occurrences (and whole docs); left+coalesce must keep them at the
+    // smoothed count-0 probability (the +1 exists for unseen events).
+    val train = (1L to 4L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.lmModelHashed(train, "text")
+    val unseen = "zzqx1 zzqx2 zzqx3 zzqx4"
+    val score = Seq((10L, "the quick brown fox"), (20L, unseen)).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreWith(m, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.contains(20L), "an all-unseen-bigram doc must still be scored")
+    assert(out(20L)._2 == 3L, s"bigram count: ${out(20L)._2}")
+    // replay the rule in plain Scala: bucket = first-8-md5-hex mod 10000
+    def bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v % 10000
+    }
+    val uni = m.uniBf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bi = m.biBf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expected(text: String): Double = {
+      val t = text.split(" ").toSeq
+      val ps = t.sliding(2).map { bg =>
+        val bc = bi.getOrElse(bucket(bg.mkString(" ")), 0L)
+        val uc1 = uni.getOrElse(bucket(bg.head), 0L)
+        val uc2 = uni.getOrElse(bucket(bg.last), 0L)
+        math.log10(0.7 * (bc + 1.0) / (uc1 + 10000.0) +
+          0.3 * (uc2 + 1.0) / (m.uTot + 10000.0))
+      }.toSeq
+      ps.sum / ps.size
+    }
+    assert(math.abs(out(20L)._1 - expected(unseen)) < 1e-12,
+      s"unseen-doc score ${out(20L)._1} vs closed form ${expected(unseen)}")
+    assert(math.abs(out(10L)._1 - expected("the quick brown fox")) < 1e-12)
+    assert(out(20L)._1 < out(10L)._1, "unseen text scores below in-model text")
+  }
+
   test("stream_lm_score equals the batch scorer exactly (frozen model, shared column code)") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
