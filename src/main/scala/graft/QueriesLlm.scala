@@ -61,6 +61,59 @@ object QueriesLlm {
   private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[(Long, Long)], Array[(Long, Long)], Long)]()
 
+  /** The planted embedding corpus (embeddings ∪ perturbed twins,
+    * vec_id+100000, first component nudged) — ONE construction shared by
+    * llm_embed_pairs / llm_semdedup / stream_semdedup so the planted
+    * structure (and the k-means centroids trained on it) cannot drift
+    * between the batch and streaming gates. */
+  private[graft] def plantedEmb(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .repartition(Tables.fanout(s)) // one-file input: distribute the per-row vector math
+    val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
+    emb.unionByName(perturbed)
+  }
+
+  /** Frozen k-means centroids for stream_semdedup — trained ONCE per dir
+    * on the static planted corpus with llm_semdedup's exact parameters
+    * (same deterministic ivfCentroids code path → identical cells, so
+    * the streaming twin can share the batch gate's pinned hash). */
+  private val semCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private[graft] def semCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    semCentroidCache.computeIfAbsent(dir, { _ =>
+      Similarity.ivfCentroids(plantedEmb(s, dir), "vec_id", "embedding", 64,
+        nCells = 16, iters = 4, trainMod = 2)
+    })
+
+  private val embSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** plantedEmb written as TWO parquet files in BATCH-PRIORITY order
+    * (centroid-cosine desc, vec_id asc — computed with the frozen
+    * centroids): under priority-ordered arrival the streaming greedy
+    * first-seen rule equals the batch loser rule exactly (a row is
+    * dropped iff some HIGHER-priority row is ≥τ-close, and every
+    * higher-priority row has already arrived), the same fixture design
+    * as docsSplitDir's doc_id ordering for keep-first == min-per-digest. */
+  private[graft] def embSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    embSplitCache.computeIfAbsent(dir, { _ =>
+      val cents = semCentroids(s, dir)
+      val assign = Similarity.assignCell(cents)
+      val ccos = Similarity.centroidCos(cents)
+      val ranked = plantedEmb(s, dir)
+        .withColumn("_nv", Similarity.normalized(col("embedding")))
+        .withColumn("_ccos", ccos(assign(col("_nv")), col("_nv")))
+        .withColumn("_rk", row_number().over(
+          Window.orderBy(col("_ccos").desc, col("vec_id"))))
+      val n = ranked.count()
+      val half = (n + 1) / 2
+      QueriesCore.writeSplitDir("ssd_in", Seq(
+        (ranked.filter(col("_rk") <= half).select("vec_id", "embedding"), "0_emb.parquet"),
+        (ranked.filter(col("_rk") > half).select("vec_id", "embedding"), "1_emb.parquet")))
+    })
+
   /** The RAW documents table as two parquet files (doc_id parity split)
     * for STATELESS file-stream gates — any split works because their
     * per-doc transforms are row-local; parity keeps both batches busy. */
@@ -867,20 +920,22 @@ object QueriesLlm {
     // join-back, skew-safe), quality score, and DSIR target-affinity
     // (logistic-squashed), then a deterministic md5-coin keeps docs with
     // probability = weight (llm_sample_mix's reproducible-coin rule —
-    // at 100 TB a rand() sample breaks resumability). Docs with zero
-    // tokens carry no DSIR signal and are excluded by the inner join —
-    // they would be dropped by any token filter anyway. Fully
-    // deterministic → complete DuckDB oracle; non-vacuity (both kept
-    // and dropped rows, dup_cnt > 1 present, weights non-constant)
-    // pinned in MlSpec.
+    // at 100 TB a rand() sample breaks resumability). The DSIR factor is
+    // the HASHED feature space (dsirLogRatioHashed — both frequency
+    // tables bounded at 10k rows → broadcast joins): the unigram
+    // variant's raw-token vocabulary join is exactly the skewed,
+    // vocabulary-growing shuffle this composition must not re-import at
+    // 100 TB (round-13 verdict). Fully deterministic → complete DuckDB
+    // oracle; non-vacuity (both kept and dropped rows, dup_cnt > 1
+    // present, weights non-constant) pinned in MlSpec.
     "llm_weighted_mix" -> ((s, dir) => {
       val corpus = plantedCorpus(s, dir)
       val dupCnt = corpus
         .groupBy(md5(col("text").cast(BinaryType)).as("_d"))
         .agg(count(lit(1)).as("dup_cnt"))
       val target = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
-      val dsir = TextAnalysis.dsirLogRatio(
-          corpus.repartition(Tables.fanout(s)), target, "doc_id", "text")
+      val dsir = TextAnalysis.dsirLogRatioHashed(
+          corpus.repartition(Tables.fanout(s)), target, "doc_id", "text", buckets = 10000)
         .select(col("doc_id"), round(col("dsir_logratio"), 6).as("_r"))
       corpus
         .withColumn("_d", md5(col("text").cast(BinaryType)))
@@ -986,6 +1041,16 @@ object QueriesLlm {
               + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END) < 0.2 THEN 0.25 ELSE 0.0 END)
               + (CASE WHEN (CASE WHEN len($oTok) = 0 THEN 0.0 ELSE len(list_filter($oTok, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($oTok) END) > 0.05 THEN 0.25 ELSE 0.0 END)
               + (CASE WHEN (CASE WHEN ($oNTok) = 0 THEN 0.0 ELSE (length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / ($oNTok)) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END))"""
+
+  /** Hashed-DSIR feature list over a token array `t`: unigrams ++ bigrams
+    * (the <2-token special case mirrors Dedup.shingles: the whole joined
+    * text as one gram). Bucket = first 8 md5 hex chars as int, mod 10000
+    * (sampleCoin's replayable-hash convention). Shared by llm_dsir_hashed
+    * and llm_weighted_mix so the two oracles provably hash the same
+    * feature space. */
+  private val oFeats = s"""list_concat(t, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(0, len(t) - 2),
+             i -> concat_ws(' ', t[i+1], t[i+2])) END)"""
 
   /** The planted-corpus SQL (documents ∪ 40-token-truncated twins) —
     * ONE copy shared by every oracle that mirrors plantedCorpus, so the
@@ -1300,22 +1365,31 @@ object QueriesLlm {
          SELECT id AS doc_id, 0::BIGINT AS span_start, 15::BIGINT AS span_end,
            1::BIGINT AS n_windows
          FROM ids WHERE id % 2 = 0""",
+    // the DSIR factor is the HASHED feature space (llm_dsir_hashed's CTE
+    // chain over the planted corpus — same oFeats fragment, same
+    // first-8-md5-hex mod-10000 bucketing), not the unigram raw-token
+    // join (round-13 verdict: this composition must not re-import the
+    // vocabulary-shuffle shape the hashed variant exists to replace)
     "llm_weighted_mix" ->
       s"""WITH corpus AS ($oCorpus),
          d AS (SELECT doc_id, text, md5(text) AS dg FROM corpus),
          dc AS (SELECT dg, count(*) AS dup_cnt FROM d GROUP BY dg),
-         ct AS (SELECT doc_id, unnest($oTok) AS tok FROM corpus),
-         cf AS (SELECT tok, count(*) AS cf FROM ct GROUP BY tok),
-         ctot AS (SELECT sum(cf)::DOUBLE AS t, count(*)::DOUBLE AS v FROM cf),
-         tt AS (SELECT unnest($oTok) AS tok FROM documents WHERE doc_id % 7 = 0),
-         tf AS (SELECT tok, count(*) AS tft FROM tt GROUP BY tok),
+         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
+         cb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS b
+                FROM (SELECT doc_id, unnest($oFeats) AS g FROM tok)),
+         cf AS (SELECT b, count(*) AS cf FROM cb GROUP BY b),
+         ctot AS (SELECT sum(cf)::DOUBLE AS t FROM cf),
+         ttok AS (SELECT doc_id, $oTok AS t FROM documents WHERE doc_id % 7 = 0),
+         tb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS b
+                FROM (SELECT unnest($oFeats) AS g FROM ttok)),
+         tf AS (SELECT b, count(*) AS tft FROM tb GROUP BY b),
          ttot AS (SELECT coalesce(sum(tft), 0)::DOUBLE AS t FROM tf),
-         dsir AS (SELECT ct.doc_id,
-             round(avg(log10((coalesce(tf.tft, 0) + 1) / (ttot.t + ctot.v))
+         dsir AS (SELECT cb.doc_id,
+             round(avg(log10((coalesce(tf.tft, 0) + 1) / (ttot.t + 10000))
                - log10(cf.cf / ctot.t)), 6) AS r
-           FROM ct JOIN cf USING (tok) LEFT JOIN tf USING (tok)
+           FROM cb JOIN cf USING (b) LEFT JOIN tf USING (b)
            CROSS JOIN ctot CROSS JOIN ttot
-           GROUP BY ct.doc_id),
+           GROUP BY cb.doc_id),
          q AS (SELECT doc_id, $oQuality AS quality FROM corpus),
          w AS (SELECT d.doc_id, dc.dup_cnt,
              round((q.quality / 4.0) / dc.dup_cnt
@@ -1339,22 +1413,15 @@ object QueriesLlm {
                  WHERE len(t) >= 2),
          bf AS (SELECT bb AS b, count(*) AS bc FROM occ GROUP BY bb)
          SELECT occ.doc_id,
-           round(avg(log10(0.7 * ((bf.bc + 1) / (u1.uc + 10000.0))
-             + (1 - 0.7) * ((u2.uc + 1) / (utot.t + 10000)))), 6) AS lm_score,
+           round(avg(log10(0.7 * ((coalesce(bf.bc, 0) + 1) / (coalesce(u1.uc, 0) + 10000.0))
+             + (1 - 0.7) * ((coalesce(u2.uc, 0) + 1) / (utot.t + 10000)))), 6) AS lm_score,
            count(*)::BIGINT AS n_bigrams
-         FROM occ JOIN bf ON occ.bb = bf.b
-         JOIN uf u1 ON occ.b1 = u1.b
-         JOIN uf u2 ON occ.b2 = u2.b
+         FROM occ LEFT JOIN bf ON occ.bb = bf.b
+         LEFT JOIN uf u1 ON occ.b1 = u1.b
+         LEFT JOIN uf u2 ON occ.b2 = u2.b
          CROSS JOIN utot
          GROUP BY occ.doc_id""",
-    "llm_dsir_hashed" -> {
-      // feature list: unigrams ++ bigrams (the <2-token special case
-      // mirrors Dedup.shingles: the whole joined text as one gram);
-      // bucket = first 8 md5 hex chars as int, mod 10000 (sampleCoin's
-      // replayable-hash convention)
-      val oFeats = s"""list_concat(t, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
-               ELSE list_transform(generate_series(0, len(t) - 2),
-                 i -> concat_ws(' ', t[i+1], t[i+2])) END)"""
+    "llm_dsir_hashed" ->
       s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
          cb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS b
                 FROM (SELECT doc_id, unnest($oFeats) AS g FROM tok)),
@@ -1370,8 +1437,7 @@ object QueriesLlm {
            count(*)::BIGINT AS n_feats
          FROM cb JOIN cf USING (b) LEFT JOIN tf USING (b) CROSS JOIN ctot CROSS JOIN ttot
          GROUP BY cb.doc_id
-         ORDER BY dsir_logratio DESC, cb.doc_id LIMIT 100"""
-    },
+         ORDER BY dsir_logratio DESC, cb.doc_id LIMIT 100""",
     "llm_decontaminate_cut" ->
       s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
          ev AS ($oEvalPrefix),
