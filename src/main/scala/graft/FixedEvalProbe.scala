@@ -17,12 +17,22 @@ import graft.ml.{Dedup, TextAnalysis}
   * byte-identical and keeps its doc_ids, so `doc_id <= baseMax && % 10`
   * over the scaled table IS the base eval set) while the corpus scales.
   *
-  * Usage: runMain graft.FixedEvalProbe <scaledDir> <baseDir>
+  * Usage: runMain graft.FixedEvalProbe <scaledDir> <baseDir> [warmupDir]
   * Prints {"fixedeval":dir,"corpus_select":sec,"decontaminate_cut":sec,...}.
   */
 object FixedEvalProbe {
   def main(args: Array[String]): Unit = {
     val Array(scaledDir, baseDir) = args.take(2)
+    // explicit warmup dir, or the sf0.001 sibling of the base dir; the
+    // old implicit `replace` silently warmed at FULL base scale whenever
+    // the base path didn't contain the literal "sf0.1" — fail fast
+    // instead (round-13 advice)
+    val warmDir = args.lift(2).getOrElse {
+      val d = baseDir.replace("sf0.1", "sf0.001")
+      require(d != baseDir,
+        s"cannot derive a warmup dir from '$baseDir' (no 'sf0.1' to replace); pass it as arg 3")
+      d
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,7 +89,6 @@ object FixedEvalProbe {
     // JVM + whole-stage-codegen warmup on a tiny dir: a cold first query
     // pays tens of seconds of janino compilation that would swamp the 1×
     // point (the Bench convention, applied here)
-    val warmDir = baseDir.replace("sf0.1", "sf0.001")
     force(selectPipeline(warmDir)); force(cutPipeline(warmDir))
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 

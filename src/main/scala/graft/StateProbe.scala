@@ -46,9 +46,49 @@ object StateProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (provider == "rocksdb")
+    // timeout-eviction happens in NO-DATA batches, whose progress events
+    // are throttled to every 10 s by default — longer than the probe's
+    // 6 s linger, so eviction batches could go entirely unreported.
+    // Report them promptly; the listener below then counts every one.
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "200")
+    if (provider == "rocksdb") {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Spark wires a Java org.rocksdb.Logger into every RocksDB instance
+      // and picks its native InfoLogLevel from this class's slf4j level
+      // (WARN session level → WARN_LEVEL → a JNI Logv callback per native
+      // warning). That callback (rocksdb::LoggerJniCallback::Logv) has
+      // SIGSEGV'd probe JVMs twice (round-13 verdict #3); at ERROR_LEVEL
+      // it practically never fires. The logger cannot be removed — Spark
+      // installs it unconditionally — so starve it instead.
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.state.RocksDB",
+        org.apache.logging.log4j.Level.ERROR)
+    }
+    // Accumulate state/sink metrics across ALL progress events: the
+    // previous q.recentProgress sum silently undercounted — that buffer
+    // retains only the last 100 updates (a 10 ms trigger burns 100
+    // entries in a second), so early data batches and late eviction
+    // batches fell out of the window (round-13 advice).
+    val removedAcc = new java.util.concurrent.atomic.AtomicLong()
+    val emittedAcc = new java.util.concurrent.atomic.AtomicLong()
+    @volatile var lastTotal = 0L
+    @volatile var lastBytes = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
+          removedAcc.addAndGet(so.numRowsRemoved)
+          lastTotal = so.numRowsTotal
+          lastBytes = so.memoryUsedBytes
+        }
+        Option(e.progress.sink).foreach(s =>
+          if (s.numOutputRows > 0) emittedAcc.addAndGet(s.numOutputRows))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     import spark.implicits._
 
     val w = 15
@@ -103,12 +143,15 @@ object StateProbe {
       }
     val wall = (System.nanoTime() - t0) / 1e9
 
-    val ps = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
-    val rowsTotal = ps.lastOption.map(_.numRowsTotal).getOrElse(0L)
-    val rowsRemoved = ps.map(_.numRowsRemoved).sum
-    val stateBytes = ps.lastOption.map(_.memoryUsedBytes).getOrElse(0L)
-    val emitted = q.recentProgress.flatMap(p => Option(p.sink)).map(_.numOutputRows)
-      .filter(_ > 0).sum
+    // listener events are posted asynchronously; give the bus a moment
+    // to drain the final progress before reading the accumulators
+    Thread.sleep(500)
+    spark.streams.removeListener(listener)
+    val _ = q // metrics come from the listener, not q.recentProgress
+    val rowsTotal = lastTotal
+    val rowsRemoved = removedAcc.get()
+    val stateBytes = lastBytes
+    val emitted = emittedAcc.get()
     println(f"""{"stateprobe":"$docsDir","splits":$nSplits,"horizon_ms":$horizonMs,"provider":"$provider","rows_total":$rowsTotal,"rows_removed":$rowsRemoved,"state_bytes":$stateBytes,"emitted":$emitted,"wall":$wall%.3f}""")
     spark.stop()
   }

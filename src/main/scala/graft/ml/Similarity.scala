@@ -101,7 +101,7 @@ object Similarity {
     if (n == 0) v else v.map(_ / n)
   }
 
-  private def normalized(vec: Column): Column = {
+  private[graft] def normalized(vec: Column): Column = {
     val f = udf { (v: Seq[Float]) => unitNorm(v.map(_.toDouble).toArray) }
     f(vec.cast(ArrayType(FloatType)))
   }
@@ -290,7 +290,7 @@ object Similarity {
   /** Cosine of each row's (unit-norm) vector to its assigned centroid —
     * the SemDeDup keep-priority signal. Fused per-row loop (see
     * hyperplaneSignature for why not an expression tree). */
-  private def centroidCos(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+  private[graft] def centroidCos(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (cell: Int, v: Seq[Double]) =>
       val row = cents(cell)
       var dot = 0.0
@@ -326,18 +326,30 @@ object Similarity {
     * by construction, so the cap is a skew fuse, not a working limit).
     * Centroid state is nCells × dim doubles — kilobytes, driver-resident.
     *
+    * CELL ASSIGNMENT IS APPROXIMATE ABOVE `hierAssignFrom` CELLS: at
+    * `nCells >= hierAssignFrom` (default 64) the per-row argmax switches
+    * from the exact flat scan (O(nCells·dim)/row — super-linear once
+    * nCells must grow with the corpus; measured, PLANS.md round-13) to
+    * the two-level coarse-then-fine probe of [[assignCellHier]]
+    * (O(√nCells·dim)/row, ≥95% agreement gated in MlSpec). A row the
+    * probe assigns to a different cell than the flat scan can make
+    * different keep decisions. Pass `hierAssignFrom = Int.MaxValue` to
+    * force exact assignment at any cell count, or `0` to force the
+    * probe.
+    *
     * @return (idCol, cell, centroid_cos, keep) — every corpus row, with
     *         keep = 1 for survivors
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                nCells: Int = 16, threshold: Double = 0.95, iters: Int = 4,
-               trainMod: Int = 1, maxCellSize: Int = 100000): DataFrame = {
+               trainMod: Int = 1, maxCellSize: Int = 100000,
+               hierAssignFrom: Int = hierAssignThreshold): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, dim, nCells, iters, trainMod)
     // flat scan at gate-scale cell counts (exact, trivially cheap);
     // two-level probe once nCells grows with the corpus — the 30× probe
     // measured flat assignment going super-linear exactly because nCells
     // MUST scale to bound within-cell pairs (PLANS.md round-13 seam)
-    val assign = if (nCells >= hierAssignThreshold) assignCellHier(cents)
+    val assign = if (nCells >= hierAssignFrom) assignCellHier(cents)
                  else assignCell(cents)
     val ccos = centroidCos(cents)
     // assignment + priority computed once; both the pair probe and the
