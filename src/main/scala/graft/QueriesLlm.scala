@@ -683,16 +683,10 @@ object QueriesLlm {
     // near-random (max pairwise cosine ≈0.5), so plant perturbed duplicates
     // (vec_id+100000, first component nudged) as known positives — same
     // pattern as plantedCorpus for text.
-    "llm_embed_pairs" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .repartition(Tables.fanout(s)) // one-file input: distribute the hyperplane hashing
-      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
-      Dedup.embeddingPairs(emb.unionByName(perturbed), "vec_id", "embedding", 64,
+    "llm_embed_pairs" -> ((s, dir) =>
+      Dedup.embeddingPairs(plantedEmb(s, dir), "vec_id", "embedding", 64,
           threshold = 0.95)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-    }),
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     // SemDeDup semantic dedup (Abbas et al. 2023): k-means cells via the
     // IVF machinery (sampled training, trainMod=2 — the 100 TB shape),
@@ -701,16 +695,61 @@ object QueriesLlm {
     // a known within-cell near-dup → exactly one survivor). k-means →
     // rows-only gate; exact result pinned by hash in MlSpec next to the
     // ANN rows, semantics gated on planted paraphrase clusters there too.
-    "llm_semdedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .repartition(Tables.fanout(s)) // one-file input: distribute assignment
-      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x * 1.05f + 0.01f).otherwise(x)).as("embedding"))
-      Similarity.semDedup(emb.unionByName(perturbed), "vec_id", "embedding", 64,
+    "llm_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(plantedEmb(s, dir), "vec_id", "embedding", 64,
           nCells = 16, threshold = 0.95, iters = 4, trainMod = 2)
         .select(col("vec_id"), col("cell"),
-          round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
+
+    // STREAMING twin of llm_semdedup — the deployment topology semantic
+    // dedup actually runs (the stream_lm_score pattern applied to the
+    // SemDeDup family): k-means cells trained ONCE on the static corpus
+    // (frozen centroids, kilobytes, cached per dir), each arriving
+    // vector assigned its cell ROW-LOCALLY, keep/drop via cross-batch
+    // keyed state per cell (greedy first-seen ≥τ rule — equal to the
+    // batch loser rule because the fixture streams in batch-priority
+    // order; StreamSemDedup scaladoc has the proof sketch). The gate
+    // runs the eviction-CAPABLE path with a 1-hour cold-cell horizon —
+    // never reached in the run, provably identical to NoTimeout (the
+    // stream_dup_spans convention) — and shares llm_semdedup's pinned
+    // exact-result hash in MlSpec, plus a batch==stream equality spec.
+    "stream_semdedup" -> ((s, dir) => {
+      val ss = s.newSession()
+      // state keys = 16 cells: size the state exchange to state volume
+      // (the stream_corpus_select small-state convention)
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      val cents = semCentroids(s, dir) // frozen: trained once, cached per dir
+      val inDir = embSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
+      val assign = Similarity.assignCell(cents)
+      val ccos = Similarity.centroidCos(cents)
+      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        // one file per micro-batch = one scan split; distribute the
+        // per-row normalize/assign math (the one-file-input lesson)
+        .repartition(Tables.fanout(ss))
+        .select(col("vec_id"), Similarity.normalized(col("embedding")).as("_nv"))
+        .withColumn("_cell", assign(col("_nv")))
+        .withColumn("_ccos", ccos(col("_cell"), col("_nv")))
+        .select("vec_id", "_cell", "_ccos", "_nv")
+        .as[(Long, Int, Double, Seq[Double])]
+      val decided = graft.streaming.StreamSemDedup.keepDecisions(
+        stream, threshold = 0.95, evictCellAfterMs = Some(3600L * 1000))
+      val ckpt = java.nio.file.Files.createTempDirectory("ssd_ckpt").toFile
+      ckpt.deleteOnExit()
+      val sink = s"stream_semdedup_${sinkIds.incrementAndGet()}"
+      // ProcessingTimeTimeout disables AvailableNow termination (see
+      // streamDupSpans): paced trigger + drained-input stop
+      val q = decided.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+        .start()
+      drainAndStop(q)
+      ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
     }),
 
     // brute-force cosine top-k (exact ANN baseline). Rank on the ROUNDED

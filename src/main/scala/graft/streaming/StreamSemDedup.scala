@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING SemDeDup — the frozen-centroid twin of
+  * [[graft.ml.Similarity.semDedup]] (Abbas et al. 2023,
+  * arXiv:2303.09540), in the deployment topology semantic dedup actually
+  * runs: the k-means cells are trained ONCE on the static corpus (the
+  * stream_lm_score frozen-model convention — kilobytes of centroid
+  * state, broadcast with the task closure), each arriving vector is
+  * assigned its cell ROW-LOCALLY (no shuffle for assignment), and the
+  * keep/drop decision is cross-batch keyed state per cell.
+  *
+  * Decision rule (greedy first-seen): an arriving vector is DROPPED iff
+  * some earlier-seen vector in its cell has cosine ≥ threshold with it
+  * — earlier-seen REGARDLESS of that vector's own keep status, matching
+  * the batch loser rule (in batch, a dropped row still eliminates
+  * lower-priority rows: losers are the lower-priority side of every ≥τ
+  * pair). Decisions are FINAL at emission (append mode, no
+  * retractions): a later arrival can drop itself against history but
+  * never un-keep an emitted row. Consequently stream == batch exactly
+  * when arrival order respects the batch priority order (centroid_cos
+  * desc, id asc) — the gate's split fixture guarantees it, the MlSpec
+  * equality test pins it; under arbitrary arrival order the semantics
+  * degrade gracefully to first-seen-wins (the standard streaming-dedup
+  * contract, same as keep-first exact dedup).
+  *
+  * State: one entry per cell holding every vector seen in that cell —
+  * the inherent requirement of semantic dedup (a new paraphrase can
+  * match ANY historical document, so the history must be probeable).
+  * Growth control is the batch operator's own discipline plus two
+  * levers: nCells grows with the corpus (bounding per-cell state the
+  * way it bounds batch pair generation), and `evictCellAfterMs` ages
+  * out cells untouched for the horizon (`ProcessingTimeTimeout` — the
+  * StreamDedup singleton-horizon trade: a near-dup of something older
+  * than the horizon is missed, exactly the TTL'd-dedupe-cache recall
+  * trade). Deploy on the RocksDB state-store provider for
+  * disk-resident cell state, as with stream span dedup.
+  *
+  * The batch maxCellSize skew fuse is NOT replicated (batch drops
+  * oversized cells from pair generation retroactively — a streaming
+  * operator cannot take back emissions); equality with batch therefore
+  * additionally requires no cell exceeding the fuse, which the gate SF
+  * satisfies by three orders of magnitude. */
+object StreamSemDedup {
+
+  /** All vectors seen in one cell, in arrival order (priority order
+    * under the gate fixture). Unit-normalized doubles. */
+  case class CellState(ids: Seq[Long], ccos: Seq[Double], vecs: Seq[Seq[Double]])
+
+  /** EXACT replica of graft.functions.Exprs.cosineKernel's arithmetic
+    * (same left-to-right accumulation, same dot/(√na·√nb) form) so a
+    * keep decision near the threshold cannot diverge from the batch
+    * plan's codegen'd expression by a ULP. */
+  private[graft] def cosineKernel(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val xi = a(i)
+      val yi = b(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** (id, cell, centroid_cos, normalized-vector) stream →
+    * (id, cell, centroid_cos, keep) — every arriving row emitted exactly
+    * once with its final keep decision. Within a micro-batch, rows are
+    * processed in batch-priority order (centroid_cos desc, id asc), so
+    * intra-batch order never depends on shuffle nondeterminism. */
+  def keepDecisions(rows: Dataset[(Long, Int, Double, Seq[Double])],
+                    threshold: Double,
+                    evictCellAfterMs: Option[Long] = None)
+      : DataFrame = {
+    import rows.sparkSession.implicits._
+    val timeoutConf =
+      if (evictCellAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (cell: Int, it: Iterator[(Long, Int, Double, Seq[Double])],
+         state: GroupState[CellState]) => {
+          if (state.hasTimedOut) {
+            // cold cell past the horizon: forget its history (recall
+            // trade documented above); nothing to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = if (state.exists) state.get else CellState(Nil, Nil, Nil)
+            var ids = st.ids.toList
+            var ccs = st.ccos.toList
+            var vecs = st.vecs.toList
+            // batch-priority order within the micro-batch: higher
+            // centroid_cos first, ties to the smaller id
+            val batch = it.toList.sortBy(r => (-r._3, r._1))
+            val out = batch.map { case (id, _, cc, nv) =>
+              val dropped = vecs.exists(v => cosineKernel(v, nv) >= threshold)
+              ids ::= id; ccs ::= cc; vecs ::= nv
+              (id, cell, cc, if (dropped) 0L else 1L)
+            }
+            state.update(CellState(ids, ccs, vecs))
+            evictCellAfterMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+      .toDF("vec_id", "cell", "centroid_cos", "keep")
+  }
+}

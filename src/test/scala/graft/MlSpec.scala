@@ -460,7 +460,11 @@ class MlSpec extends SparkSpec {
       "llm_langid" -> "e92e8aca52412e6d",        // 500 rows
       "llm_ann_lsh" -> "60e22eb74f82a6f7",       // 18 rows
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
-      "llm_semdedup" -> "d2ea5336e9599c63")      // 1000 rows (500 planted twins)
+      "llm_semdedup" -> "d2ea5336e9599c63",      // 1000 rows (500 planted twins)
+      // the streaming twin shares the batch pin VERBATIM: frozen
+      // centroids from the same deterministic training, priority-ordered
+      // fixture makes greedy first-seen == the batch loser rule
+      "stream_semdedup" -> "d2ea5336e9599c63")
     val drifted = pins.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
       val df = SparkEntry.queries(name)(spark, dir)
       val rows = df.collect().map(_.toSeq.map(String.valueOf).mkString(",")).sorted
@@ -1211,6 +1215,48 @@ class MlSpec extends SparkSpec {
       s"unseen-doc score ${out(20L)._1} vs closed form ${expected(unseen)}")
     assert(math.abs(out(10L)._1 - expected("the quick brown fox")) < 1e-12)
     assert(out(20L)._1 < out(10L)._1, "unseen text scores below in-model text")
+  }
+
+  test("stream_semdedup equals batch semDedup exactly (frozen centroids, priority-ordered fixture)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = canon(QueriesLlm.queries("llm_semdedup")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_semdedup")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}")
+    assert(batch.exists(_._4 == 0L), "fixture must contain dropped near-dups")
+  }
+
+  test("StreamSemDedup: cross-batch state; a DROPPED row still eliminates lower-priority rows") {
+    // the transitive chain the gate corpus may not contain: cos(A,B) ≥ τ,
+    // cos(B,C) ≥ τ, cos(A,C) < τ. Batch loser rule drops B (loses to A)
+    // AND C (loses to B — a loser still eliminates); the stream must
+    // agree with A arriving one micro-batch EARLIER than B and C.
+    val th = math.acos(0.96)
+    def at(a: Double) = Seq(math.cos(a), math.sin(a), 0.0, 0.0)
+    val ss = spark.newSession()
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = ss.sqlContext
+    val in = MemoryStream[(Long, Int, Double, Seq[Double])]
+    val decided = graft.streaming.StreamSemDedup.keepDecisions(in.toDS(), threshold = 0.95)
+    val ckpt = java.nio.file.Files.createTempDirectory("ssdspec_ckpt").toFile
+    ckpt.deleteOnExit()
+    val q = decided.writeStream.format("memory").queryName("ssd_spec_sink")
+      .outputMode("append").option("checkpointLocation", ckpt.getPath).start()
+    in.addData((1L, 0, 0.9, at(0)))                          // A, batch 1
+    q.processAllAvailable()
+    in.addData((3L, 0, 0.7, at(2 * th)), (2L, 0, 0.8, at(th))) // C, B out of order: batch 2 sorts by priority
+    q.processAllAvailable()
+    q.stop()
+    val out = ss.table("ssd_spec_sink")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L),
+      s"expected A kept, B and C dropped (transitive via dropped B); got $out")
+    // sanity: the chain is as constructed
+    assert(graft.streaming.StreamSemDedup.cosineKernel(at(0), at(th)) >= 0.95)
+    assert(graft.streaming.StreamSemDedup.cosineKernel(at(th), at(2 * th)) >= 0.95)
+    assert(graft.streaming.StreamSemDedup.cosineKernel(at(0), at(2 * th)) < 0.95)
   }
 
   test("stream_lm_score equals the batch scorer exactly (frozen model, shared column code)") {
