@@ -679,6 +679,32 @@ object QueriesLlm {
     "llm_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 7)),
 
+    // PERCEPTUAL image near-dup pairs — the dedup granularity for the
+    // multimodal column (re-encoded/brightness-shifted copies of the
+    // same image that byte-level dedup cannot see): 64-bit dHash over
+    // the real BMP decode (luma → 9×8 box grid → neighbor-comparison
+    // bits), then the SAME Hamming-banded, never-all-pairs candidate
+    // machinery as simhash (8×8-bit pigeonhole blocking, recall
+    // GUARANTEED at radius 7, degenerate buckets capped). Planted
+    // positives: per doc a pseudo-random 16×16 image and a +3
+    // brightness-shifted twin (media_id + twinOffset) — the canonical
+    // re-render dHash absorbs (monotone shifts preserve comparisons).
+    // Deterministic → exact hash pinned in MlSpec next to the planted
+    // precision/recall spec; rows-only for the driver (byte-level BMP
+    // decode is not SQL-expressible).
+    "llm_phash_pairs" -> ((s, dir) => {
+      val off = twinOffset(s, dir)
+      val mk = udf((k: Long) => Multimodal.syntheticImageBmp(k))
+      val mkTwin = udf((k: Long) => Multimodal.syntheticImageBmp(k, brighten = 3))
+      val ids = t(s, dir, "documents").select("doc_id")
+        .repartition(Tables.fanout(s)) // distribute the per-row synth+decode+hash
+      val media = ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data"))
+        .unionByName(ids.select((col("doc_id") + off).as("media_id"),
+          mkTwin(col("doc_id")).as("data")))
+      Dedup.hammingBandedPairs(Multimodal.dhashBmp(media, "media_id", "data"),
+        "media_id", "dhash", maxHamming = 7)
+    }),
+
     // embedding near-dup pairs via hyperplane LSH. The driver embeddings are
     // near-random (max pairwise cosine ≈0.5), so plant perturbed duplicates
     // (vec_id+100000, first component nudged) as known positives — same

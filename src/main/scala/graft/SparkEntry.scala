@@ -148,5 +148,10 @@ object SparkEntry {
     "llm_shard_shuffle", "llm_lm_score",
     // round 13 late: the frozen-model streaming scorer (foreachBatch
     // over the shared lmScoreWith pipeline, no state store)
-    "stream_lm_score")
+    "stream_lm_score",
+    // round 14: perceptual image dedup (real BMP decode → dHash →
+    // Hamming-banded pairs — the multimodal column's near-dup
+    // granularity) and the frozen-centroid streaming SemDeDup twin
+    // (row-local assignment + per-cell keyed state)
+    "llm_phash_pairs", "stream_semdedup")
 }

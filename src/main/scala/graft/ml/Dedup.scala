@@ -202,13 +202,24 @@ object Dedup {
     * assertion rejects radii the blocking cannot serve. Verified with full
     * Hamming distance; bucket-size capped against degenerate keys. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    hammingBandedPairs(
+      df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim")),
+      "_id", "_sim", maxHamming, maxBucketSize)
+
+  /** Hamming-banded near-dup pairs over ANY 64-bit fingerprint column —
+    * the simhash blocking machinery factored out so other 64-bit
+    * fingerprints (perceptual image dHash, future audio prints) get the
+    * same pigeonhole-sound, never-all-pairs candidate generation.
+    * Contract and plan identical to [[simhashPairs]]'s body. */
+  def hammingBandedPairs(sigs0: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val blocks = Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
       throw new IllegalArgumentException(
-        s"simhashPairs: maxHamming=$maxHamming needs > 32 blocks; blocking cannot guarantee recall beyond 31"))
+        s"hammingBandedPairs: maxHamming=$maxHamming needs > 32 blocks; blocking cannot guarantee recall beyond 31"))
     val bits = 64 / blocks
     val mask = (1L << bits) - 1L
-    val sigs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sim"))
+    val sigs = sigs0.select(col(idCol).as("_id"), col(sigCol).as("_sim"))
     // Unlike minhash (KB-sized shingle arrays), the simhash signature is
     // 8 bytes — CHEAPER to carry through the banded join than to join it
     // back per candidate. Crucially this lets the Hamming filter run

@@ -296,15 +296,138 @@ object Multimodal {
     * channel c of pixel (x, y) = (key*37 + y*16 + x*4 + c) mod 256.
     * Lets an oracle recompute decoder outputs independently. */
   def syntheticBmp(key: Long): Array[Byte] = {
-    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
-    def px(x: Int, y: Int, c: Int): Byte = ((key * 37 + y * 16 + x * 4 + c) % 256).toByte
-    val rows = (0 until 2).flatMap { y =>
-      (0 until 2).flatMap(x => Seq(px(x, y, 0), px(x, y, 1), px(x, y, 2))) ++ Seq(0.toByte, 0.toByte)
-    }.toArray // stride 8 = 2*3 padded to 4-byte boundary
-    "BM".getBytes ++ le32(54 + rows.length) ++ le32(0) ++ le32(54) ++
-      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
-      Array.fill(24)(0.toByte) ++ rows
+    def px(x: Int, y: Int, c: Int): Int = ((key * 37 + y * 16 + x * 4 + c) % 256).toInt
+    bmp24(2, 2, px)
+  }
+
+  private def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+
+  /** 24-bit uncompressed BMP writer for any size — `chan(x, y, c)` gives
+    * channel c (0=B 1=G 2=R) of the pixel the decoder reads back at
+    * (x, y) counting rows BOTTOM-UP (the BMP storage order, matching
+    * [[decodeBmp24]]'s traversal). */
+  private def bmp24(w: Int, h: Int, chan: (Int, Int, Int) => Int): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val data = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { data(y * stride + x * 3 + c) = (chan(x, y, c) & 0xFF).toByte; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      Array.fill(24)(0.toByte) ++ data
+  }
+
+  /** splitmix64-style mix — per-(key, x, y, c) pseudo-random pixel bytes
+    * for the perceptual-dedup fixtures: unlike [[syntheticBmp]]'s sawtooth
+    * (whose x-gradient is constant, so every image would dHash alike),
+    * independent random pixels give every key an independent fingerprint. */
+  private def mixByte(key: Long, x: Int, y: Int, c: Int): Int = {
+    var z = key * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+      y * 0x165667B19E3779F9L + c * 0x27D4EB2F165667C5L
+    z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+    (z & 0xFF).toInt
+  }
+
+  /** Deterministic pseudo-random w×h 24-bit BMP for the perceptual-dedup
+    * gate. `brighten` adds a uniform clamped brightness shift — the
+    * canonical "near-identical re-render" perturbation dHash is built to
+    * absorb (a monotone shift preserves every neighbor comparison except
+    * at the 255 clamp). */
+  def syntheticImageBmp(key: Long, w: Int = 16, h: Int = 16,
+                        brighten: Int = 0): Array[Byte] =
+    bmp24(w, h, (x, y, c) => math.min(255, mixByte(key, x, y, c) + brighten))
+
+  /** 24-bit BMP → (width, height, top-down packed-RGB pixels). */
+  private[graft] def decodeBmp24Pixels(d: Array[Byte]): (Int, Int, Array[Int]) = {
+    val off = u32le(d, 10)
+    val w = u32le(d, 18)
+    val h = u32le(d, 22)
+    require(u16le(d, 28) == 24, s"bmp: only 24bpp supported, got ${u16le(d, 28)}")
+    val stride = (w * 3 + 3) / 4 * 4
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + (h - 1 - y) * stride + x * 3 // stored bottom-up
+        px(y * w + x) = ((d(p + 2) & 0xFF) << 16) | ((d(p + 1) & 0xFF) << 8) | (d(p) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** 64-bit difference hash (dHash — the DCT-free perceptual fingerprint;
+    * the standard image near-dup primitive): luma-grayscale, box-average
+    * onto a 9×8 grid, one bit per horizontal neighbor comparison
+    * (bit cy*8+cx = 1 iff cell(cx+1, cy) > cell(cx, cy)). Robust to
+    * uniform brightness/contrast shifts (monotone transforms preserve
+    * comparisons) and to resizing (the grid is scale-normalized).
+    * Images narrower than the grid reuse pixels across cells (the
+    * max(x0+1, ·) guard), so any size ≥ 1×1 hashes without special
+    * cases. Pure per-row CPU — pairs come from
+    * [[Dedup.hammingBandedPairs]], never an all-pairs compare. */
+  def dHash64(w: Int, h: Int, pixels: Array[Int]): Long = {
+    val cols = 9
+    val rows = 8
+    val cell = Array.ofDim[Double](rows, cols)
+    var cy = 0
+    while (cy < rows) {
+      val y0 = cy * h / rows
+      val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / rows))
+      var cx = 0
+      while (cx < cols) {
+        val x0 = cx * w / cols
+        val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / cols))
+        var s = 0.0
+        var n = 0
+        var y = math.min(y0, h - 1)
+        while (y < y1) {
+          var x = math.min(x0, w - 1)
+          while (x < x1) {
+            val rgb = pixels(y * w + x)
+            s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cell(cy)(cx) = s / math.max(1, n)
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < rows) {
+      var cx = 0
+      while (cx < 8) {
+        if (cell(cy)(cx + 1) > cell(cy)(cx)) bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** (id, bmp-bytes) → (id, 64-bit dHash) — decode + hash fused in one
+    * row-local pass; only the 8-byte fingerprint leaves the partition. */
+  def dhashBmp(media: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val f = udf { (data: Array[Byte]) =>
+      val (w, h, px) = decodeBmp24Pixels(data)
+      dHash64(w, h, px)
+    }
+    media.select(col(idCol), f(col(dataCol)).as("dhash"))
   }
 
   /** Deterministic 2×2 RGB PNG with the SAME pixel formula as

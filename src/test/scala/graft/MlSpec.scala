@@ -460,6 +460,7 @@ class MlSpec extends SparkSpec {
       "llm_langid" -> "e92e8aca52412e6d",        // 500 rows
       "llm_ann_lsh" -> "60e22eb74f82a6f7",       // 18 rows
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
+      "llm_phash_pairs" -> "ae9b60668097b37a",   // 500 planted brightness twins
       "llm_semdedup" -> "d2ea5336e9599c63",      // 1000 rows (500 planted twins)
       // the streaming twin shares the batch pin VERBATIM: frozen
       // centroids from the same deterministic training, priority-ordered
@@ -942,6 +943,41 @@ class MlSpec extends SparkSpec {
     assert(cutDocs > 0, "planted contamination cuts rows at the spec SF")
     assert(stream == batch,
       s"stateless streaming twin diverges: batch ${batch.size} rows, stream ${stream.size}")
+  }
+
+  test("dHash64: brightness-invariant within radius; independent images far apart") {
+    def hashOf(k: Long, brighten: Int = 0): Long = {
+      val (w, h, px) = graft.ml.Multimodal.decodeBmp24Pixels(
+        Multimodal.syntheticImageBmp(k, brighten = brighten))
+      Multimodal.dHash64(w, h, px)
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val keys = (0L until 50L)
+    // a +3 brightness shift preserves every neighbor comparison except at
+    // the 255 clamp — twins stay within the banded radius
+    keys.foreach { k =>
+      val d = hamming(hashOf(k), hashOf(k, brighten = 3))
+      assert(d <= 7, s"key $k: twin hamming $d exceeds the banded radius")
+    }
+    // independent pseudo-random images ≈ independent 64-bit prints:
+    // nowhere near the radius
+    val cross = for (a <- keys; b <- keys if a < b) yield hamming(hashOf(a), hashOf(b))
+    assert(cross.min > 7, s"closest cross-image hamming ${cross.min} inside the radius")
+    // the grid guard makes tiny images hash without special cases
+    val (w2, h2, px2) = graft.ml.Multimodal.decodeBmp24Pixels(Multimodal.syntheticBmp(7L))
+    Multimodal.dHash64(w2, h2, px2) // must not throw
+  }
+
+  test("llm_phash_pairs: every planted brightness twin recovered; no cross-image pairs") {
+    val out = QueriesLlm.queries("llm_phash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
+    val nDocs = docs.count()
+    val twins = out.filter { case (a, b, _) => b == a + 100000L }
+    assert(twins.length == nDocs,
+      s"planted twins recovered: ${twins.length}/$nDocs")
+    assert(twins.forall(_._3 <= 7))
+    assert(out.length == twins.length,
+      s"cross-image false pairs: ${out.filterNot(p => p._2 == p._1 + 100000L).take(5).toSeq}")
   }
 
   test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
