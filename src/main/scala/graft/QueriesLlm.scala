@@ -139,6 +139,28 @@ object QueriesLlm {
 
   private val sinkIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** llm_phash_pairs body, parameterized on the Hamming radius — the
+    * operator's SCALE KNOB: blocks = smallest power of two > maxHamming
+    * and block width = 64/blocks bits, so radius 7 → 8-bit blocks → only
+    * 256 buckets per block, which a ≥1M-image corpus saturates past the
+    * bucket cap (every bucket dropped, recall collapses). The scale form
+    * is radius 3 → 16-bit blocks → 65536 buckets per block — the
+    * multi-index-hashing trade (block width must grow with the corpus,
+    * paying guaranteed-recall radius). The gate runs radius 7 at gate SF;
+    * PhashProbe measures the radius-3 form at scaled dirs. */
+  private[graft] def phashPairs(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    val off = twinOffset(s, dir)
+    val mk = udf((k: Long) => Multimodal.syntheticImageBmp(k))
+    val mkTwin = udf((k: Long) => Multimodal.syntheticImageBmp(k, brighten = 3))
+    val ids = t(s, dir, "documents").select("doc_id")
+      .repartition(Tables.fanout(s)) // distribute the per-row synth+decode+hash
+    val media = ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data"))
+      .unionByName(ids.select((col("doc_id") + off).as("media_id"),
+        mkTwin(col("doc_id")).as("data")))
+    Dedup.hammingBandedPairs(Multimodal.dhashBmp(media, "media_id", "data"),
+      "media_id", "dhash", maxHamming = maxHamming)
+  }
+
   /** stream_dup_spans body, parameterized on the singleton-eviction
     * horizon so the MlSpec retention gate can run it BOTH ways
     * (NoTimeout vs a not-yet-reached horizon) and pin the equality.
@@ -692,18 +714,7 @@ object QueriesLlm {
     // Deterministic → exact hash pinned in MlSpec next to the planted
     // precision/recall spec; rows-only for the driver (byte-level BMP
     // decode is not SQL-expressible).
-    "llm_phash_pairs" -> ((s, dir) => {
-      val off = twinOffset(s, dir)
-      val mk = udf((k: Long) => Multimodal.syntheticImageBmp(k))
-      val mkTwin = udf((k: Long) => Multimodal.syntheticImageBmp(k, brighten = 3))
-      val ids = t(s, dir, "documents").select("doc_id")
-        .repartition(Tables.fanout(s)) // distribute the per-row synth+decode+hash
-      val media = ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data"))
-        .unionByName(ids.select((col("doc_id") + off).as("media_id"),
-          mkTwin(col("doc_id")).as("data")))
-      Dedup.hammingBandedPairs(Multimodal.dhashBmp(media, "media_id", "data"),
-        "media_id", "dhash", maxHamming = 7)
-    }),
+    "llm_phash_pairs" -> ((s, dir) => phashPairs(s, dir, maxHamming = 7)),
 
     // embedding near-dup pairs via hyperplane LSH. The driver embeddings are
     // near-random (max pairwise cosine ≈0.5), so plant perturbed duplicates
