@@ -161,6 +161,27 @@ object QueriesLlm {
       "media_id", "dhash", maxHamming = maxHamming)
   }
 
+  private val phashSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The llm_phash_pairs media fixture (originals + brightness twins) as
+    * TWO parquet files for the streaming twin. NO ordering requirement —
+    * pair emission is symmetric (the second arrival triggers, whichever
+    * member it is), so any split equals batch; originals/twins keeps
+    * both batches busy. */
+  private[graft] def phashSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    phashSplitCache.computeIfAbsent(dir, { _ =>
+      val off = twinOffset(s, dir)
+      val mk = udf((k: Long) => Multimodal.syntheticImageBmp(k))
+      val mkTwin = udf((k: Long) => Multimodal.syntheticImageBmp(k, brighten = 3))
+      val ids = t(s, dir, "documents").select("doc_id").repartition(Tables.fanout(s))
+      QueriesCore.writeSplitDir("sph_in", Seq(
+        (ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data")),
+          "0_media.parquet"),
+        (ids.select((col("doc_id") + off).as("media_id"), mkTwin(col("doc_id")).as("data")),
+          "1_media.parquet")))
+    })
+
   /** stream_dup_spans body, parameterized on the singleton-eviction
     * horizon so the MlSpec retention gate can run it BOTH ways
     * (NoTimeout vs a not-yet-reached horizon) and pin the equality.
@@ -715,6 +736,55 @@ object QueriesLlm {
     // precision/recall spec; rows-only for the driver (byte-level BMP
     // decode is not SQL-expressible).
     "llm_phash_pairs" -> ((s, dir) => phashPairs(s, dir, maxHamming = 7)),
+
+    // STREAMING twin of llm_phash_pairs — continuous-ingestion perceptual
+    // dedup: decode + dHash are row-local per micro-batch (the same fused
+    // UDF as batch), prints explode into their 8 pigeonhole block keys,
+    // and cross-batch keyed state per (block, key) bucket emits a pair
+    // the moment the SECOND member arrives. Exactly-once emission via the
+    // min-matching-block rule (computed locally from the two signatures —
+    // no chained stateful dedup; StreamPhash scaladoc). Unlike
+    // stream_semdedup, the emitted pair SET is arrival-order independent,
+    // so the fixture needs no ordering and the gate shares
+    // llm_phash_pairs' pinned hash verbatim. Eviction-capable path with a
+    // 1 h bucket horizon (never reached in the run == NoTimeout, the
+    // stream_dup_spans convention).
+    "stream_phash_pairs" -> ((s, dir) => {
+      val ss = s.newSession()
+      // bucket-keyed state (one key per (block, 8-bit key) bucket seen):
+      // full scheduler width, the stream_dup_spans sizing
+      ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
+      import ss.implicits._
+      val blocks = 8
+      val bits = 64 / blocks
+      val mask = (1L << bits) - 1L
+      val inDir = phashSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_media.parquet").toString).schema
+      val media = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        // one file per micro-batch = one scan split; distribute the
+        // per-row decode+hash (the one-file-input lesson)
+        .repartition(Tables.fanout(ss))
+      val occ = Multimodal.dhashBmp(media, "media_id", "data")
+        .select(col("media_id"), col("dhash"),
+          posexplode(array((0 until blocks).map(i =>
+            shiftright(col("dhash"), i * bits).bitwiseAND(lit(mask))): _*))
+            .as(Seq("_blk", "_key")))
+        .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+      val pairs = graft.streaming.StreamPhash.candidatePairs(
+        occ, maxHamming = 7, blocks = blocks, evictBucketAfterMs = Some(3600L * 1000))
+      val ckpt = java.nio.file.Files.createTempDirectory("sph_ckpt").toFile
+      ckpt.deleteOnExit()
+      val sink = s"stream_phash_pairs_${sinkIds.incrementAndGet()}"
+      val q = pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+        .start()
+      drainAndStop(q)
+      ss.table(sink)
+    }),
 
     // embedding near-dup pairs via hyperplane LSH. The driver embeddings are
     // near-random (max pairwise cosine ≈0.5), so plant perturbed duplicates

@@ -151,7 +151,8 @@ object SparkEntry {
     "stream_lm_score",
     // round 14: perceptual image dedup (real BMP decode → dHash →
     // Hamming-banded pairs — the multimodal column's near-dup
-    // granularity) and the frozen-centroid streaming SemDeDup twin
-    // (row-local assignment + per-cell keyed state)
-    "llm_phash_pairs", "stream_semdedup")
+    // granularity), the frozen-centroid streaming SemDeDup twin
+    // (row-local assignment + per-cell keyed state), and the streaming
+    // perceptual twin (bucket-keyed state, min-matching-block emission)
+    "llm_phash_pairs", "stream_semdedup", "stream_phash_pairs")
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING perceptual near-dup pairs — the streaming twin of
+  * [[graft.ml.Dedup.hammingBandedPairs]] (and thus of llm_phash_pairs):
+  * fingerprints are computed row-locally per micro-batch (decode + dHash
+  * need nothing but the row), each print explodes into its pigeonhole
+  * block keys, and cross-batch keyed state per (block, key) bucket holds
+  * the prints seen in that bucket. An arriving print emits a pair with
+  * every stored bucket-mate within the Hamming radius.
+  *
+  * Exactly-once pair emission WITHOUT a second stateful operator: a pair
+  * within radius k can share up to `blocks` bucket keys, and each shared
+  * bucket's state fn would see both members — so a pair is emitted only
+  * from its MINIMUM matching block index, which each state fn computes
+  * locally from the two signatures it already holds (no cross-bucket
+  * coordination, no chained dropDuplicates with its multiple-stateful-op
+  * restrictions). Emission order is arrival order, but the emitted SET
+  * is arrival-order independent (pair (a,b) fires when the second of
+  * them arrives, whichever that is) — so unlike stream_semdedup this
+  * twin needs NO ordering fixture to equal its batch counterpart; only
+  * the batch bucket cap (retroactive, not replicable in a stream) must
+  * stay unbound, which gate SF satisfies.
+  *
+  * State: one (id, sig) per print per block — 8×16 bytes per corpus row,
+  * the TTL'd-dedup-window shape; `evictBucketAfterMs` ages out buckets
+  * untouched for the horizon (a near-dup arriving more than the horizon
+  * after its twin is missed — the standard streaming-dedup recall
+  * trade). Deploy on RocksDB as with the other keyed-state twins. */
+object StreamPhash {
+
+  case class BucketState(ids: Seq[Long], sigs: Seq[Long])
+
+  /** (id, sig64, block, key) occurrence stream → (id_a, id_b, hamming)
+    * near-dup pairs, each emitted exactly once (min-matching-block rule).
+    * `blocks` must match the upstream explode (64/blocks-bit keys). */
+  def candidatePairs(occ: Dataset[(Long, Long, Int, Long)],
+                     maxHamming: Int, blocks: Int,
+                     evictBucketAfterMs: Option[Long] = None): DataFrame = {
+    import occ.sparkSession.implicits._
+    val bits = 64 / blocks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val timeoutConf =
+      if (evictBucketAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    occ.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (bucket: (Int, Long), it: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val block = bucket._1
+            def minMatchingBlock(a: Long, b: Long): Int = {
+              var i = 0
+              while (i < blocks) {
+                if (((a >>> (i * bits)) & mask) == ((b >>> (i * bits)) & mask)) return i
+                i += 1
+              }
+              blocks // unreachable for true bucket-mates
+            }
+            val st = if (state.exists) state.get else BucketState(Nil, Nil)
+            var ids = st.ids.toList
+            var sigs = st.sigs.toList
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+            it.foreach { case (id, sig, _, _) =>
+              var is = ids
+              var ss = sigs
+              while (is.nonEmpty) {
+                val pid = is.head
+                val psig = ss.head
+                val h = java.lang.Long.bitCount(sig ^ psig)
+                if (h <= maxHamming && minMatchingBlock(sig, psig) == block)
+                  out += ((math.min(id, pid), math.max(id, pid), h))
+                is = is.tail
+                ss = ss.tail
+              }
+              ids ::= id
+              sigs ::= sig
+            }
+            state.update(BucketState(ids, sigs))
+            evictBucketAfterMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+      .toDF("id_a", "id_b", "hamming")
+  }
+}

@@ -461,6 +461,10 @@ class MlSpec extends SparkSpec {
       "llm_ann_lsh" -> "60e22eb74f82a6f7",       // 18 rows
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
       "llm_phash_pairs" -> "ae9b60668097b37a",   // 500 planted brightness twins
+      // the streaming twin shares the batch pin VERBATIM: pair emission
+      // is symmetric (second arrival triggers), so the set is
+      // arrival-order independent — no ordering fixture needed
+      "stream_phash_pairs" -> "ae9b60668097b37a",
       "llm_semdedup" -> "d2ea5336e9599c63",      // 1000 rows (500 planted twins)
       // the streaming twin shares the batch pin VERBATIM: frozen
       // centroids from the same deterministic training, priority-ordered
@@ -978,6 +982,45 @@ class MlSpec extends SparkSpec {
     assert(twins.forall(_._3 <= 7))
     assert(out.length == twins.length,
       s"cross-image false pairs: ${out.filterNot(p => p._2 == p._1 + 100000L).take(5).toSeq}")
+  }
+
+  test("stream_phash_pairs equals batch exactly (order-independent pair emission)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt)).toSet
+    val batch = canon(QueriesLlm.queries("llm_phash_pairs")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_phash_pairs")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} pairs vs stream ${stream.size}")
+  }
+
+  test("StreamPhash: cross-batch pair detection; exactly-once across multiple matching blocks") {
+    val ss = spark.newSession()
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = ss.sqlContext
+    val in = MemoryStream[(Long, Long, Int, Long)]
+    val pairs = graft.streaming.StreamPhash.candidatePairs(in.toDS(), maxHamming = 7, blocks = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("sph_spec_ckpt").toFile
+    ckpt.deleteOnExit()
+    val q = pairs.writeStream.format("memory").queryName("sph_spec_sink")
+      .outputMode("append").option("checkpointLocation", ckpt.getPath).start()
+    // sig A and sig B: identical prints (ALL 8 blocks match — the
+    // worst case for duplicate emission); sig C: differs from A in
+    // exactly one bit of block 0 (hamming 1, matches A in blocks 1-7 —
+    // min matching block is 1, so only that bucket may emit)
+    val sigA = 0x1122334455667788L
+    val sigC = sigA ^ 1L
+    def occ(id: Long, sig: Long) = (0 until 8).map(b =>
+      (id, sig, b, (sig >>> (b * 8)) & 0xFFL))
+    in.addData(occ(1L, sigA): _*)
+    q.processAllAvailable()
+    in.addData(occ(2L, sigA) ++ occ(3L, sigC): _*) // cross-batch AND same-batch matches
+    q.processAllAvailable()
+    q.stop()
+    val out = ss.table("sph_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(out == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+      s"each pair exactly once despite 7-8 shared blocks; got $out")
   }
 
   test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
