@@ -211,6 +211,25 @@ object QueriesLlm {
       .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))
       .toDF("_1", "_2", "_3").as[(Long, Int, Long)]
     val dupOcc = graft.streaming.StreamDedup.dupOccurrences(occStream, evictSingletonsAfterMs)
+    // state metrics accumulated via listener, not q.recentProgress: that
+    // buffer caps at 100 updates (a 10 ms trigger burns through it in a
+    // second) and no-data batches throttle their progress events — both
+    // silently undercount eviction batches (the StateProbe finding,
+    // applied here where the MlSpec eviction gate reads the numbers)
+    ss.conf.set("spark.sql.streaming.noDataProgressEventInterval", "200")
+    val removedAcc = new java.util.concurrent.atomic.AtomicLong()
+    @volatile var lastTotal = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
+          removedAcc.addAndGet(so.numRowsRemoved)
+          lastTotal = so.numRowsTotal
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    ss.streams.addListener(listener)
     val ckpt = java.nio.file.Files.createTempDirectory("sds_ckpt").toFile
     ckpt.deleteOnExit()
     val sink = s"stream_dup_spans_occ_${sinkIds.incrementAndGet()}"
@@ -240,12 +259,13 @@ object QueriesLlm {
         q0.awaitTermination()
         q0
       }
-    // terminal state-store metrics for the retention probe (StateProbe):
-    // rows resident at the last progress, total rows evicted
-    lastStateMetrics = {
-      val ps = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
-      Some((ps.lastOption.map(_.numRowsTotal).getOrElse(0L), ps.map(_.numRowsRemoved).sum))
-    }
+    // terminal state-store metrics for the retention gate (MlSpec):
+    // rows resident at the last progress, total rows evicted — from the
+    // listener accumulators (every progress event), after letting the
+    // async listener bus drain the final events
+    Thread.sleep(500)
+    ss.streams.removeListener(listener)
+    lastStateMetrics = Some((lastTotal, removedAcc.get()))
     Dedup.spansFromOccurrences(ss.table(sink), w)
   }
 
@@ -736,6 +756,30 @@ object QueriesLlm {
     // precision/recall spec; rows-only for the driver (byte-level BMP
     // decode is not SQL-expressible).
     "llm_phash_pairs" -> ((s, dir) => phashPairs(s, dir, maxHamming = 7)),
+
+    // PERCEPTUAL audio near-dup pairs — the AUDIO-modality sibling of
+    // llm_phash_pairs: 64-bit energy-difference hash over the real
+    // 16-bit-PCM WAV decode (65 frame energies → 64 adjacent-frame
+    // comparison bits — invariant under uniform gain, the audio analog
+    // of dHash's brightness invariance), pairs via the SAME
+    // hammingBandedPairs machinery (and the same block-width/radius
+    // scale knob; a streaming twin would be StreamPhash verbatim — the
+    // fingerprint is opaque to the pairing machinery). Planted twins:
+    // per doc a pseudo-random 2048-sample clip and an 80%-gain copy
+    // (media_id + twinOffset). Deterministic → pinned hash + planted
+    // recall/precision spec; rows-only for the driver.
+    "llm_audiohash_pairs" -> ((s, dir) => {
+      val off = twinOffset(s, dir)
+      val mk = udf((k: Long) => Multimodal.syntheticWav(k))
+      val mkTwin = udf((k: Long) => Multimodal.syntheticWav(k, gainPct = 80))
+      val ids = t(s, dir, "documents").select("doc_id")
+        .repartition(Tables.fanout(s)) // distribute the per-row synth+decode+hash
+      val media = ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data"))
+        .unionByName(ids.select((col("doc_id") + off).as("media_id"),
+          mkTwin(col("doc_id")).as("data")))
+      Dedup.hammingBandedPairs(Multimodal.ahashWav(media, "media_id", "data"),
+        "media_id", "ahash", maxHamming = 7)
+    }),
 
     // STREAMING twin of llm_phash_pairs — continuous-ingestion perceptual
     // dedup: decode + dHash are row-local per micro-batch (the same fused

@@ -154,5 +154,8 @@ object SparkEntry {
     // granularity), the frozen-centroid streaming SemDeDup twin
     // (row-local assignment + per-cell keyed state), and the streaming
     // perceptual twin (bucket-keyed state, min-matching-block emission)
-    "llm_phash_pairs", "stream_semdedup", "stream_phash_pairs")
+    "llm_phash_pairs", "stream_semdedup", "stream_phash_pairs",
+    // round 14 late: the audio-modality perceptual sibling (gain-invariant
+    // energy-difference hash over the real PCM decode, same banding)
+    "llm_audiohash_pairs")
 }

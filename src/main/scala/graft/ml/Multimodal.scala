@@ -325,16 +325,19 @@ object Multimodal {
       Array.fill(24)(0.toByte) ++ data
   }
 
-  /** splitmix64-style mix — per-(key, x, y, c) pseudo-random pixel bytes
-    * for the perceptual-dedup fixtures: unlike [[syntheticBmp]]'s sawtooth
+  /** splitmix64-style mix — per-(key, x, y, c) pseudo-random values for
+    * the perceptual-dedup fixtures: unlike [[syntheticBmp]]'s sawtooth
     * (whose x-gradient is constant, so every image would dHash alike),
-    * independent random pixels give every key an independent fingerprint. */
-  private def mixByte(key: Long, x: Int, y: Int, c: Int): Int = {
+    * independent random content gives every key an independent
+    * fingerprint. */
+  private def mix64(key: Long, x: Int, y: Int, c: Int): Long = {
     var z = key * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
       y * 0x165667B19E3779F9L + c * 0x27D4EB2F165667C5L
     z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
-    (z & 0xFF).toInt
+    z
   }
+  private def mixByte(key: Long, x: Int, y: Int, c: Int): Int =
+    (mix64(key, x, y, c) & 0xFF).toInt
 
   /** Deterministic pseudo-random w×h 24-bit BMP for the perceptual-dedup
     * gate. `brighten` adds a uniform clamped brightness shift — the
@@ -428,6 +431,96 @@ object Multimodal {
       dHash64(w, h, px)
     }
     media.select(col(idCol), f(col(dataCol)).as("dhash"))
+  }
+
+  /** RIFF/WAVE 16-bit PCM → (sampleRate, samples) — the raw-sample
+    * sibling of [[decodeWavPcm16]]'s stats decode, for fingerprinting. */
+  private[graft] def decodeWavPcm16Samples(d: Array[Byte]): (Int, Array[Short]) = {
+    var i = 12
+    var sampleRate = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (i + 8 <= d.length) {
+      val id = new String(d, i, 4, "US-ASCII")
+      val len = u32le(d, i + 4)
+      if (id == "fmt ") {
+        require(u16le(d, i + 8) == 1 && u16le(d, i + 8 + 14) == 16,
+          "wav: only 16-bit PCM supported")
+        sampleRate = u32le(d, i + 8 + 4)
+      } else if (id == "data") { dataOff = i + 8; dataLen = len }
+      i += 8 + len + (len & 1)
+    }
+    require(sampleRate > 0 && dataOff >= 0, "wav: missing fmt/data chunk")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var k = 0
+    while (k < n) { out(k) = u16le(d, dataOff + 2 * k).toShort; k += 1 }
+    (sampleRate, out)
+  }
+
+  /** 64-bit audio energy-difference hash — the dHash analog for the
+    * audio modality (chromaprint-flavor, spectral-free): the sample
+    * stream is box-averaged into 65 equal frames of mean energy (x²),
+    * one bit per adjacent-frame comparison. Invariant under uniform
+    * gain (scaling every sample preserves energy ORDER, modulo
+    * re-quantization at the ±1-LSB level) — the audio analog of dHash's
+    * brightness invariance — and length-normalized by the fixed frame
+    * grid. Short clips reuse samples across frames (the dHash guard).
+    * Pairs come from the same [[Dedup.hammingBandedPairs]] machinery. */
+  def aHash64(samples: Array[Short]): Long = {
+    val frames = 65
+    val n = samples.length
+    if (n == 0) return 0L
+    val e = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      val s0 = math.min(f * n / frames, n - 1)
+      val s1 = math.min(n, math.max(s0 + 1, (f + 1) * n / frames))
+      var s = 0.0
+      var i = s0
+      while (i < s1) { val x = samples(i).toDouble; s += x * x; i += 1 }
+      e(f) = s / (s1 - s0)
+      f += 1
+    }
+    var bits = 0L
+    f = 0
+    while (f < 64) {
+      if (e(f + 1) > e(f)) bits |= 1L << f
+      f += 1
+    }
+    bits
+  }
+
+  /** (id, wav-bytes) → (id, 64-bit aHash) — decode + hash fused
+    * row-locally, as [[dhashBmp]]. */
+  def ahashWav(media: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val f = udf { (data: Array[Byte]) =>
+      val (_, samples) = decodeWavPcm16Samples(data)
+      aHash64(samples)
+    }
+    media.select(col(idCol), f(col(dataCol)).as("ahash"))
+  }
+
+  /** Deterministic pseudo-random 16-bit mono PCM WAV for the
+    * audio-dedup fixtures. `gainPct` applies an integer uniform gain —
+    * the canonical "same recording, different level" perturbation
+    * aHash64 absorbs (use ≤100 to avoid clipping). */
+  def syntheticWav(key: Long, nSamples: Int = 2048, gainPct: Int = 100): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val raw = ((mix64(key, i, 0, 0) & 0xFFFFL) - 32768L).toInt
+      val v = math.max(-32768, math.min(32767, raw * gainPct / 100))
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val sampleRate = 16000
+    val byteRate = sampleRate * 2
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(sampleRate) ++
+      le32(byteRate) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
   }
 
   /** Deterministic 2×2 RGB PNG with the SAME pixel formula as

@@ -460,6 +460,7 @@ class MlSpec extends SparkSpec {
       "llm_langid" -> "e92e8aca52412e6d",        // 500 rows
       "llm_ann_lsh" -> "60e22eb74f82a6f7",       // 18 rows
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
+      "llm_audiohash_pairs" -> "da20d0fb8b2743ac", // 500 planted gain twins
       "llm_phash_pairs" -> "ae9b60668097b37a",   // 500 planted brightness twins
       // the streaming twin shares the batch pin VERBATIM: pair emission
       // is symmetric (second arrival triggers), so the set is
@@ -1021,6 +1022,38 @@ class MlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(out == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
       s"each pair exactly once despite 7-8 shared blocks; got $out")
+  }
+
+  test("aHash64: gain-invariant within radius; independent clips far apart; short clips safe") {
+    def hashOf(k: Long, gainPct: Int = 100): Long = {
+      val (_, samples) = graft.ml.Multimodal.decodeWavPcm16Samples(
+        Multimodal.syntheticWav(k, gainPct = gainPct))
+      Multimodal.aHash64(samples)
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val keys = (0L until 50L)
+    keys.foreach { k =>
+      val d = hamming(hashOf(k), hashOf(k, gainPct = 80))
+      assert(d <= 7, s"key $k: gain-twin hamming $d exceeds the banded radius")
+    }
+    val cross = for (a <- keys; b <- keys if a < b) yield hamming(hashOf(a), hashOf(b))
+    assert(cross.min > 7, s"closest cross-clip hamming ${cross.min} inside the radius")
+    // clips shorter than the 65-frame grid hash without special cases
+    val (_, tiny) = graft.ml.Multimodal.decodeWavPcm16Samples(
+      Multimodal.syntheticWav(3L, nSamples = 10))
+    Multimodal.aHash64(tiny) // must not throw
+    assert(Multimodal.aHash64(Array.empty[Short]) == 0L)
+  }
+
+  test("llm_audiohash_pairs: every planted gain twin recovered; no cross-clip pairs") {
+    val out = QueriesLlm.queries("llm_audiohash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
+    val nDocs = docs.count()
+    val twins = out.filter { case (a, b, _) => b == a + 100000L }
+    assert(twins.length == nDocs, s"planted twins recovered: ${twins.length}/$nDocs")
+    assert(twins.forall(_._3 <= 7))
+    assert(out.length == twins.length,
+      s"cross-clip false pairs: ${out.filterNot(p => p._2 == p._1 + 100000L).take(5).toSeq}")
   }
 
   test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
