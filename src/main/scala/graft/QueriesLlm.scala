@@ -471,6 +471,19 @@ object QueriesLlm {
           "doc_id", "text", Seq("scan", "merge", "window"))
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
+    // TOKENIZER TRAINING: BPE merge-table learning (Sennrich et al.
+    // 2016) — 30 ranked merges from the corpus. One corpus pass builds
+    // the word-frequency table; all 30 iterations run over that
+    // vocab-bounded table (pair partial-agg + 1-row argmax + narrow
+    // merge map, lazily checkpointed per iteration — the
+    // connectedComponents lineage discipline). Deterministic (lexicographic
+    // argmax tie-break) → pinned hash + hand-derived-fixture spec;
+    // rows-only for the driver (iterative argmax-update is not
+    // SQL-expressible).
+    "llm_bpe_merges" -> ((s, dir) =>
+      graft.ml.Bpe.bpeMerges(
+        t(s, dir, "documents").repartition(Tables.fanout(s)), "text", nMerges = 30)),
+
     // vocabulary building: top-100 bigrams by frequency with a total
     // tie-break (freq desc, bigram asc) — TakeOrderedAndProject, no
     // global sort. The unigram vocab is the llm_unigram_logprob pass.

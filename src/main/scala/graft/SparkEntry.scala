@@ -156,6 +156,7 @@ object SparkEntry {
     // perceptual twin (bucket-keyed state, min-matching-block emission)
     "llm_phash_pairs", "stream_semdedup", "stream_phash_pairs",
     // round 14 late: the audio-modality perceptual sibling (gain-invariant
-    // energy-difference hash over the real PCM decode, same banding)
-    "llm_audiohash_pairs")
+    // energy-difference hash over the real PCM decode, same banding) and
+    // BPE tokenizer training (iterative vocab-bounded merge learning)
+    "llm_audiohash_pairs", "llm_bpe_merges")
 }

@@ -461,6 +461,7 @@ class MlSpec extends SparkSpec {
       "llm_ann_lsh" -> "60e22eb74f82a6f7",       // 18 rows
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
       "llm_audiohash_pairs" -> "da20d0fb8b2743ac", // 500 planted gain twins
+      "llm_bpe_merges" -> "f68f674dc8328f51",    // 30 ranked merges
       "llm_phash_pairs" -> "ae9b60668097b37a",   // 500 planted brightness twins
       // the streaming twin shares the batch pin VERBATIM: pair emission
       // is symmetric (second arrival triggers), so the set is
@@ -1054,6 +1055,33 @@ class MlSpec extends SparkSpec {
     assert(twins.forall(_._3 <= 7))
     assert(out.length == twins.length,
       s"cross-clip false pairs: ${out.filterNot(p => p._2 == p._1 + 100000L).take(5).toSeq}")
+  }
+
+  test("bpeMerges learns the classic subword merges on the Sennrich-style fixture") {
+    // vocab: low:5 lower:2 newest:6 widest:3 (the paper's running
+    // example). Expected merges HAND-DERIVED from the rule (most
+    // frequent adjacent pair, ties lexicographic on (left, right)):
+    // pairs at start: e-s 9, s-t 9, t-</w> 9, l-o 7, o-w 7, w-e 8,
+    // n-e 6, e-w 6, ... → "e"+"s" first, then cascading.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.ml.Bpe.bpeMerges(corpus, "text", nMerges = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val expected = Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L),
+      ("e", "w", 6L), ("ew", "est</w>", 6L), ("n", "ewest</w>", 6L),
+      ("low", "</w>", 5L), ("d", "est</w>", 3L))
+    assert(got == expected, s"merge table:\n${got.mkString("\n")}")
+  }
+
+  test("applyMerge is greedy left-to-right and non-overlapping") {
+    import graft.ml.Bpe.applyMerge
+    assert(applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(applyMerge(Seq("x"), "a", "b") == Seq("x"))
   }
 
   test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
