@@ -211,25 +211,6 @@ object QueriesLlm {
       .select(col("doc_id"), posexplode(Dedup.windowDigests(col("_t"), w)).as(Seq("pos", "h")))
       .toDF("_1", "_2", "_3").as[(Long, Int, Long)]
     val dupOcc = graft.streaming.StreamDedup.dupOccurrences(occStream, evictSingletonsAfterMs)
-    // state metrics accumulated via listener, not q.recentProgress: that
-    // buffer caps at 100 updates (a 10 ms trigger burns through it in a
-    // second) and no-data batches throttle their progress events — both
-    // silently undercount eviction batches (the StateProbe finding,
-    // applied here where the MlSpec eviction gate reads the numbers)
-    ss.conf.set("spark.sql.streaming.noDataProgressEventInterval", "200")
-    val removedAcc = new java.util.concurrent.atomic.AtomicLong()
-    @volatile var lastTotal = 0L
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
-          removedAcc.addAndGet(so.numRowsRemoved)
-          lastTotal = so.numRowsTotal
-        }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    ss.streams.addListener(listener)
     val ckpt = java.nio.file.Files.createTempDirectory("sds_ckpt").toFile
     ckpt.deleteOnExit()
     val sink = s"stream_dup_spans_occ_${sinkIds.incrementAndGet()}"
@@ -259,20 +240,8 @@ object QueriesLlm {
         q0.awaitTermination()
         q0
       }
-    // terminal state-store metrics for the retention gate (MlSpec):
-    // rows resident at the last progress, total rows evicted — from the
-    // listener accumulators (every progress event), after letting the
-    // async listener bus drain the final events
-    Thread.sleep(500)
-    ss.streams.removeListener(listener)
-    lastStateMetrics = Some((lastTotal, removedAcc.get()))
     Dedup.spansFromOccurrences(ss.table(sink), w)
   }
-
-  /** Terminal (numRowsTotal, numRowsRemoved) of the most recent
-    * [[streamDupSpans]] run — probe/spec plumbing only (runs are
-    * sequential there), never part of a query plan. */
-  @volatile private[graft] var lastStateMetrics: Option[(Long, Long)] = None
 
   /** Stop a continuously-triggered file-stream query once its input is
     * drained. A file source hands out every available file before ever
