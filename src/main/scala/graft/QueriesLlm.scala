@@ -445,10 +445,12 @@ object QueriesLlm {
     // the word-frequency table; all 30 iterations run over that
     // vocab-bounded table (pair partial-agg + 1-row argmax + narrow
     // merge map, lazily checkpointed per iteration — the
-    // connectedComponents lineage discipline). Deterministic (lexicographic
-    // argmax tie-break) → pinned hash + hand-derived-fixture spec;
-    // rows-only for the driver (iterative argmax-update is not
-    // SQL-expressible).
+    // connectedComponents lineage discipline). Deterministic
+    // (lexicographic argmax tie-break) → FULL DuckDB oracle: the 30
+    // iterations replay as 30 chained materialized CTEs whose merge
+    // application is a global regexp_replace over a delimiter-encoded
+    // symbol string (see the oracle's comment) — plus the hand-derived
+    // Sennrich-fixture spec.
     "llm_bpe_merges" -> ((s, dir) =>
       graft.ml.Bpe.bpeMerges(
         t(s, dir, "documents").repartition(Tables.fanout(s)), "text", nMerges = 30)),
@@ -1571,6 +1573,43 @@ object QueriesLlm {
            (CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'graftmix'), 1, 8))::BIGINT
                  < CAST(floor(weight * 4294967296.0) AS BIGINT) THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM w""",
+    // FULL oracle for the iterative BPE trainer: 30 chained CTE blocks,
+    // one per merge. The greedy left-to-right non-overlapping merge rule
+    // is replayed exactly by a global regexp_replace over a
+    // '(sym)(sym)…' encoding — delimiters make matches share NO
+    // characters, so RE2's non-overlapping global scan IS the BPE apply
+    // rule (a space-separated encoding would break on runs like
+    // "a a a": the shared separator swallows the next match). Symbols
+    // are regex-safe by construction (Dedup.tokens → letters/digits;
+    // '</w>' and concatenations thereof contain no RE2 metachars).
+    // MATERIALIZED CTEs: each w_k is referenced twice (pair counts +
+    // the next merge) — inlined, the scan count doubles per iteration.
+    // Argmax ties break (cnt DESC, a, b) = Spark's TakeOrdered on
+    // binary UTF-8 order, which equals UTF-16 order on BMP text.
+    "llm_bpe_merges" -> {
+      val n = 30
+      val sb = new StringBuilder
+      sb ++= s"""WITH w0 AS MATERIALIZED (
+           SELECT '(' || array_to_string(regexp_extract_all(w, '.'), ')(') || ')(</w>)' AS s, f
+           FROM (SELECT w, count(*) AS f FROM (SELECT unnest($oTok) AS w FROM documents) GROUP BY w))"""
+      for (k <- 1 to n) {
+        sb ++= s""",
+         p$k AS (SELECT t[i+1] AS a, t[i+2] AS b, f
+                 FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS t, f FROM w${k - 1}),
+                      UNNEST(generate_series(0, len(t) - 2)) AS u(i)
+                 WHERE len(t) >= 2),
+         m$k AS MATERIALIZED (SELECT a, b, sum(f)::BIGINT AS cnt FROM p$k
+                 GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"""
+        if (k < n) sb ++= s""",
+         w$k AS MATERIALIZED (SELECT regexp_replace(s,
+                 '\\(' || (SELECT a FROM m$k) || '\\)\\(' || (SELECT b FROM m$k) || '\\)',
+                 '(' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ')', 'g') AS s, f FROM w${k - 1})"""
+      }
+      sb ++= (1 to n).map(k =>
+        s"""SELECT $k::BIGINT AS rank, a AS "left", b AS "right", a || b AS merged, cnt AS freq FROM m$k""")
+        .mkString("\n ", "\n UNION ALL ", "")
+      sb.toString
+    },
     "llm_lm_score" ->
       s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
          uf AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 10000 AS b,

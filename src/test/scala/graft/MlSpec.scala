@@ -461,7 +461,6 @@ class MlSpec extends SparkSpec {
       "llm_ann_lsh" -> "60e22eb74f82a6f7",       // 18 rows
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
       "llm_audiohash_pairs" -> "da20d0fb8b2743ac", // 500 planted gain twins
-      "llm_bpe_merges" -> "f68f674dc8328f51",    // 30 ranked merges
       "llm_phash_pairs" -> "ae9b60668097b37a",   // 500 planted brightness twins
       // the streaming twin shares the batch pin VERBATIM: pair emission
       // is symmetric (second arrival triggers), so the set is
