@@ -741,6 +741,25 @@ object QueriesLlm {
     // decode is not SQL-expressible).
     "llm_phash_pairs" -> ((s, dir) => phashPairs(s, dir, maxHamming = 7)),
 
+    // Perceptual dedup RESOLUTION — the step that actually DROPS the
+    // duplicate images the pair generator finds: dHash pairs →
+    // connected components (shared Dedup.connectedComponents — the same
+    // path-doubling machinery as llm_dedup_resolve) → min-id canonical
+    // per cluster. Composes two individually-gated pieces; this row
+    // gates the composition on the media ids. Deterministic → pinned
+    // hash + planted spec (every twin cluster keeps exactly its
+    // original); rows-only for the driver (the BMP decode upstream is
+    // not SQL-expressible).
+    "llm_phash_resolve" -> ((s, dir) => {
+      val off = twinOffset(s, dir)
+      val pairs = phashPairs(s, dir, maxHamming = 7).select("id_a", "id_b")
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+        .unionByName(t(s, dir, "documents").select((col("doc_id") + off).as("node")))
+      Dedup.connectedComponents(nodes, pairs)
+        .select(col("node").as("media_id"), col("label").as("cluster_id"),
+          when(col("node") === col("label"), 1L).otherwise(0L).as("keep"))
+    }),
+
     // PERCEPTUAL audio near-dup pairs — the AUDIO-modality sibling of
     // llm_phash_pairs: 64-bit energy-difference hash over the real
     // 16-bit-PCM WAV decode (65 frame energies → 64 adjacent-frame

@@ -462,6 +462,7 @@ class MlSpec extends SparkSpec {
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
       "llm_audiohash_pairs" -> "da20d0fb8b2743ac", // 500 planted gain twins
       "llm_phash_pairs" -> "ae9b60668097b37a",   // 500 planted brightness twins
+      "llm_phash_resolve" -> "19bd2cf41155ef3a", // 1000 rows, 500 clusters
       // the streaming twin shares the batch pin VERBATIM: pair emission
       // is symmetric (second arrival triggers), so the set is
       // arrival-order independent — no ordering fixture needed
@@ -971,6 +972,23 @@ class MlSpec extends SparkSpec {
     // the grid guard makes tiny images hash without special cases
     val (w2, h2, px2) = graft.ml.Multimodal.decodeBmp24Pixels(Multimodal.syntheticBmp(7L))
     Multimodal.dHash64(w2, h2, px2) // must not throw
+  }
+
+  test("llm_phash_resolve: every twin cluster keeps exactly its original") {
+    val out = QueriesLlm.queries("llm_phash_resolve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = docs.count()
+    assert(out.length == 2 * nDocs, "every media row classified")
+    // twins cluster with their original; the min-id canonical is the original
+    out.foreach { case (id, cluster, keep) =>
+      if (id >= 100000L) {
+        assert(cluster == id - 100000L, s"twin $id must cluster with its original")
+        assert(keep == 0L, s"twin $id must be dropped")
+      } else {
+        assert(cluster == id, s"original $id is its own cluster root")
+        assert(keep == 1L, s"original $id must be kept")
+      }
+    }
   }
 
   test("llm_phash_pairs: every planted brightness twin recovered; no cross-image pairs") {
