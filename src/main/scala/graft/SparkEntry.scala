@@ -158,5 +158,5 @@ object SparkEntry {
     // round 14 late: the audio-modality perceptual sibling (gain-invariant
     // energy-difference hash over the real PCM decode, same banding) and
     // BPE tokenizer training (iterative vocab-bounded merge learning)
-    "llm_audiohash_pairs", "llm_bpe_merges")
+    "llm_audiohash_pairs", "llm_bpe_merges", "llm_phash_resolve")
 }
