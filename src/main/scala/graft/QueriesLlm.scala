@@ -87,6 +87,21 @@ object QueriesLlm {
         nCells = 16, iters = 4, trainMod = 2)
     })
 
+  /** Frozen BPE merge table for the encode/compose gates — trained ONCE
+    * per dir with llm_bpe_merges' exact parameters (the semCentroids
+    * frozen-model convention: a tokenizer deploys trained-once; training
+    * cost is llm_bpe_merges' own bench row, application cost is the
+    * encode rows'). Ranked (left, right) pairs, rank order. */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private[graft] def bpeMergeTable(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(dir, { _ =>
+      graft.ml.Bpe.bpeMerges(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+
   private val embSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
@@ -454,6 +469,55 @@ object QueriesLlm {
     "llm_bpe_merges" -> ((s, dir) =>
       graft.ml.Bpe.bpeMerges(
         t(s, dir, "documents").repartition(Tables.fanout(s)), "text", nMerges = 30)),
+
+    // TOKENIZER APPLICATION — the step that makes the trained merge
+    // table a tokenizer (r14: "the training output is currently a dead
+    // end"): the ≤30-row table rides in the task closure, encoding is
+    // pure per-row work (no shuffle, no join — the only topology that
+    // survives 100 TB) with a per-partition word cache (Zipf: each
+    // distinct word encodes once per partition). Full DuckDB oracle:
+    // the training chain's final word table IS the word→subwords map —
+    // carry the word through the 30 CTEs and join each doc's tokens
+    // against it (same regexp-encoded greedy apply, provably the same
+    // rule encodeWord replays via min-rank iteration — Bpe.scaladoc).
+    "llm_bpe_encode" -> ((s, dir) =>
+      graft.ml.Bpe.encodeDocs(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
+          bpeMergeTable(s, dir))
+        .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
+          size(col("bpe")).cast(LongType).as("n_bpe"))),
+
+    // token stats REBASED on the trained tokenizer (train→tokenize→count
+    // as one chain): subword count + per-word fertility, the stat that
+    // actually sizes a training run. n_words recovered from the encoded
+    // stream itself (each word contributes exactly one '</w>'-suffixed
+    // subword — the marker only ever ends a symbol), so the whole row is
+    // ONE encode pass, no second tokenize or join.
+    "llm_bpe_token_stats" -> ((s, dir) => {
+      val enc = graft.ml.Bpe.encodeDocs(
+        t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
+        bpeMergeTable(s, dir))
+      enc.select(col("doc_id"),
+          size(col("bpe")).cast(LongType).as("n_bpe"),
+          size(filter(col("bpe"), x => x.endsWith("</w>"))).cast(LongType).as("n_words"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe"),
+          round(when(col("n_words") === 0L, 0.0)
+            .otherwise(col("n_bpe").cast(DoubleType) / col("n_words")), 6).as("fertility"))
+    }),
+
+    // sequence packing REBASED on BPE token counts — the pipeline a
+    // trainer actually runs (tokenize → pack to the model's context
+    // budget); same shard/window machinery as llm_pack_sequences, fed
+    // by the encode pass instead of the whitespace count.
+    "llm_bpe_pack" -> ((s, dir) => {
+      val d = graft.ml.Bpe.encodeDocs(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
+          bpeMergeTable(s, dir))
+        .select(col("doc_id"), size(col("bpe")).cast(LongType).as("n_tokens"))
+      TextAnalysis.packSequences(d, "doc_id", "n_tokens", budget = 512, shards = 8,
+          shardBy = Some(pmod(col("doc_id"), lit(8L))))
+        .select("doc_id", "shard", "pack_id", "n_tokens")
+    }),
 
     // vocabulary building: top-100 bigrams by frequency with a total
     // tie-break (freq desc, bigram asc) — TakeOrderedAndProject, no
@@ -849,9 +913,13 @@ object QueriesLlm {
     // a known within-cell near-dup → exactly one survivor). k-means →
     // rows-only gate; exact result pinned by hash in MlSpec next to the
     // ANN rows, semantics gated on planted paraphrase clusters there too.
+    // Consumes the SAME cached frozen centroids as stream_semdedup (not a
+    // second training run) so the shared pinned hash cannot flake on a
+    // ULP divergence between two k-means avg() reductions (r14 advice).
     "llm_semdedup" -> ((s, dir) =>
       Similarity.semDedup(plantedEmb(s, dir), "vec_id", "embedding", 64,
-          nCells = 16, threshold = 0.95, iters = 4, trainMod = 2)
+          nCells = 16, threshold = 0.95, iters = 4, trainMod = 2,
+          centroids = Some(semCentroids(s, dir)))
         .select(col("vec_id"), col("cell"),
           round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
 
@@ -1245,6 +1313,41 @@ object QueriesLlm {
            ELSE list_transform(generate_series(0, len(t) - 2),
              i -> concat_ws(' ', t[i+1], t[i+2])) END)"""
 
+  /** The BPE training chain as a WITH-clause prefix: n merge iterations
+    * replayed as chained MATERIALIZED CTEs (w0..wn word tables carrying
+    * the ORIGINAL word, m1..mn the per-iteration argmax). ONE copy
+    * shared by llm_bpe_merges (reads m1..mn) and the encode/compose
+    * oracles (read `vocabmap` = the final word→subword map — the
+    * training chain's last word table IS the tokenizer applied to every
+    * corpus word), so the learned table provably cannot drift between
+    * the training and application oracles. The greedy left-to-right
+    * non-overlapping merge is a global regexp_replace over a
+    * '(sym)(sym)…' delimiter encoding — matches share no characters, so
+    * RE2's non-overlapping global scan IS the BPE apply rule. Unused
+    * CTEs cost nothing (DuckDB evaluates only referenced CTEs). */
+  private def oBpeChain(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+         SELECT w, '(' || array_to_string(regexp_extract_all(w, '.'), ')(') || ')(</w>)' AS s, f
+         FROM (SELECT w, count(*) AS f FROM (SELECT unnest($oTok) AS w FROM documents) GROUP BY w))"""
+    for (k <- 1 to n) {
+      sb ++= s""",
+         p$k AS (SELECT t[i+1] AS a, t[i+2] AS b, f
+                 FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS t, f FROM w${k - 1}),
+                      UNNEST(generate_series(0, len(t) - 2)) AS u(i)
+                 WHERE len(t) >= 2),
+         m$k AS MATERIALIZED (SELECT a, b, sum(f)::BIGINT AS cnt FROM p$k
+                 GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+         w$k AS MATERIALIZED (SELECT w, regexp_replace(s,
+                 '\\(' || (SELECT a FROM m$k) || '\\)\\(' || (SELECT b FROM m$k) || '\\)',
+                 '(' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ')', 'g') AS s, f FROM w${k - 1})"""
+    }
+    sb ++= s""",
+         vocabmap AS MATERIALIZED (
+           SELECT w, string_split(substr(s, 2, length(s) - 2), ')(') AS toks FROM w$n)"""
+    sb.toString
+  }
+
   /** The planted-corpus SQL (documents ∪ 40-token-truncated twins) —
     * ONE copy shared by every oracle that mirrors plantedCorpus, so the
     * planting rule cannot drift between the dedup/dup-span families. */
@@ -1606,29 +1709,50 @@ object QueriesLlm {
     // Argmax ties break (cnt DESC, a, b) = Spark's TakeOrdered on
     // binary UTF-8 order, which equals UTF-16 order on BMP text.
     "llm_bpe_merges" -> {
-      val n = 30
-      val sb = new StringBuilder
-      sb ++= s"""WITH w0 AS MATERIALIZED (
-           SELECT '(' || array_to_string(regexp_extract_all(w, '.'), ')(') || ')(</w>)' AS s, f
-           FROM (SELECT w, count(*) AS f FROM (SELECT unnest($oTok) AS w FROM documents) GROUP BY w))"""
-      for (k <- 1 to n) {
-        sb ++= s""",
-         p$k AS (SELECT t[i+1] AS a, t[i+2] AS b, f
-                 FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS t, f FROM w${k - 1}),
-                      UNNEST(generate_series(0, len(t) - 2)) AS u(i)
-                 WHERE len(t) >= 2),
-         m$k AS MATERIALIZED (SELECT a, b, sum(f)::BIGINT AS cnt FROM p$k
-                 GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"""
-        if (k < n) sb ++= s""",
-         w$k AS MATERIALIZED (SELECT regexp_replace(s,
-                 '\\(' || (SELECT a FROM m$k) || '\\)\\(' || (SELECT b FROM m$k) || '\\)',
-                 '(' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ')', 'g') AS s, f FROM w${k - 1})"""
-      }
-      sb ++= (1 to n).map(k =>
+      oBpeChain(30) + (1 to 30).map(k =>
         s"""SELECT $k::BIGINT AS rank, a AS "left", b AS "right", a || b AS merged, cnt AS freq FROM m$k""")
         .mkString("\n ", "\n UNION ALL ", "")
-      sb.toString
     },
+    // the training chain's final word table joined back onto each doc's
+    // token stream in position order — word→subwords is the tokenizer
+    "llm_bpe_encode" ->
+      s"""${oBpeChain(30)},
+         dt AS (SELECT doc_id, i AS pos, t[i+1] AS w
+                FROM (SELECT doc_id, $oTok AS t FROM documents),
+                     UNNEST(generate_series(0, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 1),
+         enc AS (SELECT dt.doc_id,
+                  string_agg(array_to_string(v.toks, ' '), ' ' ORDER BY dt.pos) AS bpe_text,
+                  sum(len(v.toks))::BIGINT AS n_bpe
+                 FROM dt JOIN vocabmap v USING (w) GROUP BY dt.doc_id)
+         SELECT d.doc_id, coalesce(e.bpe_text, '') AS bpe_text,
+           coalesce(e.n_bpe, 0)::BIGINT AS n_bpe
+         FROM documents d LEFT JOIN enc e USING (doc_id)""",
+    "llm_bpe_token_stats" ->
+      s"""${oBpeChain(30)},
+         tok AS (SELECT doc_id, $oTok AS t FROM documents),
+         dt AS (SELECT doc_id, unnest(t) AS w FROM tok),
+         enc AS (SELECT dt.doc_id, sum(len(v.toks))::BIGINT AS n_bpe
+                 FROM dt JOIN vocabmap v USING (w) GROUP BY dt.doc_id)
+         SELECT tok.doc_id, len(tok.t)::BIGINT AS n_words,
+           coalesce(e.n_bpe, 0)::BIGINT AS n_bpe,
+           round(CASE WHEN len(tok.t) = 0 THEN 0.0
+                 ELSE coalesce(e.n_bpe, 0)::DOUBLE / len(tok.t) END, 6) AS fertility
+         FROM tok LEFT JOIN enc e USING (doc_id)""",
+    "llm_bpe_pack" ->
+      s"""${oBpeChain(30)},
+         dt AS (SELECT doc_id, unnest($oTok) AS w FROM documents),
+         enc0 AS (SELECT dt.doc_id, sum(len(v.toks))::BIGINT AS n_tokens
+                  FROM dt JOIN vocabmap v USING (w) GROUP BY dt.doc_id),
+         enc AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+                  coalesce(e.n_tokens, 0)::BIGINT AS n_tokens
+                 FROM documents d LEFT JOIN enc0 e USING (doc_id))
+         SELECT doc_id, shard, CAST(floor(
+             (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 512.0) AS BIGINT) AS pack_id,
+           n_tokens
+         FROM enc""",
     "llm_lm_score" ->
       s"""WITH tok AS (SELECT doc_id, $oTok AS t FROM documents),
          uf AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 10000 AS b,

@@ -74,6 +74,7 @@ object StateProbe {
     val emittedAcc = new java.util.concurrent.atomic.AtomicLong()
     @volatile var lastTotal = 0L
     @volatile var lastBytes = 0L
+    @volatile var lastSeenBatch = -1L
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -85,6 +86,7 @@ object StateProbe {
         }
         Option(e.progress.sink).foreach(s =>
           if (s.numOutputRows > 0) emittedAcc.addAndGet(s.numOutputRows))
+        lastSeenBatch = math.max(lastSeenBatch, e.progress.batchId)
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
@@ -143,9 +145,15 @@ object StateProbe {
       }
     val wall = (System.nanoTime() - t0) / 1e9
 
-    // listener events are posted asynchronously; give the bus a moment
-    // to drain the final progress before reading the accumulators
-    Thread.sleep(500)
+    // listener events are posted asynchronously — POLL until the bus has
+    // delivered the progress for the query's final batch (a fixed sleep
+    // undercounted on loaded hosts when the terminal event — the one
+    // carrying final numRowsTotal/state bytes and late eviction batches
+    // — was still in flight; round-14 advice)
+    val targetBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val busDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (lastSeenBatch < targetBatch && System.nanoTime() < busDeadline)
+      Thread.sleep(20)
     spark.streams.removeListener(listener)
     val _ = q // metrics come from the listener, not q.recentProgress
     val rowsTotal = lastTotal

@@ -69,6 +69,7 @@ object StreamSemProbe {
     val emittedAcc = new java.util.concurrent.atomic.AtomicLong()
     @volatile var lastTotal = 0L
     @volatile var lastBytes = 0L
+    @volatile var lastSeenBatch = -1L
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -80,6 +81,7 @@ object StreamSemProbe {
         }
         Option(e.progress.sink).foreach(s =>
           if (s.numOutputRows > 0) emittedAcc.addAndGet(s.numOutputRows))
+        lastSeenBatch = math.max(lastSeenBatch, e.progress.batchId)
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
@@ -104,7 +106,12 @@ object StreamSemProbe {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // drain async listener events
+    // poll until the async listener bus has delivered the final batch's
+    // progress (a fixed sleep undercounted on loaded hosts; r14 advice)
+    val targetBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val busDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (lastSeenBatch < targetBatch && System.nanoTime() < busDeadline)
+      Thread.sleep(20)
     spark.streams.removeListener(listener)
     println(f"""{"streamsemprobe":"$dir","n_cells":$nCells,"splits":$nSplits,"provider":"$provider","state_rows":$lastTotal,"state_bytes":$lastBytes,"emitted":${emittedAcc.get()},"rows_removed":${removedAcc.get()},"wall":$wall%.3f}""")
     spark.stop()

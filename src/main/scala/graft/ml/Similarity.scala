@@ -343,8 +343,16 @@ object Similarity {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                nCells: Int = 16, threshold: Double = 0.95, iters: Int = 4,
                trainMod: Int = 1, maxCellSize: Int = 100000,
-               hierAssignFrom: Int = hierAssignThreshold): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, dim, nCells, iters, trainMod)
+               hierAssignFrom: Int = hierAssignThreshold,
+               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // `centroids` lets a caller inject an ALREADY-trained cell model so
+    // two gates (batch + streaming twin) provably share ONE k-means run:
+    // ivfCentroids is deterministic in code, but its avg() merges partial
+    // aggregates in task-completion order, so two independent trainings
+    // could diverge by a ULP and flip a near-threshold keep decision
+    // (round-14 advice) — sharing the array removes the possibility.
+    val cents = centroids.getOrElse(
+      ivfCentroids(corpus, idCol, vecCol, dim, nCells, iters, trainMod))
     // flat scan at gate-scale cell counts (exact, trivially cheap);
     // two-level probe once nCells grows with the corpus — the 30× probe
     // measured flat assignment going super-linear exactly because nCells

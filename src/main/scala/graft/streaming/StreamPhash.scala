@@ -35,10 +35,21 @@ object StreamPhash {
 
   /** (id, sig64, block, key) occurrence stream → (id_a, id_b, hamming)
     * near-dup pairs, each emitted exactly once (min-matching-block rule).
-    * `blocks` must match the upstream explode (64/blocks-bit keys). */
+    * `blocks` must match the upstream explode (64/blocks-bit keys).
+    *
+    * `maxBucketSize` is the streaming analog of the batch machinery's
+    * degenerate-bucket cap (hammingBandedPairs): a bucket that reaches
+    * the cap stops storing AND stops emitting — per-bucket state stays
+    * O(cap) and per-arrival work O(cap) instead of quadratic-total on a
+    * degenerate key. The cap is PROSPECTIVE where batch's is
+    * retroactive (emitted pairs cannot be taken back), so batch==stream
+    * equality holds exactly while no bucket crosses the cap — and the
+    * crossing is now DETECTABLE, not silent: a WARN logs the saturated
+    * bucket the moment it fills. */
   def candidatePairs(occ: Dataset[(Long, Long, Int, Long)],
                      maxHamming: Int, blocks: Int,
-                     evictBucketAfterMs: Option[Long] = None): DataFrame = {
+                     evictBucketAfterMs: Option[Long] = None,
+                     maxBucketSize: Int = 1000): DataFrame = {
     import occ.sparkSession.implicits._
     val bits = 64 / blocks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
@@ -65,21 +76,33 @@ object StreamPhash {
             val st = if (state.exists) state.get else BucketState(Nil, Nil)
             var ids = st.ids.toList
             var sigs = st.sigs.toList
+            var n = ids.length
             val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
             it.foreach { case (id, sig, _, _) =>
-              var is = ids
-              var ss = sigs
-              while (is.nonEmpty) {
-                val pid = is.head
-                val psig = ss.head
-                val h = java.lang.Long.bitCount(sig ^ psig)
-                if (h <= maxHamming && minMatchingBlock(sig, psig) == block)
-                  out += ((math.min(id, pid), math.max(id, pid), h))
-                is = is.tail
-                ss = ss.tail
+              if (n < maxBucketSize) {
+                var is = ids
+                var ss = sigs
+                while (is.nonEmpty) {
+                  val pid = is.head
+                  val psig = ss.head
+                  val h = java.lang.Long.bitCount(sig ^ psig)
+                  if (h <= maxHamming && minMatchingBlock(sig, psig) == block)
+                    out += ((math.min(id, pid), math.max(id, pid), h))
+                  is = is.tail
+                  ss = ss.tail
+                }
+                ids ::= id
+                sigs ::= sig
+                n += 1
+                if (n == maxBucketSize)
+                  org.slf4j.LoggerFactory.getLogger(StreamPhash.getClass).warn(
+                    s"StreamPhash bucket (block=${bucket._1}, key=${bucket._2}) hit " +
+                      s"maxBucketSize=$maxBucketSize: bucket frozen (no further state " +
+                      "growth or emissions) — batch equality no longer holds for it")
               }
-              ids ::= id
-              sigs ::= sig
+              // saturated bucket: drop the arrival (batch drops the whole
+              // bucket retroactively; the pigeonhole's other blocks still
+              // pair this print)
             }
             state.update(BucketState(ids, sigs))
             evictBucketAfterMs.foreach(state.setTimeoutDuration)
