@@ -197,6 +197,157 @@ object QueriesLlm {
           "1_media.parquet")))
     })
 
+  private val wavSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The llm_audiohash_pairs media fixture (originals + gain twins) as
+    * TWO parquet files for the streaming twin — phashSplitDir's design
+    * applied to the audio modality (no ordering requirement: pair
+    * emission is symmetric). */
+  private[graft] def wavSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    wavSplitCache.computeIfAbsent(dir, { _ =>
+      val off = twinOffset(s, dir)
+      val mk = udf((k: Long) => Multimodal.syntheticWav(k))
+      val mkTwin = udf((k: Long) => Multimodal.syntheticWav(k, gainPct = 80))
+      val ids = t(s, dir, "documents").select("doc_id").repartition(Tables.fanout(s))
+      QueriesCore.writeSplitDir("sah_in", Seq(
+        (ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data")),
+          "0_media.parquet"),
+        (ids.select((col("doc_id") + off).as("media_id"), mkTwin(col("doc_id")).as("data")),
+          "1_media.parquet")))
+    })
+
+  private val aviSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The llm_vhash_pairs media fixture (originals + brightness-re-render
+    * twins) as TWO parquet files for the streaming twin — phashSplitDir's
+    * design applied to the video modality. */
+  private[graft] def aviSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    aviSplitCache.computeIfAbsent(dir, { _ =>
+      val off = twinOffset(s, dir)
+      val mk = udf((k: Long) => Multimodal.syntheticVideoAvi(k))
+      val mkTwin = udf((k: Long) => Multimodal.syntheticVideoAvi(k, brighten = 3))
+      val ids = t(s, dir, "documents").select("doc_id").repartition(Tables.fanout(s))
+      QueriesCore.writeSplitDir("svh_in", Seq(
+        (ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data")),
+          "0_media.parquet"),
+        (ids.select((col("doc_id") + off).as("media_id"), mkTwin(col("doc_id")).as("data")),
+          "1_media.parquet")))
+    })
+
+  /** Shared body of the streaming fingerprint-pair twins
+    * (stream_phash_pairs / stream_audiohash_pairs / stream_vhash_pairs)
+    * — the pairing
+    * machinery is fingerprint-agnostic (StreamPhash takes any 64-bit
+    * signature), so ONE implementation parameterized on the fused
+    * decode+hash column keeps the two modality gates identical by
+    * construction. Parameterized on the eviction horizon so the MlSpec
+    * retention gates can run NoTimeout vs a not-yet-reached horizon and
+    * pin the equality (the streamDupSpans convention). */
+  private[graft] def streamFingerprintPairs(
+      s: SparkSession, inDir: java.nio.file.Path,
+      fingerprint: (DataFrame, String, String) => DataFrame, sigCol: String,
+      evictBucketAfterMs: Option[Long]): DataFrame = {
+    val ss = s.newSession()
+    // bucket-keyed state (one key per (block, 8-bit key) bucket seen):
+    // full scheduler width, the stream_dup_spans sizing
+    ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
+    import ss.implicits._
+    val blocks = 8
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1L
+    val schema = ss.read.parquet(inDir.resolve("0_media.parquet").toString).schema
+    val media = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      // one file per micro-batch = one scan split; distribute the
+      // per-row decode+hash (the one-file-input lesson)
+      .repartition(Tables.fanout(ss))
+    val occ = fingerprint(media, "media_id", "data")
+      .select(col("media_id"), col(sigCol),
+        posexplode(array((0 until blocks).map(i =>
+          shiftright(col(sigCol), i * bits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("_blk", "_key")))
+      .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+    val pairs = graft.streaming.StreamPhash.candidatePairs(
+      occ, maxHamming = 7, blocks = blocks, evictBucketAfterMs = evictBucketAfterMs)
+    val ckpt = java.nio.file.Files.createTempDirectory("sfp_ckpt").toFile
+    ckpt.deleteOnExit()
+    val sink = s"stream_fp_pairs_${sinkIds.incrementAndGet()}"
+    val writer = pairs.writeStream.format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getPath)
+    // ProcessingTimeTimeout disables AvailableNow termination (see
+    // streamDupSpans): the eviction-capable path needs the paced trigger
+    // + drained-input stop; NoTimeout drains under AvailableNow
+    val q =
+      if (evictBucketAfterMs.isDefined) {
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L)).start()
+        drainAndStop(q0)
+        q0
+      } else {
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q0.awaitTermination()
+        q0
+      }
+    val _ = q
+    ss.table(sink)
+  }
+
+  /** stream_semdedup body, parameterized on the cold-cell eviction
+    * horizon (streamDupSpans convention — the MlSpec retention gate
+    * runs it both ways and pins NoTimeout == not-yet-reached-horizon). */
+  private[graft] def streamSemDedupRun(s: SparkSession, dir: String,
+                                       evictCellAfterMs: Option[Long]): DataFrame = {
+    val ss = s.newSession()
+    // state keys = 16 cells: size the state exchange to state volume
+    // (the stream_corpus_select small-state convention)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    import ss.implicits._
+    val cents = semCentroids(s, dir) // frozen: trained once, cached per dir
+    val inDir = embSplitDir(s, dir)
+    val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
+    val assign = Similarity.assignCell(cents)
+    val ccos = Similarity.centroidCos(cents)
+    val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      // one file per micro-batch = one scan split; distribute the
+      // per-row normalize/assign math (the one-file-input lesson)
+      .repartition(Tables.fanout(ss))
+      .select(col("vec_id"), Similarity.normalized(col("embedding")).as("_nv"))
+      .withColumn("_cell", assign(col("_nv")))
+      .withColumn("_ccos", ccos(col("_cell"), col("_nv")))
+      .select("vec_id", "_cell", "_ccos", "_nv")
+      .as[(Long, Int, Double, Seq[Double])]
+    val decided = graft.streaming.StreamSemDedup.keepDecisions(
+      stream, threshold = 0.95, evictCellAfterMs = evictCellAfterMs)
+    val ckpt = java.nio.file.Files.createTempDirectory("ssd_ckpt").toFile
+    ckpt.deleteOnExit()
+    val sink = s"stream_semdedup_${sinkIds.incrementAndGet()}"
+    val writer = decided.writeStream.format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getPath)
+    val q =
+      if (evictCellAfterMs.isDefined) {
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L)).start()
+        drainAndStop(q0)
+        q0
+      } else {
+        val q0 = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q0.awaitTermination()
+        q0
+      }
+    val _ = q
+    ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+      round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
+  }
+
   /** stream_dup_spans body, parameterized on the singleton-eviction
     * horizon so the MlSpec retention gate can run it BOTH ways
     * (NoTimeout vs a not-yet-reached horizon) and pin the equality.
@@ -860,41 +1011,64 @@ object QueriesLlm {
     // llm_phash_pairs' pinned hash verbatim. Eviction-capable path with a
     // 1 h bucket horizon (never reached in the run == NoTimeout, the
     // stream_dup_spans convention).
-    "stream_phash_pairs" -> ((s, dir) => {
-      val ss = s.newSession()
-      // bucket-keyed state (one key per (block, 8-bit key) bucket seen):
-      // full scheduler width, the stream_dup_spans sizing
-      ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
-      import ss.implicits._
-      val blocks = 8
-      val bits = 64 / blocks
-      val mask = (1L << bits) - 1L
-      val inDir = phashSplitDir(s, dir)
-      val schema = ss.read.parquet(inDir.resolve("0_media.parquet").toString).schema
-      val media = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(inDir.toString)
-        // one file per micro-batch = one scan split; distribute the
-        // per-row decode+hash (the one-file-input lesson)
-        .repartition(Tables.fanout(ss))
-      val occ = Multimodal.dhashBmp(media, "media_id", "data")
-        .select(col("media_id"), col("dhash"),
-          posexplode(array((0 until blocks).map(i =>
-            shiftright(col("dhash"), i * bits).bitwiseAND(lit(mask))): _*))
-            .as(Seq("_blk", "_key")))
-        .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
-      val pairs = graft.streaming.StreamPhash.candidatePairs(
-        occ, maxHamming = 7, blocks = blocks, evictBucketAfterMs = Some(3600L * 1000))
-      val ckpt = java.nio.file.Files.createTempDirectory("sph_ckpt").toFile
-      ckpt.deleteOnExit()
-      val sink = s"stream_phash_pairs_${sinkIds.incrementAndGet()}"
-      val q = pairs.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.getPath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
-        .start()
-      drainAndStop(q)
-      ss.table(sink)
+    "stream_phash_pairs" -> ((s, dir) =>
+      streamFingerprintPairs(s, phashSplitDir(s, dir),
+        Multimodal.dhashBmp, "dhash", evictBucketAfterMs = Some(3600L * 1000))),
+
+    // STREAMING twin of llm_audiohash_pairs — completes the modality ×
+    // topology matrix for perceptual pairs: the gain-invariant 64-bit
+    // energy hash rides the SAME bucket-keyed state machinery as
+    // stream_phash_pairs (StreamPhash is fingerprint-agnostic; shared
+    // streamFingerprintPairs body), so the gate shares
+    // llm_audiohash_pairs' pinned hash verbatim (pair emission is
+    // arrival-order independent) plus a batch==stream equality spec.
+    // Eviction-capable path, 1 h never-reached horizon (the
+    // stream_dup_spans convention).
+    "stream_audiohash_pairs" -> ((s, dir) =>
+      streamFingerprintPairs(s, wavSplitDir(s, dir),
+        Multimodal.ahashWav, "ahash", evictBucketAfterMs = Some(3600L * 1000))),
+
+    // STREAMING twin of llm_vhash_pairs — closes the modality × topology
+    // matrix (image/audio/video × batch/stream): the temporal video hash
+    // rides the same fingerprint-agnostic bucket state. Shares
+    // llm_vhash_pairs' pinned hash verbatim + equality spec.
+    "stream_vhash_pairs" -> ((s, dir) =>
+      streamFingerprintPairs(s, aviSplitDir(s, dir),
+        Multimodal.vhashAvi, "vhash", evictBucketAfterMs = Some(3600L * 1000))),
+
+    // The SCALE form of llm_phash_pairs (r14 verdict #3): radius 3 →
+    // 16-bit blocks → 65536 buckets per block, the block width a ≥1M-
+    // image corpus needs to stay under the bucket cap (the multi-index-
+    // hashing trade measured by PhashProbe: recall 1.0, flattest heavy
+    // curve in the corpus). Gating it pins the scale form's SEMANTICS —
+    // same planted twins (brightness shifts keep dHash within radius 3),
+    // its own pinned hash + planted spec, not just the probe's wall.
+    "llm_phash_pairs_r3" -> ((s, dir) => phashPairs(s, dir, maxHamming = 3)),
+
+    // TEMPORAL video near-dup pairs — the last multimodal dedup form
+    // (image dHash64 / audio aHash64 / video THIS): per-frame decode via
+    // the real RIFF/AVI container walk, per-frame mean luma folded onto
+    // a 65-slot time grid, one bit per adjacent-slot comparison
+    // (dHash's rule applied along time — Multimodal.vHash64 scaladoc
+    // has the invariance arguments: brightness monotone, resolution
+    // washes out in the mean, frame-rate re-encodes box-average to
+    // identical slots). Decode+hash fused row-local, pairs via the same
+    // hammingBandedPairs. Planted twins: per doc a 130-frame 8×8
+    // pseudo-random AVI and a +3-brightness re-render (media_id +
+    // twinOffset). Deterministic → pinned hash + planted spec + kernel
+    // invariance specs; rows-only for the driver (the container decode
+    // is not SQL-expressible).
+    "llm_vhash_pairs" -> ((s, dir) => {
+      val off = twinOffset(s, dir)
+      val mk = udf((k: Long) => Multimodal.syntheticVideoAvi(k))
+      val mkTwin = udf((k: Long) => Multimodal.syntheticVideoAvi(k, brighten = 3))
+      val ids = t(s, dir, "documents").select("doc_id")
+        .repartition(Tables.fanout(s)) // distribute the per-row synth+decode+hash
+      val media = ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data"))
+        .unionByName(ids.select((col("doc_id") + off).as("media_id"),
+          mkTwin(col("doc_id")).as("data")))
+      Dedup.hammingBandedPairs(Multimodal.vhashAvi(media, "media_id", "data"),
+        "media_id", "vhash", maxHamming = 7)
     }),
 
     // embedding near-dup pairs via hyperplane LSH. The driver embeddings are
@@ -935,44 +1109,8 @@ object QueriesLlm {
     // never reached in the run, provably identical to NoTimeout (the
     // stream_dup_spans convention) — and shares llm_semdedup's pinned
     // exact-result hash in MlSpec, plus a batch==stream equality spec.
-    "stream_semdedup" -> ((s, dir) => {
-      val ss = s.newSession()
-      // state keys = 16 cells: size the state exchange to state volume
-      // (the stream_corpus_select small-state convention)
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      import ss.implicits._
-      val cents = semCentroids(s, dir) // frozen: trained once, cached per dir
-      val inDir = embSplitDir(s, dir)
-      val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
-      val assign = Similarity.assignCell(cents)
-      val ccos = Similarity.centroidCos(cents)
-      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(inDir.toString)
-        // one file per micro-batch = one scan split; distribute the
-        // per-row normalize/assign math (the one-file-input lesson)
-        .repartition(Tables.fanout(ss))
-        .select(col("vec_id"), Similarity.normalized(col("embedding")).as("_nv"))
-        .withColumn("_cell", assign(col("_nv")))
-        .withColumn("_ccos", ccos(col("_cell"), col("_nv")))
-        .select("vec_id", "_cell", "_ccos", "_nv")
-        .as[(Long, Int, Double, Seq[Double])]
-      val decided = graft.streaming.StreamSemDedup.keepDecisions(
-        stream, threshold = 0.95, evictCellAfterMs = Some(3600L * 1000))
-      val ckpt = java.nio.file.Files.createTempDirectory("ssd_ckpt").toFile
-      ckpt.deleteOnExit()
-      val sink = s"stream_semdedup_${sinkIds.incrementAndGet()}"
-      // ProcessingTimeTimeout disables AvailableNow termination (see
-      // streamDupSpans): paced trigger + drained-input stop
-      val q = decided.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.getPath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
-        .start()
-      drainAndStop(q)
-      ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
-        round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
-    }),
+    "stream_semdedup" -> ((s, dir) =>
+      streamSemDedupRun(s, dir, evictCellAfterMs = Some(3600L * 1000))),
 
     // brute-force cosine top-k (exact ANN baseline). Rank on the ROUNDED
     // cosine so the oracle's ordering decisions are bit-identical.

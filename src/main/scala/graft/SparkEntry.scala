@@ -158,5 +158,11 @@ object SparkEntry {
     // round 14 late: the audio-modality perceptual sibling (gain-invariant
     // energy-difference hash over the real PCM decode, same banding) and
     // BPE tokenizer training (iterative vocab-bounded merge learning)
-    "llm_audiohash_pairs", "llm_bpe_merges", "llm_phash_resolve")
+    "llm_audiohash_pairs", "llm_bpe_merges", "llm_phash_resolve",
+    // round 15: tokenizer APPLICATION (broadcast merge table + per-
+    // partition word cache — the train→tokenize→pack chain's middle),
+    // temporal video perceptual pairs (container walk + per-frame luma
+    // fold), the streaming audio twin, and the scale-form radius gate
+    "llm_bpe_encode", "llm_vhash_pairs", "stream_audiohash_pairs",
+    "llm_phash_pairs_r3", "stream_vhash_pairs")
 }

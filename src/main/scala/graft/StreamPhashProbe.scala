@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming perceptual-pairs scale probe (SCALING.md round 15, r14
+  * verdict #7): [[graft.streaming.StreamPhash]] over a scaled dir —
+  * measures STATE growth per image and the mem-vs-RocksDB provider
+  * trade, the two deployment questions the batch PhashProbe can't
+  * answer. The Hamming radius is the same scale knob as batch (radius 3
+  * → 16-bit blocks → 65536 buckets/block keeps buckets under the cap at
+  * ≥1M images); blocks derive from the radius exactly as
+  * [[graft.ml.Dedup.hammingBandedPairs]] derives them, so the streamed
+  * state shape matches the batch banding. Noop sink + listener metrics
+  * (the StateProbe lesson); N doc-striped splits = N micro-batches.
+  *
+  * Usage: runMain graft.StreamPhashProbe <dir> <maxHamming> <nSplits> [mem|rocksdb]
+  */
+object StreamPhashProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, mh, nSplitsS) = args.take(3)
+    val maxHamming = mh.toInt
+    val nSplits = nSplitsS.toInt
+    val provider = args.lift(3).getOrElse("mem")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (provider == "rocksdb") {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // starve the JNI logger callback (StateProbe's SIGSEGV workaround)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.state.RocksDB",
+        org.apache.logging.log4j.Level.ERROR)
+    }
+    import spark.implicits._
+
+    // the llm_phash_pairs planted fixture at the dir's scale: per doc a
+    // pseudo-random 16×16 BMP + a brightness twin at doc_id + offset
+    val ids0 = graft.core.Tables(spark, dir, "documents").select("doc_id")
+      .repartition(core.Tables.fanout(spark))
+    val off = ids0.agg(max("doc_id")).head().getLong(0) + 1
+    val mk = udf((k: Long) => graft.ml.Multimodal.syntheticImageBmp(k))
+    val mkTwin = udf((k: Long) => graft.ml.Multimodal.syntheticImageBmp(k, brighten = 3))
+    val media = ids0.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data"))
+      .unionByName(ids0.select((col("doc_id") + off).as("media_id"),
+        mkTwin(col("doc_id")).as("data")))
+    val nImages = 2 * ids0.count()
+
+    val blocks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1L
+
+    val inDir = QueriesCore.writeSplitDir("sphprobe_in",
+      (0 until nSplits).map(i =>
+        (media.filter(pmod(col("media_id"), lit(nSplits)) === i), f"$i%02d_media.parquet")))
+    val schema = spark.read.parquet(inDir.resolve("00_media.parquet").toString).schema
+
+    val removedAcc = new java.util.concurrent.atomic.AtomicLong()
+    val emittedAcc = new java.util.concurrent.atomic.AtomicLong()
+    @volatile var lastTotal = 0L
+    @volatile var lastBytes = 0L
+    @volatile var lastSeenBatch = -1L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
+          removedAcc.addAndGet(so.numRowsRemoved)
+          lastTotal = so.numRowsTotal
+          lastBytes = so.memoryUsedBytes
+        }
+        Option(e.progress.sink).foreach(s =>
+          if (s.numOutputRows > 0) emittedAcc.addAndGet(s.numOutputRows))
+        lastSeenBatch = math.max(lastSeenBatch, e.progress.batchId)
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .repartition(core.Tables.fanout(spark))
+    val occ = graft.ml.Multimodal.dhashBmp(stream, "media_id", "data")
+      .select(col("media_id"), col("dhash"),
+        posexplode(array((0 until blocks).map(i =>
+          shiftright(col("dhash"), i * bits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("_blk", "_key")))
+      .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+    val pairs = graft.streaming.StreamPhash.candidatePairs(
+      occ, maxHamming = maxHamming, blocks = blocks)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("sphprobe_ckpt").toFile
+    ckpt.deleteOnExit()
+    val t0 = System.nanoTime()
+    val q = pairs.writeStream.format("noop").queryName("sphprobe_sink")
+      .outputMode("append").option("checkpointLocation", ckpt.getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // poll until the async listener bus has delivered the final batch
+    val targetBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val busDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (lastSeenBatch < targetBatch && System.nanoTime() < busDeadline)
+      Thread.sleep(20)
+    spark.streams.removeListener(listener)
+    println(f"""{"streamphashprobe":"$dir","max_hamming":$maxHamming,"blocks":$blocks,"splits":$nSplits,"provider":"$provider","n_images":$nImages,"state_rows":$lastTotal,"state_bytes":$lastBytes,"emitted":${emittedAcc.get()},"rows_removed":${removedAcc.get()},"wall":$wall%.3f}""")
+    spark.stop()
+  }
+}

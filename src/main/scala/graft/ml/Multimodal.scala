@@ -523,6 +523,101 @@ object Multimodal {
       "data".getBytes ++ le32(data.length) ++ data
   }
 
+  /** 64-bit TEMPORAL video hash — dHash's rule applied along time (the
+    * last multimodal-dedup form: image=dHash64, audio=aHash64, video=
+    * this): the per-frame mean-luma sequence is box-averaged onto a
+    * 65-slot temporal grid, one bit per adjacent-slot comparison.
+    * Invariances mirror its siblings': uniform brightness shifts
+    * preserve mean-luma ORDER (dHash's monotone argument), resolution
+    * changes wash out in the per-frame MEAN, and — the video-specific
+    * one — the fixed temporal grid normalizes FRAME RATE: a re-encode
+    * that duplicates every frame (2× fps) box-averages to the identical
+    * slot means, so it hashes bit-identically (spec-pinned). Videos
+    * shorter than the grid reuse frames across slots (the dHash/aHash64
+    * guard). Spatially blind by design — two videos whose per-frame
+    * means agree collide; the spatial granularity is llm_phash_pairs'
+    * per-frame dHash, this is the temporal one. Pairs come from the
+    * same [[Dedup.hammingBandedPairs]]. */
+  def vHash64(frameLuma: Array[Double]): Long = {
+    val slots = 65
+    val n = frameLuma.length
+    if (n == 0) return 0L
+    val e = new Array[Double](slots)
+    var f = 0
+    while (f < slots) {
+      val s0 = math.min(f * n / slots, n - 1)
+      val s1 = math.min(n, math.max(s0 + 1, (f + 1) * n / slots))
+      var s = 0.0
+      var i = s0
+      while (i < s1) { s += frameLuma(i); i += 1 }
+      e(f) = s / (s1 - s0)
+      f += 1
+    }
+    var bits = 0L
+    f = 0
+    while (f < 64) {
+      if (e(f + 1) > e(f)) bits |= 1L << f
+      f += 1
+    }
+    bits
+  }
+
+  /** Mean luma (the dHash64 weights) of one packed-RGB frame. */
+  private def frameMeanLuma(pixels: Array[Int]): Double = {
+    var s = 0.0
+    var k = 0
+    while (k < pixels.length) {
+      val rgb = pixels(k)
+      s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+      k += 1
+    }
+    s / math.max(1, pixels.length)
+  }
+
+  /** (id, avi-bytes) → (id, 64-bit vHash) — container walk + per-frame
+    * decode + luma reduction + temporal hash fused in ONE row-local
+    * pass (the [[dhashBmp]]/[[ahashWav]] contract: frames never leave
+    * the partition, only the 8-byte fingerprint shuffles). */
+  def vhashAvi(media: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val f = udf { (data: Array[Byte]) =>
+      val frames = graft.functions.Avi.decodeFrames(data)
+      vHash64(frames.iterator.map(fr => frameMeanLuma(fr.pixels)).toArray)
+    }
+    media.select(col(idCol), f(col(dataCol)).as("vhash"))
+  }
+
+  /** Deterministic pseudo-random w×h uncompressed AVI for the video-dedup
+    * fixtures — [[syntheticImageBmp]]'s mix64 content extended with a
+    * frame axis (key offset per frame by a large odd constant, so frames
+    * are mutually independent and videos have independent temporal
+    * fingerprints). `brighten` is the canonical re-render perturbation
+    * (clamped uniform shift); `dupFrames` writes every frame twice (a 2×
+    * frame-rate re-encode — must hash identically under [[vHash64]]). */
+  def syntheticVideoAvi(key: Long, nFrames: Int = 130, w: Int = 8, h: Int = 8,
+                        brighten: Int = 0, dupFrames: Boolean = false): Array[Byte] = {
+    def frame(f: Int): Array[Int] = {
+      val fKey = key + (f + 1) * 0x9E3779B97F4A7C15L
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def ch(c: Int) = math.min(255, mixByte(fKey, x, y, c) + brighten)
+          px(y * w + x) = (ch(2) << 16) | (ch(1) << 8) | ch(0)
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    val frames = (0 until nFrames).flatMap { f =>
+      val p = frame(f)
+      if (dupFrames) Seq(p, p) else Seq(p)
+    }
+    graft.functions.Avi.write(w, h, rawFrames = frames)
+  }
+
   /** Deterministic 2×2 RGB PNG with the SAME pixel formula as
     * [[syntheticBmp]] (channel c of pixel (x, y) = (key*37 + y*16 + x*4
     * + c) mod 256, c: 0=B 1=G 2=R) — PNG is lossless, so the decoder must

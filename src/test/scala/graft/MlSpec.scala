@@ -462,11 +462,21 @@ class MlSpec extends SparkSpec {
       "llm_ann_ivf" -> "ef16fe676934cb28",       // 25 rows
       "llm_audiohash_pairs" -> "da20d0fb8b2743ac", // 500 planted gain twins
       "llm_phash_pairs" -> "ae9b60668097b37a",   // 500 planted brightness twins
+      // the scale-form radius (16-bit blocks): pinned independently of
+      // radius 7 (a twin pairing only via an 8-bit block would drop
+      // out) — the pins COINCIDE at this SF because every planted twin
+      // measures hamming ≤ 3 and neither radius admits a false pair
+      "llm_phash_pairs_r3" -> "ae9b60668097b37a",
+      "llm_vhash_pairs" -> "4f33437bda244558",   // 500 planted re-render twins
       "llm_phash_resolve" -> "19bd2cf41155ef3a", // 1000 rows, 500 clusters
       // the streaming twin shares the batch pin VERBATIM: pair emission
       // is symmetric (second arrival triggers), so the set is
       // arrival-order independent — no ordering fixture needed
       "stream_phash_pairs" -> "ae9b60668097b37a",
+      // the audio and video streaming twins share their batch pins the
+      // same way (fingerprint-agnostic machinery, symmetric emission)
+      "stream_audiohash_pairs" -> "da20d0fb8b2743ac",
+      "stream_vhash_pairs" -> "4f33437bda244558",
       "llm_semdedup" -> "d2ea5336e9599c63",      // 1000 rows (500 planted twins)
       // the streaming twin shares the batch pin VERBATIM: frozen
       // centroids from the same deterministic training, priority-ordered
@@ -1072,6 +1082,237 @@ class MlSpec extends SparkSpec {
     assert(twins.forall(_._3 <= 7))
     assert(out.length == twins.length,
       s"cross-clip false pairs: ${out.filterNot(p => p._2 == p._1 + 100000L).take(5).toSeq}")
+  }
+
+  test("llm_phash_pairs_r3: the scale-form radius recovers every planted twin; no false pairs") {
+    // radius 3 = 16-bit blocks, the block width a ≥1M-image corpus needs
+    // (r14 verdict #3: the gate pinned only the non-scale radius 7; this
+    // row pins the scale form's SEMANTICS, promoting PhashProbe's
+    // measured recall-1.0 into a standing assertion)
+    val out = QueriesLlm.queries("llm_phash_pairs_r3")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
+    val nDocs = docs.count()
+    val twins = out.filter { case (a, b, _) => b == a + 100000L }
+    assert(twins.length == nDocs, s"planted twins recovered: ${twins.length}/$nDocs")
+    assert(twins.forall(_._3 <= 3))
+    assert(out.length == twins.length,
+      s"cross-image false pairs: ${out.filterNot(p => p._2 == p._1 + 100000L).take(5).toSeq}")
+  }
+
+  test("stream_audiohash_pairs equals batch exactly (order-independent pair emission)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt)).toSet
+    val batch = canon(QueriesLlm.queries("llm_audiohash_pairs")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_audiohash_pairs")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} pairs vs stream ${stream.size}")
+  }
+
+  test("stream_vhash_pairs equals batch exactly (order-independent pair emission)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt)).toSet
+    val batch = canon(QueriesLlm.queries("llm_vhash_pairs")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_vhash_pairs")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} pairs vs stream ${stream.size}")
+  }
+
+  test("streaming fingerprint pairs: a not-yet-reached eviction horizon equals NoTimeout exactly") {
+    // the gates ship the eviction-capable path (1 h horizon); this pins
+    // the claim their shared batch hash relies on — a horizon the run
+    // never reaches is bit-identical to unbounded retention (the
+    // stream_dup_spans retention convention, ported per r14 verdict #2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt)).toSet
+    val inDir = QueriesLlm.phashSplitDir(spark, sf)
+    val unbounded = canon(QueriesLlm.streamFingerprintPairs(
+      spark, inDir, graft.ml.Multimodal.dhashBmp, "dhash", None))
+    val horizon = canon(QueriesLlm.streamFingerprintPairs(
+      spark, inDir, graft.ml.Multimodal.dhashBmp, "dhash", Some(3600L * 1000)))
+    assert(unbounded.nonEmpty && horizon == unbounded,
+      s"eviction horizon diverged: NoTimeout ${unbounded.size} pairs, horizon ${horizon.size}")
+  }
+
+  test("StreamPhash: cold buckets age out past the horizon; same-batch pairing survives") {
+    // Hand-built single-block occurrence stream, one file per micro-batch
+    // (the StreamDedup live-eviction design, ported per r14 verdict #2 —
+    // this is the spec that actually EXERCISES the hasTimedOut branch):
+    //   batch 0: print 1 (sigA) lands in bucket (0, keyA)
+    //   batches 1-2: fillers in other buckets (the 1 ms horizon elapses;
+    //                timeouts fire for buckets WITHOUT new data)
+    //   batch 3: print 2 (sigA — the twin) + prints 3, 4 (sigC twins,
+    //            same batch) in bucket (0, keyC)
+    // With the 1 ms horizon, bucket (0, keyA) is evicted during the
+    // fillers, so the cross-batch pair (1, 2) is MISSED (the documented
+    // streaming-recall trade) while the same-batch pair (3, 4) — which
+    // needs no aged state — still emits. NoTimeout emits both.
+    import spark.implicits._
+    val sigA = 0x1122334455667788L
+    val sigC = 0x0102030405060708L
+    def occFile(rows: Seq[(Long, Long, Int, Long)]) =
+      rows.toDF("id", "sig", "blk", "key")
+    def key(sig: Long) = sig & 0xFFL
+    val inDir = QueriesCore.writeSplitDir("sph_evict", Seq(
+      (occFile(Seq((1L, sigA, 0, key(sigA)))), "0_occ.parquet"),
+      (occFile(Seq((100L, 0x7070707070707070L, 0, 0x70L))), "1_occ.parquet"),
+      (occFile(Seq((101L, 0x6060606060606060L, 0, 0x60L))), "2_occ.parquet"),
+      (occFile(Seq((2L, sigA, 0, key(sigA)),
+        (3L, sigC, 0, key(sigC)), (4L, sigC, 0, key(sigC)))), "3_occ.parquet")))
+    def run(evict: Option[Long]): (Set[(Long, Long, Int)], Long) = {
+      val ss = spark.newSession()
+      import ss.implicits._
+      val schema = ss.read.parquet(inDir.resolve("0_occ.parquet").toString).schema
+      val occ = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+      val sink = s"sph_evict_${evict.isDefined}"
+      val ckpt = java.nio.file.Files.createTempDirectory("sph_evict_ckpt").toFile
+      ckpt.deleteOnExit()
+      val writer = graft.streaming.StreamPhash
+        .candidatePairs(occ, maxHamming = 7, blocks = 8, evictBucketAfterMs = evict)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+      val q =
+        if (evict.isDefined) {
+          val q0 = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(20L)).start()
+          QueriesLlm.drainAndStop(q0)
+          q0
+        } else {
+          val q0 = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q0.awaitTermination()
+          q0
+        }
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      val out = ss.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      (out, removed)
+    }
+    val (unbounded, removed0) = run(None)
+    assert(unbounded == Set((1L, 2L, 0), (3L, 4L, 0)),
+      s"NoTimeout must pair both twins, got $unbounded")
+    assert(removed0 == 0L, "NoTimeout must never evict state")
+    val (evicted, removed1) = run(Some(1L))
+    assert(evicted == Set((3L, 4L, 0)),
+      s"past-horizon cross-batch pair must be missed, same-batch pair must emit, got $evicted")
+    assert(removed1 >= 1L, "eviction must remove the aged bucket state row")
+  }
+
+  test("stream_semdedup: a not-yet-reached eviction horizon equals NoTimeout exactly") {
+    def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString(",")).toVector.sorted
+    }
+    val unbounded = canon(QueriesLlm.streamSemDedupRun(spark, sf, None))
+    val horizon = canon(QueriesLlm.streamSemDedupRun(spark, sf, Some(3600L * 1000)))
+    assert(unbounded.nonEmpty && horizon == unbounded,
+      s"eviction horizon diverged: NoTimeout ${unbounded.size} rows, horizon ${horizon.size}")
+  }
+
+  test("StreamSemDedup: cold cells age out past the horizon; the history they held is forgotten") {
+    // batch 0: v1 (cell 0) — batches 1-2: fillers in other cells —
+    // batch 3: v2 == v1's vector (cell 0) plus v3 (same vector, same
+    // batch, lower priority). With a 1 ms horizon cell 0's history is
+    // evicted during the fillers, so v2 is KEPT (its ≥τ predecessor is
+    // forgotten — the documented recall trade) while v3 is still dropped
+    // against the SAME-batch v2 (the in-batch priority path needs no
+    // aged state). NoTimeout drops both v2 and v3 against v1.
+    import spark.implicits._
+    val e0 = Seq(1.0, 0.0, 0.0, 0.0)
+    def vecFile(rows: Seq[(Long, Int, Double, Seq[Double])]) =
+      rows.toDF("id", "cell", "ccos", "vec")
+    val inDir = QueriesCore.writeSplitDir("ssd_evict", Seq(
+      (vecFile(Seq((1L, 0, 1.0, e0))), "0_vec.parquet"),
+      (vecFile(Seq((100L, 1, 1.0, Seq(0.0, 1.0, 0.0, 0.0)))), "1_vec.parquet"),
+      (vecFile(Seq((101L, 2, 1.0, Seq(0.0, 0.0, 1.0, 0.0)))), "2_vec.parquet"),
+      (vecFile(Seq((2L, 0, 1.0, e0), (3L, 0, 0.9, e0))), "3_vec.parquet")))
+    def run(evict: Option[Long]): (Map[Long, Long], Long) = {
+      val ss = spark.newSession()
+      import ss.implicits._
+      val schema = ss.read.parquet(inDir.resolve("0_vec.parquet").toString).schema
+      val rows = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .toDF("_1", "_2", "_3", "_4").as[(Long, Int, Double, Seq[Double])]
+      val sink = s"ssd_evict_${evict.isDefined}"
+      val ckpt = java.nio.file.Files.createTempDirectory("ssd_evict_ckpt").toFile
+      ckpt.deleteOnExit()
+      val writer = graft.streaming.StreamSemDedup
+        .keepDecisions(rows, threshold = 0.95, evictCellAfterMs = evict)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+      val q =
+        if (evict.isDefined) {
+          val q0 = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(20L)).start()
+          QueriesLlm.drainAndStop(q0)
+          q0
+        } else {
+          val q0 = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q0.awaitTermination()
+          q0
+        }
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      val out = ss.table(sink).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      (out, removed)
+    }
+    val (unbounded, removed0) = run(None)
+    assert(unbounded == Map(1L -> 1L, 100L -> 1L, 101L -> 1L, 2L -> 0L, 3L -> 0L),
+      s"NoTimeout must drop both later twins against v1, got $unbounded")
+    assert(removed0 == 0L, "NoTimeout must never evict state")
+    val (evicted, removed1) = run(Some(1L))
+    assert(evicted == Map(1L -> 1L, 100L -> 1L, 101L -> 1L, 2L -> 1L, 3L -> 0L),
+      s"evicted cell must forget v1 (v2 kept) yet still drop the same-batch v3, got $evicted")
+    assert(removed1 >= 1L, "eviction must remove the aged cell state row")
+  }
+
+  test("vHash64: brightness- and frame-rate-invariant within radius; independent videos far apart") {
+    import graft.ml.Multimodal
+    def hashOf(k: Long, brighten: Int = 0, dup: Boolean = false): Long = {
+      val frames = graft.functions.Avi.decodeFrames(
+        Multimodal.syntheticVideoAvi(k, brighten = brighten, dupFrames = dup))
+      Multimodal.vHash64(frames.iterator.map { fr =>
+        var s = 0.0
+        fr.pixels.foreach { rgb =>
+          s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+        }
+        s / fr.pixels.length
+      }.toArray)
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val keys = (0L until 50L)
+    keys.foreach { k =>
+      val d = hamming(hashOf(k), hashOf(k, brighten = 3))
+      assert(d <= 7, s"key $k: brightness-twin hamming $d exceeds the banded radius")
+      // a 2× frame-rate re-encode (every frame duplicated) box-averages
+      // to the IDENTICAL 65 slot means — bit-identical hash
+      assert(hashOf(k, dup = true) == hashOf(k), s"key $k: frame-rate re-encode drifted")
+    }
+    val cross = for (a <- keys; b <- keys if a < b) yield hamming(hashOf(a), hashOf(b))
+    assert(cross.min > 7, s"closest cross-video hamming ${cross.min} inside the radius")
+    // videos shorter than the 65-slot grid hash without special cases
+    val short = graft.functions.Avi.decodeFrames(Multimodal.syntheticVideoAvi(3L, nFrames = 3))
+    Multimodal.vHash64(short.iterator.map(_.pixels.length.toDouble).toArray) // must not throw
+    assert(Multimodal.vHash64(Array.empty[Double]) == 0L)
+  }
+
+  test("llm_vhash_pairs: every planted re-render twin recovered; no cross-video pairs") {
+    val out = QueriesLlm.queries("llm_vhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
+    val nDocs = docs.count()
+    val twins = out.filter { case (a, b, _) => b == a + 100000L }
+    assert(twins.length == nDocs, s"planted twins recovered: ${twins.length}/$nDocs")
+    assert(twins.forall(_._3 <= 7))
+    assert(out.length == twins.length,
+      s"cross-video false pairs: ${out.filterNot(p => p._2 == p._1 + 100000L).take(5).toSeq}")
   }
 
   test("bpeMerges learns the classic subword merges on the Sennrich-style fixture") {
