@@ -95,77 +95,258 @@ object Bpe {
     */
   private[graft] def mergesLocal(wordFreq: Array[(String, Long)],
                                  nMerges: Int): Seq[(Long, String, String, String, Long)] = {
-    type Pair = (String, String)
-    val words = new Array[Seq[String]](wordFreq.length)
-    val freqs = new Array[Long](wordFreq.length)
-    val counts = new java.util.HashMap[Pair, Long]()
-    val where = new java.util.HashMap[Pair, java.util.HashSet[Int]]()
-    // lazy-deletion heap: push on every count change, validate on pop
-    // (top entry whose count still matches the live table IS the argmax
-    // — stale larger counts pop first and are discarded). Ordering
-    // mirrors the distributed orderBy(cnt desc, a, b): bigger count =
-    // greater; ties invert the UTF-8 comparison so the SMALLEST (a, b)
-    // is on top.
-    val heapOrd = new Ordering[(Long, String, String)] {
-      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
-        val c = java.lang.Long.compare(x._1, y._1)
-        if (c != 0) c
-        else {
-          val ca = utf8Compare(y._2, x._2)
-          if (ca != 0) ca else utf8Compare(y._3, x._3)
+    // Primitive-structure layout (a tuple/HashSet version of this loop
+    // measured 6.7 GB peak heap and 379 s at 1M words × 32k merges —
+    // boxing, not the algorithm, was the cost; this layout runs the same
+    // loop in a few hundred MB, which is what lets defaultLocalVocabLimit
+    // sit at web-corpus vocabulary sizes):
+    //  - symbols are int IDs into a grow-only table (merged strings that
+    //    collide with an existing symbol string reuse its ID — string
+    //    equality is what the distributed loop compares too);
+    //  - a pair is one packed long (left << 32 | right);
+    //  - counts live in an open-addressing long→long map;
+    //  - the where-index holds grow-only int arrays (duplicates and
+    //    stale entries are no-ops at apply time, as before);
+    //  - the lazy-deletion heap is a binary heap over two parallel long
+    //    arrays, and count changes are BATCHED per merge: one enqueue
+    //    per touched pair instead of one per (pair, word) bump.
+    val symStr = scala.collection.mutable.ArrayBuffer.empty[String]
+    val symBytes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val symId = new java.util.HashMap[String, Integer]()
+    def idOf(s: String): Int = {
+      val e = symId.get(s)
+      if (e != null) e.intValue
+      else {
+        symStr += s
+        symBytes += s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        symId.put(s, symStr.length - 1)
+        symStr.length - 1
+      }
+    }
+    def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
+    def pkA(k: Long): Int = (k >>> 32).toInt
+    def pkB(k: Long): Int = (k & 0xFFFFFFFFL).toInt
+    def bytesCompare(x: Array[Byte], y: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+
+    // open-addressing long→long; key sentinel -1 (pair keys are ≥ 0)
+    var ckeys = Array.fill[Long](1 << 12)(-1L)
+    var cvals = new Array[Long](1 << 12)
+    var cmask = ckeys.length - 1
+    var clive = 0
+    def chash(k: Long): Int = {
+      var z = k * 0x9E3779B97F4A7C15L
+      z ^= z >>> 29
+      (z & cmask).toInt
+    }
+    def cslot(k: Long): Int = {
+      var i = chash(k)
+      while (ckeys(i) != -1L && ckeys(i) != k) i = (i + 1) & cmask
+      i
+    }
+    def cGrow(): Unit = {
+      val ok = ckeys; val ov = cvals
+      ckeys = Array.fill[Long](ok.length << 1)(-1L)
+      cvals = new Array[Long](ok.length << 1)
+      cmask = ckeys.length - 1
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1L) { val s = cslot(ok(i)); ckeys(s) = ok(i); cvals(s) = ov(i) }
+        i += 1
+      }
+    }
+    def cGet(k: Long): Long = { val i = cslot(k); if (ckeys(i) == k) cvals(i) else 0L }
+    def cAdd(k: Long, d: Long): Long = {
+      val i = cslot(k)
+      if (ckeys(i) == -1L) {
+        ckeys(i) = k; cvals(i) = d; clive += 1
+        if (clive * 5 > ckeys.length * 3) cGrow()
+        d
+      } else { cvals(i) += d; cvals(i) }
+    }
+
+    final class IntBuf {
+      var a = new Array[Int](8); var n = 0
+      def add(v: Int): Unit = {
+        if (n > 0 && a(n - 1) == v) return // within-pass duplicate
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+        a(n) = v; n += 1
+      }
+    }
+    val where = new java.util.HashMap[java.lang.Long, IntBuf]()
+
+    // binary max-heap over (cnt, pairKey): bigger cnt first; ties take
+    // the UTF-8-smallest (left, right) — the distributed orderBy(cnt
+    // desc, a, b). Lazy deletion: validate cnt against the live table
+    // on pop.
+    var hCnt = new Array[Long](1 << 12)
+    var hKey = new Array[Long](1 << 12)
+    var hN = 0
+    def hLess(i: Int, j: Int): Boolean = { // i strictly higher priority than j
+      if (hCnt(i) != hCnt(j)) hCnt(i) > hCnt(j)
+      else {
+        val ka = hKey(i); val kb = hKey(j)
+        val ca = bytesCompare(symBytes(pkA(ka)), symBytes(pkA(kb)))
+        if (ca != 0) ca < 0
+        else bytesCompare(symBytes(pkB(ka)), symBytes(pkB(kb))) < 0
+      }
+    }
+    def hSwap(i: Int, j: Int): Unit = {
+      val c = hCnt(i); hCnt(i) = hCnt(j); hCnt(j) = c
+      val k = hKey(i); hKey(i) = hKey(j); hKey(j) = k
+    }
+    def hPush(c: Long, k: Long): Unit = {
+      if (hN == hCnt.length) {
+        hCnt = java.util.Arrays.copyOf(hCnt, hN << 1)
+        hKey = java.util.Arrays.copyOf(hKey, hN << 1)
+      }
+      hCnt(hN) = c; hKey(hN) = k; hN += 1
+      var i = hN - 1
+      while (i > 0 && hLess(i, (i - 1) >> 1)) { hSwap(i, (i - 1) >> 1); i = (i - 1) >> 1 }
+    }
+    def hPop(): Unit = { // removes the root (read it before calling)
+      hN -= 1
+      if (hN > 0) {
+        hCnt(0) = hCnt(hN); hKey(0) = hKey(hN)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < hN && hLess(l, m)) m = l
+          if (r < hN && hLess(r, m)) m = r
+          if (m == i) done = true else { hSwap(i, m); i = m }
         }
       }
     }
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
-    def bump(p: Pair, delta: Long, wi: Int): Unit = {
-      val nv = counts.getOrDefault(p, 0L) + delta
-      if (nv <= 0L) counts.remove(p) else counts.put(p, nv)
-      if (delta > 0) {
-        where.computeIfAbsent(p, _ => new java.util.HashSet[Int]()).add(wi)
-        heap.enqueue((nv, p._1, p._2))
-      } else if (nv > 0L) heap.enqueue((nv, p._1, p._2))
-    }
-    var wi = 0
-    while (wi < wordFreq.length) {
-      val (w, f) = wordFreq(wi)
-      words(wi) = symbolize(w)
-      freqs(wi) = f
-      val syms = words(wi)
+    // heap compaction: stale entries accumulate ~one per touched pair
+    // per merge; rebuild from the live table when they dominate
+    def hCompact(): Unit = {
+      hN = 0
       var i = 0
-      while (i + 1 < syms.length) { bump((syms(i), syms(i + 1)), f, wi); i += 1 }
+      while (i < ckeys.length) {
+        if (ckeys(i) != -1L && cvals(i) > 0L) hPush(cvals(i), ckeys(i))
+        i += 1
+      }
+    }
+
+    val nW = wordFreq.length
+    val words = new Array[Array[Int]](nW)
+    val freqs = new Array[Long](nW)
+    var wi = 0
+    while (wi < nW) {
+      val (w, f) = wordFreq(wi)
+      val syms = symbolize(w)
+      val ids = new Array[Int](syms.length)
+      var i = 0
+      while (i < syms.length) { ids(i) = idOf(syms(i)); i += 1 }
+      words(wi) = ids
+      freqs(wi) = f
+      i = 0
+      while (i + 1 < ids.length) {
+        val k = pk(ids(i), ids(i + 1))
+        cAdd(k, f)
+        where.computeIfAbsent(k, _ => new IntBuf).add(wi)
+        i += 1
+      }
       wi += 1
+    }
+    hCompact() // initial fill: one entry per live pair
+
+    // greedy non-overlapping merge on int IDs (applyMerge's rule)
+    def applyIds(w: Array[Int], a: Int, b: Int, m: Int): Array[Int] = {
+      var i = 0; var hits = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { hits += 1; i += 2 }
+        else i += 1
+      }
+      if (hits == 0) return w
+      val out = new Array[Int](w.length - hits)
+      i = 0; var o = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { out(o) = m; o += 1; i += 2 }
+        else { out(o) = w(i); o += 1; i += 1 }
+      }
+      out
+    }
+
+    // scratch list of pairs touched by the current merge (dups fine —
+    // sorted + deduped before the batched heap pushes; primitive, no
+    // boxing on the hot path)
+    var tArr = new Array[Long](1 << 10)
+    var tN = 0
+    def tAdd(p: Long): Unit = {
+      if (tN == tArr.length) tArr = java.util.Arrays.copyOf(tArr, tN << 1)
+      tArr(tN) = p; tN += 1
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var rank = 0
-    while (rank < nMerges && heap.nonEmpty) {
+    while (rank < nMerges && hN > 0) {
       // pop until a live entry surfaces
-      var top: (Long, String, String) = null
-      while (top == null && heap.nonEmpty) {
-        val cand = heap.dequeue()
-        if (counts.getOrDefault((cand._2, cand._3), 0L) == cand._1) top = cand
+      var topKey = -1L; var topCnt = 0L
+      while (topKey == -1L && hN > 0) {
+        val c = hCnt(0); val k = hKey(0); hPop()
+        if (cGet(k) == c) { topKey = k; topCnt = c }
       }
-      if (top != null) {
-        val (cnt, a, b) = top
+      if (topKey != -1L) {
+        val a = pkA(topKey); val b = pkB(topKey)
+        val m = idOf(symStr(a) + symStr(b))
         rank += 1
-        merges += ((rank.toLong, a, b, a + b, cnt))
-        val affected = where.get((a, b))
+        merges += ((rank.toLong, symStr(a), symStr(b), symStr(a) + symStr(b), topCnt))
+        val affected = where.remove(topKey)
         if (affected != null) {
-          val idxs = affected.toArray(new Array[Integer](0)).map(_.intValue())
+          val idxs = java.util.Arrays.copyOf(affected.a, affected.n)
           java.util.Arrays.sort(idxs) // deterministic walk (counts are
           // order-independent sums, but keep the loop reproducible)
-          idxs.foreach { k =>
-            val old = words(k)
-            val next = applyMerge(old, a, b)
-            if (next.length != old.length) { // stale index entries are no-ops
-              val f = freqs(k)
-              var i = 0
-              while (i + 1 < old.length) { bump((old(i), old(i + 1)), -f, k); i += 1 }
-              i = 0
-              while (i + 1 < next.length) { bump((next(i), next(i + 1)), f, k); i += 1 }
-              words(k) = next
+          tN = 0
+          var x = 0
+          while (x < idxs.length) {
+            val k = idxs(x)
+            if (x == 0 || k != idxs(x - 1)) { // skip duplicate entries
+              val old = words(k)
+              val next = applyIds(old, a, b, m)
+              if (next ne old) { // stale index entries are no-ops
+                val f = freqs(k)
+                var i = 0
+                while (i + 1 < old.length) {
+                  val p = pk(old(i), old(i + 1)); cAdd(p, -f); tAdd(p); i += 1
+                }
+                i = 0
+                while (i + 1 < next.length) {
+                  val p = pk(next(i), next(i + 1))
+                  cAdd(p, f); tAdd(p)
+                  where.computeIfAbsent(p, _ => new IntBuf).add(k)
+                  i += 1
+                }
+                words(k) = next
+              }
             }
+            x += 1
           }
-          where.remove((a, b))
+          // one heap entry per touched pair, at its post-merge count
+          java.util.Arrays.sort(tArr, 0, tN)
+          x = 0
+          while (x < tN) {
+            val p = tArr(x)
+            if ((x == 0 || p != tArr(x - 1)) && p != topKey) {
+              val c = cGet(p); if (c > 0L) hPush(c, p)
+            }
+            x += 1
+          }
+          // relative threshold: the live pair count can itself exceed any
+          // absolute bound (boundary-pair space grows with vocabulary), so
+          // compact only when stale entries dominate the live table —
+          // an absolute bound degrades to compact-every-merge (quadratic)
+          // once clive crosses it
+          if (hN > 2 * clive + (1 << 20)) hCompact()
         }
       }
     }
@@ -173,11 +354,15 @@ object Bpe {
   }
 
   /** Default driver-side cutoff for the merge loop, in DISTINCT WORDS.
-    * ~4M words × (string + symbol seq + pair-index entries) measured
-    * ≈1.5 GB driver heap (BpeProbe, PLANS.md round-15) — comfortable in
-    * any production driver; Zipf puts even a 100 TB web corpus's vocab
-    * at tens of millions, so the local path is the COMMON case and the
-    * distributed loop the overflow fallback. */
+    * Measured on morpheme-structured synthetic vocabularies at 32k
+    * merges (BpeProbe synth:N, SCALING round-15): 1M words = 78 s /
+    * 2.0 GB, 2M = 160 s / 3.2 GB, 4M = 302 s / 3.5 GB peak heap — wall
+    * linear in the vocabulary, so 4M fits the stock 8 GB driver and
+    * finishes in single-digit minutes where the distributed loop's 32k
+    * sequential jobs would pay ~0.14 s/job of scheduling alone (~75
+    * min, measured). Zipf puts even a 100 TB web corpus's vocab at tens
+    * of millions of words: raise the limit with driver memory (~1 GB/M
+    * words); above it the distributed loop takes over. */
   val defaultLocalVocabLimit: Long = 4000000L
 
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
