@@ -859,6 +859,44 @@ object QueriesLlm {
       ss.table("stream_decontaminate_cut_sink")
     }),
 
+    // STREAMING twin of llm_bpe_encode — the tokenizer's DEPLOYMENT
+    // shape (a tokenizer trains once and then tokenizes forever): the
+    // frozen merge table rides the task closure exactly as in batch and
+    // encoding is row-local (per-partition word cache, no state store,
+    // no shuffle), so this is the STATELESS streaming class and the
+    // micro-batch output is bit-identical to the batch pass over the
+    // same rows — the gate shares llm_bpe_encode's FULL DuckDB oracle
+    // verbatim (same 30-CTE replay, not a rows-only check), plus a
+    // batch==stream equality spec. encodeDocs itself is reused on the
+    // streaming DataFrame: a stateless mapPartitions is plan-legal in
+    // Structured Streaming, which is precisely why this operator needs
+    // no streaming-specific code.
+    "stream_bpe_encode" -> ((s, dir) => {
+      val ss = s.newSession()
+      val merges = bpeMergeTable(s, dir) // frozen: trained once, cached per dir
+      val inDir = documentsSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+      val docs = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        // one file per micro-batch = one scan split; distribute the
+        // per-row encode (the one-file-input lesson)
+        .repartition(Tables.fanout(ss))
+      val enc = graft.ml.Bpe.encodeDocs(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
+          size(col("bpe")).cast(LongType).as("n_bpe"))
+      val ckpt = java.nio.file.Files.createTempDirectory("sbe_ckpt").toFile
+      ckpt.deleteOnExit()
+      val sink = s"stream_bpe_encode_${sinkIds.incrementAndGet()}"
+      val q = enc.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     // STREAMING twin of llm_lm_score — the deployment shape: score a
     // document stream against a FROZEN language model trained on the
     // static corpus (CCNet's actual topology — the LM is trained once,
@@ -2020,4 +2058,5 @@ object QueriesLlm {
       .updated("stream_dup_spans", oracleBase("llm_dup_spans"))
       .updated("stream_decontaminate_cut", oracleBase("llm_decontaminate_cut"))
       .updated("stream_lm_score", oracleBase("llm_lm_score"))
+      .updated("stream_bpe_encode", oracleBase("llm_bpe_encode"))
 }

@@ -164,5 +164,8 @@ object SparkEntry {
     // temporal video perceptual pairs (container walk + per-frame luma
     // fold), the streaming audio twin, and the scale-form radius gate
     "llm_bpe_encode", "llm_vhash_pairs", "stream_audiohash_pairs",
-    "llm_phash_pairs_r3", "stream_vhash_pairs")
+    "llm_phash_pairs_r3", "stream_vhash_pairs",
+    // round 15 late: the tokenizer's deployment shape — stateless
+    // streaming encode sharing the batch gate's full oracle
+    "stream_bpe_encode")
 }

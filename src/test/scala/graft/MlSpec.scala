@@ -1404,6 +1404,15 @@ class MlSpec extends SparkSpec {
     assert(words.nonEmpty)
   }
 
+  test("stream_bpe_encode equals batch exactly (stateless row-local encode)") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = canon(QueriesLlm.queries("llm_bpe_encode")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_bpe_encode")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}")
+  }
+
   test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
     import spark.implicits._
     // 4 well-separated direction groups (orthogonal bases — cross-group
