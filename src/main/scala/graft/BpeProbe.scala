@@ -95,7 +95,6 @@ object BpeProbe {
 
     if (dir.startsWith("synth:")) {
       val nWords = dir.stripPrefix("synth:").toInt
-      val wordFreq = synthWordFreq(nWords)
       @volatile var sampling = true
       @volatile var peakUsed = 0L
       val rt = Runtime.getRuntime
@@ -106,10 +105,15 @@ object BpeProbe {
         }
       })
       sampler.setDaemon(true)
+      // baseline BEFORE the word table is allocated: the real local path
+      // collects the table inside its run window, so the probe's
+      // peak-minus-baseline must include it too — defaultLocalVocabLimit
+      // is sized by table + loop, not loop alone
       System.gc()
       val baseline = rt.totalMemory() - rt.freeMemory()
       sampler.start()
       val t0 = System.nanoTime()
+      val wordFreq = synthWordFreq(nWords)
       val learned = graft.ml.Bpe.mergesLocal(wordFreq, nMerges).length
       val wall = (System.nanoTime() - t0) / 1e9
       sampling = false

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+
+/** Shared streaming-probe metrics: accumulates state/sink numbers via a
+  * StreamingQueryListener (q.recentProgress retains only the last 100
+  * updates — a 10 ms trigger burns that in a second, dropping early data
+  * batches and late eviction batches; round-13 advice), and [[finish]]
+  * polls until the async listener bus has delivered the progress event
+  * for the query's FINAL batch (a fixed sleep undercounted the terminal
+  * numRowsTotal/state bytes on loaded hosts; round-14 advice). One
+  * instance per measured query: removed/emitted accumulate across
+  * batches, stateRows/stateBytes hold the last-seen (terminal) values.
+  */
+final class ProbeMetrics(spark: SparkSession) {
+  val removed = new java.util.concurrent.atomic.AtomicLong()
+  val emitted = new java.util.concurrent.atomic.AtomicLong()
+  @volatile var stateRows = 0L
+  @volatile var stateBytes = 0L
+  @volatile private var lastSeenBatch = -1L
+
+  private val listener = new StreamingQueryListener {
+    import StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
+        removed.addAndGet(so.numRowsRemoved)
+        stateRows = so.numRowsTotal
+        stateBytes = so.memoryUsedBytes
+      }
+      Option(e.progress.sink).foreach(s =>
+        if (s.numOutputRows > 0) emitted.addAndGet(s.numOutputRows))
+      lastSeenBatch = math.max(lastSeenBatch, e.progress.batchId)
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+  spark.streams.addListener(listener)
+
+  /** Wait (bounded) for the final batch's progress event, then detach. */
+  def finish(q: StreamingQuery): Unit = {
+    val targetBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val busDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (lastSeenBatch < targetBatch && System.nanoTime() < busDeadline)
+      Thread.sleep(20)
+    spark.streams.removeListener(listener)
+  }
+}

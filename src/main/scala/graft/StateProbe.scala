@@ -65,32 +65,7 @@ object StateProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDB",
         org.apache.logging.log4j.Level.ERROR)
     }
-    // Accumulate state/sink metrics across ALL progress events: the
-    // previous q.recentProgress sum silently undercounted — that buffer
-    // retains only the last 100 updates (a 10 ms trigger burns 100
-    // entries in a second), so early data batches and late eviction
-    // batches fell out of the window (round-13 advice).
-    val removedAcc = new java.util.concurrent.atomic.AtomicLong()
-    val emittedAcc = new java.util.concurrent.atomic.AtomicLong()
-    @volatile var lastTotal = 0L
-    @volatile var lastBytes = 0L
-    @volatile var lastSeenBatch = -1L
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
-          removedAcc.addAndGet(so.numRowsRemoved)
-          lastTotal = so.numRowsTotal
-          lastBytes = so.memoryUsedBytes
-        }
-        Option(e.progress.sink).foreach(s =>
-          if (s.numOutputRows > 0) emittedAcc.addAndGet(s.numOutputRows))
-        lastSeenBatch = math.max(lastSeenBatch, e.progress.batchId)
-      }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
+    val pm = new ProbeMetrics(spark) // listener-accumulated, final-batch-polled
     import spark.implicits._
 
     val w = 15
@@ -145,22 +120,8 @@ object StateProbe {
       }
     val wall = (System.nanoTime() - t0) / 1e9
 
-    // listener events are posted asynchronously — POLL until the bus has
-    // delivered the progress for the query's final batch (a fixed sleep
-    // undercounted on loaded hosts when the terminal event — the one
-    // carrying final numRowsTotal/state bytes and late eviction batches
-    // — was still in flight; round-14 advice)
-    val targetBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-    val busDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (lastSeenBatch < targetBatch && System.nanoTime() < busDeadline)
-      Thread.sleep(20)
-    spark.streams.removeListener(listener)
-    val _ = q // metrics come from the listener, not q.recentProgress
-    val rowsTotal = lastTotal
-    val rowsRemoved = removedAcc.get()
-    val stateBytes = lastBytes
-    val emitted = emittedAcc.get()
-    println(f"""{"stateprobe":"$docsDir","splits":$nSplits,"horizon_ms":$horizonMs,"provider":"$provider","rows_total":$rowsTotal,"rows_removed":$rowsRemoved,"state_bytes":$stateBytes,"emitted":$emitted,"wall":$wall%.3f}""")
+    pm.finish(q)
+    println(f"""{"stateprobe":"$docsDir","splits":$nSplits,"horizon_ms":$horizonMs,"provider":"$provider","rows_total":${pm.stateRows},"rows_removed":${pm.removed.get()},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"wall":$wall%.3f}""")
     spark.stop()
   }
 }

@@ -63,27 +63,7 @@ object StreamPhashProbe {
         (media.filter(pmod(col("media_id"), lit(nSplits)) === i), f"$i%02d_media.parquet")))
     val schema = spark.read.parquet(inDir.resolve("00_media.parquet").toString).schema
 
-    val removedAcc = new java.util.concurrent.atomic.AtomicLong()
-    val emittedAcc = new java.util.concurrent.atomic.AtomicLong()
-    @volatile var lastTotal = 0L
-    @volatile var lastBytes = 0L
-    @volatile var lastSeenBatch = -1L
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
-          removedAcc.addAndGet(so.numRowsRemoved)
-          lastTotal = so.numRowsTotal
-          lastBytes = so.memoryUsedBytes
-        }
-        Option(e.progress.sink).foreach(s =>
-          if (s.numOutputRows > 0) emittedAcc.addAndGet(s.numOutputRows))
-        lastSeenBatch = math.max(lastSeenBatch, e.progress.batchId)
-      }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
+    val pm = new ProbeMetrics(spark)
 
     val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(inDir.toString)
@@ -106,13 +86,8 @@ object StreamPhashProbe {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    // poll until the async listener bus has delivered the final batch
-    val targetBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-    val busDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (lastSeenBatch < targetBatch && System.nanoTime() < busDeadline)
-      Thread.sleep(20)
-    spark.streams.removeListener(listener)
-    println(f"""{"streamphashprobe":"$dir","max_hamming":$maxHamming,"blocks":$blocks,"splits":$nSplits,"provider":"$provider","n_images":$nImages,"state_rows":$lastTotal,"state_bytes":$lastBytes,"emitted":${emittedAcc.get()},"rows_removed":${removedAcc.get()},"wall":$wall%.3f}""")
+    pm.finish(q)
+    println(f"""{"streamphashprobe":"$dir","max_hamming":$maxHamming,"blocks":$blocks,"splits":$nSplits,"provider":"$provider","n_images":$nImages,"state_rows":${pm.stateRows},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"rows_removed":${pm.removed.get()},"wall":$wall%.3f}""")
     spark.stop()
   }
 }

@@ -40,25 +40,6 @@ object Bpe {
   private[graft] def symbolize(w: String): Seq[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>"
 
-  /** Spark SQL's string ordering is BINARY UTF-8 (UTF8String.compareTo
-    * compares bytes unsigned) — the driver-side merge loop must break
-    * argmax ties by the SAME order or local and distributed paths
-    * diverge on non-ASCII ties (String.compareTo is UTF-16 code-unit
-    * order, which ranks non-BMP symbols before U+E000..U+FFFF; UTF-8
-    * byte order ranks them after). */
-  private[graft] def utf8Compare(x: String, y: String): Int = {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val c = (a(i) & 0xFF) - (b(i) & 0xFF)
-      if (c != 0) return c
-      i += 1
-    }
-    a.length - b.length
-  }
-
   private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -126,6 +107,12 @@ object Bpe {
     def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
     def pkA(k: Long): Int = (k >>> 32).toInt
     def pkB(k: Long): Int = (k & 0xFFFFFFFFL).toInt
+    // Spark SQL's string ordering is BINARY UTF-8 (UTF8String.compareTo
+    // compares bytes unsigned) — argmax ties here must break by the SAME
+    // order or local and distributed paths diverge on non-ASCII ties
+    // (String.compareTo is UTF-16 code-unit order, which ranks non-BMP
+    // symbols before U+E000..U+FFFF; UTF-8 byte order ranks them after).
+    // Hence symBytes caches each symbol's UTF-8 bytes for the comparator.
     def bytesCompare(x: Array[Byte], y: Array[Byte]): Int = {
       var i = 0
       val n = math.min(x.length, y.length)
@@ -141,7 +128,10 @@ object Bpe {
     var ckeys = Array.fill[Long](1 << 12)(-1L)
     var cvals = new Array[Long](1 << 12)
     var cmask = ckeys.length - 1
-    var clive = 0
+    var clive = 0 // slots consumed (keys ever seen) — the grow gate
+    var cpos = 0  // slots with count > 0 (LIVE pairs) — the compaction
+                  // gate; merged-away pairs keep their slot at 0, so
+                  // clive alone would overstate live and stall compaction
     def chash(k: Long): Int = {
       var z = k * 0x9E3779B97F4A7C15L
       z ^= z >>> 29
@@ -168,9 +158,17 @@ object Bpe {
       val i = cslot(k)
       if (ckeys(i) == -1L) {
         ckeys(i) = k; cvals(i) = d; clive += 1
+        if (d > 0L) cpos += 1
         if (clive * 5 > ckeys.length * 3) cGrow()
         d
-      } else { cvals(i) += d; cvals(i) }
+      } else {
+        val old = cvals(i)
+        cvals(i) += d
+        val nv = cvals(i)
+        if (old > 0L && nv <= 0L) cpos -= 1
+        else if (old <= 0L && nv > 0L) cpos += 1
+        nv
+      }
     }
 
     final class IntBuf {
@@ -345,8 +343,8 @@ object Bpe {
           // absolute bound (boundary-pair space grows with vocabulary), so
           // compact only when stale entries dominate the live table —
           // an absolute bound degrades to compact-every-merge (quadratic)
-          // once clive crosses it
-          if (hN > 2 * clive + (1 << 20)) hCompact()
+          // once the live count crosses it
+          if (hN > 2 * cpos + (1 << 20)) hCompact()
         }
       }
     }
@@ -355,24 +353,28 @@ object Bpe {
 
   /** Default driver-side cutoff for the merge loop, in DISTINCT WORDS.
     * Measured on morpheme-structured synthetic vocabularies at 32k
-    * merges (BpeProbe synth:N, SCALING round-15): 1M words = 78 s /
-    * 2.0 GB, 2M = 160 s / 3.2 GB, 4M = 302 s / 3.5 GB peak heap — wall
-    * linear in the vocabulary, so 4M fits the stock 8 GB driver and
-    * finishes in single-digit minutes where the distributed loop's 32k
-    * sequential jobs would pay ~0.14 s/job of scheduling alone (~75
-    * min, measured). Zipf puts even a 100 TB web corpus's vocab at tens
-    * of millions of words: raise the limit with driver memory (~1 GB/M
-    * words); above it the distributed loop takes over. */
-  val defaultLocalVocabLimit: Long = 4000000L
+    * merges, peak heap INCLUSIVE of the collected word table (BpeProbe
+    * synth:N, SCALING round-15): 1M words = 79 s / 2.7 GB, 2M = 220 s /
+    * 3.8 GB, 4M = 527 s / 8.0 GB — wall linear in the vocabulary, and
+    * 2M is the comfortable bound for the stock 8 GB driver (4M fills
+    * it). Minutes either way, where the distributed loop's 32k
+    * sequential jobs pay ~0.14 s/job of scheduling alone (~75 min,
+    * measured). Zipf puts even a 100 TB web corpus's vocab at tens of
+    * millions of words: raise the limit with driver memory (~2 GB per
+    * million words all-in); above it the distributed loop takes over. */
+  val defaultLocalVocabLimit: Long = 2000000L
 
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
                 localVocabLimit: Long = defaultLocalVocabLimit): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // one corpus pass: word frequencies (the only corpus-sized shuffle)
+    // one corpus pass: word frequencies (the only corpus-sized shuffle).
+    // Persisted so the fork's count() and the chosen path's consumption
+    // materialize the corpus aggregation ONCE, not once per action.
     val wordFreq = df.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
+      .persist()
     // THE MERGE-AXIS FORK (round-14 verdict #1): after the one corpus
     // pass the word table is vocabulary-bounded (Zipf: ≪ corpus) — if it
     // fits the driver, collect it and run the incremental in-memory loop
@@ -383,7 +385,9 @@ object Bpe {
     // hash maps or the cluster's scheduler.
     val nWords = wordFreq.count()
     if (nWords <= localVocabLimit) {
-      val local = mergesLocal(wordFreq.collect(), nMerges)
+      val rows = wordFreq.collect()
+      wordFreq.unpersist()
+      val local = mergesLocal(rows, nMerges)
       return local.toDF("rank", "left", "right", "merged", "freq")
         .select(col("rank").cast(LongType).as("rank"), col("left"), col("right"),
           col("merged"), col("freq").cast(LongType).as("freq"))
@@ -418,6 +422,9 @@ object Bpe {
         .limit(1)
         .as[(String, String, Long)]
         .collect()
+      // the first iteration's action materialized `words`: the corpus
+      // aggregation cache is no longer part of any live lineage
+      if (rank == 0) wordFreq.unpersist()
       if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) done = true
       else {
@@ -433,6 +440,7 @@ object Bpe {
     }
     if (prev != null) prev.unpersist()
     words.unpersist()
+    wordFreq.unpersist() // no-op if already released in the loop
     merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
       .select(col("rank").cast(LongType).as("rank"), col("left"), col("right"),
         col("merged"), col("freq").cast(LongType).as("freq"))
@@ -500,8 +508,16 @@ object Bpe {
         val rank = new java.util.HashMap[(String, String), Int]()
         var i = 0
         while (i < mergeAt.length) { rank.put(mergeAt(i), i); i += 1 }
+        // per-partition word cache, BOUNDED by reset-at-N: Zipf means the
+        // hot words repopulate instantly after a clear, while an unbounded
+        // map would grow with every distinct word a long-running task sees
+        // (tens of millions at the 100 TB framing — an executor OOM, per
+        // core). 1M entries ≈ low hundreds of MB, the hit rate a larger
+        // cache buys past the Zipf head is negligible.
+        val cacheLimit = 1 << 20
         val cache = new java.util.HashMap[String, Seq[String]]()
         it.map { case (id, toks) =>
+          if (cache.size >= cacheLimit) cache.clear()
           (id, toks.flatMap(w =>
             cache.computeIfAbsent(w, encodeWord(_, rank, mergeAt))))
         }

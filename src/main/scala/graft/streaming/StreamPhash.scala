@@ -39,13 +39,17 @@ object StreamPhash {
     *
     * `maxBucketSize` is the streaming analog of the batch machinery's
     * degenerate-bucket cap (hammingBandedPairs): a bucket that reaches
-    * the cap stops storing AND stops emitting — per-bucket state stays
-    * O(cap) and per-arrival work O(cap) instead of quadratic-total on a
-    * degenerate key. The cap is PROSPECTIVE where batch's is
-    * retroactive (emitted pairs cannot be taken back), so batch==stream
-    * equality holds exactly while no bucket crosses the cap — and the
-    * crossing is now DETECTABLE, not silent: a WARN logs the saturated
-    * bucket the moment it fills. */
+    * the cap stops STORING — per-bucket state stays O(cap) and
+    * per-arrival work O(cap) instead of quadratic-total on a degenerate
+    * key. Arrivals at a saturated bucket still compare-and-emit against
+    * the stored prints (emission costs no state), so the only
+    * saturation loss is a pair whose min matching block filled before
+    * EITHER member arrived — the other shared blocks hold both members
+    * but refuse under the min-block rule. The cap is PROSPECTIVE where
+    * batch's is retroactive (emitted pairs cannot be taken back), so
+    * batch==stream equality holds exactly while no bucket crosses the
+    * cap — and the crossing is DETECTABLE, not silent: a WARN logs the
+    * saturated bucket the moment it fills. */
   def candidatePairs(occ: Dataset[(Long, Long, Int, Long)],
                      maxHamming: Int, blocks: Int,
                      evictBucketAfterMs: Option[Long] = None,
@@ -79,30 +83,37 @@ object StreamPhash {
             var n = ids.length
             val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
             it.foreach { case (id, sig, _, _) =>
+              // compare-and-emit runs UNCONDITIONALLY: emission costs no
+              // state, so an arrival pairs with every already-STORED
+              // bucket-mate even once the bucket is saturated — only
+              // STORAGE is capped. The residual saturation loss is pairs
+              // whose min matching block saturated before EITHER member
+              // arrived (neither stored there, and the other shared
+              // blocks hold both but refuse under the min-block rule) —
+              // that loss is what the WARN below makes detectable.
+              var is = ids
+              var ss = sigs
+              while (is.nonEmpty) {
+                val pid = is.head
+                val psig = ss.head
+                val h = java.lang.Long.bitCount(sig ^ psig)
+                if (h <= maxHamming && minMatchingBlock(sig, psig) == block)
+                  out += ((math.min(id, pid), math.max(id, pid), h))
+                is = is.tail
+                ss = ss.tail
+              }
               if (n < maxBucketSize) {
-                var is = ids
-                var ss = sigs
-                while (is.nonEmpty) {
-                  val pid = is.head
-                  val psig = ss.head
-                  val h = java.lang.Long.bitCount(sig ^ psig)
-                  if (h <= maxHamming && minMatchingBlock(sig, psig) == block)
-                    out += ((math.min(id, pid), math.max(id, pid), h))
-                  is = is.tail
-                  ss = ss.tail
-                }
                 ids ::= id
                 sigs ::= sig
                 n += 1
                 if (n == maxBucketSize)
                   org.slf4j.LoggerFactory.getLogger(StreamPhash.getClass).warn(
                     s"StreamPhash bucket (block=${bucket._1}, key=${bucket._2}) hit " +
-                      s"maxBucketSize=$maxBucketSize: bucket frozen (no further state " +
-                      "growth or emissions) — batch equality no longer holds for it")
+                      s"maxBucketSize=$maxBucketSize: storage frozen (arrivals still " +
+                      "pair with stored prints; pairs min-blocked here between two " +
+                      "post-saturation arrivals are missed) — batch equality no " +
+                      "longer exact for this bucket")
               }
-              // saturated bucket: drop the arrival (batch drops the whole
-              // bucket retroactively; the pigeonhole's other blocks still
-              // pair this print)
             }
             state.update(BucketState(ids, sigs))
             evictBucketAfterMs.foreach(state.setTimeoutDuration)

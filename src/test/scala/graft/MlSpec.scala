@@ -1201,6 +1201,45 @@ class MlSpec extends SparkSpec {
     assert(removed1 >= 1L, "eviction must remove the aged bucket state row")
   }
 
+  test("StreamPhash: a saturated bucket stops storing but still pairs arrivals with stored prints") {
+    // maxBucketSize=1: batch 0 stores A and freezes the bucket. B then C
+    // arrive at the frozen bucket — each must still pair with the STORED
+    // A (emission costs no state), while the pair (B, C) between two
+    // post-saturation arrivals is the documented residual loss (neither
+    // was stored). Guards the cap from regressing to drop-the-arrival,
+    // which silently lost ALL pairs min-blocked in a saturated bucket.
+    import spark.implicits._
+    val sigA = 0x1122334455667788L
+    def occFile(rows: Seq[(Long, Long, Int, Long)]) =
+      rows.toDF("id", "sig", "blk", "key")
+    val inDir = QueriesCore.writeSplitDir("sph_sat", Seq(
+      (occFile(Seq((1L, sigA, 0, sigA & 0xFFL))), "0_occ.parquet"),
+      (occFile(Seq((2L, sigA, 0, sigA & 0xFFL))), "1_occ.parquet"),
+      (occFile(Seq((3L, sigA, 0, sigA & 0xFFL))), "2_occ.parquet")))
+    val ss = spark.newSession()
+    def run(): Set[(Long, Long, Int)] = {
+      import ss.implicits._
+      val schema = ss.read.parquet(inDir.resolve("0_occ.parquet").toString).schema
+      val occ = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("sph_sat_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = graft.streaming.StreamPhash
+        .candidatePairs(occ, maxHamming = 7, blocks = 8, maxBucketSize = 1)
+        .writeStream.format("memory").queryName("sph_sat_sink")
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("sph_sat_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val out = run()
+    assert(out == Set((1L, 2L, 0), (1L, 3L, 0)),
+      s"stored-print pairs must survive saturation, (2,3) must be the only loss; got $out")
+  }
+
   test("stream_semdedup: a not-yet-reached eviction horizon equals NoTimeout exactly") {
     def canon(df: org.apache.spark.sql.DataFrame): Vector[String] = {
       val cols = df.columns.sorted.toSeq
@@ -1392,16 +1431,19 @@ class MlSpec extends SparkSpec {
     val out = QueriesLlm.queries("llm_bpe_token_stats")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.length == 500)
-    val words = QueriesLlm.queries("llm_token_stats")(spark, sf)
-      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the tokenizer-input word count per doc, from the SAME regex
+    // tokenizer the encode pass uses (Dedup.tokens — not the whitespace
+    // count llm_token_stats reports)
+    val words = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(graft.ml.Dedup.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.foreach { case (id, nWords, nBpe, fert) =>
-      // whitespace tokens != regex tokens in general, but both are
-      // per-doc word counts; the exact check is vs the regex tokenizer
+      assert(nWords == words(id),
+        s"doc $id: marker-recovered words ($nWords) != tokenizer input (${words(id)})")
       assert(nBpe >= nWords, s"doc $id: subwords ($nBpe) < words ($nWords)")
       if (nWords > 0)
         assert(math.abs(fert - nBpe.toDouble / nWords) < 1e-5, s"doc $id fertility")
     }
-    assert(words.nonEmpty)
   }
 
   test("stream_bpe_encode equals batch exactly (stateless row-local encode)") {
