@@ -1163,6 +1163,43 @@ object QueriesLlm {
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     }),
 
+    // EMBEDDING-SPACE decontamination — the semantic complement of the
+    // n-gram llm_decontaminate family (a paraphrased eval item shares no
+    // 5-gram but sits next to its source in embedding space): flag every
+    // training vector whose max cosine against the EVAL set reaches τ,
+    // with the nearest eval id for audit. The eval set is planted with
+    // SQL-expressible ground truth (every 10th corpus vector, first
+    // component perturbed ×1.05+0.01 in DOUBLE — the llm_embed_pairs
+    // twin rule, here replayed by the oracle too), so exactly the
+    // perturbation sources must flag contaminated with their twin as
+    // nearest. Eval sets are bounded by construction (a benchmark) →
+    // broadcast; the per-train reduction is a partial-aggregable
+    // max(struct(cos, -eval_id)) — map-side combine collapses the
+    // |eval|-way fan-out BEFORE any exchange, so the only shuffle is
+    // |train| one-row groups (the same bounded-side shape as
+    // llm_decontaminate's gram broadcast). Argmax ties break on the
+    // ROUNDED cosine then smallest eval id — bit-identical to the
+    // oracle's row_number(ORDER BY c DESC, eid).
+    "llm_embed_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val evalSet = broadcast(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("_eid"),
+          concat(array(element_at(col("embedding"), 1) * 1.05 + 0.01),
+            slice(col("embedding"), 2, Int.MaxValue)).as("_ev")))
+      emb.repartition(Tables.fanout(s))
+        .crossJoin(evalSet)
+        .select(col("vec_id"),
+          round(Blob.cosineSimilarity(col("embedding"), col("_ev")), 6).as("_c"),
+          col("_eid"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("_c").as("_c"), (-col("_eid")).as("_nid"))).as("_m"))
+        .select(col("vec_id"),
+          (-col("_m._nid")).cast(LongType).as("nearest_eval_id"),
+          col("_m._c").as("max_cos"),
+          (col("_m._c") >= 0.95).as("contaminated"))
+    }),
+
     // LSH-bucketed ANN (scale path; recall vs brute force gated in SimilaritySpec)
     "llm_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1733,6 +1770,18 @@ object QueriesLlm {
            round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+    "llm_embed_decontaminate" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv FROM embeddings),
+         ev AS (SELECT vec_id + 100000 AS eid,
+                  [tv[1] * 1.05 + 0.01] || tv[2:] AS evv
+                FROM base WHERE vec_id % 10 = 0),
+         s AS (SELECT b.vec_id, ev.eid,
+                 round(list_cosine_similarity(b.tv, ev.evv), 6) AS c
+               FROM base b CROSS JOIN ev),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eid) AS rk
+               FROM s)
+         SELECT vec_id, eid AS nearest_eval_id, c AS max_cos, c >= 0.95 AS contaminated
+         FROM r WHERE rk = 1""",
     "llm_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 5),

@@ -166,6 +166,8 @@ object SparkEntry {
     "llm_bpe_encode", "llm_vhash_pairs", "stream_audiohash_pairs",
     "llm_phash_pairs_r3", "stream_vhash_pairs",
     // round 15 late: the tokenizer's deployment shape — stateless
-    // streaming encode sharing the batch gate's full oracle
-    "stream_bpe_encode")
+    // streaming encode sharing the batch gate's full oracle — and
+    // embedding-space decontamination (the semantic complement of the
+    // n-gram decontaminate family; broadcast eval + partial-agg argmax)
+    "stream_bpe_encode", "llm_embed_decontaminate")
 }

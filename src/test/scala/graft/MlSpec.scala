@@ -1455,6 +1455,24 @@ class MlSpec extends SparkSpec {
       s"batch ${batch.size} rows vs stream ${stream.size}")
   }
 
+  test("llm_embed_decontaminate: exactly the planted perturbation sources flag; each maps to its twin") {
+    val out = QueriesLlm.queries("llm_embed_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val n = out.length
+    assert(n == 500, s"one row per corpus vector, got $n")
+    val flagged = out.filter(_._4)
+    // ground truth: the eval set is every 10th vector perturbed — those
+    // sources (and only those) sit at cosine ~1 to an eval item
+    assert(flagged.map(_._1).toSet == out.map(_._1).filter(_ % 10 == 0).toSet,
+      s"contaminated set must be exactly the perturbation sources (${flagged.length} flagged)")
+    flagged.foreach { case (id, nid, c, _) =>
+      assert(nid == id + 100000L, s"vec $id nearest eval $nid, expected its twin")
+      assert(c >= 0.99, s"vec $id twin cosine $c")
+    }
+    out.filterNot(_._4).foreach { case (id, _, c, _) =>
+      assert(c < 0.95, s"clean vec $id reports max_cos $c") }
+  }
+
   test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
     import spark.implicits._
     // 4 well-separated direction groups (orthogonal bases — cross-group
