@@ -102,6 +102,59 @@ object QueriesLlm {
         .map(r => (r.getString(1), r.getString(2))).toSeq
     })
 
+  /** The planted eval set for the embed-decontaminate pair (every 10th
+    * corpus vector, first component perturbed ×1.05+0.01 in DOUBLE — the
+    * llm_embed_pairs twin rule, SQL-expressible so the oracle replays
+    * it). Cached as collected rows (≤|corpus|/10, bounded the way a
+    * benchmark set is) and rebuilt as a tiny broadcast DF per session. */
+  private val embEvalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Double])]]()
+  private[graft] def embEvalSet(s: SparkSession, dir: String): DataFrame = {
+    val rows = embEvalCache.computeIfAbsent(dir, { _ =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Double](1)
+          (r.getLong(0) + 100000L, (v.head * 1.05 + 0.01) +: v.tail)
+        }
+    })
+    import s.implicits._
+    broadcast(rows.toSeq.toDF("_eid", "_ev"))
+  }
+
+  /** Shared scoring body of the embed-decontaminate pair: broadcast-eval
+    * crossJoin + per-vector partial-aggregable argmax (map-side combine
+    * collapses the |eval|-way fan-out before the one-row-per-vector
+    * exchange). Ties break on the ROUNDED cosine then smallest eval id —
+    * the oracle's row_number(ORDER BY c DESC, eid). */
+  private[graft] def embedDeconWith(emb: DataFrame, evalSet: DataFrame): DataFrame =
+    emb.crossJoin(evalSet)
+      .select(col("vec_id"),
+        round(Blob.cosineSimilarity(col("embedding"), col("_ev")), 6).as("_c"),
+        col("_eid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("_c").as("_c"), (-col("_eid")).as("_nid"))).as("_m"))
+      .select(col("vec_id"),
+        (-col("_m._nid")).cast(LongType).as("nearest_eval_id"),
+        col("_m._c").as("max_cos"),
+        (col("_m._c") >= 0.95).as("contaminated"))
+
+  private val embDeconSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The embeddings table (double-cast) as TWO parquet files for the
+    * streaming embed-decontaminate twin. */
+  private[graft] def embDeconSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    embDeconSplitCache.computeIfAbsent(dir, { _ =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      QueriesCore.writeSplitDir("sed_in", Seq(
+        (emb.filter(col("vec_id") % 2 === 0), "0_emb2.parquet"),
+        (emb.filter(col("vec_id") % 2 =!= 0), "1_emb2.parquet")))
+    })
+
   private val embSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
@@ -859,6 +912,43 @@ object QueriesLlm {
       ss.table("stream_decontaminate_cut_sink")
     }),
 
+    // STREAMING twin of llm_embed_decontaminate — the deployment shape
+    // of semantic eval-set protection (score a continuously-ingested
+    // corpus against a FROZEN benchmark): foreachBatch over the shared
+    // embedDeconWith body (the stream_lm_score convention — the per-
+    // vector argmax groups within one micro-batch, and every vector
+    // arrives in exactly one batch, so the union of per-batch results
+    // IS the batch result). No state store; the eval set is a bounded
+    // broadcast rebuilt per session from the cached collected rows.
+    // Shares llm_embed_decontaminate's FULL DuckDB oracle verbatim plus
+    // a batch==stream equality spec — completing the batch+stream pair
+    // for BOTH decontamination granularities (n-gram and semantic).
+    "stream_embed_decontaminate" -> ((s, dir) => {
+      val ss = s.newSession()
+      val evalSet = embEvalSet(ss, dir)
+      val inDir = embDeconSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_emb2.parquet").toString).schema
+      val outDir = java.nio.file.Files.createTempDirectory("sed_out")
+      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        // one file per micro-batch = one scan split; distribute the
+        // per-row cosine math (the one-file-input lesson)
+        .repartition(Tables.fanout(ss))
+      val ckpt = java.nio.file.Files.createTempDirectory("sed_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          embedDeconWith(batch, evalSet)
+            .write.mode("append").parquet(outDir.toString)
+          ()
+        }
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.read.parquet(outDir.toString)
+    }),
+
     // STREAMING twin of llm_bpe_encode — the tokenizer's DEPLOYMENT
     // shape (a tokenizer trains once and then tokenizes forever): the
     // frozen merge table rides the task closure exactly as in batch and
@@ -1183,21 +1273,7 @@ object QueriesLlm {
     "llm_embed_decontaminate" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val evalSet = broadcast(emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000L).as("_eid"),
-          concat(array(element_at(col("embedding"), 1) * 1.05 + 0.01),
-            slice(col("embedding"), 2, Int.MaxValue)).as("_ev")))
-      emb.repartition(Tables.fanout(s))
-        .crossJoin(evalSet)
-        .select(col("vec_id"),
-          round(Blob.cosineSimilarity(col("embedding"), col("_ev")), 6).as("_c"),
-          col("_eid"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("_c").as("_c"), (-col("_eid")).as("_nid"))).as("_m"))
-        .select(col("vec_id"),
-          (-col("_m._nid")).cast(LongType).as("nearest_eval_id"),
-          col("_m._c").as("max_cos"),
-          (col("_m._c") >= 0.95).as("contaminated"))
+      embedDeconWith(emb.repartition(Tables.fanout(s)), embEvalSet(s, dir))
     }),
 
     // LSH-bucketed ANN (scale path; recall vs brute force gated in SimilaritySpec)
@@ -2108,4 +2184,5 @@ object QueriesLlm {
       .updated("stream_decontaminate_cut", oracleBase("llm_decontaminate_cut"))
       .updated("stream_lm_score", oracleBase("llm_lm_score"))
       .updated("stream_bpe_encode", oracleBase("llm_bpe_encode"))
+      .updated("stream_embed_decontaminate", oracleBase("llm_embed_decontaminate"))
 }

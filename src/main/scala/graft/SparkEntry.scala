@@ -169,5 +169,6 @@ object SparkEntry {
     // streaming encode sharing the batch gate's full oracle — and
     // embedding-space decontamination (the semantic complement of the
     // n-gram decontaminate family; broadcast eval + partial-agg argmax)
-    "stream_bpe_encode", "llm_embed_decontaminate")
+    "stream_bpe_encode", "llm_embed_decontaminate",
+    "stream_embed_decontaminate")
 }

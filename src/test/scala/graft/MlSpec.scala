@@ -1473,6 +1473,16 @@ class MlSpec extends SparkSpec {
       assert(c < 0.95, s"clean vec $id reports max_cos $c") }
   }
 
+  test("stream_embed_decontaminate equals batch exactly (stateless per-batch argmax)") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Boolean)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val batch = canon(QueriesLlm.queries("llm_embed_decontaminate")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_embed_decontaminate")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}")
+  }
+
   test("semDedup: planted paraphrase clusters dedup to the centroid-nearest; distinct members survive") {
     import spark.implicits._
     // 4 well-separated direction groups (orthogonal bases — cross-group
