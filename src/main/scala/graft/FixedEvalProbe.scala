@@ -86,10 +86,27 @@ object FixedEvalProbe {
         evalSet, "doc_id", "text", n = 5)
     }
 
+    // llm_embed_decontaminate's pipeline, eval FIXED to the base dir's
+    // vectors (the gate's %10 eval grows with the corpus → quadratic
+    // crossJoin work on scaled dirs; a deployment's benchmark is fixed)
+    val baseMaxVec = graft.core.Tables(spark, baseDir, "embeddings")
+      .agg(max("vec_id")).head().getLong(0)
+    def embedPipeline(dataDir: String): org.apache.spark.sql.DataFrame = {
+      val emb = graft.core.Tables(spark, dataDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val evalSet = broadcast(emb
+        .filter(col("vec_id") <= baseMaxVec && col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("_eid"),
+          concat(array(element_at(col("embedding"), 1) * 1.05 + 0.01),
+            slice(col("embedding"), 2, Int.MaxValue)).as("_ev")))
+      QueriesLlm.embedDeconWith(emb.repartition(core.Tables.fanout(spark)), evalSet)
+    }
+
     // JVM + whole-stage-codegen warmup on a tiny dir: a cold first query
     // pays tens of seconds of janino compilation that would swamp the 1×
     // point (the Bench convention, applied here)
     force(selectPipeline(warmDir)); force(cutPipeline(warmDir))
+    force(embedPipeline(warmDir))
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
     // min of 2 (each its own full evaluation): one-shot numbers at this
@@ -102,12 +119,13 @@ object FixedEvalProbe {
     }.min
     val tSelect = minOf2(force(selectPipeline(scaledDir)))
     val tCut = minOf2(force(cutPipeline(scaledDir)))
+    val tEmbed = minOf2(force(embedPipeline(scaledDir)))
 
     val evalSet = graft.core.Tables(spark, scaledDir, "documents")
       .filter(col("doc_id") <= baseMax && col("doc_id") % 10 === 0)
 
     val nEval = evalSet.count()
-    println(f"""{"fixedeval":"$scaledDir","corpus_select":$tSelect%.3f,"decontaminate_cut":$tCut%.3f,"eval_docs":$nEval}""")
+    println(f"""{"fixedeval":"$scaledDir","corpus_select":$tSelect%.3f,"decontaminate_cut":$tCut%.3f,"embed_decontaminate":$tEmbed%.3f,"eval_docs":$nEval}""")
     spark.stop()
   }
 }
