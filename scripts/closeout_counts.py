@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Mechanical close-out numbers for COVERAGE.md (r15 verdict #5: derive
+them from the artifacts, never hand-count — two rounds of off-by-one).
+
+Counts, from the artifacts themselves:
+  - declared queries  = len(SparkEntry.queries)     (via Verify's outDir,
+    or the live CORRECTNESS json if no outDir is given)
+  - full oracle / rows-only / errors from CORRECTNESS_r{N}.json
+  - test counts from the last `sbt -batch test` log, if provided
+
+Usage: python3 scripts/closeout_counts.py CORRECTNESS_r16.json [sbttest.log]
+"""
+import json
+import re
+import sys
+
+art = json.load(open(sys.argv[1]))
+total = len(art)
+full = sum(1 for v in art.values() if v.get("hash_match"))
+errs = sorted(k for k, v in art.items()
+              if v.get("err") not in (None, "no_oracle"))
+rows_only = sorted(k for k, v in art.items()
+                   if not v.get("hash_match") and v.get("err") in (None, "no_oracle"))
+print(f"declared queries : {total}")
+print(f"full hash-match  : {full}")
+print(f"rows-only        : {len(rows_only)} -> {', '.join(rows_only)}")
+print(f"errors           : {len(errs)} -> {', '.join(errs) or 'none'}")
+
+if len(sys.argv) > 2:
+    log = open(sys.argv[2], errors="replace").read()
+    m = re.findall(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", log)
+    if m:
+        ok = sum(int(a) for a, _, _ in m)
+        bad = sum(int(b) for _, b, _ in m)
+        print(f"tests            : {ok} succeeded, {bad} failed over {len(m)} suites")
+
+print("\nCOVERAGE.md line:")
+print(f"  {total} declared queries: {full} full DuckDB hash-match, "
+      f"{len(rows_only)} rows-only (pinned), {len(errs)} errors")

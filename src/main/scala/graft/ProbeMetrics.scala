@@ -19,11 +19,23 @@ final class ProbeMetrics(spark: SparkSession) {
   @volatile var stateRows = 0L
   @volatile var stateBytes = 0L
   @volatile private var lastSeenBatch = -1L
+  // the measured query's id: the listener is SESSION-wide, so without
+  // this filter a second streaming query in the probe session would
+  // silently co-mingle its metrics (r15 advice). Bound explicitly via
+  // bind(q) right after start(); before binding, the first query to
+  // report claims the slot (probes start exactly one query).
+  private val boundId =
+    new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+
+  /** Pin the listener to one query; call immediately after start(). */
+  def bind(q: StreamingQuery): Unit = boundId.set(q.id)
 
   private val listener = new StreamingQueryListener {
     import StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      boundId.compareAndSet(null, e.progress.id)
+      if (boundId.get != e.progress.id) return
       Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
         removed.addAndGet(so.numRowsRemoved)
         stateRows = so.numRowsTotal

@@ -102,6 +102,20 @@ object QueriesLlm {
         .map(r => (r.getString(1), r.getString(2))).toSeq
     })
 
+  private val bpeMergeBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  /** The byte-level twin of [[bpeMergeTable]] (its own cache: the two
+    * alphabets learn genuinely different tables — no `</w>`, so
+    * single-char words never merge and end-of-word pairs don't exist). */
+  private[graft] def bpeMergeTableBytes(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeBytesCache.computeIfAbsent(dir, { _ =>
+      graft.ml.Bpe.bpeMerges(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "text", nMerges = 30,
+          byteLevel = true)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+
   /** The planted eval set for the embed-decontaminate pair (every 10th
     * corpus vector, first component perturbed ×1.05+0.01 in DOUBLE — the
     * llm_embed_pairs twin rule, SQL-expressible so the oracle replays
@@ -117,6 +131,10 @@ object QueriesLlm {
         .collect()
         .map { r =>
           val v = r.getSeq[Double](1)
+          // fail with a nameable row, not v.head's bare
+          // NoSuchElementException (r15 advice; the oracle's tv[1] would
+          // yield NULL here — surfacing the bad row beats diverging)
+          require(v.nonEmpty, s"embEvalSet: empty embedding for vec_id=${r.getLong(0)}")
           (r.getLong(0) + 100000L, (v.head * 1.05 + 0.01) +: v.tail)
         }
     })
@@ -207,6 +225,22 @@ object QueriesLlm {
 
   private val sinkIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Register a directory tree for recursive deletion at JVM exit.
+    * File.deleteOnExit only removes EMPTY directories, so parquet output
+    * dirs written by foreachBatch would otherwise accumulate for the
+    * life of the host temp dir across repeated runs (r15 advice). */
+  private[graft] def deleteTreeOnExit(p: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { val _ = java.nio.file.Files.deleteIfExists(f) })
+        finally walk.close()
+      } catch { case _: Throwable => () } // best-effort: exit-time cleanup
+    }))
+    p
+  }
+
   /** llm_phash_pairs body, parameterized on the Hamming radius — the
     * operator's SCALE KNOB: blocks = smallest power of two > maxHamming
     * and block width = 64/blocks bits, so radius 7 → 8-bit blocks → only
@@ -289,6 +323,65 @@ object QueriesLlm {
           "1_media.parquet")))
     })
 
+  /** SQL-replayable 64-bit fingerprint fixture for the banded-pairing
+    * FULL-oracle gates (llm_band_pairs / llm_band_pairs_r7 /
+    * stream_band_pairs — r15 verdict #1): every other pair family's
+    * fingerprints come from byte decode the oracle cannot express, so
+    * their gates are rows-only with pinned hashes; THIS fixture derives
+    * the fingerprint from md5 hex (the sampleCoin replay convention —
+    * 15 hex chars = a uniform nonnegative 60-bit value, computed
+    * IDENTICALLY by Spark's conv() and DuckDB's '0x'-cast), putting the
+    * shared banding / bucket-cap / Hamming-verify / pair-dedup core
+    * under a DuckDB oracle so the pinned hashes only have to carry the
+    * decode kernels.
+    *
+    * Shape: 8 sig rows per document (id = doc_id*100 + k), plus a
+    * planted twin for every k%4==0 row (id+50) whose fingerprint flips
+    * h = (doc_id + k) % 9 bits at distinct positions (j*13 + id%7) % 60
+    * — so radius 3 must pair exactly the h <= 3 twins and radius 7 the
+    * h <= 7 twins (pigeonhole recall, inert cap), and the h = 8 twins
+    * pair under NEITHER radius. The top 4 bits are structurally zero,
+    * so the high 8-bit band of the r7 split has a 16-key space: REAL
+    * degenerate buckets (~n/16 members) that make the r7 gate's
+    * maxBucketSize bind — the oracle replays the cap retroactively
+    * exactly as hammingBandedPairs does. */
+  private[graft] def bandSigParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(Tables.fanout(s)) // one-file input
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("k"))
+      .select((col("doc_id") * 100L + col("k")).as("id"))
+      .select(col("id"),
+        conv(substring(md5(concat(col("id").cast(StringType), lit("graftband"))), 1, 15),
+          16, 10).cast(LongType).as("fp"))
+    // h>j CASE chain, xor-folded: positions are distinct (j*13 mod 60
+    // cycles through 9 distinct residues), so xor == setting h bits
+    val pat = (0 until 9).map(j =>
+      s"(CASE WHEN (((id div 100) + (id % 100)) % 9) > $j " +
+        s"THEN shiftleft(cast(1 as bigint), (($j * 13) + (id % 7)) % 60) " +
+        "ELSE cast(0 as bigint) END)")
+      .reduce((a, b) => s"($a ^ $b)")
+    val twins = base.filter(col("id") % 4 === 0)
+      .withColumn("fp", col("fp").bitwiseXOR(expr(pat))) // pattern of the BASE id
+      .withColumn("id", col("id") + 50L) // k in 0..7, twin slots 50..57: disjoint
+    (base, twins)
+  }
+
+  private val bandSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The band-sig fixture as TWO parquet files (originals, twins) for
+    * stream_band_pairs — phashSplitDir's design with the fingerprint
+    * already computed (the streaming body's `fingerprint` hook then just
+    * renames the column: the machinery under test is pairing, not
+    * decode). */
+  private[graft] def bandSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
+    bandSplitCache.computeIfAbsent(dir, { _ =>
+      val (base, twins) = bandSigParts(s, dir)
+      QueriesCore.writeSplitDir("sbp_in", Seq(
+        (base.select(col("id").as("media_id"), col("fp").as("data")), "0_media.parquet"),
+        (twins.select(col("id").as("media_id"), col("fp").as("data")), "1_media.parquet")))
+    })
+
   /** Shared body of the streaming fingerprint-pair twins
     * (stream_phash_pairs / stream_audiohash_pairs / stream_vhash_pairs)
     * — the pairing
@@ -298,14 +391,15 @@ object QueriesLlm {
     * construction. Parameterized on the eviction horizon so the MlSpec
     * retention gates can run NoTimeout vs a not-yet-reached horizon and
     * pin the equality (the streamDupSpans convention). */
-  private[graft] def streamFingerprintPairs(
-      s: SparkSession, inDir: java.nio.file.Path,
+  /** The streaming (id_a, id_b, hamming) pair DataFrame the twins sink —
+    * extracted from [[streamFingerprintPairs]] so stream_phash_resolve
+    * can consume the SAME pair stream through foreachBatch instead of a
+    * memory sink. Returns the un-started streaming frame; the caller
+    * owns sink, trigger and termination. */
+  private[graft] def fingerprintPairStream(
+      ss: SparkSession, inDir: java.nio.file.Path,
       fingerprint: (DataFrame, String, String) => DataFrame, sigCol: String,
       evictBucketAfterMs: Option[Long]): DataFrame = {
-    val ss = s.newSession()
-    // bucket-keyed state (one key per (block, 8-bit key) bucket seen):
-    // full scheduler width, the stream_dup_spans sizing
-    ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
     import ss.implicits._
     val blocks = 8
     val bits = 64 / blocks
@@ -322,8 +416,19 @@ object QueriesLlm {
           shiftright(col(sigCol), i * bits).bitwiseAND(lit(mask))): _*))
           .as(Seq("_blk", "_key")))
       .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
-    val pairs = graft.streaming.StreamPhash.candidatePairs(
+    graft.streaming.StreamPhash.candidatePairs(
       occ, maxHamming = 7, blocks = blocks, evictBucketAfterMs = evictBucketAfterMs)
+  }
+
+  private[graft] def streamFingerprintPairs(
+      s: SparkSession, inDir: java.nio.file.Path,
+      fingerprint: (DataFrame, String, String) => DataFrame, sigCol: String,
+      evictBucketAfterMs: Option[Long]): DataFrame = {
+    val ss = s.newSession()
+    // bucket-keyed state (one key per (block, 8-bit key) bucket seen):
+    // full scheduler width, the stream_dup_spans sizing
+    ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
+    val pairs = fingerprintPairStream(ss, inDir, fingerprint, sigCol, evictBucketAfterMs)
     val ckpt = java.nio.file.Files.createTempDirectory("sfp_ckpt").toFile
     ckpt.deleteOnExit()
     val sink = s"stream_fp_pairs_${sinkIds.incrementAndGet()}"
@@ -348,6 +453,74 @@ object QueriesLlm {
       }
     val _ = q
     ss.table(sink)
+  }
+
+  /** STREAMING dedup RESOLUTION (r15 verdict #3 — the missing topology):
+    * pairs stream out of the fingerprint machinery and an INCREMENTAL
+    * union-find folds each micro-batch into a compact (node, label)
+    * state table via foreachBatch — the two-phase island-merge form
+    * prescribed over a per-key flatMapGroupsWithState union-find
+    * (path compression across keys needs cross-group reads a keyed
+    * state fn cannot do; a state TABLE compacted per batch can).
+    *
+    * Per batch: state's (node → label) rows are themselves edges that
+    * reconnect every previously-found component (each is a min-label
+    * STAR, so re-convergence is 1-2 path-doubling rounds, not diameter);
+    * union them with the batch's new pairs and rerun the shared
+    * [[graft.ml.Dedup.connectedComponents]]. Min-label CC is CONFLUENT
+    * under this folding — stars preserve connectivity and min() is
+    * associative — so the final state equals batch CC over all pairs
+    * regardless of arrival order or batch boundaries, which is why
+    * stream_phash_resolve shares llm_phash_resolve's pinned hash
+    * verbatim. State is bounded by the nodes that EVER appear in a pair
+    * (the duplicate subset, not the corpus); alternating versioned
+    * parquet dirs keep the read side immutable while the next version
+    * writes (at deploy scale the same loop runs compaction every N
+    * batches instead of every batch). */
+  private[graft] def streamPhashResolve(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
+    val pairs = fingerprintPairStream(ss, phashSplitDir(s, dir),
+      (df, idc, dc) => Multimodal.dhashBmp(df, idc, dc), "dhash",
+      evictBucketAfterMs = None)
+    val stateRoot = deleteTreeOnExit(java.nio.file.Files.createTempDirectory("spr_state"))
+    // driver-side pointer to the latest compacted state version
+    // (foreachBatch bodies run on the driver, serially per query)
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val ckpt = java.nio.file.Files.createTempDirectory("spr_ckpt").toFile
+    ckpt.deleteOnExit()
+    val q = pairs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val b = batch.select("id_a", "id_b")
+        if (!b.isEmpty) {
+          val prev = Option(current.get()).map(p => ss.read.parquet(p))
+          val stateEdges = prev.map(_.select(col("node").as("id_a"), col("label").as("id_b")))
+          val edges = stateEdges.fold(b)(b.unionByName(_))
+          val nodes = edges.select(col("id_a").as("node"))
+            .unionByName(edges.select(col("id_b").as("node"))).distinct()
+          val next = Dedup.connectedComponents(nodes, edges)
+          val vdir = stateRoot.resolve(s"v$bid").toString
+          next.write.mode("overwrite").parquet(vdir)
+          current.set(vdir)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // resolution over the FULL node set: nodes never seen in a pair are
+    // their own singleton cluster (llm_phash_resolve's contract)
+    val off = twinOffset(s, dir)
+    val allNodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      .unionByName(t(s, dir, "documents").select((col("doc_id") + off).as("node")))
+    val state = Option(current.get())
+      .map(p => ss.read.parquet(p))
+      .getOrElse(ss.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("label")).limit(0))
+    allNodes.join(state.withColumnRenamed("label", "_lbl"), Seq("node"), "left")
+      .select(col("node").as("media_id"),
+        coalesce(col("_lbl"), col("node")).as("cluster_id"),
+        when(coalesce(col("_lbl"), col("node")) === col("node"), 1L).otherwise(0L).as("keep"))
   }
 
   /** stream_semdedup body, parameterized on the cold-cell eviction
@@ -691,6 +864,20 @@ object QueriesLlm {
         .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
           size(col("bpe")).cast(LongType).as("n_bpe"))),
 
+    // BYTE-LEVEL BPE mode (r15 verdict #4: the GPT-2-family alphabet —
+    // 256 byte base symbols, no `</w>` marker; see Bpe's fidelity note):
+    // trains its OWN 30-merge table and encodes with it, under a FULL
+    // DuckDB oracle reusing the training-chain replay with the marker
+    // term dropped. The oracle's per-CODEPOINT '.'-split equals the
+    // per-BYTE split because the driver corpus is pure ASCII (verified;
+    // BpeSpec pins the multi-byte divergence the oracle can't express).
+    "llm_bpe_encode_bytes" -> ((s, dir) =>
+      graft.ml.Bpe.encodeDocs(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
+          bpeMergeTableBytes(s, dir), byteLevel = true)
+        .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
+          size(col("bpe")).cast(LongType).as("n_bpe"))),
+
     // token stats REBASED on the trained tokenizer (train→tokenize→count
     // as one chain): subword count + per-word fertility, the stat that
     // actually sizes a training run. n_words recovered from the encoded
@@ -928,7 +1115,7 @@ object QueriesLlm {
       val evalSet = embEvalSet(ss, dir)
       val inDir = embDeconSplitDir(s, dir)
       val schema = ss.read.parquet(inDir.resolve("0_emb2.parquet").toString).schema
-      val outDir = java.nio.file.Files.createTempDirectory("sed_out")
+      val outDir = deleteTreeOnExit(java.nio.file.Files.createTempDirectory("sed_out"))
       val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString)
         // one file per micro-batch = one scan split; distribute the
@@ -1041,6 +1228,46 @@ object QueriesLlm {
       ss.read.parquet(outDir.toString)
     }),
 
+    // FULL-ORACLE gates for the banded-pairing CORE (r15 verdict #1):
+    // every rows-only perceptual/ANN gate shares hammingBandedPairs, and
+    // they are rows-only ONLY because byte decode is not SQL-expressible
+    // — the banding, bucket cap, Hamming verify and pair dedup all ARE
+    // (DuckDB: range-explode, HAVING count, xor + bit_count, DISTINCT).
+    // bandSigParts derives fingerprints from md5 hex so both engines
+    // compute them identically; the oracle replays the ENTIRE pipeline.
+    // Radius 3 (4x16-bit blocks, inert cap): exactly the planted h<=3
+    // twins — 444 pairs at the gate SF, zero false pairs.
+    "llm_band_pairs" -> ((s, dir) => {
+      val (base, twins) = bandSigParts(s, dir)
+      Dedup.hammingBandedPairs(base.unionByName(twins), "id", "fp", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast(LongType))
+    }),
+
+    // Radius 7 (8x8-bit blocks) with maxBucketSize = 32, which BINDS at
+    // the gate SF: the fixture's 60-bit fingerprints leave the high
+    // 8-bit band a 16-key space (~n/16-member degenerate buckets), so
+    // the cap drops real buckets (2 planted pairs at sf0.01) and the
+    // oracle replays the retroactive cap via HAVING count(*) <= 32 —
+    // the one branch of the batch machinery llm_band_pairs leaves cold.
+    "llm_band_pairs_r7" -> ((s, dir) => {
+      val (base, twins) = bandSigParts(s, dir)
+      Dedup.hammingBandedPairs(base.unionByName(twins), "id", "fp",
+        maxHamming = 7, maxBucketSize = 32)
+        .withColumn("hamming", col("hamming").cast(LongType))
+    }),
+
+    // STREAMING twin over the same fixture — puts StreamPhash's
+    // cross-batch bucket state + min-matching-block exactly-once
+    // emission under a FULL DuckDB oracle too (the perceptual streaming
+    // twins could only pin hashes): emission is symmetric so the emitted
+    // SET is arrival-order independent, and with the default (inert at
+    // gate SF) prospective cap it equals the batch cap-1000 replay.
+    "stream_band_pairs" -> ((s, dir) =>
+      streamFingerprintPairs(s, bandSplitDir(s, dir),
+        (df, _, _) => df.select(col("media_id"), col("data").as("bandfp")),
+        "bandfp", evictBucketAfterMs = None)
+        .withColumn("hamming", col("hamming").cast(LongType))),
+
     // exact n-gram Jaccard between consecutive docs (verification primitive)
     "llm_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1142,6 +1369,16 @@ object QueriesLlm {
     "stream_phash_pairs" -> ((s, dir) =>
       streamFingerprintPairs(s, phashSplitDir(s, dir),
         Multimodal.dhashBmp, "dhash", evictBucketAfterMs = Some(3600L * 1000))),
+
+    // STREAMING dedup RESOLUTION — closes the last open topology cell
+    // (pairs streamed; resolution was batch-only): the dHash pair stream
+    // folds through an incremental union-find (foreachBatch island-merge
+    // into a compact node→label state table, see streamPhashResolve).
+    // Min-label CC is confluent under incremental folding, so the output
+    // IS llm_phash_resolve's — shared pinned hash verbatim plus a
+    // batch==stream equality spec; rows-only for the driver (the BMP
+    // decode upstream is not SQL-expressible).
+    "stream_phash_resolve" -> ((s, dir) => streamPhashResolve(s, dir)),
 
     // STREAMING twin of llm_audiohash_pairs — completes the modality ×
     // topology matrix for perceptual pairs: the gain-invariant 64-bit
@@ -1614,10 +1851,15 @@ object QueriesLlm {
     * '(sym)(sym)…' delimiter encoding — matches share no characters, so
     * RE2's non-overlapping global scan IS the BPE apply rule. Unused
     * CTEs cost nothing (DuckDB evaluates only referenced CTEs). */
-  private def oBpeChain(n: Int): String = {
+  private def oBpeChain(n: Int, byteLevel: Boolean = false): String = {
+    // byte-level mode drops the `</w>` marker term; the '.'-split stays
+    // per codepoint, which equals per UTF-8 byte on the pure-ASCII
+    // driver corpus (the only regime the oracle can express — BpeSpec
+    // pins the multi-byte split where the two genuinely diverge)
+    val marker = if (byteLevel) "" else "(</w>)"
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS MATERIALIZED (
-         SELECT w, '(' || array_to_string(regexp_extract_all(w, '.'), ')(') || ')(</w>)' AS s, f
+         SELECT w, '(' || array_to_string(regexp_extract_all(w, '.'), ')(') || ')$marker' AS s, f
          FROM (SELECT w, count(*) AS f FROM (SELECT unnest($oTok) AS w FROM documents) GROUP BY w))"""
     for (k <- 1 to n) {
       sb ++= s""",
@@ -1666,7 +1908,50 @@ object QueriesLlm {
          isl AS (SELECT doc_id, pos, e,
                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)"""
 
+  /** DuckDB replay of the FULL banded-pairing pipeline over the
+    * bandSigParts fixture (llm_band_pairs family): fingerprint from md5
+    * hex (the sampleCoin '0x'-cast convention), planted bit-flip twins,
+    * range-explode banding, retroactive bucket cap (HAVING), Hamming
+    * verify via xor + bit_count, pair dedup via DISTINCT. Parameterized
+    * exactly like hammingBandedPairs: blocks = first of {4,8,16,32}
+    * above the radius, bits = 64/blocks. */
+  private def oBandPairs(radius: Int, cap: Int): String = {
+    val blocks = Seq(4, 8, 16, 32).find(_ > radius).get
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1L
+    val pat = (0 until 9).map(j =>
+      s"(CASE WHEN (((id // 100) + (id % 100)) % 9) > $j " +
+        s"THEN (1::BIGINT << (($j*13 + (id % 7)) % 60)) ELSE 0::BIGINT END)")
+      .reduce((a, b) => s"xor($a, $b)")
+    s"""WITH base AS (
+           SELECT doc_id*100 + r.k AS id FROM documents, range(8) r(k)
+         ), sig0 AS (
+           SELECT id, ('0x' || substr(md5(id::VARCHAR || 'graftband'), 1, 15))::BIGINT AS fp
+           FROM base
+         ), twins AS (
+           SELECT id + 50 AS id, xor(fp, $pat) AS fp FROM sig0 WHERE id % 4 = 0
+         ), sigs AS (SELECT id, fp FROM sig0 UNION ALL SELECT id, fp FROM twins),
+         blocked AS (
+           SELECT id, fp, t.j AS blk, ((fp >> (t.j*$bits)) & $mask) AS kb
+           FROM sigs, range($blocks) t(j)
+         ), small AS (
+           SELECT blk, kb FROM blocked GROUP BY 1, 2 HAVING count(*) <= $cap
+         ), bounded AS (
+           SELECT b.id, b.fp, b.blk, b.kb
+           FROM blocked b JOIN small s ON b.blk = s.blk AND b.kb = s.kb
+         )
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM bounded a JOIN bounded b ON a.blk = b.blk AND a.kb = b.kb AND a.id < b.id
+         WHERE bit_count(xor(a.fp, b.fp)) <= $radius"""
+  }
+
   private val oracleBase: Map[String, String] = Map(
+    "llm_band_pairs" -> oBandPairs(radius = 3, cap = 1000),
+    "llm_band_pairs_r7" -> oBandPairs(radius = 7, cap = 32),
+    // the streaming twin: radius 7 with the streaming default cap, inert
+    // at gate SF (prospective == retroactive while no bucket crosses it)
+    "stream_band_pairs" -> oBandPairs(radius = 7, cap = 1000),
     "llm_token_stats" ->
       s"""SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2018,6 +2303,19 @@ object QueriesLlm {
     // token stream in position order — word→subwords is the tokenizer
     "llm_bpe_encode" ->
       s"""${oBpeChain(30)},
+         dt AS (SELECT doc_id, i AS pos, t[i+1] AS w
+                FROM (SELECT doc_id, $oTok AS t FROM documents),
+                     UNNEST(generate_series(0, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 1),
+         enc AS (SELECT dt.doc_id,
+                  string_agg(array_to_string(v.toks, ' '), ' ' ORDER BY dt.pos) AS bpe_text,
+                  sum(len(v.toks))::BIGINT AS n_bpe
+                 FROM dt JOIN vocabmap v USING (w) GROUP BY dt.doc_id)
+         SELECT d.doc_id, coalesce(e.bpe_text, '') AS bpe_text,
+           coalesce(e.n_bpe, 0)::BIGINT AS n_bpe
+         FROM documents d LEFT JOIN enc e USING (doc_id)""",
+    "llm_bpe_encode_bytes" ->
+      s"""${oBpeChain(30, byteLevel = true)},
          dt AS (SELECT doc_id, i AS pos, t[i+1] AS w
                 FROM (SELECT doc_id, $oTok AS t FROM documents),
                      UNNEST(generate_series(0, len(t) - 1)) AS u(i)

@@ -170,5 +170,10 @@ object SparkEntry {
     // embedding-space decontamination (the semantic complement of the
     // n-gram decontaminate family; broadcast eval + partial-agg argmax)
     "stream_bpe_encode", "llm_embed_decontaminate",
-    "stream_embed_decontaminate")
+    "stream_embed_decontaminate",
+    // round 16: the banded-pairing core under a FULL DuckDB oracle (the
+    // r3 batch form — 4x16-bit blocks over SQL-replayable fingerprints),
+    // streaming dedup RESOLUTION (incremental union-find over the pair
+    // stream), and byte-level BPE encode (the GPT-2-family alphabet)
+    "llm_band_pairs", "stream_phash_resolve", "llm_bpe_encode_bytes")
 }

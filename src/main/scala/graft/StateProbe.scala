@@ -104,6 +104,7 @@ object StateProbe {
         val q0 = writer
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
           .start()
+        pm.bind(q0) // pin the session-wide listener to this query (r15 advice)
         // drain the input, then LINGER so the horizon actually elapses for
         // the last batches' singletons (drainAndStop would stop at the
         // first empty batch, before any timeout fires)
@@ -115,6 +116,7 @@ object StateProbe {
         val q0 = writer
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        pm.bind(q0) // pin the session-wide listener to this query (r15 advice)
         q0.awaitTermination()
         q0
       }

@@ -84,6 +84,7 @@ object StreamSemProbe {
       .outputMode("append").option("checkpointLocation", ckpt.getPath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    pm.bind(q) // pin the session-wide listener to this query (r15 advice)
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     pm.finish(q)

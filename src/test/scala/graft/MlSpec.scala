@@ -477,6 +477,11 @@ class MlSpec extends SparkSpec {
       // same way (fingerprint-agnostic machinery, symmetric emission)
       "stream_audiohash_pairs" -> "da20d0fb8b2743ac",
       "stream_vhash_pairs" -> "4f33437bda244558",
+      // streaming RESOLUTION shares the batch pin VERBATIM: the emitted
+      // pair set is arrival-order independent (above) and min-label CC
+      // is confluent under incremental union-find folding — the state
+      // table's stars preserve connectivity and min() is associative
+      "stream_phash_resolve" -> "19bd2cf41155ef3a",
       "llm_semdedup" -> "d2ea5336e9599c63",      // 1000 rows (500 planted twins)
       // the streaming twin shares the batch pin VERBATIM: frozen
       // centroids from the same deterministic training, priority-ordered
@@ -1860,5 +1865,92 @@ class MlSpec extends SparkSpec {
     assert(got.except(best).isEmpty && best.except(got).isEmpty)
     // non-vacuity: multi-member clusters exist
     assert(got.filter(col("n_members") > 1).count() > 0)
+  }
+
+  test("band-pairs family: planted bit-flip twins pair exactly by radius; r7 cap binds") {
+    // INDEPENDENT expectation, computed from the fixture's planting rule
+    // without the pairing machinery: every k%4==0 sig row has a twin at
+    // id+50 whose fingerprint differs in h = (doc_id + k) % 9 bits, so
+    // radius r must pair exactly the h <= r twins (pigeonhole recall with
+    // an inert cap) and nothing else (60-bit md5 fingerprints make a
+    // false pair astronomically unlikely AND deterministic if it ever
+    // appeared — the DuckDB oracle replays it identically).
+    val (base, twins) = QueriesLlm.bandSigParts(spark, gateSf)
+    val h = ((col("id") - 50L) / 100L).cast("long").plus((col("id") - 50L) % 100L) % 9L
+    val expect = twins.select((col("id") - 50L).as("id_a"), col("id").as("id_b"), h.as("h"))
+      .as[(Long, Long, Long)].collect().toSeq
+    def got(name: String): Set[(Long, Long, Long)] =
+      QueriesLlm.queries(name)(spark, gateSf)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+
+    val r3 = got("llm_band_pairs")
+    val exp3 = expect.filter(_._3 <= 3).map(t => (t._1, t._2, t._3)).toSet
+    assert(r3 == exp3, s"r3: got ${r3.size}, expected ${exp3.size} planted h<=3 twins")
+
+    val exp7 = expect.filter(_._3 <= 7).map(t => (t._1, t._2, t._3)).toSet
+    val stream = got("stream_band_pairs")
+    assert(stream == exp7,
+      s"stream (inert cap): got ${stream.size}, expected ${exp7.size} planted h<=7 twins")
+
+    // batch==stream at the inert cap, via the machinery itself
+    val inert = graft.ml.Dedup.hammingBandedPairs(
+        base.unionByName(twins), "id", "fp", maxHamming = 7)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inert == stream, "batch inert-cap != streaming emitted set")
+
+    // the r7 gate's cap = 32 BINDS: strict subset, nothing new admitted
+    val r7 = got("llm_band_pairs_r7")
+    assert(r7.subsetOf(exp7), "capped r7 admitted a non-planted pair")
+    assert(r7.size < exp7.size,
+      s"cap 32 did not bind at the gate SF (${r7.size} == ${exp7.size}) — " +
+        "the r7 gate would no longer exercise the bucket-cap branch")
+  }
+
+  test("stream_phash_resolve == llm_phash_resolve (incremental union-find confluence)") {
+    // min-label CC folded incrementally over the streamed pair batches
+    // must equal one batch CC over all pairs — confluence, asserted on
+    // the real fixture next to the shared pin
+    val batch = QueriesLlm.queries("llm_phash_resolve")(spark, gateSf)
+      .as[(Long, Long, Long)].collect().toSet
+    val stream = QueriesLlm.queries("stream_phash_resolve")(spark, gateSf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == stream,
+      s"batch-only ${(batch -- stream).take(3)} stream-only ${(stream -- batch).take(3)}")
+    // non-vacuity: duplicate clusters exist (keep = 0 rows present)
+    assert(stream.exists(_._3 == 0L), "no multi-member cluster in the fixture")
+  }
+
+  test("byte-level BPE: no </w> marker, byte alphabet, fixture merges hand-derived") {
+    // the Sennrich running example WITHOUT the end-of-word marker: the
+    // learned table genuinely differs (no est+</w> merge exists; the
+    // cascade ends in whole words) — expected rows re-derived by hand
+    // and cross-checked with an independent reference implementation
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    def table(limit: Long) =
+      graft.ml.Bpe.bpeMerges(corpus, "text", nMerges = 10,
+          localVocabLimit = limit, byteLevel = true)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val expected = Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L),
+      ("e", "w", 6L), ("ew", "est", 6L), ("n", "ewest", 6L),
+      ("d", "est", 3L), ("i", "dest", 3L), ("w", "idest", 3L))
+    val local = table(graft.ml.Bpe.defaultLocalVocabLimit)
+    assert(local == expected, s"byte merge table:\n${local.mkString("\n")}")
+    // the merge-axis fork holds in byte mode too: bit-identical paths
+    assert(table(0L) == expected, "distributed byte-level path diverged")
+
+    // where byte-level and codepoint modes genuinely diverge (the
+    // DuckDB oracle only sees the ASCII regime): multi-byte codepoints
+    // split into their UTF-8 BYTES, and there is no marker symbol
+    import graft.ml.Bpe
+    assert(Bpe.symbolizeBytes("ab") == Seq("a", "b"))
+    assert(Bpe.symbolizeBytes("\u00e9").map(_.charAt(0).toInt) == Seq(0xC3, 0xA9))
+    val gothic = new String(Character.toChars(0x10348)) // U+10348: 4 UTF-8 bytes
+    assert(Bpe.symbolizeBytes(gothic).length == 4)
+    assert(Bpe.symbolize(gothic).length == 2) // codepoint mode: symbol + </w>
   }
 }
