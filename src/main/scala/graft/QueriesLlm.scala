@@ -477,12 +477,17 @@ object QueriesLlm {
     * parquet dirs keep the read side immutable while the next version
     * writes (at deploy scale the same loop runs compaction every N
     * batches instead of every batch). */
-  private[graft] def streamPhashResolve(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
-    val pairs = fingerprintPairStream(ss, phashSplitDir(s, dir),
-      (df, idc, dc) => Multimodal.dhashBmp(df, idc, dc), "dhash",
-      evictBucketAfterMs = None)
+  /** Fold a streaming (id_a, id_b, ...) pair frame through the
+    * incremental union-find: each micro-batch's pairs union with the
+    * previous compacted state's (node → label) star edges and re-run
+    * [[graft.ml.Dedup.connectedComponents]]; the result overwrites the
+    * state (alternating versioned dirs keep the read side immutable
+    * while the next version writes). Returns the FINAL compacted state,
+    * or None if no pair ever arrived. Shared by stream_phash_resolve
+    * and ResolveProbe so the gate and the scale probe measure the same
+    * machinery. */
+  private[graft] def runIncrementalResolve(ss: SparkSession, pairs: DataFrame)
+      : Option[DataFrame] = {
     val stateRoot = deleteTreeOnExit(java.nio.file.Files.createTempDirectory("spr_state"))
     // driver-side pointer to the latest compacted state version
     // (foreachBatch bodies run on the driver, serially per query)
@@ -509,13 +514,22 @@ object QueriesLlm {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Option(current.get()).map(p => ss.read.parquet(p))
+  }
+
+  private[graft] def streamPhashResolve(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", Tables.fanout(ss).toString)
+    val pairs = fingerprintPairStream(ss, phashSplitDir(s, dir),
+      (df, idc, dc) => Multimodal.dhashBmp(df, idc, dc), "dhash",
+      evictBucketAfterMs = None)
+    val finalState = runIncrementalResolve(ss, pairs)
     // resolution over the FULL node set: nodes never seen in a pair are
     // their own singleton cluster (llm_phash_resolve's contract)
     val off = twinOffset(s, dir)
     val allNodes = t(s, dir, "documents").select(col("doc_id").as("node"))
       .unionByName(t(s, dir, "documents").select((col("doc_id") + off).as("node")))
-    val state = Option(current.get())
-      .map(p => ss.read.parquet(p))
+    val state = finalState
       .getOrElse(ss.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("label")).limit(0))
     allNodes.join(state.withColumnRenamed("label", "_lbl"), Seq("node"), "left")
       .select(col("node").as("media_id"),
