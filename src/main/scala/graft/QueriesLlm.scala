@@ -1960,7 +1960,40 @@ object QueriesLlm {
          WHERE bit_count(xor(a.fp, b.fp)) <= $radius"""
   }
 
+  /** DuckDB replay of TextAnalysis.langId (r16: previously rows-only for
+    * no reason — the heuristic is a pure Column expression): per-language
+    * stopword hit rates (IN-lists built from TextAnalysis.profiles
+    * ITSELF so they cannot drift), argmax with the 0.02 floor in profile
+    * order (the foldRight when-chain's tie rule), CJK share for zh.
+    * Score division is int/int in IEEE double in both engines —
+    * bit-identical, so `s = best` equality replays exactly. */
+  private def oLangId: String = {
+    val scores = graft.ml.TextAnalysis.profiles.toSeq.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      lang -> (s"CASE WHEN len(t) = 0 THEN 0.0 ELSE " +
+        s"len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)::DOUBLE END")
+    }
+    val cols = scores.map { case (lang, e) => s"$e AS s_$lang" }.mkString(",\n           ")
+    val best = scores.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")
+    val picks = scores.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND s_$lang > 0.02 THEN '$lang'" }.mkString("\n           ")
+    s"""WITH tok AS (SELECT doc_id, lang, text, $oTok AS t FROM documents),
+         sc AS (SELECT doc_id, lang,
+           $cols,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE len(regexp_extract_all(text, '[\\p{Han}]'))::DOUBLE / length(text)::DOUBLE
+           END AS cjk
+          FROM tok),
+         b AS (SELECT *, $best AS best FROM sc)
+         SELECT doc_id, lang,
+           CASE WHEN cjk > 0.2 THEN 'zh'
+           $picks
+           ELSE 'und' END AS lang_pred
+         FROM b"""
+  }
+
   private val oracleBase: Map[String, String] = Map(
+    "llm_langid" -> oLangId,
     "llm_band_pairs" -> oBandPairs(radius = 3, cap = 1000),
     "llm_band_pairs_r7" -> oBandPairs(radius = 7, cap = 32),
     // the streaming twin: radius 7 with the streaming default cap, inert

@@ -59,7 +59,9 @@ object TextAnalysis {
   }
 
   // ---- language ID: stopword-profile heuristic over 5 languages -----------
-  private val profiles: Map[String, Seq[String]] = Map(
+  // private[graft]: the llm_langid DuckDB oracle builds its IN-lists
+  // from THIS value, so profile edits cannot drift from the replay
+  private[graft] val profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "was", "with"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los", "una", "para"),
     // "im"/"wir"/"haben" are unambiguous German markers ("in" alone ties
