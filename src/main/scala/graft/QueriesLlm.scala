@@ -1310,6 +1310,23 @@ object QueriesLlm {
     "llm_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 7)),
 
+    // The md5-keyed SIMHASH gate (r16): llm_simhash_pairs is rows-only
+    // solely because its token hash is xxhash64 (absent from DuckDB);
+    // keying the SAME vote kernel + banding machinery with the md5
+    // 60-bit convention puts the simhash KERNEL itself under a FULL
+    // oracle over the real planted corpus — the one piece of the
+    // text-side near-dup family the band-pairs fixture doesn't reach
+    // (the fixture's fingerprints are arithmetic; these are sign-sum
+    // votes over per-occurrence token hashes).
+    "llm_simhash_pairs_md5" -> ((s, dir) => {
+      val sigs = plantedCorpus(s, dir).repartition(Tables.fanout(s))
+        .select(col("doc_id").as("id"),
+          Dedup.simhashUdf(transform(Dedup.tokens(col("text")),
+            t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))).as("fp"))
+      Dedup.hammingBandedPairs(sigs, "id", "fp", maxHamming = 7)
+        .withColumn("hamming", col("hamming").cast(LongType))
+    }),
+
     // PERCEPTUAL image near-dup pairs — the dedup granularity for the
     // multimodal column (re-encoded/brightness-shifted copies of the
     // same image that byte-level dedup cannot see): 64-bit dHash over
@@ -1945,7 +1962,19 @@ object QueriesLlm {
          ), twins AS (
            SELECT id + 50 AS id, xor(fp, $pat) AS fp FROM sig0 WHERE id % 4 = 0
          ), sigs AS (SELECT id, fp FROM sig0 UNION ALL SELECT id, fp FROM twins),
-         blocked AS (
+         ${oBandedTail(radius, cap)}"""
+  }
+
+  /** The hammingBandedPairs replay TAIL over a preceding `sigs(id, fp)`
+    * CTE: range-explode banding, retroactive bucket cap, Hamming verify,
+    * pair dedup — factored so every gate whose fingerprints ARE
+    * SQL-derivable (band fixture, md5-keyed simhash) provably replays
+    * the same machinery. */
+  private def oBandedTail(radius: Int, cap: Int): String = {
+    val blocks = Seq(4, 8, 16, 32).find(_ > radius).get
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1L
+    s"""blocked AS (
            SELECT id, fp, t.j AS blk, ((fp >> (t.j*$bits)) & $mask) AS kb
            FROM sigs, range($blocks) t(j)
          ), small AS (
@@ -1959,6 +1988,30 @@ object QueriesLlm {
          FROM bounded a JOIN bounded b ON a.blk = b.blk AND a.kb = b.kb AND a.id < b.id
          WHERE bit_count(xor(a.fp, b.fp)) <= $radius"""
   }
+
+  /** DuckDB replay of the FULL md5-keyed simhash pipeline over the
+    * planted corpus (llm_simhash_pairs_md5): per-OCCURRENCE 60-bit md5
+    * token hashes (duplicates vote once each — unnest, not
+    * list_distinct), the sign-sum vote kernel per bit, sig assembly,
+    * then the shared banded tail. Bits 60-63 of the 60-bit hash are
+    * structurally zero, so every vote there is -1 and the sig bit never
+    * sets — range(60) suffices and bit 63 can never demand an
+    * overflowing shift. Zero-token docs keep sig 0 via the LEFT JOIN
+    * (the UDF's empty-accumulator result). */
+  private def oSimhashMd5(radius: Int, cap: Int): String =
+    s"""WITH corpus AS ($oCorpus),
+         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
+         occ AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 15))::BIGINT AS h
+                 FROM tok, UNNEST(t) AS u(x)),
+         votes AS (SELECT doc_id, b.j AS bit,
+                    sum(CASE WHEN ((h >> b.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                   FROM occ, range(60) b(j) GROUP BY 1, 2),
+         sigagg AS (SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS fp
+                    FROM votes GROUP BY doc_id),
+         sigs AS (SELECT c.doc_id AS id, coalesce(s.fp, 0) AS fp
+                  FROM corpus c LEFT JOIN sigagg s USING (doc_id)),
+         ${oBandedTail(radius, cap)}"""
 
   /** DuckDB replay of TextAnalysis.langId (r16: previously rows-only for
     * no reason — the heuristic is a pure Column expression): per-language
@@ -1995,6 +2048,7 @@ object QueriesLlm {
   private val oracleBase: Map[String, String] = Map(
     "llm_langid" -> oLangId,
     "llm_band_pairs" -> oBandPairs(radius = 3, cap = 1000),
+    "llm_simhash_pairs_md5" -> oSimhashMd5(radius = 7, cap = 1000),
     "llm_band_pairs_r7" -> oBandPairs(radius = 7, cap = 32),
     // the streaming twin: radius 7 with the streaming default cap, inert
     // at gate SF (prospective == retroactive while no bucket crosses it)

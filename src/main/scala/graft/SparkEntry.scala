@@ -175,5 +175,8 @@ object SparkEntry {
     // r3 batch form — 4x16-bit blocks over SQL-replayable fingerprints),
     // streaming dedup RESOLUTION (incremental union-find over the pair
     // stream), and byte-level BPE encode (the GPT-2-family alphabet)
-    "llm_band_pairs", "stream_phash_resolve", "llm_bpe_encode_bytes")
+    "llm_band_pairs", "stream_phash_resolve", "llm_bpe_encode_bytes",
+    // round 16 late: the md5-keyed simhash (vote kernel under full
+    // oracle — watch it beside the xxhash production form)
+    "llm_simhash_pairs_md5")
 }
