@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables
 import graft.functions.Blob
 import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1310,6 +1310,48 @@ object QueriesLlm {
     "llm_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 7)),
 
+    // The md5-keyed MINHASH-LSH gate (r16, llm_simhash_pairs_md5's
+    // sibling): the production minhash is rows-only because its shingle
+    // base is xxhash64 — but the minhash KERNEL (universal-hash
+    // min-fold, a_j/b_j from the seeded family), the band-bucket join,
+    // the bucket cap and the exact-Jaccard verify are all replayable
+    // once the shingle/band hashes ride the md5 60-bit convention. The
+    // oracle embeds the (a_j, b_j) constants from Dedup.hashParams
+    // ITSELF (the nlp convention: model constants in the SQL), so the
+    // hash family cannot drift from the replay. Reduced family
+    // (8 bands x 2 rows = 16 hashes) keeps the DuckDB side linear.
+    "llm_minhash_pairs_md5" -> ((s, dir) => {
+      val n = 3; val bands = 8; val rpb = 2; val thr = 0.4
+      val mdLong = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val th = transform(Dedup.tokens(col("text")), t => mdLong(t))
+      val m = size(th) - (n - 1)
+      val windows = (1 to n).map(k => slice(th, lit(k), greatest(m, lit(0))))
+      val combined = windows.reduce((a, b) => zip_with(a, b,
+        (x, y) => mdLong(concat(x.cast(StringType), lit(","), y.cast(StringType)))))
+      val sh = array_distinct(when(size(th) < n,
+          array(mdLong(array_join(transform(th, _.cast(StringType)), ","))))
+        .otherwise(combined))
+      val withSig = plantedCorpus(s, dir).repartition(Tables.fanout(s))
+        .select(col("doc_id").as("_id"), sh.as("_sh"))
+        .withColumn("_sig", Dedup.minhashSigUdf(bands * rpb, 42L)(col("_sh")))
+        .localCheckpoint(false)
+      val banded = withSig.select(col("_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          i => mdLong(array_join(transform(
+            slice(col("_sig"), i * rpb + 1, lit(rpb)), _.cast(StringType)), ","))))
+          .as(Seq("_band", "_bkey")))
+      val candidates = Dedup.boundedBucketPairs(banded, "_id", Seq("_band", "_bkey"), 1000)
+      candidates
+        .join(withSig.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+        .join(withSig.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+        .withColumn("_j",
+          size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+            size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
+        .filter(col("_j") >= thr)
+        .select(col("id_a"), col("id_b"), round(col("_j"), 6).as("jaccard"))
+    }),
+
     // The md5-keyed SIMHASH gate (r16): llm_simhash_pairs is rows-only
     // solely because its token hash is xxhash64 (absent from DuckDB);
     // keying the SAME vote kernel + banding machinery with the md5
@@ -2045,8 +2087,59 @@ object QueriesLlm {
          FROM b"""
   }
 
+  /** DuckDB replay of the FULL md5-keyed minhash-LSH pipeline
+    * (llm_minhash_pairs_md5): md5 60-bit token hashes, the shingle
+    * combine fold (f(f(h_i, h_i+1), h_i+2) — exactly the zip_with
+    * reduction), the universal-hash min-fold with the (a_j, b_j)
+    * constants EMBEDDED from Dedup.hashParams itself, md5 band keys,
+    * bucket cap, candidate dedup, exact-Jaccard verify over the
+    * distinct shingle sets (|union| = |a|+|b|-|intersect| on distinct
+    * lists). Shingle values are nonnegative (60-bit md5), so DuckDB's
+    * sign-of-dividend % equals the UDF's floorMod, and a*x' stays
+    * below 2^62 — no overflow divergence. */
+  private def oMinhashMd5(bands: Int, rpb: Int, thr: Double, cap: Int): String = {
+    val vals = graft.ml.Dedup.hashParams(bands * rpb, 42L).zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+    s"""WITH corpus AS ($oCorpus),
+         tok AS (SELECT doc_id, $oTok AS t FROM corpus),
+         th AS (SELECT doc_id,
+                 list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+                FROM tok),
+         shx AS (SELECT doc_id,
+                  ('0x' || substr(md5(
+                    ('0x' || substr(md5(h[i]::VARCHAR || ',' || h[i+1]::VARCHAR), 1, 15))::BIGINT::VARCHAR
+                    || ',' || h[i+2]::VARCHAR), 1, 15))::BIGINT AS s
+                 FROM th, UNNEST(generate_series(1, len(h) - 2)) AS u(i)
+                 WHERE len(h) >= 3),
+         shagg AS (SELECT doc_id, list_distinct(list(s)) AS sh FROM shx GROUP BY doc_id),
+         shsmall AS (SELECT doc_id,
+                  [('0x' || substr(md5(array_to_string(h, ',')), 1, 15))::BIGINT] AS sh
+                 FROM th WHERE len(h) < 3),
+         shs AS (SELECT doc_id, sh FROM shagg UNION ALL SELECT doc_id, sh FROM shsmall),
+         params(j, a, b) AS (VALUES $vals),
+         occ AS (SELECT doc_id, u.s FROM shs, UNNEST(sh) AS u(s)),
+         sig AS (SELECT doc_id, p.j,
+                  min(((s % 2147483647) * p.a + p.b) % 2147483647) AS v
+                 FROM occ CROSS JOIN params p GROUP BY 1, 2),
+         bandk AS (SELECT doc_id, j // $rpb AS band,
+                    ('0x' || substr(md5(string_agg(v::VARCHAR, ',' ORDER BY j)), 1, 15))::BIGINT AS bkey
+                   FROM sig GROUP BY doc_id, j // $rpb),
+         small AS (SELECT band, bkey FROM bandk GROUP BY 1, 2 HAVING count(*) <= $cap),
+         bounded AS (SELECT k.doc_id, k.band, k.bkey
+                     FROM bandk k JOIN small s ON k.band = s.band AND k.bkey = s.bkey),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bounded a JOIN bounded b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         ver AS (SELECT c.id_a, c.id_b,
+                  len(list_intersect(x.sh, y.sh))::DOUBLE /
+                  (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE AS j
+                 FROM cand c JOIN shs x ON x.doc_id = c.id_a JOIN shs y ON y.doc_id = c.id_b)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver WHERE j >= $thr"""
+  }
+
   private val oracleBase: Map[String, String] = Map(
     "llm_langid" -> oLangId,
+    "llm_minhash_pairs_md5" -> oMinhashMd5(bands = 8, rpb = 2, thr = 0.4, cap = 1000),
     "llm_band_pairs" -> oBandPairs(radius = 3, cap = 1000),
     "llm_simhash_pairs_md5" -> oSimhashMd5(radius = 7, cap = 1000),
     "llm_band_pairs_r7" -> oBandPairs(radius = 7, cap = 32),

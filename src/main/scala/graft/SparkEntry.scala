@@ -176,7 +176,7 @@ object SparkEntry {
     // streaming dedup RESOLUTION (incremental union-find over the pair
     // stream), and byte-level BPE encode (the GPT-2-family alphabet)
     "llm_band_pairs", "stream_phash_resolve", "llm_bpe_encode_bytes",
-    // round 16 late: the md5-keyed simhash (vote kernel under full
-    // oracle — watch it beside the xxhash production form)
-    "llm_simhash_pairs_md5")
+    // round 16 late: the md5-keyed simhash + minhash (vote/min-fold
+    // kernels under full oracles — watch beside the xxhash forms)
+    "llm_simhash_pairs_md5", "llm_minhash_pairs_md5")
 }

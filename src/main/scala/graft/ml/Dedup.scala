@@ -57,7 +57,9 @@ object Dedup {
   // with x' = x mod p pre-reduced, so a*x' <= (2^31)^2 < 2^63 — no Long
   // overflow under ANSI mode. 31-bit minhash values are plenty for LSH.
   private val P = 2147483647L
-  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  // private[graft]: the llm_minhash_pairs_md5 oracle embeds these
+  // constants in its SQL so the replay cannot drift from the UDF
+  private[graft] def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
   }
@@ -180,7 +182,7 @@ object Dedup {
     * drops the hot key's rows before the quadratic pair join). The slim
     * band rows are localCheckpoint'ed once — both the size aggregate and
     * the join probe consume them without recomputing upstream signatures. */
-  private[ml] def boundedBucketPairs(df: DataFrame, idCol: String,
+  private[graft] def boundedBucketPairs(df: DataFrame, idCol: String,
                                      bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
     val in = df.localCheckpoint(false)
     val small = in.groupBy(bucketKeys.map(col): _*)
