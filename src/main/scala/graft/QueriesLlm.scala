@@ -2137,9 +2137,82 @@ object QueriesLlm {
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver WHERE j >= $thr"""
   }
 
+  /** DuckDB replay of the FULL hyperplane-LSH embedding near-dup
+    * pipeline (llm_embed_pairs — previously rows-only): the plane
+    * weights are EMBEDDED from the same seeded draws
+    * Similarity.hyperplaneSignature makes (Random(seed + t) gaussians,
+    * row-major), each plane's dot product is written as a
+    * left-associated term chain over v[i]::DOUBLE — the same
+    * multiply-then-accumulate order as the UDF's loop, so the sign bits
+    * are IEEE-bit-identical, not approximately equal — then band
+    * buckets, cap, candidate dedup and the cosine >= threshold verify
+    * (list_cosine_similarity, the llm_cosine_topk convention; rounded
+    * only in the output). The planted twins perturb in FLOAT
+    * (x*1.05f + 0.01f) and DuckDB REAL arithmetic is float-exact, so
+    * the fixture replays bit-identically too. */
+  /** One hyperplane-table signature as SQL over a column `v` — the
+    * weights replayed from the same seeded draws hyperplaneSignature
+    * makes; the dot is a left-associated chain matching the UDF's
+    * accumulate order bit-for-bit. Shared by the llm_embed_pairs and
+    * llm_ann_lsh oracles. */
+  private def oHyperplaneSig(dim: Int, planes: Int, seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val m = Array.fill(planes, dim)(rnd.nextGaussian())
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map(i => s"(${m(p)(i)})*(v[${i + 1}]::DOUBLE)").mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
+  }
+
+  private def oEmbedPairs(dim: Int, planes: Int, tables: Int, seed: Long,
+                          thr: Double, cap: Int): String = {
+    val bandSelects = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${oHyperplaneSig(dim, planes, seed + t)} AS sig FROM vecs")
+      .mkString("\n UNION ALL ")
+    s"""WITH twins AS (SELECT vec_id + 100000 AS vec_id,
+           list_prepend((embedding[1] * 1.05::REAL + 0.01::REAL)::REAL, embedding[2:]) AS v
+         FROM embeddings),
+         vecs AS (SELECT vec_id, embedding AS v FROM embeddings
+                  UNION ALL SELECT vec_id, v FROM twins),
+         banded AS ($bandSelects),
+         small AS (SELECT tbl, sig FROM banded GROUP BY 1, 2 HAVING count(*) <= $cap),
+         bounded AS (SELECT b.vec_id, b.tbl, b.sig
+                     FROM banded b JOIN small s ON b.tbl = s.tbl AND b.sig = s.sig),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM bounded a JOIN bounded b
+                  ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         ver AS (SELECT c.id_a, c.id_b,
+                  list_cosine_similarity(CAST(x.v AS DOUBLE[]), CAST(y.v AS DOUBLE[])) AS cos
+                 FROM cand c JOIN vecs x ON x.vec_id = c.id_a JOIN vecs y ON y.vec_id = c.id_b)
+         SELECT id_a, id_b, round(cos, 6) AS cosine FROM ver WHERE cos >= $thr"""
+  }
+
   private val oracleBase: Map[String, String] = Map(
     "llm_langid" -> oLangId,
     "llm_minhash_pairs_md5" -> oMinhashMd5(bands = 8, rpb = 2, thr = 0.4, cap = 1000),
+    "llm_embed_pairs" ->
+      oEmbedPairs(dim = 64, planes = 12, tables = 4, seed = 42L, thr = 0.95, cap = 1000),
+    // LSH ANN replay (llm_ann_lsh — previously rows-only): same
+    // bit-exact hyperplane sigs, bucket join against the vec_id < 5
+    // query side, cosine rounded BEFORE ranking (lshTopK's rounded-rank
+    // convention), row_number (cosine DESC, vec_id)
+    "llm_ann_lsh" -> {
+      val bandSelects = (0 until 6).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${oHyperplaneSig(64, 10, 42L + t)} AS sig FROM vecs")
+        .mkString("\n UNION ALL ")
+      s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+         banded AS ($bandSelects),
+         qb AS (SELECT vec_id AS query_id, tbl, sig FROM banded WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q.query_id, b.vec_id
+                  FROM banded b JOIN qb q ON b.tbl = q.tbl AND b.sig = q.sig),
+         ver AS (SELECT c.query_id, c.vec_id,
+                  round(list_cosine_similarity(CAST(x.v AS DOUBLE[]), CAST(y.v AS DOUBLE[])), 6) AS cosine
+                 FROM cand c JOIN vecs x ON x.vec_id = c.vec_id
+                      JOIN vecs y ON y.vec_id = c.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS rank FROM ver)
+         SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5"""
+    },
     "llm_band_pairs" -> oBandPairs(radius = 3, cap = 1000),
     "llm_simhash_pairs_md5" -> oSimhashMd5(radius = 7, cap = 1000),
     "llm_band_pairs_r7" -> oBandPairs(radius = 7, cap = 32),

@@ -401,7 +401,10 @@ object Similarity {
     val q = broadcast(withBuckets(queries, queryId, queryVec, "query_id", "_qv"))
     val scored = c.join(q, Seq("_tbl", "_sig"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("cosine", Blob.cosineSimilarity(col("_cv"), col("_qv")))
+      // rank on the ROUNDED cosine (the llm_dsir convention): last-ulp
+      // engine differences must not flip a rank decision, so external
+      // replays (the llm_ann_lsh DuckDB oracle) order bit-identically
+      .withColumn("cosine", round(Blob.cosineSimilarity(col("_cv"), col("_qv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

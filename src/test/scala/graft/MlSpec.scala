@@ -446,12 +446,15 @@ class MlSpec extends SparkSpec {
   }
 
   test("no-oracle gate queries pin exact result-set hashes at the gate SF") {
-    // The six rows the driver can only rows-only-check (no SQL oracle for
+    // Rows the driver could only rows-only-check (no SQL oracle for
     // banded/probabilistic plans) are DETERMINISTIC under their fixed
     // seeds: pin the exact sorted result set by hash so a banding/probing
     // regression cannot hide behind a stable row count (round-5 verdict
     // #8). Testdata is the driver's seed-42 set; if a future round
     // regenerates it, re-pin from this test's info() lines.
+    // r16 note: llm_langid, llm_embed_pairs and llm_ann_lsh have since
+    // GRADUATED to full DuckDB oracles (md5/embedded-constant replays);
+    // their pins stay as an extra same-engine determinism gate.
     val dir = "/root/testdata/sf0.01"
     val pins = Map(
       "llm_minhash_pairs" -> "3b6805c9a3d973a0", // 568 pairs
