@@ -503,7 +503,12 @@ object QueriesLlm {
           val edges = stateEdges.fold(b)(b.unionByName(_))
           val nodes = edges.select(col("id_a").as("node"))
             .unionByName(edges.select(col("id_b").as("node"))).distinct()
-          val next = Dedup.connectedComponents(nodes, edges)
+          // rounds = 4 (reach 4), not the default 6 (reach 16): the prior
+          // state is min-label STARS (depth 1), so only the new batch's
+          // own pair chains add diameter; CC's 3-round escalation still
+          // covers a pathological long-chain batch, this just stops
+          // paying two no-op rounds per compaction in the common case
+          val next = Dedup.connectedComponents(nodes, edges, rounds = 4)
           val vdir = stateRoot.resolve(s"v$bid").toString
           next.write.mode("overwrite").parquet(vdir)
           current.set(vdir)
