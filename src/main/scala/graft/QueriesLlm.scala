@@ -883,6 +883,21 @@ object QueriesLlm {
         .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
           size(col("bpe")).cast(LongType).as("n_bpe"))),
 
+    // Tokenizer ROUNDTRIP gate (r16): decode(encode(doc)) must equal the
+    // tokenizer-input token stream — the losslessness invariant every
+    // tokenizer ships with, stated as its own oracle row rather than
+    // implied by the encode gate. Decode is pure Column work: subwords
+    // concatenate (merges only ever concatenate), `</w>` marks word
+    // ends -> one space; the oracle computes the SAME string from the
+    // raw tokens without ever seeing the tokenizer, so a lossy merge
+    // table or a decode bug cannot hash-match.
+    "llm_bpe_roundtrip" -> ((s, dir) =>
+      graft.ml.Bpe.encodeDocs(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
+          bpeMergeTable(s, dir))
+        .select(col("doc_id"),
+          rtrim(regexp_replace(array_join(col("bpe"), ""), "</w>", " ")).as("decoded_text"))),
+
     // BYTE-LEVEL BPE mode (r15 verdict #4: the GPT-2-family alphabet —
     // 256 byte base symbols, no `</w>` marker; see Bpe's fidelity note):
     // trains its OWN 30-merge table and encodes with it, under a FULL
@@ -2586,6 +2601,10 @@ object QueriesLlm {
          SELECT d.doc_id, coalesce(e.bpe_text, '') AS bpe_text,
            coalesce(e.n_bpe, 0)::BIGINT AS n_bpe
          FROM documents d LEFT JOIN enc e USING (doc_id)""",
+    // roundtrip: the oracle NEVER runs the tokenizer — losslessness
+    // means decode(encode(text)) == the raw token stream re-joined
+    "llm_bpe_roundtrip" ->
+      s"""SELECT doc_id, array_to_string($oTok, ' ') AS decoded_text FROM documents""",
     "llm_bpe_encode_bytes" ->
       s"""${oBpeChain(30, byteLevel = true)},
          dt AS (SELECT doc_id, i AS pos, t[i+1] AS w
