@@ -3,14 +3,18 @@
 them from the artifacts, never hand-count — two rounds of off-by-one).
 
 Counts, from the artifacts themselves:
-  - declared queries  = len(SparkEntry.queries)     (via Verify's outDir,
-    or the live CORRECTNESS json if no outDir is given)
+  - declared queries: len(CORRECTNESS json); if a Verify outDir is also
+    given, the query dirs under it are counted INDEPENDENTLY and any
+    set difference is flagged (a query that crashed before the driver
+    wrote its record would otherwise silently undercount — review
+    finding r16)
   - full oracle / rows-only / errors from CORRECTNESS_r{N}.json
   - test counts from the last `sbt -batch test` log, if provided
 
-Usage: python3 scripts/closeout_counts.py CORRECTNESS_r16.json [sbttest.log]
+Usage: closeout_counts.py CORRECTNESS_rN.json [sbttest.log] [verify_outdir]
 """
 import json
+import os
 import re
 import sys
 
@@ -26,13 +30,26 @@ print(f"full hash-match  : {full}")
 print(f"rows-only        : {len(rows_only)} -> {', '.join(rows_only)}")
 print(f"errors           : {len(errs)} -> {', '.join(errs) or 'none'}")
 
-if len(sys.argv) > 2:
-    log = open(sys.argv[2], errors="replace").read()
-    m = re.findall(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", log)
-    if m:
-        ok = sum(int(a) for a, _, _ in m)
-        bad = sum(int(b) for _, b, _ in m)
-        print(f"tests            : {ok} succeeded, {bad} failed over {len(m)} suites")
+for arg in sys.argv[2:]:
+    if os.path.isdir(arg):
+        dirs = sorted(d for d in os.listdir(arg)
+                      if os.path.isdir(os.path.join(arg, d)))
+        print(f"verify outDir    : {len(dirs)} query dirs in {arg}")
+        missing = sorted(set(dirs) - set(art))
+        extra = sorted(set(art) - set(dirs))
+        if missing:
+            print(f"  IN OUTDIR, NOT IN ARTIFACT (undercount!): {', '.join(missing)}")
+        if extra:
+            print(f"  IN ARTIFACT, NOT IN OUTDIR: {', '.join(extra)}")
+        if not missing and not extra:
+            print("  artifact and outDir agree")
+    elif os.path.isfile(arg):
+        log = open(arg, errors="replace").read()
+        m = re.findall(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", log)
+        if m:
+            ok = sum(int(a) for a, _, _ in m)
+            bad = sum(int(b) for _, b, _ in m)
+            print(f"tests            : {ok} succeeded, {bad} failed over {len(m)} suites")
 
 print("\nCOVERAGE.md line:")
 print(f"  {total} declared queries: {full} full DuckDB hash-match, "

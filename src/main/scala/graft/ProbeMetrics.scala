@@ -27,8 +27,18 @@ final class ProbeMetrics(spark: SparkSession) {
   private val boundId =
     new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
 
-  /** Pin the listener to one query; call immediately after start(). */
-  def bind(q: StreamingQuery): Unit = boundId.set(q.id)
+  /** Pin the listener to one query; call immediately after start().
+    * If the first-to-report heuristic latched a DIFFERENT query before
+    * bind ran (a warmup stream racing the bind call), discard whatever
+    * that query already accumulated — repointing the id alone would
+    * keep the polluted counters (review finding r16). */
+  def bind(q: StreamingQuery): Unit = {
+    val prev = boundId.getAndSet(q.id)
+    if (prev != null && prev != q.id) {
+      removed.set(0L); emitted.set(0L)
+      stateRows = 0L; stateBytes = 0L; lastSeenBatch = -1L
+    }
+  }
 
   private val listener = new StreamingQueryListener {
     import StreamingQueryListener._

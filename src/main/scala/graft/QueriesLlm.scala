@@ -228,16 +228,28 @@ object QueriesLlm {
   /** Register a directory tree for recursive deletion at JVM exit.
     * File.deleteOnExit only removes EMPTY directories, so parquet output
     * dirs written by foreachBatch would otherwise accumulate for the
-    * life of the host temp dir across repeated runs (r15 advice). */
-  private[graft] def deleteTreeOnExit(p: java.nio.file.Path): java.nio.file.Path = {
+    * life of the host temp dir across repeated runs (r15 advice).
+    * ONE shared shutdown hook drains a queue of registered paths —
+    * a hook Thread per directory would pile up live threads across a
+    * long test session (review finding r16). */
+  private val exitDeleteQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitDeleteHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { val _ = java.nio.file.Files.deleteIfExists(f) })
-        finally walk.close()
-      } catch { case _: Throwable => () } // best-effort: exit-time cleanup
+      var p = exitDeleteQueue.poll()
+      while (p != null) {
+        try {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { val _ = java.nio.file.Files.deleteIfExists(f) })
+          finally walk.close()
+        } catch { case _: Throwable => () } // best-effort: exit-time cleanup
+        p = exitDeleteQueue.poll()
+      }
     }))
+  private[graft] def deleteTreeOnExit(p: java.nio.file.Path): java.nio.file.Path = {
+    exitDeleteHook // register the single hook on first use
+    exitDeleteQueue.add(p)
     p
   }
 
@@ -351,8 +363,7 @@ object QueriesLlm {
       .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("k"))
       .select((col("doc_id") * 100L + col("k")).as("id"))
       .select(col("id"),
-        conv(substring(md5(concat(col("id").cast(StringType), lit("graftband"))), 1, 15),
-          16, 10).cast(LongType).as("fp"))
+        TextAnalysis.md5Long60(concat(col("id").cast(StringType), lit("graftband"))).as("fp"))
     // h>j CASE chain, xor-folded: positions are distinct (j*13 mod 60
     // cycles through 9 distinct residues), so xor == setting h bits
     val pat = (0 until 9).map(j =>
@@ -1342,8 +1353,7 @@ object QueriesLlm {
     // (8 bands x 2 rows = 16 hashes) keeps the DuckDB side linear.
     "llm_minhash_pairs_md5" -> ((s, dir) => {
       val n = 3; val bands = 8; val rpb = 2; val thr = 0.4
-      val mdLong = (c: Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val mdLong = (c: Column) => TextAnalysis.md5Long60(c)
       val th = transform(Dedup.tokens(col("text")), t => mdLong(t))
       val m = size(th) - (n - 1)
       val windows = (1 to n).map(k => slice(th, lit(k), greatest(m, lit(0))))
@@ -1384,7 +1394,7 @@ object QueriesLlm {
       val sigs = plantedCorpus(s, dir).repartition(Tables.fanout(s))
         .select(col("doc_id").as("id"),
           Dedup.simhashUdf(transform(Dedup.tokens(col("text")),
-            t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))).as("fp"))
+            t => TextAnalysis.md5Long60(t))).as("fp"))
       Dedup.hammingBandedPairs(sigs, "id", "fp", maxHamming = 7)
         .withColumn("hamming", col("hamming").cast(LongType))
     }),
@@ -2009,9 +2019,6 @@ object QueriesLlm {
     * exactly like hammingBandedPairs: blocks = first of {4,8,16,32}
     * above the radius, bits = 64/blocks. */
   private def oBandPairs(radius: Int, cap: Int): String = {
-    val blocks = Seq(4, 8, 16, 32).find(_ > radius).get
-    val bits = 64 / blocks
-    val mask = (1L << bits) - 1L
     val pat = (0 until 9).map(j =>
       s"(CASE WHEN (((id // 100) + (id % 100)) % 9) > $j " +
         s"THEN (1::BIGINT << (($j*13 + (id % 7)) % 60)) ELSE 0::BIGINT END)")

@@ -79,11 +79,14 @@ object ResolveProbe {
     val nState = state.count()
     val streamWall = (System.nanoTime() - ts) / 1e9
 
-    // confluence AT SCALE: incremental-fold labels == one-shot labels
+    // confluence AT SCALE: incremental-fold labels == one-shot labels.
+    // FULL OUTER join so membership differences count too — an inner
+    // join plus a row-count delta can report 0 for two equal-sized node
+    // sets that disagree on WHICH nodes they label (review finding r16)
     val diff = state.withColumnRenamed("label", "_l")
-      .join(bLabels, "node")
-      .filter(col("_l") =!= col("label")).count() +
-      math.abs(nState - nBatch)
+      .join(bLabels, Seq("node"), "full_outer")
+      .filter(col("_l").isNull || col("label").isNull || col("_l") =!= col("label"))
+      .count()
     println(f"""{"resolveprobe":"$dir","n_sigs":$nSigs,"splits":$nSplits,"batch_wall":$batchWall%.3f,"stream_wall":$streamWall%.3f,"state_rows":$nState,"label_diffs":$diff}""")
     spark.stop()
   }

@@ -163,6 +163,15 @@ object TextAnalysis {
     conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 8), 16, 10)
       .cast(LongType)
 
+  /** The md5 60-BIT convention at fingerprint width (sampleCoin's
+    * rationale, 15 hex chars): a uniform nonnegative Long that external
+    * SQL engines replay as ('0x' || substr(md5(x), 1, 15))::BIGINT.
+    * Single-sourced so the Spark fingerprint sites (band fixture,
+    * md5-keyed minhash/simhash) and the oracle SQL cannot
+    * desynchronize (review finding r16). */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
                        stratumCol: String, rates: Map[String, Double],
                        defaultRate: Double = 0.0, salt: String = "graft")
