@@ -1956,4 +1956,34 @@ class MlSpec extends SparkSpec {
     assert(Bpe.symbolizeBytes(gothic).length == 4)
     assert(Bpe.symbolize(gothic).length == 2) // codepoint mode: symbol + </w>
   }
+
+  test("hammingBandedPairs: pigeonhole recall + soundness on seeded random twins (r3, r7)") {
+    // NOT the fixed md5 fixture: an arbitrary seeded fingerprint
+    // population with random <= 7-bit flips. Pigeonhole guarantees 100%
+    // recall at an inert cap for ANY distribution, and xor at distinct
+    // positions makes each planted pair's hamming EXACTLY its flip
+    // count — both asserted, plus soundness (nothing beyond the radius
+    // is ever reported).
+    val rnd = new scala.util.Random(20260816L)
+    val rows = (0 until 2000).map { i =>
+      val fp = rnd.nextLong()
+      val h = rnd.nextInt(8) // 0..7 flips
+      val pos = rnd.shuffle((0 until 64).toList).take(h)
+      val twin = pos.foldLeft(fp)((a, p) => a ^ (1L << p))
+      (i.toLong, fp, 100000L + i, twin, h)
+    }
+    val sigs = rows.flatMap { case (ia, fa, ib, fb, _) => Seq((ia, fa), (ib, fb)) }
+      .toDF("id", "fp")
+    for (r <- Seq(3, 7)) {
+      val got = Dedup.hammingBandedPairs(sigs, "id", "fp", maxHamming = r)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
+        .as[(Long, Long, Int)].collect()
+        .map { case (a, b, h) => (a, b) -> h }.toMap
+      rows.filter(_._5 <= r).foreach { case (ia, _, ib, _, h) =>
+        assert(got.contains((ia, ib)), s"radius $r missed planted twin $ia (h=$h)")
+        assert(got((ia, ib)) == h, s"pair ($ia,$ib) hamming ${got((ia, ib))} != flips $h")
+      }
+      got.values.foreach(h => assert(h <= r, s"radius $r emitted hamming $h"))
+    }
+  }
 }
