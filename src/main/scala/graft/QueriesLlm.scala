@@ -489,40 +489,63 @@ object QueriesLlm {
     * writes (at deploy scale the same loop runs compaction every N
     * batches instead of every batch). */
   /** Fold a streaming (id_a, id_b, ...) pair frame through the
-    * incremental union-find: each micro-batch's pairs union with the
-    * previous compacted state's (node → label) star edges and re-run
+    * incremental union-find: micro-batch pairs union with the previous
+    * compacted state's (node → label) star edges and re-run
     * [[graft.ml.Dedup.connectedComponents]]; the result overwrites the
     * state (alternating versioned dirs keep the read side immutable
     * while the next version writes). Returns the FINAL compacted state,
     * or None if no pair ever arrived. Shared by stream_phash_resolve
     * and ResolveProbe so the gate and the scale probe measure the same
-    * machinery. */
-  private[graft] def runIncrementalResolve(ss: SparkSession, pairs: DataFrame)
-      : Option[DataFrame] = {
+    * machinery.
+    *
+    * `compactEvery` is the deploy knob: with N > 1, batches dump their
+    * (slim, two-column) pairs to parquet and only every Nth batch pays
+    * a CC compaction over the accumulated dump + state — the per-batch
+    * streaming premium becomes one parquet append, and the CC fixed
+    * cost amortizes over N batches. Min-label CC is confluent under ANY
+    * grouping of the edge folds, so the final state is IDENTICAL for
+    * every N (ResolveProbe asserts it against the one-shot batch form).
+    * A trailing partial group compacts after the stream drains. */
+  private[graft] def runIncrementalResolve(ss: SparkSession, pairs: DataFrame,
+                                           compactEvery: Int = 1): Option[DataFrame] = {
     val stateRoot = deleteTreeOnExit(java.nio.file.Files.createTempDirectory("spr_state"))
-    // driver-side pointer to the latest compacted state version
-    // (foreachBatch bodies run on the driver, serially per query)
+    // driver-side pointers (foreachBatch bodies run on the driver,
+    // serially per query)
     val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val pending = scala.collection.mutable.ListBuffer.empty[String]
+    def compact(newEdges: DataFrame, tag: String): Unit = {
+      val prev = Option(current.get()).map(p => ss.read.parquet(p))
+      val stateEdges = prev.map(_.select(col("node").as("id_a"), col("label").as("id_b")))
+      val edges = stateEdges.fold(newEdges)(newEdges.unionByName(_))
+      val nodes = edges.select(col("id_a").as("node"))
+        .unionByName(edges.select(col("id_b").as("node"))).distinct()
+      // rounds = 4 (reach 4), not the default 6 (reach 16): the prior
+      // state is min-label STARS (depth 1), so only the new edges' own
+      // pair chains add diameter; CC's 3-round escalation still covers
+      // a pathological long-chain group, this just stops paying two
+      // no-op rounds per compaction in the common case
+      val next = Dedup.connectedComponents(nodes, edges, rounds = 4)
+      val vdir = stateRoot.resolve(s"v$tag").toString
+      next.write.mode("overwrite").parquet(vdir)
+      current.set(vdir)
+    }
     val ckpt = java.nio.file.Files.createTempDirectory("spr_ckpt").toFile
     ckpt.deleteOnExit()
     val q = pairs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val b = batch.select("id_a", "id_b")
-        if (!b.isEmpty) {
-          val prev = Option(current.get()).map(p => ss.read.parquet(p))
-          val stateEdges = prev.map(_.select(col("node").as("id_a"), col("label").as("id_b")))
-          val edges = stateEdges.fold(b)(b.unionByName(_))
-          val nodes = edges.select(col("id_a").as("node"))
-            .unionByName(edges.select(col("id_b").as("node"))).distinct()
-          // rounds = 4 (reach 4), not the default 6 (reach 16): the prior
-          // state is min-label STARS (depth 1), so only the new batch's
-          // own pair chains add diameter; CC's 3-round escalation still
-          // covers a pathological long-chain batch, this just stops
-          // paying two no-op rounds per compaction in the common case
-          val next = Dedup.connectedComponents(nodes, edges, rounds = 4)
-          val vdir = stateRoot.resolve(s"v$bid").toString
-          next.write.mode("overwrite").parquet(vdir)
-          current.set(vdir)
+        if (compactEvery <= 1) {
+          if (!b.isEmpty) compact(b, bid.toString)
+        } else {
+          if (!b.isEmpty) {
+            val d = stateRoot.resolve(s"p$bid").toString
+            b.write.mode("overwrite").parquet(d)
+            pending += d
+          }
+          if (pending.nonEmpty && (bid + 1) % compactEvery == 0) {
+            compact(ss.read.parquet(pending.toSeq: _*), bid.toString)
+            pending.clear()
+          }
         }
         ()
       }
@@ -530,6 +553,10 @@ object QueriesLlm {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (pending.nonEmpty) { // trailing partial group
+      compact(ss.read.parquet(pending.toSeq: _*), "final")
+      pending.clear()
+    }
     Option(current.get()).map(p => ss.read.parquet(p))
   }
 

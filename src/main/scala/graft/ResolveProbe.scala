@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   * therefore times pair STREAMING plus per-batch CC compaction, not
   * fixture synthesis.
   *
-  * Usage: runMain graft.ResolveProbe <dir> <nSplits>
+  * Usage: runMain graft.ResolveProbe <dir> <nSplits> [compactEvery=1]
   */
 object ResolveProbe {
   def main(args: Array[String]): Unit = {
     val Array(dir, ns) = args.take(2)
     val nSplits = ns.toInt
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +75,7 @@ object ResolveProbe {
       .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
     val sPairs = graft.streaming.StreamPhash.candidatePairs(
       occ, maxHamming = maxHamming, blocks = blocks)
-    val state = QueriesLlm.runIncrementalResolve(spark, sPairs)
+    val state = QueriesLlm.runIncrementalResolve(spark, sPairs, compactEvery)
       .getOrElse(sys.error("no pairs streamed"))
     val nState = state.count()
     val streamWall = (System.nanoTime() - ts) / 1e9
@@ -87,7 +88,7 @@ object ResolveProbe {
       .join(bLabels, Seq("node"), "full_outer")
       .filter(col("_l").isNull || col("label").isNull || col("_l") =!= col("label"))
       .count()
-    println(f"""{"resolveprobe":"$dir","n_sigs":$nSigs,"splits":$nSplits,"batch_wall":$batchWall%.3f,"stream_wall":$streamWall%.3f,"state_rows":$nState,"label_diffs":$diff}""")
+    println(f"""{"resolveprobe":"$dir","n_sigs":$nSigs,"splits":$nSplits,"compact_every":$compactEvery,"batch_wall":$batchWall%.3f,"stream_wall":$streamWall%.3f,"state_rows":$nState,"label_diffs":$diff}""")
     spark.stop()
   }
 }
