@@ -45,7 +45,11 @@ import org.apache.spark.sql.types.LongType
   * byte-mode encode (llm_bpe_encode_bytes) — whitespace pretokens, byte
   * alphabet, no `</w>`; the GPT-2 regex pretokenizer is NOT implemented
   * (the driver corpus is ASCII-spaced prose where the whitespace
-  * pretokenizer sees the same token stream).
+  * pretokenizer sees the same token stream). Consequence of (b): this
+  * byte mode's pretokens are space-FREE, so byte-mode decode cannot
+  * recover word boundaries (tokens concatenate) — GPT-2 avoids that
+  * precisely by carrying the leading space inside the token; word-exact
+  * roundtrip here needs the `</w>` mode (llm_bpe_roundtrip's gate).
   *
   * @return (rank, left, right, merged, freq) — rank 1..nMerges in
   *         learn order; freq = the pair's corpus frequency when merged
