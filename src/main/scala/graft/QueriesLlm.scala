@@ -507,24 +507,43 @@ object QueriesLlm {
     * every N (ResolveProbe asserts it against the one-shot batch form).
     * A trailing partial group compacts after the stream drains. */
   private[graft] def runIncrementalResolve(ss: SparkSession, pairs: DataFrame,
-                                           compactEvery: Int = 1): Option[DataFrame] = {
+                                           compactEvery: Int = 1,
+                                           localEdgeLimit: Long = 2000000L)
+      : Option[DataFrame] = {
     val stateRoot = deleteTreeOnExit(java.nio.file.Files.createTempDirectory("spr_state"))
     // driver-side pointers (foreachBatch bodies run on the driver,
     // serially per query)
     val current = new java.util.concurrent.atomic.AtomicReference[String](null)
     val pending = scala.collection.mutable.ListBuffer.empty[String]
     def compact(newEdges: DataFrame, tag: String): Unit = {
+      import ss.implicits._
       val prev = Option(current.get()).map(p => ss.read.parquet(p))
       val stateEdges = prev.map(_.select(col("node").as("id_a"), col("label").as("id_b")))
       val edges = stateEdges.fold(newEdges)(newEdges.unionByName(_))
-      val nodes = edges.select(col("id_a").as("node"))
-        .unionByName(edges.select(col("id_b").as("node"))).distinct()
-      // rounds = 4 (reach 4), not the default 6 (reach 16): the prior
-      // state is min-label STARS (depth 1), so only the new edges' own
-      // pair chains add diameter; CC's 3-round escalation still covers
-      // a pathological long-chain group, this just stops paying two
-      // no-op rounds per compaction in the common case
-      val next = Dedup.connectedComponents(nodes, edges, rounds = 4)
+        .localCheckpoint(false) // counted once, then labeled by ONE consumer
+      val n = edges.count()
+      // THE MERGE-AXIS FORK, applied to resolution (bpeMerges'
+      // convention): below the limit the edge list is tiny relative to
+      // the cluster — a driver-side path-halving union-find labels it
+      // in milliseconds, where the distributed loop pays 4+ rounds of
+      // scheduler fixed cost. 2M edges = 32 MB collected; both paths
+      // produce THE min-label set (union-by-min root == component
+      // minimum; MlSpec pins equality on seeded random graphs).
+      val next =
+        if (n <= localEdgeLimit) {
+          val labeled = graft.ml.Dedup.localMinLabel(
+            edges.select(col("id_a"), col("id_b")).as[(Long, Long)].collect())
+          ss.createDataset(labeled.toSeq).toDF("node", "label")
+            .repartition(1) // state is compact by construction
+        } else {
+          val nodes = edges.select(col("id_a").as("node"))
+            .unionByName(edges.select(col("id_b").as("node"))).distinct()
+          // rounds = 4 (reach 4), not the default 6 (reach 16): the
+          // prior state is min-label STARS (depth 1), so only the new
+          // edges' own pair chains add diameter; CC's 3-round
+          // escalation still covers a pathological long-chain group
+          Dedup.connectedComponents(nodes, edges, rounds = 4)
+        }
       val vdir = stateRoot.resolve(s"v$tag").toString
       next.write.mode("overwrite").parquet(vdir)
       current.set(vdir)

@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   * therefore times pair STREAMING plus per-batch CC compaction, not
   * fixture synthesis.
   *
-  * Usage: runMain graft.ResolveProbe <dir> <nSplits> [compactEvery=1]
+  * Usage: runMain graft.ResolveProbe <dir> <nSplits> [compactEvery=1] [localEdgeLimit]
+  * (localEdgeLimit=0 forces the distributed CC path at any size)
   */
 object ResolveProbe {
   def main(args: Array[String]): Unit = {
     val Array(dir, ns) = args.take(2)
     val nSplits = ns.toInt
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(1)
+    val localEdgeLimit = args.lift(3).map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +77,7 @@ object ResolveProbe {
       .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
     val sPairs = graft.streaming.StreamPhash.candidatePairs(
       occ, maxHamming = maxHamming, blocks = blocks)
-    val state = QueriesLlm.runIncrementalResolve(spark, sPairs, compactEvery)
+    val state = QueriesLlm.runIncrementalResolve(spark, sPairs, compactEvery, localEdgeLimit)
       .getOrElse(sys.error("no pairs streamed"))
     val nState = state.count()
     val streamWall = (System.nanoTime() - ts) / 1e9
@@ -88,7 +90,7 @@ object ResolveProbe {
       .join(bLabels, Seq("node"), "full_outer")
       .filter(col("_l").isNull || col("label").isNull || col("_l") =!= col("label"))
       .count()
-    println(f"""{"resolveprobe":"$dir","n_sigs":$nSigs,"splits":$nSplits,"compact_every":$compactEvery,"batch_wall":$batchWall%.3f,"stream_wall":$streamWall%.3f,"state_rows":$nState,"label_diffs":$diff}""")
+    println(f"""{"resolveprobe":"$dir","n_sigs":$nSigs,"splits":$nSplits,"compact_every":$compactEvery,"local_edge_limit":$localEdgeLimit,"batch_wall":$batchWall%.3f,"stream_wall":$streamWall%.3f,"state_rows":$nState,"label_diffs":$diff}""")
     spark.stop()
   }
 }

@@ -321,6 +321,46 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Driver-side min-label connected components over a COLLECTED edge
+    * list — the below-the-fork twin of [[connectedComponents]] (the
+    * bpeMerges merge-axis convention: when the data is small, paying
+    * the scheduler per round is the whole cost; a path-halving
+    * union-find labels millions of edges in milliseconds). Same
+    * contract: label = MIN node id in the component; only nodes that
+    * appear in an edge are returned (the caller supplies singletons).
+    * Equality with the distributed loop is spec-pinned on seeded random
+    * graphs (MlSpec). */
+  def localMinLabel(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      // union-by-MIN: the smaller root adopts the larger, so every
+      // tree's root is its component's minimum at all times
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // membership = every endpoint ever seen; union-by-min means the
+    // root IS the component minimum
+    val nodes = new java.util.HashSet[Long]()
+    edges.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val out = new Array[(Long, Long)](nodes.size)
+    val it = nodes.iterator()
+    var i = 0
+    while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+    out
+  }
+
   /** Connected components over a near-dup pair graph — the RESOLUTION
     * step of corpus dedup: pair generators (minhash/simhash/embedding/
     * exact) say "a duplicates b"; this turns the pair set into clusters
@@ -350,11 +390,18 @@ object Dedup {
     * @param edges columns `id_a`,`id_b` (undirected pairs, either order)
     * @return (node, label) where label = min node id in the component
     */
+  // probe-only diagnostics: how many rounds/escalations the LAST
+  // connectedComponents call took to converge (CcChainProbe)
+  @volatile private[graft] var lastConvergedRounds: Int = 0
+  @volatile private[graft] var lastEscalations: Int = 0
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           rounds: Int = 6): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(false) // computed once, re-joined every round
+    import org.apache.spark.sql.graftshim.FlatCheckpoint
+    val sym = FlatCheckpoint.capStats(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)) // computed once, re-joined every round
     var labels = nodes.select(col("node"), col("node").as("label"))
     var prev = labels
     // Batched round count, NO per-round driver actions: each round is a
@@ -387,8 +434,16 @@ object Dedup {
       // plan may contain the CALLER's checkpoints (never ours to release)
       if (i >= 3) retired += prev
       prev = labels
-      labels = withHop.groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(false)
+      // FlatCheckpoint: CLAMP the checkpoint's carried origin stats —
+      // in this join loop the captured sizeInBytes DOUBLES IN BIT
+      // LENGTH per round (each round multiplies the previous round's
+      // stats at its joins), and a slow-converging graph reaches
+      // BigInteger overflow inside Catalyst planning around round 30
+      // (measured: CcChainProbe chainrandom). Clamping (not dropping)
+      // keeps small sizes exact, so broadcast decisions are unchanged.
+      labels = FlatCheckpoint.capStats(
+        withHop.groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint(false))
     }
     def changed(): Long = {
       // a FULL count, deliberately not limit(1): the fixpoint check is
@@ -410,9 +465,13 @@ object Dedup {
     val maxRounds = 40 // reach 2^39 — beyond any real component diameter
     var ch = changed()
     while (ch > 0 && i < maxRounds) {
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] escalating: rounds=$i changed=$ch")
       (1 to math.min(3, maxRounds - i)).foreach(_ => runRound())
       ch = changed()
+      lastEscalations += 1
     }
+    lastConvergedRounds = i
     require(ch == 0, s"connectedComponents not converged after $i rounds")
     // sym and the last prev are dead once the caller's reads hit the
     // final labels checkpoint; labels itself stays live for the caller

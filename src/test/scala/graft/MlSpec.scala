@@ -1986,4 +1986,27 @@ class MlSpec extends SparkSpec {
       got.values.foreach(h => assert(h <= r, s"radius $r emitted hamming $h"))
     }
   }
+
+  test("localMinLabel == connectedComponents on seeded random graphs (the resolve fork)") {
+    // the resolution fork's equality pin (the bpeMerges local==distributed
+    // convention): chains, stars, cycles and singleton-free noise from a
+    // seeded generator — the driver-side union-find must produce the
+    // exact min-label set the distributed loop does
+    val rnd = new scala.util.Random(1234567L)
+    val edges = (
+      (0 until 300).map(i => (i * 7L, i * 7L + 7))           // long chains
+        ++ (0 until 200).map(i => (10000L, 10000L + i + 1))  // one big star
+        ++ (0 until 100).map(i => (20000L + i, 20000L + (i + 1) % 100)) // a cycle
+        ++ (0 until 500).map(_ => { val a = rnd.nextInt(5000).toLong
+             val b = rnd.nextInt(5000).toLong; (math.min(a, b), math.max(a, b)) })
+      ).filter { case (a, b) => a != b }
+    val local = graft.ml.Dedup.localMinLabel(edges.toArray).toSeq.sorted
+    val edf = edges.toDF("id_a", "id_b")
+    val nodes = edf.select(col("id_a").as("node"))
+      .unionByName(edf.select(col("id_b").as("node"))).distinct()
+    val dist = graft.ml.Dedup.connectedComponents(nodes, edf)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(local == dist,
+      s"fork diverged: local ${local.take(3)}... dist ${dist.take(3)}...")
+  }
 }
