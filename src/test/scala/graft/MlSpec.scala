@@ -2009,4 +2009,28 @@ class MlSpec extends SparkSpec {
     assert(local == dist,
       s"fork diverged: local ${local.take(3)}... dist ${dist.take(3)}...")
   }
+
+  test("FlatCheckpoint.capStats: small sizes exact, carried stats clamped (the CC cliff guard)") {
+    import org.apache.spark.sql.graftshim.FlatCheckpoint
+    // small frame: the clamp must NOT disturb exact carried stats
+    // (broadcast decisions depend on them)
+    val small = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .localCheckpoint(false)
+    val smallStats = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    val capped = FlatCheckpoint.capStats(small)
+    assert(capped.queryExecution.optimizedPlan.stats.sizeInBytes == smallStats,
+      "clamp disturbed an in-range carried size")
+    // a self-join LOOP over clamped checkpoints must keep sizeInBytes
+    // bounded (the unclamped form doubles its bit length per round and
+    // dies in Catalyst BigInteger math around round 30 — SCALING r16 §6)
+    var df = capped
+    (1 to 12).foreach { _ =>
+      df = FlatCheckpoint.capStats(
+        df.as("x").join(df.as("y"), col("x.a") === col("y.a"))
+          .select(col("x.a").as("a"), col("y.b").as("b"))
+          .localCheckpoint(false))
+    }
+    val bits = df.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 63, s"clamped loop stats grew to $bits bits")
+  }
 }
