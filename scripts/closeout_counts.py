@@ -24,11 +24,19 @@ full = sum(1 for v in art.values() if v.get("hash_match"))
 errs = sorted(k for k, v in art.items()
               if v.get("err") not in (None, "no_oracle"))
 rows_only = sorted(k for k, v in art.items()
-                   if not v.get("hash_match") and v.get("err") in (None, "no_oracle"))
+                   if not v.get("hash_match") and v.get("err") == "no_oracle")
+# an oracle that RAN and mismatched (hash_match false, err null) is a
+# correctness regression, not a benign rows-only row — count it apart so
+# the close-out line cannot silently absorb it (r16 advice)
+failed = sorted(k for k, v in art.items()
+                if v.get("hash_match") is False and v.get("err") is None)
 print(f"declared queries : {total}")
 print(f"full hash-match  : {full}")
 print(f"rows-only        : {len(rows_only)} -> {', '.join(rows_only)}")
 print(f"errors           : {len(errs)} -> {', '.join(errs) or 'none'}")
+print(f"ORACLE MISMATCH  : {len(failed)} -> {', '.join(failed) or 'none'}")
+if failed:
+    print("  ^^ REGRESSION: these queries have an oracle and it DISAGREES")
 
 for arg in sys.argv[2:]:
     if os.path.isdir(arg):
@@ -53,4 +61,6 @@ for arg in sys.argv[2:]:
 
 print("\nCOVERAGE.md line:")
 print(f"  {total} declared queries: {full} full DuckDB hash-match, "
-      f"{len(rows_only)} rows-only (pinned), {len(errs)} errors")
+      f"{len(rows_only)} rows-only (pinned), {len(errs)} errors"
+      + (f", {len(failed)} ORACLE MISMATCHES (FIX BEFORE CLOSING OUT)"
+         if failed else ""))

@@ -27,17 +27,46 @@ final class ProbeMetrics(spark: SparkSession) {
   private val boundId =
     new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
 
+  // pre-bind events from NOT-yet-latched queries, per query id: without
+  // this, a measured query whose first progress lands between start()
+  // and bind() while a warmup stream holds the latch would lose those
+  // early batches unrecoverably after the bind-time reset (r16 advice).
+  // One compact tuple per event; the pre-bind window is a few events at
+  // most, but cap defensively so an unbound long-runner can't grow it.
+  private final case class Ev(removed: Long, emitted: Long,
+                              stateRows: Long, stateBytes: Long, batchId: Long)
+  private val preBind =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.util.ArrayDeque[Ev]]()
+  private val preBindCap = 256
+
+  private def applyEv(ev: Ev): Unit = {
+    removed.addAndGet(ev.removed)
+    if (ev.emitted > 0) emitted.addAndGet(ev.emitted)
+    if (ev.stateRows >= 0) { stateRows = ev.stateRows; stateBytes = ev.stateBytes }
+    lastSeenBatch = math.max(lastSeenBatch, ev.batchId)
+  }
+
   /** Pin the listener to one query; call immediately after start().
     * If the first-to-report heuristic latched a DIFFERENT query before
     * bind ran (a warmup stream racing the bind call), discard whatever
     * that query already accumulated — repointing the id alone would
-    * keep the polluted counters (review finding r16). */
+    * keep the polluted counters (review finding r16) — then REPLAY the
+    * bound query's buffered pre-bind events so its early batches are
+    * retained rather than dropped (r16 advice). */
   def bind(q: StreamingQuery): Unit = {
     val prev = boundId.getAndSet(q.id)
     if (prev != null && prev != q.id) {
       removed.set(0L); emitted.set(0L)
       stateRows = 0L; stateBytes = 0L; lastSeenBatch = -1L
+      // replay inside the listener's serialization domain is unnecessary:
+      // the listener bus delivers serially, and events for q.id arriving
+      // from here on see boundId == q.id and apply directly; the buffer
+      // holds only what arrived before the swap
+      Option(preBind.remove(q.id)).foreach { buf =>
+        buf.forEach(ev => applyEv(ev))
+      }
     }
+    preBind.clear() // no further pre-bind stashing needed once bound
   }
 
   private val listener = new StreamingQueryListener {
@@ -45,15 +74,21 @@ final class ProbeMetrics(spark: SparkSession) {
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       boundId.compareAndSet(null, e.progress.id)
-      if (boundId.get != e.progress.id) return
-      Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
-        removed.addAndGet(so.numRowsRemoved)
-        stateRows = so.numRowsTotal
-        stateBytes = so.memoryUsedBytes
+      val stateOps = Option(e.progress.stateOperators).toSeq.flatten
+      val ev = Ev(
+        removed = stateOps.map(_.numRowsRemoved).sum,
+        emitted = Option(e.progress.sink).map(_.numOutputRows).getOrElse(0L),
+        stateRows = stateOps.lastOption.map(_.numRowsTotal).getOrElse(-1L),
+        stateBytes = stateOps.lastOption.map(_.memoryUsedBytes).getOrElse(0L),
+        batchId = e.progress.batchId)
+      if (boundId.get != e.progress.id) {
+        // not the latched query: stash in case bind() later claims it
+        val buf = preBind.computeIfAbsent(e.progress.id,
+          _ => new java.util.ArrayDeque[Ev]())
+        buf.synchronized { if (buf.size < preBindCap) buf.add(ev) }
+        return
       }
-      Option(e.progress.sink).foreach(s =>
-        if (s.numOutputRows > 0) emitted.addAndGet(s.numOutputRows))
-      lastSeenBatch = math.max(lastSeenBatch, e.progress.batchId)
+      applyEv(ev)
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }

@@ -116,6 +116,20 @@ object QueriesLlm {
         .map(r => (r.getString(1), r.getString(2))).toSeq
     })
 
+  private val bpeMergeGpt2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  /** The GPT-2-mode twin (its own cache: GPT-2 pretokens carry the
+    * leading space, so the learned table contains space-carrying
+    * symbols neither other mode can produce). */
+  private[graft] def bpeMergeTableGpt2(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeGpt2Cache.computeIfAbsent(dir, { _ =>
+      graft.ml.Bpe.bpeMerges(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "text", nMerges = 30,
+          gpt2 = true)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+
   /** The planted eval set for the embed-decontaminate pair (every 10th
     * corpus vector, first component perturbed ×1.05+0.01 in DOUBLE — the
     * llm_embed_pairs twin rule, SQL-expressible so the oracle replays
@@ -547,6 +561,11 @@ object QueriesLlm {
       val vdir = stateRoot.resolve(s"v$tag").toString
       next.write.mode("overwrite").parquet(vdir)
       current.set(vdir)
+      // the merged edge checkpoint is fully consumed (count + label +
+      // state write all materialized) — release its blocks here or they
+      // accumulate one per compaction for the life of the stream
+      // (r16 advice; the CheckpointRelease discipline)
+      edges.unpersist()
     }
     val ckpt = java.nio.file.Files.createTempDirectory("spr_ckpt").toFile
     ckpt.deleteOnExit()
@@ -953,7 +972,16 @@ object QueriesLlm {
           t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
           bpeMergeTable(s, dir))
         .select(col("doc_id"),
-          rtrim(regexp_replace(array_join(col("bpe"), ""), "</w>", " ")).as("decoded_text"))),
+          // strip only a TRAILING '</w>' per token (a symbol carries at
+          // most one marker, always at its end — merges never cross the
+          // word boundary), never a mid-token literal: a corpus word
+          // containing the raw substring '</w>' must decode verbatim,
+          // not gain a spurious space (r16 advice; latent only — the
+          // tokenizer's split can't emit '<' today)
+          rtrim(array_join(transform(col("bpe"), t =>
+            when(t.endsWith("</w>"),
+              concat(t.substr(lit(1), length(t) - 4), lit(" "))).otherwise(t)),
+            "")).as("decoded_text"))),
 
     // BYTE-LEVEL BPE mode (r15 verdict #4: the GPT-2-family alphabet —
     // 256 byte base symbols, no `</w>` marker; see Bpe's fidelity note):
@@ -968,6 +996,44 @@ object QueriesLlm {
           bpeMergeTableBytes(s, dir), byteLevel = true)
         .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
           size(col("bpe")).cast(LongType).as("n_bpe"))),
+
+    // GPT-2 MODE (r16 verdict #1 — the production tokenizer): byte
+    // alphabet + the published Radford et al. 2019 regex pre-tokenizer
+    // (contractions, letter/digit/other runs, the LEADING SPACE CARRIED
+    // INSIDE the token — Bpe.pretokensGpt2). Trains its own 30-merge
+    // table over the space-carrying pretokens and encodes with it. FULL
+    // oracle: the training-chain replay with the pretoken source swapped
+    // to the regex (RE2-expressible on this corpus — the lookahead
+    // whitespace branches can never fire on single-spaced text; the
+    // corpus precondition and the off-ASCII/whitespace cases the oracle
+    // can't see are pinned in BpeSpec fixtures).
+    "llm_bpe_merges_gpt2" -> ((s, dir) =>
+      graft.ml.Bpe.bpeMerges(
+        t(s, dir, "documents").repartition(Tables.fanout(s)), "text", nMerges = 30,
+        gpt2 = true)),
+
+    "llm_bpe_encode_gpt2" -> ((s, dir) =>
+      graft.ml.Bpe.encodeDocs(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
+          bpeMergeTableGpt2(s, dir), gpt2 = true)
+        .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
+          size(col("bpe")).cast(LongType).as("n_bpe"))),
+
+    // GPT-2 roundtrip — the invariant the whole mode exists for: the
+    // pretokens PARTITION the text and carry their own spaces, so
+    // decode(encode(text)) == text BYTE-EXACTLY. The oracle never runs
+    // the tokenizer: the expected string is the raw document text
+    // itself — the strongest possible losslessness gate (the `</w>`
+    // mode can only roundtrip the token STREAM; this roundtrips the
+    // document).
+    "llm_bpe_roundtrip_gpt2" -> ((s, dir) => {
+      val dec = udf((toks: Seq[String]) =>
+        if (toks == null) "" else graft.ml.Bpe.decodeBytes(toks))
+      graft.ml.Bpe.encodeDocs(
+          t(s, dir, "documents").repartition(Tables.fanout(s)), "doc_id", "text",
+          bpeMergeTableGpt2(s, dir), gpt2 = true)
+        .select(col("doc_id"), dec(col("bpe")).as("decoded_text"))
+    }),
 
     // token stats REBASED on the trained tokenizer (train→tokenize→count
     // as one chain): subword count + per-word fertility, the stat that
@@ -1611,6 +1677,23 @@ object QueriesLlm {
         .select(col("vec_id"), col("cell"),
           round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))),
 
+    // QUANTIZED k-means sibling (r16 verdict #4): every arithmetic step
+    // in 64-bit integers (floor-quantized components, integer argmin
+    // assignment, floor-div centroid means, integer-dot priority, integer
+    // squared-L2 verify), so the WHOLE train→assign→pair→keep chain
+    // replays in DuckDB bit-exactly — the cell-assign and within-cell
+    // pair machinery the float gates can only pin is here under a FULL
+    // oracle. Threshold 4e9 micro-units² sits 4.7× above the planted
+    // twins' max (8.5e8) and 250× below the nearest natural pair
+    // (1.07e12) — measured on the gate corpus. 499/500 twins dedup to
+    // one survivor; vec 306's twin straddles a cell boundary (cell 9 vs
+    // 15) — the inherent recall property of cell-bucketed semdedup,
+    // identical in the float gate, replayed exactly by the oracle.
+    "llm_semdedup_q" -> ((s, dir) =>
+      Similarity.semDedupQ(plantedEmb(s, dir), "vec_id", "embedding", 64,
+          nCells = 16, threshold = 4000000000L, iters = 4, trainMod = 2)
+        .select(col("vec_id"), col("cell"), col("priority"), col("keep"))),
+
     // STREAMING twin of llm_semdedup — the deployment topology semantic
     // dedup actually runs (the stream_lm_score pattern applied to the
     // SemDeDup family): k-means cells trained ONCE on the static corpus
@@ -1962,6 +2045,17 @@ object QueriesLlm {
   // lower → split on non-(letter|digit) → drop empties.
   private val oTok = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
 
+  /** GPT-2 pre-tokens in RE2 (the Bpe.pretokensGpt2 rule): the published
+    * pattern minus its two whitespace branches (`\s+(?!\S)|\s+` need a
+    * lookahead RE2 lacks) — on the driver corpus they are unreachable
+    * (single ASCII spaces between letter runs are always consumed by
+    * ` ?\p{L}+`; BpeSpec asserts that corpus precondition at both gate
+    * SFs and pins the whitespace-branch fixtures the oracle can't see).
+    * '' doubles the quote inside the SQL literal; matches partition the
+    * text, so positions/concatenation replay exactly. */
+  private val oGpt2Tok =
+    """regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')"""
+
   // shared oracle fragments — hoisted so the composed llm_corpus_select
   // oracle provably checks the SAME rule as the component oracles
   private val oGram5 = s"""CASE WHEN len($oTok) < 5 THEN [array_to_string($oTok, ' ')]
@@ -2000,16 +2094,19 @@ object QueriesLlm {
     * '(sym)(sym)…' delimiter encoding — matches share no characters, so
     * RE2's non-overlapping global scan IS the BPE apply rule. Unused
     * CTEs cost nothing (DuckDB evaluates only referenced CTEs). */
-  private def oBpeChain(n: Int, byteLevel: Boolean = false): String = {
+  private def oBpeChain(n: Int, byteLevel: Boolean = false,
+                        tokSrc: String = oTok): String = {
     // byte-level mode drops the `</w>` marker term; the '.'-split stays
     // per codepoint, which equals per UTF-8 byte on the pure-ASCII
     // driver corpus (the only regime the oracle can express — BpeSpec
-    // pins the multi-byte split where the two genuinely diverge)
+    // pins the multi-byte split where the two genuinely diverge).
+    // tokSrc swaps the pre-tokenizer (whitespace words vs the GPT-2
+    // regex) while the whole merge/apply chain stays shared.
     val marker = if (byteLevel) "" else "(</w>)"
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS MATERIALIZED (
          SELECT w, '(' || array_to_string(regexp_extract_all(w, '.'), ')(') || ')$marker' AS s, f
-         FROM (SELECT w, count(*) AS f FROM (SELECT unnest($oTok) AS w FROM documents) GROUP BY w))"""
+         FROM (SELECT w, count(*) AS f FROM (SELECT unnest($tokSrc) AS w FROM documents) GROUP BY w))"""
     for (k <- 1 to n) {
       sb ++= s""",
          p$k AS (SELECT t[i+1] AS a, t[i+2] AS b, f
@@ -2260,7 +2357,85 @@ object QueriesLlm {
          SELECT id_a, id_b, round(cos, 6) AS cosine FROM ver WHERE cos >= $thr"""
   }
 
+  /** DuckDB replay of the FULL quantized k-means + SemDeDup chain
+    * (llm_semdedup_q): planted float twins (REAL arithmetic is
+    * float-exact), floor-quantization to integer micro-units, md5-keyed
+    * seeding/sampling, `iters` argmin/floor-div-mean rounds as chained
+    * MATERIALIZED CTEs, final all-vec assignment, within-cell pairs
+    * under the retroactive cell cap, integer squared-L2 verify, and the
+    * lower-integer-dot-priority loser rule. Every step is 64-bit
+    * integer arithmetic after the one exact quantization, so the replay
+    * is bit-exact — no rounding anywhere. (s − ((s%n)+n)%n)/n is
+    * floor-division written so the numerator divides exactly — immune
+    * to the two engines' truncation conventions. */
+  private def oSemDedupQ(nCells: Int, iters: Int, trainMod: Int,
+                         threshold: Long, cap: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH twins AS (SELECT vec_id + 100000 AS vec_id,
+           list_prepend((embedding[1] * 1.05::REAL + 0.01::REAL)::REAL, embedding[2:]) AS v
+         FROM embeddings),
+         vecs0 AS (SELECT vec_id, embedding AS v FROM embeddings
+                   UNION ALL SELECT vec_id, v FROM twins),
+         q AS MATERIALIZED (SELECT vec_id, i AS d,
+             CAST(floor(CAST(v[i+1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS x
+           FROM vecs0, UNNEST(generate_series(0, 63)) AS u(i)),
+         h AS (SELECT vec_id, ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hk
+               FROM vecs0),
+         train AS MATERIALIZED (SELECT q.vec_id, q.d, q.x FROM q JOIN h USING (vec_id)
+               WHERE hk % $trainMod = 0),
+         init AS (SELECT vec_id, row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell
+                  FROM h WHERE hk % $trainMod = 0
+                  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $nCells),
+         c0 AS MATERIALIZED (SELECT init.cell, q.d, q.x AS cx FROM init JOIN q USING (vec_id))"""
+    for (k <- 1 to iters) {
+      sb ++= s""",
+         a$k AS (SELECT vec_id, cell FROM (
+              SELECT t.vec_id, c.cell,
+                row_number() OVER (PARTITION BY t.vec_id
+                  ORDER BY sum((t.x - c.cx)*(t.x - c.cx)), c.cell) AS rn
+              FROM train t JOIN c${k - 1} c ON t.d = c.d
+              GROUP BY t.vec_id, c.cell) WHERE rn = 1),
+         u$k AS (SELECT a.cell, t.d, sum(t.x)::BIGINT AS s, count(*)::BIGINT AS n
+                 FROM a$k a JOIN train t USING (vec_id) GROUP BY a.cell, t.d),
+         c$k AS MATERIALIZED (SELECT c.cell, c.d,
+                CASE WHEN u.n IS NULL THEN c.cx
+                     ELSE (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n END AS cx
+              FROM c${k - 1} c LEFT JOIN u$k u ON c.cell = u.cell AND c.d = u.d)"""
+    }
+    sb ++= s""",
+         fin AS MATERIALIZED (SELECT vec_id, cell FROM (
+              SELECT q.vec_id, c.cell,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY sum((q.x - c.cx)*(q.x - c.cx)), c.cell) AS rn
+              FROM q JOIN c$iters c ON q.d = c.d
+              GROUP BY q.vec_id, c.cell) WHERE rn = 1),
+         pri AS MATERIALIZED (SELECT f.vec_id, f.cell, sum(q.x * c.cx)::BIGINT AS prio
+              FROM fin f JOIN q ON q.vec_id = f.vec_id
+              JOIN c$iters c ON c.cell = f.cell AND c.d = q.d
+              GROUP BY f.vec_id, f.cell),
+         small AS (SELECT cell FROM fin GROUP BY cell HAVING count(*) <= $cap),
+         cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN small s ON s.cell = a.cell),
+         d2 AS (SELECT c.id_a, c.id_b, sum((xa.x - xb.x)*(xa.x - xb.x)) AS dist
+              FROM cand c JOIN q xa ON xa.vec_id = c.id_a
+                          JOIN q xb ON xb.vec_id = c.id_b AND xb.d = xa.d
+              GROUP BY c.id_a, c.id_b),
+         losers AS (SELECT DISTINCT CASE WHEN pa.prio < pb.prio
+                  OR (pa.prio = pb.prio AND d2.id_a > d2.id_b) THEN d2.id_a
+                  ELSE d2.id_b END AS vec_id
+              FROM d2 JOIN pri pa ON pa.vec_id = d2.id_a
+                      JOIN pri pb ON pb.vec_id = d2.id_b
+              WHERE d2.dist <= $threshold)
+         SELECT p.vec_id, p.cell::BIGINT AS cell, p.prio AS priority,
+           (CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+         FROM pri p LEFT JOIN losers l ON l.vec_id = p.vec_id"""
+    sb.toString
+  }
+
   private val oracleBase: Map[String, String] = Map(
+    "llm_semdedup_q" -> oSemDedupQ(nCells = 16, iters = 4, trainMod = 2,
+      threshold = 4000000000L, cap = 100000),
     "llm_langid" -> oLangId,
     "llm_minhash_pairs_md5" -> oMinhashMd5(bands = 8, rpb = 2, thr = 0.4, cap = 1000),
     "llm_embed_pairs" ->
@@ -2671,6 +2846,32 @@ object QueriesLlm {
          SELECT d.doc_id, coalesce(e.bpe_text, '') AS bpe_text,
            coalesce(e.n_bpe, 0)::BIGINT AS n_bpe
          FROM documents d LEFT JOIN enc e USING (doc_id)""",
+    // GPT-2 mode: the same training-chain replay with the pretoken
+    // source swapped to the published regex (space-carrying pretokens,
+    // byte alphabet, no marker)
+    "llm_bpe_merges_gpt2" -> {
+      oBpeChain(30, byteLevel = true, tokSrc = oGpt2Tok) + (1 to 30).map(k =>
+        s"""SELECT $k::BIGINT AS rank, a AS "left", b AS "right", a || b AS merged, cnt AS freq FROM m$k""")
+        .mkString("\n ", "\n UNION ALL ", "")
+    },
+    "llm_bpe_encode_gpt2" ->
+      s"""${oBpeChain(30, byteLevel = true, tokSrc = oGpt2Tok)},
+         dt AS (SELECT doc_id, i AS pos, t[i+1] AS w
+                FROM (SELECT doc_id, $oGpt2Tok AS t FROM documents),
+                     UNNEST(generate_series(0, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 1),
+         enc AS (SELECT dt.doc_id,
+                  string_agg(array_to_string(v.toks, ' '), ' ' ORDER BY dt.pos) AS bpe_text,
+                  sum(len(v.toks))::BIGINT AS n_bpe
+                 FROM dt JOIN vocabmap v USING (w) GROUP BY dt.doc_id)
+         SELECT d.doc_id, coalesce(e.bpe_text, '') AS bpe_text,
+           coalesce(e.n_bpe, 0)::BIGINT AS n_bpe
+         FROM documents d LEFT JOIN enc e USING (doc_id)""",
+    // GPT-2 roundtrip: pretokens partition the text and carry their own
+    // spaces, so decode(encode(text)) must be the DOCUMENT ITSELF — the
+    // oracle is the raw text, computed without the tokenizer
+    "llm_bpe_roundtrip_gpt2" ->
+      "SELECT doc_id, text AS decoded_text FROM documents",
     "llm_bpe_token_stats" ->
       s"""${oBpeChain(30)},
          tok AS (SELECT doc_id, $oTok AS t FROM documents),

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -41,15 +41,21 @@ import org.apache.spark.sql.types.LongType
   * token (" world" is one pretoken — no `</w>` convention; word
   * boundaries ride the space byte inside the token); (c) contractions
   * and digit runs split specially ("'s", "123" one group per rule).
-  * The byte-level alphabet is available here as [[bpeMergesBytes]] /
-  * byte-mode encode (llm_bpe_encode_bytes) — whitespace pretokens, byte
-  * alphabet, no `</w>`; the GPT-2 regex pretokenizer is NOT implemented
-  * (the driver corpus is ASCII-spaced prose where the whitespace
-  * pretokenizer sees the same token stream). Consequence of (b): this
-  * byte mode's pretokens are space-FREE, so byte-mode decode cannot
-  * recover word boundaries (tokens concatenate) — GPT-2 avoids that
-  * precisely by carrying the leading space inside the token; word-exact
-  * roundtrip here needs the `</w>` mode (llm_bpe_roundtrip's gate).
+  * The byte-level alphabet is available here as byte-mode encode
+  * (llm_bpe_encode_bytes) — whitespace pretokens, byte alphabet, no
+  * `</w>` — and the FULL production rule as GPT-2 mode (`gpt2 = true`):
+  * [[pretokensGpt2]] implements the published Radford et al. 2019
+  * pre-tokenization regex (contractions, letter/digit/other runs, the
+  * leading space CARRIED INSIDE the token), so GPT-2-mode pretokens
+  * concatenate back to the original string exactly and byte-mode decode
+  * becomes word-exact ([[decodeBytes]]; llm_bpe_roundtrip_gpt2's gate).
+  * The plain byte mode (whitespace pretokens) remains for the
+  * alphabet-only comparison: its pretokens are space-FREE, so ITS
+  * decode cannot recover word boundaries — word-exact roundtrip needs
+  * either the `</w>` mode (llm_bpe_roundtrip) or GPT-2 mode. The one
+  * remaining delta vs production GPT-2: the cosmetic byte→printable
+  * codepoint remap (we render bytes as latin-1 chars — equally
+  * reversible, different glyphs in the vocab file).
   *
   * @return (rank, left, right, merged, freq) — rank 1..nMerges in
   *         learn order; freq = the pair's corpus frequency when merged
@@ -73,6 +79,117 @@ object Bpe {
   private[graft] def symbolizeBytes(w: String): Seq[String] =
     w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
       .map(b => String.valueOf((b & 0xFF).toChar))
+
+  /** Inverse of [[symbolizeBytes]]-then-merge: subword symbols are
+    * latin-1-rendered byte strings; concatenate their bytes and decode
+    * UTF-8. With GPT-2 pretokens (leading space inside the token) this
+    * reproduces the ORIGINAL text byte-exactly — the roundtrip gate. */
+  private[graft] def decodeBytes(toks: Seq[String]): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    toks.foreach { t =>
+      var i = 0
+      while (i < t.length) { out.write(t.charAt(i) & 0xFF); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** GPT-2 pre-tokenization (Radford et al. 2019 — the tokenizer the
+    * byte-level BPE family ships with), the published rule:
+    *
+    *   `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`
+    *
+    * implemented as an explicit leftmost-first scanner rather than a
+    * regex: (a) the lookahead branch `\s+(?!\S)` (a whitespace run keeps
+    * its LAST space out, so it can attach to the next token via the
+    * ` ?` prefixes) needs backtracking semantics a streaming scanner
+    * states directly; (b) a per-row java.util.regex over every doc is
+    * measurably slower than this single forward pass. Branch order and
+    * semantics match the published pattern exactly — leftmost-first
+    * alternation, contractions case-sensitive, ONLY the literal ASCII
+    * space participates in the ` ?` prefix, non-BMP codepoints classed
+    * whole. The matches PARTITION the input (every char is whitespace,
+    * letter, number, or other — some branch always fires), so
+    * pretokens concatenate back to the input string exactly.
+    *
+    * Character classes: `\p{L}` = Character.isLetter, `\p{N}` = Unicode
+    * Nd∪Nl∪No via Character.getType, `\s` = Character.isWhitespace ∪
+    * {U+0085, U+00A0, U+2007, U+202F} (Java's isWhitespace excludes the
+    * non-breaking spaces and NEL that the reference rule's engine
+    * counts as whitespace). Off-ASCII behavior is gated by the fixture
+    * spec (BpeSpec); the driver corpus is pure ASCII. */
+  private[graft] def pretokensGpt2(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = s.length
+    def isWs(cp: Int): Boolean = Character.isWhitespace(cp) ||
+      cp == 0x85 || cp == 0xA0 || cp == 0x2007 || cp == 0x202F
+    def isL(cp: Int): Boolean = Character.isLetter(cp)
+    def isN(cp: Int): Boolean = Character.getType(cp) match {
+      case Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
+           Character.OTHER_NUMBER => true
+      case _ => false
+    }
+    // consume codepoints from j while `p` holds; returns the end index
+    def run(j0: Int, p: Int => Boolean): Int = {
+      var j = j0
+      while (j < n) {
+        val cp = s.codePointAt(j)
+        if (!p(cp)) return j
+        j += Character.charCount(cp)
+      }
+      j
+    }
+    var i = 0
+    while (i < n) {
+      val start = i
+      val c = s.charAt(i)
+      // contraction branches, listed first in the published pattern
+      val contr =
+        if (c == '\'' && i + 1 < n) {
+          val c1 = s.charAt(i + 1)
+          if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') 2
+          else if (i + 2 < n && ((c1 == 'r' && s.charAt(i + 2) == 'e') ||
+                                 (c1 == 'v' && s.charAt(i + 2) == 'e') ||
+                                 (c1 == 'l' && s.charAt(i + 2) == 'l'))) 3
+          else 0
+        } else 0
+      if (contr > 0) {
+        out += s.substring(i, i + contr); i += contr
+      } else {
+        // ` ?` prefix: ONE literal ASCII space may attach to a following
+        // letter/number/other run (never to whitespace)
+        val j = if (c == ' ' && i + 1 < n) i + 1 else i
+        val cp = s.codePointAt(j)
+        if (isL(cp)) { i = run(j, isL); out += s.substring(start, i) }
+        else if (isN(cp)) { i = run(j, isN); out += s.substring(start, i) }
+        else if (!isWs(cp)) {
+          i = run(j, x => !isWs(x) && !isL(x) && !isN(x))
+          out += s.substring(start, i)
+        } else {
+          // whitespace run from i (covers j==i, and the j==i+1 case where
+          // the optional space is followed by MORE whitespace): the
+          // `\s+(?!\S)` branch keeps the last char out when a non-space
+          // follows (it attaches to the next token via ` ?` — or stands
+          // alone via the final `\s+` if it cannot attach)
+          val k = run(i, isWs)
+          if (k < n && k - i > 1) { out += s.substring(i, k - 1); i = k - 1 }
+          else if (k < n) { out += s.substring(i, k); i = k } // lone \s+ fallback
+          else { out += s.substring(i, k); i = k }            // trailing run
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[pretokensGpt2]] as a Column (null-safe). A per-row UDF is
+    * irreducible here — the rule needs lookahead/backtracking semantics
+    * no split/regexp builtin expresses — and it is pure row-local work:
+    * no shuffle, divides by cores, the decode-kernel precedent. */
+  private[graft] def gpt2Pretokens(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) Seq.empty[String] else pretokensGpt2(s)
+    }
+    f(text)
+  }
 
   private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -411,16 +528,23 @@ object Bpe {
     * million words all-in); above it the distributed loop takes over. */
   val defaultLocalVocabLimit: Long = 2000000L
 
+  /** @param gpt2 use [[pretokensGpt2]] as the pre-tokenizer (implies the
+    *   byte alphabet — GPT-2 mode is DEFINED over bytes; the leading
+    *   space rides inside the pretoken, so merges learn space-carrying
+    *   symbols and decode is word-exact) */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
                 localVocabLimit: Long = defaultLocalVocabLimit,
-                byteLevel: Boolean = false): DataFrame = {
+                byteLevel: Boolean = false, gpt2: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sym: String => Seq[String] = if (byteLevel) symbolizeBytes else symbolize
+    val sym: String => Seq[String] =
+      if (byteLevel || gpt2) symbolizeBytes else symbolize
+    val pretok: Column =
+      if (gpt2) gpt2Pretokens(col(textCol)) else Dedup.tokens(col(textCol))
     // one corpus pass: word frequencies (the only corpus-sized shuffle).
     // Persisted so the fork's count() and the chosen path's consumption
     // materialize the corpus aggregation ONCE, not once per action.
-    val wordFreq = df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+    val wordFreq = df.select(explode(pretok).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
       .persist()
@@ -549,12 +673,15 @@ object Bpe {
     */
   def encodeDocs(df: DataFrame, idCol: String, textCol: String,
                  merges: Seq[(String, String)],
-                 byteLevel: Boolean = false): DataFrame = {
+                 byteLevel: Boolean = false, gpt2: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val mergeAt = merges.toArray
-    val sym: String => Seq[String] = if (byteLevel) symbolizeBytes else symbolize
-    df.select(col(idCol).cast(LongType), Dedup.tokens(col(textCol)))
+    val sym: String => Seq[String] =
+      if (byteLevel || gpt2) symbolizeBytes else symbolize
+    val pretok: Column =
+      if (gpt2) gpt2Pretokens(col(textCol)) else Dedup.tokens(col(textCol))
+    df.select(col(idCol).cast(LongType), pretok)
       .toDF("_1", "_2").as[(Long, Seq[String])]
       .mapPartitions { it =>
         val rank = new java.util.HashMap[(String, String), Int]()

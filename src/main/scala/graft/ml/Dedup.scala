@@ -219,9 +219,59 @@ object Dedup {
     val blocks = Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
       throw new IllegalArgumentException(
         s"hammingBandedPairs: maxHamming=$maxHamming needs > 32 blocks; blocking cannot guarantee recall beyond 31"))
+    hammingBandedPairsWith(
+      sigs0.select(col(idCol).as("_id"), col(sigCol).as("_sim")),
+      maxHamming, maxBucketSize, blocks)
+  }
+
+  /** Block-count selection from the population size — the r16 scale
+    * prescription ("radius-3 blocks at >= 1M fingerprints") automated.
+    * Expected bucket occupancy under a uniform 64-bit fingerprint is
+    * n / 2^(64/b) — increasing in b (fewer bits per block), so the
+    * candidates that survive `maxBucketSize` form a PREFIX of
+    * {4,8,16,32}. Rule: take the recall-guaranteeing count (first
+    * b > maxHamming) when its expected occupancy stays under the cap;
+    * otherwise fall back to the LARGEST fitting count (the widest
+    * guaranteed radius the population still permits — pigeonhole then
+    * covers b-1 < maxHamming flips, the documented trade: candidates
+    * are still Hamming-verified at the full radius, only the recall
+    * GUARANTEE narrows). Past n ≈ cap·2^16 even 16-bit blocks
+    * saturate — 4 blocks is the widest a 64-bit fingerprint offers,
+    * and the bucket cap keeps the join bounded (degenerate keys drop,
+    * exactly as at gate scale). */
+  private[graft] def chooseBlocks(n: Long, maxHamming: Int, maxBucketSize: Int): Int = {
+    val candidates = Seq(4, 8, 16, 32)
+    val guaranteed = candidates.find(_ > maxHamming).getOrElse(
+      throw new IllegalArgumentException(
+        s"chooseBlocks: maxHamming=$maxHamming needs > 32 blocks; blocking cannot guarantee recall beyond 31"))
+    def occupancy(b: Int): Double = n.toDouble / math.pow(2.0, 64.0 / b)
+    if (occupancy(guaranteed) < maxBucketSize) guaranteed
+    else candidates.filter(b => b < guaranteed && occupancy(b) < maxBucketSize)
+      .lastOption.getOrElse(4)
+  }
+
+  /** [[hammingBandedPairs]] with the block count chosen from the
+    * population size ([[chooseBlocks]]) instead of the radius alone —
+    * the auto form of the manual scale prescription. `nHint` skips the
+    * count when the caller already knows the population (a streaming
+    * deploy sizing from its ingest meter); without it ONE count() over
+    * the slim checkpointed (id, fingerprint) rows decides. Explicit
+    * overrides remain: callers wanting a specific geometry use the
+    * manual [[hammingBandedPairs]]. */
+  def hammingBandedPairsAuto(sigs0: DataFrame, idCol: String, sigCol: String,
+                             maxHamming: Int = 3, maxBucketSize: Int = 1000,
+                             nHint: Option[Long] = None): DataFrame = {
+    val sigs = sigs0.select(col(idCol).as("_id"), col(sigCol).as("_sim"))
+      .localCheckpoint(false) // 16-byte rows; counted once, banded once
+    val n = nHint.getOrElse(sigs.count())
+    hammingBandedPairsWith(sigs, maxHamming, maxBucketSize,
+      chooseBlocks(n, maxHamming, maxBucketSize))
+  }
+
+  private[graft] def hammingBandedPairsWith(sigs: DataFrame, maxHamming: Int,
+                                            maxBucketSize: Int, blocks: Int): DataFrame = {
     val bits = 64 / blocks
     val mask = (1L << bits) - 1L
-    val sigs = sigs0.select(col(idCol).as("_id"), col(sigCol).as("_sim"))
     // Unlike minhash (KB-sized shingle arrays), the simhash signature is
     // 8 bytes — CHEAPER to carry through the banded join than to join it
     // back per candidate. Crucially this lets the Hamming filter run

@@ -387,6 +387,132 @@ object Similarity {
   /** LSH-bucketed ANN: score only pairs sharing a bucket in >=1 of `tables`
     * hyperplane tables. Recall < 1.0 but corpus-side work drops from
     * O(|corpus| * |queries|) to O(bucket collisions). */
+  /** QUANTIZED k-means — the md5-sibling pattern applied to the k-means
+    * family (r16 verdict #4): float k-means cannot be bit-faithful in
+    * SQL (avg() merges partial aggregates in task-completion order, so
+    * two runs can differ by a ULP), which is why the float semantic
+    * gates are pinned-hash rows. This variant does EVERY arithmetic
+    * step in 64-bit integers, each of which replays exactly in DuckDB:
+    *
+    *  - quantize: q_i = floor(double(x_i) · scale + 0.5) — float→double
+    *    cast is exact, the multiply/add/floor are single IEEE ops both
+    *    engines execute identically;
+    *  - seed: the `nCells` training rows with the smallest
+    *    (md5-60-bit(id), id) — the sampleCoin replay convention;
+    *  - train sample: md5-60-bit(id) % trainMod == 0;
+    *  - assign: argmin of integer squared L2 (sums of 64 products,
+    *    |q| ≤ 2²¹ → Σ ≤ 2⁵⁰, no overflow), ties to the LOWEST cell;
+    *  - update: element-wise floor-division mean (Math.floorDiv —
+    *    the oracle computes the same via (s − mod)/n); empty cells
+    *    keep their centroid.
+    *
+    * Integer sums are associative — partial-aggregation order cannot
+    * move the result — so distributed == oracle BIT-exactly, putting
+    * the cell-assign + within-cell pair machinery of the semantic
+    * family under a FULL oracle (llm_semdedup_q). Same distributed
+    * shape as [[ivfCentroids]]: one corpus pass per iteration,
+    * centroid state driver-resident kilobytes. */
+  def ivfCentroidsQ(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    dim: Int, nCells: Int, iters: Int = 4, trainMod: Int = 1,
+                    scale: Double = 1048576.0): Array[Array[Long]] = {
+    val hk = TextAnalysis.md5Long60(col(corpusId).cast(StringType))
+    val base0 = corpus.select(col(corpusId).as("_id"),
+      quantizeVec(col(corpusVec), scale).as("_qv"), hk.as("_hk"))
+    val base = (if (trainMod > 1)
+      base0.filter(pmod(col("_hk"), lit(trainMod)) === 0) else base0)
+      .localCheckpoint() // scanned once; reused every iteration
+    var cents = base.orderBy(col("_hk"), col("_id")).limit(nCells)
+      .select("_qv").collect().map(_.getSeq[Long](0).toArray)
+    for (_ <- 0 until iters) {
+      val assign = assignCellQ(cents)
+      val sums = base.groupBy(assign(col("_qv")).as("_cell"))
+        .agg(count(lit(1)).as("_n"),
+          array((0 until dim).map(i => sum(col("_qv").getItem(i))): _*).as("_s"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray))).toMap
+      cents = cents.indices.map { c =>
+        sums.get(c).map { case (n, s) => s.map(x => Math.floorDiv(x, n)) }
+          .getOrElse(cents(c)) // empty cell keeps its centroid
+      }.toArray
+    }
+    base.unpersist()
+    cents
+  }
+
+  /** floor(double(x)·scale + 0.5) per component — codegen'd, exact. */
+  private[graft] def quantizeVec(vec: Column, scale: Double): Column =
+    transform(vec.cast(ArrayType(DoubleType)), x =>
+      floor(x * lit(scale) + lit(0.5)).cast(LongType))
+
+  /** argmin-of-integer-squared-L2 cell assignment (ties → lowest cell);
+    * one fused loop, the [[assignCell]] shape in Long arithmetic. */
+  private[graft] def assignCellQ(cents: Array[Array[Long]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Long]) =>
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0L
+        var i = 0
+        val row = cents(c)
+        val n = math.min(row.length, v.length)
+        while (i < n) { val t = row(i) - v(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** [[semDedup]]'s integer sibling over [[ivfCentroidsQ]] cells: keep
+    * one survivor per quantized near-dup pair (squared L2 ≤ `threshold`
+    * micro-units²) within a cell, the loser being the vector with the
+    * smaller integer centroid-dot (ties to the larger id) — the
+    * centroid_cos priority rule in exactly-replayable arithmetic.
+    * Same plan as [[semDedup]]: one signature table localCheckpoint'ed,
+    * boundedBucketPairs candidates, verify INSIDE the pair join.
+    * @return (idCol, cell, priority, keep) */
+  def semDedupQ(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                nCells: Int = 16, threshold: Long, iters: Int = 4,
+                trainMod: Int = 1, maxCellSize: Int = 100000,
+                scale: Double = 1048576.0,
+                centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfCentroidsQ(corpus, idCol, vecCol, dim, nCells, iters, trainMod, scale))
+    val assign = assignCellQ(cents)
+    val prio = udf { (cell: Int, v: Seq[Long]) =>
+      var d = 0L
+      var i = 0
+      val row = cents(cell)
+      val n = math.min(row.length, v.length)
+      while (i < n) { d += row(i) * v(i); i += 1 }
+      d
+    }
+    val vecs = corpus.select(col(idCol).as("_id"),
+        quantizeVec(col(vecCol), scale).as("_qv"))
+      .withColumn("_cell", assign(col("_qv")))
+      .withColumn("_prio", prio(col("_cell"), col("_qv")))
+      .localCheckpoint(false)
+    val candidates = Dedup.boundedBucketPairs(
+      vecs.select("_id", "_cell"), "_id", Seq("_cell"), maxCellSize)
+    val a = vecs.select(col("_id").as("id_a"), col("_qv").as("_va"), col("_prio").as("_pa"))
+    val b = vecs.select(col("_id").as("id_b"), col("_qv").as("_vb"), col("_prio").as("_pb"))
+    val losers = candidates.join(a, "id_a").join(b, "id_b")
+      // integer squared L2 inside codegen (zip_with + aggregate): exact,
+      // associative, no UDF in the pair hot path
+      .withColumn("_d2", aggregate(
+        zip_with(col("_va"), col("_vb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+      .filter(col("_d2") <= threshold)
+      .select(when(col("_pa") < col("_pb") ||
+          (col("_pa") === col("_pb") && col("id_a") > col("id_b")), col("id_a"))
+        .otherwise(col("id_b")).as("_loser"))
+      .distinct()
+    vecs.join(losers, vecs("_id") === losers("_loser"), "left_outer")
+      .select(col("_id").as(idCol), col("_cell").cast(LongType).as("cell"),
+        col("_prio").as("priority"),
+        when(col("_loser").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String, dim: Int,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planesPerTable: Int = 10, tables: Int = 6,

@@ -43,9 +43,14 @@ object FlatCheckpoint {
         attributeStats = s.attributeStats,
         isRuntime = s.isRuntime)
       val session = df.sparkSession.asInstanceOf[SparkSession]
+      // thread the origin constraints through unchanged (r16 advice):
+      // lr.constraints IS the origin set the checkpoint carried, already
+      // filtered to deterministic exprs over lr.output — dropping it
+      // would silently lose filter inference the pure stats clamp
+      // never meant to touch
       Dataset.ofRows(session,
         LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-          lr.isStreaming, lr.stream)(session, Some(capped), None))
+          lr.isStreaming, lr.stream)(session, Some(capped), Some(lr.constraints)))
     case _ => df
   }
 }

@@ -1463,6 +1463,113 @@ class MlSpec extends SparkSpec {
       s"batch ${batch.size} rows vs stream ${stream.size}")
   }
 
+  test("pretokensGpt2: hand-derived fixtures for every branch of the published rule") {
+    import graft.ml.Bpe.pretokensGpt2
+    // each case exercises a branch the DuckDB oracle's simplified regex
+    // never sees on the single-spaced corpus (whitespace runs, the
+    // lookahead, contractions, digit/punct runs, off-ASCII classes)
+    val cases = Seq(
+      "hello world" -> Seq("hello", " world"),
+      "don't stop" -> Seq("don", "'t", " stop"),
+      "it's 42 worlds!" -> Seq("it", "'s", " 42", " worlds", "!"),
+      "we'll we've we're he'd I'm" ->
+        Seq("we", "'ll", " we", "'ve", " we", "'re", " he", "'d", " I", "'m"),
+      "can't've" -> Seq("can", "'t", "'ve"),
+      "'S" -> Seq("'", "S"), // contractions are case-sensitive
+      "a  b" -> Seq("a", " ", " b"), // \s+(?!\S) keeps the last space out
+      "a   b" -> Seq("a", "  ", " b"),
+      "trailing  " -> Seq("trailing", "  "), // terminal run stays whole
+      "trailing " -> Seq("trailing", " "),
+      " leading" -> Seq(" leading"),
+      "tab\there" -> Seq("tab", "\t", "here"), // lone \s+: tab can't attach
+      " \tx" -> Seq(" ", "\t", "x"),
+      "x1y2" -> Seq("x", "1", "y", "2"),
+      "hi!!! there..." -> Seq("hi", "!!!", " there", "..."),
+      "caf\u00e9 au" -> Seq("caf\u00e9", " au"), // é is \p{L}
+      "a\u00a0b" -> Seq("a", "\u00a0", "b"), // NBSP is \s, can't attach
+      "" -> Seq.empty[String])
+    cases.foreach { case (in, want) =>
+      val got = pretokensGpt2(in)
+      assert(got == want, s"pretokensGpt2(${in.replace("\t", "\\t")}): $got != $want")
+      assert(got.mkString == in, s"pretokens must partition the input: $in")
+    }
+  }
+
+  test("pretokensGpt2 == the published regex run by an independent engine (with lookahead)") {
+    // java.util.regex executes the ACTUAL Radford et al. 2019 pattern —
+    // lookahead, backtracking, leftmost-first alternation — with
+    // UNICODE_CHARACTER_CLASS making its \s exactly the scanner's
+    // whitespace set. A seeded fuzz over a deliberately nasty alphabet
+    // (contraction stems, mixed scripts, digit marks, NBSP, tabs,
+    // multi-space) pins the scanner to an engine we didn't write.
+    val p = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    def ref(s: String): Seq[String] = {
+      val m = p.matcher(s)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) b += m.group()
+      b.toSeq
+    }
+    val alphabet = "abzRE '''sstv0129!.,-\t\n\u00a0\u00e9\u4e16\u2163 "
+    val rnd = new scala.util.Random(20260817L)
+    var i = 0
+    while (i < 800) {
+      val len = rnd.nextInt(40)
+      val s = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = graft.ml.Bpe.pretokensGpt2(s)
+      assert(got == ref(s),
+        s"scanner diverged from the regex on ${s.replace("\t", "\\t").replace("\n", "\\n")}: " +
+          s"$got vs ${ref(s)}")
+      assert(got.mkString == s, s"partition property violated on $s")
+      i += 1
+    }
+  }
+
+  test("GPT-2 mode: byte-exact document roundtrip incl. whitespace the oracle can't see") {
+    import spark.implicits._
+    // text with double spaces, tabs, trailing space, contractions and a
+    // multi-byte codepoint — everything the simplified oracle regex is
+    // blind to; byte-mode decode must still reproduce it EXACTLY
+    val docs = Seq(
+      (1L, "the cat  sat\ton the mat "),
+      (2L, "don't touch caf\u00e9 n\u00ba 42"),
+      (3L, ""),
+      (4L, "plain single spaced words like the corpus")).toDF("doc_id", "text")
+    val merges = graft.ml.Bpe.bpeMerges(docs, "text", nMerges = 20, gpt2 = true)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val decoded = graft.ml.Bpe.encodeDocs(docs, "doc_id", "text", merges, gpt2 = true)
+      .collect().map(r => (r.getLong(0), graft.ml.Bpe.decodeBytes(r.getSeq[String](1)))).toMap
+    docs.collect().foreach { r =>
+      assert(decoded(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)}: decode(encode(text)) != text")
+    }
+    // GPT-2-mode vocabulary genuinely carries the space inside symbols
+    assert(merges.exists(_._1.startsWith(" ")) || merges.exists(m => (m._1 + m._2).startsWith(" ")),
+      "no space-carrying merge learned — pretokens lost their leading spaces")
+    // and the merge-axis fork holds in GPT-2 mode too
+    val dist = graft.ml.Bpe.bpeMerges(docs, "text", nMerges = 20, localVocabLimit = 0L,
+        gpt2 = true)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(dist == merges, "GPT-2 local/distributed merge paths diverged")
+  }
+
+  test("oracle precondition: the driver corpus is in the simplified-regex regime") {
+    // the llm_bpe_*_gpt2 oracles replay pre-tokenization with the
+    // RE2-expressible pattern (no whitespace branches); that is exactly
+    // equivalent iff the corpus is single-ASCII-spaced with no
+    // leading/trailing/run whitespace and no regex metachars that could
+    // break the oracle's '(sym)(sym)' delimiter encoding. Assert it at
+    // both gate SFs so a regenerated fixture can't silently break the
+    // equivalence.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = spark.read.parquet(s"$dir/documents.parquet")
+        .where(not(col("text").rlike("^[a-z]+( [a-z]+)*$")) && col("text") =!= "")
+        .count()
+      assert(bad == 0L, s"$dir: $bad docs outside the [a-z ]-single-spaced regime")
+    }
+  }
+
   test("llm_embed_decontaminate: exactly the planted perturbation sources flag; each maps to its twin") {
     val out = QueriesLlm.queries("llm_embed_decontaminate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
@@ -2008,6 +2115,109 @@ class MlSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(local == dist,
       s"fork diverged: local ${local.take(3)}... dist ${dist.take(3)}...")
+  }
+
+  test("runIncrementalResolve: cadence is invisible, incl. the trailing partial group") {
+    import spark.implicits._
+    // 5 micro-batches with compactEvery=3: ONE in-stream compaction at
+    // bid 2, then batches 3-4 drain into `pending` and only the
+    // post-drain `compact(..., "final")` branch can fold them — the two
+    // branches r16 flagged as reached by NO execution anywhere (gate
+    // ran N=1; probe ran 8 splits with N=4). The last batches carry
+    // edges that BRIDGE components, so a broken trailing compaction
+    // cannot produce the expected labeling.
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L)),
+      Seq((10L, 11L)),
+      Seq((3L, 4L)),
+      Seq((11L, 12L), (20L, 21L)),
+      Seq((21L, 22L), (4L, 20L))) // bridges {1..4} with {20,21,22}
+    val inDir = QueriesCore.writeSplitDir("cadence_in",
+      batches.zipWithIndex.map { case (b, i) =>
+        (b.toDF("id_a", "id_b"), s"${i}_pairs.parquet") })
+    val expected = Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (20L, 1L), (21L, 1L), (22L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)) // hand-derived min labels
+    def run(every: Int, localLimit: Long): Set[(Long, Long)] = {
+      val schema = spark.read.parquet(inDir.resolve("0_pairs.parquet").toString).schema
+      val pairs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+      QueriesLlm.runIncrementalResolve(spark, pairs, compactEvery = every,
+          localEdgeLimit = localLimit)
+        .get.select("node", "label").as[(Long, Long)].collect().toSet
+    }
+    assert(run(1, 2000000L) == expected, "compactEvery=1 (the gate shape) diverged")
+    assert(run(3, 2000000L) == expected, "compactEvery=3 via the local fork diverged")
+    assert(run(3, 0L) == expected, "compactEvery=3 via distributed CC diverged")
+  }
+
+  test("llm_semdedup_q: planted twins dedup to one survivor (cell-straddlers excepted)") {
+    val out = QueriesLlm.queries("llm_semdedup_q")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val n = out.size / 2
+    assert(out.size == 2 * n && n > 0, s"planted corpus size ${out.size}")
+    var deduped = 0
+    var straddlers = 0
+    (0L until n).foreach { id =>
+      val (ca, ka) = out(id)
+      val (cb, kb) = out(id + 100000L)
+      if (ca == cb) {
+        assert(ka + kb == 1, s"twin pair $id in one cell must keep exactly one")
+        deduped += 1
+      } else {
+        // a twin that straddles a cell boundary is never paired — the
+        // inherent recall property of cell-bucketed semdedup (same as
+        // the float gate); both survive, and that's what the oracle
+        // replays too
+        assert(ka == 1 && kb == 1, s"straddling twin pair $id lost a member")
+        straddlers += 1
+      }
+    }
+    assert(deduped >= (n * 95) / 100,
+      s"only $deduped/$n twin pairs co-celled — centroids degenerate?")
+    // non-twin drops would mean the threshold caught a natural pair —
+    // measured 250× separation says that must never happen at gate SF
+    val dropped = out.count(_._2._2 == 0L)
+    assert(dropped == deduped, s"dropped $dropped != co-celled twins $deduped")
+  }
+
+  test("hammingBandedPairsAuto == manual; chooseBlocks matches the scale prescription") {
+    // chooser unit points: the manual geometry at gate populations, the
+    // documented radius-3-block fallback at 1M, saturation at the cap
+    assert(Dedup.chooseBlocks(2000, 3, 1000) == 4)
+    assert(Dedup.chooseBlocks(2000, 7, 1000) == 8)
+    assert(Dedup.chooseBlocks(200000, 7, 1000) == 8) // 200k/2^8 = 781 < cap
+    assert(Dedup.chooseBlocks(1000000, 7, 1000) == 4) // the r7-at-1M prescription
+    assert(Dedup.chooseBlocks(1000000, 3, 1000) == 4)
+    assert(Dedup.chooseBlocks(Long.MaxValue, 3, 1000) == 4) // saturation: cap guards
+    intercept[IllegalArgumentException](Dedup.chooseBlocks(100, 32, 1000))
+    // plumbing equality on seeded random twins: at the TRUE population
+    // auto picks the manual geometry and must emit the identical pair
+    // set; with a scale-sized nHint it picks the 4-block fallback and
+    // must equal the explicitly-prescribed manual form
+    val rnd = new scala.util.Random(20260818L)
+    val sigs = (0 until 1500).flatMap { i =>
+      val fp = rnd.nextLong()
+      val pos = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(8))
+      Seq((i.toLong, fp), (100000L + i, pos.foldLeft(fp)((a, p) => a ^ (1L << p))))
+    }.toDF("id", "fp")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    for (r <- Seq(3, 7)) {
+      val manual = canon(Dedup.hammingBandedPairs(sigs, "id", "fp", maxHamming = r)
+        .withColumn("hamming", col("hamming").cast("int")))
+      val auto = canon(Dedup.hammingBandedPairsAuto(sigs, "id", "fp", maxHamming = r)
+        .withColumn("hamming", col("hamming").cast("int")))
+      assert(auto == manual, s"radius $r: auto != manual at the true population")
+    }
+    val scaleAuto = canon(Dedup.hammingBandedPairsAuto(sigs, "id", "fp", maxHamming = 7,
+        nHint = Some(1000000L)) // chooser sees 1M -> 4 blocks
+      .withColumn("hamming", col("hamming").cast("int")))
+    val scaleManual = canon(Dedup.hammingBandedPairsWith(
+        sigs.select(col("id").as("_id"), col("fp").as("_sim")),
+        maxHamming = 7, maxBucketSize = 1000, blocks = 4)
+      .withColumn("hamming", col("hamming").cast("int")))
+    assert(scaleAuto == scaleManual, "auto at scale-hint != prescribed 4-block manual form")
   }
 
   test("FlatCheckpoint.capStats: small sizes exact, carried stats clamped (the CC cliff guard)") {
