@@ -1771,6 +1771,21 @@ object QueriesLlm {
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // QUANTIZED IVF sibling (the llm_semdedup_q pattern applied to ANN):
+    // integer centroids, integer-distance probe of the 4 nearest lists,
+    // integer SQUARED-L2 scoring inside codegen, (dist2 ASC, vec_id)
+    // ranking — nearest-neighbor in the same metric the cells partition
+    // by. The assign→probe→score→rank machinery of the IVF family under
+    // a FULL DuckDB oracle (the float form stays the production gate
+    // with its pinned hash; this engine-checks the topology).
+    "llm_ann_ivf_q" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").repartition(Tables.fanout(s))
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopKQ(emb, "vec_id", "embedding", 64,
+        q, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+        iters = 4, trainMod = 2)
+    }),
+
     // multimodal plumbing: binary payload + typed metadata → features
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)
@@ -2368,14 +2383,24 @@ object QueriesLlm {
     * is bit-exact — no rounding anywhere. (s − ((s%n)+n)%n)/n is
     * floor-division written so the numerator divides exactly — immune
     * to the two engines' truncation conventions. */
-  private def oSemDedupQ(nCells: Int, iters: Int, trainMod: Int,
-                         threshold: Long, cap: Int): String = {
+  /** The planted (twins-unioned) vector source for the quantized
+    * k-means chains — llm_semdedup_q's corpus. */
+  private val oQPlantedSrc = """SELECT vec_id, embedding AS v FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 100000 AS vec_id,
+                     list_prepend((embedding[1] * 1.05::REAL + 0.01::REAL)::REAL, embedding[2:]) AS v
+                   FROM embeddings"""
+
+  /** Shared quantized-k-means CTE prefix over a `(vec_id, v)` source:
+    * quantize → md5-keyed seed/sample → `iters` argmin/floor-div-mean
+    * rounds (c0..cN MATERIALIZED) → final all-vec assignment (fin).
+    * ONE copy composed by the llm_semdedup_q and llm_ann_ivf_q tails so
+    * the trained cells provably cannot drift between the two gates'
+    * oracles. */
+  private def oQKmeansChain(src: String, nCells: Int, iters: Int,
+                            trainMod: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH twins AS (SELECT vec_id + 100000 AS vec_id,
-           list_prepend((embedding[1] * 1.05::REAL + 0.01::REAL)::REAL, embedding[2:]) AS v
-         FROM embeddings),
-         vecs0 AS (SELECT vec_id, embedding AS v FROM embeddings
-                   UNION ALL SELECT vec_id, v FROM twins),
+    sb ++= s"""WITH vecs0 AS ($src),
          q AS MATERIALIZED (SELECT vec_id, i AS d,
              CAST(floor(CAST(v[i+1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS x
            FROM vecs0, UNNEST(generate_series(0, 63)) AS u(i)),
@@ -2408,7 +2433,13 @@ object QueriesLlm {
                 row_number() OVER (PARTITION BY q.vec_id
                   ORDER BY sum((q.x - c.cx)*(q.x - c.cx)), c.cell) AS rn
               FROM q JOIN c$iters c ON q.d = c.d
-              GROUP BY q.vec_id, c.cell) WHERE rn = 1),
+              GROUP BY q.vec_id, c.cell) WHERE rn = 1)"""
+    sb.toString
+  }
+
+  private def oSemDedupQ(nCells: Int, iters: Int, trainMod: Int,
+                         threshold: Long, cap: Int): String =
+    oQKmeansChain(oQPlantedSrc, nCells, iters, trainMod) + s""",
          pri AS MATERIALIZED (SELECT f.vec_id, f.cell, sum(q.x * c.cx)::BIGINT AS prio
               FROM fin f JOIN q ON q.vec_id = f.vec_id
               JOIN c$iters c ON c.cell = f.cell AND c.d = q.d
@@ -2430,12 +2461,39 @@ object QueriesLlm {
          SELECT p.vec_id, p.cell::BIGINT AS cell, p.prio AS priority,
            (CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
          FROM pri p LEFT JOIN losers l ON l.vec_id = p.vec_id"""
-    sb.toString
-  }
+
+  /** llm_ann_ivf_q's tail over the shared chain: probe = the nProbe
+    * integer-nearest cells per query (row_number over (dist, cell) —
+    * probeCellsQ's sort), candidates = the probed inverted lists,
+    * score = integer squared L2, rank = (dist2 ASC, vec_id). */
+  private def oAnnIvfQ(nCells: Int, iters: Int, trainMod: Int,
+                       k: Int, nProbe: Int): String =
+    oQKmeansChain("SELECT vec_id, embedding AS v FROM embeddings",
+      nCells, iters, trainMod) + s""",
+         qry AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+         probe AS (SELECT query_id, cell FROM (
+              SELECT y.query_id, c.cell,
+                row_number() OVER (PARTITION BY y.query_id
+                  ORDER BY sum((qq.x - c.cx)*(qq.x - c.cx)), c.cell) AS rn
+              FROM qry y JOIN q qq ON qq.vec_id = y.query_id
+              JOIN c$iters c ON c.d = qq.d
+              GROUP BY y.query_id, c.cell) WHERE rn <= $nProbe),
+         cand AS (SELECT p.query_id, f.vec_id
+                  FROM probe p JOIN fin f ON f.cell = p.cell),
+         sc AS (SELECT c.query_id, c.vec_id,
+                  sum((xa.x - xb.x)*(xa.x - xb.x))::BIGINT AS dist2
+                FROM cand c JOIN q xa ON xa.vec_id = c.query_id
+                            JOIN q xb ON xb.vec_id = c.vec_id AND xb.d = xa.d
+                GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, vec_id) AS rank FROM sc)
+         SELECT query_id, vec_id, dist2, rank FROM r WHERE rank <= $k"""
 
   private val oracleBase: Map[String, String] = Map(
     "llm_semdedup_q" -> oSemDedupQ(nCells = 16, iters = 4, trainMod = 2,
       threshold = 4000000000L, cap = 100000),
+    "llm_ann_ivf_q" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4),
     "llm_langid" -> oLangId,
     "llm_minhash_pairs_md5" -> oMinhashMd5(bands = 8, rpb = 2, thr = 0.4, cap = 1000),
     "llm_embed_pairs" ->

@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   * therefore times pair STREAMING plus per-batch CC compaction, not
   * fixture synthesis.
   *
-  * Usage: runMain graft.ResolveProbe <dir> <nSplits> [compactEvery=1] [localEdgeLimit]
-  * (localEdgeLimit=0 forces the distributed CC path at any size)
+  * Usage: runMain graft.ResolveProbe <dir> <nSplits> [compactEvery=1] [localEdgeLimit] [cap=1000]
+  * (localEdgeLimit=0 forces the distributed CC path at any size;
+  * `cap` raises BOTH the batch retroactive and streaming prospective
+  * bucket caps — the r16 100×-point blocker was the fixture's top
+  * 12-bit block crossing cap 1000 at 5M sigs (~1.2k/bucket), where the
+  * prospective/retroactive difference breaks batch==stream BY DESIGN;
+  * a cap above the occupancy keeps both caps inert and the confluence
+  * comparison valid at 100×)
   */
 object ResolveProbe {
   def main(args: Array[String]): Unit = {
@@ -27,6 +33,7 @@ object ResolveProbe {
     val nSplits = ns.toInt
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(1)
     val localEdgeLimit = args.lift(3).map(_.toLong).getOrElse(2000000L)
+    val cap = args.lift(4).map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +56,8 @@ object ResolveProbe {
     val bits = 64 / blocks
     val mask = (1L << bits) - 1L
     val tb = System.nanoTime()
-    val bPairs = graft.ml.Dedup.hammingBandedPairs(sigs, "id", "fp", maxHamming)
+    val bPairs = graft.ml.Dedup.hammingBandedPairs(sigs, "id", "fp", maxHamming,
+        maxBucketSize = cap)
       .select("id_a", "id_b").localCheckpoint(false)
     val bNodes = bPairs.select(col("id_a").as("node"))
       .unionByName(bPairs.select(col("id_b").as("node"))).distinct()
@@ -76,7 +84,7 @@ object ResolveProbe {
           .as(Seq("_blk", "_key")))
       .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
     val sPairs = graft.streaming.StreamPhash.candidatePairs(
-      occ, maxHamming = maxHamming, blocks = blocks)
+      occ, maxHamming = maxHamming, blocks = blocks, maxBucketSize = cap)
     val state = QueriesLlm.runIncrementalResolve(spark, sPairs, compactEvery, localEdgeLimit)
       .getOrElse(sys.error("no pairs streamed"))
     val nState = state.count()

@@ -671,9 +671,22 @@ object Bpe {
     * @return (idCol, bpe array<string>) — the doc's subword sequence,
     *         word boundaries carried by the `</w>`-suffixed symbols
     */
+  /** @param cacheLimit per-partition word-cache bound (probe knob; the
+    *   default is the production size)
+    * @param cacheStats optional (hits, misses) accumulators — the
+    *   EncodeCacheProbe receipt plumbing; None (default) adds zero work
+    *   on the hot path
+    * @param clearOnOverflow probe-only comparison arm: overflow clears
+    *   the whole cache instead of evicting half (the policy evict-half
+    *   replaced — kept solely so the probe can measure both on the same
+    *   corpus) */
   def encodeDocs(df: DataFrame, idCol: String, textCol: String,
                  merges: Seq[(String, String)],
-                 byteLevel: Boolean = false, gpt2: Boolean = false): DataFrame = {
+                 byteLevel: Boolean = false, gpt2: Boolean = false,
+                 cacheLimit: Int = 1 << 20,
+                 cacheStats: Option[(org.apache.spark.util.LongAccumulator,
+                                     org.apache.spark.util.LongAccumulator)] = None,
+                 clearOnOverflow: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val mergeAt = merges.toArray
@@ -681,6 +694,10 @@ object Bpe {
       if (byteLevel || gpt2) symbolizeBytes else symbolize
     val pretok: Column =
       if (gpt2) gpt2Pretokens(col(textCol)) else Dedup.tokens(col(textCol))
+    val (hitAcc, missAcc) = cacheStats match {
+      case Some((h, m)) => (h, m)
+      case None => (null, null)
+    }
     df.select(col(idCol).cast(LongType), pretok)
       .toDF("_1", "_2").as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -693,24 +710,43 @@ object Bpe {
         // (tens of millions at the 100 TB framing — an executor OOM, per
         // core). 1M entries ≈ low hundreds of MB, the hit rate a larger
         // cache buys past the Zipf head is negligible.
-        val cacheLimit = 1 << 20
         val cache = new java.util.HashMap[String, Seq[String]]()
         // eviction = drop an ARBITRARY half (hash-order iteration), not
         // clear(): a full reset re-encodes the entire Zipf head, while
         // keeping a random half keeps ~half the head resident through
-        // the overflow (r15 verdict #4). Policy simulated on a 1/r Zipf
-        // stream (vocab 6x cap, 4M occurrences): misses 1,042,766
-        // (clear) vs 968,306 (evict-half) — 7% fewer re-encodes; an LRU
-        // would buy little more at the cost of per-hit bookkeeping.
+        // the overflow (r15 verdict #4). MEASURED on the driver corpus
+        // (EncodeCacheProbe, SCALING round-17, 2.7M occurrences at 10×):
+        // at the production cache size eviction never fires (31-word
+        // vocab ≪ 2^20 cap — hit rate 99.96%, misses == vocab × one
+        // per partition); with the cap FORCED under the vocab the
+        // policy delta is real and larger than the 1/r-Zipf simulation
+        // predicted: cap 16 → misses 400,626 (half) vs 1,128,312
+        // (clear), cap 8 → 200,819 vs 1,181,834 — 2.8-5.9× fewer
+        // re-encodes, because the surviving half keeps serving the head
+        // through every overflow while clear() re-encodes it from zero.
+        // An LRU would buy little more at the cost of per-hit
+        // bookkeeping.
         def evictHalf(): Unit = {
           val ksIt = cache.keySet().iterator()
           var drop = cacheLimit / 2
           while (drop > 0 && ksIt.hasNext) { ksIt.next(); ksIt.remove(); drop -= 1 }
         }
         it.map { case (id, toks) =>
-          if (cache.size >= cacheLimit) evictHalf()
-          (id, toks.flatMap(w =>
-            cache.computeIfAbsent(w, encodeWord(_, rank, mergeAt, sym))))
+          if (cache.size >= cacheLimit) {
+            if (clearOnOverflow) cache.clear() else evictHalf()
+          }
+          (id, toks.flatMap { w =>
+            val got = cache.get(w)
+            if (got != null) {
+              if (hitAcc != null) hitAcc.add(1L)
+              got
+            } else {
+              if (missAcc != null) missAcc.add(1L)
+              val enc = encodeWord(w, rank, mergeAt, sym)
+              cache.put(w, enc)
+              enc
+            }
+          })
         }
       }
       .toDF(idCol, "bpe")

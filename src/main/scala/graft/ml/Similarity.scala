@@ -513,6 +513,57 @@ object Similarity {
         when(col("_loser").isNull, 1L).otherwise(0L).as("keep"))
   }
 
+  /** nProbe nearest cells by integer squared L2 (ties → lower cell) —
+    * [[probeCells]]' quantized sibling, same fused-loop shape. */
+  private def probeCellsQ(cents: Array[Array[Long]], nProbe: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Long]) =>
+      cents.indices.map { c =>
+        var d = 0L
+        var i = 0
+        val row = cents(c)
+        val n = math.min(row.length, v.length)
+        while (i < n) { val t = row(i) - v(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(nProbe).map(_._2)
+    }
+
+  /** [[ivfTopK]]'s integer sibling over [[ivfCentroidsQ]] cells: probe
+    * the `nProbe` integer-nearest lists per query, score candidates by
+    * integer SQUARED L2 of the quantized vectors (codegen'd zip_with +
+    * aggregate — exact, associative), rank (dist2 ASC, vec_id) —
+    * nearest-neighbor in the SAME metric the cells partition by, so
+    * probing and ranking agree (a dot-scored variant measured recall
+    * 2/5: dot favors long vectors that L2 cells scatter). Every step
+    * replays in DuckDB bit-exactly, putting the IVF
+    * assign→probe→score→rank machinery under a FULL oracle
+    * (llm_ann_ivf_q). Same 100 TB shape as [[ivfTopK]]: corpus scanned
+    * once to tag cells, queries broadcast, candidate join
+    * corpus-side-narrow. */
+  def ivfTopKQ(corpus: DataFrame, corpusId: String, corpusVec: String, dim: Int,
+               queries: DataFrame, queryId: String, queryVec: String,
+               k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 4,
+               trainMod: Int = 1, scale: Double = 1048576.0): DataFrame = {
+    val cents = ivfCentroidsQ(corpus, corpusId, corpusVec, dim, nCells, iters,
+      trainMod, scale)
+    val assign = assignCellQ(cents)
+    val probe = probeCellsQ(cents, nProbe)
+    val c = corpus.select(col(corpusId).as("vec_id"),
+        quantizeVec(col(corpusVec), scale).as("_cv"))
+      .withColumn("_cell", assign(col("_cv")))
+    val q = broadcast(queries
+      .select(col(queryId).as("query_id"), quantizeVec(col(queryVec), scale).as("_qv"))
+      .withColumn("_cell", explode(probe(col("_qv")))))
+    val scored = c.join(q, Seq("_cell"))
+      .withColumn("dist2", aggregate(
+        zip_with(col("_cv"), col("_qv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dist2", "rank")
+  }
+
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String, dim: Int,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planesPerTable: Int = 10, tables: Int = 6,
