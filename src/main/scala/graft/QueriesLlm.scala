@@ -214,6 +214,51 @@ object QueriesLlm {
         (ranked.filter(col("_rk") > half).select("vec_id", "embedding"), "1_emb.parquet")))
     })
 
+  /** Frozen QUANTIZED centroids (ivfCentroidsQ over the planted corpus
+    * with llm_semdedup_q's parameters) — cached per dir so the batch
+    * gate, the streaming twin and the split-dir ranking all consume ONE
+    * training run. Integer training is bit-deterministic, so this is a
+    * cost cache, not a correctness crutch (unlike the float
+    * semCentroids, where avg() partial-merge order forces sharing). */
+  private val semCentroidsQCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private[graft] def semCentroidsQ(s: SparkSession, dir: String): Array[Array[Long]] =
+    semCentroidsQCache.computeIfAbsent(dir, { _ =>
+      Similarity.ivfCentroidsQ(plantedEmb(s, dir), "vec_id", "embedding", 64,
+        nCells = 16, iters = 4, trainMod = 2)
+    })
+
+  private val embSplitQCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  /** [[embSplitDir]]'s quantized twin: planted vectors split in INTEGER
+    * batch-priority order (centroid-dot desc, vec_id asc) so the
+    * streaming greedy first-seen rule equals the batch loser rule
+    * exactly — which is what lets stream_semdedup_q share
+    * llm_semdedup_q's FULL oracle. */
+  private[graft] def embSplitDirQ(s: SparkSession, dir: String): java.nio.file.Path =
+    embSplitQCache.computeIfAbsent(dir, { _ =>
+      val cents = semCentroidsQ(s, dir)
+      val assign = Similarity.assignCellQ(cents)
+      val prio = udf { (cell: Int, v: Seq[Long]) =>
+        var d = 0L
+        var i = 0
+        val row = cents(cell)
+        val n = math.min(row.length, v.length)
+        while (i < n) { d += row(i) * v(i); i += 1 }
+        d
+      }
+      val ranked = plantedEmb(s, dir)
+        .withColumn("_qv", Similarity.quantizeVec(col("embedding"), 1048576.0))
+        .withColumn("_prio", prio(assign(col("_qv")), col("_qv")))
+        .withColumn("_rk", row_number().over(
+          Window.orderBy(col("_prio").desc, col("vec_id"))))
+      val n = ranked.count()
+      val half = (n + 1) / 2
+      QueriesCore.writeSplitDir("ssdq_in", Seq(
+        (ranked.filter(col("_rk") <= half).select("vec_id", "embedding"), "0_emb.parquet"),
+        (ranked.filter(col("_rk") > half).select("vec_id", "embedding"), "1_emb.parquet")))
+    })
+
   /** The RAW documents table as two parquet files (doc_id parity split)
     * for STATELESS file-stream gates — any split works because their
     * per-doc transforms are row-local; parity keeps both batches busy. */
@@ -1331,6 +1376,34 @@ object QueriesLlm {
       ss.table(sink)
     }),
 
+    // GPT-2-mode streaming twin (stream_bpe_encode's shape with the
+    // production pre-tokenizer): still the STATELESS class — the scanner
+    // and merge table are row-local — so it shares llm_bpe_encode_gpt2's
+    // FULL oracle verbatim.
+    "stream_bpe_encode_gpt2" -> ((s, dir) => {
+      val ss = s.newSession()
+      val merges = bpeMergeTableGpt2(s, dir) // frozen: trained once, cached per dir
+      val inDir = documentsSplitDir(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_docs.parquet").toString).schema
+      val docs = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .repartition(Tables.fanout(ss))
+      val enc = graft.ml.Bpe.encodeDocs(docs, "doc_id", "text", merges, gpt2 = true)
+        .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_text"),
+          size(col("bpe")).cast(LongType).as("n_bpe"))
+      val ckpt = java.nio.file.Files.createTempDirectory("sbeg_ckpt").toFile
+      ckpt.deleteOnExit()
+      val sink = s"stream_bpe_encode_gpt2_${sinkIds.incrementAndGet()}"
+      val q = enc.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     // STREAMING twin of llm_lm_score — the deployment shape: score a
     // document stream against a FROZEN language model trained on the
     // static corpus (CCNet's actual topology — the LM is trained once,
@@ -1691,8 +1764,55 @@ object QueriesLlm {
     // identical in the float gate, replayed exactly by the oracle.
     "llm_semdedup_q" -> ((s, dir) =>
       Similarity.semDedupQ(plantedEmb(s, dir), "vec_id", "embedding", 64,
-          nCells = 16, threshold = 4000000000L, iters = 4, trainMod = 2)
+          nCells = 16, threshold = 4000000000L, iters = 4, trainMod = 2,
+          centroids = Some(semCentroidsQ(s, dir)))
         .select(col("vec_id"), col("cell"), col("priority"), col("keep"))),
+
+    // STREAMING twin of llm_semdedup_q — the first streaming SEMANTIC
+    // dedup gate under a FULL oracle (the float stream_semdedup shares a
+    // pinned hash; integer arithmetic lets this one share the DuckDB
+    // replay verbatim). Same frozen quantized centroids, vectors
+    // arriving in integer batch-priority order (embSplitDirQ), greedy
+    // first-seen keep == the batch loser rule.
+    "stream_semdedup_q" -> ((s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8") // state keys = 16 cells
+      import ss.implicits._
+      val cents = semCentroidsQ(s, dir)
+      val inDir = embSplitDirQ(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
+      val assign = Similarity.assignCellQ(cents)
+      val prio = udf { (cell: Int, v: Seq[Long]) =>
+        var d = 0L
+        var i = 0
+        val row = cents(cell)
+        val n = math.min(row.length, v.length)
+        while (i < n) { d += row(i) * v(i); i += 1 }
+        d
+      }
+      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .repartition(Tables.fanout(ss)) // one-file input: distribute the per-row math
+        .select(col("vec_id"), Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
+        .withColumn("_cell", assign(col("_qv")))
+        .withColumn("_prio", prio(col("_cell"), col("_qv")))
+        .select("vec_id", "_cell", "_prio", "_qv")
+        .as[(Long, Int, Long, Seq[Long])]
+      val decided = graft.streaming.StreamSemDedup.keepDecisionsQ(
+        stream, threshold = 4000000000L)
+      val ckpt = java.nio.file.Files.createTempDirectory("ssdq_ckpt").toFile
+      ckpt.deleteOnExit()
+      val sink = s"stream_semdedup_q_${sinkIds.incrementAndGet()}"
+      val q = decided.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("priority"), col("keep"))
+    }),
 
     // STREAMING twin of llm_semdedup — the deployment topology semantic
     // dedup actually runs (the stream_lm_score pattern applied to the
@@ -3085,5 +3205,7 @@ object QueriesLlm {
       .updated("stream_decontaminate_cut", oracleBase("llm_decontaminate_cut"))
       .updated("stream_lm_score", oracleBase("llm_lm_score"))
       .updated("stream_bpe_encode", oracleBase("llm_bpe_encode"))
+      .updated("stream_bpe_encode_gpt2", oracleBase("llm_bpe_encode_gpt2"))
+      .updated("stream_semdedup_q", oracleBase("llm_semdedup_q"))
       .updated("stream_embed_decontaminate", oracleBase("llm_embed_decontaminate"))
 }

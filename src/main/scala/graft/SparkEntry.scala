@@ -178,5 +178,9 @@ object SparkEntry {
     "llm_band_pairs", "stream_phash_resolve", "llm_bpe_encode_bytes",
     // round 16 late: the md5-keyed simhash + minhash (vote/min-fold
     // kernels under full oracles — watch beside the xxhash forms)
-    "llm_simhash_pairs_md5", "llm_minhash_pairs_md5")
+    "llm_simhash_pairs_md5", "llm_minhash_pairs_md5",
+    // round 17: the GPT-2 pre-tokenized byte-level encode (the
+    // production-tokenizer mode) and the quantized k-means siblings
+    // (full-oracle cell machinery — watch beside the float forms)
+    "llm_bpe_encode_gpt2", "llm_semdedup_q", "llm_ann_ivf_q")
 }

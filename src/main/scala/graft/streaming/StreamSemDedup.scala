@@ -70,6 +70,60 @@ object StreamSemDedup {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** All vectors seen in one cell, in arrival order — the QUANTIZED
+    * state twin: integer priorities and micro-unit vectors. */
+  case class CellStateQ(ids: Seq[Long], prios: Seq[Long], vecs: Seq[Seq[Long]])
+
+  private def sqDistQ(a: Seq[Long], b: Seq[Long]): Long = {
+    var d = 0L
+    var i = 0
+    val n = a.length
+    while (i < n) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** [[keepDecisions]]' integer sibling over
+    * [[graft.ml.Similarity.ivfCentroidsQ]] cells: same greedy
+    * first-seen rule with near = integer squared L2 ≤ `threshold` and
+    * priority = integer centroid-dot (desc, id asc) — every arithmetic
+    * step exact, so the gate shares llm_semdedup_q's FULL DuckDB oracle
+    * verbatim (the float twin can only share a pinned hash). Same state
+    * contract, same eviction lever, same batch-priority intra-batch
+    * sort. */
+  def keepDecisionsQ(rows: Dataset[(Long, Int, Long, Seq[Long])],
+                     threshold: Long,
+                     evictCellAfterMs: Option[Long] = None)
+      : DataFrame = {
+    import rows.sparkSession.implicits._
+    val timeoutConf =
+      if (evictCellAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (cell: Int, it: Iterator[(Long, Int, Long, Seq[Long])],
+         state: GroupState[CellStateQ]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = if (state.exists) state.get else CellStateQ(Nil, Nil, Nil)
+            var ids = st.ids.toList
+            var prios = st.prios.toList
+            var vecs = st.vecs.toList
+            val batch = it.toList.sortBy(r => (-r._3, r._1))
+            val out = batch.map { case (id, _, prio, qv) =>
+              val dropped = vecs.exists(v => sqDistQ(v, qv) <= threshold)
+              ids ::= id; prios ::= prio; vecs ::= qv
+              (id, cell, prio, if (dropped) 0L else 1L)
+            }
+            state.update(CellStateQ(ids, prios, vecs))
+            evictCellAfterMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+      .toDF("vec_id", "cell", "priority", "keep")
+  }
+
   /** (id, cell, centroid_cos, normalized-vector) stream →
     * (id, cell, centroid_cos, keep) — every arriving row emitted exactly
     * once with its final keep decision. Within a micro-batch, rows are

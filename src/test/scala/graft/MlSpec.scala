@@ -1463,6 +1463,15 @@ class MlSpec extends SparkSpec {
       s"batch ${batch.size} rows vs stream ${stream.size}")
   }
 
+  test("stream_bpe_encode_gpt2 equals batch exactly (stateless row-local encode)") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = canon(QueriesLlm.queries("llm_bpe_encode_gpt2")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_bpe_encode_gpt2")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}")
+  }
+
   test("pretokensGpt2: hand-derived fixtures for every branch of the published rule") {
     import graft.ml.Bpe.pretokensGpt2
     // each case exercises a branch the DuckDB oracle's simplified regex
@@ -2179,6 +2188,16 @@ class MlSpec extends SparkSpec {
     // measured 250× separation says that must never happen at gate SF
     val dropped = out.count(_._2._2 == 0L)
     assert(dropped == deduped, s"dropped $dropped != co-celled twins $deduped")
+  }
+
+  test("stream_semdedup_q equals batch exactly (priority-ordered arrival)") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = canon(QueriesLlm.queries("llm_semdedup_q")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_semdedup_q")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}; " +
+        s"diff ${(batch diff stream).take(3)} / ${(stream diff batch).take(3)}")
   }
 
   test("llm_ann_ivf_q: exact integer distances, self-hit at rank 1, clustered recall") {
