@@ -2190,6 +2190,57 @@ class MlSpec extends SparkSpec {
     assert(dropped == deduped, s"dropped $dropped != co-celled twins $deduped")
   }
 
+  test("keepDecisionsQ retention: evicted cell forgets, same-batch priority path intact") {
+    // the float retention gate's topology replayed in integers: batch 0
+    // seeds cell 0 with v1; two filler batches age it past a 1 ms
+    // horizon; batch 3 carries v2 (same vector, cell 0) and v3 (same
+    // vector, lower priority, same batch). Evicted: v2 KEPT (history
+    // forgotten — the documented recall trade), v3 still dropped
+    // against same-batch v2. NoTimeout: both dropped against v1.
+    import spark.implicits._
+    val e0 = Seq(1048576L, 0L, 0L, 0L)
+    def vecFile(rows: Seq[(Long, Int, Long, Seq[Long])]) =
+      rows.toDF("id", "cell", "prio", "vec")
+    val inDir = QueriesCore.writeSplitDir("ssdq_evict", Seq(
+      (vecFile(Seq((1L, 0, 100L, e0))), "0_vec.parquet"),
+      (vecFile(Seq((100L, 1, 100L, Seq(0L, 1048576L, 0L, 0L)))), "1_vec.parquet"),
+      (vecFile(Seq((101L, 2, 100L, Seq(0L, 0L, 1048576L, 0L)))), "2_vec.parquet"),
+      (vecFile(Seq((2L, 0, 100L, e0), (3L, 0, 90L, e0))), "3_vec.parquet")))
+    def run(evict: Option[Long]): Map[Long, Long] = {
+      val ss = spark.newSession()
+      import ss.implicits._
+      val schema = ss.read.parquet(inDir.resolve("0_vec.parquet").toString).schema
+      val rows = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .toDF("_1", "_2", "_3", "_4").as[(Long, Int, Long, Seq[Long])]
+      val sink = s"ssdq_evict_${evict.isDefined}"
+      val ckpt = java.nio.file.Files.createTempDirectory("ssdq_evict_ckpt").toFile
+      ckpt.deleteOnExit()
+      val writer = graft.streaming.StreamSemDedup
+        .keepDecisionsQ(rows, threshold = 4000000000L, evictCellAfterMs = evict)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+      val q =
+        if (evict.isDefined) {
+          val q0 = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(20L)).start()
+          QueriesLlm.drainAndStop(q0)
+          q0
+        } else {
+          val q0 = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q0.awaitTermination()
+          q0
+        }
+      val _ = q
+      ss.table(sink).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    }
+    assert(run(None) == Map(1L -> 1L, 100L -> 1L, 101L -> 1L, 2L -> 0L, 3L -> 0L),
+      "NoTimeout must drop both later twins against v1")
+    assert(run(Some(1L)) == Map(1L -> 1L, 100L -> 1L, 101L -> 1L, 2L -> 1L, 3L -> 0L),
+      "evicted cell must forget v1 (v2 kept) yet still drop same-batch v3")
+  }
+
   test("stream_semdedup_q equals batch exactly (priority-ordered arrival)") {
     def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
