@@ -317,13 +317,16 @@ object Similarity {
     * accepted recall miss (the paper's too — raise nCells quality or
     * nProbe-style multi-assignment if it matters).
     *
-    * Scale plan: no all-pairs — candidate generation is
-    * [[Dedup.boundedBucketPairs]] keyed on the cell id (slim (id, cell)
-    * rows ride the shuffle; vectors join back only for candidate pairs),
-    * with the same degenerate-bucket cap as the LSH families: a cell
-    * larger than `maxCellSize` is excluded from pair generation rather
-    * than going quadratic in one task (k-means cells are size-balanced
-    * by construction, so the cap is a skew fuse, not a working limit).
+    * Scale plan: no all-pairs — candidates come from a cell SELF-JOIN
+    * with (vector, priority) carried through and the cosine verify
+    * INSIDE the join (each id sits in exactly one cell, so pairs are
+    * unique by construction and only the n signature rows ever cross
+    * an exchange; the candidate stream is generated and filtered in
+    * one codegen stage), with the same degenerate-bucket cap as the
+    * LSH families: a cell larger than `maxCellSize` is excluded from
+    * pair generation rather than going quadratic in one task (k-means
+    * cells are size-balanced by construction, so the cap is a skew
+    * fuse, not a working limit).
     * Centroid state is nCells × dim doubles — kilobytes, driver-resident.
     *
     * CELL ASSIGNMENT IS APPROXIMATE ABOVE `hierAssignFrom` CELLS: at
@@ -366,11 +369,26 @@ object Similarity {
       .withColumn("_cell", assign(col("_nv")))
       .withColumn("_ccos", ccos(col("_cell"), col("_nv")))
       .localCheckpoint(false)
-    val candidates = Dedup.boundedBucketPairs(
-      vecs.select("_id", "_cell"), "_id", Seq("_cell"), maxCellSize)
-    val a = vecs.select(col("_id").as("id_a"), col("_nv").as("_va"), col("_ccos").as("_ca"))
-    val b = vecs.select(col("_id").as("id_b"), col("_nv").as("_vb"), col("_ccos").as("_cb"))
-    val losers = candidates.join(a, "id_a").join(b, "id_b")
+    // Each id sits in exactly ONE cell — candidate pairs are unique by
+    // construction, so the boundedBucketPairs form (pair ids →
+    // dropDuplicates → two vector join-backs) paid three shuffles of
+    // the FULL O(cellsize²) candidate set for nothing. Carry (vector,
+    // priority) THROUGH the cell self-join and verify INSIDE it
+    // instead (the hammingBandedPairs lesson): only the n signature
+    // rows cross an exchange, candidates stream through the cosine
+    // filter in one codegen stage. The quantized sibling measured the
+    // difference (SemQProbe, SCALING r17 §5): the old shape
+    // spill-OOM-DIES at 400k vectors × 160 cells where this completes.
+    // Same values, same losers — the pinned gate hashes are unchanged.
+    val small = vecs.groupBy("_cell").agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxCellSize).select("_cell")
+    val bounded = vecs.join(broadcast(small), Seq("_cell"))
+    val a = bounded.select(col("_cell"), col("_id").as("id_a"),
+      col("_nv").as("_va"), col("_ccos").as("_ca"))
+    val b = bounded.select(col("_cell"), col("_id").as("id_b"),
+      col("_nv").as("_vb"), col("_ccos").as("_cb"))
+    val losers = a.join(b, Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("_cos", graft.functions.Blob.cosineSimilarity(col("_va"), col("_vb")))
       .filter(col("_cos") >= threshold)
       // lower priority loses: smaller centroid-cosine, ties to the larger id
@@ -469,7 +487,7 @@ object Similarity {
     * smaller integer centroid-dot (ties to the larger id) — the
     * centroid_cos priority rule in exactly-replayable arithmetic.
     * Same plan as [[semDedup]]: one signature table localCheckpoint'ed,
-    * boundedBucketPairs candidates, verify INSIDE the pair join.
+    * payload-carrying cell self-join, verify INSIDE the pair join.
     * @return (idCol, cell, priority, keep) */
   def semDedupQ(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                 nCells: Int = 16, threshold: Long, iters: Int = 4,
@@ -492,11 +510,28 @@ object Similarity {
       .withColumn("_cell", assign(col("_qv")))
       .withColumn("_prio", prio(col("_cell"), col("_qv")))
       .localCheckpoint(false)
-    val candidates = Dedup.boundedBucketPairs(
-      vecs.select("_id", "_cell"), "_id", Seq("_cell"), maxCellSize)
-    val a = vecs.select(col("_id").as("id_a"), col("_qv").as("_va"), col("_prio").as("_pa"))
-    val b = vecs.select(col("_id").as("id_b"), col("_qv").as("_vb"), col("_prio").as("_pb"))
-    val losers = candidates.join(a, "id_a").join(b, "id_b")
+    // Each id sits in exactly ONE cell, so candidate pairs are unique by
+    // construction — no pair dedup exists to pay for. Carry (vector,
+    // priority) THROUGH the cell self-join and verify INSIDE it (the
+    // hammingBandedPairs lesson): only the n signature rows ever cross
+    // an exchange, and the O(cellsize²) candidate stream is generated,
+    // distance-filtered and reduced to losers inside one codegen stage.
+    // The boundedBucketPairs form (pair ids → dropDuplicates → two
+    // vector join-backs) shuffles the FULL candidate set three times —
+    // measured (SemQProbe, SCALING r17 §5): 1.6× slower at 4k vectors
+    // and spill-OOM DEATH at 400k × 160 cells, where this form
+    // completes in 359 s (100 s with corpus-scaled 640 cells).
+    // Cell-size cap via the same groupBy+count (nCells result rows —
+    // broadcast), boundedBucketPairs' skew rationale unchanged.
+    val small = vecs.groupBy("_cell").agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxCellSize).select("_cell")
+    val bounded = vecs.join(broadcast(small), Seq("_cell"))
+    val a = bounded.select(col("_cell"), col("_id").as("id_a"),
+      col("_qv").as("_va"), col("_prio").as("_pa"))
+    val b = bounded.select(col("_cell"), col("_id").as("id_b"),
+      col("_qv").as("_vb"), col("_prio").as("_pb"))
+    val losers = a.join(b, Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
       // integer squared L2 inside codegen (zip_with + aggregate): exact,
       // associative, no UDF in the pair hot path
       .withColumn("_d2", aggregate(
