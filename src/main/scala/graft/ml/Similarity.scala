@@ -481,6 +481,80 @@ object Similarity {
       best
     }
 
+  /** Two-level (coarse-then-fine) QUANTIZED cell assignment —
+    * [[assignCellHier]]'s integer sibling, same trade: the k integer
+    * centroids are clustered driver-side (integer Lloyd's, floor-div
+    * means, deterministic every-g-th seed) into ~√k coarse groups; each
+    * row scans the √k coarse centroids by squared L2, probes the
+    * `nProbeCoarse` nearest groups, and argmins only their children
+    * (ties → lowest global cell, the flat rule). Approximate exactly
+    * like the float form (the true argmin can live in an unprobed
+    * group) — the FULL-oracle gates run 16 cells and never reach it;
+    * MlSpec gates ≥95% agreement with the flat scan. Falls back to the
+    * flat scan if every probed group is empty. */
+  private[graft] def assignCellHierQ(cents: Array[Array[Long]], nProbeCoarse: Int = 2)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val k = cents.length
+    val dim = if (k > 0) cents(0).length else 0
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    var coarse = Array.tabulate(g)(j => cents(j * k / g))
+    val groupOf = new Array[Int](k)
+    for (_ <- 0 until 4) {
+      var c = 0
+      while (c < k) {
+        var best = 0
+        var bd = Long.MaxValue
+        var j = 0
+        while (j < g) {
+          val d = d2(coarse(j), cents(c)); if (d < bd) { bd = d; best = j }; j += 1
+        }
+        groupOf(c) = best; c += 1
+      }
+      coarse = Array.tabulate(g) { j =>
+        val members = (0 until k).filter(groupOf(_) == j)
+        if (members.isEmpty) coarse(j)
+        else Array.tabulate(dim)(i =>
+          Math.floorDiv(members.map(cents(_)(i)).sum, members.size.toLong))
+      }
+    }
+    val children: Array[Array[Int]] =
+      (0 until g).map(j => (0 until k).filter(groupOf(_) == j).toArray).toArray
+    val coarseF = coarse
+    udf { (v: Seq[Long]) =>
+      val vv = v.toArray
+      val order = Array.tabulate(g)(j => (d2(coarseF(j), vv), j)).sorted
+      var best = -1
+      var bestD = Long.MaxValue
+      var p = 0
+      while (p < math.min(nProbeCoarse, g)) {
+        val kids = children(order(p)._2)
+        var ci = 0
+        while (ci < kids.length) {
+          val c = kids(ci)
+          val d = d2(cents(c), vv)
+          if (d < bestD || (d == bestD && (best == -1 || c < best))) { bestD = d; best = c }
+          ci += 1
+        }
+        p += 1
+      }
+      if (best >= 0) best
+      else { // every probed group empty — flat fallback (rare, exact)
+        var c = 0
+        var b = 0
+        var bd = Long.MaxValue
+        while (c < k) { val d = d2(cents(c), vv); if (d < bd) { bd = d; b = c }; c += 1 }
+        b
+      }
+    }
+  }
+
   /** [[semDedup]]'s integer sibling over [[ivfCentroidsQ]] cells: keep
     * one survivor per quantized near-dup pair (squared L2 ≤ `threshold`
     * micro-units²) within a cell, the loser being the vector with the
@@ -493,10 +567,15 @@ object Similarity {
                 nCells: Int = 16, threshold: Long, iters: Int = 4,
                 trainMod: Int = 1, maxCellSize: Int = 100000,
                 scale: Double = 1048576.0,
+                hierAssignFrom: Int = hierAssignThreshold,
                 centroids: Option[Array[Array[Long]]] = None): DataFrame = {
     val cents = centroids.getOrElse(
       ivfCentroidsQ(corpus, idCol, vecCol, dim, nCells, iters, trainMod, scale))
-    val assign = assignCellQ(cents)
+    // flat (exact, oracle-replayed) at gate-scale cell counts; the
+    // two-level probe once nCells grows with the corpus — same seam and
+    // same default as the float form
+    val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
+                 else assignCellQ(cents)
     val prio = udf { (cell: Int, v: Seq[Long]) =>
       var d = 0L
       var i = 0

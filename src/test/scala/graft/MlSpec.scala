@@ -1824,6 +1824,31 @@ class MlSpec extends SparkSpec {
     assert(resolved >= 0.95, s"twin pairs resolved to one survivor: $resolved")
   }
 
+  test("assignCellHierQ: high agreement with the flat scan; quantized twins co-locate") {
+    // the float hier gate's fixture quantized: clustered vectors in
+    // micro-units, integer coarse Lloyd's, squared-L2 probe
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def gauss() = unit(Array.fill(dim)(rnd.nextGaussian()))
+    def q(v: Array[Double]): Seq[Long] = v.map(x => math.floor(x * 1048576.0 + 0.5).toLong).toSeq
+    val cents = Array.fill(100)(gauss()).map(v => q(v).toArray)
+    val vecs = (0 until 2000).map { i =>
+      val base = cents(rnd.nextInt(100))
+      val noisy = base.map(x => x + (rnd.nextGaussian() * 0.1 * 1048576.0).toLong)
+      val twin = noisy.map(x => x + (rnd.nextGaussian() * 0.01 * 1048576.0).toLong)
+      (i.toLong, noisy.toSeq, twin.toSeq)
+    }.toDF("id", "a", "b")
+    val flat = Similarity.assignCellQ(cents)
+    val hier = Similarity.assignCellHierQ(cents)
+    val (agree, twinsTogether) = vecs
+      .agg(avg(when(flat(col("a")) === hier(col("a")), 1.0).otherwise(0.0)),
+        avg(when(hier(col("a")) === hier(col("b")), 1.0).otherwise(0.0)))
+      .as[(Double, Double)].head()
+    assert(agree >= 0.95, s"flat/hier agreement $agree")
+    assert(twinsTogether >= 0.98, s"quantized twins co-located only $twinsTogether")
+  }
+
   test("lmScoreHashed: corpus-frequent bigrams outscore rare ones; short docs drop") {
     val common = (1 to 8).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
     val fix = (common :+ (98L, "zxq1 wvu2 tsr3 qpo4 nml5 kji6 hgf7") :+ (99L, "single"))
