@@ -52,12 +52,22 @@ for arg in sys.argv[2:]:
         if not missing and not extra:
             print("  artifact and outDir agree")
     elif os.path.isfile(arg):
+        # the run-level AGGREGATE is authoritative (sbt prints one
+        # "Tests: ..." + "Suites: completed N" pair at the end of the
+        # run); per-suite lines would double-count when both appear,
+        # and hand-copying the total into prose drifted three rounds
+        # running (r17 verdict #3) — emit the paste-ready line instead
         log = open(arg, errors="replace").read()
         m = re.findall(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", log)
+        suites = re.findall(r"Suites: completed (\d+), aborted (\d+)", log)
         if m:
-            ok = sum(int(a) for a, _, _ in m)
-            bad = sum(int(b) for _, b, _ in m)
-            print(f"tests            : {ok} succeeded, {bad} failed over {len(m)} suites")
+            ok, bad, _ = (int(x) for x in m[-1])
+            nsuites = int(suites[-1][0]) if suites else 0
+            aborted = int(suites[-1][1]) if suites else 0
+            print(f"tests            : {ok} succeeded, {bad} failed, "
+                  f"{nsuites} suites ({aborted} aborted)")
+            print("COVERAGE.md tests line:")
+            print(f"  Tests: **{ok} succeeded, {bad} failed, {nsuites} suites**")
 
 print("\nCOVERAGE.md line:")
 print(f"  {total} declared queries: {full} full DuckDB hash-match, "

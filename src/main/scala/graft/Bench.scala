@@ -119,7 +119,7 @@ object Bench {
       s"is the median of $runsPer runs (all runs in `runs`, per-query min in `mins`); " +
       "`calibration` = min xxhash64-over-range(1e9) wall (CPU-only, pre+post sweep) — " +
       "divide totals by it before comparing rounds"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$allRuns,"mins":$mins,"min_total":$minTotal%.3f,"calibration":$calibration%.3f,"calibration_pre":$calibrationPre%.3f,"calibration_post":$calibrationPost%.3f,"failed":$fl,"note":"$note","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$allRuns,"mins":$mins,"min_total":$minTotal%.3f,"calibration":$calibration%.3f,"calibration_pre":$calibrationPre%.3f,"calibration_post":$calibrationPost%.3f,"failed":$fl,"note":"${ProbeJson.jstr(note)}","sf":"${ProbeJson.jstr(sfDir)}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -117,7 +117,7 @@ object BpeProbe {
       val learned = graft.ml.Bpe.mergesLocal(wordFreq, nMerges).length
       val wall = (System.nanoTime() - t0) / 1e9
       sampling = false
-      println(f"""{"bpeprobe":"$dir","n_merges":$nMerges,"learned":$learned,"n_words":$nWords,"path":"local","peak_heap_mb":${(peakUsed - baseline).max(0L) / 1024 / 1024},"wall":$wall%.3f}""")
+      println(f"""{"bpeprobe":"${ProbeJson.jstr(dir)}","n_merges":$nMerges,"learned":$learned,"n_words":$nWords,"path":"local","peak_heap_mb":${(peakUsed - baseline).max(0L) / 1024 / 1024},"wall":$wall%.3f}""")
       return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -161,7 +161,7 @@ object BpeProbe {
     val wall = (System.nanoTime() - t0) / 1e9
     sampling = false
     val path = if (nWords <= localLimit) "local" else "dist"
-    println(f"""{"bpeprobe":"$dir","n_merges":$nMerges,"learned":$learned,"n_words":$nWords,"path":"$path","peak_heap_mb":${(peakUsed - baseline).max(0L) / 1024 / 1024},"wall":$wall%.3f}""")
+    println(f"""{"bpeprobe":"${ProbeJson.jstr(dir)}","n_merges":$nMerges,"learned":$learned,"n_words":$nWords,"path":"${ProbeJson.jstr(path)}","peak_heap_mb":${(peakUsed - baseline).max(0L) / 1024 / 1024},"wall":$wall%.3f}""")
     spark.stop()
   }
 }

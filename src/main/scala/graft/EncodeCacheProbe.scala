@@ -46,7 +46,7 @@ object EncodeCacheProbe {
     val h = hits.value
     val m = misses.value
     val rate = if (h + m == 0) 0.0 else h.toDouble / (h + m)
-    println(f"""{"encodecache":"$dir","cache_limit":$cacheLimit,"policy":"$policy","hits":$h,"misses":$m,"hit_rate":$rate%.6f,"n_subwords":$nTok,"wall":$wall%.3f}""")
+    println(f"""{"encodecache":"${ProbeJson.jstr(dir)}","cache_limit":$cacheLimit,"policy":"${ProbeJson.jstr(policy)}","hits":$h,"misses":$m,"hit_rate":$rate%.6f,"n_subwords":$nTok,"wall":$wall%.3f}""")
     spark.stop()
   }
 }

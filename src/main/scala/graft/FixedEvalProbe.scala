@@ -125,7 +125,7 @@ object FixedEvalProbe {
       .filter(col("doc_id") <= baseMax && col("doc_id") % 10 === 0)
 
     val nEval = evalSet.count()
-    println(f"""{"fixedeval":"$scaledDir","corpus_select":$tSelect%.3f,"decontaminate_cut":$tCut%.3f,"embed_decontaminate":$tEmbed%.3f,"eval_docs":$nEval}""")
+    println(f"""{"fixedeval":"${ProbeJson.jstr(scaledDir)}","corpus_select":$tSelect%.3f,"decontaminate_cut":$tCut%.3f,"embed_decontaminate":$tEmbed%.3f,"eval_docs":$nEval}""")
     spark.stop()
   }
 }

@@ -44,7 +44,7 @@ object PhashProbe {
     }
     run() // codegen + scan warmup at full size
     val (wall, pairs, twins) = run()
-    println(f"""{"phashprobe":"$dir","max_hamming":$maxHamming,"n_images":${2 * nDocs},"pairs":$pairs,"twin_pairs":$twins,"twin_recall":${twins.toDouble / nDocs}%.4f,"wall":$wall%.3f}""")
+    println(f"""{"phashprobe":"${ProbeJson.jstr(dir)}","max_hamming":$maxHamming,"n_images":${2 * nDocs},"pairs":$pairs,"twin_pairs":$twins,"twin_recall":${twins.toDouble / nDocs}%.4f,"wall":$wall%.3f}""")
     spark.stop()
   }
 }

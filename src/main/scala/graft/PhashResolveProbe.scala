@@ -60,7 +60,7 @@ object PhashResolveProbe {
     }
     run() // codegen + scan warmup at full size
     val (pairWall, ccWall, nPairs, nClusters) = run()
-    println(f"""{"phashresolveprobe":"$dir","max_hamming":$maxHamming,"n_images":${2 * ids0.count()},"pairs":$nPairs,"clusters":$nClusters,"pair_wall":$pairWall%.3f,"cc_wall":$ccWall%.3f,"wall":${pairWall + ccWall}%.3f}""")
+    println(f"""{"phashresolveprobe":"${ProbeJson.jstr(dir)}","max_hamming":$maxHamming,"n_images":${2 * ids0.count()},"pairs":$nPairs,"clusters":$nClusters,"pair_wall":$pairWall%.3f,"cc_wall":$ccWall%.3f,"wall":${pairWall + ccWall}%.3f}""")
     spark.stop()
   }
 }

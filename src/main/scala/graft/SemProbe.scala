@@ -48,7 +48,7 @@ object SemProbe {
     }
     run() // codegen warmup at full size (trainMod sampling dominates cold cost)
     val (wall, n, kept) = run()
-    println(f"""{"semprobe":"$dir","n_cells":$nCells,"wall":$wall%.3f,"vectors":$n,"kept":$kept}""")
+    println(f"""{"semprobe":"${ProbeJson.jstr(dir)}","n_cells":$nCells,"wall":$wall%.3f,"vectors":$n,"kept":$kept}""")
     spark.stop()
   }
 }

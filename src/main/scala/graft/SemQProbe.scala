@@ -46,7 +46,7 @@ object SemQProbe {
       centroids = Some(cents))
     val kept = out.filter(col("keep") === 1L).count()
     val dedupWall = (System.nanoTime() - t1) / 1e9
-    println(f"""{"semqprobe":"$dir","n_vecs":$n,"n_cells":$nCells,"train_wall":$trainWall%.3f,"dedup_wall":$dedupWall%.3f,"kept":$kept}""")
+    println(f"""{"semqprobe":"${ProbeJson.jstr(dir)}","n_vecs":$n,"n_cells":$nCells,"train_wall":$trainWall%.3f,"dedup_wall":$dedupWall%.3f,"kept":$kept}""")
     spark.stop()
   }
 }

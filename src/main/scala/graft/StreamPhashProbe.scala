@@ -88,7 +88,7 @@ object StreamPhashProbe {
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     pm.finish(q)
-    println(f"""{"streamphashprobe":"$dir","max_hamming":$maxHamming,"blocks":$blocks,"splits":$nSplits,"provider":"$provider","n_images":$nImages,"state_rows":${pm.stateRows},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"rows_removed":${pm.removed.get()},"wall":$wall%.3f}""")
+    println(f"""{"streamphashprobe":"${ProbeJson.jstr(dir)}","max_hamming":$maxHamming,"blocks":$blocks,"splits":$nSplits,"provider":"${ProbeJson.jstr(provider)}","n_images":$nImages,"state_rows":${pm.stateRows},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"rows_removed":${pm.removed.get()},"wall":$wall%.3f}""")
     spark.stop()
   }
 }

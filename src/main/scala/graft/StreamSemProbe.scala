@@ -88,7 +88,7 @@ object StreamSemProbe {
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     pm.finish(q)
-    println(f"""{"streamsemprobe":"$dir","n_cells":$nCells,"splits":$nSplits,"provider":"$provider","state_rows":${pm.stateRows},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"rows_removed":${pm.removed.get()},"wall":$wall%.3f}""")
+    println(f"""{"streamsemprobe":"${ProbeJson.jstr(dir)}","n_cells":$nCells,"splits":$nSplits,"provider":"${ProbeJson.jstr(provider)}","state_rows":${pm.stateRows},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"rows_removed":${pm.removed.get()},"wall":$wall%.3f}""")
     spark.stop()
   }
 }

@@ -69,7 +69,7 @@ object VhashProbe {
     }
     run() // codegen + scan warmup at full size
     val (wall, pairs, twins) = run()
-    println(f"""{"vhashprobe":"$dir","n_frames":$nFrames,"max_hamming":$maxHamming,"n_videos":${2 * nDocs},"pairs":$pairs,"twin_pairs":$twins,"twin_recall":${twins.toDouble / nDocs}%.4f,"wall":$wall%.3f}""")
+    println(f"""{"vhashprobe":"${ProbeJson.jstr(dir)}","n_frames":$nFrames,"max_hamming":$maxHamming,"n_videos":${2 * nDocs},"pairs":$pairs,"twin_pairs":$twins,"twin_recall":${twins.toDouble / nDocs}%.4f,"wall":$wall%.3f}""")
     spark.stop()
   }
 }

@@ -52,10 +52,10 @@ import org.apache.spark.sql.types.LongType
   * The plain byte mode (whitespace pretokens) remains for the
   * alphabet-only comparison: its pretokens are space-FREE, so ITS
   * decode cannot recover word boundaries — word-exact roundtrip needs
-  * either the `</w>` mode (llm_bpe_roundtrip) or GPT-2 mode. The one
-  * remaining delta vs production GPT-2: the cosmetic byte→printable
-  * codepoint remap (we render bytes as latin-1 chars — equally
-  * reversible, different glyphs in the vocab file).
+  * either the `</w>` mode (llm_bpe_roundtrip) or GPT-2 mode. Bytes
+  * render via the PUBLISHED bytes_to_unicode table ([[byteGlyph]]), so
+  * vocab and merge files are glyph-compatible with GPT-2-family
+  * tooling (the last interop delta, closed in r18).
   *
   * @return (rank, left, right, merged, freq) — rank 1..nMerges in
   *         learn order; freq = the pair's corpus frequency when merged
@@ -68,27 +68,70 @@ object Bpe {
   private[graft] def symbolize(w: String): Seq[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>"
 
+  /** The GPT-2 byte→printable-glyph table — the PUBLISHED
+    * bytes_to_unicode construction (Radford et al. 2019's encoder):
+    * printable bytes — '!'..'~' (0x21-0x7E), '¡'..'¬' (0xA1-0xAC),
+    * '®'..'ÿ' (0xAE-0xFF) — render as themselves; the remaining 68
+    * bytes (controls, whitespace, 0x7F-0xA0, the soft hyphen 0xAD)
+    * take codepoints 0x100 + n in increasing byte order, so every byte
+    * has a DISTINCT PRINTABLE glyph (space = 'Ġ' U+0120, newline = 'Ċ'
+    * U+010A, tab = 'ĉ' U+0109) and vocab/merge files are
+    * glyph-compatible with GPT-2-family tooling — the r17 interop gap
+    * (we previously rendered bytes as latin-1 chars: equally
+    * reversible, different glyphs). All 256 glyphs are BMP — one
+    * UTF-16 char each, so per-char scans stay valid. */
+  private[graft] val byteGlyph: Array[Char] = {
+    val printable = ((0x21 to 0x7E) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (0x100 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Inverse of [[byteGlyph]]: glyph codepoint → byte, −1 elsewhere.
+    * Max glyph is 0x100 + 67 = 0x143. */
+  private[graft] val glyphByte: Array[Int] = {
+    val inv = Array.fill(0x144)(-1)
+    var b = 0
+    while (b < 256) { inv(byteGlyph(b).toInt) = b; b += 1 }
+    inv
+  }
+
   /** BYTE-LEVEL symbolization (the GPT-2-family alphabet — see the
-    * fidelity note above): one symbol per UTF-8 BYTE, rendered as the
-    * byte's latin-1 codepoint so symbol concatenation stays a reversible
-    * byte string (ASCII symbols read as themselves; a multi-byte
-    * codepoint becomes 2-4 single-byte symbols). NO `</w>` marker —
-    * byte-level models carry word boundaries in the bytes themselves.
-    * There is never an out-of-alphabet symbol: the base alphabet is the
-    * 256 byte values. */
+    * fidelity note above): one symbol per UTF-8 BYTE, rendered via the
+    * published [[byteGlyph]] table so symbol concatenation stays a
+    * reversible glyph string (printable ASCII symbols read as
+    * themselves; space/controls render as their GPT-2 glyphs; a
+    * multi-byte codepoint becomes 2-4 single-byte symbols). NO `</w>`
+    * marker — byte-level models carry word boundaries in the bytes
+    * themselves. There is never an out-of-alphabet symbol: the base
+    * alphabet is the 256 byte values. */
   private[graft] def symbolizeBytes(w: String): Seq[String] =
     w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
-      .map(b => String.valueOf((b & 0xFF).toChar))
+      .map(b => String.valueOf(byteGlyph(b & 0xFF)))
 
   /** Inverse of [[symbolizeBytes]]-then-merge: subword symbols are
-    * latin-1-rendered byte strings; concatenate their bytes and decode
-    * UTF-8. With GPT-2 pretokens (leading space inside the token) this
-    * reproduces the ORIGINAL text byte-exactly — the roundtrip gate. */
+    * glyph-rendered byte strings; map each glyph back to its byte
+    * ([[glyphByte]]) and decode UTF-8. With GPT-2 pretokens (leading
+    * space inside the token) this reproduces the ORIGINAL text
+    * byte-exactly — the roundtrip gate. */
   private[graft] def decodeBytes(toks: Seq[String]): String = {
     val out = new java.io.ByteArrayOutputStream()
     toks.foreach { t =>
       var i = 0
-      while (i < t.length) { out.write(t.charAt(i) & 0xFF); i += 1 }
+      while (i < t.length) {
+        val g = t.charAt(i).toInt
+        // every char our rendering emits is a glyph; anything else is
+        // foreign input — pass its low byte through rather than throw
+        val b = if (g < glyphByte.length) glyphByte(g) else -1
+        out.write(if (b >= 0) b else g & 0xFF)
+        i += 1
+      }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }

@@ -238,7 +238,17 @@ object Dedup {
     * GUARANTEE narrows). Past n ≈ cap·2^16 even 16-bit blocks
     * saturate — 4 blocks is the widest a 64-bit fingerprint offers,
     * and the bucket cap keeps the join bounded (degenerate keys drop,
-    * exactly as at gate scale). */
+    * exactly as at gate scale).
+    *
+    * ASSUMES UNIFORM FINGERPRINTS (r17 advice): simhash over natural
+    * text is skewed — head buckets can cross `maxBucketSize` long
+    * before the uniform MEAN estimate does, and the cap then silently
+    * drops them from pair generation (recall loss beyond the documented
+    * guarantee-narrowing trade). When the fingerprint distribution is
+    * unknown or known-skewed, size from the data instead:
+    * [[chooseBlocksMeasured]] evaluates the same preference order
+    * against the MEASURED share of fingerprints living in over-cap
+    * buckets. */
   private[graft] def chooseBlocks(n: Long, maxHamming: Int, maxBucketSize: Int): Int = {
     val candidates = Seq(4, 8, 16, 32)
     val guaranteed = candidates.find(_ > maxHamming).getOrElse(
@@ -250,6 +260,56 @@ object Dedup {
       .lastOption.getOrElse(4)
   }
 
+  /** Occupancy share a geometry would DROP: the fraction of (row,
+    * block) occurrences landing in buckets larger than the cap — the
+    * quantity the bucket cap actually loses, measured on the real
+    * fingerprints instead of estimated under uniformity. One explode +
+    * groupBy over the slim (8-byte) signature column per geometry
+    * probed. */
+  private def measuredDropShare(sigs: DataFrame, blocks: Int,
+                                maxBucketSize: Int): Double = {
+    val bits = 64 / blocks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val row = sigs.select(posexplode(array((0 until blocks).map(i =>
+        shiftright(col("_sim"), i * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("_blk", "_key")))
+      .groupBy("_blk", "_key").agg(count(lit(1)).as("_bsz"))
+      .agg(sum(when(col("_bsz") > maxBucketSize, col("_bsz")).otherwise(0L)).as("_drop"),
+        sum(col("_bsz")).as("_tot"))
+      .collect()(0)
+    if (row.getLong(1) == 0L) 0.0 else row.getLong(0).toDouble / row.getLong(1)
+  }
+
+  /** [[chooseBlocks]] sized from the DATA, not the uniform closed form
+    * (r17 advice — skewed fingerprints): walks the same preference
+    * order (recall-guaranteeing count first, then descending), taking
+    * the first geometry whose MEASURED over-cap occupancy share stays
+    * within `maxDropShare`; if none fits, the one dropping least.
+    * Costs one explode+groupBy over the slim signature rows per
+    * geometry evaluated (usually exactly one — the guaranteed
+    * geometry fits). */
+  private[graft] def chooseBlocksMeasured(sigs: DataFrame, maxHamming: Int,
+                                          maxBucketSize: Int,
+                                          maxDropShare: Double = 0.01): Int = {
+    val candidates = Seq(4, 8, 16, 32)
+    val guaranteed = candidates.find(_ > maxHamming).getOrElse(
+      throw new IllegalArgumentException(
+        s"chooseBlocksMeasured: maxHamming=$maxHamming needs > 32 blocks; blocking cannot guarantee recall beyond 31"))
+    // preference order of the uniform rule: guaranteed, then the widest
+    // fitting narrower geometries in descending order
+    val order = guaranteed +: candidates.filter(_ < guaranteed).reverse
+    var best = order.head
+    var bestShare = Double.MaxValue
+    val it = order.iterator
+    while (it.hasNext) {
+      val b = it.next()
+      val share = measuredDropShare(sigs, b, maxBucketSize)
+      if (share <= maxDropShare) return b
+      if (share < bestShare) { bestShare = share; best = b }
+    }
+    best // nothing fits the budget: least-dropping geometry
+  }
+
   /** [[hammingBandedPairs]] with the block count chosen from the
     * population size ([[chooseBlocks]]) instead of the radius alone —
     * the auto form of the manual scale prescription. `nHint` skips the
@@ -257,15 +317,25 @@ object Dedup {
     * deploy sizing from its ingest meter); without it ONE count() over
     * the slim checkpointed (id, fingerprint) rows decides. Explicit
     * overrides remain: callers wanting a specific geometry use the
-    * manual [[hammingBandedPairs]]. */
+    * manual [[hammingBandedPairs]].
+    *
+    * The default sizing ASSUMES UNIFORM fingerprints (see
+    * [[chooseBlocks]]) — adequate for hash-like prints (minhash-band
+    * keys, dHash on diverse media), optimistic for skewed ones
+    * (simhash over templated text). `measured = true` replaces the
+    * closed-form estimate with [[chooseBlocksMeasured]]'s measured
+    * over-cap share — one extra explode+groupBy per geometry probed
+    * over the already-checkpointed 16-byte rows. */
   def hammingBandedPairsAuto(sigs0: DataFrame, idCol: String, sigCol: String,
                              maxHamming: Int = 3, maxBucketSize: Int = 1000,
-                             nHint: Option[Long] = None): DataFrame = {
+                             nHint: Option[Long] = None,
+                             measured: Boolean = false): DataFrame = {
     val sigs = sigs0.select(col(idCol).as("_id"), col(sigCol).as("_sim"))
       .localCheckpoint(false) // 16-byte rows; counted once, banded once
-    val n = nHint.getOrElse(sigs.count())
-    hammingBandedPairsWith(sigs, maxHamming, maxBucketSize,
-      chooseBlocks(n, maxHamming, maxBucketSize))
+    val blocks =
+      if (measured) chooseBlocksMeasured(sigs, maxHamming, maxBucketSize)
+      else chooseBlocks(nHint.getOrElse(sigs.count()), maxHamming, maxBucketSize)
+    hammingBandedPairsWith(sigs, maxHamming, maxBucketSize, blocks)
   }
 
   private[graft] def hammingBandedPairsWith(sigs: DataFrame, maxHamming: Int,

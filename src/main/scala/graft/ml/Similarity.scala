@@ -90,6 +90,7 @@ object Similarity {
         means.get(c).map(unitNorm).getOrElse(cents(c)) // empty cell keeps its centroid
       }.toArray
     }
+    base.unpersist() // fully consumed: retire the checkpoint's blocks
     cents
   }
 
@@ -492,18 +493,29 @@ object Similarity {
     * group) — the FULL-oracle gates run 16 cells and never reach it;
     * MlSpec gates ≥95% agreement with the flat scan. Falls back to the
     * flat scan if every probed group is empty. */
-  private[graft] def assignCellHierQ(cents: Array[Array[Long]], nProbeCoarse: Int = 2)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+  private[graft] def sqDistQ(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** The COARSE model [[assignCellHierQ]] probes, exposed so the DuckDB
+    * replay (llm_semdedup_hq's oracle re-derives it as chained integer
+    * CTEs) and MlSpec can cross-check the exact same arithmetic:
+    * driver-side integer Lloyd's over the k fine centroids —
+    * deterministic every-(k/g)-th seed, 4 rounds of (argmin squared-L2
+    * assignment, ties → lowest group; floor-div means, empty group
+    * keeps its coarse). Returns (coarse AFTER the final update, groupOf
+    * from the final assignment round) — exactly the pair the per-row
+    * probe consumes. All 64-bit integer arithmetic: two engines replay
+    * it bit-exactly. */
+  private[graft] def hierModelQ(cents: Array[Array[Long]])
+      : (Array[Array[Long]], Array[Int]) = {
     val k = cents.length
     val dim = if (k > 0) cents(0).length else 0
     val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var s = 0L
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
     var coarse = Array.tabulate(g)(j => cents(j * k / g))
     val groupOf = new Array[Int](k)
     for (_ <- 0 until 4) {
@@ -513,7 +525,7 @@ object Similarity {
         var bd = Long.MaxValue
         var j = 0
         while (j < g) {
-          val d = d2(coarse(j), cents(c)); if (d < bd) { bd = d; best = j }; j += 1
+          val d = sqDistQ(coarse(j), cents(c)); if (d < bd) { bd = d; best = j }; j += 1
         }
         groupOf(c) = best; c += 1
       }
@@ -524,6 +536,23 @@ object Similarity {
           Math.floorDiv(members.map(cents(_)(i)).sum, members.size.toLong))
       }
     }
+    (coarse, groupOf)
+  }
+
+  private[graft] def assignCellHierQ(cents: Array[Array[Long]], nProbeCoarse: Int = 2)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val k = cents.length
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    // local twin of sqDistQ: the UDF closure must not capture the
+    // (non-serializable) Similarity object just to reach a 6-line loop
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val (coarse, groupOf) = hierModelQ(cents)
     val children: Array[Array[Int]] =
       (0 until g).map(j => (0 until k).filter(groupOf(_) == j).toArray).toArray
     val coarseF = coarse
@@ -555,6 +584,21 @@ object Similarity {
     }
   }
 
+  /** Integer centroid-dot priority — [[semDedupQ]]'s keep-priority
+    * signal (higher survives; the centroid_cos rule in exactly
+    * replayable arithmetic). ONE definition shared by the batch
+    * operator, the streaming twin's assignment stage and the
+    * split-fixture ranking so the rule cannot drift between them. */
+  private[graft] def cellPriorityQ(cents: Array[Array[Long]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (cell: Int, v: Seq[Long]) =>
+      var d = 0L
+      var i = 0
+      val row = cents(cell)
+      val n = math.min(row.length, v.length)
+      while (i < n) { d += row(i) * v(i); i += 1 }
+      d
+    }
+
   /** [[semDedup]]'s integer sibling over [[ivfCentroidsQ]] cells: keep
     * one survivor per quantized near-dup pair (squared L2 ≤ `threshold`
     * micro-units²) within a cell, the loser being the vector with the
@@ -576,14 +620,7 @@ object Similarity {
     // same default as the float form
     val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
                  else assignCellQ(cents)
-    val prio = udf { (cell: Int, v: Seq[Long]) =>
-      var d = 0L
-      var i = 0
-      val row = cents(cell)
-      val n = math.min(row.length, v.length)
-      while (i < n) { d += row(i) * v(i); i += 1 }
-      d
-    }
+    val prio = cellPriorityQ(cents)
     val vecs = corpus.select(col(idCol).as("_id"),
         quantizeVec(col(vecCol), scale).as("_qv"))
       .withColumn("_cell", assign(col("_qv")))

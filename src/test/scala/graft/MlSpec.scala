@@ -1553,14 +1553,41 @@ class MlSpec extends SparkSpec {
       assert(decoded(r.getLong(0)) == r.getString(1),
         s"doc ${r.getLong(0)}: decode(encode(text)) != text")
     }
-    // GPT-2-mode vocabulary genuinely carries the space inside symbols
-    assert(merges.exists(_._1.startsWith(" ")) || merges.exists(m => (m._1 + m._2).startsWith(" ")),
-      "no space-carrying merge learned — pretokens lost their leading spaces")
+    // GPT-2-mode vocabulary genuinely carries the space inside symbols —
+    // rendered as the published 'Ġ' (U+0120) glyph since the r18
+    // bytes_to_unicode remap, exactly how GPT-2 vocab files spell it
+    assert(merges.exists(_._1.startsWith("Ġ")) ||
+        merges.exists(m => (m._1 + m._2).startsWith("Ġ")),
+      "no space-carrying ('Ġ'-prefixed) merge learned — pretokens lost their leading spaces")
     // and the merge-axis fork holds in GPT-2 mode too
     val dist = graft.ml.Bpe.bpeMerges(docs, "text", nMerges = 20, localVocabLimit = 0L,
         gpt2 = true)
       .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
     assert(dist == merges, "GPT-2 local/distributed merge paths diverged")
+  }
+
+  test("byteGlyph pins the published bytes_to_unicode table (construction rule + spot glyphs)") {
+    import graft.ml.Bpe
+    // the published construction (Radford et al. 2019 encoder): the
+    // three printable ranges map to themselves; every other byte takes
+    // 0x100 + n in increasing byte order
+    val printable = ((0x21 to 0x7E) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)).toSet
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (printable(b)) assert(Bpe.byteGlyph(b) == b.toChar, f"printable byte 0x$b%02x must self-map")
+      else { assert(Bpe.byteGlyph(b) == (0x100 + n).toChar, f"byte 0x$b%02x glyph"); n += 1 }
+    }
+    assert(n == 68, s"expected 68 remapped bytes, got $n")
+    // the glyphs GPT-2 tooling is known by (vocab-file spellings)
+    assert(Bpe.byteGlyph(' '.toInt) == 'Ġ')  // Ġ
+    assert(Bpe.byteGlyph('\n'.toInt) == 'Ċ') // Ċ
+    assert(Bpe.byteGlyph('\t'.toInt) == 'ĉ') // ĉ
+    assert(Bpe.byteGlyph(0x7F) == 'ġ')
+    assert(Bpe.byteGlyph(0xAD) == 'Ń')      // soft hyphen, the last remap
+    // byte → glyph → byte is the identity (decode inverts encode)
+    (0 until 256).foreach(b => assert(Bpe.glyphByte(Bpe.byteGlyph(b).toInt) == b))
+    // distinctness: 256 distinct glyphs (no two bytes share a spelling)
+    assert(Bpe.byteGlyph.toSet.size == 256)
   }
 
   test("oracle precondition: the driver corpus is in the simplified-regex regime") {
@@ -2215,6 +2242,43 @@ class MlSpec extends SparkSpec {
     assert(dropped == deduped, s"dropped $dropped != co-celled twins $deduped")
   }
 
+  test("llm_semdedup_hq: the hier branch is TAKEN (hier ≠ flat, output == hier) at both gate SFs") {
+    // the 64-cell gate is only worth its FULL oracle if (a) the
+    // two-level probe genuinely disagrees with the flat scan somewhere
+    // on the gate corpus — otherwise a green hash can't distinguish
+    // the branches — and (b) the gate's cell column IS the hier
+    // assignment. With both held, the DuckDB replay of oQHierFin is
+    // engine-level proof the production assignment path computed its
+    // published rule (r17 verdict, What's missing #1).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cents = QueriesLlm.semCentroidsHQ(spark, dir)
+      assert(cents.length == 64, s"$dir: expected 64 trained cells")
+      val flat = Similarity.assignCellQ(cents)
+      val hier = Similarity.assignCellHierQ(cents)
+      val both = QueriesLlm.plantedEmb(spark, dir)
+        .select(col("vec_id"), Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
+        .select(col("vec_id"), flat(col("_qv")).as("f"), hier(col("_qv")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val disagree = both.count(t => t._2 != t._3)
+      assert(disagree > 0,
+        s"$dir: hier == flat on every row — the hq gate would not exercise the branch")
+      // NOT the ≥95% quality gate (that lives in the clustered-fixture
+      // hier-agreement spec, where cells mirror real structure): this
+      // corpus at 64 cells is deliberately cell-DENSE — near-tied cells
+      // make the probe diverge often (~18% measured), which is exactly
+      // what makes a green oracle hash distinguish the branches. Bound
+      // it loosely so a broken probe (random assignment) still fails.
+      assert(disagree.toDouble / both.length <= 0.5,
+        s"$dir: hier/flat agreement ${both.length - disagree}/${both.length} below even the sanity bound")
+      val hmap = both.map(t => t._1 -> t._3.toLong).toMap
+      val out = QueriesLlm.queries("llm_semdedup_hq")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(out.map(t => t._1 -> t._2).toMap == hmap,
+        s"$dir: llm_semdedup_hq cells != assignCellHierQ — hier branch not taken")
+      assert(out.count(_._3 == 0L) > 0, s"$dir: no losers at 64 cells — gate vacuous")
+    }
+  }
+
   test("keepDecisionsQ retention: evicted cell forgets, same-batch priority path intact") {
     // the float retention gate's topology replayed in integers: batch 0
     // seeds cell 0 with v1; two filler batches age it past a 1 ms
@@ -2363,6 +2427,37 @@ class MlSpec extends SparkSpec {
         maxHamming = 7, maxBucketSize = 1000, blocks = 4)
       .withColumn("hamming", col("hamming").cast("int")))
     assert(scaleAuto == scaleManual, "auto at scale-hint != prescribed 4-block manual form")
+  }
+
+  test("chooseBlocksMeasured: skew the uniform estimate misses picks the safe geometry") {
+    // uniform fixture: measured agrees with the closed-form chooser
+    val rnd = new scala.util.Random(20260816L)
+    val uni = (0 until 2000).map(i => (i.toLong, rnd.nextLong())).toDF("id", "fp")
+      .select(col("id").as("_id"), col("fp").as("_sim"))
+    assert(Dedup.chooseBlocksMeasured(uni, 7, 1000) == Dedup.chooseBlocks(2000, 7, 1000))
+    assert(Dedup.chooseBlocksMeasured(uni, 3, 1000) == 4)
+    // SKEWED fixture (the r17-advice failure mode): byte 0 constant —
+    // at 8 blocks every row lands in ONE block-0 bucket (4000 > cap,
+    // silently dropped by the cap; drop share 12.5% of occurrences),
+    // which the uniform MEAN estimate (4000/2^8 = 15.6 << cap) cannot
+    // see. Measured sizing detects it and falls back to 4 blocks
+    // (16-bit keys: the constant byte spreads across the partner
+    // byte's 256 values, ~16 per bucket — fits).
+    val skew = (0 until 4000).map(i => (i.toLong, rnd.nextLong() & ~0xFFL))
+      .toDF("id", "fp").select(col("id").as("_id"), col("fp").as("_sim"))
+    assert(Dedup.chooseBlocks(4000, 7, 1000) == 8) // uniform estimate: fits
+    assert(Dedup.chooseBlocksMeasured(skew, 7, 1000) == 4) // measured: does not
+    // plumbing: measured auto == the manual form at the measured geometry
+    val skewIdFp = skew.select(col("_id").as("id"), col("_sim").as("fp"))
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val mAuto = canon2(Dedup.hammingBandedPairsAuto(skewIdFp, "id", "fp",
+        maxHamming = 7, measured = true)
+      .withColumn("hamming", col("hamming").cast("int")))
+    val mManual = canon2(Dedup.hammingBandedPairsWith(skew,
+        maxHamming = 7, maxBucketSize = 1000, blocks = 4)
+      .withColumn("hamming", col("hamming").cast("int")))
+    assert(mAuto == mManual, "measured auto != manual at the measured geometry")
   }
 
   test("FlatCheckpoint.capStats: small sizes exact, carried stats clamped (the CC cliff guard)") {
