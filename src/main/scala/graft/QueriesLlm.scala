@@ -475,22 +475,18 @@ object QueriesLlm {
       ss: SparkSession, inDir: java.nio.file.Path,
       fingerprint: (DataFrame, String, String) => DataFrame, sigCol: String,
       evictBucketAfterMs: Option[Long]): DataFrame = {
-    import ss.implicits._
+    // EXPLICIT gate geometry (the pinned-hash convention); a deploy
+    // sizes from its ingest meter instead via candidatePairsAuto /
+    // autoBlocks — same explode (blockOccurrences), one number in
     val blocks = 8
-    val bits = 64 / blocks
-    val mask = (1L << bits) - 1L
     val schema = ss.read.parquet(inDir.resolve("0_media.parquet").toString).schema
     val media = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(inDir.toString)
       // one file per micro-batch = one scan split; distribute the
       // per-row decode+hash (the one-file-input lesson)
       .repartition(Tables.fanout(ss))
-    val occ = fingerprint(media, "media_id", "data")
-      .select(col("media_id"), col(sigCol),
-        posexplode(array((0 until blocks).map(i =>
-          shiftright(col(sigCol), i * bits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("_blk", "_key")))
-      .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+    val occ = graft.streaming.StreamPhash.blockOccurrences(
+      fingerprint(media, "media_id", "data"), "media_id", sigCol, blocks)
     graft.streaming.StreamPhash.candidatePairs(
       occ, maxHamming = 7, blocks = blocks, evictBucketAfterMs = evictBucketAfterMs)
   }

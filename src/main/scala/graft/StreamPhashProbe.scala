@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   * state shape matches the batch banding. Noop sink + listener metrics
   * (the StateProbe lesson); N doc-striped splits = N micro-batches.
   *
-  * Usage: runMain graft.StreamPhashProbe <dir> <maxHamming> <nSplits> [mem|rocksdb]
+  * Block geometry comes from the STREAMING AUTO rule
+  * (StreamPhash.autoBlocks — chooseBlocks fed by the ingest-meter
+  * population): by default the true image count, overridable with
+  * `nHint` to probe the geometry a larger deploy's meter would pick
+  * (e.g. the 100× population while running 10× data — the narrowed
+  * 4-block fallback in the live topology).
+  *
+  * Usage: runMain graft.StreamPhashProbe <dir> <maxHamming> <nSplits> [mem|rocksdb] [nHint]
   */
 object StreamPhashProbe {
   def main(args: Array[String]): Unit = {
@@ -22,6 +29,7 @@ object StreamPhashProbe {
     val maxHamming = mh.toInt
     val nSplits = nSplitsS.toInt
     val provider = args.lift(3).getOrElse("mem")
+    val nHintArg = args.lift(4).map(_.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,9 +62,10 @@ object StreamPhashProbe {
         mkTwin(col("doc_id")).as("data")))
     val nImages = 2 * ids0.count()
 
-    val blocks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
-    val bits = 64 / blocks
-    val mask = (1L << bits) - 1L
+    // the ingest-meter feed: true population by default, a hint to
+    // probe a larger deploy's pick (r17 verdict, What's missing #2)
+    val nHint = nHintArg.getOrElse(nImages)
+    val blocks = graft.streaming.StreamPhash.autoBlocks(nHint, maxHamming)
 
     val inDir = QueriesCore.writeSplitDir("sphprobe_in",
       (0 until nSplits).map(i =>
@@ -68,12 +77,8 @@ object StreamPhashProbe {
     val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(inDir.toString)
       .repartition(core.Tables.fanout(spark))
-    val occ = graft.ml.Multimodal.dhashBmp(stream, "media_id", "data")
-      .select(col("media_id"), col("dhash"),
-        posexplode(array((0 until blocks).map(i =>
-          shiftright(col("dhash"), i * bits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("_blk", "_key")))
-      .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+    val occ = graft.streaming.StreamPhash.blockOccurrences(
+      graft.ml.Multimodal.dhashBmp(stream, "media_id", "data"), "media_id", "dhash", blocks)
     val pairs = graft.streaming.StreamPhash.candidatePairs(
       occ, maxHamming = maxHamming, blocks = blocks)
 
@@ -88,7 +93,7 @@ object StreamPhashProbe {
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     pm.finish(q)
-    println(f"""{"streamphashprobe":"${ProbeJson.jstr(dir)}","max_hamming":$maxHamming,"blocks":$blocks,"splits":$nSplits,"provider":"${ProbeJson.jstr(provider)}","n_images":$nImages,"state_rows":${pm.stateRows},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"rows_removed":${pm.removed.get()},"wall":$wall%.3f}""")
+    println(f"""{"streamphashprobe":"${ProbeJson.jstr(dir)}","max_hamming":$maxHamming,"blocks":$blocks,"n_hint":$nHint,"splits":$nSplits,"provider":"${ProbeJson.jstr(provider)}","n_images":$nImages,"state_rows":${pm.stateRows},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"rows_removed":${pm.removed.get()},"wall":$wall%.3f}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** STREAMING perceptual near-dup pairs — the streaming twin of
@@ -32,6 +33,54 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamPhash {
 
   case class BucketState(ids: Seq[Long], sigs: Seq[Long])
+
+  /** Block count for a streaming deploy, fed by the INGEST METER: the
+    * batch [[graft.ml.Dedup.chooseBlocks]] rule applied to `nHint`, the
+    * expected fingerprint population over the dedup horizon (metered
+    * ingest rate × eviction horizon; the known corpus size for a
+    * backfill). A stream cannot count its population up front the way
+    * the batch auto form does, and the geometry must be FIXED for the
+    * life of the query — state keys embed the block index and the
+    * upstream explode must agree — so the choice happens ONCE at
+    * topology build time from the meter's estimate. Same trade as
+    * batch: past the population where the guaranteed geometry's
+    * buckets saturate, block width falls back and the recall GUARANTEE
+    * narrows (candidates are still Hamming-verified at the full
+    * radius). Uniformity assumption documented at chooseBlocks. */
+  def autoBlocks(nHint: Long, maxHamming: Int, maxBucketSize: Int = 1000): Int =
+    graft.ml.Dedup.chooseBlocks(nHint, maxHamming, maxBucketSize)
+
+  /** The pigeonhole block-explode for the streaming topology — ONE
+    * implementation shared by the gates (explicit geometry), the auto
+    * form and the scale probe, so the exploded keys and the state fn's
+    * min-matching-block rule can never disagree on the geometry.
+    * Input: (id, sig64) columns; output the (id, sig, block, key)
+    * occurrence stream [[candidatePairs]] consumes. */
+  def blockOccurrences(sigs: DataFrame, idCol: String, sigCol: String,
+                       blocks: Int): Dataset[(Long, Long, Int, Long)] = {
+    import sigs.sparkSession.implicits._
+    val bits = 64 / blocks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    sigs.select(col(idCol), col(sigCol),
+        posexplode(array((0 until blocks).map(i =>
+          shiftright(col(sigCol), i * bits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("_blk", "_key")))
+      .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Int, Long)]
+  }
+
+  /** [[candidatePairs]] with the block geometry derived from the ingest
+    * meter ([[autoBlocks]]) instead of passed explicitly — the
+    * streaming twin of hammingBandedPairsAuto's nHint path. Explicit
+    * overrides remain: gates and callers wanting a pinned geometry use
+    * [[blockOccurrences]] + [[candidatePairs]] directly. */
+  def candidatePairsAuto(sigs: DataFrame, idCol: String, sigCol: String,
+                         nHint: Long, maxHamming: Int,
+                         evictBucketAfterMs: Option[Long] = None,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val blocks = autoBlocks(nHint, maxHamming, maxBucketSize)
+    candidatePairs(blockOccurrences(sigs, idCol, sigCol, blocks),
+      maxHamming, blocks, evictBucketAfterMs, maxBucketSize)
+  }
 
   /** (id, sig64, block, key) occurrence stream → (id_a, id_b, hamming)
     * near-dup pairs, each emitted exactly once (min-matching-block rule).

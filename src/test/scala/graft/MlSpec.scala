@@ -2460,6 +2460,55 @@ class MlSpec extends SparkSpec {
     assert(mAuto == mManual, "measured auto != manual at the measured geometry")
   }
 
+  test("streaming auto geometry (ingest-meter nHint) == manual; block width follows population") {
+    import graft.streaming.StreamPhash
+    // the streaming chooser IS the batch rule, fed by the meter
+    assert(StreamPhash.autoBlocks(2000, 7) == Dedup.chooseBlocks(2000, 7, 1000))
+    assert(StreamPhash.autoBlocks(1000000L, 7) == 4) // the r7-at-1M fallback
+    // plumbing equality in the LIVE topology: seeded twins streamed in
+    // two micro-batches; the auto form (nHint) must emit the identical
+    // pair set as the explicitly-bladed manual form at the geometry the
+    // chooser picks — at the true population (8 blocks) AND at a
+    // 100×-deploy hint (4 blocks), so the meter demonstrably changes
+    // the streamed geometry, not just a number in a log
+    val rnd = new scala.util.Random(20260817L)
+    val rows = (0 until 800).flatMap { i =>
+      val fp = rnd.nextLong()
+      val pos = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(8))
+      Seq((i.toLong, fp), (100000L + i, pos.foldLeft(fp)((a, p) => a ^ (1L << p))))
+    }
+    val inDir = QueriesCore.writeSplitDir("sautob_in", Seq(
+      (rows.filter(_._1 < 100000L).toDF("id", "fp"), "0_sigs.parquet"),
+      (rows.filter(_._1 >= 100000L).toDF("id", "fp"), "1_sigs.parquet")))
+    def runStream(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  tag: String): Set[(Long, Long, Int)] = {
+      val ss = spark.newSession()
+      val schema = ss.read.parquet(inDir.resolve("0_sigs.parquet").toString).schema
+      val sigs = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"sautob_$tag").toFile
+      ckpt.deleteOnExit()
+      val sink = s"sautob_$tag"
+      val q = mk(sigs).writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val n = rows.size.toLong
+    val picks = Seq((n, "true"), (1000000L, "scale")).map { case (hint, tag) =>
+      val blocks = Dedup.chooseBlocks(hint, 7, 1000)
+      val auto = runStream(s => StreamPhash.candidatePairsAuto(
+        s, "id", "fp", nHint = hint, maxHamming = 7), s"a$tag")
+      val manual = runStream(s => StreamPhash.candidatePairs(
+        StreamPhash.blockOccurrences(s, "id", "fp", blocks), 7, blocks), s"m$tag")
+      assert(auto.nonEmpty && auto == manual,
+        s"$tag hint: streaming auto != manual at blocks=$blocks")
+      blocks
+    }
+    assert(picks == Seq(8, 4), s"hints did not change the streamed geometry: $picks")
+  }
+
   test("FlatCheckpoint.capStats: small sizes exact, carried stats clamped (the CC cliff guard)") {
     import org.apache.spark.sql.graftshim.FlatCheckpoint
     // small frame: the clamp must NOT disturb exact carried stats
