@@ -182,5 +182,9 @@ object SparkEntry {
     // round 17: the GPT-2 pre-tokenized byte-level encode (the
     // production-tokenizer mode) and the quantized k-means siblings
     // (full-oracle cell machinery — watch beside the float forms)
-    "llm_bpe_encode_gpt2", "llm_semdedup_q", "llm_ann_ivf_q")
+    "llm_bpe_encode_gpt2", "llm_semdedup_q", "llm_ann_ivf_q",
+    // round 18: the 64-cell quantized semdedup (the two-level
+    // assignment path under a FULL oracle — watch beside the 16-cell
+    // flat-scan row)
+    "llm_semdedup_hq")
 }
