@@ -1920,6 +1920,22 @@ object QueriesLlm {
         iters = 4, trainMod = 2)
     }),
 
+    // 64-CELL quantized IVF — the llm_semdedup_hq pattern applied to
+    // ANN: at ivfTopKQ's hierAssignThreshold the corpus cell TAGGING
+    // takes the two-level probe, and the oracle replays it (the same
+    // oQHierFin composed with the ANN tail). MlSpec asserts hier ≠
+    // flat tagging on this corpus AND that the hq top-k differs from a
+    // forced-flat run at gate SF — so the green hash engine-checks the
+    // production assignment inside the retrieval path, not just inside
+    // dedup.
+    "llm_ann_ivf_hq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").repartition(Tables.fanout(s))
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopKQ(emb, "vec_id", "embedding", 64,
+        q, "vec_id", "embedding", k = 5, nCells = 64, nProbe = 4,
+        iters = 4, trainMod = 2)
+    }),
+
     // multimodal plumbing: binary payload + typed metadata → features
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)
@@ -2714,14 +2730,15 @@ object QueriesLlm {
       oQHierFin(nCells, iters, nProbeCoarse) +
       oSemDedupQTail(iters, threshold, cap)
 
-  /** llm_ann_ivf_q's tail over the shared chain: probe = the nProbe
-    * integer-nearest cells per query (row_number over (dist, cell) —
-    * probeCellsQ's sort), candidates = the probed inverted lists,
-    * score = integer squared L2, rank = (dist2 ASC, vec_id). */
-  private def oAnnIvfQ(nCells: Int, iters: Int, trainMod: Int,
-                       k: Int, nProbe: Int): String =
-    oQKmeansChain("SELECT vec_id, embedding AS v FROM embeddings",
-      nCells, iters, trainMod) + s""",
+  /** llm_ann_ivf_q's tail over a composed chain (any `fin`): probe =
+    * the nProbe integer-nearest cells per query (row_number over
+    * (dist, cell) — probeCellsQ's sort, a FLAT scan both engines:
+    * queries are few by contract), candidates = the probed inverted
+    * lists under the `fin` assignment, score = integer squared L2,
+    * rank = (dist2 ASC, vec_id). ONE copy shared by the flat
+    * (llm_ann_ivf_q) and hier (llm_ann_ivf_hq) gates. */
+  private def oAnnIvfQTail(iters: Int, k: Int, nProbe: Int): String =
+    s""",
          qry AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
          probe AS (SELECT query_id, cell FROM (
               SELECT y.query_id, c.cell,
@@ -2741,6 +2758,21 @@ object QueriesLlm {
                  ORDER BY dist2, vec_id) AS rank FROM sc)
          SELECT query_id, vec_id, dist2, rank FROM r WHERE rank <= $k"""
 
+  private val oAnnSrc = "SELECT vec_id, embedding AS v FROM embeddings"
+
+  private def oAnnIvfQ(nCells: Int, iters: Int, trainMod: Int,
+                       k: Int, nProbe: Int): String =
+    oQKmeansChain(oAnnSrc, nCells, iters, trainMod) +
+      oAnnIvfQTail(iters, k, nProbe)
+
+  /** llm_ann_ivf_hq: the ANN tail over the HIER `fin` at 64 cells —
+    * the retrieval-path twin of llm_semdedup_hq's assignment gate. */
+  private def oAnnIvfHQ(nCells: Int, iters: Int, trainMod: Int,
+                        k: Int, nProbe: Int, nProbeCoarse: Int): String =
+    oQKmeansCells(oAnnSrc, nCells, iters, trainMod) +
+      oQHierFin(nCells, iters, nProbeCoarse) +
+      oAnnIvfQTail(iters, k, nProbe)
+
   private val oracleBase: Map[String, String] = Map(
     "llm_semdedup_q" -> oSemDedupQ(nCells = 16, iters = 4, trainMod = 2,
       threshold = 4000000000L, cap = 100000),
@@ -2748,6 +2780,8 @@ object QueriesLlm {
       threshold = 4000000000L, cap = 100000, nProbeCoarse = 2),
     "llm_ann_ivf_q" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
+    "llm_ann_ivf_hq" -> oAnnIvfHQ(nCells = 64, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4, nProbeCoarse = 2),
     "llm_langid" -> oLangId,
     "llm_minhash_pairs_md5" -> oMinhashMd5(bands = 8, rpb = 2, thr = 0.4, cap = 1000),
     "llm_embed_pairs" ->

@@ -183,8 +183,8 @@ object SparkEntry {
     // production-tokenizer mode) and the quantized k-means siblings
     // (full-oracle cell machinery — watch beside the float forms)
     "llm_bpe_encode_gpt2", "llm_semdedup_q", "llm_ann_ivf_q",
-    // round 18: the 64-cell quantized semdedup (the two-level
-    // assignment path under a FULL oracle — watch beside the 16-cell
-    // flat-scan row)
-    "llm_semdedup_hq")
+    // round 18: the 64-cell quantized semdedup + IVF (the two-level
+    // assignment path under FULL oracles — watch beside the 16-cell
+    // flat-scan rows)
+    "llm_semdedup_hq", "llm_ann_ivf_hq")
 }

@@ -694,10 +694,17 @@ object Similarity {
   def ivfTopKQ(corpus: DataFrame, corpusId: String, corpusVec: String, dim: Int,
                queries: DataFrame, queryId: String, queryVec: String,
                k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 4,
-               trainMod: Int = 1, scale: Double = 1048576.0): DataFrame = {
+               trainMod: Int = 1, scale: Double = 1048576.0,
+               hierAssignFrom: Int = hierAssignThreshold): DataFrame = {
     val cents = ivfCentroidsQ(corpus, corpusId, corpusVec, dim, nCells, iters,
       trainMod, scale)
-    val assign = assignCellQ(cents)
+    // corpus-side cell TAGGING takes the two-level probe at production
+    // cell counts, exactly like semDedupQ (the r18 seam: corpus rows
+    // are O(corpus), so per-row assignment cost is the scale term);
+    // the QUERY-side probe list stays a flat scan — queries are few by
+    // contract (they broadcast), so O(nCells·dim) per query is noise
+    val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
+                 else assignCellQ(cents)
     val probe = probeCellsQ(cents, nProbe)
     val c = corpus.select(col(corpusId).as("vec_id"),
         quantizeVec(col(corpusVec), scale).as("_cv"))

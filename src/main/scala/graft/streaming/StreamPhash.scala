@@ -50,6 +50,22 @@ object StreamPhash {
   def autoBlocks(nHint: Long, maxHamming: Int, maxBucketSize: Int = 1000): Int =
     graft.ml.Dedup.chooseBlocks(nHint, maxHamming, maxBucketSize)
 
+  /** [[autoBlocks]] from a measured fingerprint SAMPLE instead of the
+    * uniform closed form — the streaming analog of
+    * chooseBlocksMeasured, for skewed fingerprint families where the
+    * uniform estimate under-sizes (SCALING r18 §3 measured that miss
+    * live: at the true 10× population the uniform pick's hot buckets
+    * saturated the storage cap and lost pairs). A deploy that can
+    * stage a representative sample — the backfill corpus, or the first
+    * horizon's ingest — sizes from the measured over-cap occupancy
+    * share at topology build time; the geometry then stays fixed for
+    * the query's life exactly like the nHint form. */
+  def autoBlocksMeasured(sample: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int, maxBucketSize: Int = 1000): Int =
+    graft.ml.Dedup.chooseBlocksMeasured(
+      sample.select(col(idCol).as("_id"), col(sigCol).as("_sim")),
+      maxHamming, maxBucketSize)
+
   /** The pigeonhole block-explode for the streaming topology — ONE
     * implementation shared by the gates (explicit geometry), the auto
     * form and the scale probe, so the exploded keys and the state fn's

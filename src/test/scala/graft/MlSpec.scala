@@ -2279,6 +2279,43 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("llm_ann_ivf_hq: hier tagging is TAKEN in the retrieval path at both gate SFs") {
+    // same trust argument as llm_semdedup_hq, applied to ANN: the
+    // corpus cell-tagging at 64 cells takes the two-level probe, the
+    // oracle replays it, and the branches are distinguishable on this
+    // corpus — hier ≠ flat tagging on ≥1 vector, and the top-k itself
+    // differs from a forced-flat run (so a green hash can't be
+    // explained by the flat path).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = graft.core.Tables(spark, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsQ(emb, "vec_id", "embedding", 64,
+        nCells = 64, iters = 4, trainMod = 2)
+      val flat = Similarity.assignCellQ(cents)
+      val hier = Similarity.assignCellHierQ(cents)
+      val both = emb
+        .select(col("vec_id"), Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
+        .select(col("vec_id"), flat(col("_qv")).as("f"), hier(col("_qv")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(both.count(t => t._2 != t._3) > 0,
+        s"$dir: hier == flat tagging on every vector — the hq ANN gate would be vacuous")
+      def run(hierFrom: Int): Set[(Long, Long, Long, Int)] = {
+        val e = graft.core.Tables(spark, dir, "embeddings")
+        Similarity.ivfTopKQ(e, "vec_id", "embedding", 64,
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5,
+            nCells = 64, nProbe = 4, iters = 4, trainMod = 2,
+            hierAssignFrom = hierFrom)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      }
+      val hq = run(64)                 // the gate's path (hier)
+      val flatForced = run(Int.MaxValue)
+      assert(hq == QueriesLlm.queries("llm_ann_ivf_hq")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet,
+        s"$dir: gate output != hier-tagged ivfTopKQ")
+      assert(hq != flatForced,
+        s"$dir: hq top-k == forced-flat top-k — tagging difference invisible to the gate")
+    }
+  }
+
   test("keepDecisionsQ retention: evicted cell forgets, same-batch priority path intact") {
     // the float retention gate's topology replayed in integers: batch 0
     // seeds cell 0 with v1; two filler batches age it past a 1 ms
@@ -2458,6 +2495,12 @@ class MlSpec extends SparkSpec {
         maxHamming = 7, maxBucketSize = 1000, blocks = 4)
       .withColumn("hamming", col("hamming").cast("int")))
     assert(mAuto == mManual, "measured auto != manual at the measured geometry")
+    // the streaming build-time sibling sizes from the SAME rule on a
+    // staged sample: measured pick == batch measured pick on both
+    // fixtures (the deploy feeds a sample where batch feeds the corpus)
+    assert(graft.streaming.StreamPhash.autoBlocksMeasured(skewIdFp, "id", "fp", 7) == 4)
+    val uniIdFp = uni.select(col("_id").as("id"), col("_sim").as("fp"))
+    assert(graft.streaming.StreamPhash.autoBlocksMeasured(uniIdFp, "id", "fp", 7) == 8)
   }
 
   test("streaming auto geometry (ingest-meter nHint) == manual; block width follows population") {
