@@ -264,6 +264,31 @@ object QueriesLlm {
         (ranked.filter(col("_rk") > half).select("vec_id", "embedding"), "1_emb.parquet")))
     })
 
+  private val embSplitHQCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  /** [[embSplitDirQ]] at the 64-cell HIER model: planted vectors split
+    * in the hq batch-priority order (integer centroid-dot under the
+    * HIER cell assignment, desc, vec_id asc) so the streaming greedy
+    * first-seen rule equals llm_semdedup_hq's batch loser rule exactly
+    * — the fixture that lets stream_semdedup_hq share the hq FULL
+    * oracle. */
+  private[graft] def embSplitDirHQ(s: SparkSession, dir: String): java.nio.file.Path =
+    embSplitHQCache.computeIfAbsent(dir, { _ =>
+      val cents = semCentroidsHQ(s, dir)
+      val assign = Similarity.assignCellHierQ(cents)
+      val prio = Similarity.cellPriorityQ(cents)
+      val ranked = plantedEmb(s, dir)
+        .withColumn("_qv", Similarity.quantizeVec(col("embedding"), 1048576.0))
+        .withColumn("_prio", prio(assign(col("_qv")), col("_qv")))
+        .withColumn("_rk", row_number().over(
+          Window.orderBy(col("_prio").desc, col("vec_id"))))
+      val n = ranked.count()
+      val half = (n + 1) / 2
+      QueriesCore.writeSplitDir("ssdhq_in", Seq(
+        (ranked.filter(col("_rk") <= half).select("vec_id", "embedding"), "0_emb.parquet"),
+        (ranked.filter(col("_rk") > half).select("vec_id", "embedding"), "1_emb.parquet")))
+    })
+
   /** The RAW documents table as two parquet files (doc_id parity split)
     * for STATELESS file-stream gates — any split works because their
     * per-doc transforms are row-local; parity keeps both batches busy. */
@@ -1828,6 +1853,47 @@ object QueriesLlm {
         col("priority"), col("keep"))
     }),
 
+    // STREAMING twin of llm_semdedup_hq — semantic dedup in the deploy
+    // topology ON the production assignment path: the frozen 64-cell
+    // model, each arriving vector assigned ROW-LOCALLY by the TWO-LEVEL
+    // probe (assignCellHierQ — the hier UDF rides the closure exactly
+    // like the flat one), keep/drop via the same keyed cell state.
+    // Shares llm_semdedup_hq's FULL oracle (priority-ordered arrival,
+    // embSplitDirHQ) — streaming semantic dedup at production cell
+    // counts under an engine-level check.
+    "stream_semdedup_hq" -> ((s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "32") // state keys = 64 cells
+      import ss.implicits._
+      val cents = semCentroidsHQ(s, dir)
+      val inDir = embSplitDirHQ(s, dir)
+      val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
+      val assign = Similarity.assignCellHierQ(cents)
+      val prio = Similarity.cellPriorityQ(cents)
+      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .repartition(Tables.fanout(ss)) // one-file input: distribute the per-row math
+        .select(col("vec_id"), Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
+        .withColumn("_cell", assign(col("_qv")))
+        .withColumn("_prio", prio(col("_cell"), col("_qv")))
+        .select("vec_id", "_cell", "_prio", "_qv")
+        .as[(Long, Int, Long, Seq[Long])]
+      val decided = graft.streaming.StreamSemDedup.keepDecisionsQ(
+        stream, threshold = 4000000000L)
+      val ckpt = java.nio.file.Files.createTempDirectory("ssdhq_ckpt").toFile
+      ckpt.deleteOnExit()
+      val sink = s"stream_semdedup_hq_${sinkIds.incrementAndGet()}"
+      val q = decided.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("priority"), col("keep"))
+    }),
+
     // STREAMING twin of llm_semdedup — the deployment topology semantic
     // dedup actually runs (the stream_lm_score pattern applied to the
     // SemDeDup family): k-means cells trained ONCE on the static corpus
@@ -3375,5 +3441,6 @@ object QueriesLlm {
       .updated("stream_bpe_encode", oracleBase("llm_bpe_encode"))
       .updated("stream_bpe_encode_gpt2", oracleBase("llm_bpe_encode_gpt2"))
       .updated("stream_semdedup_q", oracleBase("llm_semdedup_q"))
+      .updated("stream_semdedup_hq", oracleBase("llm_semdedup_hq"))
       .updated("stream_embed_decontaminate", oracleBase("llm_embed_decontaminate"))
 }

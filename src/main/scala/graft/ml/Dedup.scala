@@ -274,8 +274,11 @@ object Dedup {
         shiftright(col("_sim"), i * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("_blk", "_key")))
       .groupBy("_blk", "_key").agg(count(lit(1)).as("_bsz"))
-      .agg(sum(when(col("_bsz") > maxBucketSize, col("_bsz")).otherwise(0L)).as("_drop"),
-        sum(col("_bsz")).as("_tot"))
+      // coalesce: an EMPTY fingerprint frame aggregates to NULL sums,
+      // and getLong on a null throws — an empty population drops 0%
+      .agg(coalesce(sum(when(col("_bsz") > maxBucketSize, col("_bsz")).otherwise(0L)),
+          lit(0L)).as("_drop"),
+        coalesce(sum(col("_bsz")), lit(0L)).as("_tot"))
       .collect()(0)
     if (row.getLong(1) == 0L) 0.0 else row.getLong(0).toDouble / row.getLong(1)
   }

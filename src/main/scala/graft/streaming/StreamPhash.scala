@@ -59,7 +59,9 @@ object StreamPhash {
     * stage a representative sample — the backfill corpus, or the first
     * horizon's ingest — sizes from the measured over-cap occupancy
     * share at topology build time; the geometry then stays fixed for
-    * the query's life exactly like the nHint form. */
+    * the query's life exactly like the nHint form. Cache or checkpoint
+    * the sample if it is expensive to recompute: the rule may probe
+    * more than one geometry (one aggregation each). */
   def autoBlocksMeasured(sample: DataFrame, idCol: String, sigCol: String,
                          maxHamming: Int, maxBucketSize: Int = 1000): Int =
     graft.ml.Dedup.chooseBlocksMeasured(

@@ -2290,6 +2290,9 @@ class MlSpec extends SparkSpec {
       val emb = graft.core.Tables(spark, dir, "embeddings")
       val cents = Similarity.ivfCentroidsQ(emb, "vec_id", "embedding", 64,
         nCells = 64, iters = 4, trainMod = 2)
+      // the oracle derives its coarse geometry from the nCells PARAM —
+      // valid only while the train sample actually seeds all 64 cells
+      assert(cents.length == 64, s"$dir: train sample under-seeds the 64 cells")
       val flat = Similarity.assignCellQ(cents)
       val hier = Similarity.assignCellHierQ(cents)
       val both = emb
@@ -2372,6 +2375,20 @@ class MlSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val batch = canon(QueriesLlm.queries("llm_semdedup_q")(spark, sf))
     val stream = canon(QueriesLlm.queries("stream_semdedup_q")(spark, sf))
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}; " +
+        s"diff ${(batch diff stream).take(3)} / ${(stream diff batch).take(3)}")
+  }
+
+  test("stream_semdedup_hq equals batch exactly (hier assignment in the stream)") {
+    // the production-assignment streaming twin: row-local TWO-LEVEL
+    // cell assignment inside the stream, greedy first-seen keep under
+    // hq-priority-ordered arrival == llm_semdedup_hq's batch loser
+    // rule — which is what lets it share the hq FULL oracle
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = canon(QueriesLlm.queries("llm_semdedup_hq")(spark, sf))
+    val stream = canon(QueriesLlm.queries("stream_semdedup_hq")(spark, sf))
     assert(batch.nonEmpty && batch == stream,
       s"batch ${batch.size} rows vs stream ${stream.size}; " +
         s"diff ${(batch diff stream).take(3)} / ${(stream diff batch).take(3)}")
@@ -2501,6 +2518,9 @@ class MlSpec extends SparkSpec {
     assert(graft.streaming.StreamPhash.autoBlocksMeasured(skewIdFp, "id", "fp", 7) == 4)
     val uniIdFp = uni.select(col("_id").as("id"), col("_sim").as("fp"))
     assert(graft.streaming.StreamPhash.autoBlocksMeasured(uniIdFp, "id", "fp", 7) == 8)
+    // empty population: drop share is 0 everywhere → the guaranteed
+    // geometry, not an NPE on the null aggregate
+    assert(Dedup.chooseBlocksMeasured(uni.limit(0), 7, 1000) == 8)
   }
 
   test("streaming auto geometry (ingest-meter nHint) == manual; block width follows population") {
