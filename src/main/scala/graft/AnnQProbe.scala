@@ -42,13 +42,21 @@ object AnnQProbe {
     val n = emb.count()
     val q = emb.filter(col("vec_id") < 5)
     val hierFrom = if (mode == "hier") 0 else Int.MaxValue
+    // train ONCE and inject (the SemQProbe convention): training is
+    // identical in both modes, so splitting it out of the query wall
+    // stops it diluting the flat-vs-hier tagging delta (r18 review)
+    val t0c = System.nanoTime()
+    val cents = Similarity.ivfCentroidsQ(emb, "vec_id", "embedding", 64,
+      nCells = nCells, iters = 4, trainMod = 2)
+    val trainWall = (System.nanoTime() - t0c) / 1e9
     val t0 = System.nanoTime()
     val out = Similarity.ivfTopKQ(emb, "vec_id", "embedding", 64,
       q, "vec_id", "embedding", k = k, nCells = nCells, nProbe = nProbe,
-      iters = 4, trainMod = 2, hierAssignFrom = hierFrom)
+      iters = 4, trainMod = 2, hierAssignFrom = hierFrom,
+      centroids = Some(cents))
     val rows = out.count()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"""{"annqprobe":"${ProbeJson.jstr(dir)}","n_vecs":$n,"n_cells":$nCells,"mode":"${ProbeJson.jstr(mode)}","k":$k,"n_probe":$nProbe,"rows":$rows,"wall":$wall%.3f}""")
+    println(f"""{"annqprobe":"${ProbeJson.jstr(dir)}","n_vecs":$n,"n_cells":$nCells,"mode":"${ProbeJson.jstr(mode)}","k":$k,"n_probe":$nProbe,"rows":$rows,"train_wall":$trainWall%.3f,"query_wall":$wall%.3f}""")
     spark.stop()
   }
 }

@@ -289,6 +289,51 @@ object QueriesLlm {
         (ranked.filter(col("_rk") > half).select("vec_id", "embedding"), "1_emb.parquet")))
     })
 
+  /** Shared topology of the quantized streaming semdedup gates
+    * (stream_semdedup_q flat / stream_semdedup_hq hier): frozen
+    * centroids, row-local quantize → cell-assign → priority (the
+    * assignment path derives from the cell count via the SAME
+    * hierAssignThreshold seam semDedupQ switches on, and the priority
+    * is the one shared Similarity.cellPriorityQ — r17 verdict #2),
+    * keepDecisionsQ keyed cell state, memory sink drained under
+    * AvailableNow. ONE copy so the twins cannot drift (r18 review:
+    * previously ~50 duplicated topology lines). */
+  private def streamSemDedupQRun(s: SparkSession, cents: Array[Array[Long]],
+                                 inDir: java.nio.file.Path,
+                                 shufflePartitions: String,
+                                 sinkPrefix: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    import ss.implicits._
+    val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
+    val assign = if (cents.length >= Similarity.hierAssignThreshold)
+                   Similarity.assignCellHierQ(cents)
+                 else Similarity.assignCellQ(cents)
+    val prio = Similarity.cellPriorityQ(cents)
+    val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .repartition(Tables.fanout(ss)) // one-file input: distribute the per-row math
+      .select(col("vec_id"), Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
+      .withColumn("_cell", assign(col("_qv")))
+      .withColumn("_prio", prio(col("_cell"), col("_qv")))
+      .select("vec_id", "_cell", "_prio", "_qv")
+      .as[(Long, Int, Long, Seq[Long])]
+    val decided = graft.streaming.StreamSemDedup.keepDecisionsQ(
+      stream, threshold = 4000000000L)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${sinkPrefix}_ckpt").toFile
+    ckpt.deleteOnExit()
+    val sink = s"${sinkPrefix}_${sinkIds.incrementAndGet()}"
+    val q = decided.writeStream.format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+      col("priority"), col("keep"))
+  }
+
   /** The RAW documents table as two parquet files (doc_id parity split)
     * for STATELESS file-stream gates — any split works because their
     * per-doc transforms are row-local; parity keeps both batches busy. */
@@ -1816,42 +1861,9 @@ object QueriesLlm {
     // replay verbatim). Same frozen quantized centroids, vectors
     // arriving in integer batch-priority order (embSplitDirQ), greedy
     // first-seen keep == the batch loser rule.
-    "stream_semdedup_q" -> ((s, dir) => {
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8") // state keys = 16 cells
-      import ss.implicits._
-      val cents = semCentroidsQ(s, dir)
-      val inDir = embSplitDirQ(s, dir)
-      val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
-      val assign = Similarity.assignCellQ(cents)
-      // the SAME priority definition the batch operator computes
-      // internally (Similarity.cellPriorityQ) — an inline twin here
-      // could drift and only a gate-SF equality spec would notice
-      // (r17 verdict #2)
-      val prio = Similarity.cellPriorityQ(cents)
-      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(inDir.toString)
-        .repartition(Tables.fanout(ss)) // one-file input: distribute the per-row math
-        .select(col("vec_id"), Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
-        .withColumn("_cell", assign(col("_qv")))
-        .withColumn("_prio", prio(col("_cell"), col("_qv")))
-        .select("vec_id", "_cell", "_prio", "_qv")
-        .as[(Long, Int, Long, Seq[Long])]
-      val decided = graft.streaming.StreamSemDedup.keepDecisionsQ(
-        stream, threshold = 4000000000L)
-      val ckpt = java.nio.file.Files.createTempDirectory("ssdq_ckpt").toFile
-      ckpt.deleteOnExit()
-      val sink = s"stream_semdedup_q_${sinkIds.incrementAndGet()}"
-      val q = decided.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.getPath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
-        col("priority"), col("keep"))
-    }),
+    "stream_semdedup_q" -> ((s, dir) =>
+      streamSemDedupQRun(s, semCentroidsQ(s, dir), embSplitDirQ(s, dir),
+        shufflePartitions = "8", sinkPrefix = "stream_semdedup_q")),
 
     // STREAMING twin of llm_semdedup_hq — semantic dedup in the deploy
     // topology ON the production assignment path: the frozen 64-cell
@@ -1861,38 +1873,9 @@ object QueriesLlm {
     // Shares llm_semdedup_hq's FULL oracle (priority-ordered arrival,
     // embSplitDirHQ) — streaming semantic dedup at production cell
     // counts under an engine-level check.
-    "stream_semdedup_hq" -> ((s, dir) => {
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "32") // state keys = 64 cells
-      import ss.implicits._
-      val cents = semCentroidsHQ(s, dir)
-      val inDir = embSplitDirHQ(s, dir)
-      val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
-      val assign = Similarity.assignCellHierQ(cents)
-      val prio = Similarity.cellPriorityQ(cents)
-      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(inDir.toString)
-        .repartition(Tables.fanout(ss)) // one-file input: distribute the per-row math
-        .select(col("vec_id"), Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
-        .withColumn("_cell", assign(col("_qv")))
-        .withColumn("_prio", prio(col("_cell"), col("_qv")))
-        .select("vec_id", "_cell", "_prio", "_qv")
-        .as[(Long, Int, Long, Seq[Long])]
-      val decided = graft.streaming.StreamSemDedup.keepDecisionsQ(
-        stream, threshold = 4000000000L)
-      val ckpt = java.nio.file.Files.createTempDirectory("ssdhq_ckpt").toFile
-      ckpt.deleteOnExit()
-      val sink = s"stream_semdedup_hq_${sinkIds.incrementAndGet()}"
-      val q = decided.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.getPath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      ss.table(sink).select(col("vec_id"), col("cell").cast(LongType).as("cell"),
-        col("priority"), col("keep"))
-    }),
+    "stream_semdedup_hq" -> ((s, dir) =>
+      streamSemDedupQRun(s, semCentroidsHQ(s, dir), embSplitDirHQ(s, dir),
+        shufflePartitions = "32", sinkPrefix = "stream_semdedup_hq")),
 
     // STREAMING twin of llm_semdedup — the deployment topology semantic
     // dedup actually runs (the stream_lm_score pattern applied to the

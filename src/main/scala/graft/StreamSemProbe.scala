@@ -56,7 +56,8 @@ object StreamSemProbe {
     // excluded from the streaming wall, like stream_lm_score's model)
     val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 64,
       nCells = nCells, iters = 4, trainMod = 2)
-    val assign = if (nCells >= 64) Similarity.assignCellHier(cents)
+    val assign = if (nCells >= Similarity.hierAssignThreshold)
+                   Similarity.assignCellHier(cents)
                  else Similarity.assignCell(cents)
     val ccos = Similarity.centroidCos(cents)
 

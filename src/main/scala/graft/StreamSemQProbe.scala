@@ -62,7 +62,10 @@ object StreamSemQProbe {
     val cents = Similarity.ivfCentroidsQ(corpus, "vec_id", "embedding", 64,
       nCells = nCells, iters = 4, trainMod = 2)
     val trainWall = (System.nanoTime() - t0c) / 1e9
-    val assign = if (nCells >= 64) Similarity.assignCellHierQ(cents)
+    // the SAME seam constant semDedupQ switches on — not a hardcoded
+    // twin that could drift if the threshold is tuned (r18 review)
+    val assign = if (nCells >= Similarity.hierAssignThreshold)
+                   Similarity.assignCellHierQ(cents)
                  else Similarity.assignCellQ(cents)
     val prio = Similarity.cellPriorityQ(cents)
 

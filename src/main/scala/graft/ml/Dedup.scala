@@ -267,7 +267,7 @@ object Dedup {
     * groupBy over the slim (8-byte) signature column per geometry
     * probed. */
   private def measuredDropShare(sigs: DataFrame, blocks: Int,
-                                maxBucketSize: Int): Double = {
+                                capForSample: Double): Double = {
     val bits = 64 / blocks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val row = sigs.select(posexplode(array((0 until blocks).map(i =>
@@ -276,8 +276,8 @@ object Dedup {
       .groupBy("_blk", "_key").agg(count(lit(1)).as("_bsz"))
       // coalesce: an EMPTY fingerprint frame aggregates to NULL sums,
       // and getLong on a null throws — an empty population drops 0%
-      .agg(coalesce(sum(when(col("_bsz") > maxBucketSize, col("_bsz")).otherwise(0L)),
-          lit(0L)).as("_drop"),
+      .agg(coalesce(sum(when(col("_bsz").cast(DoubleType) > capForSample,
+            col("_bsz")).otherwise(0L)), lit(0L)).as("_drop"),
         coalesce(sum(col("_bsz")), lit(0L)).as("_tot"))
       .collect()(0)
     if (row.getLong(1) == 0L) 0.0 else row.getLong(0).toDouble / row.getLong(1)
@@ -290,14 +290,32 @@ object Dedup {
     * within `maxDropShare`; if none fits, the one dropping least.
     * Costs one explode+groupBy over the slim signature rows per
     * geometry evaluated (usually exactly one — the guaranteed
-    * geometry fits). */
+    * geometry fits).
+    *
+    * `scaleTo` extrapolates a SAMPLE measurement to a larger expected
+    * population (the ingest-meter composition, r18 review): bucket
+    * occupancy grows proportionally under a stationary fingerprint
+    * distribution, so a bucket of b sample rows represents b·(N/n) at
+    * population N — equivalently, the cap compared against the sample
+    * shrinks to cap·(n/N). Shares are scale-free (the ratio cancels in
+    * numerator and denominator), so the returned geometry is the one
+    * the full population would measure, modulo sampling error in the
+    * bucket tails. */
   private[graft] def chooseBlocksMeasured(sigs: DataFrame, maxHamming: Int,
                                           maxBucketSize: Int,
-                                          maxDropShare: Double = 0.01): Int = {
+                                          maxDropShare: Double = 0.01,
+                                          scaleTo: Option[Long] = None): Int = {
     val candidates = Seq(4, 8, 16, 32)
     val guaranteed = candidates.find(_ > maxHamming).getOrElse(
       throw new IllegalArgumentException(
         s"chooseBlocksMeasured: maxHamming=$maxHamming needs > 32 blocks; blocking cannot guarantee recall beyond 31"))
+    val capForSample: Double = scaleTo match {
+      case Some(target) if target > 0 =>
+        val n = sigs.count()
+        if (n == 0L) maxBucketSize.toDouble
+        else maxBucketSize.toDouble * n / target
+      case _ => maxBucketSize.toDouble
+    }
     // preference order of the uniform rule: guaranteed, then the widest
     // fitting narrower geometries in descending order
     val order = guaranteed +: candidates.filter(_ < guaranteed).reverse
@@ -306,7 +324,7 @@ object Dedup {
     val it = order.iterator
     while (it.hasNext) {
       val b = it.next()
-      val share = measuredDropShare(sigs, b, maxBucketSize)
+      val share = measuredDropShare(sigs, b, capForSample)
       if (share <= maxDropShare) return b
       if (share < bestShare) { bestShare = share; best = b }
     }
@@ -328,7 +346,12 @@ object Dedup {
     * (simhash over templated text). `measured = true` replaces the
     * closed-form estimate with [[chooseBlocksMeasured]]'s measured
     * over-cap share — one extra explode+groupBy per geometry probed
-    * over the already-checkpointed 16-byte rows. */
+    * over the already-checkpointed 16-byte rows. The knobs COMPOSE:
+    * with both set, the measurement over the staged rows is
+    * extrapolated to the hinted population (chooseBlocksMeasured's
+    * scaleTo — stationary-distribution proportional growth), so an
+    * early sample sizes for the deploy-scale corpus instead of for
+    * itself (r18 review: previously measured silently ignored nHint). */
   def hammingBandedPairsAuto(sigs0: DataFrame, idCol: String, sigCol: String,
                              maxHamming: Int = 3, maxBucketSize: Int = 1000,
                              nHint: Option[Long] = None,
@@ -336,7 +359,8 @@ object Dedup {
     val sigs = sigs0.select(col(idCol).as("_id"), col(sigCol).as("_sim"))
       .localCheckpoint(false) // 16-byte rows; counted once, banded once
     val blocks =
-      if (measured) chooseBlocksMeasured(sigs, maxHamming, maxBucketSize)
+      if (measured) chooseBlocksMeasured(sigs, maxHamming, maxBucketSize,
+        scaleTo = nHint)
       else chooseBlocks(nHint.getOrElse(sigs.count()), maxHamming, maxBucketSize)
     hammingBandedPairsWith(sigs, maxHamming, maxBucketSize, blocks)
   }

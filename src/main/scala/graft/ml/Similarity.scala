@@ -192,8 +192,10 @@ object Similarity {
   }
 
   /** Flat scan below this cell count; two-level probe at or above it
-    * (the flat form is exact and cheaper while k·dim per row is trivial). */
-  private val hierAssignThreshold = 64
+    * (the flat form is exact and cheaper while k·dim per row is
+    * trivial). private[graft] so the scale probes mirror the SAME seam
+    * instead of hardcoding 64 (r18 review). */
+  private[graft] val hierAssignThreshold = 64
 
   /** `nProbe` nearest cells for a query vector (driver-built centroid
     * matrix, executor-fused loop): the IVF probe list. */
@@ -695,14 +697,22 @@ object Similarity {
                queries: DataFrame, queryId: String, queryVec: String,
                k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 4,
                trainMod: Int = 1, scale: Double = 1048576.0,
-               hierAssignFrom: Int = hierAssignThreshold): DataFrame = {
-    val cents = ivfCentroidsQ(corpus, corpusId, corpusVec, dim, nCells, iters,
-      trainMod, scale)
-    // corpus-side cell TAGGING takes the two-level probe at production
-    // cell counts, exactly like semDedupQ (the r18 seam: corpus rows
-    // are O(corpus), so per-row assignment cost is the scale term);
-    // the QUERY-side probe list stays a flat scan — queries are few by
-    // contract (they broadcast), so O(nCells·dim) per query is noise
+               hierAssignFrom: Int = hierAssignThreshold,
+               centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroidsQ(corpus, corpusId, corpusVec,
+      dim, nCells, iters, trainMod, scale))
+    // BEHAVIOR NOTE (r18): corpus-side cell TAGGING takes the two-level
+    // probe at nCells >= hierAssignFrom (default 64), exactly like
+    // semDedupQ — corpus rows are O(corpus), so per-row assignment cost
+    // is the scale term. Tagging is then APPROXIMATE (a vector whose
+    // true nearest cell lives in an unprobed coarse group lands in a
+    // different inverted list — the IVF nProbe recall trade, one level
+    // up); callers wanting exact flat tagging at any cell count pass
+    // hierAssignFrom = Int.MaxValue. The QUERY-side probe list stays a
+    // flat scan — queries are few by contract (they broadcast), so
+    // O(nCells·dim) per query is noise. `centroids` injects an
+    // already-trained model (semDedupQ's convention) so probes can
+    // time tagging apart from training.
     val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
                  else assignCellQ(cents)
     val probe = probeCellsQ(cents, nProbe)

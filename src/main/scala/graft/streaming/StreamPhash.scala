@@ -61,12 +61,17 @@ object StreamPhash {
     * share at topology build time; the geometry then stays fixed for
     * the query's life exactly like the nHint form. Cache or checkpoint
     * the sample if it is expensive to recompute: the rule may probe
-    * more than one geometry (one aggregation each). */
+    * more than one geometry (one aggregation each). `nHint`
+    * extrapolates the sample measurement to the metered population
+    * (stationary-distribution proportional bucket growth) — the
+    * composition of the two meters: the sample supplies the SHAPE of
+    * the fingerprint distribution, the hint its SIZE. */
   def autoBlocksMeasured(sample: DataFrame, idCol: String, sigCol: String,
-                         maxHamming: Int, maxBucketSize: Int = 1000): Int =
+                         maxHamming: Int, maxBucketSize: Int = 1000,
+                         nHint: Option[Long] = None): Int =
     graft.ml.Dedup.chooseBlocksMeasured(
       sample.select(col(idCol).as("_id"), col(sigCol).as("_sim")),
-      maxHamming, maxBucketSize)
+      maxHamming, maxBucketSize, scaleTo = nHint)
 
   /** The pigeonhole block-explode for the streaming topology — ONE
     * implementation shared by the gates (explicit geometry), the auto

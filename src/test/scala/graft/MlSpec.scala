@@ -2521,6 +2521,14 @@ class MlSpec extends SparkSpec {
     // empty population: drop share is 0 everywhere → the guaranteed
     // geometry, not an NPE on the null aggregate
     assert(Dedup.chooseBlocksMeasured(uni.limit(0), 7, 1000) == 8)
+    // nHint × measured COMPOSE (r18 review): extrapolating the uniform
+    // sample to a 2M deploy population picks the same fallback the
+    // uniform rule prescribes there (on uniform data the two meters
+    // must agree), and scaling to the sample's own size is a no-op
+    assert(Dedup.chooseBlocksMeasured(uni, 7, 1000, scaleTo = Some(2000000L)) == 4)
+    assert(Dedup.chooseBlocksMeasured(uni, 7, 1000, scaleTo = Some(2000L)) == 8)
+    assert(graft.streaming.StreamPhash.autoBlocksMeasured(uniIdFp, "id", "fp", 7,
+      nHint = Some(2000000L)) == 4)
   }
 
   test("streaming auto geometry (ingest-meter nHint) == manual; block width follows population") {
