@@ -1985,6 +1985,37 @@ object QueriesLlm {
         iters = 4, trainMod = 2)
     }),
 
+    // MATERIALIZED quantized IVF — the partition-pruned physical layout
+    // (llm_ann_ivf's 100 TB shape) under a FULL oracle: the corpus is
+    // written partitionBy its integer cell, the query probe list
+    // resolves driver-side, and the scan reads ONLY the probed `_cell=`
+    // directories (PartitionFilters — the MlSpec plan assertion).
+    // Results are IDENTICAL to ivfTopKQ for the same (deterministic)
+    // centroids, so the gate shares llm_ann_ivf_q's DuckDB replay —
+    // the float llm_ann_ivf stays the production gate with its pinned
+    // hash; this row engine-checks the pruned-read topology.
+    "llm_ann_ivf_idx_q" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").repartition(Tables.fanout(s))
+      val q = emb.filter(col("vec_id") < 5)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
+      Similarity.ivfWriteIndexQ(emb, "vec_id", "embedding", 64, idx,
+        nCells = 16, iters = 4, trainMod = 2)
+      Similarity.ivfTopKIndexedQ(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
+    // ... and the same layout written with the TWO-LEVEL tagging at 64
+    // cells (the hq seam) — the pruned read path exactly as a
+    // production-cell-count deployment would materialize it, sharing
+    // llm_ann_ivf_hq's oracle.
+    "llm_ann_ivf_idx_hq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").repartition(Tables.fanout(s))
+      val q = emb.filter(col("vec_id") < 5)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfhq").toString
+      Similarity.ivfWriteIndexQ(emb, "vec_id", "embedding", 64, idx,
+        nCells = 64, iters = 4, trainMod = 2)
+      Similarity.ivfTopKIndexedQ(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
     // multimodal plumbing: binary payload + typed metadata → features
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)
@@ -2830,6 +2861,14 @@ object QueriesLlm {
     "llm_ann_ivf_q" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
     "llm_ann_ivf_hq" -> oAnnIvfHQ(nCells = 64, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4, nProbeCoarse = 2),
+    // the materialized-index gates compute the SAME rows as their
+    // in-memory twins (integer training is bit-deterministic, so equal
+    // parameters pin equal centroids; MlSpec pins the output equality
+    // and the partition pruning) — they share the replays verbatim
+    "llm_ann_ivf_idx_q" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4),
+    "llm_ann_ivf_idx_hq" -> oAnnIvfHQ(nCells = 64, iters = 4, trainMod = 2,
       k = 5, nProbe = 4, nProbeCoarse = 2),
     "llm_langid" -> oLangId,
     "llm_minhash_pairs_md5" -> oMinhashMd5(bands = 8, rpb = 2, thr = 0.4, cap = 1000),

@@ -186,5 +186,6 @@ object SparkEntry {
     // round 18: the 64-cell quantized semdedup + IVF (the two-level
     // assignment path under FULL oracles — watch beside the 16-cell
     // flat-scan rows)
-    "llm_semdedup_hq", "llm_ann_ivf_hq", "stream_semdedup_hq")
+    "llm_semdedup_hq", "llm_ann_ivf_hq", "stream_semdedup_hq",
+    "llm_ann_ivf_idx_q")
 }

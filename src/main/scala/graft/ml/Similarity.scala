@@ -732,6 +732,72 @@ object Similarity {
       .select("query_id", "vec_id", "dist2", "rank")
   }
 
+  /** [[ivfWriteIndex]]'s integer sibling — THE 100 TB layout in the
+    * exactly-replayable arithmetic: the corpus tagged by the QUANTIZED
+    * cell model (two-level probe at ≥ `hierAssignFrom` cells, the
+    * ivfTopKQ seam) and written `partitionBy` its inverted-list cell,
+    * plus an integer centroid sidecar (one line per centroid,
+    * comma-joined longs — exact round-trip). Probes then prune at the
+    * SCAN: the `_cell=` directories outside the probe list are never
+    * read. `centroids` injects an already-trained model (the semDedupQ
+    * convention). Returns the centroids (kilobytes). */
+  def ivfWriteIndexQ(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     dim: Int, path: String, nCells: Int = 16, iters: Int = 4,
+                     trainMod: Int = 1, scale: Double = 1048576.0,
+                     hierAssignFrom: Int = hierAssignThreshold,
+                     centroids: Option[Array[Array[Long]]] = None): Array[Array[Long]] = {
+    val cents = centroids.getOrElse(ivfCentroidsQ(corpus, corpusId, corpusVec,
+      dim, nCells, iters, trainMod, scale))
+    val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
+                 else assignCellQ(cents)
+    corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("embedding"),
+        assign(quantizeVec(col(corpusVec), scale)).as("_cell"))
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$path/vectors")
+    val text = cents.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "centroids_q.txt"),
+      text.getBytes("UTF-8"))
+    cents
+  }
+
+  /** [[ivfTopKIndexed]]'s integer sibling over an [[ivfWriteIndexQ]]
+    * index: the (small, broadcastable) query set resolves its probe
+    * cells DRIVER-side from the integer sidecar, the scan reads ONLY
+    * those `_cell=` partitions (static partition pruning —
+    * PartitionFilters in the plan), candidates score by integer
+    * squared L2 and rank (dist2 ASC, vec_id) — IDENTICAL output to
+    * [[ivfTopKQ]] for the same centroids (MlSpec pins the equality),
+    * which is what lets llm_ann_ivf_idx_q share ivfTopKQ's FULL DuckDB
+    * oracle while exercising the partition-pruned physical layout the
+    * 100 TB deployment actually reads. */
+  def ivfTopKIndexedQ(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int, nProbe: Int = 4,
+                      scale: Double = 1048576.0): DataFrame = {
+    val cents = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "centroids_q.txt")), "UTF-8")
+      .split("\n").map(_.split(",").map(java.lang.Long.parseLong))
+    val probe = probeCellsQ(cents, nProbe)
+    val q0 = queries.select(col(queryId).as("query_id"),
+        quantizeVec(col(queryVec), scale).as("_qv"))
+      .withColumn("_cell", explode(probe(col("_qv"))))
+    val probedCells = q0.select("_cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val q = broadcast(q0)
+    val c = spark.read.parquet(s"$path/vectors")
+      .where(col("_cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), quantizeVec(col("embedding"), scale).as("_cv"),
+        col("_cell"))
+    val scored = c.join(q, Seq("_cell"))
+      .withColumn("dist2", aggregate(
+        zip_with(col("_cv"), col("_qv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dist2", "rank")
+  }
+
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String, dim: Int,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planesPerTable: Int = 10, tables: Int = 6,

@@ -286,6 +286,34 @@ class MlSpec extends SparkSpec {
     assert(pf.contains("_cell"), s"PartitionFilters does not constrain _cell: $pf")
   }
 
+  test("materialized QUANTIZED IVF index: pruned probe == in-memory ivfTopKQ, flat and hier") {
+    // the llm_ann_ivf_idx_q/_hq trust chain: integer training is
+    // bit-deterministic, so equal parameters pin equal centroids; the
+    // indexed read must then produce EXACTLY the in-memory rows (that
+    // equality is what lets the idx gates share the ivfTopKQ oracles)
+    // while the scan prunes to the probed `_cell=` partitions
+    val queries = emb.filter(col("vec_id") < 8)
+    for (cells <- Seq(16, 64)) { // flat-tagged and hier-tagged layouts
+      val dir = java.nio.file.Files.createTempDirectory(s"mlspec_ivfq$cells").toString
+      Similarity.ivfWriteIndexQ(emb, "vec_id", "embedding", 64, dir,
+        nCells = cells, iters = 4, trainMod = 2)
+      val indexed = Similarity.ivfTopKIndexedQ(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      val inMem = Similarity.ivfTopKQ(emb, "vec_id", "embedding", 64,
+        queries, "vec_id", "embedding", k = 5, nCells = cells, nProbe = 4,
+        trainMod = 2)
+      val a = indexed.select("query_id", "vec_id", "dist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val b = inMem.select("query_id", "vec_id", "dist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(a == b,
+        s"$cells cells: indexed vs in-memory divergence: ${(a diff b).take(5)} / ${(b diff a).take(5)}")
+      val plan = indexed.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+      assert(pf.contains("_cell"), s"$cells cells: PartitionFilters does not constrain _cell: $pf")
+    }
+  }
+
   test("IVF ANN retrieves the source of perturbed near-duplicate queries") {
     val perturbed = emb.filter(col("vec_id") < 50)
       .select((col("vec_id") + 100000L).as("vec_id"),
