@@ -222,9 +222,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String, dim: Int,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 4,
-              trainMod: Int = 1): DataFrame = {
+              trainMod: Int = 1,
+              hierAssignFrom: Int = hierAssignThreshold): DataFrame = {
     val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters, trainMod)
-    val assign = assignCell(cents)
+    // corpus tagging takes the two-level probe at production cell
+    // counts (the semDedup/ivfTopKQ seam — r18 parity: the float form
+    // previously always flat-scanned); approximate above the
+    // threshold, hierAssignFrom = Int.MaxValue forces exact
+    val assign = if (nCells >= hierAssignFrom) assignCellHier(cents)
+                 else assignCell(cents)
     val probe = probeCells(cents, nProbe)
     val c = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("_cv"),
       assign(normalized(col(corpusVec))).as("_cell"))
@@ -248,9 +254,11 @@ object Similarity {
     * centroids (kilobytes — nCells × dim doubles). */
   def ivfWriteIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
                     dim: Int, path: String, nCells: Int = 16, iters: Int = 4,
-                    trainMod: Int = 1): Array[Array[Double]] = {
+                    trainMod: Int = 1,
+                    hierAssignFrom: Int = hierAssignThreshold): Array[Array[Double]] = {
     val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters, trainMod)
-    val assign = assignCell(cents)
+    val assign = if (nCells >= hierAssignFrom) assignCellHier(cents)
+                 else assignCell(cents)
     corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("embedding"),
         assign(normalized(col(corpusVec))).as("_cell"))
       .write.mode("overwrite").partitionBy("_cell")
@@ -576,7 +584,22 @@ object Similarity {
         p += 1
       }
       if (best >= 0) best
-      else { // every probed group empty — flat fallback (rare, exact)
+      else {
+        // every probed group empty — exact flat fallback. Reachability
+        // note (r18 analysis): an empty group keeps a STALE coarse. In
+        // any round before the last, a group stuck at value P re-absorbs
+        // the seed cell that equals P (distance 0, lowest-j tie), so a
+        // probed-first empty group implies a nonempty lower-j twin at
+        // the same coarse value — probed BEFORE it. The branch is
+        // therefore reachable ONLY when a group loses all members in
+        // the FINAL assignment round after its coarse moved (its stale
+        // g4-coarse can then be nearest to a probe vector with no
+        // children behind it). No gate or probe corpus produces that
+        // shape; the DuckDB replay's fb CTE mirrors this rule exactly,
+        // so even the unreached branch cannot diverge between engines.
+        // (The float assignCellHier handles the same edge by returning
+        // cell 0 — bestDot stays -Inf; the quantized form prefers the
+        // exact fallback because its gates are FULL-oracle.)
         var c = 0
         var b = 0
         var bd = Long.MaxValue
