@@ -15,7 +15,12 @@ import graft.ml.Similarity
   * rule), which is exactly when the tagging term dominates and the
   * hier path pays off.
   *
-  * Usage: runMain graft.AnnQProbe <dir> <nCells> [hier|flat] [k=5] [nProbe=4]
+  * `trainMode` probes the r19 TRAINING seam the same way: hier = the
+  * two-level per-iteration assignment (the library default above the
+  * threshold — the last flat O(nCells·dim)/row term removed), flat =
+  * forced-exact training for the before/after receipt.
+  *
+  * Usage: runMain graft.AnnQProbe <dir> <nCells> [hier|flat] [k=5] [nProbe=4] [trainMode hier|flat]
   */
 object AnnQProbe {
   def main(args: Array[String]): Unit = {
@@ -25,6 +30,9 @@ object AnnQProbe {
     require(mode == "hier" || mode == "flat", s"mode hier|flat, got $mode")
     val k = args.lift(3).map(_.toInt).getOrElse(5)
     val nProbe = args.lift(4).map(_.toInt).getOrElse(4)
+    val trainMode = args.lift(5).getOrElse("hier")
+    require(trainMode == "hier" || trainMode == "flat",
+      s"trainMode hier|flat, got $trainMode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,9 +53,10 @@ object AnnQProbe {
     // train ONCE and inject (the SemQProbe convention): training is
     // identical in both modes, so splitting it out of the query wall
     // stops it diluting the flat-vs-hier tagging delta (r18 review)
+    val trainFrom = if (trainMode == "hier") 0 else Int.MaxValue
     val t0c = System.nanoTime()
     val cents = Similarity.ivfCentroidsQ(emb, "vec_id", "embedding", 64,
-      nCells = nCells, iters = 4, trainMod = 2)
+      nCells = nCells, iters = 4, trainMod = 2, hierAssignFrom = trainFrom)
     val trainWall = (System.nanoTime() - t0c) / 1e9
     val t0 = System.nanoTime()
     val out = Similarity.ivfTopKQ(emb, "vec_id", "embedding", 64,
@@ -56,7 +65,7 @@ object AnnQProbe {
       centroids = Some(cents))
     val rows = out.count()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"""{"annqprobe":"${ProbeJson.jstr(dir)}","n_vecs":$n,"n_cells":$nCells,"mode":"${ProbeJson.jstr(mode)}","k":$k,"n_probe":$nProbe,"rows":$rows,"train_wall":$trainWall%.3f,"query_wall":$wall%.3f}""")
+    println(f"""{"annqprobe":"${ProbeJson.jstr(dir)}","n_vecs":$n,"n_cells":$nCells,"mode":"${ProbeJson.jstr(mode)}","train_mode":"${ProbeJson.jstr(trainMode)}","k":$k,"n_probe":$nProbe,"rows":$rows,"train_wall":$trainWall%.3f,"query_wall":$wall%.3f}""")
     spark.stop()
   }
 }

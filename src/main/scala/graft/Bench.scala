@@ -57,6 +57,64 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrationRun() // codegen warmup for the calibration plan itself
+
+    // PRE-FLIGHT CONTENTION GATE (r19 — r18 verdict, What's wrong #2):
+    // the shipped artifact is the arbiter of record, and r18's ran on a
+    // decaying host (min_total 123 s vs the same tree's 90 s idle
+    // rerun). Waiting out a transient spike costs minutes; shipping a
+    // 20%-inflated artifact costs an adjudication pass. Signal: the CPU
+    // share OUR calibration job achieves — external load steals cores
+    // from the 32-way xxhash range scan, so achieved-concurrency / cpus
+    // is an absolute, self-referential idleness meter (calibration time
+    // alone cannot distinguish "host busy" from "host slow": a loaded
+    // box measures slow against itself too). Wait (bounded by
+    // SPARK_GRAFT_CAL_WAIT_SECS, default 300) until the share clears
+    // SPARK_GRAFT_CAL_MIN_SHARE (default 0.8) or the budget runs out —
+    // then proceed and ship the numbers honestly either way.
+    val osBean = try {
+      Some(java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean])
+    } catch { case _: Throwable => None }
+    // pure-JVM spin probe, NOT the Spark calibration job: `cpus` plain
+    // threads busy-looping for ~0.8 s achieve ~1.0 share on an idle
+    // host (no scheduler phases, no driver time diluting the window —
+    // the Spark job measures ~0.5 even idle), and proportionally less
+    // when external load steals cores. Returns achieved-CPU / cpus.
+    def cpuShareProbe(ms: Long = 800L): Double = osBean.map { b =>
+      val nThreads = cpus.toInt
+      val cpu0 = b.getProcessCpuTime
+      val t0 = System.nanoTime()
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val threads = (1 to nThreads).map { _ =>
+        new Thread(() => {
+          var x = 1234567L
+          while (System.nanoTime() - t0 < ms * 1000000L) {
+            var i = 0
+            while (i < 10000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+          }
+          sink.addAndGet(x): Unit
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      ((b.getProcessCpuTime - cpu0) / 1e9) / wall / nThreads
+    }.getOrElse(1.0)
+    val calWaitBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_CAL_WAIT_SECS", "300").toLong * 1000L
+    val calMinShare =
+      sys.env.getOrElse("SPARK_GRAFT_CAL_MIN_SHARE", "0.85").toDouble
+    val gateStart = System.currentTimeMillis()
+    var gateWaits = 0
+    var calShare = cpuShareProbe()
+    while (calShare < calMinShare &&
+           System.currentTimeMillis() - gateStart < calWaitBudgetMs) {
+      gateWaits += 1
+      System.err.println(f"[bench] pre-flight: spin-probe CPU share $calShare%.2f " +
+        f"< $calMinShare%.2f (host contended) — waiting 20 s (wait #$gateWaits)")
+      Thread.sleep(20000)
+      calShare = cpuShareProbe()
+    }
+
     val calibrationPre = (1 to 3).map(_ => calibrationRun()).min
 
     // Median-of-3 per query (round-4 verdict: a single shot let one
@@ -119,7 +177,7 @@ object Bench {
       s"is the median of $runsPer runs (all runs in `runs`, per-query min in `mins`); " +
       "`calibration` = min xxhash64-over-range(1e9) wall (CPU-only, pre+post sweep) — " +
       "divide totals by it before comparing rounds"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$allRuns,"mins":$mins,"min_total":$minTotal%.3f,"calibration":$calibration%.3f,"calibration_pre":$calibrationPre%.3f,"calibration_post":$calibrationPost%.3f,"failed":$fl,"note":"${ProbeJson.jstr(note)}","sf":"${ProbeJson.jstr(sfDir)}"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$allRuns,"mins":$mins,"min_total":$minTotal%.3f,"calibration":$calibration%.3f,"calibration_pre":$calibrationPre%.3f,"calibration_post":$calibrationPost%.3f,"norm_min_total":${minTotal / calibration}%.2f,"cal_gate_waits":$gateWaits,"cal_gate_share":$calShare%.2f,"failed":$fl,"note":"${ProbeJson.jstr(note)}","sf":"${ProbeJson.jstr(sfDir)}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

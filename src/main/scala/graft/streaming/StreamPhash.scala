@@ -46,7 +46,11 @@ object StreamPhash {
     * batch: past the population where the guaranteed geometry's
     * buckets saturate, block width falls back and the recall GUARANTEE
     * narrows (candidates are still Hamming-verified at the full
-    * radius). Uniformity assumption documented at chooseBlocks. */
+    * radius). Uniformity assumption documented at chooseBlocks — and
+    * it is the ESTIMATE-ONLY fallback, not the deploy default: a
+    * deploy that can stage a fingerprint sample should size via
+    * [[autoBlocksMeasured]] (SCALING r18 §3 measured the uniform pick
+    * losing 6.6% of true pairs on skewed prints). */
   def autoBlocks(nHint: Long, maxHamming: Int, maxBucketSize: Int = 1000): Int =
     graft.ml.Dedup.chooseBlocks(nHint, maxHamming, maxBucketSize)
 
@@ -95,12 +99,29 @@ object StreamPhash {
     * meter ([[autoBlocks]]) instead of passed explicitly — the
     * streaming twin of hammingBandedPairsAuto's nHint path. Explicit
     * overrides remain: gates and callers wanting a pinned geometry use
-    * [[blockOccurrences]] + [[candidatePairs]] directly. */
+    * [[blockOccurrences]] + [[candidatePairs]] directly.
+    *
+    * THE DEPLOY DEFAULT IS MEASURED SIZING: pass `sample` (a staged
+    * representative fingerprint frame — the backfill corpus or the
+    * first horizon's ingest) and the geometry comes from
+    * [[autoBlocksMeasured]] over it, extrapolated to `nHint`. Without
+    * a sample the uniform closed form is all a stream can do, and it
+    * measurably under-recalls on skewed fingerprint families (SCALING
+    * r18 §3: the uniform pick at the true 10× phash population lost
+    * 6.6% of true pairs to storage-cap saturation; the measured pick
+    * recovers them all at the same wall) — recall loss is a
+    * correctness property for a dedup pipeline, so a deploy that CAN
+    * stage a sample should. */
   def candidatePairsAuto(sigs: DataFrame, idCol: String, sigCol: String,
                          nHint: Long, maxHamming: Int,
                          evictBucketAfterMs: Option[Long] = None,
-                         maxBucketSize: Int = 1000): DataFrame = {
-    val blocks = autoBlocks(nHint, maxHamming, maxBucketSize)
+                         maxBucketSize: Int = 1000,
+                         sample: Option[DataFrame] = None): DataFrame = {
+    val blocks = sample match {
+      case Some(df) => autoBlocksMeasured(df, idCol, sigCol, maxHamming,
+        maxBucketSize, nHint = Some(nHint))
+      case None => autoBlocks(nHint, maxHamming, maxBucketSize)
+    }
     candidatePairs(blockOccurrences(sigs, idCol, sigCol, blocks),
       maxHamming, blocks, evictBucketAfterMs, maxBucketSize)
   }

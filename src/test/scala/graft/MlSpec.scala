@@ -2002,6 +2002,124 @@ class MlSpec extends SparkSpec {
     assert(graft.streaming.StreamSemDedup.cosineKernel(at(0), at(2 * th)) < 0.95)
   }
 
+  test("eviction horizon FIRES: a timed-out semantic cell forgets its history (the recall trade, exercised)") {
+    // r18 verdict, What's missing #3: every gate ran a never-reached
+    // horizon pinned equal to NoTimeout — the state.hasTimedOut branch
+    // (StreamSemDedup.keepDecisionsQ) had no spec in which it actually
+    // executed. Here it does: cell 0 seeds history in batch 1; the
+    // horizon passes with only OTHER-cell traffic (batch 2 — timeouts
+    // fire for keys WITHOUT data, so the foreign row is what triggers
+    // processing); a near-dup of the seeded vector then arrives and is
+    // KEPT (history evicted — the documented missed-dup recall trade),
+    // where the NoTimeout control drops it against the seed.
+    val ss = spark.newSession()
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = ss.sqlContext
+    var n = 0
+    def run(evict: Option[Long]): Map[Long, Long] = {
+      n += 1
+      val in = MemoryStream[(Long, Int, Long, Seq[Long])]
+      val decided = graft.streaming.StreamSemDedup.keepDecisionsQ(
+        in.toDS(), threshold = 100L, evictCellAfterMs = evict)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"evict_ckpt$n").toFile
+      ckpt.deleteOnExit()
+      val sink = s"evict_fire_sink$n"
+      // NOT processAllAvailable: with ProcessingTimeTimeout the engine
+      // keeps scheduling timeout-check batches, so `noNewData` never
+      // settles and processAllAvailable hangs — poll the sink for the
+      // expected row count instead (bounded)
+      val q = decided.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      def await(rows: Long): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (ss.table(sink).count() < rows) {
+          assert(System.currentTimeMillis() - t0 < 60000, s"sink stuck below $rows rows")
+          Thread.sleep(100)
+        }
+      }
+      in.addData((1L, 0, 10L, Seq(0L, 0L, 0L, 0L))) // cell 0: the history
+      await(1)
+      Thread.sleep(900) // > the 300 ms horizon: cell 0 times out
+      in.addData((2L, 1, 9L, Seq(1000L, 0L, 0L, 0L))) // cell 1 traffic
+      await(2)
+      in.addData((3L, 0, 8L, Seq(1L, 0L, 0L, 0L))) // near-dup of id 1 (d²=1 ≤ 100)
+      await(3)
+      q.stop()
+      ss.table(sink).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    }
+    val evicted = run(Some(300L))
+    assert(evicted == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"fired horizon must FORGET cell 0's history (id 3 kept); got $evicted")
+    val control = run(None)
+    assert(control == Map(1L -> 1L, 2L -> 1L, 3L -> 0L),
+      s"NoTimeout control must drop id 3 against the seed; got $control")
+  }
+
+  test("eviction horizon FIRES in StreamPhash: a timed-out bucket forgets its prints") {
+    // same shape for the banded-pair state machine: bucket (0, 7) holds
+    // print A; the horizon passes on foreign-bucket traffic; A's twin
+    // then arrives and NO pair is emitted (bucket state removed via the
+    // hasTimedOut branch) — the NoTimeout control emits (1, 3).
+    val ss = spark.newSession()
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = ss.sqlContext
+    var n = 0
+    def run(evict: Option[Long]): Set[(Long, Long)] = {
+      n += 1
+      val in = MemoryStream[(Long, Long, Int, Long)] // (id, sig, block, key)
+      val pairs = graft.streaming.StreamPhash.candidatePairs(
+        in.toDS(), maxHamming = 3, blocks = 4, evictBucketAfterMs = evict)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"evictp_ckpt$n").toFile
+      ckpt.deleteOnExit()
+      val sink = s"evictp_fire_sink$n"
+      // poll-the-sink pattern (see the semantic-cell twin above): pair
+      // emission has no fixed row count per input, so poll for QUIESCE —
+      // batches stop producing — via two consecutive equal counts after
+      // each feed step, under a ProcessingTime trigger
+      val q = pairs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      // timeouts keep empty batches flowing, so there is no quiesce to
+      // wait for — instead await the INPUT-rows total crossing each
+      // feed's cumulative count (a progress entry is posted only after
+      // its batch commits, so once the row is counted its output is in
+      // the sink)
+      def awaitInput(rows: Long): Unit = {
+        val t0 = System.currentTimeMillis()
+        def seen: Long = q.recentProgress
+          .map(p => p.batchId -> p.numInputRows).toMap.values.sum
+        while (seen < rows) {
+          assert(System.currentTimeMillis() - t0 < 60000, s"input stuck below $rows rows")
+          Thread.sleep(100)
+        }
+      }
+      // sigs equal outside block 0, one low bit flipped: hamming 1,
+      // min matching block = 1 — the bucket both occurrences feed
+      val sigA = 0x00AA00000000F00FL
+      val sigB = 0x00AA00000000F00DL
+      in.addData((1L, sigA, 1, (sigA >>> 16) & 0xFFFFL))
+      awaitInput(1)
+      Thread.sleep(900) // > the 300 ms horizon: empty batches fire the timeout
+      in.addData((9L, 0x1234L, 0, 0x1234L)) // foreign-bucket traffic
+      awaitInput(2)
+      in.addData((2L, sigB, 1, (sigB >>> 16) & 0xFFFFL))
+      awaitInput(3)
+      q.stop()
+      ss.table(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val evicted = run(Some(300L))
+    assert(!evicted.contains((1L, 2L)),
+      s"fired horizon must forget print 1 (no pair); got $evicted")
+    val control = run(None)
+    assert(control.contains((1L, 2L)),
+      s"NoTimeout control must emit the (1,2) pair; got $control")
+  }
+
   test("stream_lm_score equals the batch scorer exactly (frozen model, shared column code)") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
@@ -2557,6 +2675,85 @@ class MlSpec extends SparkSpec {
     assert(Dedup.chooseBlocksMeasured(uni, 7, 1000, scaleTo = Some(2000L)) == 8)
     assert(graft.streaming.StreamPhash.autoBlocksMeasured(uniIdFp, "id", "fp", 7,
       nHint = Some(2000000L)) == 4)
+  }
+
+  test("saturation-safe default: measured sizing keeps FULL planted recall where the uniform pick drops pairs (dhash skew)") {
+    // The scaled-down twin of SCALING r18 §3's live receipt (100k
+    // images, cap 1000: the uniform pick's hot buckets saturated and
+    // lost 6.6% of true pairs): real dHash prints are SKEWED — the
+    // same synthetic-BMP + brightness-twin fixture at spec scale with
+    // the cap at the same multiple of mean occupancy (~2.6×) so
+    // saturation bites identically. The uniform closed form sees mean
+    // occupancy under the cap and picks the guaranteed 8 blocks; the
+    // MEASURED rule (the r19 DEFAULT — recall loss is a correctness
+    // property for a dedup pipeline, not a perf knob) sees the over-cap
+    // share and falls back to 4 blocks, which spreads the hot 8-bit
+    // keys over 16-bit keys and recovers every planted pair, batch AND
+    // streaming.
+    val nDocs = 1500L
+    val cap = 15 // ~1.3× mean occupancy at 8 blocks: uniform estimate
+                 // (11.7 < 15) says "fits", the skewed tail does not —
+                 // measured 8-block recall 1417/1500 (5.5% loss, the
+                 // r18 §3 shape) vs 1500/1500 at the measured pick
+    val off = 100000L
+    val mk = udf((k: Long) => Multimodal.syntheticImageBmp(k))
+    val mkTwin = udf((k: Long) => Multimodal.syntheticImageBmp(k, brighten = 3))
+    val ids = spark.range(nDocs).select(col("id").as("media_id"))
+    val media = ids.select(col("media_id"), mk(col("media_id")).as("data"))
+      .unionByName(ids.select((col("media_id") + off).as("media_id"),
+        mkTwin(col("media_id")).as("data")))
+    val prints = Multimodal.dhashBmp(media, "media_id", "data")
+      .localCheckpoint(false) // decoded once; consumed by chooser + both pair runs
+    val uniformBlocks = Dedup.chooseBlocks(2L * nDocs, 7, cap)
+    val measuredBlocks = Dedup.chooseBlocksMeasured(
+      prints.select(col("media_id").as("_id"), col("dhash").as("_sim")), 7, cap)
+    assert(uniformBlocks == 8 && measuredBlocks == 4,
+      s"fixture no longer splits the seam: uniform=$uniformBlocks measured=$measuredBlocks")
+    def twinRecall(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("id_b") === col("id_a") + off).count()
+    // BATCH: the measured DEFAULT (hammingBandedPairsAuto) keeps every
+    // planted twin; the uniform pick's retroactive cap drops some
+    val uniBatch = twinRecall(Dedup.hammingBandedPairsWith(
+      prints.select(col("media_id").as("_id"), col("dhash").as("_sim")),
+      maxHamming = 7, maxBucketSize = cap, blocks = uniformBlocks))
+    val defBatch = twinRecall(Dedup.hammingBandedPairsAuto(prints, "media_id", "dhash",
+      maxHamming = 7, maxBucketSize = cap))
+    assert(defBatch == nDocs, s"measured default lost planted twins: $defBatch/$nDocs")
+    assert(uniBatch < nDocs,
+      s"uniform pick did not saturate — fixture is dead: $uniBatch/$nDocs")
+    // STREAMING (live topology): originals then twins in two
+    // micro-batches; the deploy default (sample-staged measured sizing
+    // via candidatePairsAuto's `sample`) keeps full recall where the
+    // uniform meter pick loses storage-capped pairs
+    val inDir = QueriesCore.writeSplitDir("satgeo_in", Seq(
+      (prints.filter(col("media_id") < off).toDF("id", "fp"), "0_sigs.parquet"),
+      (prints.filter(col("media_id") >= off).toDF("id", "fp"), "1_sigs.parquet")))
+    def runStream(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  tag: String): Long = {
+      val ss = spark.newSession()
+      val schema = ss.read.parquet(inDir.resolve("0_sigs.parquet").toString).schema
+      val sigs = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"satgeo_$tag").toFile
+      ckpt.deleteOnExit()
+      val sink = s"satgeo_$tag"
+      val q = mk(sigs).writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink).filter(col("id_b") === col("id_a") + off).count()
+    }
+    import graft.streaming.StreamPhash
+    val uniStream = runStream(s => StreamPhash.candidatePairs(
+      StreamPhash.blockOccurrences(s, "id", "fp", uniformBlocks), 7, uniformBlocks,
+      maxBucketSize = cap), "uni")
+    val defStream = runStream(s => StreamPhash.candidatePairsAuto(
+      s, "id", "fp", nHint = 2L * nDocs, maxHamming = 7, maxBucketSize = cap,
+      sample = Some(spark.read.parquet(inDir.resolve("0_sigs.parquet").toString)
+        .unionByName(spark.read.parquet(inDir.resolve("1_sigs.parquet").toString)))), "def")
+    assert(defStream == nDocs, s"streamed measured default lost twins: $defStream/$nDocs")
+    assert(uniStream < nDocs,
+      s"streamed uniform pick did not saturate — fixture is dead: $uniStream/$nDocs")
   }
 
   test("streaming auto geometry (ingest-meter nHint) == manual; block width follows population") {
