@@ -38,6 +38,14 @@ object IdxReadProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // driver-side twin of probeCellsQ for the filesystem receipt below
+    def probeLike(cs: Array[Array[Long]], np: Int)(v: Seq[Long]): Seq[Int] =
+      cs.indices.map { c =>
+        var d = 0L; var i = 0; val row = cs(c); val m = math.min(row.length, v.length)
+        while (i < m) { val t = row(i) - v(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(np).map(_._2)
+
     // whole-run input-bytes meter: sums task input metrics between marks
     val bytesRead = new java.util.concurrent.atomic.AtomicLong()
     val recordsRead = new java.util.concurrent.atomic.AtomicLong()
@@ -122,7 +130,34 @@ object IdxReadProbe {
     val (flatRows, flatWall, flatBytes, flatRecs) = metered(flatRun())
     require(prunedRows == flatRows, s"layouts disagree: $prunedRows vs $flatRows")
 
-    println(f"""{"idxreadprobe":"${ProbeJson.jstr(dir)}","n_vecs":$n,"n_cells":$nCells,"n_probe":$nProbe,"k":$k,"rows":$prunedRows,"write_wall":$writeWall%.3f,"pruned_wall":$prunedWall%.3f,"pruned_bytes":$prunedBytes,"pruned_records":$prunedRecs,"flat_wall":$flatWall%.3f,"flat_bytes":$flatBytes,"flat_records":$flatRecs}""")
+    // filesystem truth (task input metrics sample FS counters and
+    // under-report short runs): bytes/files each layout OBLIGES a
+    // reader to touch — the probed `_cell=` directories vs everything
+    def walk(dirPath: String, pred: java.nio.file.Path => Boolean): (Long, Long) = {
+      val root = java.nio.file.Paths.get(dirPath)
+      var files = 0L; var bytes = 0L
+      val it = java.nio.file.Files.walk(root)
+      try it.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet") && pred(f)) {
+          files += 1; bytes += java.nio.file.Files.size(f)
+        }
+      } finally it.close()
+      (files, bytes)
+    }
+    val probedSet = {
+      val cents2 = cents
+      val probe = probeLike(cents2, nProbe) _
+      q.select(col("vec_id"),
+          Similarity.quantizeVec(col("embedding"), 1048576.0).as("_qv"))
+        .collect().flatMap(r => probe(r.getSeq[Long](1))).toSet
+    }
+    val (idxFiles, idxBytes) = walk(s"$idxDir/vectors", _ => true)
+    val (prFiles, prBytes) = walk(s"$idxDir/vectors",
+      f => probedSet.exists(c => f.toString.contains(s"_cell=$c/")))
+    val (flFiles, flBytes) = walk(flatDir, _ => true)
+
+    println(f"""{"idxreadprobe":"${ProbeJson.jstr(dir)}","n_vecs":$n,"n_cells":$nCells,"n_probe":$nProbe,"k":$k,"rows":$prunedRows,"write_wall":$writeWall%.3f,"pruned_wall":$prunedWall%.3f,"pruned_bytes":$prunedBytes,"pruned_records":$prunedRecs,"flat_wall":$flatWall%.3f,"flat_bytes":$flatBytes,"flat_records":$flatRecs,"idx_files":$idxFiles,"idx_bytes":$idxBytes,"probed_cells":${probedSet.size},"probed_files":$prFiles,"probed_bytes":$prBytes,"flat_files":$flFiles,"flat_layout_bytes":$flBytes}""")
     spark.stop()
   }
 }
