@@ -286,6 +286,77 @@ object QueriesLlm {
       idx
     })
 
+  /** Frozen quantized centroids over the RAW embeddings corpus with
+    * llm_ann_ivf_q's exact parameters — cached per dir so the
+    * STREAMING index build provably shares the batch ANN gates' model
+    * (integer training is bit-deterministic: equal parameters pin
+    * equal centroids, which is what lets the streamed index share the
+    * batch oracle). */
+  private val annCentroidsQCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private[graft] def annCentroidsQ(s: SparkSession, dir: String): Array[Array[Long]] =
+    annCentroidsQCache.computeIfAbsent(dir, { _ =>
+      Similarity.ivfCentroidsQ(t(s, dir, "embeddings").repartition(Tables.fanout(s)),
+        "vec_id", "embedding", 64, nCells = 16, iters = 4, trainMod = 2)
+    })
+
+  /** STREAM-BUILT quantized IVF index per dir — the
+    * standing-index-kept-fresh-by-ingest topology: vectors arrive as a
+    * file stream in two micro-batches, each row is tagged ROW-LOCALLY
+    * by the frozen model (no shuffle before the sink), and the parquet
+    * STREAMING sink appends into the `partitionBy(_cell)` layout; the
+    * centroid sidecar completes the index so [[Similarity.ivfTopKIndexedQ]]
+    * reads it exactly like a batch-built one. Built once per JVM,
+    * removed on exit. The streaming sink emits one fragment per
+    * (micro-batch × cell) — the accumulation [[Similarity.ivfCompactIndex]]
+    * exists to reclaim (see llm_ann_ivf_idx_compact). */
+  private val streamIvfIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamIvfIndexDirQ(s: SparkSession, dir: String): String =
+    streamIvfIdxCache.computeIfAbsent(dir, { _ =>
+      val cents = annCentroidsQ(s, dir)
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val inDir = QueriesCore.writeSplitDir("sivfidx_in", Seq(
+        (emb.filter(pmod(col("vec_id"), lit(2)) === 0), "0_emb.parquet"),
+        (emb.filter(pmod(col("vec_id"), lit(2)) === 1), "1_emb.parquet")))
+      val idx = tempDirDeletedOnExit("graft_sivfidx")
+      val ss = s.newSession()
+      val schema = ss.read.parquet(inDir.resolve("0_emb.parquet").toString).schema
+      // the same seam rule as every consumer: path from the model's size
+      val assign = if (cents.length >= Similarity.hierAssignThreshold)
+                     Similarity.assignCellHierQ(cents)
+                   else Similarity.assignCellQ(cents)
+      val ckpt = java.nio.file.Files.createTempDirectory("sivfidx_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .repartition(Tables.fanout(ss))
+        .select(col("vec_id"), col("embedding"),
+          assign(Similarity.quantizeVec(col("embedding"), 1048576.0)).as("_cell"))
+        .writeStream.format("parquet")
+        .option("path", s"$idx/vectors")
+        .partitionBy("_cell")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Similarity.writeCentroidSidecarQ(idx, cents)
+      idx
+    })
+
+  /** [[streamIvfIndexDirQ]] COMPACTED (one file per cell) — cached per
+    * dir; the maintenance rewrite a long-running streamed index needs. */
+  private val compactIvfIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def compactIvfIndexDirQ(s: SparkSession, dir: String): String =
+    compactIvfIdxCache.computeIfAbsent(dir, { _ =>
+      val src = streamIvfIndexDirQ(s, dir)
+      val dst = tempDirDeletedOnExit("graft_sivfidx_c")
+      Similarity.ivfCompactIndex(s, src, dst)
+      dst
+    })
+
   private val embSplitQCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   /** [[embSplitDir]]'s quantized twin: planted vectors split in INTEGER
@@ -2069,6 +2140,29 @@ object QueriesLlm {
       Similarity.ivfTopKIndexedQ(s, idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
+    // STREAM-BUILT materialized IVF index — the standing index kept
+    // fresh by ingest: vectors stream in, are tagged row-locally by the
+    // frozen (bit-deterministic, batch-equal) model, and the parquet
+    // streaming sink appends them into the partitionBy(_cell) layout;
+    // the pruned read then serves the SAME top-k as the batch-built
+    // index, so the gate shares llm_ann_ivf_q's FULL oracle — the
+    // ingest→index→serve loop engine-checked end to end.
+    "stream_ann_ivf_idx" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      Similarity.ivfTopKIndexedQ(s, streamIvfIndexDirQ(s, dir),
+        q, "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
+    // ... and the COMPACTION maintenance pass over that streamed index
+    // (ivfCompactIndex: rewrite one-file-per-cell + sidecar copy) —
+    // values untouched, so the same oracle pins it; MlSpec asserts the
+    // compacted layout is actually 1 file/cell.
+    "llm_ann_ivf_idx_compact" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      Similarity.ivfTopKIndexedQ(s, compactIvfIndexDirQ(s, dir),
+        q, "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
     // multimodal plumbing: binary payload + typed metadata → features
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)
@@ -3007,6 +3101,13 @@ object QueriesLlm {
     "llm_ann_ivf_idx_q" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
     "llm_ann_ivf_idx_read" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4),
+    // the stream-built index and its compaction serve the SAME rows as
+    // the batch-built one (frozen bit-deterministic model, row-local
+    // tagging, same pruned read) — shared replay
+    "stream_ann_ivf_idx" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4),
+    "llm_ann_ivf_idx_compact" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
     "llm_ann_ivf_idx_hq" -> oAnnIvfHQ(nCells = 64, iters = 4, trainMod = 2,
       k = 5, nProbe = 4, nProbeCoarse = 2),

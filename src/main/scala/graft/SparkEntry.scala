@@ -190,5 +190,8 @@ object SparkEntry {
     // round 19: the READ-ONLY materialized-index row — ordered AFTER
     // llm_ann_ivf_idx_q so the per-JVM index cache is warm and the row
     // times the partition-pruned read a standing 100 TB index serves
-    "llm_ann_ivf_idx_q", "llm_ann_ivf_idx_read")
+    "llm_ann_ivf_idx_q", "llm_ann_ivf_idx_read",
+    // round 19: the stream-built standing index (ingest → partitioned
+    // append → pruned serve)
+    "stream_ann_ivf_idx")
 }

@@ -851,10 +851,49 @@ object Similarity {
       .repartition(col("_cell")) // one file per cell dir — see the float form
       .write.mode("overwrite").partitionBy("_cell")
       .parquet(s"$path/vectors")
+    writeCentroidSidecarQ(path, cents)
+    cents
+  }
+
+  /** The integer centroid sidecar (one line per centroid, comma-joined
+    * longs — exact round-trip), factored out so the STREAMING index
+    * build (a `writeStream.partitionBy(_cell)` append of row-locally
+    * tagged vectors — the standing-index-kept-fresh-by-ingest
+    * topology) can produce a layout [[ivfTopKIndexedQ]] reads
+    * identically to the batch-built one. */
+  private[graft] def writeCentroidSidecarQ(path: String,
+                                           cents: Array[Array[Long]]): Unit = {
     val text = cents.map(_.mkString(",")).mkString("\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(path, "centroids_q.txt"),
-      text.getBytes("UTF-8"))
-    cents
+      text.getBytes("UTF-8")): Unit
+  }
+
+  /** COMPACT a materialized IVF index into `dstPath`: the same rows
+    * rewritten one-file-per-cell (the [[ivfWriteIndexQ]] write rule),
+    * plus the centroid sidecar copied verbatim. The maintenance
+    * operation a STREAM-built index needs: the parquet streaming sink
+    * appends one fragment per (micro-batch × cell), so a long-running
+    * ingest accumulates small files that tax the pruned read
+    * (IdxReadProbe measured listing dominating at ~20k fragments);
+    * periodic compaction restores the one-file-per-cell layout without
+    * touching values. Reads the full index once, shuffles once on
+    * `_cell` — the index build's own cost, amortized over the ingest
+    * period. */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                      srcPath: String, dstPath: String): Unit = {
+    spark.read.parquet(s"$srcPath/vectors")
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$dstPath/vectors")
+    val src = java.nio.file.Paths.get(srcPath)
+    val it = java.nio.file.Files.list(src)
+    try it.forEach { f =>
+      val name = f.getFileName.toString
+      if (name.startsWith("centroids") && name.endsWith(".txt"))
+        java.nio.file.Files.copy(f,
+          java.nio.file.Paths.get(dstPath, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } finally it.close()
   }
 
   /** [[ivfTopKIndexed]]'s integer sibling over an [[ivfWriteIndexQ]]

@@ -286,6 +286,47 @@ class MlSpec extends SparkSpec {
     assert(pf.contains("_cell"), s"PartitionFilters does not constrain _cell: $pf")
   }
 
+  test("stream-built IVF index: batch-equal content, batch answers, compaction restores 1 file/cell") {
+    // the stream_ann_ivf_idx / llm_ann_ivf_idx_compact trust chain:
+    // (a) the streamed partitionBy(_cell) append holds EXACTLY the
+    // rows batch tagging would write (frozen bit-deterministic model,
+    // row-local assignment — order/micro-batching cannot move a cell);
+    // (b) the pruned read over it serves llm_ann_ivf_q's rows verbatim
+    // (the shared-oracle justification); (c) compaction rewrites to
+    // one file per cell without touching values.
+    val cents = QueriesLlm.annCentroidsQ(spark, sf)
+    val idx = QueriesLlm.streamIvfIndexDirQ(spark, sf)
+    val got = spark.read.parquet(s"$idx/vectors").select("vec_id", "_cell")
+      .as[(Long, Int)].collect().toSet
+    val assign = Similarity.assignCellQ(cents)
+    val expect = emb.select(col("vec_id"),
+        assign(Similarity.quantizeVec(col("embedding"), 1048576.0)).as("_cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == expect, s"streamed index content != batch tagging " +
+      s"(${got.size} vs ${expect.size} rows)")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val batchTop = canon(QueriesLlm.queries("llm_ann_ivf_q")(spark, sf))
+    val streamTop = canon(QueriesLlm.queries("stream_ann_ivf_idx")(spark, sf))
+    assert(streamTop == batchTop, "streamed index does not serve the batch answers")
+    val cidx = QueriesLlm.compactIvfIndexDirQ(spark, sf)
+    val compactTop = canon(QueriesLlm.queries("llm_ann_ivf_idx_compact")(spark, sf))
+    assert(compactTop == batchTop, "compacted index does not serve the batch answers")
+    // layout: every compacted cell dir holds exactly ONE parquet file;
+    // the streamed source holds MORE total fragments (2 micro-batches)
+    def cellFiles(root: String): Map[String, Int] = {
+      val d = new java.io.File(s"$root/vectors")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("_cell="))
+        .map(cd => cd.getName ->
+          cd.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val cf = cellFiles(cidx)
+    assert(cf.nonEmpty && cf.values.forall(_ == 1),
+      s"compacted layout not 1 file/cell: $cf")
+    assert(cellFiles(idx).values.sum > cf.values.sum,
+      "streamed index has no fragmentation to reclaim — the compaction spec is vacuous")
+  }
+
   test("materialized QUANTIZED IVF index: pruned probe == in-memory ivfTopKQ, flat and hier") {
     // the llm_ann_ivf_idx_q/_hq trust chain: integer training is
     // bit-deterministic, so equal parameters pin equal centroids; the
