@@ -33,26 +33,43 @@ object QueriesCore {
   private val streamSplitInputs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  /** Write each (df, name) as ONE parquet file in a fresh dir with
-    * strictly increasing modTimes — the file source orders by modTime,
-    * so the Seq order IS the micro-batch order. The single shared copy
-    * of this fragile ordering logic (used by every file-stream gate). */
+  /** Write each (df, name) as `filesPerPart` parquet files in a fresh dir
+    * with strictly increasing modTimes — the file source orders by
+    * modTime, so the Seq order IS the micro-batch order (the stream side
+    * takes files-per-part per trigger). The single shared copy of this
+    * fragile ordering logic (used by every file-stream gate).
+    *
+    * filesPerPart > 1 is the scan-parallelism lever for heavy-payload
+    * fixtures: one file per micro-batch means ONE scan split, so the
+    * whole batch's parquet decode runs on a single core and the payload
+    * bytes must then be repartition-shuffled just to spread the per-row
+    * decode work (guide §8's anti-pattern: heavy bytes crossing an
+    * exchange whose only job is parallelism). Sharding the part lets the
+    * scan itself fan out and the payload never shuffles. */
   private[graft] def writeSplitDir(prefix: String,
-                                   parts: Seq[(DataFrame, String)]): java.nio.file.Path = {
+                                   parts: Seq[(DataFrame, String)],
+                                   filesPerPart: Int = 1): java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     parts.zipWithIndex.foreach { case ((part, name), i) =>
       val staging = java.nio.file.Files.createTempDirectory(s"${prefix}_stage")
-      part.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val f = new java.io.File(staging.toString).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error("no parquet part written"))
-      val dest = d.resolve(name).toFile
-      java.nio.file.Files.move(f.toPath, dest.toPath)
-      // file source orders by modTime — this IS the micro-batch order, so
-      // a silently-failed setLastModified (fs-dependent) would reorder
-      // batches and produce wrong-but-plausible streaming results
-      require(dest.setLastModified((i + 1) * 1000000000L),
-        s"setLastModified failed for $name — micro-batch ordering would break")
+      (if (filesPerPart == 1) part.coalesce(1) else part.repartition(filesPerPart))
+        .write.mode("overwrite").parquet(staging.toString)
+      val fs = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(fs.nonEmpty, "no parquet part written")
+      fs.zipWithIndex.foreach { case (f, j) =>
+        val destName =
+          if (filesPerPart == 1) name
+          else name.stripSuffix(".parquet") + f"_p$j%03d.parquet"
+        val dest = d.resolve(destName).toFile
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        // file source orders by modTime — this IS the micro-batch order, so
+        // a silently-failed setLastModified (fs-dependent) would reorder
+        // batches and produce wrong-but-plausible streaming results; files
+        // of one part get distinct ascending stamps so listings stay stable
+        require(dest.setLastModified((i + 1) * 1000000000L + j * 1000L),
+          s"setLastModified failed for $destName — micro-batch ordering would break")
+      }
     }
     d
   }

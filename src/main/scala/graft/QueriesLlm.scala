@@ -530,10 +530,11 @@ object QueriesLlm {
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   /** The llm_phash_pairs media fixture (originals + brightness twins) as
-    * TWO parquet files for the streaming twin. NO ordering requirement —
-    * pair emission is symmetric (the second arrival triggers, whichever
-    * member it is), so any split equals batch; originals/twins keeps
-    * both batches busy. */
+    * TWO logical splits — each sharded into fanout files so the
+    * micro-batch scan parallelizes and the payload never shuffles (r19) —
+    * for the streaming twin. NO ordering requirement — pair emission is
+    * symmetric (the second arrival triggers, whichever member it is), so
+    * any split equals batch; originals/twins keeps both batches busy. */
   private[graft] def phashSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
     phashSplitCache.computeIfAbsent(dir, { _ =>
       val off = twinOffset(s, dir)
@@ -544,15 +545,15 @@ object QueriesLlm {
         (ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data")),
           "0_media.parquet"),
         (ids.select((col("doc_id") + off).as("media_id"), mkTwin(col("doc_id")).as("data")),
-          "1_media.parquet")))
+          "1_media.parquet")), filesPerPart = Tables.fanout(s))
     })
 
   private val wavSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   /** The llm_audiohash_pairs media fixture (originals + gain twins) as
-    * TWO parquet files for the streaming twin — phashSplitDir's design
-    * applied to the audio modality (no ordering requirement: pair
+    * TWO sharded logical splits for the streaming twin — phashSplitDir's
+    * design applied to the audio modality (no ordering requirement: pair
     * emission is symmetric). */
   private[graft] def wavSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
     wavSplitCache.computeIfAbsent(dir, { _ =>
@@ -564,15 +565,17 @@ object QueriesLlm {
         (ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data")),
           "0_media.parquet"),
         (ids.select((col("doc_id") + off).as("media_id"), mkTwin(col("doc_id")).as("data")),
-          "1_media.parquet")))
+          "1_media.parquet")), filesPerPart = Tables.fanout(s))
     })
 
   private val aviSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   /** The llm_vhash_pairs media fixture (originals + brightness-re-render
-    * twins) as TWO parquet files for the streaming twin — phashSplitDir's
-    * design applied to the video modality. */
+    * twins) as TWO sharded logical splits for the streaming twin —
+    * phashSplitDir's design applied to the video modality (the heaviest
+    * payload: ~27 KB of AVI per row, the fixture the r19 sharding
+    * primarily exists for). */
   private[graft] def aviSplitDir(s: SparkSession, dir: String): java.nio.file.Path =
     aviSplitCache.computeIfAbsent(dir, { _ =>
       val off = twinOffset(s, dir)
@@ -583,7 +586,7 @@ object QueriesLlm {
         (ids.select(col("doc_id").as("media_id"), mk(col("doc_id")).as("data")),
           "0_media.parquet"),
         (ids.select((col("doc_id") + off).as("media_id"), mkTwin(col("doc_id")).as("data")),
-          "1_media.parquet")))
+          "1_media.parquet")), filesPerPart = Tables.fanout(s))
     })
 
   /** SQL-replayable 64-bit fingerprint fixture for the banded-pairing
@@ -666,12 +669,23 @@ object QueriesLlm {
     // sizes from its ingest meter instead via candidatePairsAuto /
     // autoBlocks — same explode (blockOccurrences), one number in
     val blocks = 8
-    val schema = ss.read.parquet(inDir.resolve("0_media.parquet").toString).schema
-    val media = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    val schema = ss.read.parquet(inDir.toString).schema
+    // files-per-logical-split drives the trigger size: each micro-batch is
+    // one LOGICAL split (originals, then twins) however many files it was
+    // sharded into — sharded fixtures make the scan parallel, so the heavy
+    // payload bytes are decoded in place and ONLY the 8-byte fingerprints
+    // cross an exchange (r19: the per-batch repartition previously
+    // round-tripped the full media payload through a shuffle whose only
+    // job was spreading the decode)
+    val perTrigger = math.max(1, new java.io.File(inDir.toString).listFiles()
+      .count(_.getName.startsWith("0_")))
+    val media0 = ss.readStream.schema(schema).option("maxFilesPerTrigger", perTrigger)
       .parquet(inDir.toString)
+    val media =
+      if (perTrigger > 1) media0
       // one file per micro-batch = one scan split; distribute the
       // per-row decode+hash (the one-file-input lesson)
-      .repartition(Tables.fanout(ss))
+      else media0.repartition(Tables.fanout(ss))
     val occ = graft.streaming.StreamPhash.blockOccurrences(
       fingerprint(media, "media_id", "data"), "media_id", sigCol, blocks)
     graft.streaming.StreamPhash.candidatePairs(
@@ -696,12 +710,18 @@ object QueriesLlm {
       .option("checkpointLocation", ckpt.getPath)
     // ProcessingTimeTimeout disables AvailableNow termination (see
     // streamDupSpans): the eviction-capable path needs the paced trigger
-    // + drained-input stop; NoTimeout drains under AvailableNow
+    // + drained-input stop; NoTimeout drains under AvailableNow.
+    // 250 ms (not 10 ms): after the drain-confirming no-data batch the
+    // interval leaves drainAndStop's 25 ms poll a window to stop the
+    // query BEFORE a second no-data batch launches — each one replays
+    // the whole plan against the state store (~0.6-1 s measured at
+    // sf0.1, StreamCostProbe r19) for zero new information. Data
+    // batches run longer than the interval, so pacing adds no latency.
     val q =
       if (evictBucketAfterMs.isDefined) {
         val q0 = writer
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L)).start()
-        drainAndStop(q0)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L)).start()
+        drainAndStop(q0, expectBatches = Some(splitCount(inDir)))
         q0
       } else {
         val q0 = writer
@@ -888,8 +908,8 @@ object QueriesLlm {
     val q =
       if (evictCellAfterMs.isDefined) {
         val q0 = writer
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L)).start()
-        drainAndStop(q0)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L)).start()
+        drainAndStop(q0, expectBatches = Some(splitCount(inDir)))
         q0
       } else {
         val q0 = writer
@@ -949,9 +969,9 @@ object QueriesLlm {
     val q =
       if (evictSingletonsAfterMs.isDefined) {
         val q0 = writer
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
           .start()
-        drainAndStop(q0)
+        drainAndStop(q0, expectBatches = Some(splitCount(inDir)))
         q0
       } else {
         val q0 = writer
@@ -963,6 +983,14 @@ object QueriesLlm {
     Dedup.spansFromOccurrences(ss.table(sink), w)
   }
 
+  /** Number of LOGICAL splits in a writeSplitDir fixture (distinct
+    * `${i}_` prefixes) == the number of data micro-batches its stream
+    * yields — the `expectBatches` input for [[drainAndStop]]. */
+  private[graft] def splitCount(inDir: java.nio.file.Path): Int =
+    new java.io.File(inDir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.takeWhile(_ != '_')).distinct.length
+
   /** Stop a continuously-triggered file-stream query once its input is
     * drained. A file source hands out every available file before ever
     * running an empty batch, so "a no-data micro-batch ran after at
@@ -971,11 +999,29 @@ object QueriesLlm {
     * processAllAvailable (see streamDupSpans). */
   private[graft] def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
                                   timeoutMs: Long = 300000L,
-                                  stopAfterDrain: Boolean = true): Unit = {
+                                  stopAfterDrain: Boolean = true,
+                                  expectBatches: Option[Int] = None): Unit = {
     val t0 = System.nanoTime()
-    def drained: Boolean = {
-      val ps = q.recentProgress
-      ps.exists(_.numInputRows > 0) && ps.nonEmpty && ps.last.numInputRows == 0
+    // With `expectBatches` the caller knows how many micro-batches the
+    // file fixture yields (logical splits), so the drain is detectable the
+    // moment the last DATA batch commits (its endOffset logOffset ==
+    // n-1) — no trailing no-data batch needs to run or be waited for.
+    // Every hasTimedOut branch in the repo's stateful ops emits nothing
+    // (eviction only removes state), so stopping here is output-identical;
+    // each skipped no-data batch replays the whole plan against the state
+    // store for ~0.6-1 s at sf0.1 (StreamCostProbe r19). Specs that need
+    // a timeout to actually FIRE keep the default progress-based rule.
+    def lastLogOffset: Option[Long] = for {
+      p <- q.recentProgress.lastOption
+      s <- p.sources.headOption
+      e <- Option(s.endOffset)
+      m <- "\"?logOffset\"?\\s*:\\s*(\\d+)".r.findFirstMatchIn(e)
+    } yield m.group(1).toLong
+    def drained: Boolean = expectBatches match {
+      case Some(n) => lastLogOffset.exists(_ >= n - 1L)
+      case None =>
+        val ps = q.recentProgress
+        ps.exists(_.numInputRows > 0) && ps.nonEmpty && ps.last.numInputRows == 0
     }
     while (!drained) {
       if (q.exception.isDefined) { q.stop(); throw q.exception.get }

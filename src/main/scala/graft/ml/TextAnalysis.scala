@@ -309,17 +309,23 @@ object TextAnalysis {
     def bucketOf(g: Column): Column =
       pmod(conv(substring(md5(g.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
         .cast(LongType), lit(buckets.toLong))
+    // ONE explode+md5 occurrence pass (r19): the (id, bucket) table is
+    // checkpointed so the frequency-table build AND the scoring probe read
+    // the same materialized rows — previously the operator's dominant CPU
+    // (feature explode + md5 bucketing over every occurrence) ran twice,
+    // once under the count aggregate and again on the probe side. The
+    // materialization is 16 bytes/occurrence, the standard space-for-pass
+    // trade (at 100 TB: ~token-count × 16 B of local blocks vs a second
+    // full tokenize+hash pass over the corpus text).
     val corpusB = corpus.select(col(idCol), explode(feats(col(textCol))).as("_g"))
       .select(col(idCol), bucketOf(col("_g")).as("_b"))
+      .localCheckpoint(false)
     val targetB = target.select(explode(feats(col(textCol))).as("_g"))
       .select(bucketOf(col("_g")).as("_b"))
     // bounded at `buckets` rows by construction → broadcast is safe at
     // ANY corpus scale (unlike a vocabulary table, which grows with data).
-    // localCheckpoint the TINY aggregated tables: without it the corpus
-    // explode+md5 pass (the operator's dominant CPU) re-runs for the
-    // scalar-total action AND the broadcast build AND the probe — three
-    // full passes; pinning the ≤`buckets`-row results cuts it to one
-    // build + one probe (measured ~30% off the 100× wall)
+    // localCheckpoint the TINY aggregated tables too: the scalar-total
+    // action and the broadcast build must not re-run their aggregation
     val corpusBf = corpusB.groupBy("_b").agg(count(lit(1)).as("_cf"))
       .localCheckpoint(false)
     val targetBf = targetB.groupBy("_b").agg(count(lit(1)).as("_tft"))
@@ -360,8 +366,25 @@ object TextAnalysis {
                     idCol: String, textCol: String,
                     buckets: Int = 10000, lambda: Double = 0.7)
       : org.apache.spark.sql.DataFrame = {
-    val m = lmModelHashed(corpus, textCol, buckets)
-    lmScoreWith(m, corpus, idCol, textCol, lambda)
+    // Train-and-score-on-the-same-corpus shares ONE bigram occurrence
+    // pass (r19): lmBigramBuckets (explode + 3×md5 bucketing, the
+    // operator's dominant CPU) is checkpointed and feeds BOTH the bigram
+    // count table and the scoring probe — previously the explode+hash ran
+    // once for training and again for scoring. Counts come from the same
+    // rule over the same rows, so the output is bit-identical; the
+    // streaming twin (frozen model, new docs) keeps the split
+    // lmModelHashed/lmScoreWith path. Materialization is 4 longs +
+    // id/occurrence — the dsirLogRatioHashed space-for-pass trade.
+    val occ = lmBigramBuckets(corpus, idCol, textCol, buckets)
+      .localCheckpoint(false)
+    val uniBf = corpus.select(explode(Dedup.tokens(col(textCol))).as("_w"))
+      .select(lmBucketOf(col("_w"), buckets).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_uc"))
+      .localCheckpoint(false)
+    val uTot = uniBf.agg(sum("_uc")).first().getLong(0)
+    val biBf = occ.groupBy(col("_bb").as("_b")).agg(count(lit(1)).as("_bc"))
+      .localCheckpoint(false)
+    lmScoreOcc(LmModel(uniBf, biBf, uTot, buckets), occ, idCol, lambda)
   }
 
   /** The trained hashed-bucket LM: two bounded, checkpointed count
@@ -404,6 +427,14 @@ object TextAnalysis {
 
   def lmScoreWith(m: LmModel, df: org.apache.spark.sql.DataFrame,
                   idCol: String, textCol: String, lambda: Double = 0.7)
+      : org.apache.spark.sql.DataFrame =
+    lmScoreOcc(m, lmBigramBuckets(df, idCol, textCol, m.buckets), idCol, lambda)
+
+  /** Score a pre-built (idCol, _bb, _b1, _b2) occurrence table against a
+    * frozen model — split from [[lmScoreWith]] so lmScoreHashed can feed
+    * the SAME checkpointed occurrence pass to training and scoring. */
+  private def lmScoreOcc(m: LmModel, occ: org.apache.spark.sql.DataFrame,
+                         idCol: String, lambda: Double)
       : org.apache.spark.sql.DataFrame = {
     val u1 = m.uniBf.select(col("_b").as("_b1"), col("_uc").as("_uc1"))
     val u2 = m.uniBf.select(col("_b").as("_b2"), col("_uc").as("_uc2"))
@@ -413,7 +444,7 @@ object TextAnalysis {
     // deployment topology (model frozen on the static corpus, NEW docs
     // streaming past it) unseen buckets are routine. With inner joins a
     // doc whose bigrams were all unseen vanished from the output.
-    lmBigramBuckets(df, idCol, textCol, m.buckets)
+    occ
       .join(broadcast(m.biBf.withColumnRenamed("_b", "_bb")), Seq("_bb"), "left_outer")
       .join(broadcast(u1), Seq("_b1"), "left_outer")
       .join(broadcast(u2), Seq("_b2"), "left_outer")
