@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   *      addBatch / stateCommit...) so the fixed streaming premium is
   *      attributable instead of guessed.
   *
-  * Usage: runMain graft.StreamCostProbe <sfDir> <vhash|ahash|dhash>
+  * Usage: runMain graft.StreamCostProbe <sfDir> <vhash|ahash|dhash> [planOut]
+  *
+  * With `planOut`, also writes the executed micro-batch plans of BOTH
+  * fixture layouts — `mono` (one file per logical split: the pre-r19
+  * shape, single-task scan + payload repartition) and `sharded` (the
+  * r19 deploy shape) — to `<planOut>_{mono,sharded}.txt`, the
+  * before/after plan evidence for plans/r19.
   */
 object StreamCostProbe {
   def main(args: Array[String]): Unit = {
     val Array(dir, mode) = args.take(2)
+    val planOut = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,6 +90,41 @@ object StreamCostProbe {
       ss.table(s"scp_sink_$si").agg(count(lit(1))).collect()
     }).min
     ss.streams.removeListener(listener)
+
+    // executed micro-batch plans for both layouts (before/after evidence)
+    planOut.foreach { out =>
+      def runAndExplain(layoutDir: java.nio.file.Path, tag: String): Unit = {
+        val pairs = QueriesLlm.fingerprintPairStream(ss, layoutDir, fp, sig,
+          evictBucketAfterMs = Some(3600L * 1000))
+        val ckpt = java.nio.file.Files.createTempDirectory("scp_ckpt").toFile
+        ckpt.deleteOnExit()
+        si += 1
+        val q = pairs.writeStream.format("memory").queryName(s"scp_plan_$si")
+          .outputMode("append").option("checkpointLocation", ckpt.getPath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L)).start()
+        QueriesLlm.drainAndStop(q,
+          expectBatches = Some(QueriesLlm.splitCount(layoutDir)), stopAfterDrain = false)
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain(true) }
+        q.stop()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"${out}_$tag.txt"),
+          s"=== executed micro-batch plan: stream ${mode} pairs, $tag fixture layout ===\n" +
+            buf.toString("UTF-8"))
+      }
+      // mono = the pre-r19 layout: rebuild the same fixture as ONE file
+      // per logical split; fingerprintPairStream then takes its
+      // perTrigger == 1 branch (single-task scan + payload repartition)
+      val names = new java.io.File(inDir.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+      val mono = QueriesCore.writeSplitDir(s"scp_mono_$mode", Seq(
+        (ss.read.parquet(names.filter(_.startsWith("0_"))
+          .map(n => inDir.resolve(n).toString): _*), "0_media.parquet"),
+        (ss.read.parquet(names.filter(_.startsWith("1_"))
+          .map(n => inDir.resolve(n).toString): _*), "1_media.parquet")))
+      runAndExplain(mono, "mono")
+      runAndExplain(inDir, "sharded")
+    }
 
     println(s"""{"streamcostprobe":"$mode","decode_wall":$wDecode,"explode_wall":$wExplode,"stream_wall":$wStream}""")
     events.forEach(j => println(s"PROGRESS $j"))

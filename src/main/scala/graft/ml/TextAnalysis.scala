@@ -229,7 +229,13 @@ object TextAnalysis {
   def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+    // checkpoint the vocabulary-sized aggregate (r19): unpinned, the
+    // tokenize+explode pass re-ran for the scalar-total action AND the
+    // join build — three full passes counting the probe side. Same fix
+    // as dsirLogRatio; the occurrence stream itself stays recomputed
+    // (string tokens: materializing it costs more than re-tokenizing).
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val total = vocab.agg(sum("tf")).first().getLong(0)
     toks.join(vocab, "tok")
       .groupBy(idCol)
