@@ -983,13 +983,22 @@ object QueriesLlm {
     Dedup.spansFromOccurrences(ss.table(sink), w)
   }
 
-  /** Number of LOGICAL splits in a writeSplitDir fixture (distinct
-    * `${i}_` prefixes) == the number of data micro-batches its stream
-    * yields — the `expectBatches` input for [[drainAndStop]]. */
-  private[graft] def splitCount(inDir: java.nio.file.Path): Int =
-    new java.io.File(inDir.toString).listFiles()
+  /** Number of data micro-batches a writeSplitDir fixture yields under
+    * `maxFilesPerTrigger = |files prefixed 0_|` — the `expectBatches`
+    * input for [[drainAndStop]]. Computed from the ACTUAL listing
+    * (ceil(totalFiles / perTrigger)), not the distinct-prefix count: if a
+    * logical split ever shards into fewer files than the `0_` split
+    * (empty partitions at tiny scale), the file source needs an extra
+    * batch for the remainder, and a prefix-count drain rule would stop
+    * early and silently drop that batch's rows (r19 advice, medium). The
+    * file source hands out up to perTrigger files per batch in modTime
+    * order regardless of prefix, so this count is exact by construction. */
+  private[graft] def splitCount(inDir: java.nio.file.Path): Int = {
+    val fs = new java.io.File(inDir.toString).listFiles()
       .filter(_.getName.endsWith(".parquet"))
-      .map(_.getName.takeWhile(_ != '_')).distinct.length
+    val perTrigger = math.max(1, fs.count(_.getName.startsWith("0_")))
+    math.max(1, (fs.length + perTrigger - 1) / perTrigger)
+  }
 
   /** Stop a continuously-triggered file-stream query once its input is
     * drained. A file source hands out every available file before ever
@@ -1015,8 +1024,15 @@ object QueriesLlm {
       p <- q.recentProgress.lastOption
       s <- p.sources.headOption
       e <- Option(s.endOffset)
-      m <- "\"?logOffset\"?\\s*:\\s*(\\d+)".r.findFirstMatchIn(e)
-    } yield m.group(1).toLong
+    } yield "\"?logOffset\"?\\s*:\\s*(\\d+)".r.findFirstMatchIn(e) match {
+      case Some(m) => m.group(1).toLong
+      // fail fast (r19 advice): an endOffset whose format the regex can't
+      // read (non-file source, serialization change) would otherwise leave
+      // the drain rule spinning to a silent 300 s timeout failure
+      case None => q.stop(); throw new IllegalStateException(
+        s"drainAndStop: cannot parse logOffset from endOffset '$e' of query " +
+          s"${q.name} — expectBatches only supports the file source's offset format")
+    }
     def drained: Boolean = expectBatches match {
       case Some(n) => lastLogOffset.exists(_ >= n - 1L)
       case None =>

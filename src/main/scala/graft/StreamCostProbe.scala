@@ -93,24 +93,33 @@ object StreamCostProbe {
 
     // executed micro-batch plans for both layouts (before/after evidence)
     planOut.foreach { out =>
+      // Deterministic capture (r19 advice): stop the query the moment the
+      // drain is detected (expectBatches — before the 250 ms trigger can
+      // schedule a no-data batch), explain the STOPPED query's
+      // lastExecution, and verify the captured plan is a data batch (a
+      // no-data batch's empty-source plan has no file scan); retry with a
+      // fresh query if a no-data batch ever won the race.
       def runAndExplain(layoutDir: java.nio.file.Path, tag: String): Unit = {
-        val pairs = QueriesLlm.fingerprintPairStream(ss, layoutDir, fp, sig,
-          evictBucketAfterMs = Some(3600L * 1000))
-        val ckpt = java.nio.file.Files.createTempDirectory("scp_ckpt").toFile
-        ckpt.deleteOnExit()
-        si += 1
-        val q = pairs.writeStream.format("memory").queryName(s"scp_plan_$si")
-          .outputMode("append").option("checkpointLocation", ckpt.getPath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L)).start()
-        QueriesLlm.drainAndStop(q,
-          expectBatches = Some(QueriesLlm.splitCount(layoutDir)), stopAfterDrain = false)
-        val buf = new java.io.ByteArrayOutputStream()
-        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain(true) }
-        q.stop()
+        val text = (1 to 3).iterator.map { _ =>
+          val pairs = QueriesLlm.fingerprintPairStream(ss, layoutDir, fp, sig,
+            evictBucketAfterMs = Some(3600L * 1000))
+          val ckpt = java.nio.file.Files.createTempDirectory("scp_ckpt").toFile
+          ckpt.deleteOnExit()
+          si += 1
+          val q = pairs.writeStream.format("memory").queryName(s"scp_plan_$si")
+            .outputMode("append").option("checkpointLocation", ckpt.getPath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L)).start()
+          QueriesLlm.drainAndStop(q,
+            expectBatches = Some(QueriesLlm.splitCount(layoutDir)))
+          val buf = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain(true) }
+          buf.toString("UTF-8")
+        }.find(_.contains("FileScan"))
+          .getOrElse(sys.error(s"no data-batch plan captured for $tag after 3 runs"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"${out}_$tag.txt"),
           s"=== executed micro-batch plan: stream ${mode} pairs, $tag fixture layout ===\n" +
-            buf.toString("UTF-8"))
+            text)
       }
       // mono = the pre-r19 layout: rebuild the same fixture as ONE file
       // per logical split; fingerprintPairStream then takes its

@@ -310,11 +310,6 @@ object TextAnalysis {
                          target: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,
                          buckets: Int = 10000): org.apache.spark.sql.DataFrame = {
-    def feats(text: Column): Column =
-      concat(Dedup.tokens(text), Dedup.shingles(text, 2))
-    def bucketOf(g: Column): Column =
-      pmod(conv(substring(md5(g.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
-        .cast(LongType), lit(buckets.toLong))
     // ONE explode+md5 occurrence pass (r19): the (id, bucket) table is
     // checkpointed so the frequency-table build AND the scoring probe read
     // the same materialized rows — previously the operator's dominant CPU
@@ -323,11 +318,15 @@ object TextAnalysis {
     // materialization is 16 bytes/occurrence, the standard space-for-pass
     // trade (at 100 TB: ~token-count × 16 B of local blocks vs a second
     // full tokenize+hash pass over the corpus text).
-    val corpusB = corpus.select(col(idCol), explode(feats(col(textCol))).as("_g"))
-      .select(col(idCol), bucketOf(col("_g")).as("_b"))
+    // r20: the per-occurrence kernel is the fused [[dsirFeatBuckets]] UDF
+    // (one MessageDigest pass per doc) instead of interpreted string
+    // shingles + a per-occurrence md5/substring/conv chain — same bucket
+    // values by construction, spec-pinned against the Column reference.
+    val corpusB = corpus.select(col(idCol),
+        explode(dsirFeatBuckets(buckets)(Dedup.tokens(col(textCol)))).as("_b"))
       .localCheckpoint(false)
-    val targetB = target.select(explode(feats(col(textCol))).as("_g"))
-      .select(bucketOf(col("_g")).as("_b"))
+    val targetB = target.select(
+      explode(dsirFeatBuckets(buckets)(Dedup.tokens(col(textCol)))).as("_b"))
     // bounded at `buckets` rows by construction → broadcast is safe at
     // ANY corpus scale (unlike a vocabulary table, which grows with data).
     // localCheckpoint the TINY aggregated tables too: the scalar-total
@@ -383,14 +382,25 @@ object TextAnalysis {
     // id/occurrence — the dsirLogRatioHashed space-for-pass trade.
     val occ = lmBigramBuckets(corpus, idCol, textCol, buckets)
       .localCheckpoint(false)
-    val uniBf = corpus.select(explode(Dedup.tokens(col(textCol))).as("_w"))
-      .select(lmBucketOf(col("_w"), buckets).as("_b"))
-      .groupBy("_b").agg(count(lit(1)).as("_uc"))
-      .localCheckpoint(false)
-    val uTot = uniBf.agg(sum("_uc")).first().getLong(0)
+    val (uniBf, uTot) = lmUnigramTable(corpus, textCol, buckets)
     val biBf = occ.groupBy(col("_bb").as("_b")).agg(count(lit(1)).as("_bc"))
       .localCheckpoint(false)
     lmScoreOcc(LmModel(uniBf, biBf, uTot, buckets), occ, idCol, lambda)
+  }
+
+  /** The smoothed-unigram count table + total — the model rule lives in
+    * ONE place shared by [[lmScoreHashed]] and [[lmModelHashed]] (the
+    * bigram table is the only piece that genuinely differs between them:
+    * train-and-score reuses its checkpointed occurrence pass, the frozen
+    * model aggregates straight off the corpus). */
+  private def lmUnigramTable(corpus: org.apache.spark.sql.DataFrame,
+                             textCol: String, buckets: Int)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val uniBf = corpus
+      .select(explode(tokenBuckets(buckets)(Dedup.tokens(col(textCol)))).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_uc"))
+      .localCheckpoint(false)
+    (uniBf, uniBf.agg(sum("_uc")).first().getLong(0))
   }
 
   /** The trained hashed-bucket LM: two bounded, checkpointed count
@@ -406,11 +416,115 @@ object TextAnalysis {
     pmod(conv(substring(md5(g.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
       .cast(LongType), lit(buckets.toLong))
 
+  /** md5 bucket of one feature string — the EXACT arithmetic of
+    * [[lmBucketOf]] (pmod of the first 4 md5 bytes over the UTF-8 text):
+    * `conv(substring(md5hex, 1, 8), 16, 10)` is the first 32 md5 bits as
+    * an unsigned int, always in [0, 2^32), so `% buckets` == pmod. One
+    * MessageDigest call replaces the md5 + substring + conv + two-cast
+    * column chain per occurrence. */
+  private def md5Bucket(md: java.security.MessageDigest, s: String,
+                        buckets: Int): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % buckets
+  }
+
+  /** Fused DSIR feature-bucket kernel (r20): tokens → md5 buckets of the
+    * unigrams AND bigram shingles in one JVM pass per doc. Replaces
+    * `explode(concat(tokens, shingles(2)))` + the per-occurrence md5
+    * column chain: the string-shingle transform is a CodegenFallback
+    * HigherOrderFunction building a throwaway string per bigram, and the
+    * bucket chain re-parsed hex per occurrence. Bucket values and the
+    * occurrence MULTISET are identical by construction — including the
+    * short-doc shingle rule (< 2 tokens → ONE shingle, the space-joined
+    * token list, so an empty doc still emits bucket(md5(""))); pinned
+    * against [[dsirFeatBucketsCols]] in MlSpec. */
+  private[graft] def dsirFeatBuckets(buckets: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) => {
+      if (toks == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = toks.length
+        val out = new Array[Long](if (n < 2) n + 1 else n + (n - 1))
+        var i = 0
+        while (i < n) { out(i) = md5Bucket(md, toks(i), buckets); i += 1 }
+        if (n < 2) out(n) = md5Bucket(md, toks.mkString(" "), buckets)
+        else {
+          var j = 0
+          while (j < n - 1) {
+            out(n + j) = md5Bucket(md, toks(j) + " " + toks(j + 1), buckets)
+            j += 1
+          }
+        }
+        out
+      }
+    })
+
+  /** Column reference for [[dsirFeatBuckets]] — kept ONLY for the MlSpec
+    * equality gate (the pre-r20 explode shape, verbatim). */
+  private[graft] def dsirFeatBucketsCols(text: Column, buckets: Int): Column =
+    transform(concat(Dedup.tokens(text), Dedup.shingles(text, 2)),
+      g => lmBucketOf(g, buckets))
+
+  /** Fused unigram-bucket kernel: tokens → md5 buckets, one digest pass
+    * per doc (the [[dsirFeatBuckets]] trick for the LM's unigram table). */
+  private[graft] def tokenBuckets(buckets: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) => {
+      if (toks == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        toks.map(t => md5Bucket(md, t, buckets))
+      }
+    })
+
+  /** Fused bigram-triple kernel for [[lmBigramBuckets]]: per doc, ONE
+    * digest pass emitting (_bb, _b1, _b2) per adjacent-token bigram.
+    * The column form hashed every token up to twice (as `_b1` of one
+    * bigram and `_b2` of the next, each re-split out of the bigram
+    * STRING with substring_index) and built every bigram string inside
+    * an interpreted transform; here token buckets are computed once and
+    * reused. Values identical (tokens cannot contain the separator — the
+    * tokenizer splits on non-alphanumerics); pinned in MlSpec. */
+  private[graft] def lmBigramTriples(buckets: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) => {
+      if (toks == null || toks.length < 2) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = toks.length
+        val tb = new Array[Long](n)
+        var i = 0
+        while (i < n) { tb(i) = md5Bucket(md, toks(i), buckets); i += 1 }
+        val out = new Array[(Long, Long, Long)](n - 1)
+        var j = 0
+        while (j < n - 1) {
+          out(j) = (md5Bucket(md, toks(j) + " " + toks(j + 1), buckets), tb(j), tb(j + 1))
+          j += 1
+        }
+        out
+      }
+    })
+
   /** (idCol, _bb, _b1, _b2) bigram-occurrence buckets; ≥2-token docs only
     * (shingles' short-doc special case would make substring_index split
     * mid-text). Shared by training and scoring so the rule cannot drift. */
-  private def lmBigramBuckets(df: org.apache.spark.sql.DataFrame,
-                              idCol: String, textCol: String, buckets: Int)
+  private[graft] def lmBigramBuckets(df: org.apache.spark.sql.DataFrame,
+                                     idCol: String, textCol: String, buckets: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.filter(size(Dedup.tokens(col(textCol))) >= 2)
+      .select(col(idCol),
+        explode(lmBigramTriples(buckets)(Dedup.tokens(col(textCol)))).as("_t"))
+      .select(col(idCol), col("_t._1").as("_bb"), col("_t._2").as("_b1"),
+        col("_t._3").as("_b2"))
+
+  /** Column reference for [[lmBigramTriples]] — kept ONLY for the MlSpec
+    * equality gate (the pre-r20 explode shape, verbatim). */
+  private[graft] def lmBigramBucketsCols(df: org.apache.spark.sql.DataFrame,
+                                         idCol: String, textCol: String,
+                                         buckets: Int)
       : org.apache.spark.sql.DataFrame =
     df.filter(size(Dedup.tokens(col(textCol))) >= 2)
       .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("_g"))
@@ -420,11 +534,7 @@ object TextAnalysis {
 
   def lmModelHashed(corpus: org.apache.spark.sql.DataFrame, textCol: String,
                     buckets: Int = 10000): LmModel = {
-    val uniBf = corpus.select(explode(Dedup.tokens(col(textCol))).as("_w"))
-      .select(lmBucketOf(col("_w"), buckets).as("_b"))
-      .groupBy("_b").agg(count(lit(1)).as("_uc"))
-      .localCheckpoint(false)
-    val uTot = uniBf.agg(sum("_uc")).first().getLong(0)
+    val (uniBf, uTot) = lmUnigramTable(corpus, textCol, buckets)
     val biBf = lmBigramBuckets(corpus, corpus.columns.head, textCol, buckets)
       .groupBy(col("_bb").as("_b")).agg(count(lit(1)).as("_bc"))
       .localCheckpoint(false)

@@ -10,6 +10,55 @@ class MlSpec extends SparkSpec {
   lazy val docs = Tables(spark, sf, "documents")
   lazy val emb = Tables(spark, sf, "embeddings")
 
+  test("fused chained-xxhash window digests are bit-identical to the Column form") {
+    // the r20 fused loop (one UDF pass) must replay the w-1 chained
+    // zip_with(xxhash64) reference EXACTLY — every dup-span digest and
+    // shingle hash in the repo rides on it. Real corpus + edge cases:
+    // doc shorter than w (empty result), exactly w, empty text, null text.
+    val edge = Seq((900001L, "a b c"), (900002L, (1 to 15).map("t" + _).mkString(" ")),
+      (900003L, ""), (900004L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val corpus = QueriesLlm.plantedCorpus(spark, sf).unionByName(edge)
+    for (w <- Seq(2, 3, 5, 15)) {
+      val th = Dedup.tokens(col("text"))
+      val both = corpus.select(
+        Dedup.windowDigests(th, w).as("fused"),
+        Dedup.chainedXxhashCols(transform(th, x => xxhash64(x)), w).as("ref"))
+      val diff = both.filter(
+        !(col("fused") <=> col("ref"))).count()
+      assert(diff == 0L, s"w=$w: $diff rows differ between fused and Column digests")
+    }
+  }
+
+  test("fused md5-bucket kernels are value-identical to the Column forms") {
+    // dsir feature buckets, LM unigram buckets, LM bigram triples — the
+    // r20 one-digest-pass UDFs vs the pre-r20 explode/md5-chain shapes,
+    // on the real corpus plus short-doc edge cases (0 and 1 tokens hit
+    // the shingle special rule: the space-joined token list is the ONE
+    // shingle, so an empty doc buckets md5("")).
+    val edge = Seq((900001L, "solo"), (900002L, ""), (900003L, " , "),
+      (900004L, null.asInstanceOf[String]), (900005L, "two tokens"))
+      .toDF("doc_id", "text")
+    val corpus = QueriesLlm.plantedCorpus(spark, sf).unionByName(edge)
+    val b = 10000
+    val dsirDiff = corpus.select(
+        TextAnalysis.dsirFeatBuckets(b)(Dedup.tokens(col("text"))).as("fused"),
+        TextAnalysis.dsirFeatBucketsCols(col("text"), b).as("ref"))
+      .filter(!(col("fused") <=> col("ref"))).count()
+    assert(dsirDiff == 0L, s"$dsirDiff docs differ in dsir feature buckets")
+    val triplesNew = TextAnalysis.lmBigramBuckets(corpus, "doc_id", "text", b)
+    val triplesRef = TextAnalysis.lmBigramBucketsCols(corpus, "doc_id", "text", b)
+    assert(triplesNew.exceptAll(triplesRef).isEmpty &&
+      triplesRef.exceptAll(triplesNew).isEmpty,
+      "lm bigram triple multisets differ between fused and Column forms")
+    val uniDiff = corpus.select(
+        TextAnalysis.tokenBuckets(b)(Dedup.tokens(col("text"))).as("fused"),
+        transform(Dedup.tokens(col("text")),
+          g => pmod(conv(substring(md5(g.cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(b.toLong))).as("ref"))
+      .filter(!(col("fused") <=> col("ref"))).count()
+    assert(uniDiff == 0L, s"$uniDiff docs differ in unigram buckets")
+  }
+
   test("minhash LSH finds planted near-duplicates with high recall") {
     val corpus = QueriesLlm.plantedCorpus(spark, sf)
     // ground truth: planted pairs whose EXACT jaccard is comfortably above
