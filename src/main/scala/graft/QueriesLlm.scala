@@ -1388,17 +1388,31 @@ object QueriesLlm {
       val corpus = plantedCorpus(s, dir)
       val evalSet = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(substring_index(col("text"), " ", 20).as("text"))
-      val contaminated = Dedup.decontaminate(
-          corpus.repartition(Tables.fanout(s)), evalSet, "doc_id", "text", n = 5)
-        .select("doc_id")
-      corpus
+      // r20: dedup + quality/token band FIRST, checkpointed once — the
+      // candidate set (~37% of the corpus at gate scale) is all that
+      // decontamination needs to scan; the pre-r20 shape exploded the
+      // FULL corpus's 5-gram windows into the broadcast match and threw
+      // the non-survivors' work away at the anti-join. Per-doc
+      // decontamination is independent of other docs, so
+      // contaminated(corpus) ∩ survivors == contaminated(survivors) and
+      // the anti-join result is unchanged (oracle-verified). The
+      // checkpoint is the standard space-for-pass trade; without it the
+      // decontaminate consumer would re-run the digest aggregate — at
+      // 100 TB a second full-corpus shuffle. No repartition ahead of the
+      // shingle stage anymore: the checkpoint already reads back at full
+      // scheduler width, hash-balanced by the digest exchange.
+      val survivors = corpus
         .groupBy(md5(col("text").cast(BinaryType)).as("_d"))
         .agg(min(struct(col("doc_id"), col("text"))).as("_w"))
         .select(col("_w.doc_id").as("doc_id"), col("_w.text").as("text"))
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 1.0 && col("n_tokens").between(20, 1000))
-        .join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      val contaminated = Dedup.decontaminate(
+          survivors, evalSet, "doc_id", "text", n = 5)
+        .select("doc_id")
+      survivors.join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_tokens", "quality")
     }),
 

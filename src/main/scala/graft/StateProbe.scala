@@ -66,6 +66,17 @@ object StateProbe {
         org.apache.logging.log4j.Level.ERROR)
     }
     val pm = new ProbeMetrics(spark) // listener-accumulated, final-batch-polled
+    // per-batch durationMs decomposition (r19 verdict #3): addBatch vs
+    // state commit vs offset bookkeeping, printed as PROGRESS lines so the
+    // stream_dup_spans cost has an attributable breakdown, not a guess
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progress.add(e.progress.json)
+    })
     import spark.implicits._
 
     val w = 15
@@ -124,6 +135,7 @@ object StateProbe {
 
     pm.finish(q)
     println(f"""{"stateprobe":"${ProbeJson.jstr(docsDir)}","splits":$nSplits,"horizon_ms":$horizonMs,"provider":"${ProbeJson.jstr(provider)}","rows_total":${pm.stateRows},"rows_removed":${pm.removed.get()},"state_bytes":${pm.stateBytes},"emitted":${pm.emitted.get()},"wall":$wall%.3f}""")
+    progress.forEach(j => println(s"PROGRESS $j"))
     spark.stop()
   }
 }

@@ -23,7 +23,13 @@ object Dedup {
 
   /** Tokenize + lowercase. `\p{L}\p{N}` keeps unicode letters/digits. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    // array_remove(…, ""), not filter(…, length > 0): the split can only
+    // produce EMPTY strings as non-tokens (leading/trailing separators),
+    // so removing "" is the same rule — and ArrayRemove is a plain codegen
+    // expression where the filter lambda is a CodegenFallback
+    // HigherOrderFunction evaluated interpreted per element on EVERY
+    // tokenize in the repo (r20; value-identity spec-pinned in MlSpec)
+    array_remove(split(lower(text), "[^\\p{L}\\p{N}]+"), "")
 
   /** Word n-gram shingles as an array<string>. */
   def shingles(text: Column, n: Int = 3): Column = {

@@ -29,6 +29,21 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("array_remove tokenizer equals the filter-lambda reference") {
+    // r20: tokens() switched from an interpreted filter HOF to codegen'd
+    // array_remove — identical because split can only emit "" non-tokens
+    val edge = Seq((1L, " ,; leading"), (2L, "trailing . "), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "..."), (6L, "ok"))
+      .toDF("doc_id", "text")
+    val corpus = QueriesLlm.plantedCorpus(spark, sf).unionByName(edge)
+    val diff = corpus.select(
+        Dedup.tokens(col("text")).as("a"),
+        filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0L, s"$diff rows differ between array_remove and filter tokenizers")
+  }
+
   test("fused md5-bucket kernels are value-identical to the Column forms") {
     // dsir feature buckets, LM unigram buckets, LM bigram triples — the
     // r20 one-digest-pass UDFs vs the pre-r20 explode/md5-chain shapes,
